@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (count + collect of the result) so the
+timing covers scan→shuffle→agg, not just plan construction. A warmup
+action first amortizes JVM/codegen startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineer_project_spark.queries import QUERIES  # noqa: E402
+from data_engineer_project_spark.session import get_spark  # noqa: E402
+
+# Scale-bearing queries benchmarked per round (keep stable across rounds
+# so BENCH_r{N}.json is comparable).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: touch the fact table once so JVM + codegen init is excluded.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

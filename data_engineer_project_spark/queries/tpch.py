@@ -1,0 +1,212 @@
+"""Headline analytical queries over the driver testdata (TPC-H-ish).
+
+These are the scale-bearing workload: scan→filter→join→agg→sort
+pipelines exercising the same operator surface the reference's DW
+queries use (SURVEY.md §2.11: Q6 billed-vs-allowed-vs-paid rollup,
+Q2/Q4 multi-way dim joins, Q7 LOS derivation ≙ date arithmetic).
+
+Scale design notes (100 TB):
+- every query is a single declarative plan — Catalyst pushes the date
+  filters into the parquet scan and prunes columns;
+- dim joins (region/nation/supplier/customer at TPC-H ratios) are
+  broadcast-able; we hint ``broadcast()`` for the tiny ones so the plan
+  never sort-merge-shuffles the fact on a dim lookup;
+- aggregates are DECIMAL-exact → partial (map-side) aggregation is both
+  legal and deterministic, so the shuffle carries pre-aggregated rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark.functions.numeric import money
+from data_engineer_project_spark.queries.catalog import query
+
+D12 = "decimal(12,2)"
+D4 = "decimal(4,2)"
+
+
+def _disc_price(li):
+    # price*(1-disc) in exact decimals: (12,2)*(4,2) → (17,4)
+    return li.l_extendedprice.cast(D12) * (F.lit(1) - li.l_discount).cast(D4)
+
+
+def _charge(li):
+    return _disc_price(li) * (F.lit(1) + li.l_tax).cast(D4)
+
+
+_ORACLE_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+_ORACLE_CHARGE = _ORACLE_DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(4,2))"
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE)                   AS sum_disc_price,
+           CAST(SUM({_ORACLE_CHARGE}) AS DOUBLE)                       AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(t):
+    """TPC-H Q1 pricing summary: multi-agg groupBy with derived measures.
+
+    Reference parity: SUM/AVG/COUNT multi-aggregate + GROUP BY + ORDER BY
+    (`SQLQueryiesPractice.sql:70-88`), derived-measure rollup like billed
+    vs allowed vs paid (`Claims & Encounters.sql:381-392`).
+    """
+    li = t.lineitem
+    qty = money("l_quantity")
+    price = money("l_extendedprice")
+    disc = money("l_discount")
+    return (
+        li.filter(li.l_shipdate <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(_disc_price(li)).cast("double").alias("sum_disc_price"),
+            F.sum(_charge(li)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(qty).cast("double")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(price).cast("double")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(disc).cast("double")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk", "flagship"),
+)
+def q3_shipping_priority(t):
+    """TPC-H Q3: selective fact-fact join + top-k by aggregate.
+
+    Reference parity: inner join chain + TOP n ORDER BY
+    (`SQLQueryiesPractice.sql:59-61,106-109`). The customer side is
+    filtered then broadcast; deterministic tie-break on l_orderkey.
+    """
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = t.orders.filter(F.col("o_orderdate") < "1996-03-15")
+    li = t.lineitem.filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price(li)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "flagship"),
+)
+def q5_local_supplier_volume(t):
+    """TPC-H Q5: 6-way snowflake join (region→nation→cust/supp→fact).
+
+    Reference parity: the 5+-table mixed join of
+    `ProviderNetwork.sql:254-270` and the snowflake dim hierarchy
+    (`SnowflakeSchemaForHealthcare.sql`). Dims broadcast; the only big
+    shuffle is lineitem⋈orders on orderkey.
+    """
+    region = t.region.filter(F.col("r_name") == "ASIA")
+    nat = t.nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    sup = t.supplier.join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t.lineitem
+    cust = t.customer
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            cust,
+            (ords.o_custkey == cust.c_custkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price(li)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg", "flagship"),
+)
+def q6_forecast_revenue(t):
+    """TPC-H Q6: pure scan-filter-aggregate (pushdown showcase).
+
+    Reference parity: date-range + BETWEEN predicates
+    (`SQLQueryiesPractice.sql:37-39`, `Claims & Encounters.sql:390`).
+    All four predicates push into the parquet row-group scan.
+    """
+    li = t.lineitem
+    return (
+        li.filter(
+            (li.l_shipdate >= "1996-01-01")
+            & (li.l_shipdate < "1997-01-01")
+            & (li.l_discount >= 0.05)
+            & (li.l_discount <= 0.07)
+            & (li.l_quantity < 24)
+        )
+        .agg(
+            F.sum(li.l_extendedprice.cast(D12) * li.l_discount.cast(D4))
+            .cast("double")
+            .alias("revenue")
+        )
+    )

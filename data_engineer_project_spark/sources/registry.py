@@ -1,0 +1,64 @@
+"""Testdata source registry: parquet readers for the driver tables.
+
+The driver generates a TPC-H-ish star schema plus events/documents/
+embeddings at /root/testdata/sf{0.001,0.01,0.1} (see TESTDATA.md).
+Readers are plain ``spark.read.parquet`` so Catalyst gets vectorized
+scans with predicate pushdown + column pruning for free; at 100 TB these
+would be the same calls pointed at partitioned cloud storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. Pure declarative scan — filters/projections
+    applied by callers push down into the parquet reader."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+class Tables:
+    """Lazy dict-like access: ``t.lineitem`` / ``t['orders']``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return read_table(self._spark, self._sf_dir, name)
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return read_table(self._spark, self._sf_dir, name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
+    return Tables(spark, sf_dir or DEFAULT_SF_DIR)
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None, prefix: str = "") -> None:
+    """Register every driver table as a temp view (SQL surface, EP3)."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    for name in TABLE_NAMES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
