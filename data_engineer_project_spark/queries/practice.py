@@ -1,2 +1,1012 @@
-"""P-catalog: the reference's operator practice queries (SURVEY §2.11
-P1–P20), re-expressed over the driver testdata. Populated incrementally."""
+"""P-catalog: the reference's complete relational operator surface
+(SURVEY.md §2.2–2.4, §2.6–2.9; `SQLQueryiesPractice.sql:5-244`),
+re-expressed over the driver testdata with DuckDB oracle twins.
+
+Each query name maps to one operator row of the SURVEY §2 inventory;
+docstrings cite the reference file:line the operator comes from.
+Everything here is a single declarative DataFrame plan — Catalyst
+handles pushdown/pruning/join strategy; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark.functions.numeric import money
+from data_engineer_project_spark.queries.catalog import query
+
+D12 = "decimal(12,2)"
+
+
+# ---------------------------------------------------------------- §2.2
+# Projection / filter / predicates
+
+
+@query(
+    "p01_select_project",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    tags=("projection",),
+)
+def p01_select_project(t):
+    """Column-list projection with alias (`SQLQueryiesPractice.sql:5-6`).
+    Column pruning: the scan reads exactly these three columns."""
+    return t.customer.alias("c").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query("p02_select_star", "SELECT * FROM nation", tags=("projection",))
+def p02_select_star(t):
+    """SELECT * (`SQLQueryiesPractice.sql:13`)."""
+    return t.nation.select("*")
+
+
+@query(
+    "p03_filter_and",
+    "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000",
+    tags=("filter",),
+)
+def p03_filter_and(t):
+    """WHERE with AND (`SQLQueryiesPractice.sql:9-11`); both predicates
+    push down to the parquet scan."""
+    c = t.customer
+    return c.filter((c.c_mktsegment == "BUILDING") & (c.c_acctbal > 5000)).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "p04_and_or_parens",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    WHERE (c_mktsegment = 'BUILDING' AND c_acctbal > 7500) OR c_mktsegment = 'AUTOMOBILE'
+    """,
+    tags=("filter",),
+)
+def p04_and_or_parens(t):
+    """AND/OR precedence with parens (`SQLQueryiesPractice.sql:48-51`)."""
+    c = t.customer
+    return c.filter(
+        ((c.c_mktsegment == "BUILDING") & (c.c_acctbal > 7500))
+        | (c.c_mktsegment == "AUTOMOBILE")
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "p05_like_prefix",
+    "SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'red %'",
+    tags=("filter",),
+)
+def p05_like_prefix(t):
+    """LIKE prefix pattern (`SQLQueryiesPractice.sql:27-29`); StartsWith
+    pushes to the scan."""
+    return t.part.filter(F.col("p_name").like("red %")).select("p_partkey", "p_name")
+
+
+@query(
+    "p06_in_list",
+    "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('F','P')",
+    tags=("filter",),
+)
+def p06_in_list(t):
+    """IN list (`SQLQueryiesPractice.sql:32-34`)."""
+    return t.orders.filter(F.col("o_orderstatus").isin("F", "P")).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@query(
+    "p07_between_dates",
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+    """,
+    tags=("filter",),
+)
+def p07_between_dates(t):
+    """BETWEEN on dates (`SQLQueryiesPractice.sql:37-39`)."""
+    return t.orders.filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-03-31")
+    ).select("o_orderkey", "o_orderdate")
+
+
+@query(
+    "p08_null_checks",
+    """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_final
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'P') IS NULL
+    """,
+    tags=("filter", "nulls"),
+)
+def p08_null_checks(t):
+    """IS NULL / IS NOT NULL (`SQLQueryiesPractice.sql:42-44`). The
+    testdata has no stored NULLs, so NULLIF manufactures them — same
+    3VL filter semantics."""
+    o = t.orders.withColumn(
+        "status_final", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    return o.filter(F.col("status_final").isNull()).select("o_orderkey", "status_final")
+
+
+@query(
+    "p09_halfopen_range",
+    """
+    SELECT COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    tags=("filter",),
+)
+def p09_halfopen_range(t):
+    """Half-open date range (`Claims & Encounters.sql:390`)."""
+    li = t.lineitem
+    return li.filter(
+        (li.l_shipdate >= "1997-01-01") & (li.l_shipdate < "1997-02-01")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "p10_case_banding",
+    """
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'HIGH'
+                WHEN o_totalprice >= 100000 THEN 'MEDIUM'
+                ELSE 'LOW' END AS price_band,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 2 DESC
+    """,
+    tags=("projection",),
+)
+def p10_case_banding(t):
+    """CASE WHEN banding (`SQLQueryiesPractice.sql:95-102`)."""
+    o = t.orders
+    band = (
+        F.when(o.o_totalprice >= 300000, "HIGH")
+        .when(o.o_totalprice >= 100000, "MEDIUM")
+        .otherwise("LOW")
+    )
+    return (
+        o.select(band.alias("price_band"))
+        .groupBy("price_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+    )
+
+
+@query(
+    "p11_distinct",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    tags=("projection",),
+)
+def p11_distinct(t):
+    """DISTINCT (`SQLQueryiesPractice.sql:21-22`): hash-aggregate
+    shuffle on the projected keys, partial-agg map-side first."""
+    return t.customer.select("c_nationkey", "c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------- §2.3
+# Joins
+
+
+@query(
+    "p12_inner_join_2way",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    tags=("join",),
+)
+def p12_inner_join_2way(t):
+    """Inner equi-join (`SQLQueryiesPractice.sql:106-109`). Selective
+    order-side filter first, so the join input is small."""
+    o = t.orders.filter(F.col("o_totalprice") > 400000)
+    return o.join(t.customer, o.o_custkey == t.customer.c_custkey).select(
+        "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "p13_inner_3way_chain",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join",),
+)
+def p13_inner_3way_chain(t):
+    """3-way chain join (`Members&EligibilitySource.sql:265-273`
+    enrollment→member→plan→payer). nation/region broadcast."""
+    return (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "p14_left_join_count",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_big_orders
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "nulls"),
+)
+def p14_left_join_count(t):
+    """LEFT JOIN + COUNT(col) counting only matches — zero-preserved
+    (`SQLQueryiesPractice.sql:112-116`)."""
+    big = t.orders.filter(F.col("o_totalprice") > 450000)
+    return (
+        t.customer.join(big, t.customer.c_custkey == big.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("n_big_orders"))
+    )
+
+
+@query(
+    "p15_right_join",
+    """
+    SELECT n.n_name, s.s_suppkey
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("join", "nulls"),
+)
+def p15_right_join(t):
+    """RIGHT OUTER JOIN (`SQLQueryiesPractice.sql:120-122`): every
+    nation kept even with no supplier (s_suppkey NULL)."""
+    s = t.supplier
+    n = t.nation
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", "s_suppkey"
+    )
+
+
+@query(
+    "p16_full_outer_join",
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+    tags=("join", "nulls"),
+)
+def p16_full_outer_join(t):
+    """FULL OUTER JOIN (`SQLQueryiesPractice.sql:125-127`)."""
+    c = t.customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = t.supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, c.nk == s.nk, "full_outer").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "p17_cross_join_top",
+    """
+    SELECT r.r_name, o.o_orderkey
+    FROM region r
+    CROSS JOIN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 2) o
+    """,
+    tags=("join",),
+)
+def p17_cross_join_top(t):
+    """CROSS JOIN with TOP-limited derived table
+    (`SQLQueryiesPractice.sql:131-133`)."""
+    top2 = t.orders.orderBy(F.desc("o_orderkey")).limit(2).select("o_orderkey")
+    return t.region.crossJoin(top2).select("r_name", "o_orderkey")
+
+
+@query(
+    "p18_theta_self_join",
+    """
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b
+    FROM supplier a JOIN supplier b
+      ON a.s_acctbal > b.s_acctbal AND a.s_suppkey > b.s_suppkey
+    """,
+    tags=("join",),
+)
+def p18_theta_self_join(t):
+    """Self theta (non-equi) join (`SQLQueryiesPractice.sql:137-140`).
+    Plans as BroadcastNestedLoopJoin — we broadcast the smaller alias so
+    it never cartesian-shuffles at scale (SURVEY §7 hard-part 7)."""
+    a = t.supplier.alias("a")
+    b = F.broadcast(t.supplier.alias("b"))
+    return a.join(
+        b,
+        (F.col("a.s_acctbal") > F.col("b.s_acctbal"))
+        & (F.col("a.s_suppkey") > F.col("b.s_suppkey")),
+    ).select(F.col("a.s_suppkey").alias("supp_a"), F.col("b.s_suppkey").alias("supp_b"))
+
+
+@query(
+    "p19_composite_key_join",
+    """
+    SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_linenumber = 1
+    WHERE o.o_totalprice > 420000
+    """,
+    tags=("join",),
+)
+def p19_composite_key_join(t):
+    """Composite-key equi-join + seq=1 residual, mirroring the claim
+    line↔procedure ProcSeq=1 pattern (`Claims & Encounters.sql:373-377`,
+    `StarSchemaForHealthcare.sql:322-327`)."""
+    o = t.orders.filter(F.col("o_totalprice") > 420000)
+    li = t.lineitem.filter(F.col("l_linenumber") == 1)
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@query(
+    "p20_expr_key_join",
+    """
+    SELECT d.date_sk, COUNT(*) AS n_orders
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderdate AS d,
+                 year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS date_sk
+          FROM orders) d
+      ON year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) = d.date_sk
+    GROUP BY d.date_sk
+    """,
+    tags=("join", "dates"),
+)
+def p20_expr_key_join(t):
+    """Join on computed DateSK expression (`StarSchemaForHealthcare.
+    sql:334`): fact joins the date dim on yyyy*10000+mm*100+dd."""
+    o = t.orders
+    sk = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    )
+    dim = (
+        o.select(F.col("o_orderdate").alias("d"))
+        .distinct()
+        .select("d", (F.year("d") * 10000 + F.month("d") * 100 + F.dayofmonth("d")).alias("date_sk"))
+    )
+    return (
+        o.join(F.broadcast(dim), sk == dim.date_sk)
+        .groupBy("date_sk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "p21_coalesce_key_join",
+    """
+    SELECT n.n_name, COUNT(*) AS n_orders
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+      ON o.o_custkey = c.c_custkey
+    JOIN nation n ON n.n_nationkey = COALESCE(c.c_nationkey, 0)
+    GROUP BY n.n_name
+    """,
+    tags=("join", "nulls"),
+)
+def p21_coalesce_key_join(t):
+    """Join with COALESCE fallback key (`StarSchemaForHealthcare.sql:330`
+    provider NPI from line else header; here: nation from rich customer
+    else the nationkey-0 'Unknown' bucket)."""
+    rich = t.customer.filter(F.col("c_acctbal") > 9000)
+    o = t.orders
+    joined = o.join(rich, o.o_custkey == rich.c_custkey, "left")
+    n = t.nation
+    return (
+        joined.join(
+            F.broadcast(n), n.n_nationkey == F.coalesce(rich.c_nationkey, F.lit(0))
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "p22_semi_join_exists",
+    """
+    SELECT p.p_partkey, p.p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+    """,
+    tags=("join",),
+)
+def p22_semi_join_exists(t):
+    """Semi-join / EXISTS (`SQLQueryiesPractice.sql:177-182`) →
+    left_semi: no row multiplication, fact side never materializes."""
+    hot = t.lineitem.filter(F.col("l_quantity") >= 49)
+    return t.part.join(
+        hot, t.part.p_partkey == hot.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "p23_anti_join_not_exists",
+    """
+    SELECT p.p_partkey, p.p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+    """,
+    tags=("join",),
+)
+def p23_anti_join_not_exists(t):
+    """Anti-join / NOT EXISTS (`StarSchemaForHealthcare.sql:177-180`
+    dedup-on-load; `ReferenceData.sql:214-217` FK validation)."""
+    hot = t.lineitem.filter(F.col("l_quantity") >= 49)
+    return t.part.join(
+        hot, t.part.p_partkey == hot.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "p24_five_table_join",
+    """
+    SELECT r.r_name, p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY r.r_name, p.p_brand
+    """,
+    tags=("join", "agg"),
+)
+def p24_five_table_join(t):
+    """5-table mixed join (`ProviderNetwork.sql:254-270` claim CPTs →
+    contract rates). part/supplier/nation/region all broadcast; lineitem
+    is the only shuffled side."""
+    li = t.lineitem
+    p = t.part.filter(F.col("p_type") == "ECONOMY")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(t.supplier), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "p_brand")
+        .agg(F.sum(money("l_extendedprice")).cast("double").alias("total_price"))
+    )
+
+
+@query(
+    "p25_update_with_join",
+    """
+    SELECT o.o_orderkey,
+           CASE WHEN t.line_total > 300000 THEN 1 ELSE 0 END AS high_bill_flag
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS line_total
+               FROM lineitem GROUP BY l_orderkey) t
+      ON o.o_orderkey = t.l_orderkey
+    """,
+    tags=("join", "agg"),
+)
+def p25_update_with_join(t):
+    """UPDATE-with-JOIN via derived agg (`SQLQueryiesPractice.sql:147-159`
+    flag claims >$1000): immutable rebuild — aggregate detail, join back,
+    derive the flag column (SURVEY §7 hard-part 4)."""
+    totals = t.lineitem.groupBy("l_orderkey").agg(
+        F.sum(money("l_extendedprice")).cast("double").alias("line_total")
+    )
+    o = t.orders
+    return o.join(totals, o.o_orderkey == totals.l_orderkey, "left").select(
+        "o_orderkey",
+        F.when(F.col("line_total") > 300000, 1).otherwise(0).alias("high_bill_flag"),
+    )
+
+
+@query(
+    "p26_delete_with_join",
+    """
+    SELECT COUNT(*) AS n_remaining,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS remaining_value
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("join",),
+)
+def p26_delete_with_join(t):
+    """DELETE-with-JOIN (`SQLQueryiesPractice.sql:167-174` drop lines of
+    denied claims) as anti-join filter — the retained set, immutably."""
+    denied = t.orders.filter(F.col("o_orderstatus") == "F")
+    kept = t.lineitem.join(
+        denied, t.lineitem.l_orderkey == denied.o_orderkey, "left_anti"
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.sum(money("l_extendedprice")).cast("double").alias("remaining_value"),
+    )
+
+
+# ---------------------------------------------------------------- §2.4
+# Aggregations
+
+
+@query("p27_count_star", "SELECT COUNT(*) AS n FROM lineitem", tags=("agg",))
+def p27_count_star(t):
+    """Scalar COUNT(*) (`Members&EligibilitySource.sql:261-262`)."""
+    return t.lineitem.agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "p28_multi_agg_scalar",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(o_totalprice) AS DOUBLE) AS avg_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    """,
+    tags=("agg",),
+)
+def p28_multi_agg_scalar(t):
+    """COUNT/SUM/AVG/MIN/MAX with no grouping
+    (`SQLQueryiesPractice.sql:70-76`)."""
+    o = t.orders
+    tp = money("o_totalprice")
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(tp).cast("double").alias("total"),
+        (F.sum(tp).cast("double") / F.count(tp).cast("double")).alias("avg_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+@query(
+    "p29_groupby_orderby",
+    "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY n DESC",
+    tags=("agg",),
+)
+def p29_groupby_orderby(t):
+    """GROUP BY + ORDER BY count (`SQLQueryiesPractice.sql:79-82`)."""
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+    )
+
+
+@query(
+    "p30_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
+    """,
+    tags=("agg",),
+)
+def p30_having(t):
+    """HAVING (`SQLQueryiesPractice.sql:85-88`) = post-agg filter."""
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+@query(
+    "p31_sum_null_default",
+    """
+    SELECT o.o_orderstatus,
+           CAST(SUM(COALESCE(CAST(l.l_extendedprice AS DECIMAL(12,2)), 0)) AS DOUBLE) AS hot_value
+    FROM orders o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45) l
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("agg", "nulls"),
+)
+def p31_sum_null_default(t):
+    """SUM(ISNULL(x,0)) over outer-joined detail
+    (`Claims & Encounters.sql:381-392` billed vs allowed vs paid)."""
+    hot = t.lineitem.filter(F.col("l_quantity") >= 45)
+    o = t.orders
+    return (
+        o.join(hot, o.o_orderkey == hot.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.coalesce(money("l_extendedprice"), F.lit(0).cast(D12)))
+            .cast("double")
+            .alias("hot_value")
+        )
+    )
+
+
+@query(
+    "p32_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           COUNT(*) AS n_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def p32_conditional_agg(t):
+    """Conditional aggregation SUM(CASE WHEN…)
+    (`CareManagementCCA.sql:318-325` tasks done per user)."""
+    o = t.orders
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(o.o_orderstatus == "F", 1).otherwise(0)).alias("n_finished"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "p33_flag_agg_max_case",
+    """
+    SELECT o_custkey,
+           CAST(MAX(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS INT) AS has_big_order,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg",),
+)
+def p33_flag_agg_max_case(t):
+    """Flag aggregation MAX(CASE WHEN…) (`CareManagementCCA.sql:338-349`
+    A1c gap closed per member)."""
+    o = t.orders
+    return o.groupBy("o_custkey").agg(
+        F.max(F.when(o.o_totalprice > 400000, 1).otherwise(0)).alias("has_big_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "p34_rowcount_dashboard",
+    """
+    SELECT 'customer' AS table_name, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'region', COUNT(*) FROM region
+    """,
+    tags=("agg", "setop"),
+)
+def p34_rowcount_dashboard(t):
+    """Row-count dashboard via UNION ALL of per-table counts
+    (`StarSchemaForHealthcare.sql:394-405`)."""
+    parts = [
+        t[name].agg(
+            F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n")
+        )
+        for name in ("customer", "orders", "lineitem", "part", "supplier", "nation", "region")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+# ---------------------------------------------------------------- §2.6
+# Sorts / limits / top-k
+
+
+@query(
+    "p42_orderby_multikey",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    ORDER BY o_orderdate DESC, o_totalprice ASC, o_orderkey LIMIT 20
+    """,
+    tags=("sort",),
+)
+def p42_orderby_multikey(t):
+    """ORDER BY multi-key ASC/DESC (`SQLQueryiesPractice.sql:16-18`)
+    with unique tie-break for determinism (SURVEY §7 hard-part 6)."""
+    return (
+        t.orders.orderBy(
+            F.desc("o_orderdate"), F.asc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .limit(20)
+    )
+
+
+@query(
+    "p43_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+    """,
+    tags=("sort", "topk"),
+)
+def p43_topk(t):
+    """TOP (5) ORDER BY (`SQLQueryiesPractice.sql:59-61`) — Spark plans
+    TakeOrderedAndProject: per-partition heap, no global sort."""
+    return (
+        t.orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(5)
+    )
+
+
+@query(
+    "p44_offset_fetch",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 3 OFFSET 1
+    """,
+    tags=("sort", "topk"),
+)
+def p44_offset_fetch(t):
+    """OFFSET 1 FETCH NEXT 3 (`SQLQueryiesPractice.sql:64-67`) via
+    Spark ≥3.4 offset()+limit()."""
+    return (
+        t.orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(1)
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------- §2.7
+# Set operations
+
+
+@query(
+    "p45_union_dedup",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def p45_union_dedup(t):
+    """UNION with dedup (`SQLQueryiesPractice.sql:186-188`; date-domain
+    build `StarSchemaForHealthcare.sql:143-164`)."""
+    c = t.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "p46_union_all",
+    """
+    SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer WHERE c_nationkey < 3
+    UNION ALL
+    SELECT s_nationkey, 'supplier' FROM supplier WHERE s_nationkey < 3
+    """,
+    tags=("setop",),
+)
+def p46_union_all(t):
+    """UNION ALL (`SQLQueryiesPractice.sql:191-193`)."""
+    c = t.customer.filter(F.col("c_nationkey") < 3).select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    s = t.supplier.filter(F.col("s_nationkey") < 3).select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return c.union(s)
+
+
+@query(
+    "p47_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def p47_intersect(t):
+    """INTERSECT (`SQLQueryiesPractice.sql:196-198`)."""
+    c = t.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "p48_except",
+    """
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def p48_except(t):
+    """EXCEPT (`SQLQueryiesPractice.sql:201-203`) → subtract
+    (distinct semantics, matching T-SQL EXCEPT)."""
+    n = t.nation.select(F.col("n_nationkey").alias("nationkey"))
+    s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return n.subtract(s)
+
+
+# ---------------------------------------------------------------- §2.8
+# Scalar functions
+
+
+@query(
+    "p49_date_parts",
+    """
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("dates", "agg"),
+)
+def p49_date_parts(t):
+    """YEAR/MONTH/DAY extraction (`StarSchemaForHealthcare.sql:167-169`)."""
+    return (
+        t.orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "p50_datediff",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS total_delay_days,
+           COUNT(*) AS n
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("dates", "agg"),
+)
+def p50_datediff(t):
+    """DATEDIFF(day, a, b) — length-of-stay derivation
+    (`Claims & Encounters.sql:397`, `StarSchemaForHealthcare.sql:348-349`).
+    NOTE Spark's datediff(end, start) flips T-SQL's argument order
+    (SURVEY §7 hard-part 3)."""
+    o = t.orders
+    li = t.lineitem
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.datediff(li.l_shipdate, o.o_orderdate)).alias("total_delay_days"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "p51_date_sk",
+    """
+    SELECT DISTINCT o_orderdate AS d,
+           year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS date_sk
+    FROM orders
+    """,
+    tags=("dates",),
+)
+def p51_date_sk(t):
+    """Smart DateSK = yyyy*10000+mm*100+dd
+    (`StarSchemaForHealthcare.sql:167`)."""
+    return (
+        t.orders.select(F.col("o_orderdate").alias("d"))
+        .distinct()
+        .select(
+            "d",
+            (F.year("d") * 10000 + F.month("d") * 100 + F.dayofmonth("d")).alias(
+                "date_sk"
+            ),
+        )
+    )
+
+
+@query(
+    "p52_isnull_coalesce",
+    """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    tags=("nulls",),
+)
+def p52_isnull_coalesce(t):
+    """ISNULL/COALESCE fallback chain (`StarSchemaForHealthcare.
+    sql:306-312`; `Claims & Encounters.sql:383-384`)."""
+    o = t.orders.filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(o.o_orderstatus, F.lit("P")), F.lit("PENDING")).alias(
+            "status_resolved"
+        ),
+    )
+
+
+@query(
+    "p53_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           substring(c_name, 10, 9) AS cust_num,
+           concat(c_name, ':', c_mktsegment) AS name_seg,
+           length(c_name) AS name_len
+    FROM customer WHERE c_custkey < 100
+    """,
+    tags=("strings",),
+)
+def p53_string_funcs(t):
+    """String function surface (upper/lower/substring/concat/length) —
+    extension beyond the reference's LIKE-only usage (SURVEY §2.8)."""
+    c = t.customer.filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+# ---------------------------------------------------------------- §2.9
+# Views, CTEs, SQL surface
+
+
+@query(
+    "p54_view_query",
+    """
+    SELECT c_name, o_orderkey, o_totalprice, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_totalprice > 430000
+    """,
+    tags=("view", "sql"),
+)
+def p54_view_query(t):
+    """CREATE VIEW + query-the-view (`SQLQueryiesPractice.sql:206-222`):
+    a named 3-table join registered as a temp view, then filtered via
+    the SQL surface (EP3)."""
+    spark = t.customer.sparkSession
+    joined = (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_name", "o_orderkey", "o_totalprice", "n_name")
+    )
+    joined.createOrReplaceTempView("vw_customer_orders")
+    return spark.sql("SELECT * FROM vw_customer_orders WHERE o_totalprice > 430000")
+
+
+@query(
+    "p55_cte",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev > (SELECT CAST(SUM(total_rev) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) FROM revenue)
+    """,
+    tags=("view", "sql"),
+)
+def p55_cte(t):
+    """CTE + scalar subquery (`StarSchemaForHealthcare.sql:143-164`
+    WITH alldates): suppliers with above-average revenue, via the full
+    Spark SQL surface over temp views."""
+    spark = t.lineitem.sparkSession
+    t.lineitem.createOrReplaceTempView("p55_lineitem")
+    t.supplier.createOrReplaceTempView("p55_supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                     * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_rev
+          FROM p55_lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM p55_supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev > (SELECT CAST(SUM(total_rev) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) FROM revenue)
+        """
+    )

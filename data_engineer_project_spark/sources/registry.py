@@ -38,19 +38,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 class Tables:
-    """Lazy dict-like access: ``t.lineitem`` / ``t['orders']``."""
+    """Lazy dict-like access: ``t.lineitem`` / ``t['orders']``.
+
+    Memoized per name so repeated access returns the SAME DataFrame
+    instance — column references like ``t.customer.c_custkey`` then
+    resolve against the exact plan being joined (fresh reads would be
+    distinct plan subtrees and fail attribute resolution).
+    """
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self._spark = spark
         self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)
-        return read_table(self._spark, self._sf_dir, name)
+        return self[name]
 
     def __getitem__(self, name: str) -> DataFrame:
-        return read_table(self._spark, self._sf_dir, name)
+        if name not in self._cache:
+            self._cache[name] = read_table(self._spark, self._sf_dir, name)
+        return self._cache[name]
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
