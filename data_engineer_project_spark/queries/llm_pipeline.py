@@ -1,2 +1,546 @@
-"""LLM training-data pipeline operators over documents/embeddings/events.
-Populated incrementally (dedup, similarity search, text analysis)."""
+"""LLM training-data pipeline operators over documents / embeddings /
+events — first-class components beyond the reference's surface
+(BASELINE.json north star): text analysis, dedup (exact → MinHash-LSH →
+SimHash), similarity search (brute-force + sign-LSH ANN), and
+event-window analytics (the batch twins of the streaming module).
+
+Oracle parity notes:
+- dot products fold in DOUBLE in array order on both engines (DuckDB's
+  float-accumulating list_dot_product is deliberately NOT used);
+- the ±1 LSH hyperplanes are md5-parity literals shared between the
+  Spark plan and the generated oracle SQL;
+- counts/ratios are integer-derived, so doubles compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark.functions import text as T
+from data_engineer_project_spark.functions.numeric import money
+from data_engineer_project_spark.operators import dedup as DD
+from data_engineer_project_spark.operators import similarity as SIM
+from data_engineer_project_spark.queries.catalog import query
+
+# ------------------------------------------------------------------ text
+
+
+@query(
+    "d01_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens,
+           CAST(SUM(length(string_split(text, ' '))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def d01_token_stats(t):
+    """Token counting per language: whitespace tokens + a BPE-ish
+    chars/4 estimate. Array-native (no explode) → scales as a single
+    map + one small shuffle on lang."""
+    d = t.documents
+    toks = T.token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(T.bpe_token_estimate("text")).alias("est_bpe_tokens"),
+        (F.sum(toks).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+_SW_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+@query(
+    "d02_quality_scores",
+    f"""
+    SELECT doc_id,
+           length(string_split(text, ' ')) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(length(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+           CAST(length(list_filter(string_split(text, ' '),
+                                   x -> x IN ({_SW_SQL}))) AS DOUBLE)
+             / CAST(length(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+           CASE WHEN length(string_split(text, ' ')) BETWEEN 20 AND 120
+                 AND CAST(length(list_filter(string_split(text, ' '),
+                                   x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                     / CAST(length(string_split(text, ' ')) AS DOUBLE) < 0.3
+                THEN 1 ELSE 0 END AS quality_flag
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def d02_quality_scores(t):
+    """Per-doc quality scoring: word count, avg word length, stopword
+    ratio, and a keep/drop flag — the standard pre-training filter
+    shape. All ratios are integer-derived doubles (exact parity)."""
+    d = t.documents
+    n_words = T.token_count("text")
+    n_chars_ns = F.length(F.regexp_replace("text", " ", ""))
+    sw = T.stopword_count("text")
+    stop_ratio = sw.cast("double") / n_words.cast("double")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_chars_ns.cast("double") / n_words.cast("double")).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when(
+            n_words.between(20, 120) & (stop_ratio < 0.3), 1
+        ).otherwise(0).alias("quality_flag"),
+    )
+
+
+@query(
+    "d03_lang_id_heuristic",
+    f"""
+    SELECT lang,
+           CASE WHEN CAST(length(list_filter(string_split(text, ' '),
+                                   x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                     / CAST(length(string_split(text, ' ')) AS DOUBLE) >= 0.02
+                THEN 'en' ELSE 'und' END AS predicted,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("llm", "text"),
+)
+def d03_lang_id_heuristic(t):
+    """Language-ID heuristic (stopword-marker scoring) + confusion
+    matrix against the labeled lang column. The marker-list approach is
+    the real n-gram-profile plumbing; richer profiles are a data
+    change, not a plan change. (The synthetic corpus shares one vocab
+    across langs, so the interesting output IS the confusion matrix.)"""
+    d = t.documents
+    stop_ratio = T.stopword_count("text").cast("double") / T.token_count("text").cast(
+        "double"
+    )
+    return (
+        d.select(
+            "lang",
+            F.when(stop_ratio >= 0.02, "en").otherwise("und").alias("predicted"),
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "d04_fingerprints",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    )
+    SELECT d.doc_id,
+           md5(d.text) AS exact_fp,
+           md5(array_to_string(string_split(d.text,' ')[1:10], ' ')) AS prefix_fp,
+           s.min_shingle_fp
+    FROM documents d
+    JOIN (SELECT doc_id, min(md5(shingle)) AS min_shingle_fp FROM sh GROUP BY doc_id) s
+      ON d.doc_id = s.doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def d04_fingerprints(t):
+    """Document fingerprinting: exact md5, leading-content (first 10
+    words) fingerprint, and min-shingle fingerprint (MinHash k=1) —
+    the building blocks of the dedup tiers, emitted per doc."""
+    d = t.documents
+    return d.select(
+        "doc_id",
+        T.md5_fingerprint("text").alias("exact_fp"),
+        T.prefix_fingerprint("text", 10).alias("prefix_fp"),
+        F.array_min(F.transform(T.shingles("text", 3), F.md5)).alias("min_shingle_fp"),
+    )
+
+
+# ----------------------------------------------------------------- dedup
+
+
+@query(
+    "d05_dedup_exact",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows
+    FROM documents
+    """,
+    tags=("llm", "dedup"),
+)
+def d05_dedup_exact(t):
+    """Exact dedup accounting (hash-groupBy tier): one shuffle on the
+    md5 fingerprint; at 100 TB this is the cheap first pass."""
+    return DD.exact_dedup_stats(t.documents)
+
+
+@query(
+    "d06_dedup_prefix_clusters",
+    """
+    SELECT md5(array_to_string(string_split(text,' ')[1:10], ' ')) AS prefix_fp,
+           COUNT(*) AS cluster_size,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    tags=("llm", "dedup"),
+)
+def d06_dedup_prefix_clusters(t):
+    """Near-dup blocking by leading-content fingerprint: clusters
+    sharing their first 10 words (the candidate generator tier)."""
+    return DD.prefix_clusters(t.documents, n_words=10)
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {threshold}
+    """
+
+
+@query("d07_dedup_minhash_lsh", _minhash_oracle(), tags=("llm", "dedup", "flagship"))
+def d07_dedup_minhash_lsh(t):
+    """MinHash+LSH near-dup pairs with exact-Jaccard verify (SURVEY
+    north-star dedup): shingle → salted-md5 signature → band buckets →
+    candidate equi-join → relational Jaccard ≥ 0.5. No all-pairs step
+    anywhere, so the plan survives corpus-scale fan-out."""
+    return DD.minhash_lsh_pairs(
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+
+
+def _simhash_oracle(max_hamming: int = 3, bucket_bits: int = 8) -> str:
+    sums = ", ".join(
+        f"SUM(((strpos('0123456789abcdef', substring(m, {b + 1}, 1)) - 1) % 2) * 2 - 1)"
+        f" AS s{b}"
+        for b in range(16)
+    )
+    hash_expr = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS wd FROM documents),
+    h AS (SELECT doc_id, md5(wd) AS m FROM w),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({hash_expr} AS BIGINT) AS simhash FROM s)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.simhash // {1 << bucket_bits} = b.simhash // {1 << bucket_bits}
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("d08_dedup_simhash", _simhash_oracle(), tags=("llm", "dedup"))
+def d08_dedup_simhash(t):
+    """SimHash near-dup pairs: 16-bit signed-projection signature,
+    bucketed by high bits so hamming comparison never goes quadratic."""
+    return DD.simhash_pairs(t.documents, max_hamming=3, bucket_bits=8)
+
+
+# ------------------------------------------------------------ similarity
+
+_DOT = (
+    "SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE))"
+)
+
+
+def _cosine_topk_oracle(k: int = 5, query_limit: int = 10) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {query_limit}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (SELECT query_id, neighbor_id, qv, cv FROM q, c
+              WHERE neighbor_id <> query_id),
+    ex AS (SELECT query_id, neighbor_id,
+                  unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
+    dots AS (SELECT query_id, neighbor_id,
+                    SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                    SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                    SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+             FROM ex GROUP BY query_id, neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      dotp / (sqrt(qq) * sqrt(cc)) AS score FROM dots)
+    SELECT query_id, neighbor_id, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@query(
+    "d09_cosine_topk_bruteforce",
+    _cosine_topk_oracle(),
+    tags=("llm", "similarity", "flagship"),
+)
+def d09_cosine_topk_bruteforce(t):
+    """Exact cosine top-5 neighbors for the first 10 vectors —
+    the ANN baseline. Query set broadcasts; corpus never shuffles;
+    per-query windowed top-k."""
+    emb = t.embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(queries, emb, k=5)
+
+
+def _lsh_topk_oracle(k: int = 3, num_planes: int = 4, dim: int = 64, query_limit: int = 10) -> str:
+    plane_lits = [
+        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(r, dim)) + "]"
+        for r in range(num_planes)
+    ]
+    dot_terms = ", ".join(
+        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[r]})[i]) AS d{r}" for r in range(num_planes)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(num_planes)
+    )
+    return f"""
+    WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    dots AS (SELECT vec_id, {dot_terms} FROM ex GROUP BY vec_id),
+    buck AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS bucket FROM dots),
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+          FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id
+          WHERE e.vec_id < {query_limit}),
+    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+          FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
+    pairs AS (SELECT q.query_id, c.neighbor_id, q.bucket, q.qv, c.cv
+              FROM q JOIN c ON q.bucket = c.bucket
+              WHERE c.neighbor_id <> q.query_id),
+    pex AS (SELECT query_id, neighbor_id, bucket,
+                   unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
+    pd AS (SELECT query_id, neighbor_id, bucket,
+                  SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                  SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                  SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+           FROM pex GROUP BY query_id, neighbor_id, bucket),
+    scored AS (SELECT query_id, neighbor_id, bucket,
+                      dotp / (sqrt(qq) * sqrt(cc)) AS score FROM pd)
+    SELECT query_id, neighbor_id, bucket, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@query("d10_ann_lsh_bucketed", _lsh_topk_oracle(), tags=("llm", "similarity"))
+def d10_ann_lsh_bucketed(t):
+    """Sign-LSH bucketed ANN (the scale path): 4 deterministic ±1
+    hyperplanes → 16 buckets → candidates equi-join on bucket → exact
+    cosine within bucket → top-3. Corpus-linear candidate generation."""
+    emb = t.embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_topk(queries, emb, k=3, num_planes=4, dim=64)
+
+
+@query(
+    "d11_embedding_norm_stats",
+    """
+    WITH ex AS (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings),
+    norms AS (SELECT vec_id, label,
+                     sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+              FROM ex GROUP BY vec_id, label)
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(round(nrm, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_norm
+    FROM norms GROUP BY label
+    """,
+    tags=("llm", "similarity"),
+)
+def d11_embedding_norm_stats(t):
+    """Per-label embedding norm stats. Norms are per-row doubles
+    (deterministic); the cross-row mean goes through round→decimal so
+    the aggregation is order-independent at any parallelism."""
+    emb = t.embeddings
+    nrm = SIM.norm(F.col("embedding"))
+    return (
+        emb.select("label", F.round(nrm, 9).cast("decimal(18,9)").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("nrm").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_norm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- events
+
+
+@query(
+    "e01_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "window"),
+)
+def e01_tumbling_window(t):
+    """Tumbling 1-hour windowed aggregation over the event stream —
+    the batch twin of the Structured Streaming pipeline (streaming/
+    module runs the same plan with readStream + watermark)."""
+    e = t.events
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "e02_sliding_window",
+    """
+    WITH marks AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM marks GROUP BY 1
+    """,
+    tags=("events", "window"),
+)
+def e02_sliding_window(t):
+    """Sliding window (1 hour, slide 30 min): every event lands in two
+    overlapping windows; Spark's window(slide) materializes both
+    assignments — the oracle mirrors that with a two-mark union."""
+    e = t.events
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "e03_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    tags=("events", "window", "sessions"),
+)
+def e03_sessionization(t):
+    """Sessionization with a 5-minute inactivity gap via
+    session_window — Spark's native merging session operator; the
+    oracle is the classic gaps-and-islands formulation (they agree
+    because both merge events with gap ≤ 5 min into one session)."""
+    e = t.events
+    return (
+        e.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+@query(
+    "e04_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS total_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def e04_json_extract(t):
+    """Semi-structured extraction: pull props.k out of the JSON string
+    column and aggregate — get_json_object stays JVM-side (no UDF)."""
+    e = t.events
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("total_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_k"),
+    )
