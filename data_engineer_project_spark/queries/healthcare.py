@@ -1,0 +1,1119 @@
+"""Healthcare workload: the reference's named queries Q1–Q24
+(SURVEY §2.11) over the 50-table fixture model, plus star/snowflake
+DW-derived queries.
+
+Every query has a full DuckDB oracle: the fixture rows are inlined as
+typed VALUES CTEs (fixtures.sql_ctes — same generator as the Spark
+DataFrames) and the DW queries *recompute the ETL in SQL* (dims with
+ROW_NUMBER surrogate keys, facts as the same join chains), so the
+driver's hash gate independently verifies the whole EP2 pipeline, not
+just the final SELECTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark import fixtures
+from data_engineer_project_spark.plans.quality import fk_violations
+from data_engineer_project_spark.plans.snowflake import build_snowflake
+from data_engineer_project_spark.plans.star import build_star
+from data_engineer_project_spark.queries.catalog import query
+
+# --------------------------------------------------------------- caches
+
+_FIX: dict[int, dict] = {}
+_STAR: dict[int, dict] = {}
+_SNOW: dict[int, dict] = {}
+
+
+def _spark_of(t):
+    return t._spark
+
+
+def hc(t):
+    """Fixture DataFrames, cached per SparkSession."""
+    spark = _spark_of(t)
+    key = id(spark)
+    if key not in _FIX:
+        _FIX[key] = fixtures.dataframes(spark)
+    return _FIX[key]
+
+
+def star(t):
+    spark = _spark_of(t)
+    key = id(spark)
+    if key not in _STAR:
+        _STAR[key] = build_star(hc(t))
+    return _STAR[key]
+
+
+def snow(t):
+    spark = _spark_of(t)
+    key = id(spark)
+    if key not in _SNOW:
+        _SNOW[key] = build_snowflake(hc(t))
+    return _SNOW[key]
+
+
+# ----------------------------------------------------- oracle SQL pieces
+
+_DATE_SK = "CAST(year({c})*10000 + month({c})*100 + day({c}) AS INTEGER)"
+
+
+def _dsk(c: str) -> str:
+    return _DATE_SK.format(c=c)
+
+
+_DIM_CTES = {
+    "dim_member": """
+  dim_member AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY MemberBK) AS INTEGER) AS MemberSK,
+           MemberID, MemberBK, FirstName, LastName, DOB, Gender
+    FROM (SELECT DISTINCT ON (MemberBK) * FROM s1_elig_member ORDER BY MemberBK)
+    UNION ALL
+    SELECT 0, -1, 'UNK', 'Unknown', 'Unknown', NULL, 'U'
+  )""",
+    "dim_plan": """
+  dim_plan AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY p.PlanID) AS INTEGER) AS PlanSK,
+           p.PlanID, p.PlanName, p.PlanType, py.PayerName, py.PayerType
+    FROM s1_elig_insurance_plan p JOIN s1_elig_payer py USING (PayerID)
+    UNION ALL
+    SELECT 0, -1, 'Unknown', 'UNK', 'Unknown', 'UNK'
+  )""",
+    "dim_provider": """
+  dim_provider AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY NPI) AS INTEGER) AS ProviderSK,
+           NPI, ProviderName, ProviderType
+    FROM (SELECT DISTINCT ON (NPI) * FROM s4_provider_provider ORDER BY NPI)
+    UNION ALL SELECT 0, 'UNK', 'Unknown', 'UNK'
+  )""",
+    "dim_diagnosis": """
+  dim_diagnosis AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ICD10Code) AS INTEGER) AS DxSK,
+           ICD10Code, ShortDesc, Chapter, Category
+    FROM s5_ref_ref_icd10
+    UNION ALL SELECT 0, 'UNK', 'Unknown', NULL, NULL
+  )""",
+    "dim_procedure": """
+  dim_procedure AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY CPTCode) AS INTEGER) AS ProcSK,
+           CPTCode, ShortDesc, Category
+    FROM s5_ref_ref_cpt_hcpcs
+    UNION ALL SELECT 0, 'UNK', 'Unknown', NULL
+  )""",
+    "dim_pos": """
+  dim_pos AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY POSCode) AS INTEGER) AS POSSK,
+           POSCode, POSDescription
+    FROM s5_ref_ref_pos
+    UNION ALL SELECT 0, 'UNK', 'Unknown'
+  )""",
+    "dim_quality_measure": """
+  dim_quality_measure AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY MeasureID) AS INTEGER) AS QMSK,
+           MeasureID, MeasureName, Owner
+    FROM s5_ref_ref_quality_measure
+    UNION ALL SELECT 0, 'UNK', 'Unknown', NULL
+  )""",
+    "dim_date": f"""
+  dim_date AS (
+    SELECT {_dsk('d')} AS DateSK, d AS FullDate,
+           CAST(year(d) AS INTEGER) AS Yr, CAST(month(d) AS INTEGER) AS Mo,
+           CAST(day(d) AS INTEGER) AS Dy
+    FROM (SELECT DISTINCT d FROM (
+      SELECT EnrollmentMonth AS d FROM s1_elig_enrollment
+      UNION ALL SELECT ClaimDate FROM s2_claims_claim_header
+      UNION ALL SELECT ServiceDate FROM s2_claims_claim_line
+      UNION ALL SELECT PaymentDate FROM s2_claims_claim_payment
+      UNION ALL SELECT EncounterDate FROM s2_claims_encounter
+      UNION ALL SELECT AdmitDate FROM s2_claims_encounter
+      UNION ALL SELECT DischargeDate FROM s2_claims_encounter
+      UNION ALL SELECT PeriodStart FROM s3_cca_care_gap
+      UNION ALL SELECT ClosedDate FROM s3_cca_care_gap
+    ) WHERE d IS NOT NULL)
+    UNION ALL SELECT 19000101, NULL, 1900, 1, 1
+  )""",
+}
+
+_FACT_CTES = {
+    "fact_claims_line": f"""
+  fact_claims_line AS (
+    SELECT cl.ClaimID, cl.ClaimLineNo,
+           COALESCE({_dsk('cl.ServiceDate')}, 19000101) AS ServiceDateSK,
+           COALESCE(dm.MemberSK, 0) AS MemberSK,
+           COALESCE(dp.PlanSK, 0) AS PlanSK,
+           COALESCE(dprov.ProviderSK, 0) AS ProviderSK,
+           COALESCE(ddx.DxSK, 0) AS DxSK,
+           COALESCE(dproc.ProcSK, 0) AS ProcSK,
+           COALESCE(dpos.POSSK, 0) AS POSSK,
+           ch.ClaimStatus, cl.Units, cl.BilledAmount,
+           pay.AllowedAmount, pay.PaidAmount, pay.PatientLiability
+    FROM s2_claims_claim_line cl
+    JOIN s2_claims_claim_header ch USING (ClaimID)
+    LEFT JOIN s2_claims_claim_payment pay USING (ClaimID, ClaimLineNo)
+    LEFT JOIN (SELECT * FROM s2_claims_claim_procedure WHERE ProcSeq = 1) pr
+           USING (ClaimID, ClaimLineNo)
+    LEFT JOIN (SELECT * FROM s2_claims_claim_diagnosis WHERE DxSeq = 1) dx
+           USING (ClaimID)
+    LEFT JOIN dim_member dm ON dm.MemberID = ch.MemberID
+    LEFT JOIN dim_plan dp ON dp.PlanID = ch.PlanID
+    LEFT JOIN dim_provider dprov
+           ON dprov.NPI = COALESCE(cl.RenderingProviderNPI, ch.RenderingProviderNPI)
+    LEFT JOIN dim_diagnosis ddx ON ddx.ICD10Code = dx.ICD10Code
+    LEFT JOIN dim_procedure dproc ON dproc.CPTCode = pr.CPTCode
+    LEFT JOIN dim_pos dpos ON dpos.POSCode = COALESCE(cl.POSCode, ch.POSCode)
+  )""",
+    "fact_encounters": f"""
+  fact_encounters AS (
+    SELECT e.EncounterID,
+           COALESCE({_dsk('e.EncounterDate')}, 19000101) AS EncounterDateSK,
+           COALESCE(dm.MemberSK, 0) AS MemberSK,
+           COALESCE(dp.PlanSK, 0) AS PlanSK,
+           COALESCE(dprov.ProviderSK, 0) AS ProviderSK,
+           COALESCE(dpos.POSSK, 0) AS POSSK,
+           e.EncounterType,
+           CASE WHEN e.EncounterType = 'INPATIENT' THEN 1 ELSE 0 END AS IsInpatient,
+           CAST(date_diff('day', e.AdmitDate, e.DischargeDate) AS INTEGER) AS LOSDays
+    FROM s2_claims_encounter e
+    LEFT JOIN dim_member dm ON dm.MemberID = e.MemberID
+    LEFT JOIN dim_plan dp ON dp.PlanID = e.PlanID
+    LEFT JOIN dim_provider dprov ON dprov.NPI = e.ProviderNPI
+    LEFT JOIN dim_pos dpos ON dpos.POSCode = e.FacilityPOSCode
+  )""",
+    "fact_care_gaps": f"""
+  fact_care_gaps AS (
+    SELECT g.GapID,
+           COALESCE(dm.MemberSK, 0) AS MemberSK,
+           COALESCE(dq.QMSK, 0) AS QMSK,
+           COALESCE({_dsk('g.PeriodStart')}, 19000101) AS PeriodStartSK,
+           COALESCE({_dsk('g.ClosedDate')}, 19000101) AS ClosedDateSK,
+           CASE WHEN g.Status = 'CLOSED' THEN 1 ELSE 0 END AS IsClosed
+    FROM s3_cca_care_gap g
+    LEFT JOIN dim_member dm ON dm.MemberID = g.MemberID
+    LEFT JOIN dim_quality_measure dq ON dq.MeasureID = g.MeasureID
+  )""",
+    "fact_eligibility_monthly": f"""
+  fact_eligibility_monthly AS (
+    SELECT COALESCE(dm.MemberSK, 0) AS MemberSK,
+           COALESCE(dp.PlanSK, 0) AS PlanSK,
+           COALESCE({_dsk('en.EnrollmentMonth')}, 19000101) AS MonthSK,
+           CASE WHEN en.IsActive THEN 1 ELSE 0 END AS IsActive
+    FROM s1_elig_enrollment en
+    LEFT JOIN dim_member dm ON dm.MemberID = en.MemberID
+    LEFT JOIN dim_plan dp ON dp.PlanID = en.PlanID
+  )""",
+}
+
+_SRC_FOR = {
+    "dim_member": ["s1_elig_member"],
+    "dim_plan": ["s1_elig_insurance_plan", "s1_elig_payer"],
+    "dim_provider": ["s4_provider_provider"],
+    "dim_diagnosis": ["s5_ref_ref_icd10"],
+    "dim_procedure": ["s5_ref_ref_cpt_hcpcs"],
+    "dim_pos": ["s5_ref_ref_pos"],
+    "dim_quality_measure": ["s5_ref_ref_quality_measure"],
+    "dim_date": [
+        "s1_elig_enrollment", "s2_claims_claim_header", "s2_claims_claim_line",
+        "s2_claims_claim_payment", "s2_claims_encounter", "s3_cca_care_gap",
+    ],
+    "fact_claims_line": [
+        "s2_claims_claim_line", "s2_claims_claim_header", "s2_claims_claim_payment",
+        "s2_claims_claim_procedure", "s2_claims_claim_diagnosis",
+        "dim_member", "dim_plan", "dim_provider", "dim_diagnosis",
+        "dim_procedure", "dim_pos",
+    ],
+    "fact_encounters": [
+        "s2_claims_encounter", "dim_member", "dim_plan", "dim_provider", "dim_pos",
+    ],
+    "fact_care_gaps": ["s3_cca_care_gap", "dim_member", "dim_quality_measure"],
+    "fact_eligibility_monthly": [
+        "s1_elig_enrollment", "dim_member", "dim_plan",
+    ],
+}
+
+
+def _oracle(query_sql: str, tables: list[str]) -> str:
+    """Assemble a DuckDB oracle: fixture VALUES CTEs + any dim/fact CTEs
+    (dependency-closed, dims before facts), then the query."""
+    needed_src: list[str] = []
+    needed_dw: list[str] = []
+
+    def add(name: str):
+        if name in _DIM_CTES or name in _FACT_CTES:
+            for dep in _SRC_FOR[name]:
+                add(dep)
+            if name not in needed_dw:
+                needed_dw.append(name)
+        else:
+            if name not in needed_src:
+                needed_src.append(name)
+
+    for t in tables:
+        add(t)
+    src_part = fixtures.sql_ctes(needed_src) if needed_src else "WITH _x AS (SELECT 1)"
+    dw_part = "".join(
+        "," + (_DIM_CTES.get(n) or _FACT_CTES[n]) for n in needed_dw
+    )
+    return src_part + dw_part + "\n" + query_sql
+
+
+# ------------------------------------------------------------- queries
+
+
+@query(
+    "hq01_row_counts",
+    _oracle(
+        """
+        SELECT 'members' AS entity, COUNT(*) AS n FROM s1_elig_member
+        UNION ALL SELECT 'enrollments', COUNT(*) FROM s1_elig_enrollment
+        """,
+        ["s1_elig_member", "s1_elig_enrollment"],
+    ),
+    tags=("healthcare",),
+)
+def hq01_row_counts(t):
+    """Q1: members & enrollment row counts
+    (`Members&EligibilitySource.sql:261-262`)."""
+    s = hc(t)
+    return s["s1_elig_member"].agg(
+        F.lit("members").alias("entity"), F.count(F.lit(1)).alias("n")
+    ).union(
+        s["s1_elig_enrollment"].agg(
+            F.lit("enrollments").alias("entity"), F.count(F.lit(1)).alias("n")
+        )
+    )
+
+
+@query(
+    "hq02_active_enrollment_march",
+    _oracle(
+        """
+        SELECT m.MemberBK, m.FirstName, m.LastName, p.PlanName, py.PayerName
+        FROM s1_elig_enrollment e
+        JOIN s1_elig_member m USING (MemberID)
+        JOIN s1_elig_insurance_plan p USING (PlanID)
+        JOIN s1_elig_payer py USING (PayerID)
+        WHERE e.EnrollmentMonth = DATE '2025-03-01' AND e.IsActive
+        """,
+        ["s1_elig_enrollment", "s1_elig_member", "s1_elig_insurance_plan", "s1_elig_payer"],
+    ),
+    tags=("healthcare", "join"),
+)
+def hq02_active_enrollment_march(t):
+    """Q2: active March-2025 roster, 3-way join
+    (`Members&EligibilitySource.sql:265-273`)."""
+    s = hc(t)
+    return (
+        s["s1_elig_enrollment"]
+        .filter((F.col("EnrollmentMonth") == "2025-03-01") & F.col("IsActive"))
+        .join(s["s1_elig_member"], "MemberID")
+        .join(F.broadcast(s["s1_elig_insurance_plan"]), "PlanID")
+        .join(F.broadcast(s["s1_elig_payer"]), "PayerID")
+        .select("MemberBK", "FirstName", "LastName", "PlanName", "PayerName")
+    )
+
+
+@query(
+    "hq03_special_status_members",
+    _oracle(
+        """
+        SELECT m.MemberBK, 'DUAL' AS status_type, d.StatusCode AS code
+        FROM s1_elig_dual_status d JOIN s1_elig_member m USING (MemberID)
+        UNION ALL
+        SELECT m.MemberBK, 'LIS', l.SubsidyLevel
+        FROM s1_elig_subsidy_lis l JOIN s1_elig_member m USING (MemberID)
+        """,
+        ["s1_elig_dual_status", "s1_elig_subsidy_lis", "s1_elig_member"],
+    ),
+    tags=("healthcare", "join", "setop"),
+)
+def hq03_special_status_members(t):
+    """Q3: dual-status + LIS members
+    (`Members&EligibilitySource.sql:276-282`)."""
+    s = hc(t)
+    dual = (
+        s["s1_elig_dual_status"]
+        .join(s["s1_elig_member"], "MemberID")
+        .select("MemberBK", F.lit("DUAL").alias("status_type"), F.col("StatusCode").alias("code"))
+    )
+    lis = (
+        s["s1_elig_subsidy_lis"]
+        .join(s["s1_elig_member"], "MemberID")
+        .select("MemberBK", F.lit("LIS").alias("status_type"), F.col("SubsidyLevel").alias("code"))
+    )
+    return dual.union(lis)
+
+
+@query(
+    "hq04_claims_member_plan",
+    _oracle(
+        """
+        SELECT ch.ClaimNumber, m.MemberBK, m.LastName, p.PlanName,
+               ch.ClaimDate, ch.ClaimStatus
+        FROM s2_claims_claim_header ch
+        JOIN s1_elig_member m USING (MemberID)
+        JOIN s1_elig_insurance_plan p USING (PlanID)
+        """,
+        ["s2_claims_claim_header", "s1_elig_member", "s1_elig_insurance_plan"],
+    ),
+    tags=("healthcare", "join"),
+)
+def hq04_claims_member_plan(t):
+    """Q4: claim headers with member & plan
+    (`Claims & Encounters.sql:360-366`)."""
+    s = hc(t)
+    return (
+        s["s2_claims_claim_header"]
+        .join(s["s1_elig_member"], "MemberID")
+        .join(F.broadcast(s["s1_elig_insurance_plan"]), "PlanID")
+        .select("ClaimNumber", "MemberBK", "LastName", "PlanName", "ClaimDate", "ClaimStatus")
+    )
+
+
+@query(
+    "hq05_lines_primary_proc_payment",
+    _oracle(
+        """
+        SELECT cl.ClaimID, cl.ClaimLineNo,
+               CAST(cl.BilledAmount AS DOUBLE) AS billed,
+               pr.CPTCode,
+               CAST(pay.AllowedAmount AS DOUBLE) AS allowed,
+               CAST(pay.PaidAmount AS DOUBLE) AS paid
+        FROM s2_claims_claim_line cl
+        LEFT JOIN (SELECT * FROM s2_claims_claim_procedure WHERE ProcSeq = 1) pr
+          USING (ClaimID, ClaimLineNo)
+        LEFT JOIN s2_claims_claim_payment pay USING (ClaimID, ClaimLineNo)
+        """,
+        ["s2_claims_claim_line", "s2_claims_claim_procedure", "s2_claims_claim_payment"],
+    ),
+    tags=("healthcare", "join"),
+)
+def hq05_lines_primary_proc_payment(t):
+    """Q5: claim lines with primary procedure & payment — composite-key
+    left joins + seq-1 residual (`Claims & Encounters.sql:369-377`)."""
+    s = hc(t)
+    pr = s["s2_claims_claim_procedure"].filter(F.col("ProcSeq") == 1)
+    return (
+        s["s2_claims_claim_line"]
+        .join(pr, ["ClaimID", "ClaimLineNo"], "left")
+        .join(s["s2_claims_claim_payment"], ["ClaimID", "ClaimLineNo"], "left")
+        .select(
+            "ClaimID",
+            "ClaimLineNo",
+            F.col("BilledAmount").cast("double").alias("billed"),
+            "CPTCode",
+            F.col("AllowedAmount").cast("double").alias("allowed"),
+            F.col("PaidAmount").cast("double").alias("paid"),
+        )
+    )
+
+
+@query(
+    "hq06_billed_allowed_paid_by_plan",
+    _oracle(
+        """
+        SELECT p.PlanName,
+               CAST(SUM(cl.BilledAmount) AS DOUBLE) AS billed,
+               CAST(SUM(COALESCE(pay.AllowedAmount, 0)) AS DOUBLE) AS allowed,
+               CAST(SUM(COALESCE(pay.PaidAmount, 0)) AS DOUBLE) AS paid
+        FROM s2_claims_claim_header ch
+        JOIN s1_elig_insurance_plan p USING (PlanID)
+        JOIN s2_claims_claim_line cl USING (ClaimID)
+        LEFT JOIN s2_claims_claim_payment pay
+          ON pay.ClaimID = cl.ClaimID AND pay.ClaimLineNo = cl.ClaimLineNo
+        WHERE ch.ClaimDate >= DATE '2025-01-01' AND ch.ClaimDate < DATE '2025-04-01'
+        GROUP BY p.PlanName
+        """,
+        [
+            "s2_claims_claim_header", "s1_elig_insurance_plan",
+            "s2_claims_claim_line", "s2_claims_claim_payment",
+        ],
+    ),
+    tags=("healthcare", "agg", "flagship"),
+)
+def hq06_billed_allowed_paid_by_plan(t):
+    """Q6 (the minimum end-to-end slice, SURVEY §7): billed vs allowed
+    vs paid by plan, Q1-2025 (`Claims & Encounters.sql:381-392`)."""
+    s = hc(t)
+    ch = s["s2_claims_claim_header"].filter(
+        (F.col("ClaimDate") >= "2025-01-01") & (F.col("ClaimDate") < "2025-04-01")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        ch.join(F.broadcast(s["s1_elig_insurance_plan"]), "PlanID")
+        .join(s["s2_claims_claim_line"], "ClaimID")
+        .join(s["s2_claims_claim_payment"], ["ClaimID", "ClaimLineNo"], "left")
+        .groupBy("PlanName")
+        .agg(
+            F.sum("BilledAmount").cast("double").alias("billed"),
+            F.sum(F.coalesce(F.col("AllowedAmount"), zero)).cast("double").alias("allowed"),
+            F.sum(F.coalesce(F.col("PaidAmount"), zero)).cast("double").alias("paid"),
+        )
+    )
+
+
+@query(
+    "hq07_encounter_los",
+    _oracle(
+        """
+        SELECT e.EncounterID, m.MemberBK, e.EncounterType,
+               CAST(date_diff('day', e.AdmitDate, e.DischargeDate) AS INTEGER) AS los_days
+        FROM s2_claims_encounter e
+        JOIN s1_elig_member m USING (MemberID)
+        WHERE e.EncounterType = 'INPATIENT'
+        """,
+        ["s2_claims_encounter", "s1_elig_member"],
+    ),
+    tags=("healthcare", "dates"),
+)
+def hq07_encounter_los(t):
+    """Q7: inpatient length-of-stay via DATEDIFF
+    (`Claims & Encounters.sql:395-401`; Spark arg order flips)."""
+    s = hc(t)
+    return (
+        s["s2_claims_encounter"]
+        .filter(F.col("EncounterType") == "INPATIENT")
+        .join(s["s1_elig_member"], "MemberID")
+        .select(
+            "EncounterID",
+            "MemberBK",
+            "EncounterType",
+            F.datediff(F.col("DischargeDate"), F.col("AdmitDate")).alias("los_days"),
+        )
+    )
+
+
+@query(
+    "hq08_open_gaps_by_program_measure",
+    _oracle(
+        """
+        SELECT pr.ProgramName, qm.MeasureName, COUNT(DISTINCT g.GapID) AS n_open
+        FROM s3_cca_care_gap g
+        JOIN s3_cca_quality_measure qm USING (MeasureID)
+        JOIN s3_cca_care_plan cp ON cp.MemberID = g.MemberID
+        JOIN s3_cca_care_program pr ON pr.ProgramID = cp.ProgramID
+        WHERE g.Status = 'OPEN'
+        GROUP BY pr.ProgramName, qm.MeasureName
+        """,
+        [
+            "s3_cca_care_gap", "s3_cca_quality_measure",
+            "s3_cca_care_plan", "s3_cca_care_program",
+        ],
+    ),
+    tags=("healthcare", "agg"),
+)
+def hq08_open_gaps_by_program_measure(t):
+    """Q8: open care gaps by program & measure
+    (`CareManagementCCA.sql:305-313`)."""
+    s = hc(t)
+    return (
+        s["s3_cca_care_gap"]
+        .filter(F.col("Status") == "OPEN")
+        .join(F.broadcast(s["s3_cca_quality_measure"]), "MeasureID")
+        .join(s["s3_cca_care_plan"], "MemberID")
+        .join(F.broadcast(s["s3_cca_care_program"]), "ProgramID")
+        .groupBy("ProgramName", "MeasureName")
+        .agg(F.countDistinct("GapID").alias("n_open"))
+    )
+
+
+@query(
+    "hq09_tasks_interventions_per_user",
+    _oracle(
+        """
+        SELECT u.UserName,
+               CAST(SUM(CASE WHEN tk.Status = 'Done' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+               COUNT(tk.TaskID) AS n_tasks,
+               COALESCE(iv.n_interventions, 0) AS n_interventions
+        FROM s3_cca_cca_user u
+        LEFT JOIN s3_cca_care_task tk ON tk.AssignedUserID = u.UserID
+        LEFT JOIN (SELECT UserID, COUNT(*) AS n_interventions
+                   FROM s3_cca_intervention WHERE UserID IS NOT NULL
+                   GROUP BY UserID) iv ON iv.UserID = u.UserID
+        GROUP BY u.UserName, iv.n_interventions
+        """,
+        ["s3_cca_cca_user", "s3_cca_care_task", "s3_cca_intervention"],
+    ),
+    tags=("healthcare", "agg"),
+)
+def hq09_tasks_interventions_per_user(t):
+    """Q9: tasks done & interventions per care manager — conditional
+    aggregation (`CareManagementCCA.sql:318-325`)."""
+    s = hc(t)
+    iv = (
+        s["s3_cca_intervention"]
+        .filter(F.col("UserID").isNotNull())
+        .groupBy("UserID")
+        .agg(F.count(F.lit(1)).alias("n_interventions"))
+    )
+    u = s["s3_cca_cca_user"]
+    tk = s["s3_cca_care_task"]
+    return (
+        u.join(tk, u.UserID == tk.AssignedUserID, "left")
+        .join(iv, u.UserID == iv.UserID, "left")
+        .groupBy("UserName", "n_interventions")
+        .agg(
+            F.sum(F.when(F.col("Status") == "Done", 1).otherwise(0)).alias("n_done"),
+            F.count(F.col("TaskID")).alias("n_tasks"),
+        )
+        .select(
+            "UserName",
+            "n_done",
+            "n_tasks",
+            F.coalesce(F.col("n_interventions"), F.lit(0)).alias("n_interventions"),
+        )
+    )
+
+
+@query(
+    "hq10_members_program_manager",
+    _oracle(
+        """
+        SELECT m.MemberBK, pr.ProgramName, u.UserName
+        FROM s3_cca_care_plan cp
+        JOIN s1_elig_member m USING (MemberID)
+        JOIN s3_cca_care_program pr USING (ProgramID)
+        LEFT JOIN s3_cca_cca_user u ON u.UserID = cp.AssignedUserID
+        """,
+        ["s3_cca_care_plan", "s1_elig_member", "s3_cca_care_program", "s3_cca_cca_user"],
+    ),
+    tags=("healthcare", "join"),
+)
+def hq10_members_program_manager(t):
+    """Q10: member → program → assigned care manager
+    (`CareManagementCCA.sql:328-335`)."""
+    s = hc(t)
+    cp = s["s3_cca_care_plan"]
+    return (
+        cp.join(s["s1_elig_member"], "MemberID")
+        .join(F.broadcast(s["s3_cca_care_program"]), "ProgramID")
+        .join(
+            F.broadcast(s["s3_cca_cca_user"]),
+            cp.AssignedUserID == F.col("UserID"),
+            "left",
+        )
+        .select("MemberBK", "ProgramName", "UserName")
+    )
+
+
+@query(
+    "hq11_gap_closure_vs_interventions",
+    _oracle(
+        """
+        SELECT m.MemberBK,
+               CAST(MAX(CASE WHEN g.MeasureID = 'QM001' AND g.Status = 'CLOSED'
+                             THEN 1 ELSE 0 END) AS INTEGER) AS a1c_gap_closed,
+               COALESCE(iv.n_iv, 0) AS n_interventions
+        FROM s1_elig_member m
+        LEFT JOIN s3_cca_care_gap g ON g.MemberID = m.MemberID
+        LEFT JOIN (
+          SELECT cp.MemberID, COUNT(*) AS n_iv
+          FROM s3_cca_intervention i
+          JOIN s3_cca_care_plan cp ON cp.CarePlanID = i.CarePlanID
+          GROUP BY cp.MemberID
+        ) iv ON iv.MemberID = m.MemberID
+        GROUP BY m.MemberBK, iv.n_iv
+        """,
+        ["s1_elig_member", "s3_cca_care_gap", "s3_cca_intervention", "s3_cca_care_plan"],
+    ),
+    tags=("healthcare", "agg"),
+)
+def hq11_gap_closure_vs_interventions(t):
+    """Q11: A1c gap closure flag vs intervention count — MAX(CASE)+COUNT
+    (`CareManagementCCA.sql:338-349`)."""
+    s = hc(t)
+    iv = (
+        s["s3_cca_intervention"]
+        .join(s["s3_cca_care_plan"], "CarePlanID")
+        .groupBy("MemberID")
+        .agg(F.count(F.lit(1)).alias("n_iv"))
+    )
+    m = s["s1_elig_member"]
+    g = s["s3_cca_care_gap"]
+    return (
+        m.join(g, "MemberID", "left")
+        .join(iv, "MemberID", "left")
+        .groupBy("MemberBK", "n_iv")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("MeasureID") == "QM001") & (F.col("Status") == "CLOSED"), 1
+                ).otherwise(0)
+            ).alias("a1c_gap_closed")
+        )
+        .select(
+            "MemberBK",
+            "a1c_gap_closed",
+            F.coalesce(F.col("n_iv"), F.lit(0)).alias("n_interventions"),
+        )
+    )
+
+
+@query(
+    "hq12_interventions_with_task",
+    _oracle(
+        """
+        SELECT i.InterventionID, i.InterventionType, tk.TaskText
+        FROM s3_cca_intervention i
+        LEFT JOIN s3_cca_care_task tk ON tk.TaskID = i.TaskID
+        """,
+        ["s3_cca_intervention", "s3_cca_care_task"],
+    ),
+    tags=("healthcare", "join"),
+)
+def hq12_interventions_with_task(t):
+    """Q12: interventions with their task text
+    (`CareManagementCCA.sql:351-354`)."""
+    s = hc(t)
+    i = s["s3_cca_intervention"]
+    tk = s["s3_cca_care_task"]
+    return i.join(tk, i.TaskID == tk.TaskID, "left").select(
+        "InterventionID", "InterventionType", "TaskText"
+    )
+
+
+@query(
+    "hq13_claim_npi_provider",
+    _oracle(
+        """
+        SELECT ch.ClaimNumber, ch.RenderingProviderNPI AS npi, p.ProviderName
+        FROM s2_claims_claim_header ch
+        LEFT JOIN s4_provider_provider p ON p.NPI = ch.RenderingProviderNPI
+        """,
+        ["s2_claims_claim_header", "s4_provider_provider"],
+    ),
+    tags=("healthcare", "join"),
+)
+def hq13_claim_npi_provider(t):
+    """Q13: claim NPIs resolved to provider names — cross-source join
+    (`ProviderNetwork.sql:246-251`)."""
+    s = hc(t)
+    ch = s["s2_claims_claim_header"]
+    p = s["s4_provider_provider"]
+    return ch.join(p, ch.RenderingProviderNPI == p.NPI, "left").select(
+        "ClaimNumber", F.col("RenderingProviderNPI").alias("npi"), "ProviderName"
+    )
+
+
+@query(
+    "hq14_cpt_contract_rate",
+    _oracle(
+        """
+        SELECT cl.ClaimID, cl.ClaimLineNo, pr.CPTCode,
+               CAST(cr.AllowedAmount AS DOUBLE) AS contracted_allowed
+        FROM s2_claims_claim_line cl
+        JOIN (SELECT * FROM s2_claims_claim_procedure WHERE ProcSeq = 1) pr
+          USING (ClaimID, ClaimLineNo)
+        JOIN s2_claims_claim_header ch USING (ClaimID)
+        LEFT JOIN s4_provider_contract c ON c.PlanID = ch.PlanID
+        LEFT JOIN s4_provider_contract_rate cr
+          ON cr.ContractID = c.ContractID AND cr.CPTCode = pr.CPTCode
+        """,
+        [
+            "s2_claims_claim_line", "s2_claims_claim_procedure",
+            "s2_claims_claim_header", "s4_provider_contract",
+            "s4_provider_contract_rate",
+        ],
+    ),
+    tags=("healthcare", "join"),
+)
+def hq14_cpt_contract_rate(t):
+    """Q14: claim-line CPT → contracted allowed amount, 5-table join
+    (`ProviderNetwork.sql:254-270`)."""
+    s = hc(t)
+    pr = s["s2_claims_claim_procedure"].filter(F.col("ProcSeq") == 1)
+    ch = s["s2_claims_claim_header"].select("ClaimID", "PlanID")
+    c = s["s4_provider_contract"].alias("c")
+    cr = s["s4_provider_contract_rate"].alias("cr")
+    base = (
+        s["s2_claims_claim_line"]
+        .join(pr, ["ClaimID", "ClaimLineNo"])
+        .join(ch, "ClaimID")
+        .alias("base")
+    )
+    return (
+        base.join(F.broadcast(c), F.col("c.PlanID") == F.col("base.PlanID"), "left")
+        .join(
+            F.broadcast(cr),
+            (F.col("cr.ContractID") == F.col("c.ContractID"))
+            & (F.col("cr.CPTCode") == F.col("base.CPTCode")),
+            "left",
+        )
+        .select(
+            "base.ClaimID",
+            "base.ClaimLineNo",
+            "base.CPTCode",
+            F.col("cr.AllowedAmount").cast("double").alias("contracted_allowed"),
+        )
+    )
+
+
+@query(
+    "hq15_network_status_by_month",
+    _oracle(
+        """
+        SELECT ns.Yyyymm, p.PlanName,
+               CAST(SUM(CASE WHEN ns.Status = 'IN' THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+               CAST(SUM(CASE WHEN ns.Status = 'OUT' THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        FROM s4_provider_network_status ns
+        JOIN s1_elig_insurance_plan p USING (PlanID)
+        GROUP BY ns.Yyyymm, p.PlanName
+        """,
+        ["s4_provider_network_status", "s1_elig_insurance_plan"],
+    ),
+    tags=("healthcare", "agg"),
+)
+def hq15_network_status_by_month(t):
+    """Q15: provider network status by month & plan
+    (`ProviderNetwork.sql:274-282`)."""
+    s = hc(t)
+    return (
+        s["s4_provider_network_status"]
+        .join(F.broadcast(s["s1_elig_insurance_plan"]), "PlanID")
+        .groupBy("Yyyymm", "PlanName")
+        .agg(
+            F.sum(F.when(F.col("Status") == "IN", 1).otherwise(0)).alias("n_in"),
+            F.sum(F.when(F.col("Status") == "OUT", 1).otherwise(0)).alias("n_out"),
+        )
+    )
+
+
+@query(
+    "hq16_contracts_per_plan",
+    _oracle(
+        """
+        SELECT COALESCE(p.PlanName, '(payer-level)') AS plan_name,
+               c.ContractScope, COUNT(*) AS n_contracts
+        FROM s4_provider_contract c
+        LEFT JOIN s1_elig_insurance_plan p ON p.PlanID = c.PlanID
+        GROUP BY 1, 2
+        """,
+        ["s4_provider_contract", "s1_elig_insurance_plan"],
+    ),
+    tags=("healthcare", "agg"),
+)
+def hq16_contracts_per_plan(t):
+    """Q16: contracts per plan, org- vs provider-scope
+    (`ProviderNetwork.sql:285-291`)."""
+    s = hc(t)
+    c = s["s4_provider_contract"].alias("c")
+    p = s["s1_elig_insurance_plan"].alias("p")
+    return (
+        c.join(F.broadcast(p), F.col("p.PlanID") == F.col("c.PlanID"), "left")
+        .groupBy(
+            F.coalesce(F.col("PlanName"), F.lit("(payer-level)")).alias("plan_name"),
+            "ContractScope",
+        )
+        .agg(F.count(F.lit(1)).alias("n_contracts"))
+    )
+
+
+@query(
+    "hq17_icd_referential_check",
+    _oracle(
+        """
+        SELECT d.ClaimID, d.DxSeq, d.ICD10Code
+        FROM s2_claims_claim_diagnosis d
+        LEFT JOIN s5_ref_ref_icd10 r USING (ICD10Code)
+        WHERE r.ICD10Code IS NULL
+        """,
+        ["s2_claims_claim_diagnosis", "s5_ref_ref_icd10"],
+    ),
+    tags=("healthcare", "quality"),
+)
+def hq17_icd_referential_check(t):
+    """Q17: claim diagnoses ⊆ ICD-10 master — anti-join, expected empty
+    (`ReferenceData.sql:214-217`)."""
+    s = hc(t)
+    return fk_violations(
+        s["s2_claims_claim_diagnosis"], s["s5_ref_ref_icd10"], ["ICD10Code"]
+    ).select("ClaimID", "DxSeq", "ICD10Code")
+
+
+@query(
+    "hq18_cpt_referential_check",
+    _oracle(
+        """
+        SELECT p.ClaimID, p.ClaimLineNo, p.CPTCode
+        FROM s2_claims_claim_procedure p
+        LEFT JOIN s5_ref_ref_cpt_hcpcs r USING (CPTCode)
+        WHERE r.CPTCode IS NULL
+        """,
+        ["s2_claims_claim_procedure", "s5_ref_ref_cpt_hcpcs"],
+    ),
+    tags=("healthcare", "quality"),
+)
+def hq18_cpt_referential_check(t):
+    """Q18: claim procedures ⊆ CPT master (`ReferenceData.sql:220-223`)."""
+    s = hc(t)
+    return fk_violations(
+        s["s2_claims_claim_procedure"], s["s5_ref_ref_cpt_hcpcs"], ["CPTCode"]
+    ).select("ClaimID", "ClaimLineNo", "CPTCode")
+
+
+@query(
+    "hq19_pos_referential_check",
+    _oracle(
+        """
+        SELECT h.ClaimID, h.POSCode
+        FROM s2_claims_claim_header h
+        LEFT JOIN s5_ref_ref_pos r USING (POSCode)
+        WHERE h.POSCode IS NOT NULL AND r.POSCode IS NULL
+        """,
+        ["s2_claims_claim_header", "s5_ref_ref_pos"],
+    ),
+    tags=("healthcare", "quality"),
+)
+def hq19_pos_referential_check(t):
+    """Q19: claim POS ⊆ POS master (`ReferenceData.sql:227-230`)."""
+    s = hc(t)
+    return fk_violations(
+        s["s2_claims_claim_header"],
+        s["s5_ref_ref_pos"],
+        ["POSCode"],
+        F.col("POSCode").isNotNull(),
+    ).select("ClaimID", "POSCode")
+
+
+@query(
+    "hq20_dw_rowcount_dashboard",
+    _oracle(
+        """
+        SELECT 'dim_member' AS obj, COUNT(*) AS n FROM dim_member
+        UNION ALL SELECT 'dim_plan', COUNT(*) FROM dim_plan
+        UNION ALL SELECT 'dim_provider', COUNT(*) FROM dim_provider
+        UNION ALL SELECT 'dim_diagnosis', COUNT(*) FROM dim_diagnosis
+        UNION ALL SELECT 'dim_procedure', COUNT(*) FROM dim_procedure
+        UNION ALL SELECT 'dim_pos', COUNT(*) FROM dim_pos
+        UNION ALL SELECT 'dim_quality_measure', COUNT(*) FROM dim_quality_measure
+        UNION ALL SELECT 'dim_date', COUNT(*) FROM dim_date
+        UNION ALL SELECT 'fact_claims_line', COUNT(*) FROM fact_claims_line
+        UNION ALL SELECT 'fact_encounters', COUNT(*) FROM fact_encounters
+        UNION ALL SELECT 'fact_care_gaps', COUNT(*) FROM fact_care_gaps
+        UNION ALL SELECT 'fact_eligibility_monthly', COUNT(*) FROM fact_eligibility_monthly
+        """,
+        list(_DIM_CTES) + list(_FACT_CTES),
+    ),
+    tags=("healthcare", "etl", "flagship"),
+)
+def hq20_dw_rowcount_dashboard(t):
+    """Q20: DW row-count dashboard over the star build — verifies every
+    dim and fact end-to-end (`StarSchemaForHealthcare.sql:394-405`)."""
+    dw = star(t)
+    names = [
+        "dim_member", "dim_plan", "dim_provider", "dim_diagnosis",
+        "dim_procedure", "dim_pos", "dim_quality_measure", "dim_date",
+        "fact_claims_line", "fact_encounters", "fact_care_gaps",
+        "fact_eligibility_monthly",
+    ]
+    parts = [
+        dw[n].agg(F.lit(n).alias("obj"), F.count(F.lit(1)).alias("n")) for n in names
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+@query(
+    "hq21_unknown_sk_audit",
+    _oracle(
+        """
+        SELECT CAST(SUM(CASE WHEN MemberSK = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unk_member,
+               CAST(SUM(CASE WHEN PlanSK = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unk_plan,
+               CAST(SUM(CASE WHEN ProviderSK = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unk_provider,
+               CAST(SUM(CASE WHEN DxSK = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unk_dx,
+               CAST(SUM(CASE WHEN ProcSK = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unk_proc,
+               CAST(SUM(CASE WHEN POSSK = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unk_pos
+        FROM fact_claims_line
+        """,
+        ["fact_claims_line"],
+    ),
+    tags=("healthcare", "etl", "quality"),
+)
+def hq21_unknown_sk_audit(t):
+    """Q21: Unknown-SK audit on FactClaimsLine — counts rows that fell
+    back to SK=0 per dimension (`StarSchemaForHealthcare.sql:408-422`)."""
+    f = star(t)["fact_claims_line"]
+
+    def unk(c):
+        return F.sum(F.when(F.col(c) == 0, 1).otherwise(0)).alias(
+            "unk_" + c.replace("SK", "").lower()
+        )
+
+    return f.agg(
+        unk("MemberSK"), unk("PlanSK"), unk("ProviderSK"),
+        unk("DxSK"), unk("ProcSK"), unk("POSSK"),
+    )
+
+
+@query(
+    "hq22_fact_rollup_by_plan",
+    _oracle(
+        """
+        SELECT dp.PlanName, dp.PayerName,
+               COUNT(*) AS n_lines,
+               CAST(SUM(f.BilledAmount) AS DOUBLE) AS billed,
+               CAST(SUM(COALESCE(f.PaidAmount, 0)) AS DOUBLE) AS paid
+        FROM fact_claims_line f
+        JOIN dim_plan dp ON dp.PlanSK = f.PlanSK
+        GROUP BY dp.PlanName, dp.PayerName
+        """,
+        ["fact_claims_line", "dim_plan"],
+    ),
+    tags=("healthcare", "etl", "agg"),
+)
+def hq22_fact_rollup_by_plan(t):
+    """Star-join rollup: fact ⋈ DimPlan totals — verifies fact measures
+    and SK resolution in one query."""
+    dw = star(t)
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        dw["fact_claims_line"]
+        .join(F.broadcast(dw["dim_plan"]), "PlanSK")
+        .groupBy("PlanName", "PayerName")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("BilledAmount").cast("double").alias("billed"),
+            F.sum(F.coalesce(F.col("PaidAmount"), zero)).cast("double").alias("paid"),
+        )
+    )
+
+
+@query(
+    "hq23_active_membership_by_month",
+    _oracle(
+        """
+        SELECT MonthSK, CAST(SUM(IsActive) AS BIGINT) AS n_active, COUNT(*) AS n_total
+        FROM fact_eligibility_monthly GROUP BY MonthSK
+        """,
+        ["fact_eligibility_monthly"],
+    ),
+    tags=("healthcare", "etl", "agg"),
+)
+def hq23_active_membership_by_month(t):
+    """FactEligibilityMonthly rollup: active membership trend by MonthSK
+    (`StarSchemaForHealthcare.sql:379-389` grain check)."""
+    f = star(t)["fact_eligibility_monthly"]
+    return f.groupBy("MonthSK").agg(
+        F.sum("IsActive").alias("n_active"), F.count(F.lit(1)).alias("n_total")
+    )
+
+
+@query(
+    "hq24_gap_closure_by_measure",
+    _oracle(
+        """
+        SELECT dq.MeasureName,
+               COUNT(*) AS n_gaps,
+               CAST(SUM(f.IsClosed) AS BIGINT) AS n_closed
+        FROM fact_care_gaps f
+        JOIN dim_quality_measure dq ON dq.QMSK = f.QMSK
+        GROUP BY dq.MeasureName
+        """,
+        ["fact_care_gaps", "dim_quality_measure"],
+    ),
+    tags=("healthcare", "etl", "agg"),
+)
+def hq24_gap_closure_by_measure(t):
+    """FactCareGaps rollup: closure counts by measure
+    (`SnowflakeSchemaForHealthcare.sql:449-459` audit analog)."""
+    dw = star(t)
+    return (
+        dw["fact_care_gaps"]
+        .join(F.broadcast(dw["dim_quality_measure"]), "QMSK")
+        .groupBy("MeasureName")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("IsClosed").alias("n_closed"),
+        )
+    )
+
+
+# --------------------------------------------------- snowflake-specific
+
+_SNOW_CTES = """,
+  dim_payer AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY PayerID) AS INTEGER) AS PayerSK,
+           PayerID, PayerName, PayerType
+    FROM s1_elig_payer
+    UNION ALL SELECT 0, -1, 'Unknown', 'UNK'
+  ),
+  dim_plan_snow AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pl.PlanID) AS INTEGER) AS PlanSK,
+           pl.PlanID, pl.PlanName, pl.PlanType,
+           COALESCE(py.PayerSK, 0) AS PayerSK
+    FROM s1_elig_insurance_plan pl
+    LEFT JOIN dim_payer py ON py.PayerID = pl.PayerID
+    UNION ALL SELECT 0, -1, 'Unknown', 'UNK', 0
+  )"""
+
+
+@query(
+    "hq25_snow_plan_payer_hierarchy",
+    fixtures.sql_ctes(["s1_elig_payer", "s1_elig_insurance_plan"])
+    + _SNOW_CTES
+    + """
+    SELECT pl.PlanSK, pl.PlanName, pl.PlanType, py.PayerName, py.PayerType
+    FROM dim_plan_snow pl
+    JOIN dim_payer py ON py.PayerSK = pl.PayerSK
+    """,
+    tags=("healthcare", "etl", "snowflake"),
+)
+def hq25_snow_plan_payer_hierarchy(t):
+    """Snowflake Plan→Payer hierarchy resolved through SKs
+    (`SnowflakeSchemaForHealthcare.sql:220-230`): parent-before-child
+    load order, child carries PayerSK not payer attributes."""
+    dw = snow(t)
+    pl = dw["dim_plan"].alias("pl")
+    py = dw["dim_payer"].alias("py")
+    return pl.join(py, F.col("py.PayerSK") == F.col("pl.PayerSK")).select(
+        "PlanSK", "PlanName", "PlanType", "PayerName", "PayerType"
+    )
+
+
+@query(
+    "hq26_snow_provider_specialty_bridge",
+    fixtures.sql_ctes(
+        ["s4_provider_provider", "s4_provider_specialty", "s4_provider_provider_specialty"]
+    )
+    + """,
+  dim_provider AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY NPI) AS INTEGER) AS ProviderSK,
+           NPI, ProviderName, ProviderType
+    FROM (SELECT DISTINCT ON (NPI) * FROM s4_provider_provider ORDER BY NPI)
+    UNION ALL SELECT 0, 'UNK', 'Unknown', 'UNK'
+  ),
+  dim_specialty AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY SpecialtyCode) AS INTEGER) AS SpecialtySK,
+           SpecialtyCode, SpecialtyName
+    FROM s4_provider_specialty
+    UNION ALL SELECT 0, 'UNK', 'Unknown'
+  ),
+  bridge AS (
+    SELECT DISTINCT COALESCE(dp.ProviderSK, 0) AS ProviderSK,
+           COALESCE(ds.SpecialtySK, 0) AS SpecialtySK
+    FROM s4_provider_provider_specialty ps
+    LEFT JOIN s4_provider_provider pv ON pv.ProviderID = ps.ProviderID
+    LEFT JOIN dim_provider dp ON dp.NPI = pv.NPI
+    LEFT JOIN dim_specialty ds ON ds.SpecialtyCode = ps.SpecialtyCode
+  )
+    SELECT ds.SpecialtyName, COUNT(*) AS n_providers
+    FROM bridge b JOIN dim_specialty ds ON ds.SpecialtySK = b.SpecialtySK
+    GROUP BY ds.SpecialtyName
+    """,
+    tags=("healthcare", "etl", "snowflake"),
+)
+def hq26_snow_provider_specialty_bridge(t):
+    """Snowflake many-to-many bridge: providers per specialty through
+    BridgeProviderSpecialty (`SnowflakeSchemaForHealthcare.sql:258-265`)."""
+    dw = snow(t)
+    b = dw["bridge_provider_specialty"]
+    ds = dw["dim_specialty"]
+    return (
+        b.join(F.broadcast(ds), "SpecialtySK")
+        .groupBy("SpecialtyName")
+        .agg(F.count(F.lit(1)).alias("n_providers"))
+    )
