@@ -1,0 +1,112 @@
+"""Streaming catalog queries (s01–s04): the Structured Streaming
+pipelines from ``streaming/events.py`` executed to completion with
+``trigger(availableNow=True)`` and returned as batch DataFrames, so the
+driver's DuckDB hash gate verifies streaming semantics end-to-end.
+
+Determinism contract: the driver's sf dirs hold ONE events.parquet
+file, so an availableNow run is a single micro-batch — complete-mode
+results equal the full-history aggregate, and the update-mode stateful
+query emits exactly one row per key. Multi-batch behavior (watermark
+closing windows across batches, state carried between batches) is
+covered by tests/test_streaming.py with a controlled multi-file input.
+"""
+
+from __future__ import annotations
+
+from data_engineer_project_spark.queries.catalog import query
+from data_engineer_project_spark.streaming import (
+    read_event_stream,
+    run_to_memory_table,
+    sessionize,
+    sliding_totals,
+    stateful_user_stats,
+    tumbling_counts,
+)
+
+
+def _stream(t):
+    return read_event_stream(t._spark, t._sf_dir)
+
+
+@query(
+    "s01_stream_tumbling_hour",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def s01_stream_tumbling_hour(t):
+    """readStream → watermark → tumbling 1h window per event_type →
+    memory sink (complete). Batch twin: e01_tumbling_window."""
+    return run_to_memory_table(tumbling_counts(_stream(t)), "tumbling", "complete")
+
+
+@query(
+    "s02_stream_sliding",
+    """
+    WITH marks AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM marks GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def s02_stream_sliding(t):
+    """readStream sliding 1h/30min windows (each event in two windows);
+    complete mode. Batch twin: e02_sliding_window."""
+    return run_to_memory_table(sliding_totals(_stream(t)), "sliding", "complete")
+
+
+@query(
+    "s03_stream_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "sessions"),
+)
+def s03_stream_sessionization(t):
+    """readStream merging session_window (5-min gap) per user; complete
+    mode. Oracle: gaps-and-islands SQL. Batch twin: e03_sessionization."""
+    return run_to_memory_table(sessionize(_stream(t)), "sessions", "complete")
+
+
+@query(
+    "s04_stream_stateful_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def s04_stream_stateful_user_stats(t):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count + exact-cents total, update mode. Single input file →
+    single micro-batch → one (final) row per user, equal to the batch
+    aggregate the oracle computes."""
+    return run_to_memory_table(stateful_user_stats(_stream(t)), "user_stats", "update")

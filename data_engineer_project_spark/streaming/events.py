@@ -1,0 +1,212 @@
+"""Event-stream pipelines: readStream → event-time transforms → sink.
+
+Scale notes (100 TB / 1000-executor design):
+
+- The file source here stands in for Kafka/Kinesis — swap
+  ``readStream.parquet`` for ``readStream.format("kafka")`` and the
+  transforms are unchanged (they only see an event-time column).
+- Watermarks bound state: without one, windowed aggregation state
+  grows forever on an unbounded stream. Every transform takes a
+  ``watermark`` argument and applies it before the stateful op.
+- Windowed aggregation shuffles by (window, key) — partial aggregation
+  happens map-side; state lives in the state store partitioned by the
+  grouping key, so it scales horizontally with
+  ``spark.sql.shuffle.partitions``.
+- ``applyInPandasWithState`` state is per-group and Arrow-batched; the
+  per-user group key distributes across executors.
+- Money math in exact integer cents (values have 2-decimal precision),
+  so results are independent of partitioning / batch order and match
+  the DuckDB DECIMAL oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The driver's events.parquet stores ts as TIMESTAMP(NANOS), which the
+# vectorized reader rejects; streaming readers require an explicit
+# schema anyway, so declare ts as raw nanos (legacy nanosAsLong) and
+# convert to a proper timestamp — same truncation DuckDB applies.
+EVENT_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch (TIMESTAMP(NANOS))
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open the events table as a stream (file source).
+
+    ``path`` is a directory (the sf dir, or a test-controlled dir of
+    part files); ``max_files_per_trigger=1`` lets tests force multiple
+    micro-batches to exercise cross-batch watermark/state behavior.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_RAW_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# Exact-cents money column: value has 2-decimal precision, so integer
+# cents sum exactly in any order (double-sum would drift per partition).
+def _cents(col: str = "value"):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _dollars(cents_col):
+    return (cents_col.cast("double") / 100.0).alias  # caller aliases
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact total.
+
+    Streaming twin of e01_tumbling_window; watermark bounds state and
+    (in append mode) defines when a window is final.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents()).alias("cents"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            (F.col("cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def sliding_totals(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event contributes
+    to two overlapping windows (streaming twin of e02_sliding_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents()).alias("cents"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            (F.col("cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Merging session windows per user with an inactivity gap —
+    Spark's native dynamic-gap session operator (streaming twin of
+    e03_sessionization). State is per (user, open session) and closes
+    once the watermark passes session end + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+# ------------------------------------------------- custom stateful op
+
+_USER_STATS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+# State: (cumulative event count, cumulative cents) — tiny, per-user.
+_USER_STATS_STATE = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def _user_stats_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+    )
+
+
+def stateful_user_stats(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator: per-user running event count + exact
+    total via applyInPandasWithState (Arrow-batched, update mode).
+
+    The built-in aggs could express this; it exists to prove the
+    arbitrary-stateful path (the template for anything windowless the
+    built-ins can't say: decaying counters, per-entity ML state, CEP).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_USER_STATS_OUT,
+            stateStructType=_USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ------------------------------------------------------------- runner
+
+_MEM_COUNTER = itertools.count()
+
+
+def run_to_memory_table(
+    stream_df: DataFrame, name_hint: str, output_mode: str
+) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a
+    memory sink; return the result as a *batch* DataFrame.
+
+    availableNow processes all currently-available input then stops —
+    the streaming equivalent of a batch run, used by tests and the
+    driver-facing s* catalog queries. In production the same plan runs
+    unbounded with ``trigger(processingTime=...)`` and a durable sink.
+    """
+    spark = stream_df.sparkSession
+    name = f"stream_{name_hint}_{next(_MEM_COUNTER)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

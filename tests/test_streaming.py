@@ -1,0 +1,138 @@
+"""Structured Streaming semantics that the single-batch driver gate
+cannot see: cross-batch state, watermark-closed windows in append mode,
+and streaming==batch agreement.
+
+Multi-batch inputs are built by writing the events rows as several
+parquet part files (explicit mtimes so the file source's order is
+deterministic) and reading with maxFilesPerTrigger=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark.streaming import (
+    read_event_stream,
+    run_to_memory_table,
+    sessionize,
+    stateful_user_stats,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_parts(tmp_path, n_parts: int) -> str:
+    """Split the sf0.001 events table into n time-ordered part files."""
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    # ts comes back as timestamp[ns]; store as raw int64 nanos to match
+    # EVENT_RAW_SCHEMA exactly.
+    ts_ns = tbl["ts"].cast(pa.int64())
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
+    d = tmp_path / "events_parts"
+    d.mkdir()
+    n = tbl.num_rows
+    step = (n + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        part = tbl.slice(i * step, step)
+        p = d / f"part-{i:03d}.parquet"
+        pq.write_table(part, p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return str(d)
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    got = run_to_memory_table(
+        tumbling_counts(read_event_stream(spark, SF)), "t_tumble", "complete"
+    )
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+                "event_type", "n", "total_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_sessionize_multibatch_equals_batch(spark, tmp_path):
+    """Session state must merge correctly across micro-batches."""
+    d = _write_parts(tmp_path, 4)
+    stream = read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    got = run_to_memory_table(sessionize(stream), "t_sess", "complete")
+    base = read_event_stream(spark, SF)  # reuse schema path for batch? no: batch read
+    want = run_to_memory_table(sessionize(base), "t_sess_single", "complete")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stateful_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState: updates accumulate; the per-user maximum
+    across all update rows equals the global batch aggregate."""
+    d = _write_parts(tmp_path, 3)
+    stream = read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    got = run_to_memory_table(stateful_user_stats(stream), "t_state", "update")
+    rows = got.collect()
+    by_user: dict[int, tuple] = {}
+    multi_update_users = 0
+    seen: dict[int, int] = {}
+    for r in rows:
+        seen[r.user_id] = seen.get(r.user_id, 0) + 1
+        prev = by_user.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            by_user[r.user_id] = (r.n_events, r.total_value)
+    multi_update_users = sum(1 for v in seen.values() if v > 1)
+    # with 3 batches most users appear in several batches — proves the
+    # sink saw per-batch updates, not one final row
+    assert multi_update_users > 0
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in run_to_memory_table(
+            stateful_user_stats(read_event_stream(spark, SF)), "t_state_single", "update"
+        ).collect()
+    }
+    assert by_user == want
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    """Append mode + watermark: only windows whose end precedes the
+    final watermark are emitted; later (still-open) windows are not."""
+    d = _write_parts(tmp_path, 4)
+    stream = read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    appended = run_to_memory_table(
+        tumbling_counts(stream, watermark="30 minutes"), "t_append", "append"
+    )
+    complete = run_to_memory_table(
+        tumbling_counts(read_event_stream(spark, SF)), "t_complete", "complete"
+    )
+    a = sorted(map(tuple, appended.collect()))
+    c = sorted(map(tuple, complete.collect()))
+    assert 0 < len(a) < len(c)
+    # every emitted window is final → identical to its batch value
+    cset = set(c)
+    assert all(row in cset for row in a)
+    max_end = max(r[1] for r in c)
+    # the newest window (not yet closed by the watermark) must be absent
+    assert all(r[1] < max_end for r in a)
+
+
+@pytest.mark.parametrize("n_parts", [2])
+def test_multibatch_complete_tumbling_stable(spark, tmp_path, n_parts):
+    """Complete-mode results must not depend on micro-batch slicing."""
+    d = _write_parts(tmp_path, n_parts)
+    stream = read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    got = run_to_memory_table(tumbling_counts(stream), "t_slice", "complete")
+    want = run_to_memory_table(
+        tumbling_counts(read_event_stream(spark, SF)), "t_slice_single", "complete"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
