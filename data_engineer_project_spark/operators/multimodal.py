@@ -1,0 +1,206 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub: ``decode_media`` tries Pillow and raises
+NotImplementedError on the real path, falling back to a deterministic
+fake decode (bytes are the pixels). Everything Spark-side — schemas,
+binary columns, UDF signatures, Arrow batch shapes, partitioning — is
+real and oracle-tested.
+
+Scale notes (100 TB):
+- Payloads ride in parquet binary columns; scans prune them unless the
+  stage touches ``media`` (column pruning keeps metadata-only queries
+  cheap — verified in tests via ReadSchema).
+- Every stage is mapInPandas (narrow, no shuffle): media pipelines
+  scale linearly with partitions; only the final scalar aggregations
+  shuffle.
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
+  when payloads are large; stages iterate per-batch, never materialize
+  a whole partition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FORMATS = ("png", "jpeg", "webp")
+
+
+def attach_media(documents: DataFrame) -> DataFrame:
+    """Derive an opaque media payload + typed metadata per document.
+
+    Stands in for reading real blobs: payload bytes are the UTF-8 text
+    ("pixels"), dimensions derive deterministically from doc_id. All
+    JVM-side expressions — no Python in this hot path.
+    """
+    n_bytes = F.octet_length(F.col("text"))
+    width = (F.lit(16) + F.col("doc_id") % 48).cast("int")
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.encode("text", "UTF-8").alias("media"),
+        F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")).alias("media_format"),
+        width.alias("width"),
+        F.ceil(n_bytes / width).cast("int").alias("height"),
+        n_bytes.cast("long").alias("n_bytes"),
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_px", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+
+def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
+    """Real codec path — requires Pillow, absent in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no codec libs here
+        raise NotImplementedError(
+            "real image decode needs Pillow; this environment ships no "
+            "codecs — use fake_decode (deterministic stub)"
+        ) from exc
+    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stub decode: payload bytes ARE the pixel values."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Per-payload pixel stats via mapInPandas (Arrow batches in/out)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [
+                _real_decode(m, f) if use_real_codec else fake_decode(m)
+                for m, f in zip(pdf["media"], pdf["media_format"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "lang": pdf["lang"].values,
+                    "n_px": [len(a) for a in px],
+                    "mean_px": [float(a.astype(np.int64).mean()) for a in px],
+                    "min_px": [int(a.min()) for a in px],
+                    "max_px": [int(a.max()) for a in px],
+                }
+            )
+
+    return media.mapInPandas(stage, _DECODE_SCHEMA)
+
+
+_HIST_SCHEMA = StructType(
+    [StructField("lang", StringType())]
+    + [StructField(f"b{i}", LongType()) for i in range(4)]
+)
+
+
+def byte_histogram(media: DataFrame) -> DataFrame:
+    """4-bin byte-value histogram per payload, partially aggregated
+    per Arrow batch in Python (map-side combine), then summed per lang
+    JVM-side — the same partial-agg shape a 100 TB run needs."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[str, np.ndarray] = {}
+            for lang, m in zip(pdf["lang"], pdf["media"]):
+                a = np.frombuffer(m, dtype=np.uint8) >> 6  # 0..3
+                acc.setdefault(lang, np.zeros(4, dtype=np.int64))
+                acc[lang] += np.bincount(a, minlength=4)
+            yield pd.DataFrame(
+                [{"lang": k, **{f"b{i}": int(v[i]) for i in range(4)}} for k, v in acc.items()]
+            )
+
+    partial = media.mapInPandas(stage, _HIST_SCHEMA)
+    return partial.groupBy("lang").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(4)]
+    )
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256, every: int = 4) -> DataFrame:
+    """Treat the payload as a fixed-stride "video": split into
+    ``frame_bytes`` frames, keep every ``every``-th (frame sampling).
+    Explodes rows inside mapInPandas — output batches are bounded by
+    input batch size × frames-per-doc."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_no, out_fr = [], [], []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                for fno in range(0, (len(m) + frame_bytes - 1) // frame_bytes, every):
+                    out_id.append(did)
+                    out_no.append(fno)
+                    out_fr.append(bytes(m[fno * frame_bytes : (fno + 1) * frame_bytes]))
+            yield pd.DataFrame({"doc_id": out_id, "frame_no": out_no, "frame": out_fr})
+
+    return media.mapInPandas(stage, _FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, keep_every: int = 2) -> DataFrame:
+    """Stub resize: keep every k-th byte (deterministic downsample);
+    metadata recomputed to match. Same signature a real resampler has:
+    binary in, binary out, meta updated."""
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("media", BinaryType()),
+            StructField("media_format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(m[::keep_every]) for m in pdf["media"]]
+            w = (pdf["width"].astype("int64") // keep_every).clip(lower=1).astype("int32")
+            n = pd.Series([len(r) for r in resized], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "lang": pdf["lang"].values,
+                    "media": resized,
+                    "media_format": pdf["media_format"].values,
+                    "width": w.values,
+                    "height": (-(-n // w)).astype("int32").values,
+                    "n_bytes": n.values,
+                }
+            )
+
+    return media.mapInPandas(stage, out_schema)

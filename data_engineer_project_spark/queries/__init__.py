@@ -11,3 +11,4 @@ from data_engineer_project_spark.queries import windows  # noqa: F401,E402
 from data_engineer_project_spark.queries import llm_pipeline  # noqa: F401,E402
 from data_engineer_project_spark.queries import healthcare  # noqa: F401,E402
 from data_engineer_project_spark.queries import streaming_queries  # noqa: F401,E402
+from data_engineer_project_spark.queries import multimodal_queries  # noqa: F401,E402

@@ -1,0 +1,134 @@
+"""Multimodal catalog queries (m01–m05): binary-payload plumbing from
+``operators/multimodal.py`` with full DuckDB oracles.
+
+The payloads are deterministic (UTF-8 bytes of ASCII document text — a
+tested invariant), so every byte-level result is SQL-expressible: the
+oracle splits text into characters and uses ``ascii()`` where the
+Spark side runs numpy over real binary columns. This verifies the
+whole mapInPandas path — schemas, Arrow batches, explode shapes — not
+just metadata arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark.operators.multimodal import (
+    attach_media,
+    byte_histogram,
+    decode_media,
+    resize_media,
+    sample_frames,
+)
+from data_engineer_project_spark.queries.catalog import query
+
+
+def _media(t):
+    return attach_media(t.documents)
+
+
+@query(
+    "m01_media_metadata",
+    """
+    SELECT doc_id,
+           list_extract(['png','jpeg','webp'], CAST(doc_id % 3 + 1 AS INT)) AS media_format,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(ceil(octet_length(encode(text)) / (16 + doc_id % 48)) AS INT) AS height,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "metadata"),
+)
+def m01_media_metadata(t):
+    """Typed metadata for opaque payloads — JVM-only expressions, no
+    Python; the scan must prune the binary column away (tested)."""
+    return _media(t).select("doc_id", "media_format", "width", "height", "n_bytes")
+
+
+@query(
+    "m02_byte_histogram_by_lang",
+    """
+    WITH chars AS (
+      SELECT lang, ascii(unnest(string_split(text, ''))) AS v FROM documents
+    )
+    SELECT lang,
+           SUM(CASE WHEN v >> 6 = 0 THEN 1 ELSE 0 END) AS b0,
+           SUM(CASE WHEN v >> 6 = 1 THEN 1 ELSE 0 END) AS b1,
+           SUM(CASE WHEN v >> 6 = 2 THEN 1 ELSE 0 END) AS b2,
+           SUM(CASE WHEN v >> 6 = 3 THEN 1 ELSE 0 END) AS b3
+    FROM chars GROUP BY lang
+    """,
+    tags=("multimodal", "features"),
+)
+def m02_byte_histogram_by_lang(t):
+    """Corpus byte-value histogram: numpy per Arrow batch (map-side
+    partial agg), JVM-side final sum per lang."""
+    return byte_histogram(_media(t))
+
+
+@query(
+    "m03_frame_sample_stats",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ceil(nf / 4.0) AS BIGINT) AS n_sampled,
+           CAST(4 * (ceil(nf / 4.0) - 1) AS INT) AS max_frame_no,
+           CAST(256 * (ceil(nf / 4.0) - 1)
+                + CASE WHEN (nf - 1) % 4 = 0 THEN n - 256 * (nf - 1) ELSE 256 END
+                AS BIGINT) AS sampled_bytes
+    FROM meta
+    """,
+    tags=("multimodal", "video"),
+)
+def m03_frame_sample_stats(t):
+    """Frame sampling (every 4th 256-byte frame): per-doc sampled-frame
+    count, last frame index, and total sampled bytes. The Spark side
+    materializes actual frame binaries; the oracle recomputes the
+    arithmetic the sampler must satisfy."""
+    frames = sample_frames(_media(t), frame_bytes=256, every=4)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_no").alias("max_frame_no"),
+        F.sum(F.octet_length("frame")).alias("sampled_bytes"),
+    )
+
+
+@query(
+    "m04_decoded_pixel_stats",
+    """
+    WITH chars AS (
+      SELECT doc_id, lang, ascii(unnest(string_split(text, ''))) AS v FROM documents
+    )
+    SELECT doc_id, lang, COUNT(*) AS n_px,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_px,
+           CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
+    FROM chars GROUP BY doc_id, lang
+    """,
+    tags=("multimodal", "decode"),
+)
+def m04_decoded_pixel_stats(t):
+    """Stub decode (payload bytes = pixels) → per-doc pixel stats via
+    mapInPandas. The real-codec path is gated behind an import-try and
+    raises NotImplementedError (no codec libs in this environment)."""
+    return decode_media(_media(t))
+
+
+@query(
+    "m05_resize_metadata",
+    """
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_bytes,
+           CAST(greatest((16 + doc_id % 48) // 2, 1) AS INT) AS width
+    FROM documents
+    """,
+    tags=("multimodal", "transform"),
+)
+def m05_resize_metadata(t):
+    """Stub resize (keep every 2nd byte): binary in → binary out with
+    recomputed metadata; query projects the new metadata."""
+    return resize_media(_media(t), keep_every=2).select("doc_id", "n_bytes", "width")
