@@ -424,6 +424,144 @@ def d11_embedding_norm_stats(t):
     )
 
 
+def _ngram_jaccard_oracle(threshold: float = 0.5, max_df: int = 50) -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= {max_df} AND COUNT(*) > 1
+    ),
+    shf AS (SELECT shd.doc_id, shd.shingle FROM shd JOIN informative USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {threshold}
+    """
+
+
+@query("d12_dedup_ngram_jaccard", _ngram_jaccard_oracle(), tags=("llm", "dedup"))
+def d12_dedup_ngram_jaccard(t):
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle
+    index: docs sharing an informative shingle (document frequency ≤ 50
+    and > 1) become candidates; Jaccard over those shingle sets. No
+    approximation — the exact-tier complement of d07's MinHash."""
+    return DD.ngram_jaccard_pairs(t.documents, jaccard_threshold=0.5, max_df=50)
+
+
+def _cosine_near_dup_oracle(threshold: float = 0.4, num_planes: int = 4, dim: int = 64) -> str:
+    plane_lits = [
+        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(r, dim)) + "]"
+        for r in range(num_planes)
+    ]
+    dot_terms = ", ".join(
+        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[r]})[i]) AS d{r}" for r in range(num_planes)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(num_planes)
+    )
+    return f"""
+    WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    dots AS (SELECT vec_id, {dot_terms} FROM ex GROUP BY vec_id),
+    buck AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS bucket FROM dots),
+    v AS (SELECT e.vec_id, e.embedding, b.bucket
+          FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
+    pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS qv, b.embedding AS cv
+              FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pex AS (SELECT vec_a, vec_b, unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
+    pd AS (SELECT vec_a, vec_b,
+                  SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                  SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                  SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+           FROM pex GROUP BY vec_a, vec_b)
+    SELECT vec_a, vec_b, dotp / (sqrt(qq) * sqrt(cc)) AS score
+    FROM pd WHERE dotp / (sqrt(qq) * sqrt(cc)) >= {threshold}
+    """
+
+
+@query("d13_embedding_near_dup", _cosine_near_dup_oracle(), tags=("llm", "dedup", "similarity"))
+def d13_embedding_near_dup(t):
+    """Embedding-cosine near-dup pairs, sign-LSH-blocked: candidates
+    share a 4-plane bucket (corpus-linear), verified by exact cosine ≥
+    0.4 (this synthetic corpus has no >0.52 pairs; the threshold is set
+    to exercise the pipeline, recall semantics are the operator's)."""
+    return SIM.cosine_near_dup_pairs(t.embeddings, threshold=0.4, num_planes=4, dim=64)
+
+
+def _ivf_oracle(k: int = 3, n_centroids: int = 8, query_limit: int = 10) -> str:
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                   WHERE vec_id < {n_centroids}),
+    ap AS (SELECT e.vec_id, c.cid, e.embedding, c.cvec FROM embeddings e, cents c),
+    apx AS (SELECT vec_id, cid, unnest(embedding) AS vx, unnest(cvec) AS cx FROM ap),
+    apd AS (SELECT vec_id, cid,
+                   SUM(CAST(vx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                   SUM(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)) AS vv,
+                   SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+            FROM apx GROUP BY vec_id, cid),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dotp / (sqrt(vv) * sqrt(cc)) DESC, cid) AS rn
+              FROM apd) WHERE rn = 1),
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cid
+          FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+          WHERE e.vec_id < {query_limit}),
+    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.cid
+          FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id),
+    pairs AS (SELECT q.query_id, c.neighbor_id, q.cid, q.qv, c.cv
+              FROM q JOIN c ON q.cid = c.cid
+              WHERE c.neighbor_id <> q.query_id),
+    pex AS (SELECT query_id, neighbor_id, cid,
+                   unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
+    pd AS (SELECT query_id, neighbor_id, cid,
+                  SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                  SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                  SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+           FROM pex GROUP BY query_id, neighbor_id, cid),
+    scored AS (SELECT query_id, neighbor_id, cid,
+                      dotp / (sqrt(qq) * sqrt(cc)) AS score FROM pd)
+    SELECT query_id, neighbor_id, cid, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@query("d14_ann_ivf", _ivf_oracle(), tags=("llm", "similarity"))
+def d14_ann_ivf(t):
+    """IVF ANN (nprobe=1): corpus coarse-quantized to 8 deterministic
+    centroid cells by cosine argmax; each query searches only its own
+    cell. Per-cell search cost is corpus/8 — the structure that makes
+    billion-vector search tractable (k-means centroids and nprobe>1
+    are data/recall tuning, same plan)."""
+    emb = t.embeddings
+    return SIM.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=3, n_centroids=8)
+
+
 # ---------------------------------------------------------------- events
 
 
