@@ -21,12 +21,21 @@ from data_engineer_project_spark.queries import QUERIES  # noqa: E402
 from data_engineer_project_spark.session import get_spark  # noqa: E402
 
 # Scale-bearing queries benchmarked per round (keep stable across rounds
-# so BENCH_r{N}.json is comparable).
+# so BENCH_r{N}.json is comparable): the TPC-H-style headliners plus one
+# flagship per extension module (dedup, similarity, events, streaming,
+# multimodal, healthcare ETL).
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "d07_dedup_minhash_lsh",
+    "d09_cosine_topk_bruteforce",
+    "d12_dedup_ngram_jaccard",
+    "e03_sessionization",
+    "s01_stream_tumbling_hour",
+    "m02_byte_histogram_by_lang",
+    "hq06_billed_allowed_paid_by_plan",
 ]
 
 
