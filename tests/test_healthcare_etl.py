@@ -1,0 +1,64 @@
+"""The reference's validation regime (SURVEY §5) as pytest: FK
+anti-joins empty, key uniqueness, fact grains, Unknown-SK audits — on
+the default fixture volume AND a 5× scaled fixture, proving the
+generator keeps referential integrity at any n_members and the ETL
+plans don't depend on seed-data accidents."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineer_project_spark import fixtures
+from data_engineer_project_spark.plans.quality import run_checks
+from data_engineer_project_spark.plans.snowflake import build_snowflake
+from data_engineer_project_spark.plans.star import build_star
+
+
+@pytest.fixture(scope="module", params=[fixtures.DEFAULT_MEMBERS, 60])
+def model(request, spark):
+    src = fixtures.dataframes(spark, request.param)
+    return request.param, src, build_star(src)
+
+
+def test_validation_regime_all_green(model):
+    n, src, dw = model
+    results = run_checks(src, dw)
+    assert len(results) >= 15
+    bad = [r for r in results if not r.ok]
+    assert not bad, f"failed checks at n_members={n}: {bad}"
+
+
+def test_fixture_volumes_scale(model):
+    n, src, dw = model
+    assert src["s1_elig_member"].count() == n
+    # every member enrolled for 3 months (reference: 12 members x 3)
+    assert src["s1_elig_enrollment"].count() == 3 * n
+    assert dw["dim_member"].count() == n + 1  # + Unknown row
+
+
+def test_dim_surrogate_keys_dense_and_unknown(model):
+    _, _, dw = model
+    sks = [r.MemberSK for r in dw["dim_member"].select("MemberSK").collect()]
+    assert sorted(sks) == list(range(len(sks)))  # 0 (Unknown) .. n, dense
+
+
+def test_snowflake_facts_match_star(model):
+    n, src, dw = model
+    snow = build_snowflake(src)
+    for fact in (
+        "fact_claims_line",
+        "fact_encounters",
+        "fact_care_gaps",
+        "fact_eligibility_monthly",
+    ):
+        assert snow[fact].count() == dw[fact].count(), fact
+
+
+def test_snowflake_hierarchy_consistent(model):
+    _, src, _ = model
+    snow = build_snowflake(src)
+    # every plan resolves to a real payer through the parent dim
+    plans = snow["dim_plan"]
+    payers = snow["dim_payer"]
+    unresolved = plans.join(payers, "PayerSK", "left_anti")
+    assert unresolved.count() == 0

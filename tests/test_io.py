@@ -1,0 +1,79 @@
+"""Typed I/O surface: CSV/JSON readers honor declared schemas (no
+inference), the partitioned parquet sink prunes partitions on read,
+and dynamic overwrite only replaces the partitions being reloaded."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_engineer_project_spark.sources import io as sio
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("d", DateType()),
+    ]
+)
+
+
+def test_csv_roundtrip_declared_schema(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("id,name,d\n1,ava,2025-01-03\n2,ben,2025-02-07\n")
+    df = sio.read_csv(spark, p, SCHEMA)
+    assert df.schema == SCHEMA
+    assert df.orderBy("id").collect()[0].name == "ava"
+
+
+def test_json_reader_declared_schema(spark, tmp_path):
+    p = str(tmp_path / "t.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "ava", "d": "2025-01-03"}\n')
+        f.write('{"id": 2, "name": "ben", "d": "2025-02-07"}\n')
+    df = sio.read_json(spark, p, SCHEMA)
+    assert df.schema == SCHEMA
+    assert df.count() == 2
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    from data_engineer_project_spark.sources.registry import load_tables
+
+    orders = load_tables(spark, "/root/testdata/sf0.001").orders
+    out = str(tmp_path / "orders_by_year")
+    with_year = orders.withColumn("o_year", F.year("o_orderdate"))
+    sio.write_partitioned_parquet(with_year, out, ["o_year"])
+
+    back = sio.read_partitioned_parquet(spark, out).filter(F.col("o_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1][:120]
+    want = orders.filter(F.year("o_orderdate") == 1995).count()
+    assert back.count() == want > 0
+
+
+def test_dynamic_overwrite_replaces_only_loaded_partitions(spark, tmp_path):
+    from data_engineer_project_spark.sources.registry import load_tables
+
+    orders = load_tables(spark, "/root/testdata/sf0.001").orders.withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "dyn")
+    sio.write_partitioned_parquet(orders, out, ["o_year"])
+    total = sio.read_partitioned_parquet(spark, out).count()
+
+    # reload ONE year with a marker change; other years must survive
+    one_year = orders.filter(F.col("o_year") == 1995).withColumn(
+        "o_comment", F.lit("reloaded")
+    )
+    sio.write_partitioned_parquet(one_year, out, ["o_year"])
+    back = sio.read_partitioned_parquet(spark, out)
+    assert back.count() == total
+    assert back.filter((F.col("o_year") == 1995) & (F.col("o_comment") != "reloaded")).count() == 0
+    assert back.filter(F.col("o_comment") == "reloaded").count() == one_year.count()
