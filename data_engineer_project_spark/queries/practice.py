@@ -1010,3 +1010,65 @@ def p55_cte(t):
         WHERE r.total_rev > (SELECT CAST(SUM(total_rev) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) FROM revenue)
         """
     )
+
+
+# ---------------------------------------------------------------- skew
+
+
+@query(
+    "p56_salted_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'AUTOMOBILE'
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def p56_salted_join(t):
+    """Salted equi-join: the large side fans out across 8 synthetic
+    sub-keys, the small side replicates 8x — the explicit skew
+    mitigation for a hot broadcast-ineligible key (operators/skew.py).
+    The oracle is the PLAIN join: salting must be row-identical."""
+    from data_engineer_project_spark.operators.skew import salted_join
+
+    cust = t.customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    joined = salted_join(t.orders, cust, on="o_custkey", salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "p57_salted_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "skew"),
+)
+def p57_salted_agg(t):
+    """Two-phase salted aggregation for hot group keys (5 priorities
+    over all orders — maximal key skew): partial agg on (key, salt),
+    merge on key. Decimal partials make the merge order-independent,
+    so the result equals the direct aggregation the oracle runs."""
+    from data_engineer_project_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        t.orders,
+        ["o_orderpriority"],
+        [
+            (F.count(F.lit(1)), F.sum, "n"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                lambda c: F.sum(c).cast("double"),
+                "total",
+            ),
+        ],
+        salts=16,
+    )

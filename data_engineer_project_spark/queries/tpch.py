@@ -210,3 +210,131 @@ def q6_forecast_revenue(t):
             .alias("revenue")
         )
     )
+
+
+@query(
+    "q4_priority_with_returns",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg"),
+)
+def q4_priority_with_returns(t):
+    """TPC-H Q4 shape (adapted to available columns): EXISTS subquery →
+    left_semi join, then count by priority. The semi-join never
+    duplicates order rows, so no post-join distinct is needed — the
+    planner keeps only the first match per key.
+
+    Reference parity: EXISTS semi-join (`SQLQueryiesPractice.sql:177-182`).
+    """
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    returned = t.lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(returned, ords.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "topk"),
+)
+def q10_returned_items(t):
+    """TPC-H Q10: returned-item revenue per customer, top 20. Fact
+    filtered before the join (returnflag + date pushdown), nation
+    broadcast, deterministic tie-break on custkey."""
+    li = t.lineitem.filter(F.col("l_returnflag") == "R")
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = t.customer
+    nat = t.nation
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price(li)).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q18_large_volume_customers(t):
+    """TPC-H Q18: aggregate subquery (orders whose total quantity
+    exceeds a threshold) used as a semi-join filter — the derived-
+    aggregate-join-back shape of `SQLQueryiesPractice.sql:147-159`.
+    The HAVING aggregate is computed once, map-side-combined, then
+    semi-joined; no correlated re-evaluation."""
+    li = t.lineitem
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    ords = t.orders.join(big, t.orders.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(t.customer, ords.o_custkey == t.customer.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
