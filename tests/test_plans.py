@@ -1,0 +1,82 @@
+"""Physical-plan regressions: the properties that make these queries
+scale are asserted, not assumed — predicate pushdown into parquet,
+column pruning, broadcast (not sort-merge) dim joins, map-side partial
+aggregation, and partitioned (not global) windows. A change that
+silently loses one of these passes the value gate but fails here."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineer_project_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def scans(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    (scan,) = scans(plan)
+    assert "l_shipdate" in scan.split("PushedFilters")[1][:200]
+    # only the 7 needed columns reach the scan, not all 11
+    read = scan.split("ReadSchema")[1]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan
+
+
+def test_q3_broadcasts_dims_no_sort_merge(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the customer filter is pushed into its scan
+    assert any("c_mktsegment" in s.split("PushedFilters")[1][:200] for s in scans(plan) if "PushedFilters" in s)
+
+
+def test_q5_six_way_join_all_broadcast(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    (scan,) = scans(plan)
+    pushed = scan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+
+
+def test_latest_per_group_window_is_partitioned(spark):
+    plan = plan_of(spark, "p38_latest_per_group")
+    assert "Window" in plan
+    # distributed by the partition key — never a single global partition
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_semi_and_anti_joins_planned_natively(spark):
+    semi = plan_of(spark, "q4_priority_with_returns")
+    assert "LeftSemi" in semi
+    anti = plan_of(spark, "hq17_icd_referential_check")
+    assert "LeftAnti" in anti
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["d01_token_stats", "d07_dedup_minhash_lsh"])
+def test_text_pipeline_has_no_python_udf(spark, name):
+    """Text/dedup primitives must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython stages = no row-at-a-time or scalar Python UDFs)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
