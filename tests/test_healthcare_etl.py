@@ -62,3 +62,29 @@ def test_snowflake_hierarchy_consistent(model):
     payers = snow["dim_payer"]
     unresolved = plans.join(payers, "PayerSK", "left_anti")
     assert unresolved.count() == 0
+
+
+def test_write_star_partitioned_roundtrip(spark, tmp_path):
+    """DW sink: dims plain parquet, fact_claims_line partitioned by
+    ServiceYear — a date filter on the reloaded fact must prune
+    partitions, and every table round-trips row-exact."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.plans.star import write_star
+
+    src = fixtures.dataframes(spark)
+    dw = build_star(src)
+    base = str(tmp_path / "dw")
+    write_star(dw, base)
+
+    for name, df in dw.items():
+        assert spark.read.parquet(f"{base}/{name}").count() == df.count(), name
+
+    fact = spark.read.parquet(f"{base}/fact_claims_line")
+    pruned = fact.filter(F.col("ServiceYear") == 2025)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ServiceYear" in plan.split("PartitionFilters")[1][:120]
+    assert pruned.count() == dw["fact_claims_line"].filter(
+        (F.col("ServiceDateSK") / 10000).cast("int") == 2025
+    ).count()
