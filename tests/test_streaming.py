@@ -136,3 +136,27 @@ def test_multibatch_complete_tumbling_stable(spark, tmp_path, n_parts):
         tumbling_counts(read_event_stream(spark, SF)), "t_slice_single", "complete"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_foreachbatch_partitioned_sink_matches_memory(spark, tmp_path):
+    """Stream → warehouse: the tumbling aggregation landed via
+    foreachBatch partitioned parquet must equal the memory-sink result,
+    and event_type filters must prune partitions on read."""
+    from data_engineer_project_spark.streaming import run_to_partitioned_parquet
+
+    out = str(tmp_path / "stream_dw")
+    run_to_partitioned_parquet(
+        tumbling_counts(read_event_stream(spark, SF)), out, ["event_type"]
+    )
+    landed = spark.read.parquet(out)
+    want = run_to_memory_table(
+        tumbling_counts(read_event_stream(spark, SF)), "t_fb_mem", "complete"
+    )
+    cols = ["window_start", "window_end", "event_type", "n", "total_value"]
+    assert sorted(map(tuple, landed.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    pruned = landed.filter(F.col("event_type") == "purchase")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:120]
