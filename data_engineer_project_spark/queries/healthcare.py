@@ -12,6 +12,7 @@ just the final SELECTs.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_spark import fixtures
@@ -1116,4 +1117,40 @@ def hq26_snow_provider_specialty_bridge(t):
         b.join(F.broadcast(ds), "SpecialtySK")
         .groupBy("SpecialtyName")
         .agg(F.count(F.lit(1)).alias("n_providers"))
+    )
+
+
+@query(
+    "hq27_latest_risk_score",
+    _oracle(
+        """
+        SELECT MemberID, RiskModel, CAST(Score AS DOUBLE) AS Score,
+               RiskTier, EffectiveDate
+        FROM (SELECT r.*, ROW_NUMBER() OVER (PARTITION BY MemberID
+                     ORDER BY EffectiveDate DESC, RiskID DESC) AS rn
+              FROM s3_cca_risk_score r) WHERE rn = 1
+        """,
+        ["s3_cca_risk_score"],
+    ),
+    tags=("healthcare", "window"),
+)
+def hq27_latest_risk_score(t):
+    """Latest risk score per member by EffectiveDate — the SURVEY §2.5
+    capability-equivalent window the reference implies with its
+    EffectiveDate columns (`CareManagementCCA.sql:84-92`): partitioned
+    row_number, rn=1; distributes by MemberID."""
+    r = hc(t)["s3_cca_risk_score"]
+    w = Window.partitionBy("MemberID").orderBy(
+        F.desc("EffectiveDate"), F.desc("RiskID")
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "MemberID",
+            "RiskModel",
+            F.col("Score").cast("double").alias("Score"),
+            "RiskTier",
+            "EffectiveDate",
+        )
     )

@@ -682,3 +682,118 @@ def e04_json_extract(t):
         F.sum(k).alias("total_k"),
         (F.sum(k).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_k"),
     )
+
+
+# ------------------------------------------------- composed pipelines
+
+
+@query(
+    "d15_curation_pipeline",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE length(string_split(text, ' ')) BETWEEN 20 AND 120
+        AND CAST(length(list_filter(string_split(text, ' '),
+                                    x -> x IN ({_SW_SQL}))) AS DOUBLE)
+            / CAST(length(string_split(text, ' ')) AS DOUBLE) < 0.3
+    ),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    e2 AS (SELECT q.doc_id, q.lang, q.text FROM q JOIN ex USING (doc_id)),
+    nd AS (SELECT MIN(doc_id) AS doc_id FROM e2
+           GROUP BY md5(array_to_string(string_split(text,' ')[1:10], ' '))),
+    fin AS (SELECT e2.lang, e2.text FROM e2 JOIN nd USING (doc_id))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM fin GROUP BY lang
+    """,
+    tags=("llm", "dedup", "pipeline", "flagship"),
+)
+def d15_curation_pipeline(t):
+    """End-to-end curation: quality filter (d02 criteria) → exact dedup
+    keep-first → prefix near-dup removal (keep lowest id per cluster) →
+    per-lang corpus stats. The composition every training-data pipeline
+    runs, as ONE declarative plan — three groupBy shuffles total, no
+    materialization between stages."""
+    d = t.documents
+    n_words = T.token_count("text")
+    ratio = T.stopword_count("text").cast("double") / n_words.cast("double")
+    q = d.filter(n_words.between(20, 120) & (ratio < 0.3))
+    e2 = DD.exact_dedup_keep_first(q)
+    keep = (
+        e2.select(T.prefix_fingerprint("text", 10).alias("pfp"), "doc_id")
+        .groupBy("pfp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    fin = e2.join(keep, "doc_id", "left_semi")
+    return fin.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
+
+
+def _ann_recall_oracle(k: int = 3, num_planes: int = 4, dim: int = 64, query_limit: int = 10) -> str:
+    plane_lits = [
+        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(r, dim)) + "]"
+        for r in range(num_planes)
+    ]
+    dot_terms = ", ".join(
+        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[r]})[i]) AS d{r}" for r in range(num_planes)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(num_planes)
+    )
+    return f"""
+    WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    dots AS (SELECT vec_id, {dot_terms} FROM ex GROUP BY vec_id),
+    buck AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS bucket FROM dots),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {query_limit}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    allp AS (SELECT query_id, neighbor_id, qv, cv FROM q, c
+             WHERE neighbor_id <> query_id),
+    apex AS (SELECT query_id, neighbor_id, unnest(qv) AS qx, unnest(cv) AS cx FROM allp),
+    apd AS (SELECT query_id, neighbor_id,
+                   SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                   SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                   SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+            FROM apex GROUP BY query_id, neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      dotp / (sqrt(qq) * sqrt(cc)) AS score FROM apd),
+    bf AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rn
+             FROM scored) WHERE rn <= {k}),
+    lshp AS (SELECT s.query_id, s.neighbor_id, s.score FROM scored s
+             JOIN buck bq ON bq.vec_id = s.query_id
+             JOIN buck bc ON bc.vec_id = s.neighbor_id AND bc.bucket = bq.bucket),
+    lsh AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, neighbor_id) AS rn
+              FROM lshp) WHERE rn <= {k}),
+    hits AS (SELECT COUNT(*) AS n_hits FROM bf JOIN lsh USING (query_id, neighbor_id))
+    SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+           CAST(n_hits AS DOUBLE) / ({k} * (SELECT COUNT(*) FROM q)) AS recall_at_k
+    FROM hits
+    """
+
+
+@query("d16_ann_recall", _ann_recall_oracle(), tags=("llm", "similarity", "eval"))
+def d16_ann_recall(t):
+    """ANN quality evaluation: recall@3 of the sign-LSH index against
+    brute-force ground truth over the same queries — the measurement
+    loop that tunes num_planes/nprobe at scale. Integer hit counts /
+    fixed denominators → exact cross-engine parity."""
+    emb = t.embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = SIM.brute_force_topk(queries, emb, k=3).select("query_id", "neighbor_id")
+    lsh = SIM.lsh_topk(queries, emb, k=3, num_planes=4, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    n_q = queries.count()
+    hits = bf.join(lsh, ["query_id", "neighbor_id"], "inner")
+    return hits.agg(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        (F.count(F.lit(1)).cast("double") / F.lit(3.0 * n_q)).alias("recall_at_k"),
+    )
