@@ -1072,3 +1072,106 @@ def p57_salted_agg(t):
         ],
         salts=16,
     )
+
+
+# ------------------------------------------------- multi-dim aggregation
+
+
+@query(
+    "p58_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg", "multidim"),
+)
+def p58_rollup(t):
+    """ROLLUP hierarchy totals (priority → priority+status → grand
+    total) — SURVEY §2.4's 'free in Spark' extension of the reference's
+    GROUP BY surface. One pass, Expand operator, no self-unions."""
+    return t.orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "p59_cube",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg", "multidim"),
+)
+def p59_cube(t):
+    """CUBE: all 2^k grouping combinations in one Expand pass."""
+    return t.orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "p60_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    tags=("agg", "multidim"),
+)
+def p60_grouping_sets(t):
+    """Explicit GROUPING SETS (two independent one-dim rollups in one
+    scan) via the SQL surface over a temp view."""
+    spark = t.orders.sparkSession
+    t.orders.createOrReplaceTempView("p60_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM p60_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@query(
+    "p61_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT 99, 'atlantis', 0
+    )
+    SELECT n_nationkey, n_name, n_regionkey FROM updates
+    UNION ALL
+    SELECT t.n_nationkey, t.n_name, t.n_regionkey FROM nation t
+    LEFT JOIN updates u ON t.n_nationkey = u.n_nationkey
+    WHERE u.n_nationkey IS NULL
+    """,
+    tags=("etl", "merge"),
+)
+def p61_merge_upsert(t):
+    """MERGE/upsert semantics without a mutable store (SURVEY §7
+    hard-part 4): updates win via anti-join + union — matched rows
+    replaced, unmatched inserted, others untouched. The immutable
+    rebuild equivalent of Delta MERGE, and of the reference's
+    NOT EXISTS upsert guards (`StarSchemaForHealthcare.sql:177-180`)."""
+    nation = t.nation
+    updates = (
+        nation.filter(F.col("n_nationkey") < 10)
+        .select(
+            "n_nationkey", F.upper("n_name").alias("n_name"), "n_regionkey"
+        )
+        .union(
+            nation.sparkSession.createDataFrame(
+                [(99, "atlantis", 0)], "n_nationkey INT, n_name STRING, n_regionkey INT"
+            )
+        )
+    )
+    untouched = nation.join(updates, "n_nationkey", "left_anti").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return updates.select("n_nationkey", "n_name", "n_regionkey").union(untouched)

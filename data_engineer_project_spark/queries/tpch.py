@@ -338,3 +338,68 @@ def q18_large_volume_customers(t):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q14_promo_effect",
+    f"""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                 THEN {_ORACLE_DISC_PRICE} ELSE CAST(0 AS DECIMAL(17,4)) END)
+                / SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_effect(t):
+    """TPC-H Q14: conditional-aggregate ratio over a fact↔dim join —
+    `SUM(CASE WHEN)` (`CareManagementCCA.sql:318-325`) as a revenue
+    share. Exact-decimal numerator/denominator, one double division."""
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    joined = li.join(t.part, li.l_partkey == t.part.p_partkey)
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), _disc_price(joined)
+    ).otherwise(F.lit(0).cast("decimal(17,4)"))
+    return joined.agg(
+        (
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum(_disc_price(joined)).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40))
+    """,
+    tags=("join", "filter"),
+)
+def q19_disjunctive_predicates(t):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    splits the disjunction into per-side pushable conjuncts
+    (l_quantity ranges push to lineitem, brand/size to part) and keeps
+    the cross-side residual on the join."""
+    li = t.lineitem
+    p = t.part
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return joined.filter(cond).agg(
+        F.sum(_disc_price(joined)).cast("double").alias("revenue")
+    )
