@@ -61,22 +61,6 @@ def prefix_fingerprint(text: str | Column, n_words: int = 10) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(w, 1, n_words)))
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> list[Column]:
-    """MinHash signature via salted-md5 minima.
-
-    min(md5(salt:shingle)) over a doc's shingle set is a uniform
-    order-statistic per salt — a permutation-free MinHash that is
-    portable across engines (same md5 everywhere). Returns one column
-    per hash; array-native, no shuffle.
-    """
-    return [
-        F.array_min(
-            F.transform(shingle_arr, lambda s, k=k: F.md5(F.concat_ws(":", F.lit(str(k)), s)))
-        ).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
-
-
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
@@ -87,31 +71,6 @@ def hex_digit_parity(md5_col: Column, pos: int) -> Column:
     cheaper than conv() radix parsing, and this runs 16× per word in
     SimHash."""
     return F.when(F.substring(md5_col, pos + 1, 1).isin(*_ODD_HEX), 1).otherwise(0)
-
-
-def simhash16(text: str | Column) -> Column:
-    """16-bit SimHash over whitespace words.
-
-    Bit b of the signature is the sign of Σ_words (2·parity_b(md5(w))−1):
-    near-duplicate texts differ in few bits (compare via hamming
-    distance). 16 bits keeps the hash portable (exact hex-digit parity
-    in any engine) while demonstrating the full algorithm; widening to
-    64 bits is the same expression over 16 more digits of md5.
-    """
-    w = words(text)
-    hashes = F.transform(w, lambda x: F.md5(x))
-
-    def bit_fold(b: int):
-        return lambda acc, h: acc + (hex_digit_parity(h, b) * 2 - 1)
-
-    bits = []
-    for b in range(16):
-        contrib = F.aggregate(hashes, F.lit(0), bit_fold(b))
-        bits.append(F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
 
 
 def _parity_of_md5(s: str) -> int:

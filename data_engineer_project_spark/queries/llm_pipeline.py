@@ -797,3 +797,22 @@ def d16_ann_recall(t):
         F.lit(n_q).cast("long").alias("n_queries"),
         (F.count(F.lit(1)).cast("double") / F.lit(3.0 * n_q)).alias("recall_at_k"),
     )
+
+
+@query("d17_approx_aggregates", None, tags=("agg", "approx"))
+def d17_approx_aggregates(t):
+    """Approximate aggregation for 100 TB interactive profiling:
+    HLL++ approx_count_distinct and approximate percentiles next to
+    their exact values, with relative error. Rows-only check: sketch
+    internals aren't reproducible in DuckDB, and the assertion that
+    matters (error within the configured rsd) is part of the output."""
+    li = t.lineitem
+    exact = F.countDistinct("l_orderkey").cast("double")
+    approx = F.approx_count_distinct("l_orderkey", 0.02).cast("double")
+    return li.agg(
+        exact.cast("long").alias("exact_orders"),
+        approx.cast("long").alias("approx_orders"),
+        (F.abs(approx - exact) / exact).alias("rel_error"),
+        (F.abs(approx - exact) / exact < 0.06).alias("within_3_rsd"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+    )

@@ -152,3 +152,31 @@ def s05_stream_static_join(t):
         ).alias("total_value"),
     )
     return run_to_memory_table(agg, "static_join", "complete")
+
+
+@query(
+    "s06_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+           p.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+    FROM events p JOIN events s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
+    WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+    """,
+    tags=("streaming", "join"),
+)
+def s06_stream_stream_join(t):
+    """Stream-stream inner join with an event-time bound (purchases ≤1h
+    after the same user's signup): both sides watermarked, the time
+    bound lets Spark expire join state. Append mode — matches emit as
+    found; single input file → all matches in one batch."""
+    from data_engineer_project_spark.streaming import purchases_after_signup
+
+    spark, sf_dir = t._spark, t._sf_dir
+    purchases = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    signups = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
+    joined = purchases_after_signup(purchases, signups)
+    return run_to_memory_table(joined, "ss_join", "append")

@@ -13,6 +13,7 @@ streaming == batch on the driver's events table.
 
 from data_engineer_project_spark.streaming.events import (  # noqa: F401
     enrich_with_static,
+    purchases_after_signup,
     read_event_stream,
     run_to_memory_table,
     run_to_partitioned_parquet,

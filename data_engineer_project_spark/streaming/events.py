@@ -183,6 +183,43 @@ def stateful_user_stats(events: DataFrame, watermark: str = "30 minutes") -> Dat
     )
 
 
+def purchases_after_signup(
+    purchases: DataFrame,
+    signups: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: purchases
+    joined to the same user's signups at most ``within`` earlier.
+
+    Both sides are watermarked and the join condition carries the time
+    bound — that pair is what lets Spark expire join state (an
+    unbounded stream-stream join would buffer forever). Matches emit
+    in append mode as they are found."""
+    s = (
+        signups.select(
+            F.col("user_id"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_id"),
+        ).withWatermark("signup_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (p.user_id == s.user_id)
+        & (p.purchase_ts >= s.signup_ts)
+        & (p.purchase_ts <= s.signup_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(s, cond, "inner").select(
+        "purchase_id", "signup_id", p.user_id.alias("user_id"), "signup_ts", "purchase_ts"
+    )
+
+
 def enrich_with_static(stream: DataFrame, static_df: DataFrame, on: str) -> DataFrame:
     """Stream-static join: enrich each event with a (batch) dimension.
 
