@@ -20,6 +20,8 @@ from data_engineer_project_spark.functions import text as T
 from data_engineer_project_spark.functions.numeric import money
 from data_engineer_project_spark.operators import dedup as DD
 from data_engineer_project_spark.operators import similarity as SIM
+from data_engineer_project_spark.operators.asof import asof_join
+from data_engineer_project_spark.operators.interval import range_join
 from data_engineer_project_spark.queries.catalog import query
 
 # ------------------------------------------------------------------ text
@@ -681,6 +683,67 @@ def e04_json_extract(t):
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("total_k"),
         (F.sum(k).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_k"),
+    )
+
+
+@query(
+    "e05_asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.value AS asof_value, v.event_id AS asof_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    tags=("events", "asof", "timeseries"),
+)
+def e05_asof_join(t):
+    """Point-in-time (as-of) join: each purchase picks up the value of
+    the user's latest at-or-before view. operators/asof.py implements
+    it as union + one per-key window — a single shuffle, no join node —
+    where the naive range join is per-key quadratic. The oracle is
+    DuckDB's native ASOF JOIN (identical backward/<= tie semantics)."""
+    e = t.events
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value", "event_id")
+    return asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value", "event_id"],
+    )
+
+
+@query(
+    "e06_range_join",
+    """
+    SELECT e.event_id AS err_id, COUNT(*) AS n_hits,
+           CAST(SUM(CAST(x.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+    JOIN events x ON x.ts >= e.ts AND x.ts < e.ts + INTERVAL 1 HOUR
+    GROUP BY err_id
+    """,
+    tags=("events", "range-join", "timeseries"),
+)
+def e06_range_join(t):
+    """Range (interval) join without an equi key: all activity in the
+    hour after each error event. operators/interval.py buckets time so
+    this plans as a shuffled equi-join on bucket id + residual filter
+    instead of the BroadcastNestedLoopJoin a bare inequality join
+    produces — the form that survives 100 TB. The oracle runs the bare
+    inequality join (DuckDB IEJoin), proving the bucketed rewrite is
+    exactly equivalent."""
+    e = t.events
+    errs = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("err_end"),
+    )
+    hits = e.select(F.col("ts").alias("hit_ts"), F.col("value").alias("hit_value"))
+    j = range_join(errs, hits, "err_ts", "err_end", "hit_ts", bucket_width="1 hour")
+    return j.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(money("hit_value")).cast("double").alias("total_value"),
     )
 
 

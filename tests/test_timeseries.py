@@ -1,0 +1,122 @@
+"""Unit tests for the time-series operators (as-of join, range join) —
+edge semantics the sf-wide oracle parity test can't isolate: exact-ts
+inclusivity, no-match nulls, half-open interval boundaries, bucket
+crossings."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark.operators.asof import asof_join
+from data_engineer_project_spark.operators.interval import range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),  # exact-ts ref match
+            (2, _ts("2024-01-01 10:30:00"), "b"),  # between refs -> earlier one
+            (3, _ts("2024-01-01 09:00:00"), "c"),  # before all refs -> null
+            (4, _ts("2024-01-01 12:00:00"), "d"),  # key with no refs -> null
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    ref = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0),
+            (1, _ts("2024-01-01 11:00:00"), 200.0),
+            (2, _ts("2024-01-01 10:00:00"), 10.0),
+            (2, _ts("2024-01-01 10:45:00"), 20.0),
+            (3, _ts("2024-01-01 09:30:00"), 1.0),
+        ],
+        "k int, ts timestamp, v double",
+    )
+    out = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(probe, ref, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert out == {"a": 100.0, "b": 10.0, "c": None, "d": None}
+
+
+def test_asof_keeps_all_probe_rows_and_columns(spark):
+    probe = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), "x")], "k int, ts timestamp, payload string"
+    )
+    ref = spark.createDataFrame([], "k int, ts timestamp, v double")
+    rows = asof_join(probe, ref, "k", "ts", "ts", ["v"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["payload"] == "x" and rows[0]["asof_v"] is None
+
+
+def test_range_join_halfopen_boundaries(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iv_id int, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:00:00")),  # == start -> in
+            (11, _ts("2024-01-01 10:59:59")),  # inside -> in
+            (12, _ts("2024-01-01 11:00:00")),  # == end -> out (half-open)
+            (13, _ts("2024-01-01 09:59:59")),  # before -> out
+        ],
+        "p_id int, ts timestamp",
+    )
+    got = sorted(
+        r["p_id"] for r in range_join(iv, pts, "s", "e", "ts", "30 minutes").collect()
+    )
+    assert got == [10, 11]
+
+
+def test_range_join_bucket_crossing_no_duplicates(spark):
+    # interval straddles 3 one-minute buckets; each matching point must
+    # appear exactly once despite the interval exploding to 3 bucket ids
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:30"), _ts("2024-01-01 10:02:30"))],
+        "iv_id int, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(i, _ts("2024-01-01 10:00:00") + dt.timedelta(seconds=20 * i)) for i in range(10)],
+        "p_id int, ts timestamp",
+    )
+    rows = range_join(iv, pts, "s", "e", "ts", "1 minute").collect()
+    ids = sorted(r["p_id"] for r in rows)
+    assert ids == sorted(set(ids))  # no dup pairs
+    assert ids == [2, 3, 4, 5, 6, 7]  # 10:00:40 .. 10:02:20
+
+
+def test_range_join_with_equi_key(spark):
+    iv = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            ("u2", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+        ],
+        "u string, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [("u1", 1, _ts("2024-01-01 10:30:00")), ("u3", 2, _ts("2024-01-01 10:30:00"))],
+        "u string, p_id int, ts timestamp",
+    )
+    rows = range_join(iv, pts, "s", "e", "ts", "1 hour", extra_keys=["u"]).collect()
+    assert [(r["u"], r["p_id"]) for r in rows] == [("u1", 1)]
+
+
+def test_asof_plan_is_single_window_no_join(spark):
+    """The as-of rewrite must not contain any join node — one window
+    over one shuffle is the whole point of the operator."""
+    probe = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], "k int, ts timestamp")
+    ref = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 1.0)], "k int, ts timestamp, v double"
+    )
+    plan = (
+        asof_join(probe, ref, "k", "ts", "ts", ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
