@@ -879,3 +879,73 @@ def d17_approx_aggregates(t):
         (F.abs(approx - exact) / exact < 0.06).alias("within_3_rsd"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
     )
+
+
+# ------------------------------------------------ reproducible splits
+
+# Content-addressed bucketing: two md5 hex digits of the document id →
+# 0..255 → % 100. Pure engine-portable SQL (md5/substring/instr), so
+# the same doc lands in the same split on Spark, DuckDB, or anything
+# else — the property a training pipeline needs for train/test splits
+# that survive re-sharding, backfills, and engine migrations. (Engine
+# hash() builtins are NOT portable; seeded sample() is not stable
+# across partitionings.)
+
+_SPARK_BUCKET = (
+    "((instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1) % 100"
+)
+_ORACLE_BUCKET = (
+    "((instr('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 2, 1)) - 1) % 100"
+)
+
+
+@query(
+    "d18_hash_split",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_ORACLE_BUCKET} < 80 THEN 'train'
+                WHEN {_ORACLE_BUCKET} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("llm", "split"),
+)
+def d18_hash_split(t):
+    """Deterministic 80/10/10 train/valid/test assignment per document
+    — a narrow map over the scan (no shuffle, no state), stable under
+    any partitioning."""
+    b = F.expr(_SPARK_BUCKET)
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "d19_stratified_sample",
+    f"""
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents WHERE {_ORACLE_BUCKET} < 10
+    GROUP BY lang
+    """,
+    tags=("llm", "sample"),
+)
+def d19_stratified_sample(t):
+    """Reproducible ~10% per-language sample via the same content-
+    addressed bucket: a pushable filter, so the sample costs one scan
+    and strata stay proportional without a per-stratum pass (contrast
+    `sampleBy`, whose output changes with partitioning)."""
+    b = F.expr(_SPARK_BUCKET)
+    return (
+        t.documents.filter(b < 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -1175,3 +1175,98 @@ def p61_merge_upsert(t):
         "n_nationkey", "n_name", "n_regionkey"
     )
     return updates.select("n_nationkey", "n_name", "n_regionkey").union(untouched)
+
+
+# ------------------------------------------------- §2.4 extensions:
+# reshaping (PIVOT/UNPIVOT) and exact order statistics — operators the
+# reference's T-SQL dialect has (PIVOT, PERCENTILE_CONT) but its
+# scripts never exercise; first-class in the engine.
+
+
+@query(
+    "p62_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def p62_pivot(t):
+    """PIVOT: order counts by priority, statuses fanned out to columns.
+    `groupBy().pivot(col, values)` with the value list given explicitly
+    — that keeps the plan a single-pass partial aggregate (no extra
+    distinct-values job, which at 100 TB would be a full scan before
+    the real one). Semantically = conditional aggregation (the oracle
+    form; SURVEY §2.4 `CareManagementCCA.sql:318-325`)."""
+    piv = (
+        t.orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
+    "p63_unpivot",
+    """
+    SELECT measure,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+    ) m
+    GROUP BY measure
+    """,
+    tags=("agg", "unpivot"),
+)
+def p63_unpivot(t):
+    """UNPIVOT/melt: three measure columns become (measure, value)
+    rows via `DataFrame.unpivot` — Spark plans an Expand node (one scan
+    emitting 3 rows per input) rather than the 3-scan UNION ALL the
+    oracle spells out; same result, a third of the I/O."""
+    u = t.lineitem.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "v",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+    return u.groupBy("measure").agg(
+        F.sum(money("v")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "p64_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_cont(l_quantity, 0.5)  AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def p64_percentiles(t):
+    """Exact order statistics per group: PERCENTILE_CONT ≙ Spark's
+    `percentile()` (exact linear interpolation, same formula DuckDB's
+    quantile_cont uses; quarter fractions are binary-exact so the
+    doubles hash-match). Exact percentile is a sort-based aggregate —
+    fine per-group; at 100 TB unbounded-group use approx_percentile
+    (t-digest, mergeable map-side) instead, benchmarked in d17."""
+    li = t.lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+    )

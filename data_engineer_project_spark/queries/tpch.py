@@ -403,3 +403,86 @@ def q19_disjunctive_predicates(t):
     return joined.filter(cond).agg(
         F.sum(_disc_price(joined)).cast("double").alias("revenue")
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH thresh AS (
+      SELECT l_partkey AS t_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS qty_cutoff
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem, part, thresh
+    WHERE p_partkey = l_partkey AND t_partkey = p_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < qty_cutoff
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q17_small_quantity_revenue(t):
+    """TPC-H Q17 shape: correlated aggregate subquery (per-part average
+    quantity) decorrelated into an aggregate-then-join — the form
+    Catalyst (and any 100 TB plan) wants: one partial-agg shuffle on
+    l_partkey, then an equi-join instead of a per-row subquery. The
+    cutoff is derived from an exact decimal sum so both engines filter
+    on bit-identical doubles."""
+    li = t.lineitem
+    thresh = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1)).cast("double"))
+        ).alias("qty_cutoff")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    p = t.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh, li.l_partkey == thresh.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+    )
+    return joined.agg(
+        (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS cutoff
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > cutoff
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "anti-join", "subquery"),
+)
+def q22_dormant_customers(t):
+    """TPC-H Q22 shape: global scalar aggregate as a filter bound +
+    NOT EXISTS anti-join (customers with above-average balance and no
+    order since 2000). The scalar is a 1-row DataFrame cross-joined in
+    (broadcast, never collected to the driver); the anti-join plans
+    natively as left_anti on o_custkey with the date predicate pushed
+    into the orders scan."""
+    c = t.customer
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "cutoff"
+        )
+    )
+    rich = c.crossJoin(F.broadcast(cutoff)).filter(F.col("c_acctbal") > F.col("cutoff"))
+    recent = t.orders.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    dormant = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+    )

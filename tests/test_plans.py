@@ -80,3 +80,19 @@ def test_text_pipeline_has_no_python_udf(spark, name):
     ArrowEvalPython stages = no row-at-a-time or scalar Python UDFs)."""
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_join_plans_equi_not_nested_loop(spark):
+    """e06's bucketed rewrite must plan as a shuffled/broadcast equi
+    (hash) join — never BroadcastNestedLoopJoin/CartesianProduct, which
+    is what the bare inequality join degrades to."""
+    plan = plan_of(spark, "e06_range_join")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # the equi join on the bucket id survives
+
+
+def test_hash_split_is_scan_only_no_shuffle(spark):
+    """d18's split assignment is a pure map — any Exchange in the plan
+    means someone added a shuffle to a 100 TB narrow transform."""
+    plan = plan_of(spark, "d18_hash_split")
+    assert "Exchange" not in plan
