@@ -1154,3 +1154,42 @@ def hq27_latest_risk_score(t):
             "EffectiveDate",
         )
     )
+
+
+@query(
+    "hq28_scd2_risk_dimension",
+    _oracle(
+        """
+        SELECT MemberID, RiskModel, CAST(Score AS DOUBLE) AS Score, RiskTier,
+               EffectiveDate AS ValidFrom,
+               COALESCE(LEAD(EffectiveDate) OVER (PARTITION BY MemberID
+                        ORDER BY EffectiveDate, RiskID), DATE '9999-12-31') AS ValidTo,
+               CASE WHEN LEAD(EffectiveDate) OVER (PARTITION BY MemberID
+                         ORDER BY EffectiveDate, RiskID) IS NULL
+                    THEN 1 ELSE 0 END AS IsCurrent
+        FROM s3_cca_risk_score
+        """,
+        ["s3_cca_risk_score"],
+    ),
+    tags=("healthcare", "window", "scd2"),
+)
+def hq28_scd2_risk_dimension(t):
+    """Slowly-changing-dimension Type 2 build from effective-dated
+    history (`CareManagementCCA.sql:84-92` RiskScore.EffectiveDate):
+    each version gets [ValidFrom, ValidTo) + IsCurrent via one
+    partitioned lead() — a single shuffle on the member key, the
+    standard scale form (no self-join). The reference's DW keeps only
+    latest-state dims; SCD2 is the point-in-time extension a real
+    warehouse needs (pairs with the e05 as-of join for lookups)."""
+    r = hc(t)["s3_cca_risk_score"]
+    w = Window.partitionBy("MemberID").orderBy("EffectiveDate", "RiskID")
+    nxt = F.lead("EffectiveDate").over(w)
+    return r.select(
+        "MemberID",
+        "RiskModel",
+        F.col("Score").cast("double").alias("Score"),
+        "RiskTier",
+        F.col("EffectiveDate").alias("ValidFrom"),
+        F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("ValidTo"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("IsCurrent"),
+    )

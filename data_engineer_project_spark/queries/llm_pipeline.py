@@ -14,6 +14,7 @@ Oracle parity notes:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_spark.functions import text as T
@@ -948,4 +949,92 @@ def d19_stratified_sample(t):
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )
+    )
+
+
+@query(
+    "e07_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    tags=("events", "funnel"),
+)
+def e07_funnel_conversion(t):
+    """Strict-order funnel (view → later click → later purchase):
+    stage N is an aggregate joined back to stage N-1 with a time bound
+    — each stage is one shuffle on user_id and the stage tables shrink
+    monotonically, so the 100 TB cost is dominated by the first scan.
+    Events is filtered once per stage type, never self-joined raw."""
+    e = t.events
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@query(
+    "e08_rolling_1h_per_user",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window", "timeseries"),
+)
+def e08_rolling_1h_per_user(t):
+    """Per-user rolling 1-hour count/sum via a RANGE-framed window on
+    event time (ordered by epoch micros so the frame bound is numeric;
+    exact-decimal sum keeps the frame aggregation order-independent).
+    One shuffle on user_id; frames never cross partitions."""
+    e = t.events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(money("value")).over(w).cast("double").alias("value_1h"),
     )
