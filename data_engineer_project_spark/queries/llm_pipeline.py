@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from data_engineer_project_spark.functions import text as T
 from data_engineer_project_spark.functions.numeric import money
 from data_engineer_project_spark.operators import dedup as DD
+from data_engineer_project_spark.operators import graph as GR
 from data_engineer_project_spark.operators import similarity as SIM
 from data_engineer_project_spark.operators.asof import asof_join
 from data_engineer_project_spark.operators.interval import range_join
@@ -1037,4 +1038,44 @@ def e08_rolling_1h_per_user(t):
         "ts",
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(money("value")).over(w).cast("double").alias("value_1h"),
+    )
+
+
+@query(
+    "d20_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.e_dst, w.comp FROM walk w JOIN edges e ON e.e_src = w.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+    SELECT component, COUNT(*) AS cluster_size,
+           CAST(MIN(node) AS BIGINT) AS canonical_doc,
+           CAST(MAX(node) AS BIGINT) AS max_doc
+    FROM lab GROUP BY component
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def d20_dedup_clusters(t):
+    """Near-duplicate CLUSTERS: MinHash-LSH verified pairs (d07's
+    plan) → connected components (operators/graph.py min-label
+    propagation) → one canonical doc (min id) per component. This is
+    the end of the dedup pipeline — what a curation job actually keeps.
+    The oracle replays the propagation as a recursive CTE to fixpoint;
+    both sides compute the same exact min-label result."""
+    pairs = DD.minhash_lsh_pairs(
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+    comps = GR.connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("canonical_doc"),
+        F.max("node").alias("max_doc"),
     )

@@ -120,3 +120,18 @@ def test_asof_plan_is_single_window_no_join(spark):
     )
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (1-2-3-4) must collapse to one component even
+    though 1 and 4 share no edge (transitive closure, not just pair
+    grouping); disjoint pair (10,11) stays its own component."""
+    from data_engineer_project_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
