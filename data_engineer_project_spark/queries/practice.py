@@ -10,6 +10,7 @@ handles pushdown/pruning/join strategy; no driver-side loops.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_spark.functions.numeric import money
@@ -1269,4 +1270,62 @@ def p64_percentiles(t):
         F.expr("percentile(l_quantity, 0.25)").alias("q25"),
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+    )
+
+
+@query(
+    "p65_ntile_quartiles",
+    """
+    WITH b AS (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT quartile, COUNT(*) AS n,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM b GROUP BY quartile
+    """,
+    tags=("window", "ntile"),
+)
+def p65_ntile_quartiles(t):
+    """Equal-frequency bucketing via NTILE over a global order (unique
+    tiebreaker key → deterministic). A global window single-partitions
+    the sort, which is fine for dim-sized inputs; for fact-scale
+    bucketing the scale path is approx_percentile cutoffs + a range
+    join, not a global NTILE (see d17/p64)."""
+    c = t.customer
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+    )
+
+
+@query(
+    "p66_explode_lateral",
+    """
+    SELECT wd, COUNT(*) AS n, COUNT(DISTINCT p_partkey) AS n_parts
+    FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS wd FROM part) u
+    GROUP BY wd
+    """,
+    tags=("lateral", "explode", "agg"),
+)
+def p66_explode_lateral(t):
+    """Array explode / LATERAL unnest: one row per word of each part
+    name, aggregated to a vocabulary. Generate (explode) is a narrow
+    op — the only shuffle is the final groupBy on the word."""
+    p = t.part
+    return (
+        p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("wd"))
+        .groupBy("wd")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
     )
