@@ -234,6 +234,7 @@ def run_to_partitioned_parquet(
     path: str,
     partition_cols: list[str],
     mode: str = "overwrite",
+    checkpoint_location: str | None = None,
 ) -> None:
     """Stream → warehouse: foreachBatch writing partitioned parquet.
 
@@ -249,12 +250,17 @@ def run_to_partitioned_parquet(
         )
         batch_df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
-    q = (
+    writer = (
         stream_df.writeStream.foreachBatch(sink)
         .outputMode("complete" if mode == "overwrite" else "append")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_location is not None:
+        # durable source/state tracking: a restart with the same
+        # checkpoint resumes from the last committed offsets instead of
+        # reprocessing — the exactly-once contract tests pin down
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.start()
     q.awaitTermination()
 
 

@@ -160,3 +160,46 @@ def test_foreachbatch_partitioned_sink_matches_memory(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
+    """Stop-and-restart with the same checkpoint must be exactly-once:
+    run 1 drains file A; file B arrives; run 2 restarts from the
+    checkpoint (A's offsets + window state are recovered, A is NOT
+    re-read) and the landed warehouse result equals the one-shot batch
+    aggregation over A+B. If recovery double-counted A, every count for
+    its windows would be doubled and the compare would fail."""
+    import shutil
+
+    from data_engineer_project_spark.streaming import run_to_partitioned_parquet
+
+    d = _write_parts(tmp_path, 2)
+    hidden = tmp_path / "part-001.hold"
+    shutil.move(os.path.join(d, "part-001.parquet"), hidden)
+
+    out = str(tmp_path / "dw")
+    cp = str(tmp_path / "cp")
+
+    def run() -> None:
+        stream = read_event_stream(spark, d, glob="*.parquet")
+        run_to_partitioned_parquet(
+            tumbling_counts(stream), out, ["event_type"], checkpoint_location=cp
+        )
+
+    run()  # processes only part A
+    n_after_a = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0]
+    shutil.move(str(hidden), os.path.join(d, "part-001.parquet"))
+    run()  # restart: must resume, not reprocess
+
+    landed = spark.read.parquet(out)
+    want = run_to_memory_table(
+        tumbling_counts(read_event_stream(spark, d, glob="*.parquet")),
+        "t_recovery_want",
+        "complete",
+    )
+    cols = ["window_start", "window_end", "event_type", "n", "total_value"]
+    assert sorted(map(tuple, landed.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    total = landed.agg(F.sum("n")).collect()[0][0]
+    assert n_after_a < total  # run 2 really added B's events
