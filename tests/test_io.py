@@ -77,3 +77,31 @@ def test_dynamic_overwrite_replaces_only_loaded_partitions(spark, tmp_path):
     assert back.count() == total
     assert back.filter((F.col("o_year") == 1995) & (F.col("o_comment") != "reloaded")).count() == 0
     assert back.filter(F.col("o_comment") == "reloaded").count() == one_year.count()
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """SURVEY EP3: the ad-hoc SQL entry point — register the testdata
+    as views, type SQL, get Catalyst's full parse→optimize→execute
+    pipeline. The SQL text result must equal the DataFrame-API result
+    of the same query."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.sources.registry import load_tables, register_views
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    ).collect()
+    t = load_tables(spark, sf_dir)
+    want = (
+        t.customer.join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+        .collect()
+    )
+    assert got == want
