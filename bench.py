@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "d09_cosine_topk_bruteforce",
     "d12_dedup_ngram_jaccard",
     "e03_sessionization",
+    "e05_asof_join",
+    "e06_range_join",
     "s01_stream_tumbling_hour",
     "m02_byte_histogram_by_lang",
     "hq06_billed_allowed_paid_by_plan",

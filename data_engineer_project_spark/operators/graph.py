@@ -48,26 +48,27 @@ def connected_components(
         "comp", F.col("node")
     ).localCheckpoint()
 
+    def _checksum(df: DataFrame) -> int:
+        # exact decimal sum: labels only ever decrease, so the total is
+        # strictly monotone until the fixpoint — a scalar convergence
+        # probe with no extra join/shuffle
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _checksum(labels)
     for _ in range(max_iter):
         neighbor = und.join(labels, und.e_src == labels.node).select(
             F.col("e_dst").alias("node"), "comp"
         )
-        new_labels = (
+        labels = (
             labels.union(neighbor)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        # min-label is monotone non-increasing: converged when no node
-        # moved this round (scalar check; the only driver-side value)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old_comp"), "node")
-            .filter(F.col("comp") != F.col("old_comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur = _checksum(labels)
+        if cur == prev:
             break
+        prev = cur
 
     und.unpersist()
     return labels.select("node", F.col("comp").alias("component"))
