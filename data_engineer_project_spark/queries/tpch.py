@@ -486,3 +486,111 @@ def q22_dormant_customers(t):
         F.count(F.lit(1)).alias("numcust"),
         F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+@query(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg"),
+)
+def q7_volume_shipping(t):
+    """TPC-H Q7 shape: revenue between a nation pair by ship year —
+    a 6-table join where both nation dims broadcast and the
+    disjunctive pair predicate applies post-join (it references both
+    sides). Fact tables meet in one sort-merge on the orderkey."""
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t.lineitem
+    j = (
+        li.join(t.supplier, li.l_suppkey == t.supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(t.orders, li.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_disc_price(li)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             {_ORACLE_DISC_PRICE} AS volume,
+             n1.n_name AS nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_type = (SELECT MIN(p_type) FROM part)
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q8_market_share(t):
+    """TPC-H Q8 shape: one nation's share of yearly revenue for a part
+    type — conditional-aggregate ratio over a 5-table join. The part
+    type is itself a scalar subquery (deterministic MIN) broadcast into
+    the part filter, so the fact scan is pruned by a semi-joined dim
+    both engines resolve identically."""
+    part_type = t.part.agg(F.min("p_type").alias("sel_type"))
+    p = (
+        t.part.join(F.broadcast(part_type), t.part.p_type == F.col("sel_type"))
+        .select("p_partkey")
+    )
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
+    )
+    li = t.lineitem
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(t.supplier, li.l_suppkey == t.supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(t.orders, li.l_orderkey == t.orders.o_orderkey)
+    )
+    vol = _disc_price(li)
+    asia = F.when(F.col("nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            (F.sum(asia).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+        )
+    )
