@@ -1079,3 +1079,43 @@ def d20_dedup_clusters(t):
         F.min("node").alias("canonical_doc"),
         F.max("node").alias("max_doc"),
     )
+
+
+@query(
+    "d21_multimodal_record_join",
+    """
+    WITH ex AS (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings),
+    norms AS (SELECT vec_id, label,
+                     sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+              FROM ex GROUP BY vec_id, label),
+    j AS (SELECT d.lang, n.label, n.nrm,
+                 length(string_split(d.text, ' ')) AS toks
+          FROM documents d JOIN norms n ON d.doc_id = n.vec_id)
+    SELECT lang, label, COUNT(*) AS n,
+           CAST(SUM(CAST(round(nrm, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_norm,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM j GROUP BY lang, label
+    """,
+    tags=("llm", "multimodal", "join"),
+)
+def d21_multimodal_record_join(t):
+    """Multimodal record assembly: text rows joined 1:1 to their
+    embedding vectors (doc_id = vec_id) — the canonical training-data
+    shape (text + tensor in one record). Per (lang, label): count,
+    mean L2 norm (per-row double, round→decimal for an order-free
+    mean), token totals. At 100 TB both sides bucket/partition on the
+    id so this join is co-located, not a full shuffle."""
+    emb = t.embeddings
+    d = t.documents
+    nrm = F.round(SIM.norm(F.col("embedding")), 9).cast("decimal(18,9)")
+    j = d.join(emb, d.doc_id == emb.vec_id).select(
+        "lang", "label", nrm.alias("nrm"), T.token_count("text").alias("toks")
+    )
+    return j.groupBy("lang", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("nrm").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_norm"
+        ),
+        F.sum("toks").alias("total_tokens"),
+    )
