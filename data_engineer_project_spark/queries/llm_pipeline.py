@@ -1119,3 +1119,49 @@ def d21_multimodal_record_join(t):
         ),
         F.sum("toks").alias("total_tokens"),
     )
+
+
+@query(
+    "d22_zscore_features",
+    """
+    WITH s AS (
+      SELECT lang, COUNT(*) AS n,
+             SUM(n_chars) AS s1,
+             SUM(n_chars * n_chars) AS s2
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CAST((CAST(d.n_chars AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                / sqrt((CAST(s.s2 AS DOUBLE)
+                        - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                       / CAST(s.n - 1 AS DOUBLE)) AS DOUBLE) AS z_chars
+    FROM documents d JOIN s ON d.lang = s.lang
+    """,
+    tags=("llm", "features"),
+)
+def d22_zscore_features(t):
+    """Per-language z-score standardization of document length — the
+    feature-engineering normalize step. Moments come from exact integer
+    sums (SUM(x), SUM(x²)) so mean/stddev are the same IEEE doubles on
+    any engine at any parallelism; the built-in stddev_samp (Welford
+    merge order) would NOT hash-match. Aggregate is tiny → broadcast
+    back onto the row stream, one shuffle total."""
+    d = t.documents
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    return (
+        d.join(F.broadcast(s), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            ((F.col("n_chars").cast("double") - mean) / F.sqrt(var)).alias("z_chars"),
+        )
+    )
