@@ -180,3 +180,23 @@ def s06_stream_stream_join(t):
     signups = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
     joined = purchases_after_signup(purchases, signups)
     return run_to_memory_table(joined, "ss_join", "append")
+
+
+@query(
+    "s07_stream_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def s07_stream_dedup(t):
+    """readStream → dropDuplicatesWithinWatermark(event_id) → per-type
+    aggregate: exactly-once counts under at-least-once delivery, with
+    seen-id state bounded by the watermark. The driver table has unique
+    ids (dedup is a pass-through here); redelivery semantics are proven
+    by tests/test_streaming.py replaying a duplicate input file."""
+    from data_engineer_project_spark.streaming import dedup_counts
+
+    return run_to_memory_table(dedup_counts(_stream(t)), "dedup", "complete")

@@ -12,6 +12,7 @@ streaming == batch on the driver's events table.
 """
 
 from data_engineer_project_spark.streaming.events import (  # noqa: F401
+    dedup_counts,
     enrich_with_static,
     purchases_after_signup,
     read_event_stream,

@@ -291,3 +291,21 @@ def run_to_memory_table(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once ingestion: drop duplicate event_ids arriving within
+    the watermark horizon (at-least-once sources redeliver; state for
+    seen ids is bounded by the watermark), then aggregate per type.
+    Two chained stateful operators — dedup feeding a complete-mode
+    aggregate — the standard dedup-at-the-door pipeline shape."""
+    dd = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_cents()).alias("cents")
+    ).select(
+        "event_type",
+        "n",
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
+    )

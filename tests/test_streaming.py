@@ -203,3 +203,28 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
     )
     total = landed.agg(F.sum("n")).collect()[0][0]
     assert n_after_a < total  # run 2 really added B's events
+
+
+def test_stream_dedup_drops_redelivered_file(spark, tmp_path):
+    """At-least-once redelivery: the same events file arrives twice in
+    separate micro-batches; dropDuplicatesWithinWatermark must keep
+    exactly one copy of every event_id (watermark horizon set past the
+    data's time span so late duplicates hit the dedup state, not the
+    late-data filter). Without dedup the counts would double."""
+    import shutil
+
+    from data_engineer_project_spark.streaming import dedup_counts
+
+    d = _write_parts(tmp_path, 1)
+    dup = os.path.join(d, "part-001.parquet")
+    shutil.copy(os.path.join(d, "part-000.parquet"), dup)
+    os.utime(dup, (1_700_000_100, 1_700_000_100))
+
+    stream = read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    got = run_to_memory_table(dedup_counts(stream, watermark="35 days"), "dedup2", "complete")
+    single = read_event_stream(spark, SF)
+    want = run_to_memory_table(dedup_counts(single), "dedup1", "complete")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    n_total = sum(r["n"] for r in got.collect())
+    n_rows = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert n_total == n_rows  # one copy of each event, not two
