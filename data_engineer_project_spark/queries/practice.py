@@ -1329,3 +1329,52 @@ def p66_explode_lateral(t):
             F.countDistinct("p_partkey").alias("n_parts"),
         )
     )
+
+
+@query(
+    "p67_intersect_all",
+    """
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-04-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    tags=("setop",),
+)
+def p67_intersect_all(t):
+    """INTERSECT ALL — multiset intersection (duplicates preserved to
+    the min multiplicity), the bag-semantics sibling of p47. Plans as
+    one shuffle on the key with per-side counts, no explosion."""
+    li = t.lineitem
+    q1 = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).select("l_partkey")
+    q2 = li.filter(
+        (F.col("l_shipdate") >= "1996-04-01") & (F.col("l_shipdate") < "1996-07-01")
+    ).select("l_partkey")
+    return q1.intersectAll(q2)
+
+
+@query(
+    "p68_except_all",
+    """
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-04-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    tags=("setop",),
+)
+def p68_except_all(t):
+    """EXCEPT ALL — multiset difference (each Q2 occurrence cancels one
+    Q1 occurrence), completing the set-op family (p45/p46/p47/p48)."""
+    li = t.lineitem
+    q1 = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).select("l_partkey")
+    q2 = li.filter(
+        (F.col("l_shipdate") >= "1996-04-01") & (F.col("l_shipdate") < "1996-07-01")
+    ).select("l_partkey")
+    return q1.exceptAll(q2)
