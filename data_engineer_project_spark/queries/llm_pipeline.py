@@ -1165,3 +1165,45 @@ def d22_zscore_features(t):
             ((F.col("n_chars").cast("double") - mean) / F.sqrt(var)).alias("z_chars"),
         )
     )
+
+
+@query(
+    "d23_dedup_edit_distance",
+    """
+    WITH fp AS (
+      SELECT doc_id, text,
+             md5(array_to_string(string_split(text,' ')[1:10], ' ')) AS prefix_fp
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           CAST(length(a.text) AS BIGINT) AS len_a,
+           CAST(length(b.text) AS BIGINT) AS len_b
+    FROM fp a JOIN fp b ON a.prefix_fp = b.prefix_fp AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def d23_dedup_edit_distance(t):
+    """Edit-distance dedup tier: candidate pairs come from the cheap
+    prefix-fingerprint blocks (d06's key — never all-pairs), then exact
+    levenshtein scores each candidate. The O(n·m) distance runs only on
+    block-mates, so cost scales with duplicate density, not corpus
+    size²; both engines implement the same Wagner-Fischer distance."""
+    fp = t.documents.select(
+        "doc_id", "text", T.prefix_fingerprint("text", 10).alias("prefix_fp")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.prefix_fp") == F.col("b.prefix_fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
+            F.length(F.col("a.text")).cast("long").alias("len_a"),
+            F.length(F.col("b.text")).cast("long").alias("len_b"),
+        )
+    )

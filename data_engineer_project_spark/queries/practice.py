@@ -1378,3 +1378,45 @@ def p68_except_all(t):
         (F.col("l_shipdate") >= "1996-04-01") & (F.col("l_shipdate") < "1996-07-01")
     ).select("l_partkey")
     return q1.exceptAll(q2)
+
+
+@query(
+    "p69_percent_of_total",
+    """
+    WITH rev AS (
+      SELECT n_name,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS nation_rev
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(nation_rev AS DOUBLE) AS revenue,
+           CAST(100.0 * CAST(nation_rev AS DOUBLE)
+                / CAST(SUM(nation_rev) OVER () AS DOUBLE) AS DOUBLE) AS pct_of_total
+    FROM rev
+    """,
+    tags=("window", "ratio"),
+)
+def p69_percent_of_total(t):
+    """Ratio-to-report: each nation's share of total revenue via an
+    unpartitioned window sum OVER the aggregated rows. The global
+    window runs on the 25-row aggregate, not the fact table — the
+    grand total only ever sees post-aggregation data, which is the
+    form that stays cheap at any fact size."""
+    rev = (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("nation_rev"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("nation_rev").cast("double").alias("revenue"),
+        (
+            F.lit(100.0) * F.col("nation_rev").cast("double")
+            / F.sum("nation_rev").over(w).cast("double")
+        ).alias("pct_of_total"),
+    )
