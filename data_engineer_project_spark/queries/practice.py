@@ -1420,3 +1420,57 @@ def p69_percent_of_total(t):
             / F.sum("nation_rev").over(w).cast("double")
         ).alias("pct_of_total"),
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+@query(
+    "p70_column_profile",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("quality", "profile"),
+)
+def p70_column_profile(t):
+    """Column profiling — the data-quality survey step (the engine
+    form of the reference's validation SELECTs,
+    `StarSchemaForHealthcare.sql:394-422`): per column, row/null/
+    distinct counts and min/max, computed in ONE pass over the table
+    (a single multi-aggregate; the oracle spells it as N scans).
+    min/max are computed on the native type, then stringified."""
+    o = t.orders
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = per_col[0]
+    for df in per_col[1:]:
+        out = out.unionByName(df)
+    return out
