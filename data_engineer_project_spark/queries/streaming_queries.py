@@ -200,3 +200,47 @@ def s07_stream_dedup(t):
     from data_engineer_project_spark.streaming import dedup_counts
 
     return run_to_memory_table(dedup_counts(_stream(t)), "dedup", "complete")
+
+
+@query(
+    "s08_stream_stream_left_outer",
+    """
+    WITH wm AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'signup'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 30 minutes AS w
+    )
+    SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events s JOIN events p
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    UNION ALL
+    SELECT s.event_id, s.user_id, s.ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+    FROM events s, wm
+    WHERE s.event_type = 'signup'
+      AND NOT EXISTS (SELECT 1 FROM events p
+                      WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+                        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour')
+      AND s.ts + INTERVAL '1 hour' < wm.w
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def s08_stream_stream_left_outer(t):
+    """Stream-stream LEFT OUTER join (abandonment detection): every
+    signup with its ≤1h purchase, or nulls once the watermark proves no
+    purchase can still arrive. The oracle splits that into matches
+    UNION proven-unmatched signups whose join window closed before the
+    final watermark (min of both sides' max event time − 30 min) —
+    exactly Spark's state-eviction rule, verified row-for-row."""
+    from data_engineer_project_spark.streaming import signups_with_purchase_outcome
+
+    spark, sf_dir = t._spark, t._sf_dir
+    purchases = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    signups = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
+    joined = signups_with_purchase_outcome(purchases, signups)
+    return run_to_memory_table(joined, "ss_left_outer", "append")

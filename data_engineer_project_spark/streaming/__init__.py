@@ -19,6 +19,7 @@ from data_engineer_project_spark.streaming.events import (  # noqa: F401
     run_to_memory_table,
     run_to_partitioned_parquet,
     sessionize,
+    signups_with_purchase_outcome,
     sliding_totals,
     stateful_user_stats,
     tumbling_counts,

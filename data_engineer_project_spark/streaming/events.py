@@ -309,3 +309,46 @@ def dedup_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
         "n",
         (F.col("cents").cast("double") / 100.0).alias("total_value"),
     )
+
+
+def signups_with_purchase_outcome(
+    purchases: DataFrame,
+    signups: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every signup, with the matching
+    purchase(s) ≤ ``within`` later — or nulls once the watermark proves
+    no purchase can still arrive (abandonment detection).
+
+    The outer side is the semantic difference from the inner join:
+    null rows can only emit when the join state for that signup expires
+    (watermark past signup_ts + within), so "no purchase" is a proven
+    negative, not an absence-so-far. State on both sides is bounded by
+    the same watermark+bound pair as the inner form."""
+    s = (
+        signups.select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_id"),
+        ).withWatermark("signup_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (p.p_user_id == s.s_user_id)
+        & (p.purchase_ts >= s.signup_ts)
+        & (p.purchase_ts <= s.signup_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return s.join(p, cond, "leftOuter").select(
+        "signup_id",
+        F.col("s_user_id").alias("user_id"),
+        "signup_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
