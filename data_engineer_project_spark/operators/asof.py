@@ -22,14 +22,22 @@ used by the oracle twin. If the reference side has several rows at the
 same (key, ts) the carried value is the one latest in the (ts, tag,
 tiebreak) sort — pass ``tiebreak_cols`` or pre-aggregate duplicates to
 make that deterministic.
+
+NULL semantics: the carried payload is a STRUCT of all value columns
+(non-null exactly on reference rows), so ``last(ignorenulls=True)``
+skips only probe rows — a matched reference row whose value column is
+legitimately NULL yields NULL, exactly like DuckDB's ASOF JOIN, rather
+than leaking an older non-null value forward.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _TS, _TAG = "__asof_ts", "__asof_is_probe"
+_VAL = "__asof_vals"
 
 
 def asof_join(
@@ -46,17 +54,18 @@ def asof_join(
     ``right`` row with the same ``key`` and ``right_ts <= left_ts``
     (null when no such row). Output = all of ``left``'s columns plus
     ``{prefix}{c}`` for each value column."""
-    carried = [f"__asof_v_{c}" for c in value_cols]
+    val_type = T.StructType([right.schema[c] for c in value_cols])
 
-    probe = left.withColumn(_TS, F.col(left_ts)).withColumn(_TAG, F.lit(1))
-    for c, cc in zip(value_cols, carried):
-        probe = probe.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
-
+    probe = (
+        left.withColumn(_TS, F.col(left_ts))
+        .withColumn(_TAG, F.lit(1))
+        .withColumn(_VAL, F.lit(None).cast(val_type))
+    )
     ref = right.select(
         F.col(key),
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_TAG),
-        *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias(_VAL),
     )
     # pad the reference side out to the probe schema with typed nulls
     for f in probe.schema.fields:
@@ -70,10 +79,9 @@ def asof_join(
         .orderBy(_TS, _TAG, *(tiebreak_cols or []))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for cc in carried:
-        u = u.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+    u = u.withColumn(_VAL, F.last(_VAL, ignorenulls=True).over(w))
 
     out = u.filter(F.col(_TAG) == 1)
-    for c, cc in zip(value_cols, carried):
-        out = out.withColumnRenamed(cc, f"{prefix}{c}")
-    return out.drop(_TS, _TAG)
+    for c in value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col(_VAL).getField(c))
+    return out.drop(_TS, _TAG, _VAL)

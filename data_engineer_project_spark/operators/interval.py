@@ -48,7 +48,18 @@ def range_join(
 
     ``bucket_width`` is a Spark interval literal; pick it near the
     typical interval length so each interval explodes to ~2 buckets.
+
+    ``how_points`` is ``"inner"`` (drop points in no interval) or
+    ``"left"`` (keep every point; interval columns null when no
+    interval contains it). A residual-after-outer-join formulation
+    would silently drop both null-extended rows and points whose only
+    bucket candidates fail the exact predicate, so the left path is
+    built as inner-match ∪ null-safe anti-join of the point side.
     """
+    if how_points not in ("inner", "left"):
+        raise ValueError(
+            f"how_points must be 'inner' or 'left', got {how_points!r}"
+        )
     width_us = F.lit(_interval_to_us(bucket_width))
     keys = extra_keys or []
 
@@ -65,10 +76,27 @@ def range_join(
     )
     pt = points.withColumn(_BUCKET, F.floor(_us(F.col(point_ts)) / width_us))
 
-    joined = iv.join(pt, on=[_BUCKET, *keys], how="inner" if how_points == "inner" else how_points)
-    return joined.filter(
-        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
-    ).drop(_BUCKET)
+    matched = (
+        iv.join(pt, on=[_BUCKET, *keys], how="inner")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop(_BUCKET)
+    )
+    if how_points == "inner":
+        return matched
+
+    # Left-points: identical point rows match identical intervals, so a
+    # null-safe equi anti-join on the full point row (still a hash-able
+    # shuffle join, no NLJ) recovers exactly the unmatched points —
+    # including those whose bucket candidates all failed the residual.
+    matched_points = matched.select(*points.columns).distinct()
+    cond = None
+    for c in points.columns:
+        eq = points[c].eqNullSafe(matched_points[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = points.join(matched_points, on=cond, how="left_anti")
+    return matched.unionByName(unmatched, allowMissingColumns=True)
 
 
 def _interval_to_us(spec: str) -> int:

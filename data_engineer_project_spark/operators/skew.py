@@ -30,9 +30,17 @@ def salted_join(
     high-cardinality column — default: the join key itself, which still
     spreads rows when the *distribution* is skewed but keys are many);
     the small side is replicated ``salts``× so every (key, salt) pair
-    finds its match. Result is row-identical to ``large.join(small,
-    on, how)`` — only the shuffle layout changes.
+    finds its match. For the supported ``how`` values the result is
+    row-identical to ``large.join(small, on, how)`` — only the shuffle
+    layout changes. ``right``/``full`` are rejected: the replicated
+    small side would emit each unmatched small row ``salts``× with
+    nulls instead of once.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            "salted_join preserves row-identity only for how in "
+            f"('inner','left','left_semi','left_anti'); got {how!r}"
+        )
     salt_col = F.pmod(F.xxhash64(F.col(salt_by or on)), F.lit(salts))
     salted_large = large.withColumn(SALT, salt_col)
     replicated_small = small.withColumn(

@@ -37,6 +37,14 @@ _BUILD_CONF = {
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # SESSION CONTRACT: parquet TIMESTAMP(NANOS) columns (events.ts in
+    # the driver testdata) read as raw int64 nanos everywhere — the
+    # vectorized reader rejects NANOS otherwise. Every reader in this
+    # engine (sources/registry.py, streaming/events.py) converts nanos
+    # → timestamp explicitly. Declared here, once, instead of being
+    # flipped inside individual readers, so batch and streaming reads
+    # in the same session always agree on the type.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -34,16 +34,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applied by callers push down into the parquet reader.
 
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; we read it as raw nanos (legacy nanosAsLong) and
-    floor-divide to microseconds — the same truncation DuckDB applies,
-    so oracle comparisons agree. ``div`` (integer division) is
-    deliberate: ns-since-epoch exceeds double's 53-bit mantissa.
+    reader rejects; the session contract (``normalize_session``) reads
+    it as raw nanos (legacy nanosAsLong) and we floor-divide to
+    microseconds — the same truncation DuckDB applies, so oracle
+    comparisons agree. ``div`` (integer division) is deliberate:
+    ns-since-epoch exceeds double's 53-bit mantissa.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from data_engineer_project_spark.session import normalize_session
+
+        normalize_session(spark)
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 

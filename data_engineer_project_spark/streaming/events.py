@@ -63,8 +63,14 @@ def read_event_stream(
     ``path`` is a directory (the sf dir, or a test-controlled dir of
     part files); ``max_files_per_trigger=1`` lets tests force multiple
     micro-batches to exercise cross-batch watermark/state behavior.
+
+    The nanos-as-long parquet flag comes from the session contract
+    (``normalize_session``), not a per-reader mutation — batch and
+    streaming reads in one session always see the same ``ts`` type.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from data_engineer_project_spark.session import normalize_session
+
+    normalize_session(spark)
     reader = spark.readStream.schema(EVENT_RAW_SCHEMA).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

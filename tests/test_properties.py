@@ -93,6 +93,20 @@ def test_salted_join_row_identical(spark, salts, seed):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_left_identical_and_outer_rejected(spark):
+    """how='left' keeps each unmatched large row exactly once (large
+    side is not replicated); right/full would duplicate unmatched small
+    rows salts× and must raise."""
+    left = spark.range(10).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame([(0, 100), (1, 101)], "k long, w long")
+    plain = left.join(right, "k", "left").select("k", "v", "w")
+    salted = salted_join(left, right, on="k", salts=4, how="left").select("k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, on="k", how=bad)
+
+
 @given(salts=st.integers(min_value=1, max_value=6))
 @_SETTINGS
 def test_salted_agg_equals_direct(spark, salts):

@@ -205,6 +205,55 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
     assert n_after_a < total  # run 2 really added B's events
 
 
+def test_left_outer_eviction_boundary_is_strict(spark, tmp_path):
+    """Pins the stream-stream LEFT OUTER state-eviction convention the
+    s08 oracle encodes as strictly ``signup_ts + 1h < watermark``: a
+    signup whose join window closes EXACTLY at the final watermark
+    (expiry == watermark) must NOT emit a null row, while one strictly
+    before it must. If Spark's convention were <=, the boundary signup
+    would appear and this test would catch the oracle divergence."""
+    import datetime as dt
+
+    from data_engineer_project_spark.streaming import signups_with_purchase_outcome
+
+    def ns(s):
+        t = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000_000)
+
+    rows = [
+        (1, ns("2024-01-01 10:00:00"), 1, "signup"),  # expiry 11:00 == watermark
+        (2, ns("2024-01-01 09:00:00"), 4, "signup"),  # expiry 10:00 < watermark
+        (3, ns("2024-01-01 11:30:00"), 2, "signup"),  # drives max signup ts
+        (4, ns("2024-01-01 11:30:00"), 3, "purchase"),  # drives max purchase ts
+    ]
+    # final watermark = min(11:30, 11:30) - 30 min = 11:00
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    d = tmp_path / "wm_boundary"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part-000.parquet"))
+
+    purchases = read_event_stream(spark, str(d), glob="*.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    signups = read_event_stream(spark, str(d), glob="*.parquet").filter(
+        F.col("event_type") == "signup"
+    )
+    out = run_to_memory_table(
+        signups_with_purchase_outcome(purchases, signups), "wm_boundary", "append"
+    )
+    got = {r["signup_id"]: r["purchase_id"] for r in out.collect()}
+    assert got == {2: None}  # strictly-closed signup only; boundary held back
+
+
 def test_stream_dedup_drops_redelivered_file(spark, tmp_path):
     """At-least-once redelivery: the same events file arrives twice in
     separate micro-batches; dropDuplicatesWithinWatermark must keep

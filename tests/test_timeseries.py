@@ -44,6 +44,25 @@ def test_asof_backward_semantics(spark):
     assert out == {"a": 100.0, "b": 10.0, "c": None, "d": None}
 
 
+def test_asof_preserves_legit_null_reference_value(spark):
+    """A matched reference row whose value is NULL must yield NULL on
+    the probe row — not leak the previous non-null value forward
+    (DuckDB ASOF JOIN semantics)."""
+    probe = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:30:00"), "after_null")],
+        "k int, ts timestamp, tag string",
+    )
+    ref = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), 50.0),
+            (1, _ts("2024-01-01 10:00:00"), None),  # latest match, NULL value
+        ],
+        "k int, ts timestamp, v double",
+    )
+    rows = asof_join(probe, ref, "k", "ts", "ts", ["v"]).collect()
+    assert len(rows) == 1 and rows[0]["asof_v"] is None
+
+
 def test_asof_keeps_all_probe_rows_and_columns(spark):
     probe = spark.createDataFrame(
         [(1, _ts("2024-01-01 00:00:00"), "x")], "k int, ts timestamp, payload string"
@@ -89,6 +108,46 @@ def test_range_join_bucket_crossing_no_duplicates(spark):
     ids = sorted(r["p_id"] for r in rows)
     assert ids == sorted(set(ids))  # no dup pairs
     assert ids == [2, 3, 4, 5, 6, 7]  # 10:00:40 .. 10:02:20
+
+
+def test_range_join_left_points_keeps_unmatched(spark):
+    """how_points='left' must null-extend points with no containing
+    interval — including the residual-failure case where a point shares
+    a bucket with an interval but falls outside its exact range (the
+    path a naive residual-after-outer-join silently drops)."""
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00"))],
+        "iv_id int, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:15:00")),  # matched
+            (11, _ts("2024-01-01 10:45:00")),  # same 1h bucket, outside range
+            (12, _ts("2024-01-01 23:00:00")),  # no bucket candidate at all
+        ],
+        "p_id int, ts timestamp",
+    )
+    rows = range_join(iv, pts, "s", "e", "ts", "1 hour", how_points="left").collect()
+    got = {r["p_id"]: r["iv_id"] for r in rows}
+    assert got == {10: 1, 11: None, 12: None}
+    assert len(rows) == 3
+
+
+def test_range_join_left_points_preserves_duplicates_and_rejects_bad_how(spark):
+    import pytest
+
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iv_id int, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(9, _ts("2024-01-01 23:00:00")), (9, _ts("2024-01-01 23:00:00"))],
+        "p_id int, ts timestamp",
+    )
+    rows = range_join(iv, pts, "s", "e", "ts", "1 hour", how_points="left").collect()
+    assert len(rows) == 2 and all(r["iv_id"] is None for r in rows)
+    with pytest.raises(ValueError):
+        range_join(iv, pts, "s", "e", "ts", "1 hour", how_points="right")
 
 
 def test_range_join_with_equi_key(spark):
