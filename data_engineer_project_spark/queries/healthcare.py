@@ -12,6 +12,8 @@ just the final SELECTs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -23,27 +25,35 @@ from data_engineer_project_spark.queries.catalog import query
 
 # --------------------------------------------------------------- caches
 
-_FIX: dict[int, dict] = {}
-_STAR: dict[int, dict] = {}
-_SNOW: dict[int, dict] = {}
+_FIX: dict[tuple, dict] = {}
+_STAR: dict[tuple, dict] = {}
+_SNOW: dict[tuple, dict] = {}
 
 
 def _spark_of(t):
     return t._spark
 
 
+def _n_members() -> int:
+    """Fixture scale. The DuckDB oracle strings inline the DEFAULT
+    (12-member) fixture as VALUES CTEs, so the correctness gate runs at
+    the default; ``SPARK_GRAFT_HC_MEMBERS`` lets bench.py scale the
+    Spark-side ETL volume with sf (the oracle is not consulted there)."""
+    return int(os.environ.get("SPARK_GRAFT_HC_MEMBERS", fixtures.DEFAULT_MEMBERS))
+
+
 def hc(t):
-    """Fixture DataFrames, cached per SparkSession."""
+    """Fixture DataFrames, cached per (SparkSession, scale)."""
     spark = _spark_of(t)
-    key = id(spark)
+    key = (id(spark), _n_members())
     if key not in _FIX:
-        _FIX[key] = fixtures.dataframes(spark)
+        _FIX[key] = fixtures.dataframes(spark, key[1])
     return _FIX[key]
 
 
 def star(t):
     spark = _spark_of(t)
-    key = id(spark)
+    key = (id(spark), _n_members())
     if key not in _STAR:
         _STAR[key] = build_star(hc(t))
     return _STAR[key]
@@ -51,7 +61,7 @@ def star(t):
 
 def snow(t):
     spark = _spark_of(t)
-    key = id(spark)
+    key = (id(spark), _n_members())
     if key not in _SNOW:
         _SNOW[key] = build_snowflake(hc(t))
     return _SNOW[key]

@@ -14,10 +14,26 @@ from data_engineer_project_spark.plans.snowflake import build_snowflake
 from data_engineer_project_spark.plans.star import build_star
 
 
-@pytest.fixture(scope="module", params=[fixtures.DEFAULT_MEMBERS, 60])
+@pytest.fixture(scope="module", params=[fixtures.DEFAULT_MEMBERS, 1200])
 def model(request, spark):
     src = fixtures.dataframes(spark, request.param)
     return request.param, src, build_star(src)
+
+
+def test_bench_scale_env_var_scales_hq_queries(spark, monkeypatch):
+    """bench.py sets SPARK_GRAFT_HC_MEMBERS so hq06 measures ETL
+    scaling; the query path must honor it (and ignore it when unset,
+    keeping oracle parity at the 12-member default)."""
+    from data_engineer_project_spark.queries import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_HC_MEMBERS", "120")
+    big = QUERIES["hq01_row_counts"].fn(spark, "/root/testdata/sf0.001")
+    got = {r["entity"]: r["n"] for r in big.collect()}
+    assert got["members"] == 120
+    monkeypatch.delenv("SPARK_GRAFT_HC_MEMBERS")
+    small = QUERIES["hq01_row_counts"].fn(spark, "/root/testdata/sf0.001")
+    got = {r["entity"]: r["n"] for r in small.collect()}
+    assert got["members"] == fixtures.DEFAULT_MEMBERS
 
 
 def test_validation_regime_all_green(model):
