@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "s01_stream_tumbling_hour",
     "m02_byte_histogram_by_lang",
     "hq06_billed_allowed_paid_by_plan",
+    # r2 additions (appended; the original 13 slots stay comparable
+    # across rounds): one windowed query and one pivot/Expand query so
+    # regressions in the Window and Expand physical paths are visible.
+    "p41_moving_sum",
+    "p62_pivot",
 ]
 
 

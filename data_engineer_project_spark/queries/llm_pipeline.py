@@ -874,12 +874,16 @@ def d17_approx_aggregates(t):
     li = t.lineitem
     exact = F.countDistinct("l_orderkey").cast("double")
     approx = F.approx_count_distinct("l_orderkey", 0.02).cast("double")
+    med_approx = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    med_exact = F.expr("percentile(l_extendedprice, 0.5)")
     return li.agg(
         exact.cast("long").alias("exact_orders"),
         approx.cast("long").alias("approx_orders"),
         (F.abs(approx - exact) / exact).alias("rel_error"),
         (F.abs(approx - exact) / exact < 0.06).alias("within_3_rsd"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+        med_approx.alias("median_price_approx"),
+        med_exact.alias("median_price_exact"),
+        (F.abs(med_approx - med_exact) / med_exact < 0.01).alias("median_within_1pct"),
     )
 
 

@@ -41,6 +41,38 @@ def test_create_insert_select_table(spark, warehouse_db, tmp_path):
     assert spark.table(tbl).count() == nation.count()
 
 
+def test_alter_table_add_column_idempotent(spark, warehouse_db, tmp_path):
+    """Schema evolution: ALTER TABLE ADD COLUMNS guarded the way the
+    reference guards with COL_LENGTH (`SQLQueryiesPractice.sql:147-150`)
+    — second invocation is a no-op, and existing rows read NULL until
+    backfilled by a rebuild (parquet has no in-place UPDATE)."""
+    tbl = f"{warehouse_db}.regions_ddl"
+    loc = str(tmp_path / "regions_ddl")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {tbl} (r_regionkey INT, r_name STRING) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    spark.sql(f"INSERT INTO {tbl} VALUES (0, 'AFRICA'), (1, 'AMERICA')")
+
+    def add_flag_column():
+        # COL_LENGTH(...) IS NULL guard ≙ check the catalog schema first
+        if "r_flag" not in spark.table(tbl).columns:
+            spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (r_flag STRING)")
+
+    add_flag_column()
+    add_flag_column()  # idempotent: no duplicate column, no error
+    assert spark.table(tbl).columns == ["r_regionkey", "r_name", "r_flag"]
+    # pre-existing rows surface NULL for the new column
+    assert all(r.r_flag is None for r in spark.table(tbl).collect())
+    # backfill = derived-column rebuild (the UPDATE-with-JOIN pattern, p25)
+    filled = spark.createDataFrame(
+        [(r.r_regionkey, r.r_name, "Y") for r in spark.table(tbl).collect()],
+        spark.table(tbl).schema,
+    )
+    filled.write.mode("overwrite").insertInto(tbl, overwrite=True)
+    assert {r.r_flag for r in spark.table(tbl).collect()} == {"Y"}
+
+
 def test_view_lifecycle(spark):
     from data_engineer_project_spark.sources.registry import load_tables
 

@@ -96,3 +96,31 @@ def test_hash_split_is_scan_only_no_shuffle(spark):
     means someone added a shuffle to a 100 TB narrow transform."""
     plan = plan_of(spark, "d18_hash_split")
     assert "Exchange" not in plan
+
+
+def test_lineitem_orders_smj_keeps_aqe_skew_handling(spark):
+    """The workload's only genuinely large-large shuffle is
+    lineitem⋈orders. At cluster scale that is a SortMergeJoin; AQE's
+    skew-join splitting must stay enabled so one hot o_orderkey cannot
+    stall the stage. Asserts both the session contract (configs on) and
+    the physical path (adaptive SMJ when broadcast is ruled out, as it
+    is at 100 TB)."""
+    from data_engineer_project_spark.sources.registry import load_tables
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = load_tables(spark, SF)
+        j = (
+            t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()  # materialize so AQE finalizes the plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -125,3 +125,18 @@ def test_salted_agg_equals_direct(spark, salts):
         ).collect()
     }
     assert salted == direct
+
+
+def test_d17_approx_bounds_hold(spark, sf_dir):
+    """d17 is rows-only at the driver gate (sketches aren't reproducible
+    cross-engine), so its teeth live here: the approx-vs-exact error
+    bounds it reports must actually hold on the test data."""
+    from data_engineer_project_spark.queries import QUERIES
+
+    row = QUERIES["d17_approx_aggregates"].fn(spark, sf_dir).collect()[0]
+    assert row.within_3_rsd, f"HLL rel_error {row.rel_error} exceeds 3*rsd"
+    assert row.median_within_1pct, (
+        f"approx median {row.median_price_approx} vs exact "
+        f"{row.median_price_exact} off by >1%"
+    )
+    assert row.rel_error < 0.06
