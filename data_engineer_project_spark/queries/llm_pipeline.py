@@ -1211,3 +1211,125 @@ def d23_dedup_edit_distance(t):
             F.length(F.col("b.text")).cast("long").alias("len_b"),
         )
     )
+
+
+_SHINGLE_CTES = """
+    w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    )"""
+
+
+@query(
+    "d24_repetition_ratio",
+    f"""
+    WITH {_SHINGLE_CTES},
+    per AS (SELECT doc_id, shingle, COUNT(*) AS n FROM sh GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS rep_ratio,
+           CAST(MAX(n) AS BIGINT) AS max_repeat,
+           CASE WHEN CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) > 0.2
+                THEN 1 ELSE 0 END AS rep_flag
+    FROM per GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def d24_repetition_ratio(t):
+    """Intra-document repetition scoring (the Gopher/RefinedWeb
+    duplicate-n-gram quality rule): per doc, the fraction of 3-gram
+    occurrences that are repeats of an earlier 3-gram, plus the most-
+    repeated shingle's count, and a drop flag above 20%. Two groupBys
+    keyed (doc, shingle) → (doc): the second input is pre-shrunk to
+    distinct shingles per doc, so the heavy shuffle happens once on
+    the exploded stream and the rest is corpus-linear. Docs under 3
+    words have no shingles and are excluded on both engines."""
+    sh = DD.exploded_shingles(t.documents, "doc_id", "text", 3)
+    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n")
+    distinct = F.count(F.lit(1))
+    rep = (total - distinct).cast("double") / total.cast("double")
+    return per.groupBy("doc_id").agg(
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        rep.alias("rep_ratio"),
+        F.max("n").alias("max_repeat"),
+        F.when(rep > 0.2, 1).otherwise(0).alias("rep_flag"),
+    )
+
+
+@query(
+    "d25_decontamination",
+    f"""
+    WITH {_SHINGLE_CTES},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    shf AS (
+      SELECT shd.doc_id, shd.shingle, {_ORACLE_BUCKET} AS bucket
+      FROM shd JOIN informative USING (shingle)
+    ),
+    test_sh AS (SELECT doc_id, shingle FROM shf WHERE bucket >= 90),
+    train_sh AS (SELECT doc_id, shingle FROM shf WHERE bucket < 80),
+    overlap AS (
+      SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, COUNT(*) AS n_overlap
+      FROM test_sh te JOIN train_sh tr ON te.shingle = tr.shingle
+      GROUP BY 1, 2
+    )
+    SELECT test_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+           CAST(MAX(n_overlap) AS BIGINT) AS max_overlap
+    FROM overlap WHERE n_overlap >= 2
+    GROUP BY test_doc
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def d25_decontamination(t):
+    """Benchmark decontamination: for each held-out (test-split) doc,
+    find training-split docs sharing ≥2 informative 3-gram shingles —
+    the n-gram-overlap contamination check run before training. Splits
+    are d18's content-addressed hash buckets (no data movement to
+    split); candidates come through the same inverted informative-
+    shingle index as d12 (df ≤ 50 drops stop-shingles), so the overlap
+    join is corpus-linear, never |test|×|train|. Report: per test doc,
+    how many train docs collide and the worst overlap."""
+    b = F.expr(_SPARK_BUCKET)
+    sh = (
+        DD.exploded_shingles(t.documents, "doc_id", "text", 3)
+        .distinct()
+        .persist()
+    )
+    informative = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= 50) & (F.col("df") > 1))
+        .select("shingle")
+    )
+    shf = sh.join(informative, "shingle").withColumn("bucket", b)
+    test_sh = shf.filter(F.col("bucket") >= 90).select("doc_id", "shingle")
+    train_sh = shf.filter(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    overlap = (
+        test_sh.join(train_sh, "shingle")
+        .groupBy(F.col("doc_id").alias("test_doc"), "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.filter(F.col("n_overlap") >= 2)
+        .groupBy("test_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_matches"),
+            F.max("n_overlap").alias("max_overlap"),
+        )
+    )

@@ -74,7 +74,9 @@ def test_topk_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-@pytest.mark.parametrize("name", ["d01_token_stats", "d07_dedup_minhash_lsh"])
+@pytest.mark.parametrize(
+    "name", ["d01_token_stats", "d07_dedup_minhash_lsh", "d24_repetition_ratio", "d25_decontamination"]
+)
 def test_text_pipeline_has_no_python_udf(spark, name):
     """Text/dedup primitives must stay JVM-side (no BatchEvalPython /
     ArrowEvalPython stages = no row-at-a-time or scalar Python UDFs)."""
