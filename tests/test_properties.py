@@ -140,3 +140,34 @@ def test_d17_approx_bounds_hold(spark, sf_dir):
         f"{row.median_price_exact} off by >1%"
     )
     assert row.rel_error < 0.06
+
+
+def test_d25_finds_planted_contamination(spark, monkeypatch, tmp_path):
+    """Semantic check for d25 (the oracle only proves engine parity):
+    a test-split doc (id 1, md5 bucket 97) sharing its text with a
+    train-split doc (id 2, bucket 60) must be reported, and an
+    unrelated doc must not. Shingle df stays within the informative
+    band (2 <= df <= 50) by keeping the corpus tiny."""
+    import pyspark.sql.functions as F
+
+    from data_engineer_project_spark.queries import QUERIES
+
+    contaminated = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, contaminated),          # bucket 97 -> test split
+        (2, contaminated),          # bucket 60 -> train split
+        (3, "one two three four five six seven eight nine ten"),  # bucket 17
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # d25 only reads documents; reuse the real entry point on the tiny dir
+    out = {
+        r.test_doc: (r.n_train_matches, r.max_overlap)
+        for r in QUERIES["d25_decontamination"].fn(spark, str(tmp_path)).collect()
+    }
+    assert 1 in out, f"planted contamination not found: {out}"
+    n_matches, max_overlap = out[1]
+    assert n_matches == 1
+    assert max_overlap == 8  # 10 words -> 8 three-gram shingles, all shared
+    assert 3 not in out and 2 not in out
