@@ -39,6 +39,16 @@ def connected_components(
     trivially form their own component and are cheap to union back in
     if needed).
     """
+    # The convergence probe sums labels as decimal; a non-numeric id
+    # type would cast to NULL, make every checksum None, and stop the
+    # loop after one round with wrong components. Enforce the contract
+    # instead of silently mislabeling (string ids: map to dense ints
+    # first, e.g. xxhash64 or a zipWithIndex-style dimension).
+    id_type = pairs.schema[src].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long", "decimal"):
+        raise ValueError(
+            f"connected_components requires integral node ids, got {id_type}"
+        )
     fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     und = fwd.union(
         pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))

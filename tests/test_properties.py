@@ -171,3 +171,16 @@ def test_d25_finds_planted_contamination(spark, monkeypatch, tmp_path):
     assert n_matches == 1
     assert max_overlap == 8  # 10 words -> 8 three-gram shingles, all shared
     assert 3 not in out and 2 not in out
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """String node ids would NULL out the decimal convergence checksum
+    and silently stop label propagation after one round — the operator
+    must refuse them instead."""
+    from data_engineer_project_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_a STRING, doc_b STRING"
+    )
+    with pytest.raises(ValueError, match="integral node ids"):
+        connected_components(edges)
