@@ -1333,3 +1333,62 @@ def d25_decontamination(t):
             F.max("n_overlap").alias("max_overlap"),
         )
     )
+
+
+@query(
+    "d26_quality_survivor",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.e_dst, w.comp FROM walk w JOIN edges e ON e.e_src = w.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+    scored AS (
+      SELECT l.component, l.node,
+             length(string_split(d.text, ' ')) AS n_words
+      FROM lab l JOIN documents d ON d.doc_id = l.node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS survivor_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_words END) AS BIGINT) AS survivor_words
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                   ORDER BY n_words DESC, node) AS rn
+      FROM scored
+    ) GROUP BY component
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def d26_quality_survivor(t):
+    """Cluster survivorship by QUALITY, not id: within each near-dup
+    cluster (d20's components) keep the doc with the most words (tie →
+    lowest id) — the rule real curation uses ("keep the longest/most
+    complete copy"), vs d20's min-id canonical. One broadcastable join
+    from the tiny component labels back to documents, then a window
+    argmax partitioned by component — no new shuffle surface beyond
+    d20's."""
+    pairs = DD.minhash_lsh_pairs(
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+    comps = GR.connected_components(pairs)
+    scored = comps.join(
+        t.documents.select(
+            F.col("doc_id").alias("node"), T.token_count("text").alias("n_words")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_words"), F.asc("node"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("survivor_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_words"))).alias("survivor_words"),
+    )

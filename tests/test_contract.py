@@ -47,3 +47,24 @@ def test_all_oracles_parse_in_duckdb():
             con.execute(f"EXPLAIN {spec.oracle}")
         except Exception as exc:  # pragma: no cover
             pytest.fail(f"oracle for {name} does not parse: {exc}")
+
+
+def test_gate_order_puts_unverified_families_first():
+    """The driver records a ~50-entry prefix of queries() per round;
+    queries/__init__ re-ranks by green-count across CORRECTNESS_r*.json
+    so never-verified queries come first. Pin that: the hq reference-
+    parity family leads, and everything green in round 1 sits behind
+    every 0-green query."""
+    import json
+    from pathlib import Path
+
+    names = list(QUERIES)
+    assert names[0].startswith("hq"), names[:3]
+    assert set(names[:28]) == {n for n in names if n.startswith("hq")}
+
+    r1 = json.loads(Path(__file__).resolve().parents[1].joinpath(
+        "CORRECTNESS_r01.json").read_text())
+    r1_green = {n for n, res in r1.items() if res.get("hash_match")}
+    first_unverified = [n for n in names if n not in r1_green]
+    # every r1-green query ranks after every never-verified one
+    assert names[: len(first_unverified)] == first_unverified
