@@ -108,13 +108,28 @@ def main():
     filters = sys.argv[2:]
 
     from data_engineer_project_spark.queries import QUERIES
-    from data_engineer_project_spark.session import get_spark
 
     names = [
         n for n in sorted(QUERIES)
         if not filters or any(f in n for f in filters)
     ]
-    spark = get_spark("check-correctness")
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        # Driver simulation: a vanilla session with none of our build
+        # conf — catches any query that silently depends on get_spark's
+        # settings instead of the normalize_session runtime contract.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-correctness-plain")
+            .config("spark.sql.shuffle.partitions", "13")  # odd on purpose
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from data_engineer_project_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
     sres = run_spark(spark, sf_dir, names)
     dres = run_duck(sf_dir, names)
 
