@@ -1392,3 +1392,71 @@ def d26_quality_survivor(t):
         F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("survivor_doc"),
         F.max(F.when(F.col("rn") == 1, F.col("n_words"))).alias("survivor_words"),
     )
+
+
+@query(
+    "d27_vocab_topk",
+    """
+    SELECT wd AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+    GROUP BY wd ORDER BY freq DESC, word LIMIT 100
+    """,
+    tags=("llm", "text"),
+)
+def d27_vocab_topk(t):
+    """Corpus vocabulary induction: top-100 tokens by frequency
+    (ties → lexicographic) — the counting pass behind building a
+    tokenizer vocab / stopword list. explode + groupBy(word) is one
+    shuffle with map-side partial counts; the top-k is a
+    TakeOrderedAndProject over the (tiny) distinct-word aggregate,
+    never a global sort of the token stream."""
+    d = t.documents
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@query(
+    "e09_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.wk) / 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention"),
+)
+def e09_retention_cohorts(t):
+    """Weekly cohort retention: users grouped by the week they first
+    appeared; for each later week, how many were active again — the
+    classic triangular retention matrix. Two aggregates on user_id
+    (first-seen and distinct active weeks) that join on the same key —
+    at scale both sides are already hash-partitioned by user_id so the
+    join adds no extra shuffle; the final matrix is tiny."""
+    e = t.events
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
