@@ -204,3 +204,42 @@ def resize_media(media: DataFrame, keep_every: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(stage, out_schema)
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("peak_rms", DoubleType()),
+    ]
+)
+
+
+def audio_window_energy(media: DataFrame, window: int = 64) -> DataFrame:
+    """Audio-style windowed energy: treat the payload as 8-bit unsigned
+    PCM, frame it into ``window``-sample windows (last window partial),
+    and report per-doc window count + peak window RMS.
+
+    RMS per window = sqrt(sum(v^2)/n) with the inner sum in exact int64
+    (max 64*255^2 ≈ 4.2e6, far inside double's exact range), so the
+    result is bit-identical at any partitioning and matches the SQL
+    oracle. Same mapInPandas shape a real resampler/VAD stage has."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_nw, out_peak = [], [], []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                a = np.frombuffer(m, dtype=np.uint8).astype(np.int64)
+                n_w = (len(a) + window - 1) // window
+                peak = 0.0
+                for w0 in range(0, len(a), window):
+                    seg = a[w0 : w0 + window]
+                    peak = max(peak, float(np.sqrt(float((seg * seg).sum()) / len(seg))))
+                out_id.append(did)
+                out_nw.append(n_w)
+                out_peak.append(peak)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "n_windows": out_nw, "peak_rms": out_peak}
+            )
+
+    return media.mapInPandas(stage, _AUDIO_SCHEMA)

@@ -132,3 +132,33 @@ def m05_resize_metadata(t):
     """Stub resize (keep every 2nd byte): binary in → binary out with
     recomputed metadata; query projects the new metadata."""
     return resize_media(_media(t), keep_every=2).select("doc_id", "n_bytes", "width")
+
+
+@query(
+    "m06_audio_window_rms",
+    """
+    WITH chars AS (
+      SELECT doc_id, ascii(unnest(string_split(text, ''))) AS v,
+             generate_subscripts(string_split(text, ''), 1) AS i
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, (i - 1) // 64 AS wid,
+             SUM(v * v) AS ss, COUNT(*) AS n
+      FROM chars GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           MAX(sqrt(CAST(ss AS DOUBLE) / n)) AS peak_rms
+    FROM w GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def m06_audio_window_rms(t):
+    """Audio modality plumbing: payload as 8-bit PCM, 64-sample
+    windows, per-doc window count + peak window RMS via mapInPandas
+    (operators/multimodal.audio_window_energy). Completes the
+    image (m02/m04) / video (m03) / audio modality triple; integer
+    squared-sums keep RMS bit-identical to the SQL twin."""
+    from data_engineer_project_spark.operators.multimodal import audio_window_energy
+
+    return audio_window_energy(_media(t), window=64)
