@@ -49,11 +49,19 @@ def asof_join(
     value_cols: list[str],
     tiebreak_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each ``left`` row, attach ``value_cols`` from the latest
-    ``right`` row with the same ``key`` and ``right_ts <= left_ts``
-    (null when no such row). Output = all of ``left``'s columns plus
-    ``{prefix}{c}`` for each value column."""
+    """For each ``left`` row, attach ``value_cols`` from the matching
+    ``right`` row: with ``direction="backward"`` (default) the latest
+    row with ``right_ts <= left_ts``; with ``"forward"`` the earliest
+    row with ``right_ts >= left_ts`` (null when no such row). Output =
+    all of ``left``'s columns plus ``{prefix}{c}`` per value column.
+
+    Forward is the same single-window plan with the timestamp sort
+    reversed — reference rows still sort before probe rows at equal
+    ts, so equality matches in both directions."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     val_type = T.StructType([right.schema[c] for c in value_cols])
 
     probe = (
@@ -73,10 +81,12 @@ def asof_join(
             ref = ref.withColumn(f.name, F.lit(None).cast(f.dataType))
     u = probe.unionByName(ref.select(*probe.columns))
 
-    # reference rows sort BEFORE probe rows at equal ts -> <= semantics
+    # reference rows sort BEFORE probe rows at equal ts -> equality
+    # matches; descending ts turns "latest <=" into "earliest >="
+    ts_order = F.col(_TS) if direction == "backward" else F.col(_TS).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(_TS, _TAG, *(tiebreak_cols or []))
+        .orderBy(ts_order, _TAG, *(tiebreak_cols or []))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = u.withColumn(_VAL, F.last(_VAL, ignorenulls=True).over(w))

@@ -1460,3 +1460,37 @@ def e09_retention_cohorts(t):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "e10_asof_forward",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           (SELECT v.value FROM events v
+            WHERE v.event_type = 'view' AND v.user_id = p.user_id
+              AND v.ts >= p.ts ORDER BY v.ts LIMIT 1) AS next_value,
+           (SELECT v.event_id FROM events v
+            WHERE v.event_type = 'view' AND v.user_id = p.user_id
+              AND v.ts >= p.ts ORDER BY v.ts LIMIT 1) AS next_event_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("events", "asof", "timeseries"),
+)
+def e10_asof_forward(t):
+    """Forward as-of join: each purchase picks up the user's EARLIEST
+    at-or-after view (lead-to-next-touchpoint attribution). Same
+    union+single-window plan as e05 with the timestamp sort reversed
+    (operators/asof.py direction="forward"); DuckDB has no forward
+    ASOF, so the oracle is a correlated min-ts subquery (deterministic:
+    no duplicate (user_id, ts) pairs in the data)."""
+    e = t.events
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value", "event_id"], prefix="next_", direction="forward",
+    )

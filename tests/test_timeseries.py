@@ -194,3 +194,33 @@ def test_connected_components_chain_and_islands(spark):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_asof_forward_semantics(spark):
+    """direction='forward': each probe gets the EARLIEST reference with
+    ref_ts >= probe_ts; equality matches; nothing later -> NULL; an
+    invalid direction is rejected."""
+    from data_engineer_project_spark.operators.asof import asof_join
+    import pytest as _pytest
+
+    probe = spark.createDataFrame(
+        [(1, 10, "p10"), (1, 25, "p25"), (1, 99, "p99")],
+        "k INT, ts INT, tag STRING",
+    )
+    ref = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, None), (1, 30, 300.0)],
+        "k INT, ts INT, val DOUBLE",
+    )
+    out = {
+        r.tag: r.next_val
+        for r in asof_join(
+            probe, ref, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["val"], prefix="next_", direction="forward",
+        ).collect()
+    }
+    assert out["p10"] == 100.0   # equality matches
+    assert out["p25"] == 300.0   # earliest at-or-after is ts=30
+    assert out["p99"] is None    # nothing after -> proven NULL
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(probe, ref, key="k", left_ts="ts", right_ts="ts",
+                  value_cols=["val"], direction="sideways")
