@@ -16,6 +16,8 @@ idempotent without touching other periods.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -51,3 +53,42 @@ def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     directories before any file is opened (verify via PartitionFilters
     in the physical plan)."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """Compact a parquet dataset's small files into ~``target_mb`` files.
+
+    Streaming sinks and incremental loads leave file sprawl that
+    degrades scan parallelism (one task per tiny file) and NameNode/
+    listing pressure at scale. This rewrites the dataset with a file
+    count derived from its on-disk size — a coalesce-style maintenance
+    pass, the engine's stand-in for OPTIMIZE/auto-compaction in table
+    formats. Returns the new file count.
+
+    Rewrite goes through a temp sibling directory then an atomic-ish
+    swap, so a reader never sees a half-written dataset; at production
+    scale you would do this per partition (date) under a table format's
+    transaction instead.
+    """
+    import math
+    import shutil
+
+    fs_size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(fs_size / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + "._compact_old"
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )

@@ -105,3 +105,23 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-files compaction: 64 tiny files -> 1 (data is ~KBs, far
+    under target_mb), identical rows, and the dataset is readable at
+    every point (swap via temp dir)."""
+    from data_engineer_project_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "sprawl")
+    spark.range(10_000).selectExpr("id", "id % 7 AS g").repartition(64).write.parquet(path)
+    import os as _os
+
+    before = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+    assert before == 64
+    want = spark.read.parquet(path).groupBy("g").count().collect()
+
+    n_after = compact_parquet(spark, path, target_mb=128)
+    assert n_after < before
+    got = spark.read.parquet(path).groupBy("g").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
