@@ -88,3 +88,26 @@ def test_view_lifecycle(spark):
     # sp_rename ≙ drop + recreate (`SQLQueryiesPractice.sql:242-244`)
     spark.catalog.dropTempView("vw_region_t")
     assert not spark.catalog.tableExists("vw_region_t")
+
+
+def test_analyze_table_computes_stats(spark, warehouse_db, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS: at 100 TB the cost-based
+    optimizer needs row counts / column NDVs to pick join orders and
+    broadcast sides; the engine's catalog tables must accept and expose
+    them (the reference's UPDATE STATISTICS equivalent)."""
+    tbl = f"{warehouse_db}.stats_ddl"
+    loc = str(tmp_path / "stats_ddl")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {tbl} (k INT, v STRING) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    spark.sql(f"INSERT INTO {tbl} SELECT id, CAST(id % 5 AS STRING) FROM range(1000)")
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS k, v")
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    }
+    assert "1000 rows" in desc.get("Statistics", ""), desc.get("Statistics")
+    kcol = spark.sql(f"DESCRIBE EXTENDED {tbl} k").collect()
+    kinfo = {r.info_name: r.info_value for r in kcol}
+    assert kinfo.get("distinct_count") not in (None, "NULL"), kinfo
