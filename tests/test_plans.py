@@ -126,3 +126,19 @@ def test_lineitem_orders_smj_keeps_aqe_skew_handling(spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_no_row_at_a_time_python_udfs_in_package():
+    """Policy pin: the hot path must stay JVM-side. Row-at-a-time
+    F.udf / @udf never appears in the package — Python is allowed only
+    through Arrow-batched mapInPandas / applyInPandas* (multimodal,
+    streaming state), which plan as *EvalPython-free Arrow stages."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "data_engineer_project_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        if "F.udf(" in src or "@udf" in src or "functions.udf(" in src:
+            offenders.append(str(py))
+    assert not offenders, f"row-at-a-time UDFs found in: {offenders}"
