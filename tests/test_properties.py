@@ -184,3 +184,32 @@ def test_connected_components_rejects_string_ids(spark):
     )
     with pytest.raises(ValueError, match="integral node ids"):
         connected_components(edges)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    k=st.integers(min_value=1, max_value=5),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@_SETTINGS
+def test_grouped_topk_equals_window_topk(spark, n, k, parts):
+    """Two-phase top-k must be row-identical to the naive per-group
+    window form at ANY partitioning (total order: score desc, id asc).
+    Scores collide on purpose (id % 9) to exercise tie-breaking."""
+    from pyspark.sql import Window
+    from data_engineer_project_spark.operators.topk import grouped_topk
+
+    df = (
+        spark.range(n)
+        .repartition(parts)
+        .selectExpr("id % 3 AS g", "CAST(id % 9 AS DOUBLE) AS score", "id")
+    )
+    order = [F.desc("score"), F.asc("id")]
+    w = Window.partitionBy("g").orderBy(*order)
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "score", "id")
+    )
+    fast = grouped_topk(df.select("g", "score", "id"), ["g"], order, k)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
