@@ -171,10 +171,18 @@ def p41_moving_sum(t):
 def p36_offset_pagination_window(t):
     """OFFSET/FETCH pagination via row_number filtering
     (`SQLQueryiesPractice.sql:64-67` mapped per SURVEY §2.5) — the
-    window form of p44_offset_fetch."""
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    window form of p44_offset_fetch.
+
+    Scale shape: a bare global ROW_NUMBER() sorts the whole table in
+    ONE partition. Instead take the page's upper bound first —
+    orderBy + limit plans as TakeOrderedAndProject, a distributed
+    partial top-k — and run the global window over just those rows, so
+    the single-partition sort touches page-size rows, not the table."""
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    page_hi = t.orders.select("o_orderkey", "o_totalprice").orderBy(*order).limit(4)
+    w = Window.orderBy(*order)
     return (
-        t.orders.select(
+        page_hi.select(
             "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
         )
         .filter(F.col("rn").between(2, 4))

@@ -142,3 +142,11 @@ def test_no_row_at_a_time_python_udfs_in_package():
         if "F.udf(" in src or "@udf" in src or "functions.udf(" in src:
             offenders.append(str(py))
     assert not offenders, f"row-at-a-time UDFs found in: {offenders}"
+
+
+def test_pagination_plans_take_ordered_not_global_sort(spark):
+    """p36's page bound must come from TakeOrderedAndProject (a
+    distributed partial top-k); the global single-partition window may
+    only ever see page-size rows."""
+    plan = plan_of(spark, "p36_offset_pagination_window")
+    assert "TakeOrderedAndProject" in plan
