@@ -1553,3 +1553,101 @@ def d28_embedding_int8_quantization(t):
             "avg_max_err"
         ),
     )
+
+
+def _minhash_estimator_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(num_hashes)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd xa ON xa.doc_id = c.doc_a
+      JOIN shd xb ON xb.doc_id = c.doc_b AND xb.shingle = xa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    ex AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_inter AS DOUBLE)
+               / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST({est} AS DOUBLE) / {num_hashes} AS est_jaccard,
+           e.jaccard,
+           ABS(CAST({est} AS DOUBLE) / {num_hashes} - e.jaccard) AS abs_err
+    FROM ex e
+    JOIN sig sa ON sa.doc_id = e.doc_a
+    JOIN sig sb ON sb.doc_id = e.doc_b
+    """
+
+
+@query(
+    "d29_minhash_estimator_quality",
+    _minhash_estimator_oracle(),
+    tags=("llm", "dedup", "eval"),
+)
+def d29_minhash_estimator_quality(t):
+    """MinHash estimator calibration: for every LSH candidate pair,
+    the signature-agreement Jaccard estimate (matching minima / H)
+    next to the exact Jaccard and the absolute error — the evaluation
+    that tells you whether H hashes suffice before trusting the
+    estimate at corpus scale (completes the approx-operator evaluators:
+    d16 ANN recall, d17 sketch bounds, d28 quantization error). Reuses
+    the shared signature/candidate/verify builders, so the plan shape
+    is d07's plus one signature self-join on the (small) pair set."""
+    num_hashes = 8
+    sh = DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct().persist()
+    sig = DD.minhash_signatures(sh, "doc_id", num_hashes).persist()
+    cand = DD.band_candidates(sig, "doc_id", num_hashes, bands=4)
+    exact = DD.exact_jaccard(cand, sh, "doc_id")
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    est = sum(
+        F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        exact.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            "jaccard",
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )
