@@ -71,10 +71,26 @@ def compact_parquet(
     swap, so a reader never sees a half-written dataset; at production
     scale you would do this per partition (date) under a table format's
     transaction instead.
+
+    Refuses Hive-partitioned layouts (``col=value`` subdirectories):
+    a flat rewrite would silently demote partition directories to plain
+    columns and lose pruning — compact each leaf partition directory
+    instead.
     """
     import math
     import shutil
 
+    parted = [
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    ]
+    if parted:
+        raise ValueError(
+            f"{path} is Hive-partitioned ({parted[:3]}…); compact each "
+            "leaf partition directory, not the root (a flat rewrite "
+            "would lose the partition layout)"
+        )
     fs_size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fns in os.walk(path)

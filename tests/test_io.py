@@ -125,3 +125,16 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert n_after < before
     got = spark.read.parquet(path).groupBy("g").count().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_compact_parquet_refuses_partitioned_root(spark, tmp_path):
+    """A flat rewrite of a Hive-partitioned dataset would silently
+    demote partition directories to columns — must refuse."""
+    import pytest as _pytest
+
+    from data_engineer_project_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "parted")
+    spark.range(100).selectExpr("id", "id % 3 AS g").write.partitionBy("g").parquet(path)
+    with _pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet(spark, path)
