@@ -63,17 +63,29 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     val_type = T.StructType([right.schema[c] for c in value_cols])
+    tiebreaks = list(tiebreak_cols or [])
+    clash = [c for c in tiebreaks if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"tiebreak_cols are reference-side columns; {clash} also "
+            f"exist on the probe side — rename one side first"
+        )
 
     probe = (
         left.withColumn(_TS, F.col(left_ts))
         .withColumn(_TAG, F.lit(1))
         .withColumn(_VAL, F.lit(None).cast(val_type))
     )
+    # probe rows carry typed-null tiebreaks (they sort last within a
+    # tag group, which is irrelevant — tag already separates them)
+    for c in tiebreaks:
+        probe = probe.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     ref = right.select(
         F.col(key),
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_TAG),
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias(_VAL),
+        *[F.col(c) for c in tiebreaks],
     )
     # pad the reference side out to the probe schema with typed nulls
     for f in probe.schema.fields:
@@ -86,7 +98,7 @@ def asof_join(
     ts_order = F.col(_TS) if direction == "backward" else F.col(_TS).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(ts_order, _TAG, *(tiebreak_cols or []))
+        .orderBy(ts_order, _TAG, *tiebreaks)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = u.withColumn(_VAL, F.last(_VAL, ignorenulls=True).over(w))
@@ -94,4 +106,4 @@ def asof_join(
     out = u.filter(F.col(_TAG) == 1)
     for c in value_cols:
         out = out.withColumn(f"{prefix}{c}", F.col(_VAL).getField(c))
-    return out.drop(_TS, _TAG, _VAL)
+    return out.drop(_TS, _TAG, _VAL, *tiebreaks)

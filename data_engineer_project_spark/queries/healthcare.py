@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_spark import fixtures
+from data_engineer_project_spark.operators.asof import asof_join
 from data_engineer_project_spark.plans.quality import fk_violations
 from data_engineer_project_spark.plans.snowflake import build_snowflake
 from data_engineer_project_spark.plans.star import build_star
@@ -1215,4 +1216,50 @@ def hq28_scd2_risk_dimension(t):
         F.col("EffectiveDate").alias("ValidFrom"),
         F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("ValidTo"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("IsCurrent"),
+    )
+
+
+@query(
+    "hq29_risk_asof_encounter",
+    _oracle(
+        """
+        SELECT e.EncounterID, e.MemberID, e.EncounterDate,
+               (SELECT CAST(r.Score AS DOUBLE) FROM s3_cca_risk_score r
+                WHERE r.MemberID = e.MemberID
+                  AND r.EffectiveDate <= e.EncounterDate
+                ORDER BY r.EffectiveDate DESC, r.RiskID DESC
+                LIMIT 1) AS asof_Score,
+               (SELECT r.RiskTier FROM s3_cca_risk_score r
+                WHERE r.MemberID = e.MemberID
+                  AND r.EffectiveDate <= e.EncounterDate
+                ORDER BY r.EffectiveDate DESC, r.RiskID DESC
+                LIMIT 1) AS asof_RiskTier
+        FROM s2_claims_encounter e
+        """,
+        ["s2_claims_encounter", "s3_cca_risk_score"],
+    ),
+    tags=("healthcare", "asof", "timeseries"),
+)
+def hq29_risk_asof_encounter(t):
+    """Point-in-time risk attribution on the reference's domain: each
+    encounter carries the member's risk score in effect on the
+    encounter date (operators/asof.py — union + one window on
+    MemberID, zero join nodes; RiskID tiebreak pins same-day
+    re-scores). The oracle is a correlated min-ts subquery rather than
+    DuckDB's native ASOF, whose same-date tie pick is unspecified."""
+    enc = hc(t)["s2_claims_encounter"].select(
+        "EncounterID", "MemberID", "EncounterDate"
+    )
+    risk = hc(t)["s3_cca_risk_score"].select(
+        "MemberID", "EffectiveDate",
+        F.col("Score").cast("double").alias("Score"),
+        "RiskTier", "RiskID",
+    )
+    return asof_join(
+        enc, risk, key="MemberID", left_ts="EncounterDate",
+        right_ts="EffectiveDate", value_cols=["Score", "RiskTier"],
+        tiebreak_cols=["RiskID"],
+    ).select(
+        "EncounterID", "MemberID", "EncounterDate",
+        F.col("asof_Score"), F.col("asof_RiskTier"),
     )

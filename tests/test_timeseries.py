@@ -224,3 +224,25 @@ def test_asof_forward_semantics(spark):
     with _pytest.raises(ValueError, match="backward|forward"):
         asof_join(probe, ref, key="k", left_ts="ts", right_ts="ts",
                   value_cols=["val"], direction="sideways")
+
+
+def test_asof_tiebreak_on_reference_column(spark):
+    """Reference-side tiebreak: two reference rows at the same (key,
+    ts) — the one latest in tiebreak order wins; a tiebreak name that
+    collides with a probe column is rejected."""
+    import pytest as _pytest
+
+    from data_engineer_project_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame([(1, 20, "p")], "k INT, ts INT, tag STRING")
+    ref = spark.createDataFrame(
+        [(1, 10, 5, 100.0), (1, 10, 9, 900.0)], "k INT, ts INT, rid INT, val DOUBLE"
+    )
+    (row,) = asof_join(
+        probe, ref, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["val"], tiebreak_cols=["rid"],
+    ).collect()
+    assert row.asof_val == 900.0  # max rid at the matched ts wins
+    with _pytest.raises(ValueError, match="probe side"):
+        asof_join(probe, ref, key="k", left_ts="ts", right_ts="ts",
+                  value_cols=["val"], tiebreak_cols=["tag"])
