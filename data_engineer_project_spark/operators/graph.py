@@ -44,11 +44,13 @@ def connected_components(
     # loop after one round with wrong components. Enforce the contract
     # instead of silently mislabeling (string ids: map to dense ints
     # first, e.g. xxhash64 or a zipWithIndex-style dimension).
-    id_type = pairs.schema[src].dataType.typeName()
-    if id_type not in ("byte", "short", "integer", "long", "decimal"):
-        raise ValueError(
-            f"connected_components requires integral node ids, got {id_type}"
-        )
+    for col in (src, dst):
+        id_type = pairs.schema[col].dataType.typeName()
+        if id_type not in ("byte", "short", "integer", "long", "decimal"):
+            raise ValueError(
+                f"connected_components requires integral node ids, got "
+                f"{id_type} for {col!r}"
+            )
     fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     und = fwd.union(
         pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))

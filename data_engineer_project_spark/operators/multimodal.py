@@ -229,6 +229,12 @@ def audio_window_energy(media: DataFrame, window: int = 64) -> DataFrame:
         for pdf in batches:
             out_id, out_nw, out_peak = [], [], []
             for did, m in zip(pdf["doc_id"], pdf["media"]):
+                if m is None or len(m) == 0:
+                    # NULL/empty payload: emit nothing, matching the SQL
+                    # oracle (its per-character unnest produces no row
+                    # for a charless doc). np.frombuffer would raise on
+                    # None anyway — skipping is the defined semantics.
+                    continue
                 a = np.frombuffer(m, dtype=np.uint8).astype(np.int64)
                 n_w = (len(a) + window - 1) // window
                 peak = 0.0

@@ -35,14 +35,24 @@ def _green_counts() -> dict[str, int]:
             recorded = _json.loads(f.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(recorded, dict):
+            continue
         for name, res in recorded.items():
             if not isinstance(res, dict):
                 continue
+            # A declared rows-only query (err == "no_oracle") can never
+            # hash-match; the driver ran it and it produced rows, which is
+            # the strongest signal it will ever get.  Count it as checked
+            # so it stops outranking hash-checkable queries every round.
             ok = (
                 res.get("err") is None
                 and res.get("rows_match", False)
                 and res.get("schema_match", True) is not False
                 and res.get("hash_match", True) is not False
+            ) or (
+                res.get("err") == "no_oracle"
+                and (res.get("spark_rows") or 0) >= 0
+                and res.get("spark_rows") is not None
             )
             if ok:
                 counts[name] = counts.get(name, 0) + 1

@@ -80,6 +80,8 @@ def compact_parquet(
     import math
     import shutil
 
+    from pyspark.sql.types import LongType
+
     parted = [
         d
         for d in os.listdir(path)
@@ -99,11 +101,42 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(fs_size / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+        # With the session-wide nanosAsLong contract (session.py), a
+        # TIMESTAMP(NANOS) column reads back as LongType and a rewrite
+        # would persist it as plain BIGINT — a silent on-disk type
+        # demotion. Parquet footers are the source of truth here: refuse
+        # when any physical column was read as nanos-as-long.
+        import pyarrow.parquet as pq
+
+        for dp, _, fns in os.walk(path):
+            for f in fns:
+                if not f.endswith(".parquet"):
+                    continue
+                arrow_schema = pq.read_schema(os.path.join(dp, f))
+                for field in arrow_schema:
+                    if "timestamp[ns" in str(field.type) and isinstance(
+                        df.schema[field.name].dataType, LongType
+                    ):
+                        raise ValueError(
+                            f"{path} column {field.name!r} is TIMESTAMP(NANOS) "
+                            "read as BIGINT under the nanosAsLong contract; "
+                            "compacting would demote it on disk. Rewrite it "
+                            "with an explicit timestamp cast first."
+                        )
+                break  # one footer per directory is representative
     tmp = path.rstrip("/") + "._compact_tmp"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     bak = path.rstrip("/") + "._compact_old"
     shutil.move(path, bak)
-    shutil.move(tmp, path)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        # Crash window: the dataset must never be absent at `path`.
+        # Restore the original before re-raising.
+        if not os.path.exists(path):
+            shutil.move(bak, path)
+        raise
     shutil.rmtree(bak)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]

@@ -29,16 +29,38 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Bring ``events.ts`` to session-timezone TIMESTAMP whatever the
+    on-disk physical type is.
+
+    Driver testdata has shipped two layouts across rounds:
+    TIMESTAMP(NANOS) (read as raw int64 nanos under the session's
+    ``nanosAsLong`` contract — the vectorized reader rejects NANOS
+    otherwise) and plain ``timestamp[us]`` (read as TIMESTAMP_NTZ under
+    Spark 4's NTZ inference). Branch on the observed dtype instead of
+    assuming either, so the engine survives a testdata regeneration.
+    ``div`` (integer division) for the nanos path is deliberate:
+    ns-since-epoch exceeds double's 53-bit mantissa; truncation to
+    micros matches DuckDB.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        # session tz is pinned UTC, so NTZ wall-clock == the instant
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Pure declarative scan — filters/projections
     applied by callers push down into the parquet reader.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; the session contract (``normalize_session``) reads
-    it as raw nanos (legacy nanosAsLong) and we floor-divide to
-    microseconds — the same truncation DuckDB applies, so oracle
-    comparisons agree. ``div`` (integer division) is deliberate:
-    ns-since-epoch exceeds double's 53-bit mantissa.
+    ``events.ts`` goes through ``normalize_event_ts`` (physical-type
+    drift across driver rounds: nanos vs micros).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -47,10 +69,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from data_engineer_project_spark.session import normalize_session
 
         normalize_session(spark)
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

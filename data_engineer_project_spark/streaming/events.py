@@ -36,20 +36,27 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# The driver's events.parquet stores ts as TIMESTAMP(NANOS), which the
-# vectorized reader rejects; streaming readers require an explicit
-# schema anyway, so declare ts as raw nanos (legacy nanosAsLong) and
-# convert to a proper timestamp — same truncation DuckDB applies.
-EVENT_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns since epoch (TIMESTAMP(NANOS))
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Streaming readers require an explicit schema; the driver's
+# events.parquet has shipped ts as TIMESTAMP(NANOS) (reads as raw int64
+# under the session nanosAsLong contract) in some rounds and plain
+# timestamp[us] in others, so the ts field type must be probed from the
+# actual files (see read_event_stream) rather than pinned here.
+def _event_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Back-compat name: the nanos-era fixed schema (tests that write raw
+# int64-nanos part files still use this shape).
+EVENT_RAW_SCHEMA = _event_raw_schema(LongType())
 
 
 def read_event_stream(
@@ -67,15 +74,23 @@ def read_event_stream(
     The nanos-as-long parquet flag comes from the session contract
     (``normalize_session``), not a per-reader mutation — batch and
     streaming reads in one session always see the same ``ts`` type.
+    The ``ts`` field type is probed with a one-footer batch read of the
+    same path+glob (schema-only, no data scan), so the stream reads
+    nanos-era int64 files and micros-era timestamp files alike.
     """
     from data_engineer_project_spark.session import normalize_session
+    from data_engineer_project_spark.sources.registry import normalize_event_ts
 
     normalize_session(spark)
-    reader = spark.readStream.schema(EVENT_RAW_SCHEMA).option("pathGlobFilter", glob)
+    probed_ts = (
+        spark.read.option("pathGlobFilter", glob).parquet(path).schema["ts"].dataType
+    )
+    reader = spark.readStream.schema(_event_raw_schema(probed_ts)).option(
+        "pathGlobFilter", glob
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(path))
 
 
 # Exact-cents money column: value has 2-decimal precision, so integer

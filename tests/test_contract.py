@@ -51,21 +51,27 @@ def test_all_oracles_parse_in_duckdb():
 
 def test_gate_order_puts_unverified_families_first():
     """The driver records a ~50-entry prefix of queries() per round;
-    queries/__init__ re-ranks by green-count across CORRECTNESS_r*.json
-    so never-verified queries come first. Pin that: the hq reference-
-    parity family leads, and everything green in round 1 sits behind
-    every 0-green query."""
-    import json
-    from pathlib import Path
+    queries/__init__ re-ranks by green-count across ALL past
+    CORRECTNESS_r*.json files so never-verified queries come first.
+    Derive the expectation from the same files instead of pinning a
+    family name, so the assertion stays true as rounds accumulate."""
+    from data_engineer_project_spark.queries import _green_counts
 
+    greens = _green_counts()
     names = list(QUERIES)
-    assert names[0].startswith("hq"), names[:3]
-    hq = {n for n in names if n.startswith("hq")}
-    assert set(names[: len(hq)]) == hq
 
-    r1 = json.loads(Path(__file__).resolve().parents[1].joinpath(
-        "CORRECTNESS_r01.json").read_text())
-    r1_green = {n for n, res in r1.items() if res.get("hash_match")}
-    first_unverified = [n for n in names if n not in r1_green]
-    # every r1-green query ranks after every never-verified one
-    assert names[: len(first_unverified)] == first_unverified
+    # Primary invariant: every never-checked query precedes every
+    # checked one.  (A rows-only "no_oracle" result counts as checked —
+    # it must not squat on a gate slot forever.)
+    counts = [greens.get(n, 0) for n in names]
+    assert counts == sorted(counts), [
+        (n, c) for n, c in zip(names, counts)
+    ][:10]
+
+    # Secondary invariant: within the 0-green block, family rank is
+    # respected (h < d < e < s < m < p < q < other).
+    from data_engineer_project_spark.queries import _FAMILY_RANK
+
+    zero_block = [n for n in names if greens.get(n, 0) == 0]
+    fam = [_FAMILY_RANK.get(n[0], 7) for n in zero_block]
+    assert fam == sorted(fam), list(zip(zero_block, fam))[:10]

@@ -138,3 +138,59 @@ def test_compact_parquet_refuses_partitioned_root(spark, tmp_path):
     spark.range(100).selectExpr("id", "id % 3 AS g").write.partitionBy("g").parquet(path)
     with _pytest.raises(ValueError, match="Hive-partitioned"):
         compact_parquet(spark, path)
+
+
+def test_compact_parquet_restores_dataset_if_swap_fails(spark, tmp_path, monkeypatch):
+    """If the second move of the swap dies, the dataset must be restored
+    at `path` (never stranded in ._compact_old)."""
+    import shutil as _shutil
+
+    from data_engineer_project_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "swapfail")
+    spark.range(1_000).selectExpr("id", "id % 5 AS g").repartition(8).write.parquet(path)
+    want = spark.read.parquet(path).count()
+
+    real_move = _shutil.move
+
+    def exploding_move(src, dst, *a, **kw):
+        if str(src).endswith("._compact_tmp"):
+            raise OSError("simulated crash mid-swap")
+        return real_move(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "move", exploding_move)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated"):
+        compact_parquet(spark, path)
+    monkeypatch.undo()
+    assert spark.read.parquet(path).count() == want
+
+
+def test_compact_parquet_refuses_nanos_as_long_columns(spark, tmp_path):
+    """Under the session nanosAsLong contract a TIMESTAMP(NANOS) column
+    reads as BIGINT; a compaction rewrite would persist that demotion.
+    Must refuse."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from data_engineer_project_spark.sources.io import compact_parquet
+
+    path = tmp_path / "nanos"
+    path.mkdir()
+    table = _pa.table(
+        {
+            "id": _pa.array([1, 2, 3], type=_pa.int64()),
+            "ts": _pa.array(
+                _np.array([1, 2, 3], dtype="datetime64[ns]"),
+                type=_pa.timestamp("ns"),
+            ),
+        }
+    )
+    _pq.write_table(table, str(path / "part-0.parquet"), version="2.6")
+    # confirm the contract actually bites: ts reads back as BIGINT
+    assert dict(spark.read.parquet(str(path)).dtypes)["ts"] == "bigint"
+    with _pytest.raises(ValueError, match="TIMESTAMP\\(NANOS\\)"):
+        compact_parquet(spark, str(path))

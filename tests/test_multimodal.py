@@ -63,3 +63,20 @@ def test_resize_keeps_every_kth_byte(docs):
     for r in resize_media(media, keep_every=3).collect():
         assert bytes(r["media"]) == orig[r["doc_id"]][::3]
         assert r["n_bytes"] == len(bytes(r["media"]))
+
+
+def test_audio_energy_skips_empty_and_null_payloads(spark):
+    """Zero-length / NULL media must produce NO row — the SQL oracle's
+    per-character unnest emits nothing for a charless doc, and
+    np.frombuffer would raise on None. Defined semantics: skip."""
+    from data_engineer_project_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcd")), (2, bytearray(b"")), (3, None)],
+        "doc_id BIGINT, media BINARY",
+    )
+    rows = {r["doc_id"]: r for r in audio_window_energy(media, window=2).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_windows"] == 2

@@ -185,6 +185,14 @@ def test_connected_components_rejects_string_ids(spark):
     with pytest.raises(ValueError, match="integral node ids"):
         connected_components(edges)
 
+    # A mismatched-schema edge list (integral src, string dst) reaches
+    # the same checksum NULL-out — both endpoints must be validated.
+    mixed = spark.createDataFrame(
+        [(1, "b"), (2, "c")], "doc_a BIGINT, doc_b STRING"
+    )
+    with pytest.raises(ValueError, match="doc_b"):
+        connected_components(mixed)
+
 
 @given(
     n=st.integers(min_value=1, max_value=60),

@@ -30,9 +30,10 @@ SF = "/root/testdata/sf0.001"
 def _write_parts(tmp_path, n_parts: int) -> str:
     """Split the sf0.001 events table into n time-ordered part files."""
     tbl = pq.read_table(f"{SF}/events.parquet")
-    # ts comes back as timestamp[ns]; store as raw int64 nanos to match
-    # EVENT_RAW_SCHEMA exactly.
-    ts_ns = tbl["ts"].cast(pa.int64())
+    # Store ts as raw int64 NANOS (whatever the source file's physical
+    # unit) — this keeps the nanos-era raw-long streaming path under
+    # test while the sf dirs themselves exercise the timestamp[us] path.
+    ts_ns = tbl["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
     tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
     d = tmp_path / "events_parts"
     d.mkdir()
@@ -50,9 +51,10 @@ def test_streaming_tumbling_equals_batch(spark):
     got = run_to_memory_table(
         tumbling_counts(read_event_stream(spark, SF)), "t_tumble", "complete"
     )
+    from data_engineer_project_spark.sources.registry import normalize_event_ts
+
     want = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
