@@ -21,6 +21,7 @@ from data_engineer_project_spark.functions import text as T
 from data_engineer_project_spark.functions.numeric import money
 from data_engineer_project_spark.operators import dedup as DD
 from data_engineer_project_spark.operators import graph as GR
+from data_engineer_project_spark.operators import retrieval as RET
 from data_engineer_project_spark.operators import similarity as SIM
 from data_engineer_project_spark.operators.asof import asof_join
 from data_engineer_project_spark.operators.interval import range_join
@@ -1651,3 +1652,21 @@ def d29_minhash_estimator_quality(t):
             F.abs(est - F.col("jaccard")).alias("abs_err"),
         )
     )
+
+
+_BM25_TERMS = ["join", "window", "scan"]
+
+
+@query(
+    "d30_bm25_topk",
+    RET.bm25_oracle_sql(_BM25_TERMS, k=10),
+    tags=("llm", "retrieval"),
+)
+def d30_bm25_topk(t):
+    """BM25 top-10 for a fixed term set (rational-idf variant — no
+    ``ln``, so doubles bit-match DuckDB; see operators/retrieval.py).
+    Term frequencies are array-native in one scan, global stats are one
+    broadcast 1-row aggregate, top-k is TakeOrderedAndProject — the
+    sparse-retrieval shape for curation/decontamination at corpus
+    scale."""
+    return RET.bm25_topk(t.documents, _BM25_TERMS, k=10)

@@ -221,3 +221,48 @@ def test_grouped_topk_equals_window_topk(spark, n, k, parts):
     )
     fast = grouped_topk(df.select("g", "score", "id"), ["g"], order, k)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_bm25_matches_python_reference_and_plans_topk(spark):
+    """BM25 (rational-idf) against a direct Python reference on a tiny
+    corpus, and the plan must be TakeOrderedAndProject (no global
+    sort) with zero Python stages."""
+    from data_engineer_project_spark.operators.retrieval import bm25_topk
+
+    corpus = [
+        (1, "join scan join window"),
+        (2, "scan scan scan"),
+        (3, "window join"),
+        (4, "other words entirely here"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id BIGINT, text STRING")
+    got = bm25_topk(docs, ["join", "window", "scan"], k=4)
+
+    k1, b = 1.2, 0.75
+    toks = {d: t.split(" ") for d, t in corpus}
+    n = float(len(corpus))
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {
+        term: float(sum(1 for t in toks.values() if term in t))
+        for term in ["join", "window", "scan"]
+    }
+
+    def score(d):
+        s = 0.0
+        dl = float(len(toks[d]))
+        norm = k1 * (1.0 - b + (b * dl) / avgdl)
+        for term in ["join", "window", "scan"]:
+            tf = float(toks[d].count(term))
+            idf = (n - dfs[term] + 0.5) / (dfs[term] + 0.5)
+            s = s + idf * ((tf * (k1 + 1.0)) / (tf + norm))
+        return s
+
+    want = sorted(((score(d), d) for d, _ in corpus), key=lambda x: (-x[0], x[1]))
+    rows = got.collect()
+    assert [(r["doc_id"]) for r in rows] == [d for _, d in want]
+    for r, (s, _) in zip(rows, want):
+        assert r["score"] == s  # bit-exact: same parenthesization
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
