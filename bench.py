@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     # regressions in the Window and Expand physical paths are visible.
     "p41_moving_sum",
     "p62_pivot",
+    # r3 addition: the sparse-retrieval path (array-native tf + 1-row
+    # broadcast stats + TakeOrderedAndProject top-k).
+    "d30_bm25_topk",
 ]
 
 
