@@ -150,3 +150,44 @@ def test_pagination_plans_take_ordered_not_global_sort(spark):
     only ever see page-size rows."""
     plan = plan_of(spark, "p36_offset_pagination_window")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """The session contract enables runtime bloom-filter pushdown: a
+    selective dim-side filter must inject a might_contain() pre-filter
+    on the fact side of a shuffle join, pruning fact rows before the
+    shuffle — at 100 TB the difference between shuffling the full fact
+    table and shuffling the matching slice. Thresholds are lowered so
+    the rewrite fires at test scale; the config default (10 GB
+    application side) only engages it where it pays."""
+    from pyspark.sql import functions as F
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )

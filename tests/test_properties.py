@@ -266,3 +266,14 @@ def test_bm25_matches_python_reference_and_plans_topk(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+    # partition-invariant bit-exact: all aggregates feeding the score
+    # are exact-integer sums, so any partitioning yields the same bits
+    repart = bm25_topk(
+        spark.createDataFrame(corpus, "doc_id BIGINT, text STRING").repartition(7),
+        ["join", "window", "scan"],
+        k=4,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in repart] == [
+        (r["doc_id"], r["score"]) for r in rows
+    ]
