@@ -66,6 +66,14 @@ def main() -> None:
 
     # Warmup: touch the fact table once so JVM + codegen init is excluded.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Also spin up the Python worker pool (one Arrow round trip), so the
+    # m* slots time the operator, not one-time worker-fork cost (~2.5 s
+    # across 32 workers; measured m02 alone: 3.6 s cold → 0.7 s warm).
+    import pandas as _pd  # noqa: F401
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     if any(n.startswith("hq") for n in names):
