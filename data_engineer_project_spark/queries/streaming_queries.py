@@ -244,3 +244,55 @@ def s08_stream_stream_left_outer(t):
     signups = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
     joined = signups_with_purchase_outcome(purchases, signups)
     return run_to_memory_table(joined, "ss_left_outer", "append")
+
+
+@query(
+    "s09_incremental_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(date_trunc('hour', ts) AS DATE) AS day
+    FROM events GROUP BY 1, 2, 4
+    """,
+    tags=("streaming", "sink", "rollup"),
+)
+def s09_incremental_rollup(t):
+    """Update-mode rollup landed through the partition-merging parquet
+    sink (run_incremental_rollup), read back from the store. Each batch
+    rewrites only the day-partitions it touched — the scale-correct
+    alternative to complete-mode full rewrites; multi-batch merge
+    semantics are pinned by tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from data_engineer_project_spark.streaming import run_incremental_rollup
+
+    agg = (
+        _stream(t)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.to_date("w.start").alias("day"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="s09_rollup_")
+    store = f"{tmp}/store"
+    try:
+        run_incremental_rollup(
+            agg,
+            store,
+            key_cols=["window_start", "event_type"],
+            partition_col="day",
+            checkpoint_location=f"{tmp}/ckpt",
+        )
+        out = t._spark.read.parquet(store).select(
+            "window_start", "event_type", "n", F.col("day").cast("date").alias("day")
+        )
+        # materialize off the temp files before they are deleted
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -16,6 +16,7 @@ from data_engineer_project_spark.streaming.events import (  # noqa: F401
     enrich_with_static,
     purchases_after_signup,
     read_event_stream,
+    run_incremental_rollup,
     run_to_memory_table,
     run_to_partitioned_parquet,
     sessionize,

@@ -285,6 +285,78 @@ def run_to_partitioned_parquet(
     q.awaitTermination()
 
 
+def run_incremental_rollup(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    checkpoint_location: str | None = None,
+    on_batch=None,
+) -> None:
+    """Update-mode stream → keyed parquet rollup, merging each
+    micro-batch into ONLY the partitions it touches.
+
+    The scale-correct alternative to ``run_to_partitioned_parquet``'s
+    complete-mode rewrite: complete mode re-emits (and rewrites) the
+    ENTIRE aggregate state every batch — fine for a memory sink, fatal
+    for a year-long rollup at 100 TB. In update mode each batch carries
+    only the aggregate rows that changed; this sink
+
+    1. collects the distinct ``partition_col`` values of the batch (a
+       driver-side list of touched partitions — bounded by the
+       watermark, not by history),
+    2. reads back only those partitions of the store, anti-joins on
+       ``key_cols`` to keep their surviving rows,
+    3. writes survivors + changed rows with dynamic partition
+       overwrite, leaving every untouched partition's files alone.
+
+    Batch replay after a crash overwrites the same partitions with the
+    same deterministic aggregates, so the store converges (per-partition
+    idempotent upsert — the table-format MERGE pattern expressed on
+    plain parquet). ``on_batch(batch_id, touched_partitions)`` is an
+    observability hook (tests assert old partitions stop being
+    rewritten).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch_df = batch_df.persist()
+        parts = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
+        if on_batch is not None:
+            on_batch(batch_id, sorted(parts))
+        if not parts:
+            batch_df.unpersist()
+            return
+        out = batch_df
+        if os.path.isdir(path) and any(
+            "=" in d for d in os.listdir(path)
+        ):  # store exists: merge with survivors of the touched partitions
+            existing = spark.read.parquet(path).filter(
+                F.col(partition_col).isin(parts)
+            )
+            survivors = existing.join(
+                batch_df.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            # materialize before writing over the files being read
+            # (Spark refuses to overwrite a path it is also reading)
+            out = survivors.unionByName(batch_df).localCheckpoint(eager=True)
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        batch_df.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.start()
+    q.awaitTermination()
+
+
 # ------------------------------------------------------------- runner
 
 _MEM_COUNTER = itertools.count()

@@ -279,3 +279,70 @@ def test_stream_dedup_drops_redelivered_file(spark, tmp_path):
     n_total = sum(r["n"] for r in got.collect())
     n_rows = spark.read.parquet(f"{SF}/events.parquet").count()
     assert n_total == n_rows  # one copy of each event, not two
+
+
+def test_incremental_rollup_merges_only_touched_partitions(spark, tmp_path):
+    """Update-mode rollup sink: final store equals the batch aggregate,
+    and once the stream moves past a day, that day's partition stops
+    being rewritten (the complete-mode sink rewrites everything every
+    batch — this is the scale-correct form)."""
+    from data_engineer_project_spark.sources.registry import normalize_event_ts
+    from data_engineer_project_spark.streaming import (
+        read_event_stream,
+        run_incremental_rollup,
+    )
+
+    d = _write_parts(tmp_path, 6)
+
+    def rollup(e):
+        return (
+            e.withWatermark("ts", "30 minutes")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                F.to_date("w.start").alias("day"),
+            )
+        )
+
+    stream = read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    store = str(tmp_path / "rollup_store")
+    touched: list[tuple[int, list]] = []
+    run_incremental_rollup(
+        rollup(stream),
+        store,
+        key_cols=["window_start", "event_type"],
+        partition_col="day",
+        checkpoint_location=str(tmp_path / "ckpt"),
+        on_batch=lambda bid, parts: touched.append((bid, parts)),
+    )
+
+    want = sorted(
+        map(
+            tuple,
+            rollup(
+                normalize_event_ts(spark.read.parquet(f"{d}/*.parquet"))
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(store)
+            .select("window_start", "event_type", "n", "day")
+            .collect(),
+        )
+    )
+    # partition col round-trips as date; compare on the same columns
+    assert got == want
+
+    # multiple batches ran, and the first day's partition is NOT
+    # rewritten by the final batch (time-ordered input => early
+    # partitions age out of the touched set)
+    assert len(touched) >= 3
+    first_day = min(p for _, parts in touched for p in parts)
+    assert first_day not in dict(touched)[max(b for b, _ in touched)]
