@@ -78,6 +78,68 @@ def write_sorted_parquet(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) interleave key over 2+ columns, built-ins only.
+
+    Each column is rank-normalized to ``bits`` levels with ``ntile``
+    (so skew can't collapse the curve), then the bit planes are
+    interleaved into one long. Sorting/range-partitioning by this key
+    clusters EVERY participating column simultaneously, so row-group
+    min/max stats stay selective for predicates on any of them — the
+    multi-column data-skipping layout single-column sorting can't give.
+    One window pass per column at write time; read-side cost: zero.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns; use a plain sort for 1")
+    if bits * n > 62:
+        raise ValueError(f"bits={bits} too large for {n} columns (max {62 // n})")
+    ranked = [
+        (F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - F.lit(1)).alias(
+            f"__r_{i}"
+        )
+        for i, c in enumerate(cols)
+    ]
+    out = df.select("*", *ranked)
+    key = F.lit(0).cast("long")
+    for plane in range(bits - 1, -1, -1):
+        for i in range(n):
+            bit = F.shiftright(F.col(f"__r_{i}").cast("long"), plane).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+            key = F.shiftleft(key, 1).bitwiseOR(bit)
+    return out.withColumn("__zkey", key).drop(*[f"__r_{i}" for i in range(n)])
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column clustered sink: range-partition + sort by the
+    Morton key, drop it, write parquet. See ``zorder_key`` for why.
+
+    The ntile windows are single-reducer at write time — acceptable for
+    a maintenance/compaction pass (this is OPTIMIZE ZORDER's cost
+    profile too); at 100 TB you'd compute the per-column split points
+    with approxQuantile instead and map ranks distributively."""
+    from pyspark.sql import functions as F
+
+    keyed = zorder_key(df, cols, bits)
+    out = (
+        keyed.repartitionByRange(F.col("__zkey"))
+        if n_files is None
+        else keyed.repartitionByRange(n_files, F.col("__zkey"))
+    )
+    out.sortWithinPartitions("__zkey").drop("__zkey").write.mode(mode).parquet(path)
+
+
 def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned dataset; filters on partition columns prune
     directories before any file is opened (verify via PartitionFilters

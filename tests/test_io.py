@@ -236,3 +236,45 @@ def test_write_sorted_parquet_clusters_row_group_stats(spark, tmp_path):
     assert "PushedFilters: [" in plan and "k" in plan
     want = df.filter("k = 7").count()
     assert got.count() == want
+
+
+def test_zorder_write_narrows_row_group_ranges_on_both_columns(spark, tmp_path):
+    """Z-ordered layout: every file's min/max range must be narrow on
+    BOTH dimensions (single-column sort can only narrow one), so a
+    selective predicate on either column can skip most files."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from data_engineer_project_spark.sources.io import write_zordered_parquet
+
+    df = spark.range(64_000).selectExpr(
+        "pmod(hash(id), 1000) AS x", "pmod(hash(id * 7 + 3), 1000) AS y"
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered_parquet(df, path, ["x", "y"], n_files=16)
+
+    spans = {"x": [], "y": []}
+    files = [f for f in sorted(_os.listdir(path)) if f.endswith(".parquet")]
+    assert len(files) == 16
+    for f in files:
+        md = _pq.ParquetFile(_os.path.join(path, f)).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema in spans:
+                    st = col.statistics
+                    spans[col.path_in_schema].append(st.max - st.min)
+    domain = 1000.0
+    for c in ("x", "y"):
+        avg_span = sum(spans[c]) / len(spans[c])
+        # 16 z-cells ≈ 4×4 grid → ~25% per dimension; allow slack for
+        # boundary-straddling segments but far below the ~100% a
+        # random or single-column-sorted-on-the-OTHER-column layout has
+        assert avg_span < 0.55 * domain, (c, avg_span)
+
+    # schema round-trips without the helper key and rows survive
+    back = spark.read.parquet(path)
+    assert back.columns == ["x", "y"]
+    assert back.count() == 64_000
