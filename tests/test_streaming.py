@@ -346,3 +346,45 @@ def test_incremental_rollup_merges_only_touched_partitions(spark, tmp_path):
     assert len(touched) >= 3
     first_day = min(p for _, parts in touched for p in parts)
     assert first_day not in dict(touched)[max(b for b, _ in touched)]
+
+
+def test_incremental_rollup_replay_converges(spark, tmp_path):
+    """The docstring claims replay is safe: re-processing the same
+    input into an existing store (fresh checkpoint, so every batch is
+    reprocessed) must leave the store exactly as a single run would —
+    the per-partition overwrite upsert is idempotent for deterministic
+    aggregates."""
+    from data_engineer_project_spark.streaming import (
+        read_event_stream,
+        run_incremental_rollup,
+    )
+
+    d = _write_parts(tmp_path, 3)
+
+    def agg():
+        stream = read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                F.to_date("w.start").alias("day"),
+            )
+        )
+
+    store = str(tmp_path / "store")
+    run_incremental_rollup(
+        agg(), store, ["window_start", "event_type"], "day",
+        checkpoint_location=str(tmp_path / "ckpt1"),
+    )
+    once = sorted(map(tuple, spark.read.parquet(store).collect()))
+    # full replay into the SAME store with a fresh checkpoint
+    run_incremental_rollup(
+        agg(), store, ["window_start", "event_type"], "day",
+        checkpoint_location=str(tmp_path / "ckpt2"),
+    )
+    twice = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert twice == once
