@@ -1670,3 +1670,82 @@ def d30_bm25_topk(t):
     sparse-retrieval shape for curation/decontamination at corpus
     scale."""
     return RET.bm25_topk(t.documents, _BM25_TERMS, k=10)
+
+
+def _semantic_decon_oracle(threshold: float = 0.4, num_planes: int = 4, dim: int = 64) -> str:
+    bucket = _ORACLE_BUCKET.replace("doc_id", "e.vec_id")
+    plane_lits = [
+        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(r, dim)) + "]"
+        for r in range(num_planes)
+    ]
+    dot_terms = ", ".join(
+        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[r]})[i]) AS d{r}" for r in range(num_planes)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(num_planes)
+    )
+    return f"""
+    WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    dots AS (SELECT vec_id, {dot_terms} FROM ex GROUP BY vec_id),
+    buck AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS lsh FROM dots),
+    v AS (SELECT e.vec_id, e.embedding, b.lsh, {bucket} AS split_b
+          FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
+    pairs AS (SELECT te.vec_id AS test_vec, tr.vec_id AS train_vec,
+                     te.embedding AS qv, tr.embedding AS cv
+              FROM v te JOIN v tr ON te.lsh = tr.lsh
+              WHERE te.split_b >= 90 AND tr.split_b < 80),
+    pex AS (SELECT test_vec, train_vec, unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
+    pd AS (SELECT test_vec, train_vec,
+                  SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                  SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                  SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+           FROM pex GROUP BY test_vec, train_vec)
+    SELECT test_vec, CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+           MAX(dotp / (sqrt(qq) * sqrt(cc))) AS max_score
+    FROM pd WHERE dotp / (sqrt(qq) * sqrt(cc)) >= {threshold}
+    GROUP BY test_vec
+    """
+
+
+@query(
+    "d31_semantic_decontamination",
+    _semantic_decon_oracle(),
+    tags=("llm", "dedup", "split", "similarity"),
+)
+def d31_semantic_decontamination(t):
+    """Semantic (embedding-space) decontamination: test-split vectors
+    whose cosine to ANY train-split vector clears the threshold — the
+    SemDeDup-style complement of d25's exact shingle-overlap check
+    (paraphrased leakage has no shared n-grams but nearby embeddings).
+    Splits come from the same content-addressed md5 bucket as d18, so
+    membership is engine-portable; candidates are sign-LSH-blocked
+    (corpus-linear, never test×train all-pairs), verified by exact
+    cosine."""
+    from data_engineer_project_spark.operators.similarity import cosine, lsh_bucket
+
+    b = F.expr(_SPARK_BUCKET.replace("doc_id", "vec_id"))
+    v = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), num_planes=4, dim=64).alias("lsh"),
+        b.alias("split_b"),
+    )
+    test = v.filter(F.col("split_b") >= 90).select(
+        F.col("vec_id").alias("test_vec"), F.col("embedding").alias("qv"), "lsh"
+    )
+    train = v.filter(F.col("split_b") < 80).select(
+        F.col("vec_id").alias("train_vec"), F.col("embedding").alias("cv"), "lsh"
+    )
+    score = cosine(F.col("qv"), F.col("cv"))
+    return (
+        test.join(train, "lsh")
+        .select("test_vec", "train_vec", score.alias("score"))
+        .filter(F.col("score") >= 0.4)
+        .groupBy("test_vec")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_matches"),
+            F.max("score").alias("max_score"),
+        )
+    )
