@@ -1749,3 +1749,67 @@ def d31_semantic_decontamination(t):
             F.max("score").alias("max_score"),
         )
     )
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "d32_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, lang, est_tokens,
+             COALESCE(SUM(est_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prev_cum
+      FROM toks
+    ),
+    packed AS (
+      SELECT lang, CAST(prev_cum // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+             doc_id, est_tokens
+      FROM run
+    )
+    SELECT lang, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY lang, seq_id
+    """,
+    tags=("llm", "packing"),
+)
+def d32_sequence_packing(t):
+    """Greedy sequence packing for training batches: within each
+    language, docs in doc_id order fill a {budget}-token sequence; a
+    doc whose exclusive prefix-sum crosses the budget starts/overflows
+    into the next sequence (token-budget chunking — the streaming
+    concat-then-chunk semantics, deterministic under any partitioning
+    because the running sum is exact integers over a total order).
+    Scale shape: ONE window partitioned by lang (distributes across
+    executors; within a language the prefix-sum is the inherently
+    sequential part — shard further by date/bucket when a single
+    language exceeds an executor), then a map-side-partial groupBy.
+    Output: per-sequence fill report (docs, tokens, id range)."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = t.documents.select(
+        "doc_id", "lang", T.bpe_token_estimate("text").alias("est_tokens")
+    )
+    packed = toks.withColumn(
+        "prev_cum", F.coalesce(F.sum("est_tokens").over(w), F.lit(0).cast("long"))
+    ).withColumn("seq_id", F.expr(f"prev_cum div {_PACK_BUDGET}"))
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("est_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
