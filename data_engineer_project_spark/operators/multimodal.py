@@ -95,20 +95,22 @@ def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            px = [
-                _real_decode(m, f) if use_real_codec else fake_decode(m)
-                for m, f in zip(pdf["media"], pdf["media_format"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "lang": pdf["lang"].values,
-                    "n_px": [len(a) for a in px],
-                    "mean_px": [float(a.astype(np.int64).mean()) for a in px],
-                    "min_px": [int(a.min()) for a in px],
-                    "max_px": [int(a.max()) for a in px],
-                }
-            )
+            out: dict[str, list] = {k: [] for k in ("doc_id", "lang", "n_px", "mean_px", "min_px", "max_px")}
+            for did, lang, m, f in zip(
+                pdf["doc_id"], pdf["lang"], pdf["media"], pdf["media_format"]
+            ):
+                if m is None or len(m) == 0:
+                    # NULL/empty payload decodes to no pixels: emit no
+                    # row, matching the oracle's per-byte unnest.
+                    continue
+                a = _real_decode(m, f) if use_real_codec else fake_decode(m)
+                out["doc_id"].append(did)
+                out["lang"].append(lang)
+                out["n_px"].append(len(a))
+                out["mean_px"].append(float(a.astype(np.int64).mean()))
+                out["min_px"].append(int(a.min()))
+                out["max_px"].append(int(a.max()))
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(stage, _DECODE_SCHEMA)
 
@@ -128,8 +130,10 @@ def byte_histogram(media: DataFrame) -> DataFrame:
         for pdf in batches:
             acc: dict[str, np.ndarray] = {}
             for lang, m in zip(pdf["lang"], pdf["media"]):
-                a = np.frombuffer(m, dtype=np.uint8) >> 6  # 0..3
                 acc.setdefault(lang, np.zeros(4, dtype=np.int64))
+                if m is None or len(m) == 0:
+                    continue  # lang still appears, contributing zeros
+                a = np.frombuffer(m, dtype=np.uint8) >> 6  # 0..3
                 acc[lang] += np.bincount(a, minlength=4)
             yield pd.DataFrame(
                 [{"lang": k, **{f"b{i}": int(v[i]) for i in range(4)}} for k, v in acc.items()]

@@ -1,17 +1,30 @@
 """Multimodal catalog queries (m01–m05): binary-payload plumbing from
 ``operators/multimodal.py`` with full DuckDB oracles.
 
-The payloads are deterministic (UTF-8 bytes of ASCII document text — a
-tested invariant), so every byte-level result is SQL-expressible: the
-oracle splits text into characters and uses ``ascii()`` where the
-Spark side runs numpy over real binary columns. This verifies the
-whole mapInPandas path — schemas, Arrow batches, explode shapes — not
-just metadata arithmetic.
+The payloads are deterministic (UTF-8 bytes of the document text), so
+every byte-level result is SQL-expressible: the oracle decomposes each
+codepoint into its UTF-8 bytes arithmetically (``_UTF8_BYTES``) where
+the Spark side runs numpy over real binary columns. Both engines
+therefore histogram the SAME domain — bytes — so parity survives
+non-ASCII, empty, and NULL text in regenerated testdata. This verifies
+the whole mapInPandas path — schemas, Arrow batches, explode shapes —
+not just metadata arithmetic.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+
+# DuckDB expression: the UTF-8 bytes of `text` as a BIGINT list.
+# string_split('','') yields [''] (filtered); NULL text yields NULL
+# (flatten/list_transform propagate NULL; callers coalesce or unnest,
+# and unnest(NULL) emits no rows). Subqueries are not allowed inside
+# DuckDB lambdas, hence the repeated unicode(ch) calls.
+_UTF8_BYTES = """flatten(list_transform(list_filter(string_split(text, ''), ch -> ch != ''), ch ->
+      CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
+           WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
+           WHEN unicode(ch) < 65536 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+           ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64] END))"""
 
 from data_engineer_project_spark.operators.multimodal import (
     attach_media,
@@ -47,22 +60,25 @@ def m01_media_metadata(t):
 
 @query(
     "m02_byte_histogram_by_lang",
-    """
-    WITH chars AS (
-      SELECT lang, ascii(unnest(string_split(text, ''))) AS v FROM documents
+    f"""
+    WITH per_doc AS (
+      SELECT lang, {_UTF8_BYTES} AS b FROM documents
     )
     SELECT lang,
-           SUM(CASE WHEN v >> 6 = 0 THEN 1 ELSE 0 END) AS b0,
-           SUM(CASE WHEN v >> 6 = 1 THEN 1 ELSE 0 END) AS b1,
-           SUM(CASE WHEN v >> 6 = 2 THEN 1 ELSE 0 END) AS b2,
-           SUM(CASE WHEN v >> 6 = 3 THEN 1 ELSE 0 END) AS b3
-    FROM chars GROUP BY lang
+           CAST(SUM(COALESCE(list_sum(list_transform(b, v -> CASE WHEN v >> 6 = 0 THEN 1 ELSE 0 END)), 0)) AS BIGINT) AS b0,
+           CAST(SUM(COALESCE(list_sum(list_transform(b, v -> CASE WHEN v >> 6 = 1 THEN 1 ELSE 0 END)), 0)) AS BIGINT) AS b1,
+           CAST(SUM(COALESCE(list_sum(list_transform(b, v -> CASE WHEN v >> 6 = 2 THEN 1 ELSE 0 END)), 0)) AS BIGINT) AS b2,
+           CAST(SUM(COALESCE(list_sum(list_transform(b, v -> CASE WHEN v >> 6 = 3 THEN 1 ELSE 0 END)), 0)) AS BIGINT) AS b3
+    FROM per_doc GROUP BY lang
     """,
     tags=("multimodal", "features"),
 )
 def m02_byte_histogram_by_lang(t):
     """Corpus byte-value histogram: numpy per Arrow batch (map-side
-    partial agg), JVM-side final sum per lang."""
+    partial agg), JVM-side final sum per lang. Both engines bucket
+    UTF-8 BYTES (top-2 bits), not codepoints — the per-doc list form
+    (no unnest) keeps a lang visible even if all its docs are empty,
+    matching the Spark side's zero-contribution rows."""
     return byte_histogram(_media(t))
 
 
@@ -100,21 +116,26 @@ def m03_frame_sample_stats(t):
 
 @query(
     "m04_decoded_pixel_stats",
-    """
-    WITH chars AS (
-      SELECT doc_id, lang, ascii(unnest(string_split(text, ''))) AS v FROM documents
+    f"""
+    WITH bl AS (
+      SELECT doc_id, lang, {_UTF8_BYTES} AS b FROM documents
+    ),
+    px AS (
+      SELECT doc_id, lang, unnest(b) AS v FROM bl
     )
     SELECT doc_id, lang, COUNT(*) AS n_px,
            CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_px,
            CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
-    FROM chars GROUP BY doc_id, lang
+    FROM px GROUP BY doc_id, lang
     """,
     tags=("multimodal", "decode"),
 )
 def m04_decoded_pixel_stats(t):
     """Stub decode (payload bytes = pixels) → per-doc pixel stats via
-    mapInPandas. The real-codec path is gated behind an import-try and
-    raises NotImplementedError (no codec libs in this environment)."""
+    mapInPandas; pixels are UTF-8 BYTES on both engines, and empty/NULL
+    payloads emit no row (oracle's unnest of an empty/NULL byte list).
+    The real-codec path is gated behind an import-try and raises
+    NotImplementedError (no codec libs in this environment)."""
     return decode_media(_media(t))
 
 
@@ -136,16 +157,17 @@ def m05_resize_metadata(t):
 
 @query(
     "m06_audio_window_rms",
-    """
-    WITH chars AS (
-      SELECT doc_id, ascii(unnest(string_split(text, ''))) AS v,
-             generate_subscripts(string_split(text, ''), 1) AS i
-      FROM documents
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS i FROM bl
     ),
     w AS (
       SELECT doc_id, (i - 1) // 64 AS wid,
              SUM(v * v) AS ss, COUNT(*) AS n
-      FROM chars GROUP BY 1, 2
+      FROM bytes GROUP BY 1, 2
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
            MAX(sqrt(CAST(ss AS DOUBLE) / n)) AS peak_rms

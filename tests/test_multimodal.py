@@ -80,3 +80,60 @@ def test_audio_energy_skips_empty_and_null_payloads(spark):
     rows = {r["doc_id"]: r for r in audio_window_energy(media, window=2).collect()}
     assert set(rows) == {1}
     assert rows[1]["n_windows"] == 2
+
+
+def test_byte_oracles_survive_non_ascii_and_empty_text(spark, tmp_path):
+    """Drift-proofing for m02/m04/m06: the driver regenerates testdata
+    between rounds with no ASCII-only promise. Both engines must
+    histogram UTF-8 BYTES, so parity must hold on multibyte (2/3/4-byte
+    codepoints), empty, and NULL text — the exact inputs that broke the
+    old codepoint-based oracles."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.check_correctness import TABLES, result_fingerprint
+    from data_engineer_project_spark.queries import QUERIES
+
+    texts = [
+        "plain ascii only",
+        "café crème — naïve façade",          # 2-byte + em dash (3-byte)
+        "€uro and 日本語テキスト",               # 3-byte heavy
+        "emoji 🎼𝄞 mix 🚀",                    # 4-byte astral
+        "",                                    # zero bytes
+        None,                                  # NULL text
+        "mixed: aé€𝄞!",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en", "fr", "ja", "en", "zz", "zz", "fr"]),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf_mb"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    for t in TABLES:  # satisfy load_tables for the non-documents tables
+        if t != "documents":
+            (sf / f"{t}.parquet").symlink_to(f"/root/testdata/sf0.001/{t}.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    try:
+        for name in ("m02_byte_histogram_by_lang", "m04_decoded_pixel_stats", "m06_audio_window_rms"):
+            spec = QUERIES[name]
+            df = spec.fn(spark, str(sf))
+            sfp = result_fingerprint(df.columns, [tuple(r) for r in df.collect()])
+            cur = con.execute(spec.oracle)
+            dfp = result_fingerprint([d[0] for d in cur.description], cur.fetchall())
+            assert sfp["cols"] == dfp["cols"], f"{name}: column mismatch"
+            assert sfp["rows"] == dfp["rows"], f"{name}: row count mismatch"
+            assert sfp["hash"] == dfp["hash"], (
+                f"{name}: hash mismatch on multibyte fixture\n"
+                f"spark: {sfp['sample']}\nduck: {dfp['sample']}"
+            )
+    finally:
+        con.close()
