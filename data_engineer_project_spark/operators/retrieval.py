@@ -54,7 +54,11 @@ def bm25_topk(
         "dl", F.size("toks")
     )
     tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
-    base = base.select("doc_id", "dl", *tf_cols).persist()
+    # Deliberately NOT persisted: base is read twice (stats agg + final
+    # scoring scan), but both are cheap whole-stage-codegen scans, and
+    # caching a tokenized 100 TB corpus would exceed any cluster's
+    # storage memory. Two scans are the scale-correct trade.
+    base = base.select("doc_id", "dl", *tf_cols)
 
     stats = base.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
@@ -87,7 +91,9 @@ def bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = K1, b: float = B)
     """DuckDB twin of ``bm25_topk`` — generated from the same constants
     and the same expression shape so doubles bit-match."""
     tf_defs = ",\n       ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        "len(list_filter(toks, x -> x = '{t}')) AS tf_{i}".format(
+            t=t.replace("'", "''"), i=i  # escape quotes for the SQL literal
+        )
         for i, t in enumerate(terms)
     )
     df_defs = ",\n       ".join(

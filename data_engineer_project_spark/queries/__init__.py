@@ -54,8 +54,10 @@ def _green_counts(repo_root=None) -> dict[str, int]:
                 and res.get("schema_match", True) is not False
                 and res.get("hash_match", True) is not False
             ) or (
+                # "the driver ran it and recorded a row count" — 0 rows
+                # still counts as checked (rows-only is a weaker
+                # contract by design; what matters is that it executed).
                 res.get("err") == "no_oracle"
-                and (res.get("spark_rows") or 0) >= 0
                 and res.get("spark_rows") is not None
             )
             if ok:

@@ -76,15 +76,24 @@ def read_event_stream(
     streaming reads in one session always see the same ``ts`` type.
     The ``ts`` field type is probed with a one-footer batch read of the
     same path+glob (schema-only, no data scan), so the stream reads
-    nanos-era int64 files and micros-era timestamp files alike.
+    nanos-era int64 files and micros-era timestamp files alike. On an
+    empty or not-yet-populated directory the probe fails (no footer to
+    infer from); fall back to the micros-era timestamp schema so a
+    stream can start before its first file arrives.
     """
+    from pyspark.errors import PySparkException
+    from pyspark.sql.types import TimestampType
+
     from data_engineer_project_spark.session import normalize_session
     from data_engineer_project_spark.sources.registry import normalize_event_ts
 
     normalize_session(spark)
-    probed_ts = (
-        spark.read.option("pathGlobFilter", glob).parquet(path).schema["ts"].dataType
-    )
+    try:
+        probed_ts = (
+            spark.read.option("pathGlobFilter", glob).parquet(path).schema["ts"].dataType
+        )
+    except PySparkException:  # empty dir / no matching files yet
+        probed_ts = TimestampType()
     reader = spark.readStream.schema(_event_raw_schema(probed_ts)).option(
         "pathGlobFilter", glob
     )
@@ -285,6 +294,25 @@ def run_to_partitioned_parquet(
     q.awaitTermination()
 
 
+def _store_has_partitions(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and contains hive-style partition dirs.
+
+    Goes through the Hadoop FileSystem API (not ``os.path``), so the
+    check works against any Spark-supported filesystem — object stores
+    and HDFS included, which is where a 100 TB rollup store actually
+    lives. A local-FS-only ``os.listdir`` would silently skip the merge
+    branch there and dynamic overwrite would drop surviving rows.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    return any(
+        "=" in st.getPath().getName() for st in fs.listStatus(jpath)
+    )
+
+
 def run_incremental_rollup(
     stream_df: DataFrame,
     path: str,
@@ -319,8 +347,6 @@ def run_incremental_rollup(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch_df = batch_df.persist()
@@ -331,8 +357,8 @@ def run_incremental_rollup(
             batch_df.unpersist()
             return
         out = batch_df
-        if os.path.isdir(path) and any(
-            "=" in d for d in os.listdir(path)
+        if _store_has_partitions(
+            spark, path
         ):  # store exists: merge with survivors of the touched partitions
             existing = spark.read.parquet(path).filter(
                 F.col(partition_col).isin(parts)

@@ -277,3 +277,24 @@ def test_bm25_matches_python_reference_and_plans_topk(spark):
     assert [(r["doc_id"], r["score"]) for r in repart] == [
         (r["doc_id"], r["score"]) for r in rows
     ]
+
+
+def test_bm25_oracle_sql_escapes_quoted_terms():
+    """A term containing a single quote must yield valid DuckDB SQL
+    (escaped as '' in the literal), not a syntax error."""
+    import duckdb
+
+    from data_engineer_project_spark.operators.retrieval import bm25_oracle_sql
+
+    sql = bm25_oracle_sql(["it's", "o'clock"], k=3)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            "(1, 'when it''s late o''clock strikes'), (2, 'nothing here')"
+            ") t(doc_id, text)"
+        )
+        rows = con.execute(sql).fetchall()
+    finally:
+        con.close()
+    assert rows and rows[0][0] == 1  # the quoted-term doc scores highest

@@ -388,3 +388,32 @@ def test_incremental_rollup_replay_converges(spark, tmp_path):
     )
     twice = sorted(map(tuple, spark.read.parquet(store).collect()))
     assert twice == once
+
+
+def test_read_event_stream_starts_on_empty_directory(spark, tmp_path):
+    """A stream must be startable before its first file arrives: the
+    ts-type probe has no footer to read, so the reader falls back to
+    the micros-era timestamp schema instead of raising."""
+    from pyspark.sql.types import TimestampType
+
+    from data_engineer_project_spark.streaming.events import read_event_stream
+
+    empty = tmp_path / "no_files_yet"
+    empty.mkdir()
+    stream = read_event_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+
+
+def test_store_has_partitions_uses_hadoop_fs(spark, tmp_path):
+    from data_engineer_project_spark.streaming.events import _store_has_partitions
+
+    missing = tmp_path / "nope"
+    assert _store_has_partitions(spark, str(missing)) is False
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "part-0000.parquet").write_bytes(b"")
+    assert _store_has_partitions(spark, str(flat)) is False
+    store = tmp_path / "store"
+    (store / "day=2024-01-01").mkdir(parents=True)
+    assert _store_has_partitions(spark, str(store)) is True
