@@ -9,6 +9,17 @@ Two paths:
   hyperplanes → R sign bits → bucket key; candidates equi-join on the
   bucket (hash shuffle), so cost is corpus-linear + per-bucket work.
 
+Scale model (the part a fixed plane count gets wrong): with B = 2^R
+buckets CONSTANT, the within-bucket join costs ~N²/B — quadratic in
+corpus size. The ANN operators therefore derive R from the corpus
+count so buckets stay ~TARGET_BUCKET_ROWS-sized: R = clamp(ceil(log2(
+ceil(N / TARGET_BUCKET_ROWS))), MIN_PLANES, MAX_PLANES), computed with
+pure integer comparisons (``N > TARGET << p``) so Spark and the DuckDB
+oracle twin agree exactly at any N. More planes cost recall, so
+candidates come from NUM_BANDS independent plane families OR-ed
+together (the same banded OR-of-AND construction the MinHash dedup
+path uses): a pair is a candidate if it collides in ANY band.
+
 Dot products use F.aggregate's strict left-fold in DOUBLE: the result
 is bit-identical regardless of partitioning (per-row scalar math), and
 matches DuckDB's unnest-in-order SUM — which is why the oracle queries
@@ -78,8 +89,9 @@ def brute_force_topk(
 
 
 def lsh_bucket(vec: Column, num_planes: int = 4, dim: int = 64) -> Column:
-    """Sign-LSH bucket id: bit r = sign(vec · hyperplane_r), planes are
-    deterministic ±1 literals shared with the oracle SQL."""
+    """Fixed-plane sign-LSH bucket id: bit r = sign(vec · plane_r),
+    planes are deterministic ±1 literals shared with the oracle SQL.
+    Building block only — operators use the adaptive banded form."""
     bucket = F.lit(0)
     for r in range(num_planes):
         plane = F.array(*[F.lit(float(v)) for v in hyperplane(r, dim)])
@@ -87,36 +99,109 @@ def lsh_bucket(vec: Column, num_planes: int = 4, dim: int = 64) -> Column:
     return bucket
 
 
-def cosine_near_dup_pairs(
-    corpus: DataFrame,
-    threshold: float = 0.99,
-    num_planes: int = 4,
+# Adaptive sign-LSH parameters, shared verbatim with the oracle SQL
+# generators (llm_pipeline._lsh_sig_sql).
+TARGET_BUCKET_ROWS = 64  # aim: ~this many corpus rows per bucket
+MIN_PLANES = 4           # floor keeps small/test corpora at today's 16 buckets
+MAX_PLANES = 24          # 16M buckets; bucket ≈ max(64, N/2^24) rows at cap
+NUM_BANDS = 2            # independent plane families OR-ed for recall
+
+
+def adaptive_planes(n: int) -> int:
+    """Plane count for an ``n``-row corpus: clamp(ceil(log2(ceil(n /
+    TARGET_BUCKET_ROWS))), MIN, MAX). Uses only integer comparisons
+    (``ceil(n/T) > 2^p  ⟺  n > T·2^p``) — the Python twin of the
+    in-plan/in-SQL formula, for tests and sizing docs."""
+    return MIN_PLANES + sum(
+        1 for p in range(MIN_PLANES, MAX_PLANES) if n > (TARGET_BUCKET_ROWS << p)
+    )
+
+
+def adaptive_planes_col(n_col: Column) -> Column:
+    """Column form of :func:`adaptive_planes` over a corpus-count
+    column — evaluated inside the plan (no driver-side action)."""
+    planes = F.lit(MIN_PLANES)
+    for p in range(MIN_PLANES, MAX_PLANES):
+        planes = planes + F.when(
+            n_col > F.lit(TARGET_BUCKET_ROWS << p), F.lit(1)
+        ).otherwise(F.lit(0))
+    return planes
+
+
+def banded_lsh_sigs(
+    df: DataFrame,
+    count_ref: DataFrame,
+    num_bands: int = NUM_BANDS,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+    """Banded adaptive sign-LSH signatures: one (vid, vec, band,
+    bucket) row per input row per band.
 
-    Near-identical vectors land in the same sign-LSH bucket with high
-    probability, so candidates are generated by a bucket equi-join
-    (corpus-linear shuffle), then verified with exact cosine ≥
-    ``threshold``. Returns (vec_a, vec_b, score), a < b.
-    """
-    sigs = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    ``count_ref`` supplies the corpus whose row count sizes the plane
+    count — pass the CORPUS even when ``df`` is a query subset, so both
+    sides bucket identically. The count is a 1-row aggregate broadcast
+    into the signature stage (no driver action, no corpus shuffle);
+    band b draws its planes from hyperplane(b·MAX_PLANES + r), so bands
+    are independent and band 0 reproduces the historical fixed-plane
+    buckets whenever the adaptive count lands on MIN_PLANES. Sign bits
+    above the adaptive plane count are skipped at runtime (the masked
+    WHEN short-circuits before the dot product)."""
+    n = count_ref.agg(F.count(F.lit(1)).cast("long").alias("n_vec"))
+    planes = adaptive_planes_col(F.col("n_vec"))
+    buckets = []
+    for bnd in range(num_bands):
+        bucket = F.lit(0)
+        for r in range(MAX_PLANES):
+            plane = F.array(
+                *[F.lit(float(v)) for v in hyperplane(bnd * MAX_PLANES + r, dim)]
+            )
+            bucket = bucket + F.when(
+                (F.lit(r) < planes) & (dot(F.col("vec"), plane) > 0), F.lit(1 << r)
+            ).otherwise(F.lit(0))
+        buckets.append(bucket.cast("int"))
+    return (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vid",
+            "vec",
+            F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+        )
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    num_bands: int = NUM_BANDS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, banded-LSH-blocked.
+
+    Near-identical vectors share every sign bit with high probability,
+    so candidates are pairs colliding in ANY band's adaptive bucket
+    (equi-join on (band, bucket) — corpus-linear shuffle, bucket count
+    grows with N), deduped across bands, then verified with exact
+    cosine ≥ ``threshold``. Returns (vec_a, vec_b, score), a < b.
+    The cross-band dedup aggregates MAX(score) over identical values,
+    so only scalars shuffle (never the vectors)."""
+    sigs = banded_lsh_sigs(corpus, corpus, num_bands, dim, id_col, vec_col)
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
             cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
         )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("score").alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
@@ -194,36 +279,41 @@ def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 3,
-    num_planes: int = 4,
+    num_bands: int = NUM_BANDS,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN via sign-LSH: candidates share the query's bucket; exact
-    cosine + top-k within bucket. Returns (query_id, neighbor_id,
-    bucket, score)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    """ANN via banded adaptive sign-LSH: candidates share the query's
+    bucket in ANY band; exact cosine + cross-band dedup + top-k.
+    Returns (query_id, neighbor_id, score). Plane count scales with
+    the corpus (see module docstring), so per-query candidate work
+    stays ~TARGET_BUCKET_ROWS·NUM_BANDS at any corpus size."""
+    q = banded_lsh_sigs(queries, corpus, num_bands, dim, id_col, vec_col).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        "band",
+        "bucket",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    c = banded_lsh_sigs(corpus, corpus, num_bands, dim, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        "band",
+        "bucket",
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            "bucket",
             cosine(F.col("qvec"), F.col("cvec")).alias("score"),
         )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
     return grouped_topk(
-        scored.select("query_id", "neighbor_id", "bucket", "score"),
+        scored.select("query_id", "neighbor_id", "score"),
         ["query_id"],
         [F.desc("score"), F.asc("neighbor_id")],
         k,

@@ -345,41 +345,74 @@ def d09_cosine_topk_bruteforce(t):
     return SIM.brute_force_topk(queries, emb, k=5)
 
 
-def _lsh_topk_oracle(k: int = 3, num_planes: int = 4, dim: int = 64, query_limit: int = 10) -> str:
+def _banded_lsh_sig_sql(dim: int = 64) -> str:
+    """WITH-clause fragments (stats → pl → ex → dots → buck) computing
+    the banded adaptive sign-LSH signatures over ``embeddings`` —
+    the DuckDB twin of ``operators/similarity.banded_lsh_sigs``.
+
+    ``planes`` comes from the corpus count with the same pure-integer
+    comparisons the Spark plan uses (``ceil(n/T) > 2^p ⟺ n > T·2^p``),
+    so both engines derive the identical plane count at ANY scale
+    factor; band b's plane r is hyperplane(b·MAX_PLANES + r) on both
+    sides. ``buck`` has one (vec_id, band, bucket) row per band."""
+    nb, maxp, minp, target = (
+        SIM.NUM_BANDS,
+        SIM.MAX_PLANES,
+        SIM.MIN_PLANES,
+        SIM.TARGET_BUCKET_ROWS,
+    )
     plane_lits = [
-        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(r, dim)) + "]"
-        for r in range(num_planes)
+        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(j, dim)) + "]"
+        for j in range(nb * maxp)
     ]
-    dot_terms = ", ".join(
-        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[r]})[i]) AS d{r}" for r in range(num_planes)
+    dot_terms = ",\n                   ".join(
+        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[j]})[i]) AS d{j}"
+        for j in range(nb * maxp)
     )
-    bucket_expr = " + ".join(
-        f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(num_planes)
+    planes_expr = f"{minp} + " + " + ".join(
+        f"(CASE WHEN n_vec > {target << p} THEN 1 ELSE 0 END)"
+        for p in range(minp, maxp)
     )
-    return f"""
-    WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) AS i
-                FROM embeddings),
+    band_selects = []
+    for b in range(nb):
+        bucket_expr = " + ".join(
+            f"(CASE WHEN {r} < planes AND d{b * maxp + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(maxp)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, CAST({bucket_expr} AS INT) AS bucket FROM dots, pl"
+        )
+    buck = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""stats AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+    pl AS (SELECT {planes_expr} AS planes FROM stats),
+    ex AS (SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
     dots AS (SELECT vec_id, {dot_terms} FROM ex GROUP BY vec_id),
-    buck AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS bucket FROM dots),
-    q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+    buck AS ({buck})"""
+
+
+def _lsh_topk_oracle(k: int = 3, dim: int = 64, query_limit: int = 10) -> str:
+    return f"""
+    WITH {_banded_lsh_sig_sql(dim)},
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.band, b.bucket
           FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id
           WHERE e.vec_id < {query_limit}),
-    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.band, b.bucket
           FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
-    pairs AS (SELECT q.query_id, c.neighbor_id, q.bucket, q.qv, c.cv
-              FROM q JOIN c ON q.bucket = c.bucket
+    pairs AS (SELECT DISTINCT q.query_id, c.neighbor_id, q.qv, c.cv
+              FROM q JOIN c ON q.band = c.band AND q.bucket = c.bucket
               WHERE c.neighbor_id <> q.query_id),
-    pex AS (SELECT query_id, neighbor_id, bucket,
+    pex AS (SELECT query_id, neighbor_id,
                    unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
-    pd AS (SELECT query_id, neighbor_id, bucket,
+    pd AS (SELECT query_id, neighbor_id,
                   SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
                   SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
                   SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
-           FROM pex GROUP BY query_id, neighbor_id, bucket),
-    scored AS (SELECT query_id, neighbor_id, bucket,
+           FROM pex GROUP BY query_id, neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
                       dotp / (sqrt(qq) * sqrt(cc)) AS score FROM pd)
-    SELECT query_id, neighbor_id, bucket, score FROM (
+    SELECT query_id, neighbor_id, score FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, neighbor_id) AS rn
       FROM scored
@@ -389,12 +422,15 @@ def _lsh_topk_oracle(k: int = 3, num_planes: int = 4, dim: int = 64, query_limit
 
 @query("d10_ann_lsh_bucketed", _lsh_topk_oracle(), tags=("llm", "similarity"))
 def d10_ann_lsh_bucketed(t):
-    """Sign-LSH bucketed ANN (the scale path): 4 deterministic ±1
-    hyperplanes → 16 buckets → candidates equi-join on bucket → exact
-    cosine within bucket → top-3. Corpus-linear candidate generation."""
+    """Banded adaptive sign-LSH ANN (the scale path): plane count grows
+    with the corpus (clamp(ceil(log2(ceil(N/64))), 4, 24) — buckets
+    stay ~64 rows, so candidate generation is corpus-LINEAR, not
+    N²/constant), and 2 independent plane families OR together for
+    recall. Candidates equi-join on (band, bucket) → exact cosine →
+    cross-band dedup → top-3."""
     emb = t.embeddings
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.lsh_topk(queries, emb, k=3, num_planes=4, dim=64)
+    return SIM.lsh_topk(queries, emb, k=3, dim=64)
 
 
 @query(
@@ -474,27 +510,15 @@ def d12_dedup_ngram_jaccard(t):
     return DD.ngram_jaccard_pairs(t.documents, jaccard_threshold=0.5, max_df=50)
 
 
-def _cosine_near_dup_oracle(threshold: float = 0.4, num_planes: int = 4, dim: int = 64) -> str:
-    plane_lits = [
-        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(r, dim)) + "]"
-        for r in range(num_planes)
-    ]
-    dot_terms = ", ".join(
-        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[r]})[i]) AS d{r}" for r in range(num_planes)
-    )
-    bucket_expr = " + ".join(
-        f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(num_planes)
-    )
+def _cosine_near_dup_oracle(threshold: float = 0.4, dim: int = 64) -> str:
     return f"""
-    WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) AS i
-                FROM embeddings),
-    dots AS (SELECT vec_id, {dot_terms} FROM ex GROUP BY vec_id),
-    buck AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS bucket FROM dots),
-    v AS (SELECT e.vec_id, e.embedding, b.bucket
+    WITH {_banded_lsh_sig_sql(dim)},
+    v AS (SELECT e.vec_id, e.embedding, b.band, b.bucket
           FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
-    pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS qv, b.embedding AS cv
-              FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     a.embedding AS qv, b.embedding AS cv
+              FROM v a JOIN v b ON a.band = b.band AND a.bucket = b.bucket
+                               AND a.vec_id < b.vec_id),
     pex AS (SELECT vec_a, vec_b, unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
     pd AS (SELECT vec_a, vec_b,
                   SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
@@ -508,11 +532,12 @@ def _cosine_near_dup_oracle(threshold: float = 0.4, num_planes: int = 4, dim: in
 
 @query("d13_embedding_near_dup", _cosine_near_dup_oracle(), tags=("llm", "dedup", "similarity"))
 def d13_embedding_near_dup(t):
-    """Embedding-cosine near-dup pairs, sign-LSH-blocked: candidates
-    share a 4-plane bucket (corpus-linear), verified by exact cosine ≥
-    0.4 (this synthetic corpus has no >0.52 pairs; the threshold is set
-    to exercise the pipeline, recall semantics are the operator's)."""
-    return SIM.cosine_near_dup_pairs(t.embeddings, threshold=0.4, num_planes=4, dim=64)
+    """Embedding-cosine near-dup pairs, banded-adaptive-LSH-blocked:
+    candidates collide in any band's bucket (bucket count scales with
+    N — corpus-linear), deduped across bands, verified by exact cosine
+    ≥ 0.4 (this synthetic corpus has no >0.52 pairs; the threshold is
+    set to exercise the pipeline, recall semantics are the operator's)."""
+    return SIM.cosine_near_dup_pairs(t.embeddings, threshold=0.4, dim=64)
 
 
 def _ivf_oracle(k: int = 3, n_centroids: int = 8, query_limit: int = 10) -> str:
@@ -797,23 +822,9 @@ def d15_curation_pipeline(t):
     )
 
 
-def _ann_recall_oracle(k: int = 3, num_planes: int = 4, dim: int = 64, query_limit: int = 10) -> str:
-    plane_lits = [
-        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(r, dim)) + "]"
-        for r in range(num_planes)
-    ]
-    dot_terms = ", ".join(
-        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[r]})[i]) AS d{r}" for r in range(num_planes)
-    )
-    bucket_expr = " + ".join(
-        f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(num_planes)
-    )
+def _ann_recall_oracle(k: int = 3, dim: int = 64, query_limit: int = 10) -> str:
     return f"""
-    WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) AS i
-                FROM embeddings),
-    dots AS (SELECT vec_id, {dot_terms} FROM ex GROUP BY vec_id),
-    buck AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS bucket FROM dots),
+    WITH {_banded_lsh_sig_sql(dim)},
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
           WHERE vec_id < {query_limit}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -831,9 +842,10 @@ def _ann_recall_oracle(k: int = 3, num_planes: int = 4, dim: int = 64, query_lim
              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY score DESC, neighbor_id) AS rn
              FROM scored) WHERE rn <= {k}),
-    lshp AS (SELECT s.query_id, s.neighbor_id, s.score FROM scored s
+    lshp AS (SELECT DISTINCT s.query_id, s.neighbor_id, s.score FROM scored s
              JOIN buck bq ON bq.vec_id = s.query_id
-             JOIN buck bc ON bc.vec_id = s.neighbor_id AND bc.bucket = bq.bucket),
+             JOIN buck bc ON bc.vec_id = s.neighbor_id
+                         AND bc.band = bq.band AND bc.bucket = bq.bucket),
     lsh AS (SELECT query_id, neighbor_id FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                            ORDER BY score DESC, neighbor_id) AS rn
@@ -847,14 +859,15 @@ def _ann_recall_oracle(k: int = 3, num_planes: int = 4, dim: int = 64, query_lim
 
 @query("d16_ann_recall", _ann_recall_oracle(), tags=("llm", "similarity", "eval"))
 def d16_ann_recall(t):
-    """ANN quality evaluation: recall@3 of the sign-LSH index against
-    brute-force ground truth over the same queries — the measurement
-    loop that tunes num_planes/nprobe at scale. Integer hit counts /
-    fixed denominators → exact cross-engine parity."""
+    """ANN quality evaluation: recall@3 of the banded adaptive sign-LSH
+    index against brute-force ground truth over the same queries — the
+    measurement loop that tunes the bucket-size target / band count at
+    scale. Integer hit counts / fixed denominators → exact cross-engine
+    parity."""
     emb = t.embeddings
     queries = emb.filter(F.col("vec_id") < 10)
     bf = SIM.brute_force_topk(queries, emb, k=3).select("query_id", "neighbor_id")
-    lsh = SIM.lsh_topk(queries, emb, k=3, num_planes=4, dim=64).select(
+    lsh = SIM.lsh_topk(queries, emb, k=3, dim=64).select(
         "query_id", "neighbor_id"
     )
     n_q = queries.count()
@@ -1672,29 +1685,15 @@ def d30_bm25_topk(t):
     return RET.bm25_topk(t.documents, _BM25_TERMS, k=10)
 
 
-def _semantic_decon_oracle(threshold: float = 0.4, num_planes: int = 4, dim: int = 64) -> str:
+def _semantic_decon_oracle(threshold: float = 0.4, dim: int = 64) -> str:
     bucket = _ORACLE_BUCKET.replace("doc_id", "e.vec_id")
-    plane_lits = [
-        "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(r, dim)) + "]"
-        for r in range(num_planes)
-    ]
-    dot_terms = ", ".join(
-        f"SUM(CAST(x AS DOUBLE) * ({plane_lits[r]})[i]) AS d{r}" for r in range(num_planes)
-    )
-    bucket_expr = " + ".join(
-        f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(num_planes)
-    )
     return f"""
-    WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) AS i
-                FROM embeddings),
-    dots AS (SELECT vec_id, {dot_terms} FROM ex GROUP BY vec_id),
-    buck AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS lsh FROM dots),
-    v AS (SELECT e.vec_id, e.embedding, b.lsh, {bucket} AS split_b
+    WITH {_banded_lsh_sig_sql(dim)},
+    v AS (SELECT e.vec_id, e.embedding, b.band, b.bucket, {bucket} AS split_b
           FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
-    pairs AS (SELECT te.vec_id AS test_vec, tr.vec_id AS train_vec,
+    pairs AS (SELECT DISTINCT te.vec_id AS test_vec, tr.vec_id AS train_vec,
                      te.embedding AS qv, tr.embedding AS cv
-              FROM v te JOIN v tr ON te.lsh = tr.lsh
+              FROM v te JOIN v tr ON te.band = tr.band AND te.bucket = tr.bucket
               WHERE te.split_b >= 90 AND tr.split_b < 80),
     pex AS (SELECT test_vec, train_vec, unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
     pd AS (SELECT test_vec, train_vec,
@@ -1720,28 +1719,29 @@ def d31_semantic_decontamination(t):
     SemDeDup-style complement of d25's exact shingle-overlap check
     (paraphrased leakage has no shared n-grams but nearby embeddings).
     Splits come from the same content-addressed md5 bucket as d18, so
-    membership is engine-portable; candidates are sign-LSH-blocked
-    (corpus-linear, never test×train all-pairs), verified by exact
-    cosine."""
-    from data_engineer_project_spark.operators.similarity import cosine, lsh_bucket
-
-    b = F.expr(_SPARK_BUCKET.replace("doc_id", "vec_id"))
-    v = t.embeddings.select(
-        "vec_id",
-        "embedding",
-        lsh_bucket(F.col("embedding"), num_planes=4, dim=64).alias("lsh"),
-        b.alias("split_b"),
+    membership is engine-portable; candidates are banded-adaptive-LSH-
+    blocked (bucket count scales with the corpus — candidate volume is
+    corpus-linear, never test×train all-pairs), deduped across bands,
+    verified by exact cosine."""
+    from data_engineer_project_spark.operators.similarity import (
+        banded_lsh_sigs,
+        cosine,
     )
+
+    b = F.expr(_SPARK_BUCKET.replace("doc_id", "vid"))
+    v = banded_lsh_sigs(t.embeddings, t.embeddings).withColumn("split_b", b)
     test = v.filter(F.col("split_b") >= 90).select(
-        F.col("vec_id").alias("test_vec"), F.col("embedding").alias("qv"), "lsh"
+        F.col("vid").alias("test_vec"), F.col("vec").alias("qv"), "band", "bucket"
     )
     train = v.filter(F.col("split_b") < 80).select(
-        F.col("vec_id").alias("train_vec"), F.col("embedding").alias("cv"), "lsh"
+        F.col("vid").alias("train_vec"), F.col("vec").alias("cv"), "band", "bucket"
     )
     score = cosine(F.col("qv"), F.col("cv"))
     return (
-        test.join(train, "lsh")
+        test.join(train, ["band", "bucket"])
         .select("test_vec", "train_vec", score.alias("score"))
+        .groupBy("test_vec", "train_vec")
+        .agg(F.max("score").alias("score"))
         .filter(F.col("score") >= 0.4)
         .groupBy("test_vec")
         .agg(

@@ -298,3 +298,67 @@ def test_bm25_oracle_sql_escapes_quoted_terms():
     finally:
         con.close()
     assert rows and rows[0][0] == 1  # the quoted-term doc scores highest
+
+
+def test_adaptive_planes_tracks_corpus_size():
+    """planes = clamp(ceil(log2(ceil(n/target))), 4, 24): constant-16-
+    bucket blocking was the one 100x-scale-killer — the plane count
+    must grow with the corpus so buckets stay ~target-sized."""
+    import math
+
+    from data_engineer_project_spark.operators.similarity import (
+        MAX_PLANES,
+        MIN_PLANES,
+        TARGET_BUCKET_ROWS,
+        adaptive_planes,
+    )
+
+    assert adaptive_planes(0) == MIN_PLANES
+    assert adaptive_planes(500) == MIN_PLANES          # sf0.001/0.01 corpora
+    assert adaptive_planes(2000) == 5                  # sf0.1 corpus
+    assert adaptive_planes(10**9) == MAX_PLANES        # 100 TB territory
+    for n in (1, 63, 64, 65, 1024, 1025, 4097, 10**6, 10**7, 10**12):
+        expected = min(
+            MAX_PLANES,
+            max(MIN_PLANES, math.ceil(math.log2(max(1, math.ceil(n / TARGET_BUCKET_ROWS))))),
+        )
+        assert adaptive_planes(n) == expected, n
+
+
+def test_lsh_candidate_pairs_grow_linearly_not_quadratically(spark):
+    """The within-bucket candidate join must be ~corpus-linear: for an
+    8x larger random corpus, candidate pairs (sum over band-buckets of
+    c*(c-1)/2) must grow far less than the 64x a fixed-bucket scheme
+    would produce."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.similarity import (
+        NUM_BANDS,
+        TARGET_BUCKET_ROWS,
+        adaptive_planes,
+        banded_lsh_sigs,
+    )
+    from pyspark.sql import functions as F
+
+    def pairs_for(n):
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((n, 64)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        sigs = banded_lsh_sigs(df, df)
+        per_bucket = sigs.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
+        row = per_bucket.agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+        ).collect()[0]
+        return float(row["pairs"])
+
+    n1, n2 = 1024, 8192
+    assert adaptive_planes(n2) > adaptive_planes(n1)  # planes actually grew
+    p1, p2 = pairs_for(n1), pairs_for(n2)
+    growth = p2 / p1
+    assert growth < 4 * (n2 / n1), f"candidate growth {growth:.1f}x is super-linear"
+    # and the absolute budget holds: pairs per corpus row stays bounded
+    # by a small multiple of the target bucket size x bands
+    assert p2 / n2 < 4 * TARGET_BUCKET_ROWS * NUM_BANDS
