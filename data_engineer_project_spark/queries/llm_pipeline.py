@@ -878,13 +878,30 @@ def d16_ann_recall(t):
     )
 
 
-@query("d17_approx_aggregates", None, tags=("agg", "approx"))
+@query(
+    "d17_approx_aggregates",
+    """
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           0.06 AS hll_error_bound,
+           TRUE AS hll_within_bound,
+           0.01 AS median_error_bound,
+           TRUE AS median_within_bound
+    FROM lineitem
+    """,
+    tags=("agg", "approx"),
+)
 def d17_approx_aggregates(t):
     """Approximate aggregation for 100 TB interactive profiling:
-    HLL++ approx_count_distinct and approximate percentiles next to
-    their exact values, with relative error. Rows-only check: sketch
-    internals aren't reproducible in DuckDB, and the assertion that
-    matters (error within the configured rsd) is part of the output."""
+    HLL++ approx_count_distinct and an approximate median, checked
+    against their exact twins INSIDE the query. The sketch estimates
+    themselves are engine-specific (DuckDB cannot reproduce Spark's
+    HLL registers), so the output carries only what IS verifiable:
+    the exact value, the hard error bounds, and booleans asserting the
+    sketches landed within them — the oracle pins those booleans to
+    TRUE, so a sketch regression past its bound turns the row red.
+    HLL is merge-order-invariant (register max), and the bound checks
+    leave slack for the quantile sketch's mild merge-order wiggle, so
+    the booleans are deterministic under any partitioning/AQE plan."""
     li = t.lineitem
     exact = F.countDistinct("l_orderkey").cast("double")
     approx = F.approx_count_distinct("l_orderkey", 0.02).cast("double")
@@ -892,12 +909,10 @@ def d17_approx_aggregates(t):
     med_exact = F.expr("percentile(l_extendedprice, 0.5)")
     return li.agg(
         exact.cast("long").alias("exact_orders"),
-        approx.cast("long").alias("approx_orders"),
-        (F.abs(approx - exact) / exact).alias("rel_error"),
-        (F.abs(approx - exact) / exact < 0.06).alias("within_3_rsd"),
-        med_approx.alias("median_price_approx"),
-        med_exact.alias("median_price_exact"),
-        (F.abs(med_approx - med_exact) / med_exact < 0.01).alias("median_within_1pct"),
+        F.lit(0.06).alias("hll_error_bound"),
+        (F.abs(approx - exact) / exact < 0.06).alias("hll_within_bound"),
+        F.lit(0.01).alias("median_error_bound"),
+        (F.abs(med_approx - med_exact) / med_exact < 0.01).alias("median_within_bound"),
     )
 
 
