@@ -191,3 +191,22 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_app,
         )
+
+
+def test_no_non_scalar_nested_loop_join_in_bench_queries(spark):
+    """BroadcastNestedLoopJoin is benign when the build side is a 1-row
+    stats aggregate (d30 avgdl/N, e07 funnel totals) and a cartesian
+    land-mine otherwise. Pin: every BNLJ in every benchmark query is
+    the scalar-stats kind, so a regression to a genuine nested loop
+    over a multi-row side fails here instead of shipping."""
+    from bench import BENCH_QUERIES
+    from tools.plan_audit import BOUNDED_BNLJ_OK, classify_bnlj
+
+    offenders = {}
+    for name in BENCH_QUERIES:
+        if name.startswith("s") or name in BOUNDED_BNLJ_OK:
+            continue  # streaming → test_streaming; bounded-broadcast → by design
+        bnlj = classify_bnlj(plan_of(spark, name))
+        if bnlj["non_scalar"]:
+            offenders[name] = bnlj
+    assert not offenders, f"non-scalar nested-loop joins: {offenders}"

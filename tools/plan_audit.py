@@ -43,6 +43,12 @@ EXTRA_QUERIES = [
     "p58_rollup",
 ]
 
+# Queries whose BroadcastNestedLoopJoin is a BOUNDED query-set
+# broadcast by design (not a scalar stats row, not a cartesian risk):
+# d09 is the exact-ANN baseline — its contract IS "score a small
+# broadcast query set against the whole corpus".
+BOUNDED_BNLJ_OK = {"d09_cosine_topk_bruteforce"}
+
 # Hand-pinned notes that must survive regeneration — keyed by query.
 NOTES = {
     "d09_cosine_topk_bruteforce": (
@@ -59,9 +65,39 @@ JOIN_KINDS = (
     "BroadcastHashJoin",
     "SortMergeJoin",
     "ShuffledHashJoin",
-    "BroadcastNestedLoopJoin",
     "CartesianProduct",
 )
+
+
+def _node_depth(line: str) -> int:
+    """Column where the operator name starts in a plan-tree line
+    (the tree prefix is drawn with spaces, ':', '+', '-' and '*')."""
+    m = re.match(r"[\s:+\-]*(?:\*\(\d+\)\s*)?", line)
+    return m.end()
+
+
+def classify_bnlj(plan: str) -> dict[str, int]:
+    """Split BroadcastNestedLoopJoin occurrences into scalar-broadcast
+    (the build side is a 1-row global aggregate — ``keys=[]`` — i.e. a
+    broadcast of corpus statistics, cost O(rows), benign) vs NON-SCALAR
+    (a genuine nested-loop over a multi-row side — the cartesian risk
+    the audit exists to catch)."""
+    lines = plan.splitlines()
+    out = {"scalar": 0, "non_scalar": 0}
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        d = _node_depth(ln)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _node_depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        scalar = any(
+            re.search(r"Aggregate\((?:keys|key)=\[\]", s) for s in subtree
+        )
+        out["scalar" if scalar else "non_scalar"] += 1
+    return out
 
 
 def audit_one(spark, name: str, sf_dir: str) -> list[str]:
@@ -87,6 +123,16 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
         )
         lines.append(f"  - cols read: {ncols}; pushed: [{pushed_txt}]")
     joins = {k: plan.count(k) for k in JOIN_KINDS if plan.count(k)}
+    bnlj = classify_bnlj(plan)
+    if bnlj["scalar"]:
+        joins["BroadcastNestedLoopJoin(scalar-stats-broadcast, benign)"] = bnlj["scalar"]
+    if bnlj["non_scalar"]:
+        label = (
+            "BroadcastNestedLoopJoin(bounded-query-broadcast, by design)"
+            if name in BOUNDED_BNLJ_OK
+            else "BroadcastNestedLoopJoin(NON-SCALAR — cartesian risk!)"
+        )
+        joins[label] = bnlj["non_scalar"]
     lines.append(f"- joins: {joins if joins else 'none'}")
     lines.append(f"- exchanges (shuffles): {plan.count('Exchange ')}")
     py = [k for k in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas") if k in plan]
