@@ -232,25 +232,74 @@ def ivf_assign(
     )
 
 
+# Centroid-update quantization: floor(x · 2^20) is exact in double
+# (power-of-two scaling) and identical in the DuckDB twin, so the
+# per-coordinate sums are exact integers — order-independent under any
+# partitioning, unlike a double/float mean.
+KMEANS_QUANT = 1 << 20
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means centroids, DataFrame ops only — (cid, cvec).
+
+    Seeds are the lowest-id rows (deterministic). Each iteration
+    assigns every vector to its nearest centroid by cosine (ties →
+    lowest cid) and replaces each centroid with the integer-quantized
+    coordinate SUM of its members: cosine is scale-invariant, so the
+    un-normalized sum IS the spherical-k-means mean direction, and
+    quantized integer sums are exact and engine-portable where a
+    floating mean would drift with aggregation order. A centroid that
+    loses all members drops out (its cell is empty — nothing to probe).
+
+    Scale shape: assignment is a broadcast of ≤n_centroids rows against
+    a linear corpus scan; the update shuffles (cid, pos) pairs into
+    n_centroids × dim groups — both corpus-linear, no all-pairs stage.
+    """
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        ex = assigned.select(
+            "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        sums = ex.groupBy("cid", "pos").agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(float(KMEANS_QUANT))).cast(
+                    "long"
+                )
+            ).alias("s")
+        )
+        cents = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st["s"].cast("double"),
+            ).alias("cvec")
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 3,
     n_centroids: int = 8,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into
-    ``n_centroids`` cells, search only the query's own cell (nprobe=1).
-
-    Centroids are a deterministic sample (lowest ids) — a k-means fit
-    would be a data improvement, not a plan change; the partition/probe
-    structure is what matters at scale. Cells shuffle once on cid; the
-    per-cell search is corpus_size/n_centroids, not corpus_size.
+    ``n_centroids`` k-means cells, search only the query's own cell
+    (nprobe=1). Cells shuffle once on cid; the per-cell search is
+    corpus_size/n_centroids, not corpus_size.
     """
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
     c_assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2"), "cid"
     )

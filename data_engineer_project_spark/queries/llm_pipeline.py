@@ -540,22 +540,53 @@ def d13_embedding_near_dup(t):
     return SIM.cosine_near_dup_pairs(t.embeddings, threshold=0.4, dim=64)
 
 
-def _ivf_oracle(k: int = 3, n_centroids: int = 8, query_limit: int = 10) -> str:
-    return f"""
-    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                   WHERE vec_id < {n_centroids}),
-    ap AS (SELECT e.vec_id, c.cid, e.embedding, c.cvec FROM embeddings e, cents c),
-    apx AS (SELECT vec_id, cid, unnest(embedding) AS vx, unnest(cvec) AS cx FROM ap),
-    apd AS (SELECT vec_id, cid,
+def _ivf_oracle(
+    k: int = 3, n_centroids: int = 8, iters: int = 2, query_limit: int = 10
+) -> str:
+    """DuckDB twin of ``kmeans_centroids`` + ``ivf_topk``: the same
+    seed → assign → integer-quantized-sum update loop, unrolled into a
+    CTE chain (c0, asg0, c1, asg1, c2, …). floor(x·2^20) sums make the
+    centroid update exact integers on both engines, so assignments —
+    and therefore the final cells and top-k — bit-match."""
+    quant = SIM.KMEANS_QUANT
+
+    def assign_ctes(i: int, cents: str) -> str:
+        return f"""ap{i} AS (SELECT e.vec_id, c.cid, e.embedding, c.cvec
+             FROM embeddings e, {cents} c),
+    apx{i} AS (SELECT vec_id, cid, unnest(embedding) AS vx, unnest(cvec) AS cx FROM ap{i}),
+    apd{i} AS (SELECT vec_id, cid,
                    SUM(CAST(vx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
                    SUM(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)) AS vv,
                    SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
-            FROM apx GROUP BY vec_id, cid),
-    asg AS (SELECT vec_id, cid FROM (
+            FROM apx{i} GROUP BY vec_id, cid),
+    asg{i} AS (SELECT vec_id, cid FROM (
               SELECT vec_id, cid,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY dotp / (sqrt(vv) * sqrt(cc)) DESC, cid) AS rn
-              FROM apd) WHERE rn = 1),
+              FROM apd{i}) WHERE rn = 1)"""
+
+    ctes = [
+        f"""c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id < {n_centroids})"""
+    ]
+    for i in range(iters):
+        ctes.append(assign_ctes(i, f"c{i}"))
+        ctes.append(
+            f"""cs{i + 1} AS (SELECT a.cid, ex.pos,
+                   SUM(CAST(floor(CAST(ex.x AS DOUBLE) * {quant}) AS BIGINT)) AS s
+             FROM (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings) ex
+             JOIN asg{i} a ON a.vec_id = ex.vec_id
+             GROUP BY a.cid, ex.pos),
+    c{i + 1} AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
+             FROM cs{i + 1} GROUP BY cid)"""
+        )
+    ctes.append(assign_ctes(iters, f"c{iters}"))
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain},
+    asg AS (SELECT vec_id, cid FROM asg{iters}),
     q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cid
           FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
           WHERE e.vec_id < {query_limit}),
@@ -583,11 +614,13 @@ def _ivf_oracle(k: int = 3, n_centroids: int = 8, query_limit: int = 10) -> str:
 
 @query("d14_ann_ivf", _ivf_oracle(), tags=("llm", "similarity"))
 def d14_ann_ivf(t):
-    """IVF ANN (nprobe=1): corpus coarse-quantized to 8 deterministic
-    centroid cells by cosine argmax; each query searches only its own
-    cell. Per-cell search cost is corpus/8 — the structure that makes
-    billion-vector search tractable (k-means centroids and nprobe>1
-    are data/recall tuning, same plan)."""
+    """IVF ANN (nprobe=1): corpus coarse-quantized into 8 cells by two
+    spherical k-means iterations (seeded at the lowest ids, centroid
+    update = integer-quantized coordinate sum — exact and engine-
+    portable; see operators/similarity.kmeans_centroids); each query
+    searches only its own cell. Per-cell search cost is corpus/8 — the
+    structure that makes billion-vector search tractable (nprobe>1 is
+    recall tuning, same plan)."""
     emb = t.embeddings
     return SIM.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=3, n_centroids=8)
 

@@ -362,3 +362,27 @@ def test_lsh_candidate_pairs_grow_linearly_not_quadratically(spark):
     # and the absolute budget holds: pairs per corpus row stays bounded
     # by a small multiple of the target bucket size x bands
     assert p2 / n2 < 4 * TARGET_BUCKET_ROWS * NUM_BANDS
+
+
+def test_kmeans_centroids_exact_under_repartitioning(spark):
+    """The centroid update sums integer-quantized coordinates, so the
+    learned centroids must be BIT-identical under any partitioning —
+    the property that keeps d14 hash-green (a floating mean would
+    drift with aggregation order and flip argmax assignments)."""
+    from data_engineer_project_spark.operators.similarity import kmeans_centroids
+    from data_engineer_project_spark.sources.registry import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001").embeddings
+    base = {
+        r["cid"]: r["cvec"]
+        for r in kmeans_centroids(emb, n_centroids=8, iters=2).collect()
+    }
+    shuffled = {
+        r["cid"]: r["cvec"]
+        for r in kmeans_centroids(
+            emb.repartition(7), n_centroids=8, iters=2
+        ).collect()
+    }
+    assert base.keys() == shuffled.keys()
+    for cid in base:
+        assert base[cid] == shuffled[cid], f"centroid {cid} drifted"
