@@ -1861,3 +1861,167 @@ def d32_sequence_packing(t):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_MIX_BUDGET = 100_000
+
+
+@query(
+    "d33_source_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT source, CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS tok
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tok) AS tot FROM toks),
+    q AS (
+      SELECT source, tok, tot,
+             ({_MIX_BUDGET} * tok) // tot AS base,
+             ({_MIX_BUDGET} * tok) % tot AS rem
+      FROM toks, tot
+    ),
+    r AS (
+      SELECT source, tok, tot, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn,
+             SUM(rem) OVER () // tot AS deficit
+      FROM q
+    )
+    SELECT source,
+           tok AS total_tokens,
+           CAST(tok AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+           CAST(base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT) AS token_budget
+    FROM r
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def d33_source_token_budget(t):
+    """Proportional token-budget apportionment across sources for a
+    fixed training budget ({budget} tokens), by largest-remainder
+    (Hamilton) rounding: integer floor quotas plus one extra token for
+    the sources with the largest remainders, so the quotas sum EXACTLY
+    to the budget. All integer arithmetic (div/mod, remainder-ranked
+    window) — deterministic under any partitioning and bit-equal in
+    the oracle. The global window runs over one row per SOURCE
+    (bounded domain cardinality — thousands at worst), not per
+    document; the only corpus-scale stage is the first groupBy."""
+    toks = t.documents.groupBy("source").agg(
+        F.sum(T.bpe_token_estimate("text")).alias("tok")
+    )
+    tot = toks.agg(F.sum("tok").alias("tot"))
+    q = (
+        toks.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"(cast({_MIX_BUDGET} as bigint) * tok) div tot"))
+        .withColumn("rem", F.expr(f"(cast({_MIX_BUDGET} as bigint) * tok) % tot"))
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "deficit", F.expr("sum(rem) over () div tot")
+    )
+    return r.select(
+        "source",
+        F.col("tok").alias("total_tokens"),
+        (F.col("tok").cast("double") / F.col("tot").cast("double")).alias("share"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("deficit"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("token_budget"),
+    )
+
+
+@query(
+    "d34_containment_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    shf AS (SELECT shd.doc_id, shd.shingle FROM shd JOIN informative USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE)
+             AS containment
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) >= 0.6
+    """,
+    tags=("llm", "dedup"),
+)
+def d34_containment_dedup(t):
+    """Containment (overlap-coefficient) near-dup pairs: |A∩B| over
+    min(|A|,|B|) of informative-shingle sets — catches a short doc
+    quoted inside a long one, which Jaccard under-scores (union
+    dominated by the long doc). Same inverted-index blocking as d12,
+    so pair generation stays corpus-linear; the exact-tier complement
+    for snippet/quote subsumption."""
+    return DD.containment_pairs(
+        t.documents, overlap_threshold=0.6, max_df=50
+    )
+
+
+_PUNCT = ".,!?;:()-"
+
+
+@query(
+    "d35_char_class_profile",
+    f"""
+    WITH c AS (
+      SELECT lang,
+             SUM(length(text)) AS n_chars,
+             SUM(length(text) - length(translate(text, '0123456789', ''))) AS n_digit,
+             SUM(length(text) - length(translate(text, ' ', ''))) AS n_space,
+             SUM(length(text) - length(translate(text, '{_PUNCT}', ''))) AS n_punct
+      FROM documents GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_frac,
+           CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_frac,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_frac
+    FROM c
+    """,
+    tags=("llm", "text", "quality"),
+)
+def d35_char_class_profile(t):
+    """Per-language character-class composition (digit / whitespace /
+    punctuation fractions) — the standard quality-filter features for
+    boilerplate and table-dump detection. Counts via length-minus-
+    translate (exact integers, single scan, no regex engine to
+    disagree across engines); fractions are integer ratios in double,
+    so they bit-match the oracle. One groupBy on a bounded key."""
+    d = t.documents
+    n = F.length("text")
+
+    def cnt(chars: str):
+        return n - F.length(F.translate(F.col("text"), chars, ""))
+
+    c = d.groupBy("lang").agg(
+        F.sum(n).alias("n_chars"),
+        F.sum(cnt("0123456789")).alias("n_digit"),
+        F.sum(cnt(" ")).alias("n_space"),
+        F.sum(cnt(_PUNCT)).alias("n_punct"),
+    )
+    return c.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("n_digit").cast("double") / F.col("n_chars").cast("double")).alias("digit_frac"),
+        (F.col("n_space").cast("double") / F.col("n_chars").cast("double")).alias("space_frac"),
+        (F.col("n_punct").cast("double") / F.col("n_chars").cast("double")).alias("punct_frac"),
+    )

@@ -128,18 +128,16 @@ def test_salted_agg_equals_direct(spark, salts):
 
 
 def test_d17_approx_bounds_hold(spark, sf_dir):
-    """d17 is rows-only at the driver gate (sketches aren't reproducible
-    cross-engine), so its teeth live here: the approx-vs-exact error
-    bounds it reports must actually hold on the test data."""
+    """d17's driver contract pins the bound booleans to TRUE in the
+    oracle; this is the same assertion up close, with the bound values
+    themselves checked so a loosened constant can't fake a pass."""
     from data_engineer_project_spark.queries import QUERIES
 
     row = QUERIES["d17_approx_aggregates"].fn(spark, sf_dir).collect()[0]
-    assert row.within_3_rsd, f"HLL rel_error {row.rel_error} exceeds 3*rsd"
-    assert row.median_within_1pct, (
-        f"approx median {row.median_price_approx} vs exact "
-        f"{row.median_price_exact} off by >1%"
-    )
-    assert row.rel_error < 0.06
+    assert row.hll_within_bound, "HLL estimate exceeded its error bound"
+    assert row.median_within_bound, "approx median off by more than its bound"
+    assert row.hll_error_bound == 0.06 and row.median_error_bound == 0.01
+    assert row.exact_orders > 0
 
 
 def test_d25_finds_planted_contamination(spark, monkeypatch, tmp_path):
@@ -386,3 +384,17 @@ def test_kmeans_centroids_exact_under_repartitioning(spark):
     assert base.keys() == shuffled.keys()
     for cid in base:
         assert base[cid] == shuffled[cid], f"centroid {cid} drifted"
+
+
+def test_d33_budget_apportionment_sums_exactly(spark):
+    """Largest-remainder quotas must sum EXACTLY to the budget (the
+    property naive per-source rounding loses) and track shares."""
+    from data_engineer_project_spark.queries import QUERIES
+
+    rows = QUERIES["d33_source_token_budget"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["token_budget"] for r in rows) == 100_000
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+    for r in rows:  # quota within 1 of the exact proportional share
+        assert abs(r["token_budget"] - 100_000 * r["share"]) <= 1.0
