@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     # r3 addition: the sparse-retrieval path (array-native tf + 1-row
     # broadcast stats + TakeOrderedAndProject top-k).
     "d30_bm25_topk",
+    # r4 addition: the banded adaptive sign-LSH ANN (plane count scales
+    # with the corpus; 2 plane families OR-ed) — the similarity-search
+    # scale path whose candidate volume must stay corpus-linear.
+    "d10_ann_lsh_bucketed",
 ]
 
 
