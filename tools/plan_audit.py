@@ -41,6 +41,11 @@ EXTRA_QUERIES = [
     "m06_audio_window_rms",
     "p36_offset_pagination_window",
     "p58_rollup",
+    # r4 additions
+    "d14_ann_ivf",
+    "d33_source_token_budget",
+    "d34_containment_dedup",
+    "d35_char_class_profile",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED query-set
