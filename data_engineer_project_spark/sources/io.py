@@ -34,6 +34,23 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.json(path, schema=schema)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC reader (columnar, predicate-pushdown-capable like parquet).
+    Schema optional — ORC footers carry types; declare one to pin the
+    contract when files come from a foreign writer."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — interop surface for Hive-era consumers; same
+    dynamic-overwrite and partitioning semantics as parquet apply via
+    the generic writer options if needed."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

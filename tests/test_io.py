@@ -278,3 +278,28 @@ def test_zorder_write_narrows_row_group_ranges_on_both_columns(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.columns == ["x", "y"]
     assert back.count() == 64_000
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips losslessly and predicate pushdown reaches the
+    ORC scan (search pushed filters in the physical plan) — the same
+    data-skipping contract the parquet paths are held to."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.sources.io import read_orc, write_orc
+
+    src = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(F.col("k") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:120]
