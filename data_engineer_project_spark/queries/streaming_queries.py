@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from data_engineer_project_spark.functions.text import STOPWORDS as T_STOPWORDS
 from data_engineer_project_spark.queries.catalog import query
 from data_engineer_project_spark.streaming import (
     enrich_with_static,
@@ -296,3 +297,50 @@ def s09_incremental_rollup(t):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_S10_SW = ", ".join(f"'{w}'" for w in T_STOPWORDS)
+
+
+@query(
+    "s10_stream_quality_gate",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             length(string_split(text, ' ')) AS n_words,
+             CAST(length(list_filter(string_split(text, ' '),
+                                     x -> x IN ({_S10_SW}))) AS DOUBLE)
+               / CAST(length(string_split(text, ' ')) AS DOUBLE) AS sr,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS survivor_tokens
+    FROM scored
+    WHERE n_words BETWEEN 20 AND 120 AND sr < 0.3
+    GROUP BY lang
+    """,
+    tags=("streaming", "llm", "quality"),
+)
+def s10_stream_quality_gate(t):
+    """Streaming intake quality gate: documents arrive as a file
+    stream, each micro-batch is scored with the d02 filter (word-count
+    band + stopword-ratio ceiling) and survivors roll into a per-lang
+    running doc/token tally — the continuously-ingesting front door of
+    a training-data pipeline (complete mode; stateless filter + one
+    streaming agg keyed by a bounded lang domain, so state is tiny and
+    needs no watermark). Batch/oracle twin applies the same filter in
+    SQL; integer token sums keep parity exact."""
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    docs = read_document_stream(t._spark, t._sf_dir)
+    n_words = T.token_count("text")
+    sr = T.stopword_count("text").cast("double") / n_words.cast("double")
+    survivors = docs.filter(n_words.between(20, 120) & (sr < 0.3))
+    agg = survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.bpe_token_estimate("text")).alias("survivor_tokens"),
+    )
+    return run_to_memory_table(agg, "quality_gate", "complete")

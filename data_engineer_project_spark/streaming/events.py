@@ -58,6 +58,37 @@ def _event_raw_schema(ts_type) -> StructType:
 # int64-nanos part files still use this shape).
 EVENT_RAW_SCHEMA = _event_raw_schema(LongType())
 
+DOC_RAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open the documents table as a stream (file source) — the intake
+    side of a continuously-ingesting training-data pipeline: new
+    document part-files land in ``path`` and each becomes (part of) a
+    micro-batch. Fixed declared schema (documents has no physical-type
+    drift history); ``max_files_per_trigger=1`` forces multi-batch runs
+    in tests."""
+    from data_engineer_project_spark.session import normalize_session
+
+    normalize_session(spark)
+    reader = spark.readStream.schema(DOC_RAW_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
 
 def read_event_stream(
     spark: SparkSession,

@@ -417,3 +417,52 @@ def test_store_has_partitions_uses_hadoop_fs(spark, tmp_path):
     store = tmp_path / "store"
     (store / "day=2024-01-01").mkdir(parents=True)
     assert _store_has_partitions(spark, str(store)) is True
+
+
+def test_document_quality_gate_multibatch_equals_batch(spark, tmp_path):
+    """s10's contract across micro-batches: two part-files processed
+    one per trigger must converge to the same per-lang tallies as a
+    single batch pass (complete-mode agg state carries between
+    batches)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.streaming import read_document_stream
+    from data_engineer_project_spark.streaming.events import run_to_memory_table
+
+    import pyarrow.parquet as pq
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    half = tbl.num_rows // 2
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    # plain FILES (not directory datasets): the stream's pathGlobFilter
+    # matches file names, mirroring the driver's sf-dir layout
+    pq.write_table(tbl.slice(0, half), d / "documents_a.parquet")
+    pq.write_table(tbl.slice(half), d / "documents_b.parquet")
+
+    def gate(df):
+        n_words = T.token_count("text")
+        sr = T.stopword_count("text").cast("double") / n_words.cast("double")
+        return (
+            df.filter(n_words.between(20, 120) & (sr < 0.3))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(T.bpe_token_estimate("text")).alias("survivor_tokens"),
+            )
+        )
+
+    stream = read_document_stream(
+        spark, str(d), glob="documents_*.parquet", max_files_per_trigger=1
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["survivor_tokens"])
+        for r in run_to_memory_table(gate(stream), "s10_mb", "complete").collect()
+    }
+    want = {
+        r["lang"]: (r["n_docs"], r["survivor_tokens"])
+        for r in gate(docs).collect()
+    }
+    assert got == want
