@@ -2041,3 +2041,71 @@ def d35_char_class_profile(t):
         (F.col("n_space").cast("double") / F.col("n_chars").cast("double")).alias("space_frac"),
         (F.col("n_punct").cast("double") / F.col("n_chars").cast("double")).alias("punct_frac"),
     )
+
+
+@query(
+    "d36_ngram_novelty",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    b AS (SELECT doc_id, lang, {_ORACLE_BUCKET} AS bucket FROM documents),
+    shl AS (SELECT shd.shingle, b.lang, b.bucket FROM shd JOIN b USING (doc_id)),
+    test_sh AS (SELECT DISTINCT lang, shingle FROM shl WHERE bucket >= 90),
+    train_sh AS (SELECT DISTINCT shingle FROM shl WHERE bucket < 80),
+    cov AS (SELECT t.lang, COUNT(*) AS n_covered
+            FROM test_sh t JOIN train_sh USING (shingle) GROUP BY t.lang),
+    tot AS (SELECT lang, COUNT(*) AS n_test_shingles FROM test_sh GROUP BY lang)
+    SELECT tot.lang,
+           CAST(n_test_shingles AS BIGINT) AS n_test_shingles,
+           CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+           CAST(COALESCE(n_covered, 0) AS DOUBLE)
+             / CAST(n_test_shingles AS DOUBLE) AS coverage
+    FROM tot LEFT JOIN cov ON tot.lang = cov.lang
+    """,
+    tags=("llm", "split", "eval"),
+)
+def d36_ngram_novelty(t):
+    """N-gram novelty of the held-out split: per language, what
+    fraction of the test split's distinct 3-gram types already appear
+    anywhere in the train split — the corpus-level eval-hygiene dual
+    of d25's per-document contamination report (high coverage means
+    the test set can be pattern-matched from training data; novelty =
+    1 - coverage). Splits are d18's content-addressed buckets; the
+    check is two distinct-projections and a semi join on the shingle
+    key — corpus-linear, no doc×doc stage; integer count ratios keep
+    the doubles engine-exact."""
+    b = F.expr(_SPARK_BUCKET)
+    docs = t.documents.select("doc_id", "lang", b.alias("bucket"))
+    sh = DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct()
+    shl = sh.join(docs, "doc_id")
+    test_sh = (
+        shl.filter(F.col("bucket") >= 90).select("lang", "shingle").distinct()
+    )
+    train_sh = shl.filter(F.col("bucket") < 80).select("shingle").distinct()
+    cov = (
+        test_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    tot = test_sh.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test_shingles")
+    )
+    return tot.join(cov, "lang", "left").select(
+        "lang",
+        F.col("n_test_shingles").cast("long").alias("n_test_shingles"),
+        F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+        (
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+            / F.col("n_test_shingles").cast("double")
+        ).alias("coverage"),
+    )
