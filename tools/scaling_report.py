@@ -19,6 +19,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SFS = ("0.001", "0.01", "0.1")
+PIN_MARKER = "<!-- pinned-notes -->"
 
 
 def run_bench(sf: str) -> dict:
@@ -69,6 +70,16 @@ def main() -> None:
         f"| **{totals['0.1']:.2f}** | **{totals['0.1'] / totals['0.01']:.1f}** |"
     )
     lines.append("")
+
+    # Preserve hand-written analysis: everything from the pinned-notes
+    # marker onward in the existing file survives regeneration.
+    pinned = ""
+    if os.path.exists(out_path):
+        existing = open(out_path).read()
+        if PIN_MARKER in existing:
+            pinned = existing[existing.index(PIN_MARKER) :]
+    if pinned:
+        lines.append(pinned)
 
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
