@@ -197,15 +197,17 @@ def cosine_near_dup_pairs(
     )
 
 
-def ivf_assign(
+def ivf_assign_n(
     vectors: DataFrame,
     centroids: DataFrame,
+    n_nearest: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid by cosine (ties →
-    lowest centroid id). Centroids broadcast; corpus never shuffles
-    until the final per-vector argmin window on its own id."""
+    """Attach each vector's ``n_nearest`` centroids by cosine (ties →
+    lowest centroid id); one output row per (vector, probed cell).
+    Centroids broadcast; corpus never shuffles until the final
+    per-vector rank window on its own id."""
     c = centroids.select(F.col("cid"), F.col("cvec"))
     scored = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(
         F.broadcast(c)
@@ -218,9 +220,20 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_nearest)
         .select(id_col, vec_col, "cid")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its single nearest centroid (the corpus
+    partitioning; queries probe wider via ``ivf_assign_n``)."""
+    return ivf_assign_n(vectors, centroids, 1, id_col, vec_col)
 
 
 # Centroid-update quantization: floor(x · 2^20) is exact in double
@@ -282,19 +295,22 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 8,
     iters: int = 2,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into
-    ``n_centroids`` k-means cells, search only the query's own cell
-    (nprobe=1). Cells shuffle once on cid; the per-cell search is
-    corpus_size/n_centroids, not corpus_size.
+    ``n_centroids`` k-means cells; each query searches its ``nprobe``
+    nearest cells (the recall/cost knob — the corpus stays in one cell,
+    so a (query, neighbor) candidate arises at most once and no dedup
+    is needed). Cells shuffle once on cid; per-query search cost is
+    nprobe × corpus_size/n_centroids, not corpus_size.
     """
     cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
     c_assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2"), "cid"
     )
-    q_assigned = ivf_assign(queries, cents, id_col, vec_col).select(
+    q_assigned = ivf_assign_n(queries, cents, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cid"
     )
     scored = (

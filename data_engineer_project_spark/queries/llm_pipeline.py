@@ -541,13 +541,19 @@ def d13_embedding_near_dup(t):
 
 
 def _ivf_oracle(
-    k: int = 3, n_centroids: int = 8, iters: int = 2, query_limit: int = 10
+    k: int = 3,
+    n_centroids: int = 8,
+    iters: int = 2,
+    query_limit: int = 10,
+    nprobe: int = 1,
 ) -> str:
     """DuckDB twin of ``kmeans_centroids`` + ``ivf_topk``: the same
     seed → assign → integer-quantized-sum update loop, unrolled into a
     CTE chain (c0, asg0, c1, asg1, c2, …). floor(x·2^20) sums make the
     centroid update exact integers on both engines, so assignments —
-    and therefore the final cells and top-k — bit-match."""
+    and therefore the final cells and top-k — bit-match. ``nprobe``
+    widens the QUERY side to its nearest n cells (corpus stays in one
+    cell), matching ``ivf_topk(nprobe=...)``."""
     quant = SIM.KMEANS_QUANT
 
     def assign_ctes(i: int, cents: str) -> str:
@@ -587,8 +593,13 @@ def _ivf_oracle(
     return f"""
     WITH {chain},
     asg AS (SELECT vec_id, cid FROM asg{iters}),
+    qasg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dotp / (sqrt(vv) * sqrt(cc)) DESC, cid) AS rn
+              FROM apd{iters}) WHERE rn <= {nprobe}),
     q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cid
-          FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+          FROM embeddings e JOIN qasg a ON e.vec_id = a.vec_id
           WHERE e.vec_id < {query_limit}),
     c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.cid
           FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id),
@@ -2108,4 +2119,23 @@ def d36_ngram_novelty(t):
             F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
             / F.col("n_test_shingles").cast("double")
         ).alias("coverage"),
+    )
+
+
+@query(
+    "d37_ann_ivf_nprobe2",
+    _ivf_oracle(nprobe=2),
+    tags=("llm", "similarity"),
+)
+def d37_ann_ivf_nprobe2(t):
+    """IVF ANN with nprobe=2 — the recall/cost knob d14 fixes at 1:
+    each query searches its TWO nearest k-means cells (the corpus
+    stays single-cell, so candidates need no dedup), doubling per-
+    query work for materially better recall near cell boundaries —
+    the standard production tuning for inverted-file indexes. Same
+    learned centroids and exact-integer update as d14, so the oracle
+    reuses the unrolled CTE chain with a widened query-side rank."""
+    emb = t.embeddings
+    return SIM.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, n_centroids=8, nprobe=2
     )

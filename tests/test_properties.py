@@ -398,3 +398,32 @@ def test_d33_budget_apportionment_sums_exactly(spark):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
     for r in rows:  # quota within 1 of the exact proportional share
         assert abs(r["token_budget"] - 100_000 * r["share"]) <= 1.0
+
+
+def test_ivf_nprobe_recall_is_monotone(spark):
+    """Widening the probe set can only help: for every query, the
+    nprobe=2 result's agreement with brute-force ground truth must be
+    >= the nprobe=1 agreement (the knob d37 exists to expose)."""
+    from data_engineer_project_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from data_engineer_project_spark.sources.registry import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, "/root/testdata/sf0.001").embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+
+    def hits(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=nprobe).collect()
+        }
+        return len(got & truth)
+
+    h1, h2 = hits(1), hits(2)
+    assert h2 >= h1, f"nprobe=2 recall ({h2}) below nprobe=1 ({h1})"
