@@ -344,3 +344,56 @@ def s10_stream_quality_gate(t):
         F.sum(T.bpe_token_estimate("text")).alias("survivor_tokens"),
     )
     return run_to_memory_table(agg, "quality_gate", "complete")
+
+
+_S11_BUCKET = (
+    "((instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1) % 100"
+)
+_S11_BUCKET_DUCK = _S11_BUCKET.replace("as string", "as varchar")
+
+
+@query(
+    "s11_stream_dedup_against_corpus",
+    f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE {_S11_BUCKET_DUCK} < 50
+    ),
+    incoming AS (
+      SELECT doc_id, lang, md5(text) AS fp FROM documents
+      WHERE {_S11_BUCKET_DUCK} >= 50
+    )
+    SELECT i.doc_id, i.lang
+    FROM incoming i LEFT JOIN corpus c ON i.fp = c.fp
+    WHERE c.fp IS NULL
+    """,
+    tags=("streaming", "llm", "dedup"),
+)
+def s11_stream_dedup_against_corpus(t):
+    """Incremental ingestion dedup: newly-arriving documents (a file
+    stream, here the content-addressed upper half of the table) are
+    anti-joined on their exact-text fingerprint against the EXISTING
+    corpus (static lower half) and only novel texts survive — the
+    streaming front-door twin of d05's batch exact dedup. Stateless
+    stream-static anti-join → append mode, no watermark, no state
+    store; at scale the static side is a broadcast- or bucketed-
+    fingerprint table. md5 hex is engine-portable, so the oracle is
+    the same anti-join in SQL."""
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    b = F.expr(_S11_BUCKET)
+    incoming = (
+        read_document_stream(t._spark, t._sf_dir)
+        .withColumn("bucket", b)
+        .filter(F.col("bucket") >= 50)
+        .select("doc_id", "lang", F.md5("text").alias("fp"))
+    )
+    corpus = (
+        t.documents.withColumn("bucket", b)
+        .filter(F.col("bucket") < 50)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    survivors = incoming.join(corpus, "fp", "left_anti").select("doc_id", "lang")
+    return run_to_memory_table(survivors, "stream_corpus_dedup", "append")
