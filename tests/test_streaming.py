@@ -466,3 +466,44 @@ def test_document_quality_gate_multibatch_equals_batch(spark, tmp_path):
         for r in gate(docs).collect()
     }
     assert got == want
+
+
+def test_stream_corpus_dedup_drops_planted_duplicate(spark, tmp_path):
+    """s11 semantics up close: an arriving doc whose text already
+    exists in the static corpus half must be dropped; a novel doc in
+    the same micro-batch must survive.
+
+    md5 buckets of the doc ids (engine-portable content addressing):
+    1→96, 4→68 land in the incoming half (≥50); 2→0, 3→36, 5→28 in
+    the corpus half (<50). Doc 1 duplicates corpus doc 3's text; doc 4
+    is novel — only 4 may survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineer_project_spark.queries import QUERIES
+
+    dup_text = "alpha beta gamma delta epsilon"
+    texts = [
+        dup_text,                      # 1: incoming, duplicates corpus doc 3
+        "corpus only text one",        # 2: corpus
+        dup_text,                      # 3: corpus (the duplicated original)
+        "totally novel arrival text",  # 4: incoming, novel
+        "corpus only text two",        # 5: corpus
+    ]
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": texts,
+        "lang": ["en"] * 5,
+        "source": ["t"] * 5,
+        "n_chars": [len(s) for s in texts],
+    }
+    sf = tmp_path / "sf_s11"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array(v) for k, v in rows.items()}), sf / "documents.parquet"
+    )
+    got = {
+        r["doc_id"]
+        for r in QUERIES["s11_stream_dedup_against_corpus"].fn(spark, str(sf)).collect()
+    }
+    assert got == {4}, f"expected only the novel arrival to survive, got {got}"

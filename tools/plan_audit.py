@@ -46,6 +46,8 @@ EXTRA_QUERIES = [
     "d33_source_token_budget",
     "d34_containment_dedup",
     "d35_char_class_profile",
+    "d36_ngram_novelty",
+    "d37_ann_ivf_nprobe2",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED query-set
