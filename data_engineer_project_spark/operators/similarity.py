@@ -16,9 +16,14 @@ count so buckets stay ~TARGET_BUCKET_ROWS-sized: R = clamp(ceil(log2(
 ceil(N / TARGET_BUCKET_ROWS))), MIN_PLANES, MAX_PLANES), computed with
 pure integer comparisons (``N > TARGET << p``) so Spark and the DuckDB
 oracle twin agree exactly at any N. More planes cost recall, so
-candidates come from NUM_BANDS independent plane families OR-ed
+candidates come from multiple independent plane families OR-ed
 together (the same banded OR-of-AND construction the MinHash dedup
-path uses): a pair is a candidate if it collides in ANY band.
+path uses): a pair is a candidate if it collides in ANY band. The
+band count itself co-scales with the plane count
+(``adaptive_bands``: one extra band per BAND_PLANES planes) so recall
+stays ≥ ~0.94 for 0.99-cosine pairs at ANY corpus size — a constant
+band count would decay to ~55% recall at the 24-plane operating point
+even though per-candidate cost stayed linear.
 
 Dot products use F.aggregate's strict left-fold in DOUBLE: the result
 is bit-identical regardless of partitioning (per-row scalar math), and
@@ -104,7 +109,8 @@ def lsh_bucket(vec: Column, num_planes: int = 4, dim: int = 64) -> Column:
 TARGET_BUCKET_ROWS = 64  # aim: ~this many corpus rows per bucket
 MIN_PLANES = 4           # floor keeps small/test corpora at today's 16 buckets
 MAX_PLANES = 24          # 16M buckets; bucket ≈ max(64, N/2^24) rows at cap
-NUM_BANDS = 2            # independent plane families OR-ed for recall
+NUM_BANDS = 2            # MINIMUM independent plane families OR-ed for recall
+BAND_PLANES = 3          # grow one extra band per 3 planes (see adaptive_bands)
 
 
 def adaptive_planes(n: int) -> int:
@@ -117,20 +123,45 @@ def adaptive_planes(n: int) -> int:
     )
 
 
+def adaptive_bands(planes: int) -> int:
+    """Band count for a given plane count: max(NUM_BANDS,
+    ceil(planes / BAND_PLANES)) — pure integer arithmetic, mirrored in
+    the oracle SQL as ``GREATEST(2, (planes + 2) // 3)``.
+
+    Why bands must co-scale with planes: a band fires only if ALL its
+    ``planes`` sign bits agree, so per-band recall is p^planes (p =
+    per-plane agreement probability, 1 − θ/π); total recall is
+    1 − (1 − p^planes)^bands. With bands CONSTANT, recall decays
+    geometrically as planes grow with the corpus — at 24 planes a
+    0.99-cosine pair (p ≈ 0.955) would be caught with only ~55%
+    probability under 2 fixed bands. Growing one band per BAND_PLANES
+    planes keeps analytic recall ≥ ~0.94 across the whole 4..24 plane
+    range (MinHash-style b×r banding: more, shorter-effective chances
+    OR-ed together). Cost stays corpus-linear: candidate volume per
+    corpus row is ~bands · TARGET_BUCKET_ROWS, i.e. grows only
+    logarithmically with N via the band count.
+    ``tests/test_properties.py`` pins the recall curve."""
+    return max(NUM_BANDS, -(-planes // BAND_PLANES))
+
+
 def banded_lsh_sigs(
     df: DataFrame,
     count_ref: DataFrame,
-    num_bands: int = NUM_BANDS,
+    num_bands: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int | None = None,
 ) -> DataFrame:
     """Banded adaptive sign-LSH signatures: one (vid, vec, band,
     bucket) row per input row per band.
 
     ``count_ref`` supplies the corpus whose row count sizes the plane
     count — pass the CORPUS even when ``df`` is a query subset, so both
-    sides bucket identically. The count is ONE eager driver-side action
+    sides bucket identically. Callers invoking this twice per plan
+    (query side + corpus side, e.g. ``lsh_topk``) should count once and
+    pass ``planes`` explicitly so the eager count action runs once per
+    invocation, not per call. The count is ONE eager driver-side action
     (a parquet metadata count — cheap at any scale) so the signature
     expression contains exactly the needed plane dots and nothing else:
     a lazy masked form (compute MAX_PLANES dots, gate on a broadcast
@@ -141,8 +172,12 @@ def banded_lsh_sigs(
     same integer comparisons, so buckets still bit-match. Band b draws
     its planes from hyperplane(b·MAX_PLANES + r); band 0 reproduces the
     historical fixed-plane buckets whenever the count lands on
-    MIN_PLANES."""
-    planes = adaptive_planes(count_ref.count())
+    MIN_PLANES. ``num_bands`` defaults to adaptive_bands(planes) so
+    recall co-scales with the plane count (see adaptive_bands)."""
+    if planes is None:
+        planes = adaptive_planes(count_ref.count())
+    if num_bands is None:
+        num_bands = adaptive_bands(planes)
     buckets = []
     for bnd in range(num_bands):
         bucket = F.lit(0)
@@ -166,7 +201,7 @@ def banded_lsh_sigs(
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.99,
-    num_bands: int = NUM_BANDS,
+    num_bands: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -335,7 +370,7 @@ def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 3,
-    num_bands: int = NUM_BANDS,
+    num_bands: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -343,15 +378,23 @@ def lsh_topk(
     """ANN via banded adaptive sign-LSH: candidates share the query's
     bucket in ANY band; exact cosine + cross-band dedup + top-k.
     Returns (query_id, neighbor_id, score). Plane count scales with
-    the corpus (see module docstring), so per-query candidate work
-    stays ~TARGET_BUCKET_ROWS·NUM_BANDS at any corpus size."""
-    q = banded_lsh_sigs(queries, corpus, num_bands, dim, id_col, vec_col).select(
+    the corpus and the band count with the planes (see module
+    docstring), so per-query candidate work stays
+    ~TARGET_BUCKET_ROWS·bands at any corpus size while recall holds.
+    The corpus count — the one eager action — runs ONCE here and the
+    resulting plane count is passed to both signature builds."""
+    planes = adaptive_planes(corpus.count())
+    q = banded_lsh_sigs(
+        queries, corpus, num_bands, dim, id_col, vec_col, planes=planes
+    ).select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("qvec"),
         "band",
         "bucket",
     )
-    c = banded_lsh_sigs(corpus, corpus, num_bands, dim, id_col, vec_col).select(
+    c = banded_lsh_sigs(
+        corpus, corpus, num_bands, dim, id_col, vec_col, planes=planes
+    ).select(
         F.col("vid").alias("neighbor_id"),
         F.col("vec").alias("cvec"),
         "band",

@@ -352,39 +352,46 @@ def _banded_lsh_sig_sql(dim: int = 64) -> str:
 
     ``planes`` comes from the corpus count with the same pure-integer
     comparisons the Spark plan uses (``ceil(n/T) > 2^p ⟺ n > T·2^p``),
-    so both engines derive the identical plane count at ANY scale
-    factor; band b's plane r is hyperplane(b·MAX_PLANES + r) on both
-    sides. ``buck`` has one (vec_id, band, bucket) row per band."""
-    nb, maxp, minp, target = (
-        SIM.NUM_BANDS,
+    and ``nbands`` from the planes with the same integer formula as
+    ``similarity.adaptive_bands`` (``GREATEST(2, (planes + 2) // 3)``)
+    so both engines derive identical plane AND band counts at ANY
+    scale factor; band b's plane r is hyperplane(b·MAX_PLANES + r) on
+    both sides. All adaptive_bands(MAX_PLANES) possible bands are
+    emitted, each guarded by ``b < nbands`` — inactive bands produce no
+    rows. ``buck`` has one (vec_id, band, bucket) row per active
+    band."""
+    maxp, minp, target = (
         SIM.MAX_PLANES,
         SIM.MIN_PLANES,
         SIM.TARGET_BUCKET_ROWS,
     )
+    maxb = SIM.adaptive_bands(maxp)
     plane_lits = [
         "[" + ", ".join(f"{float(v)}" for v in T.hyperplane(j, dim)) + "]"
-        for j in range(nb * maxp)
+        for j in range(maxb * maxp)
     ]
     dot_terms = ",\n                   ".join(
         f"SUM(CAST(x AS DOUBLE) * ({plane_lits[j]})[i]) AS d{j}"
-        for j in range(nb * maxp)
+        for j in range(maxb * maxp)
     )
     planes_expr = f"{minp} + " + " + ".join(
         f"(CASE WHEN n_vec > {target << p} THEN 1 ELSE 0 END)"
         for p in range(minp, maxp)
     )
     band_selects = []
-    for b in range(nb):
+    for b in range(maxb):
         bucket_expr = " + ".join(
             f"(CASE WHEN {r} < planes AND d{b * maxp + r} > 0 THEN {1 << r} ELSE 0 END)"
             for r in range(maxp)
         )
         band_selects.append(
-            f"SELECT vec_id, {b} AS band, CAST({bucket_expr} AS INT) AS bucket FROM dots, pl"
+            f"SELECT vec_id, {b} AS band, CAST({bucket_expr} AS INT) AS bucket"
+            f" FROM dots, pl WHERE {b} < nbands"
         )
     buck = "\n      UNION ALL\n      ".join(band_selects)
     return f"""stats AS (SELECT COUNT(*) AS n_vec FROM embeddings),
-    pl AS (SELECT {planes_expr} AS planes FROM stats),
+    pl AS (SELECT planes, GREATEST({SIM.NUM_BANDS}, (planes + {SIM.BAND_PLANES - 1}) // {SIM.BAND_PLANES}) AS nbands
+           FROM (SELECT {planes_expr} AS planes FROM stats)),
     ex AS (SELECT vec_id, unnest(embedding) AS x,
                   generate_subscripts(embedding, 1) AS i
            FROM embeddings),
@@ -425,8 +432,10 @@ def d10_ann_lsh_bucketed(t):
     """Banded adaptive sign-LSH ANN (the scale path): plane count grows
     with the corpus (clamp(ceil(log2(ceil(N/64))), 4, 24) — buckets
     stay ~64 rows, so candidate generation is corpus-LINEAR, not
-    N²/constant), and 2 independent plane families OR together for
-    recall. Candidates equi-join on (band, bucket) → exact cosine →
+    N²/constant), and the band count grows with the planes
+    (max(2, ceil(planes/3)) independent plane families OR together) so
+    recall stays ≥ ~0.94 for 0.99-cosine pairs at any corpus size.
+    Candidates equi-join on (band, bucket) → exact cosine →
     cross-band dedup → top-3."""
     emb = t.embeddings
     queries = emb.filter(F.col("vec_id") < 10)

@@ -331,8 +331,8 @@ def test_lsh_candidate_pairs_grow_linearly_not_quadratically(spark):
     import numpy as np
 
     from data_engineer_project_spark.operators.similarity import (
-        NUM_BANDS,
         TARGET_BUCKET_ROWS,
+        adaptive_bands,
         adaptive_planes,
         banded_lsh_sigs,
     )
@@ -359,7 +359,53 @@ def test_lsh_candidate_pairs_grow_linearly_not_quadratically(spark):
     assert growth < 4 * (n2 / n1), f"candidate growth {growth:.1f}x is super-linear"
     # and the absolute budget holds: pairs per corpus row stays bounded
     # by a small multiple of the target bucket size x bands
-    assert p2 / n2 < 4 * TARGET_BUCKET_ROWS * NUM_BANDS
+    assert p2 / n2 < 4 * TARGET_BUCKET_ROWS * adaptive_bands(adaptive_planes(n2))
+
+
+def test_lsh_recall_co_scales_with_planes():
+    """Recall for 0.99-cosine pairs must stay high as the plane count
+    grows with the corpus — the mirror property of linear candidate
+    growth. A pair survives iff some band's signs ALL agree; per-band
+    recall is p^planes, so with a CONSTANT band count total recall
+    decays geometrically in planes (~0.55 at 24 planes for the old
+    2-band policy). adaptive_bands adds one band per BAND_PLANES
+    planes, which holds analytic recall ≥ ~0.94 across the whole 4..24
+    range. Monte-Carlo over the REAL deterministic hyperplanes (no
+    Spark needed — the bucket math is pure sign-of-dot)."""
+    import numpy as np
+
+    from data_engineer_project_spark.functions.text import hyperplane
+    from data_engineer_project_spark.operators.similarity import (
+        MAX_PLANES,
+        adaptive_bands,
+    )
+
+    dim, n_pairs, target_cos = 64, 500, 0.99
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((n_pairs, dim))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    # perturb each vector to EXACTLY target_cos cosine with its twin
+    p = rng.standard_normal((n_pairs, dim))
+    p -= (p * a).sum(axis=1, keepdims=True) * a
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    b = target_cos * a + np.sqrt(1.0 - target_cos**2) * p
+
+    def recall(planes: int, bands: int) -> float:
+        caught = np.zeros(n_pairs, dtype=bool)
+        for bnd in range(bands):
+            h = np.array(
+                [hyperplane(bnd * MAX_PLANES + r, dim) for r in range(planes)]
+            ).T  # dim x planes
+            collide = ((a @ h > 0) == (b @ h > 0)).all(axis=1)
+            caught |= collide
+        return float(caught.mean())
+
+    for planes in (4, 6, 8, 12, 16, 20, 24):
+        r_adaptive = recall(planes, adaptive_bands(planes))
+        assert r_adaptive >= 0.9, (planes, r_adaptive)
+    # and the motivating counterfactual: the old constant-2-band policy
+    # really does lose recall at the 100 TB plane count
+    assert recall(24, 2) < 0.8
 
 
 def test_kmeans_centroids_exact_under_repartitioning(spark):
