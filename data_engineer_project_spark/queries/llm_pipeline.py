@@ -1837,61 +1837,118 @@ def d31_semantic_decontamination(t):
 
 _PACK_BUDGET = 2048
 
+# Packing-shard sizing: the d32 window key must be BOUNDED — a window
+# partitioned by lang alone computes one language's entire prefix sum
+# in one task, and at 100 TB one language can be half the corpus. The
+# shard is content-addressed (4 md5 hex digits of doc_id → 0..65535,
+# the d18 machinery widened to 16 bits) and the shard COUNT doubles
+# with the corpus until each shard holds ~_PACK_SHARD_TARGET docs
+# (integer comparisons ``n > TARGET << j``, the adaptive_planes
+# pattern, so the DuckDB oracle derives the identical count from
+# COUNT(*)). Capped at 2^16 shards by the hash domain — beyond that
+# shards grow linearly but stay 65536× smaller than the corpus.
+_PACK_SHARD_TARGET = 256
+_PACK_SHARD_MAX_BITS = 16
+
+
+def _pack_shards(n: int) -> int:
+    """Shard count for an n-doc corpus: 2^(#{j < 16 : n > 256·2^j})."""
+    return 1 << sum(
+        1 for j in range(_PACK_SHARD_MAX_BITS) if n > (_PACK_SHARD_TARGET << j)
+    )
+
+
+def _md5_hex16(id_expr: str, cast_type: str) -> str:
+    """Engine-portable 16-bit integer from the first 4 md5 hex digits
+    of ``id_expr`` — pure md5/substring/instr arithmetic, identical in
+    Spark SQL (cast_type='string') and DuckDB (cast_type='varchar')."""
+    digit = (
+        "(instr('0123456789abcdef', "
+        f"substring(md5(cast({id_expr} as {cast_type})), {{i}}, 1)) - 1)"
+    )
+    return " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" if i < 3 else digit.format(i=i + 1)
+        for i in range(4)
+    )
+
+
+_PACK_SHARDS_SQL = "1 " + " ".join(
+    f"* (CASE WHEN n_docs > {_PACK_SHARD_TARGET << j} THEN 2 ELSE 1 END)"
+    for j in range(_PACK_SHARD_MAX_BITS)
+)
+
 
 @query(
     "d32_sequence_packing",
     f"""
-    WITH toks AS (
+    WITH st AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ns AS (SELECT {_PACK_SHARDS_SQL} AS n_shards FROM st),
+    toks AS (
       SELECT doc_id, lang,
+             CAST(({_md5_hex16('doc_id', 'varchar')}) % n_shards AS BIGINT) AS shard,
              CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
-      FROM documents
+      FROM documents, ns
     ),
     run AS (
-      SELECT doc_id, lang, est_tokens,
+      SELECT doc_id, lang, shard, est_tokens,
              COALESCE(SUM(est_tokens) OVER (
-               PARTITION BY lang ORDER BY doc_id
+               PARTITION BY lang, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS prev_cum
       FROM toks
     ),
     packed AS (
-      SELECT lang, CAST(prev_cum // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+      SELECT lang, shard, CAST(prev_cum // {_PACK_BUDGET} AS BIGINT) AS seq_id,
              doc_id, est_tokens
       FROM run
     )
-    SELECT lang, seq_id,
+    SELECT lang, shard, seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(est_tokens) AS BIGINT) AS total_tokens,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
-    FROM packed GROUP BY lang, seq_id
+    FROM packed GROUP BY lang, shard, seq_id
     """,
     tags=("llm", "packing"),
 )
 def d32_sequence_packing(t):
     """Greedy sequence packing for training batches: within each
-    language, docs in doc_id order fill a {budget}-token sequence; a
-    doc whose exclusive prefix-sum crosses the budget starts/overflows
-    into the next sequence (token-budget chunking — the streaming
-    concat-then-chunk semantics, deterministic under any partitioning
-    because the running sum is exact integers over a total order).
-    Scale shape: ONE window partitioned by lang (distributes across
-    executors; within a language the prefix-sum is the inherently
-    sequential part — shard further by date/bucket when a single
-    language exceeds an executor), then a map-side-partial groupBy.
-    Output: per-sequence fill report (docs, tokens, id range)."""
+    (language, shard), docs in doc_id order fill a {budget}-token
+    sequence; a doc whose exclusive prefix-sum crosses the budget
+    starts/overflows into the next sequence (token-budget chunking —
+    the streaming concat-then-chunk semantics, deterministic under any
+    partitioning because the running sum is exact integers over a
+    total order).
+
+    Scale shape: the window key is BOUNDED. The shard is content-
+    addressed (4 md5 hex digits of doc_id — stable under re-sharding,
+    backfills, and engine migrations, like d18's splits) and the shard
+    count doubles with the corpus until shards hold ~{target} docs
+    (one eager metadata count sizes it; the oracle derives the
+    identical count from COUNT(*) with the same integer comparisons).
+    So no single task ever computes a whole language's running sum —
+    the prefix-sum window distributes over lang × shard, then a
+    map-side-partial groupBy aggregates per sequence. Per-shard quotas
+    still sum exactly to the corpus totals. Output: per-sequence fill
+    report (docs, tokens, id range)."""
+    n_shards = _pack_shards(t.documents.count())
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     toks = t.documents.select(
-        "doc_id", "lang", T.bpe_token_estimate("text").alias("est_tokens")
+        "doc_id",
+        "lang",
+        F.expr(f"({_md5_hex16('doc_id', 'string')}) % {n_shards}")
+        .cast("long")
+        .alias("shard"),
+        T.bpe_token_estimate("text").alias("est_tokens"),
     )
     packed = toks.withColumn(
         "prev_cum", F.coalesce(F.sum("est_tokens").over(w), F.lit(0).cast("long"))
     ).withColumn("seq_id", F.expr(f"prev_cum div {_PACK_BUDGET}"))
-    return packed.groupBy("lang", "seq_id").agg(
+    return packed.groupBy("lang", "shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("est_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
