@@ -277,10 +277,33 @@ def ivf_assign(
 # partitioning, unlike a double/float mean.
 KMEANS_QUANT = 1 << 20
 
+# IVF sizing: the classical IVF operating point is ~sqrt(N) cells —
+# per-query cost is then nprobe·N/cells ≈ nprobe·sqrt(N) candidate
+# scans plus a cells-sized centroid broadcast. Powers of two keep the
+# formula in pure integer comparisons (2^k in [sqrt(N), 2·sqrt(N)) ⟺
+# 4^(k-1) < N ≤ 4^k ⟺ count the j with N > 4^j), so the DuckDB twin
+# derives the identical count from COUNT(*).
+MIN_CENTROID_BITS = 3   # 8-cell floor keeps tiny/test corpora sane
+MAX_CENTROID_BITS = 15  # 32768-cell cap: centroid broadcast stays small
+
+
+def adaptive_centroids(n: int) -> int:
+    """Centroid count for an ``n``-row corpus: 2^k with k = clamp(
+    ceil(log4(n)), MIN_CENTROID_BITS, MAX_CENTROID_BITS) — the ~sqrt(N)
+    IVF cell count, from integer comparisons only (``n > 4^j``)."""
+    return 1 << (
+        MIN_CENTROID_BITS
+        + sum(
+            1
+            for j in range(MIN_CENTROID_BITS, MAX_CENTROID_BITS)
+            if n > (1 << (2 * j))
+        )
+    )
+
 
 def kmeans_centroids(
     corpus: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -299,7 +322,13 @@ def kmeans_centroids(
     Scale shape: assignment is a broadcast of ≤n_centroids rows against
     a linear corpus scan; the update shuffles (cid, pos) pairs into
     n_centroids × dim groups — both corpus-linear, no all-pairs stage.
+    ``n_centroids`` defaults to adaptive_centroids(corpus count) —
+    ~sqrt(N) cells, the standard IVF operating point — via one eager
+    metadata count (the adaptive_planes pattern; the oracle twin
+    derives the identical count from COUNT(*)).
     """
+    if n_centroids is None:
+        n_centroids = adaptive_centroids(corpus.count())
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
@@ -328,19 +357,23 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 3,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iters: int = 2,
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into
-    ``n_centroids`` k-means cells; each query searches its ``nprobe``
-    nearest cells (the recall/cost knob — the corpus stays in one cell,
-    so a (query, neighbor) candidate arises at most once and no dedup
-    is needed). Cells shuffle once on cid; per-query search cost is
-    nprobe × corpus_size/n_centroids, not corpus_size.
+    ``n_centroids`` k-means cells (default: adaptive_centroids — the
+    ~sqrt(N) cell count, so per-query cost is ~nprobe·sqrt(N)); each
+    query searches its ``nprobe`` nearest cells (the recall/cost knob —
+    the corpus stays in one cell, so a (query, neighbor) candidate
+    arises at most once and no dedup is needed). Cells shuffle once on
+    cid; per-query search cost is nprobe × corpus_size/n_centroids,
+    not corpus_size.
     """
+    if n_centroids is None:
+        n_centroids = adaptive_centroids(corpus.count())
     cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
     c_assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2"), "cid"

@@ -551,7 +551,6 @@ def d13_embedding_near_dup(t):
 
 def _ivf_oracle(
     k: int = 3,
-    n_centroids: int = 8,
     iters: int = 2,
     query_limit: int = 10,
     nprobe: int = 1,
@@ -560,10 +559,17 @@ def _ivf_oracle(
     seed → assign → integer-quantized-sum update loop, unrolled into a
     CTE chain (c0, asg0, c1, asg1, c2, …). floor(x·2^20) sums make the
     centroid update exact integers on both engines, so assignments —
-    and therefore the final cells and top-k — bit-match. ``nprobe``
+    and therefore the final cells and top-k — bit-match. The centroid
+    count is derived from COUNT(*) with the same pure-integer doubling
+    factors as ``similarity.adaptive_centroids`` (~sqrt(N) cells), so
+    both engines seed identical cells at ANY scale factor. ``nprobe``
     widens the QUERY side to its nearest n cells (corpus stays in one
     cell), matching ``ivf_topk(nprobe=...)``."""
     quant = SIM.KMEANS_QUANT
+    n_cent_sql = f"{1 << SIM.MIN_CENTROID_BITS} " + " ".join(
+        f"* (CASE WHEN n_vec > {1 << (2 * j)} THEN 2 ELSE 1 END)"
+        for j in range(SIM.MIN_CENTROID_BITS, SIM.MAX_CENTROID_BITS)
+    )
 
     def assign_ctes(i: int, cents: str) -> str:
         return f"""ap{i} AS (SELECT e.vec_id, c.cid, e.embedding, c.cvec
@@ -581,8 +587,10 @@ def _ivf_oracle(
               FROM apd{i}) WHERE rn = 1)"""
 
     ctes = [
-        f"""c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-              WHERE vec_id < {n_centroids})"""
+        f"""cn AS (SELECT {n_cent_sql} AS n_cent
+              FROM (SELECT COUNT(*) AS n_vec FROM embeddings)),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, cn
+              WHERE vec_id < n_cent)"""
     ]
     for i in range(iters):
         ctes.append(assign_ctes(i, f"c{i}"))
@@ -634,15 +642,16 @@ def _ivf_oracle(
 
 @query("d14_ann_ivf", _ivf_oracle(), tags=("llm", "similarity"))
 def d14_ann_ivf(t):
-    """IVF ANN (nprobe=1): corpus coarse-quantized into 8 cells by two
-    spherical k-means iterations (seeded at the lowest ids, centroid
-    update = integer-quantized coordinate sum — exact and engine-
-    portable; see operators/similarity.kmeans_centroids); each query
-    searches only its own cell. Per-cell search cost is corpus/8 — the
-    structure that makes billion-vector search tractable (nprobe>1 is
-    recall tuning, same plan)."""
+    """IVF ANN (nprobe=1): corpus coarse-quantized into ~sqrt(N) cells
+    (adaptive_centroids — one eager count sizes it, mirrored in the
+    oracle from COUNT(*)) by two spherical k-means iterations (seeded
+    at the lowest ids, centroid update = integer-quantized coordinate
+    sum — exact and engine-portable; see operators/similarity.
+    kmeans_centroids); each query searches only its own cell. Per-query
+    search cost is ~sqrt(N) — the structure that makes billion-vector
+    search tractable (nprobe>1 is recall tuning, same plan)."""
     emb = t.embeddings
-    return SIM.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=3, n_centroids=8)
+    return SIM.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
 
 
 # ---------------------------------------------------------------- events
@@ -2202,6 +2211,4 @@ def d37_ann_ivf_nprobe2(t):
     learned centroids and exact-integer update as d14, so the oracle
     reuses the unrolled CTE chain with a widened query-side rank."""
     emb = t.embeddings
-    return SIM.ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=3, n_centroids=8, nprobe=2
-    )
+    return SIM.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=3, nprobe=2)

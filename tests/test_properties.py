@@ -323,6 +323,33 @@ def test_adaptive_planes_tracks_corpus_size():
         assert adaptive_planes(n) == expected, n
 
 
+def test_adaptive_centroids_tracks_sqrt_n():
+    """IVF cell count = 2^clamp(ceil(log4 n), 3, 15) — the ~sqrt(N)
+    operating point, from integer comparisons only, so d14/d37 stop
+    being fixture-shaped: per-query cost stays ~nprobe*sqrt(N)."""
+    import math
+
+    from data_engineer_project_spark.operators.similarity import (
+        MAX_CENTROID_BITS,
+        MIN_CENTROID_BITS,
+        adaptive_centroids,
+    )
+
+    assert adaptive_centroids(0) == 1 << MIN_CENTROID_BITS
+    assert adaptive_centroids(500) == 32    # sf0.001/0.01 corpora
+    assert adaptive_centroids(2000) == 64   # sf0.1 corpus
+    assert adaptive_centroids(10**9) == 1 << MAX_CENTROID_BITS
+    for n in (1, 64, 65, 4096, 4097, 10**6, 10**12):
+        k = min(
+            MAX_CENTROID_BITS,
+            max(MIN_CENTROID_BITS, math.ceil(math.log(max(2, n), 4))),
+        )
+        assert adaptive_centroids(n) == 1 << k, n
+        # and 2^k brackets sqrt(n) when unclamped
+        if MIN_CENTROID_BITS < k < MAX_CENTROID_BITS:
+            assert (1 << k) >= math.sqrt(n) and (1 << k) < 2 * math.sqrt(n)
+
+
 def test_lsh_candidate_pairs_grow_linearly_not_quadratically(spark):
     """The within-bucket candidate join must be ~corpus-linear: for an
     8x larger random corpus, candidate pairs (sum over band-buckets of
