@@ -3,9 +3,17 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully executed (count + collect of the result) so the
-timing covers scan→shuffle→agg, not just plan construction. A warmup
-action first amortizes JVM/codegen startup out of per-query numbers.
+Each query is fully executed (collect of the result) so the timing
+covers scan→shuffle→agg, not just plan construction. A warmup action
+first amortizes JVM/codegen startup out of per-query numbers.
+
+Steady-state protocol (r5+): each query runs RUNS_PER_QUERY times and
+"queries"/"value" report the per-query MINIMUM — rounds 3 and 4 both
+had to triage fake regressions that were really first-exec codegen
+(~2-4x steady state) or box-load noise, so the headline number is now
+the reproducible floor. The first-run numbers are still emitted
+("first_run_queries"/"first_run_total") so cold-path regressions stay
+visible too.
 """
 
 from __future__ import annotations
@@ -17,6 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_engineer_project_spark.operators.cache import (  # noqa: E402
+    release_all as release_caches,
+)
 from data_engineer_project_spark.queries import QUERIES  # noqa: E402
 from data_engineer_project_spark.session import get_spark  # noqa: E402
 
@@ -87,12 +98,19 @@ def main() -> None:
         from data_engineer_project_spark.queries.healthcare import warm_fixtures
 
         warm_fixtures(spark)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = QUERIES[name].fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        per_run: list[float] = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = QUERIES[name].fn(spark, sf_dir)
+            df.collect()
+            per_run.append(round(time.time() - t0, 3))
+            release_caches()  # drop per-call persist()s between runs
+        timings[name] = min(per_run)
+        first_run[name] = per_run[0]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -103,6 +121,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": runs,
+                "first_run_total": round(sum(first_run.values()), 3),
+                "first_run_queries": first_run,
             }
         )
     )

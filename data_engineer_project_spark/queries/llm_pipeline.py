@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from data_engineer_project_spark.functions import text as T
 from data_engineer_project_spark.functions.numeric import money
 from data_engineer_project_spark.operators import dedup as DD
+from data_engineer_project_spark.operators.cache import tracked_persist
 from data_engineer_project_spark.operators import graph as GR
 from data_engineer_project_spark.operators import retrieval as RET
 from data_engineer_project_spark.operators import similarity as SIM
@@ -1411,10 +1412,8 @@ def d25_decontamination(t):
     join is corpus-linear, never |test|×|train|. Report: per test doc,
     how many train docs collide and the worst overlap."""
     b = F.expr(_SPARK_BUCKET)
-    sh = (
-        DD.exploded_shingles(t.documents, "doc_id", "text", 3)
-        .distinct()
-        .persist()
+    sh = tracked_persist(
+        DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct()
     )
     informative = (
         sh.groupBy("shingle")
@@ -1738,8 +1737,10 @@ def d29_minhash_estimator_quality(t):
     the shared signature/candidate/verify builders, so the plan shape
     is d07's plus one signature self-join on the (small) pair set."""
     num_hashes = 8
-    sh = DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct().persist()
-    sig = DD.minhash_signatures(sh, "doc_id", num_hashes).persist()
+    sh = tracked_persist(
+        DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct()
+    )
+    sig = tracked_persist(DD.minhash_signatures(sh, "doc_id", num_hashes))
     cand = DD.band_candidates(sig, "doc_id", num_hashes, bands=4)
     exact = DD.exact_jaccard(cand, sh, "doc_id")
     sa, sb = sig.alias("sa"), sig.alias("sb")

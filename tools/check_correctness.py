@@ -68,6 +68,7 @@ def result_fingerprint(cols: list[str], rows: list[tuple]):
 
 
 def run_spark(spark, sf_dir, names):
+    from data_engineer_project_spark.operators.cache import release_all
     from data_engineer_project_spark.queries import QUERIES
 
     out = {}
@@ -78,6 +79,9 @@ def run_spark(spark, sf_dir, names):
         cols = df.columns
         rows = [tuple(r) for r in df.collect()]
         out[name] = (result_fingerprint(cols, rows), time.time() - t0)
+        # per-call persist()s (dedup/simhash intermediates) would
+        # otherwise accumulate across a 175-query session
+        release_all()
     return out
 
 
