@@ -867,18 +867,9 @@ def d15_curation_pipeline(t):
     keep-first → prefix near-dup removal (keep lowest id per cluster) →
     per-lang corpus stats. The composition every training-data pipeline
     runs, as ONE declarative plan — three groupBy shuffles total, no
-    materialization between stages."""
-    d = t.documents
-    n_words = T.token_count("text")
-    ratio = T.stopword_count("text").cast("double") / n_words.cast("double")
-    q = d.filter(n_words.between(20, 120) & (ratio < 0.3))
-    e2 = DD.exact_dedup_keep_first(q)
-    keep = (
-        e2.select(T.prefix_fingerprint("text", 10).alias("pfp"), "doc_id")
-        .groupBy("pfp")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    fin = e2.join(keep, "doc_id", "left_semi")
+    materialization between stages. (d38 runs the same tiers plus a
+    containment tier; the tier chain is shared via _curated_fin.)"""
+    fin = _curated_fin(t)
     return fin.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count("text")).alias("total_tokens"),
@@ -2213,3 +2204,115 @@ def d37_ann_ivf_nprobe2(t):
     reuses the unrolled CTE chain with a widened query-side rank."""
     emb = t.embeddings
     return SIM.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=3, nprobe=2)
+
+
+# d15's three curation tiers, shared with d38 (which adds a fourth).
+_CURATION_FIN_SQL = f"""q AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE length(string_split(text, ' ')) BETWEEN 20 AND 120
+        AND CAST(length(list_filter(string_split(text, ' '),
+                                    x -> x IN ({_SW_SQL}))) AS DOUBLE)
+            / CAST(length(string_split(text, ' ')) AS DOUBLE) < 0.3
+    ),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    e2 AS (SELECT q.doc_id, q.lang, q.text FROM q JOIN ex USING (doc_id)),
+    nd AS (SELECT MIN(doc_id) AS doc_id FROM e2
+           GROUP BY md5(array_to_string(string_split(text,' ')[1:10], ' '))),
+    fin AS (SELECT e2.doc_id, e2.lang, e2.text FROM e2 JOIN nd USING (doc_id))"""
+
+
+def _curated_fin(t):
+    """Spark twin of _CURATION_FIN_SQL: quality filter (d02 criteria) →
+    exact dedup keep-first → prefix near-dup removal. Returns the
+    surviving (doc_id, lang, text) rows — d15 aggregates these; d38
+    runs one more dedup tier first."""
+    d = t.documents
+    n_words = T.token_count("text")
+    ratio = T.stopword_count("text").cast("double") / n_words.cast("double")
+    q = d.filter(n_words.between(20, 120) & (ratio < 0.3))
+    e2 = DD.exact_dedup_keep_first(q)
+    keep = (
+        e2.select(T.prefix_fingerprint("text", 10).alias("pfp"), "doc_id")
+        .groupBy("pfp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return e2.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "text")
+
+
+@query(
+    "d38_curation_containment",
+    f"""
+    WITH {_CURATION_FIN_SQL},
+    w AS (SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+                 generate_subscripts(string_split(text,' '),1) AS i
+          FROM fin),
+    sh AS (SELECT doc_id,
+                  wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+           FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+           QUALIFY lead(wd,2) OVER win IS NOT NULL),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (SELECT shingle FROM shd GROUP BY shingle
+                    HAVING COUNT(*) <= 50 AND COUNT(*) > 1),
+    shf AS (SELECT shd.doc_id, shd.shingle FROM shd JOIN informative USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    cpairs AS (SELECT doc_a, doc_b FROM inter
+               JOIN sizes za ON za.doc_id = inter.doc_a
+               JOIN sizes zb ON zb.doc_id = inter.doc_b
+               WHERE CAST(n_inter AS DOUBLE)
+                       / CAST(LEAST(za.n_sh, zb.n_sh) AS DOUBLE) >= 0.25),
+    toks AS (SELECT doc_id, length(string_split(text, ' ')) AS tok FROM fin),
+    drops AS (SELECT DISTINCT CASE WHEN ta.tok < tb.tok
+                                     OR (ta.tok = tb.tok AND doc_a > doc_b)
+                                   THEN doc_a ELSE doc_b END AS doc_id
+              FROM cpairs
+              JOIN toks ta ON ta.doc_id = cpairs.doc_a
+              JOIN toks tb ON tb.doc_id = cpairs.doc_b),
+    fin2 AS (SELECT fin.* FROM fin
+             WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM fin2 GROUP BY lang
+    """,
+    tags=("llm", "dedup", "pipeline"),
+)
+def d38_curation_containment(t):
+    """d15's curation pipeline plus a CONTAINMENT tier: after the
+    quality filter, exact dedup, and prefix near-dup removal, docs
+    subsumed by another survivor (shingle overlap coefficient over the
+    d34 informative inverted index) are dropped too — quote/snippet
+    dups that Jaccard under-scores. Per containment pair the SHORTER
+    doc (fewer tokens; ties → higher id) is dropped — deterministic
+    and engine-portable. Still one declarative plan: the extra tier
+    costs one inverted-index self-join (corpus-linear, df ≤ 50
+    blocking) and one anti-join; no materialization between tiers.
+    The 0.25 threshold is the aggressive end of the knob, chosen so
+    the gate corpus (whose post-filter containment tops out ~0.29 —
+    the planted full quotes are removed by the earlier tiers) exercises
+    a NON-EMPTY drop set; production snippet-dedup typically runs
+    ≥ 0.6 (d34's setting)."""
+    fin = _curated_fin(t)
+    pairs = DD.containment_pairs(fin, overlap_threshold=0.25, max_df=50)
+    toks = fin.select("doc_id", T.token_count("text").alias("tok"))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    drops = (
+        pairs.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            F.when(
+                (F.col("ta.tok") < F.col("tb.tok"))
+                | ((F.col("ta.tok") == F.col("tb.tok")) & (F.col("doc_a") > F.col("doc_b"))),
+                F.col("doc_a"),
+            )
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    fin2 = fin.join(drops, "doc_id", "left_anti")
+    return fin2.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
