@@ -80,14 +80,47 @@ def read_document_stream(
     document part-files land in ``path`` and each becomes (part of) a
     micro-batch. Fixed declared schema (documents has no physical-type
     drift history); ``max_files_per_trigger=1`` forces multi-batch runs
-    in tests."""
+    in tests.
+
+    The glob is validated EAGERLY: ``pathGlobFilter`` matches file
+    names only, so if ``documents.parquet`` is a DIRECTORY dataset the
+    default glob would silently match nothing and every downstream
+    query (s10/s11) would return empty results with no error. A
+    schema-only batch probe checks the match; a directory layout falls
+    back to streaming ``path/<glob>`` with ``*.parquet``; zero matches
+    either way raises at stream setup instead of producing silent
+    emptiness."""
     from data_engineer_project_spark.session import normalize_session
 
     normalize_session(spark)
-    reader = spark.readStream.schema(DOC_RAW_SCHEMA).option("pathGlobFilter", glob)
+
+    def _matches(p: str, g: str) -> bool:
+        # schema-only listing (no data scan, no footer read needed)
+        try:
+            return bool(
+                spark.read.schema(DOC_RAW_SCHEMA)
+                .option("pathGlobFilter", g)
+                .parquet(p)
+                .inputFiles()
+            )
+        except Exception:
+            return False
+
+    target, eff_glob = path, glob
+    if not _matches(path, glob):
+        sub = path.rstrip("/") + "/" + glob
+        if _matches(sub, "*.parquet"):
+            target, eff_glob = sub, "*.parquet"
+        else:
+            raise RuntimeError(
+                f"read_document_stream: no parquet files match {glob!r} under "
+                f"{path!r} (nor {sub!r}/*.parquet) — the stream would only "
+                "ever emit empty micro-batches"
+            )
+    reader = spark.readStream.schema(DOC_RAW_SCHEMA).option("pathGlobFilter", eff_glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    return reader.parquet(target)
 
 
 def read_event_stream(

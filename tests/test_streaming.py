@@ -507,3 +507,33 @@ def test_stream_corpus_dedup_drops_planted_duplicate(spark, tmp_path):
         for r in QUERIES["s11_stream_dedup_against_corpus"].fn(spark, str(sf)).collect()
     }
     assert got == {4}, f"expected only the novel arrival to survive, got {got}"
+
+
+def test_document_stream_dir_dataset_fallback_and_loud_failure(spark, tmp_path):
+    """ADVICE r4: pathGlobFilter matches file NAMES, so a directory-
+    dataset documents.parquet/ would silently stream nothing. The
+    reader must fall back to streaming inside the directory — and a
+    glob that matches nothing anywhere must fail at setup, not emit
+    empty micro-batches forever."""
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.streaming import read_document_stream
+    from data_engineer_project_spark.streaming.events import run_to_memory_table
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path / "sfdir"
+    (d / "documents.parquet").mkdir(parents=True)
+    pq.write_table(tbl.slice(0, 100), d / "documents.parquet" / "part-0.parquet")
+
+    stream = read_document_stream(spark, str(d))
+    got = run_to_memory_table(
+        stream.groupBy("lang").agg(F.count(F.lit(1)).alias("n")),
+        "docs_dirset",
+        "complete",
+    ).collect()
+    assert sum(r["n"] for r in got) == 100
+
+    with pytest.raises(RuntimeError, match="no parquet files match"):
+        read_document_stream(spark, str(tmp_path / "nothing_here"))

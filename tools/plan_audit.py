@@ -83,26 +83,46 @@ def _node_depth(line: str) -> int:
     return m.end()
 
 
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """Plan-tree lines strictly below node ``i`` (deeper indent, until
+    the next sibling/ancestor)."""
+    d = _node_depth(lines[i])
+    sub = []
+    for nxt in lines[i + 1 :]:
+        if nxt.strip() and _node_depth(nxt) <= d:
+            break
+        sub.append(nxt)
+    return sub
+
+
 def classify_bnlj(plan: str) -> dict[str, int]:
     """Split BroadcastNestedLoopJoin occurrences into scalar-broadcast
-    (the build side is a 1-row global aggregate — ``keys=[]`` — i.e. a
+    (the BUILD side is a 1-row global aggregate — ``keys=[]`` — i.e. a
     broadcast of corpus statistics, cost O(rows), benign) vs NON-SCALAR
     (a genuine nested-loop over a multi-row side — the cartesian risk
-    the audit exists to catch)."""
+    the audit exists to catch).
+
+    The scalar check looks only under the BroadcastExchange/
+    BroadcastQueryStage node (the build side), NOT the whole join
+    subtree — a multi-row nested loop whose STREAMED side contains a
+    global aggregate must still be flagged. If no broadcast node is
+    visible in the subtree (e.g. a ReusedExchange pointer), the check
+    conservatively falls back to the whole subtree."""
     lines = plan.splitlines()
     out = {"scalar": 0, "non_scalar": 0}
+    agg = re.compile(r"Aggregate\((?:keys|key)=\[\]")
     for i, ln in enumerate(lines):
         if "BroadcastNestedLoopJoin" not in ln:
             continue
-        d = _node_depth(ln)
-        subtree = []
-        for nxt in lines[i + 1 :]:
-            if nxt.strip() and _node_depth(nxt) <= d:
+        subtree = _subtree(lines, i)
+        build_side: list[str] | None = None
+        for j, s in enumerate(subtree):
+            if "BroadcastExchange" in s or "BroadcastQueryStage" in s:
+                # the build side = the broadcast node + what feeds it
+                build_side = [s] + _subtree(subtree, j)
                 break
-            subtree.append(nxt)
-        scalar = any(
-            re.search(r"Aggregate\((?:keys|key)=\[\]", s) for s in subtree
-        )
+        scope = build_side if build_side is not None else subtree
+        scalar = any(agg.search(s) for s in scope)
         out["scalar" if scalar else "non_scalar"] += 1
     return out
 
