@@ -2316,3 +2316,250 @@ def d38_curation_containment(t):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count("text")).alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 additions: PII redaction, boilerplate detection, batch-shape
+# percentiles — the remaining standard stages of a pretraining text
+# pipeline (C4/RefinedWeb-style cleanup) not yet covered by d01-d38.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "d39_pii_redaction",
+    f"""
+    WITH injected AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail-' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+                  || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS pii_text
+      FROM documents
+    ), red AS (
+      SELECT doc_id, lang, pii_text,
+             regexp_replace(
+               regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+             length(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS n_email,
+             length(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS n_phone
+      FROM injected
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+           CAST(SUM(length(pii_text) - length(clean_text)) AS BIGINT)
+             AS chars_removed
+    FROM red
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "pii"),
+)
+def d39_pii_redaction(t):
+    """PII redaction audit: scrub email addresses and phone numbers
+    with regexp_replace and report per-language match/char-delta
+    counts. The corpus is synthetic word salad with no digits
+    (TESTDATA.md), so — following s11's planted-duplicate precedent —
+    both engines first INJECT deterministic doc_id-derived PII spans,
+    then redact them; the assertion is that the full inject→match→
+    replace pipeline agrees span-for-span across engines (patterns
+    restricted to the character-class/quantifier subset where Java
+    regex and RE2 semantics coincide: no backrefs, no lookaround).
+    Scale: stateless row-local string work — single scan, no shuffle
+    besides the 5-group rollup; at 100 TB this is the cheapest stage
+    of the pipeline and pipelines with any adjacent scan."""
+    d = F.col("doc_id")
+    injected = t.documents.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail-"),
+            (d % 97).cast("string"),
+            F.lit(".example.com"),
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("pii_text"),
+    )
+    red = injected.select(
+        "lang",
+        "pii_text",
+        F.regexp_replace(
+            F.regexp_replace("pii_text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+        F.regexp_count("pii_text", F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("pii_text", F.lit(_PHONE_RE)).alias("n_phone"),
+    )
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum(F.length("pii_text") - F.length("clean_text")).alias(
+                "chars_removed"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "d40_boilerplate_ngrams",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, wd || ' ' || lead(wd,1) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,1) OVER win IS NOT NULL
+    ), shd AS (SELECT DISTINCT doc_id, lang, shingle FROM sh),
+    nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    df AS (SELECT lang, shingle, COUNT(*) AS cnt FROM shd GROUP BY 1, 2),
+    boiler AS (
+      SELECT df.lang, df.shingle
+      FROM df JOIN nd ON df.lang = nd.lang
+      WHERE cnt * 10 > n_docs
+    ),
+    hits AS (
+      SELECT shd.lang,
+             COUNT(*) AS total_hits,
+             COUNT(*) FILTER (b.shingle IS NOT NULL) AS boiler_hits
+      FROM shd LEFT JOIN boiler b
+        ON shd.lang = b.lang AND shd.shingle = b.shingle
+      GROUP BY shd.lang
+    )
+    SELECT nd.lang AS lang, nd.n_docs,
+           (SELECT COUNT(*) FROM boiler WHERE boiler.lang = nd.lang)
+             AS n_boiler_shingles,
+           boiler_hits, total_hits,
+           CAST(boiler_hits AS DOUBLE) / CAST(total_hits AS DOUBLE)
+             AS boiler_frac
+    FROM nd JOIN hits ON hits.lang = nd.lang
+    ORDER BY nd.lang
+    """,
+    tags=("llm", "quality"),
+)
+def d40_boilerplate_ngrams(t):
+    """Boilerplate detection (C4-style repeated-content removal
+    signal): a word 2-gram is boilerplate for a language when it
+    occurs in more than 10% of that language's documents; report per
+    language how much of the corpus' distinct (doc, shingle) mass is
+    boilerplate. The 10% threshold is the exact cross-multiplication
+    ``df_count * 10 > n_docs`` (no division), and the one division —
+    the final ratio — is bigint/bigint→double, identical on both
+    engines. Scale: document frequency is one shuffle on
+    (lang, shingle) with map-side partials over array-native distinct
+    shingles (no explode of duplicates); the boilerplate set joins
+    back on the same (lang, shingle) key so AQE can reuse the
+    partitioning, and the per-lang rollup is 5 groups. Linear in
+    corpus size, never all-pairs."""
+    docs = t.documents
+    shd = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(T.shingles("text", 2))).alias("shingle")
+    )
+    nd = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = shd.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    boiler = (
+        df_.join(F.broadcast(nd), "lang")
+        .filter(F.col("cnt") * 10 > F.col("n_docs"))
+        .select("lang", "shingle")
+    )
+    nb = boiler.groupBy("lang").agg(F.count(F.lit(1)).alias("n_boiler_shingles"))
+    hits = (
+        shd.join(
+            boiler.withColumn("is_boiler", F.lit(1)),
+            ["lang", "shingle"],
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_hits"),
+            F.count("is_boiler").alias("boiler_hits"),
+        )
+    )
+    return (
+        nd.join(hits, "lang")
+        .join(F.broadcast(nb), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_boiler_shingles", F.lit(0)).alias("n_boiler_shingles"),
+            "boiler_hits",
+            "total_hits",
+            (
+                F.col("boiler_hits").cast("double")
+                / F.col("total_hits").cast("double")
+            ).alias("boiler_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "d41_length_percentiles",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50_chars,
+           MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90_chars,
+           MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99_chars
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "stats"),
+)
+def d41_length_percentiles(t):
+    """Exact discrete length percentiles per language (batch-shape
+    planning for sequence packing: what padding budget does each
+    language need?). PERCENTILE_DISC semantics, derived from first
+    principles so both engines agree bit-for-bit: the p-th percentile
+    is the value at rank ceil(p*n), computed in pure integer
+    arithmetic as ``(n*p + 99) DIV 100`` — no float percentile
+    functions, whose interpolation rules differ across engines.
+    Scale: one window shuffle on lang (5 partitions at test scale;
+    for a skewed-language corpus the same pattern shards like d32,
+    but percentile extraction genuinely needs a per-language global
+    order, so the honest 100 TB form is sort-within-language); the
+    conditional aggregation collapses map-side."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = t.documents.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    def _at(p):
+        target = F.expr(f"(n * {p} + 99) div 100")
+        return F.max(F.when(F.col("rn") == target, F.col("n_chars")))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            _at(50).alias("p50_chars"),
+            _at(90).alias("p90_chars"),
+            _at(99).alias("p99_chars"),
+        )
+        .orderBy("lang")
+    )
