@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     # with the corpus; 2 plane families OR-ed) — the similarity-search
     # scale path whose candidate volume must stay corpus-linear.
     "d10_ann_lsh_bucketed",
+    # r5 addition: the completed TPC-H surface's hardest composition —
+    # double-correlated EXISTS/NOT EXISTS planned as co-partitioned
+    # semi + anti joins on orderkey (q21), a physical path (two
+    # self-join legs reusing one shuffle key) no other slot covers.
+    "q21_waiting_supplier",
 ]
 
 

@@ -2461,52 +2461,44 @@ def d40_boilerplate_ngrams(t):
     boilerplate. The 10% threshold is the exact cross-multiplication
     ``df_count * 10 > n_docs`` (no division), and the one division —
     the final ratio — is bigint/bigint→double, identical on both
-    engines. Scale: document frequency is one shuffle on
+    engines. Scale: the whole query is ONE scan of documents and a
+    pure aggregation tree — document frequency shuffles once on
     (lang, shingle) with map-side partials over array-native distinct
-    shingles (no explode of duplicates); the boilerplate set joins
-    back on the same (lang, shingle) key so AQE can reuse the
-    partitioning, and the per-lang rollup is 5 groups. Linear in
-    corpus size, never all-pairs."""
+    shingles (no explode of duplicates), and every output metric
+    (boilerplate set size, boilerplate hit mass, total hit mass)
+    derives from that df table alone: boiler_hits is the sum of df
+    counts over boilerplate shingles, which equals re-joining the
+    (doc, shingle) pairs but costs no second pass. The 5-row per-lang
+    doc-count broadcasts into the df filter. Linear in corpus size,
+    never all-pairs."""
     docs = t.documents
     shd = docs.select(
         "doc_id", "lang", F.explode(F.array_distinct(T.shingles("text", 2))).alias("shingle")
     )
     nd = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     df_ = shd.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
-    boiler = (
+    is_boiler = F.col("cnt") * 10 > F.col("n_docs")
+    rollup = (
         df_.join(F.broadcast(nd), "lang")
-        .filter(F.col("cnt") * 10 > F.col("n_docs"))
-        .select("lang", "shingle")
-    )
-    nb = boiler.groupBy("lang").agg(F.count(F.lit(1)).alias("n_boiler_shingles"))
-    hits = (
-        shd.join(
-            boiler.withColumn("is_boiler", F.lit(1)),
-            ["lang", "shingle"],
-            "left",
-        )
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("total_hits"),
-            F.count("is_boiler").alias("boiler_hits"),
+            F.max("n_docs").alias("n_docs"),
+            F.count(F.when(is_boiler, F.lit(1))).alias("n_boiler_shingles"),
+            F.sum(F.when(is_boiler, F.col("cnt")).otherwise(0)).alias("boiler_hits"),
+            F.sum("cnt").alias("total_hits"),
         )
     )
-    return (
-        nd.join(hits, "lang")
-        .join(F.broadcast(nb), "lang", "left")
-        .select(
-            "lang",
-            "n_docs",
-            F.coalesce("n_boiler_shingles", F.lit(0)).alias("n_boiler_shingles"),
-            "boiler_hits",
-            "total_hits",
-            (
-                F.col("boiler_hits").cast("double")
-                / F.col("total_hits").cast("double")
-            ).alias("boiler_frac"),
-        )
-        .orderBy("lang")
-    )
+    return rollup.select(
+        "lang",
+        "n_docs",
+        "n_boiler_shingles",
+        "boiler_hits",
+        "total_hits",
+        (
+            F.col("boiler_hits").cast("double")
+            / F.col("total_hits").cast("double")
+        ).alias("boiler_frac"),
+    ).orderBy("lang")
 
 
 @query(

@@ -640,9 +640,12 @@ def q2_min_cost_supplier(t):
     (partkey, exact DECIMAL equality). lineitem is the part-supplier
     bridge (no partsupp in the testdata). Scale: the offer table
     aggregates map-side then shuffles once on (partkey, suppkey); the
-    per-part min reuses the partkey partitioning; part/supplier/nation
-    dims broadcast. Ref parity: SURVEY §2.3 composite-key joins +
-    §2.10 scalar subqueries."""
+    per-part min is a WINDOW over that aggregate — not a groupBy +
+    join-back, which would recompute the offers subtree and scan
+    lineitem twice; part/supplier/nation dims broadcast. Ref parity:
+    SURVEY §2.3 composite-key joins + §2.10 scalar subqueries."""
+    from pyspark.sql import Window
+
     li = t.lineitem
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(money("l_extendedprice")).alias("offer")
@@ -651,13 +654,9 @@ def q2_min_cost_supplier(t):
         "p_partkey"
     )
     offers_p = offers.join(F.broadcast(parts), offers.l_partkey == F.col("p_partkey"))
-    best = offers_p.groupBy(F.col("p_partkey").alias("bp_key")).agg(
-        F.min("offer").alias("best")
-    )
-    sel = offers_p.join(
-        best,
-        (F.col("p_partkey") == F.col("bp_key")) & (F.col("offer") == F.col("best")),
-    )
+    sel = offers_p.withColumn(
+        "best", F.min("offer").over(Window.partitionBy("p_partkey"))
+    ).filter(F.col("offer") == F.col("best"))
     out = (
         sel.join(F.broadcast(t.supplier), sel.l_suppkey == t.supplier.s_suppkey)
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -763,9 +762,12 @@ def q11_important_part_value(t):
     DECIMALs (no division, no floats; DECIMAL(30,4) x DECIMAL(6,0)
     stays under both engines' 38-digit cap for corpora to 10^6
     distinct parts per nation at test scale). Scale: one shuffle on
-    partkey with map-side partial sums; the global total/count is a
-    1-row broadcast cross-join, never a collect. Ref parity: SURVEY
-    §2.4 HAVING + §2.10 scalar subqueries."""
+    partkey with map-side partial sums; the global total/count derives
+    from the per-part aggregate itself (sum-of-sums, count-of-groups)
+    so the natline subtree is computed once and its shuffle exchange
+    is reused, and the scalar stays a 1-row Aggregate(keys=[])
+    broadcast — never a collect. Ref parity: SURVEY §2.4 HAVING +
+    §2.10 scalar subqueries."""
     li = t.lineitem
     supp = (
         t.supplier.join(
@@ -778,11 +780,11 @@ def q11_important_part_value(t):
         "l_partkey", _disc_price(li).alias("val")
     )
     per_part = natline.groupBy("l_partkey").agg(F.sum("val").alias("value"))
-    total = natline.agg(
+    total = per_part.agg(
         (
-            F.sum("val").cast("decimal(30,4)") * F.lit(2).cast("decimal(1,0)")
+            F.sum("value").cast("decimal(30,4)") * F.lit(2).cast("decimal(1,0)")
         ).alias("cutoff"),
-        F.countDistinct("l_partkey").cast("decimal(6,0)").alias("n_parts"),
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -902,18 +904,24 @@ def q15_top_supplier(t):
     ship window — the revenue view is computed once and compared
     against its own scalar MAX (exact DECIMAL equality, so ties are
     deterministic on both engines). Scale: one shuffle on suppkey;
-    the scalar max is a 1-row broadcast; supplier joins broadcast. Ref
+    the max is a global WINDOW over the already-aggregated revenue
+    table — |suppliers| rows, bounded — so lineitem is scanned ONCE
+    (a cross-join against a separate agg would recompute the revenue
+    subtree and re-scan the fact); supplier joins broadcast. Ref
     parity: SURVEY §2.9 views (the revenue CTE is the view body) +
     §2.10 scalar subqueries."""
+    from pyspark.sql import Window
+
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_disc_price(li)).alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
-        revenue.crossJoin(F.broadcast(mx))
+        revenue.withColumn(
+            "mx", F.max("total_revenue").over(Window.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
@@ -1001,11 +1009,18 @@ def q20_excess_share_supplier(t):
     volume of) some qualifying part in 1997 — the nested
     IN(SELECT...WHERE qty > fraction-of-correlated-total) chain,
     with shipped share standing in for availqty-vs-half-of-shipped
-    (no partsupp). The share comparison is DECIMAL-exact. Scale:
-    ship97 aggregates once on (partkey, suppkey); the per-part total
-    reuses the partkey side; the final IN is a semi-join into the
-    100-row supplier dim. Ref parity: SURVEY §2.3 semi joins +
-    §2.10 nested subqueries."""
+    (no partsupp). The share comparison is DECIMAL-exact (the
+    per-part total is the window-sum of the per-(part, supplier)
+    sums — algebraically identical to summing raw quantities). Scale:
+    ship97 aggregates ONCE on (partkey, suppkey) and the per-part
+    total is a window over that aggregate partitioned by partkey —
+    not a second groupBy + join-back, which would recompute ship97
+    and scan lineitem twice; the window key (suppliers per part) is
+    bounded; the final IN is a semi-join into the 100-row supplier
+    dim. Ref parity: SURVEY §2.3 semi joins + §2.10 nested
+    subqueries."""
+    from pyspark.sql import Window
+
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -1016,11 +1031,10 @@ def q20_excess_share_supplier(t):
     per_ps = ship97.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("qty").alias("supp_qty")
     )
-    per_p = ship97.groupBy(F.col("l_partkey").alias("pp_key")).agg(
-        F.sum("qty").alias("part_qty")
-    )
     dominating = (
-        per_ps.join(per_p, F.col("l_partkey") == F.col("pp_key"))
+        per_ps.withColumn(
+            "part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("supp_qty") > F.col("part_qty") * F.lit(0.3).cast("decimal(2,1)"))
         .select("l_suppkey")
         .distinct()
@@ -1066,14 +1080,23 @@ def q20_excess_share_supplier(t):
 def q21_waiting_supplier(t):
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
     finished multi-supplier order — the double correlated
-    EXISTS / NOT EXISTS, planned as a semi-join (another supplier
-    participated) then an anti-join (no other supplier was late).
-    Lateness derives from l_shipdate > o_orderdate + 60 days (no
-    commit/receipt dates in the testdata). Scale: all three legs
-    shuffle on orderkey only, so the semi and anti joins co-partition
-    with the base; supplier broadcasts; numwait counts lineitems
-    exactly like the reference query. Ref parity: SURVEY §2.3
-    semi/anti joins (≙ hq17-hq19) at their hardest composition."""
+    EXISTS / NOT EXISTS. The DataFrame plan applies the decorrelation
+    a cost-based optimizer would: instead of two self-join legs that
+    each recompute (and re-scan) the lineitem-orders base, aggregate
+    once per (orderkey, suppkey) — keeping the late-lineitem count as
+    the EXISTS semantics' row weight — then resolve both correlated
+    predicates with ONE window over orderkey (participant count >= 2,
+    exactly one late supplier). Lateness derives from l_shipdate >
+    o_orderdate + 60 days (no commit/receipt dates in the testdata).
+    Scale: lineitem is scanned once (the naive semi+anti form scans it
+    three times); one shuffle on (orderkey, suppkey), one window
+    re-shuffle on orderkey whose partitions are bounded by suppliers-
+    per-order; supplier broadcasts; numwait still counts late
+    lineitems exactly like the reference query. Ref parity: SURVEY
+    §2.3 semi/anti joins (≙ hq17-hq19) at their hardest composition,
+    decorrelated."""
+    from pyspark.sql import Window
+
     f_orders = t.orders.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -1085,24 +1108,18 @@ def q21_waiting_supplier(t):
         .cast("int")
         .alias("is_late"),
     )
-    late1 = base.filter(F.col("is_late") == 1)
-    others = base.select(
-        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    sup_order = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("n_late_rows"),
+        F.max("is_late").alias("any_late"),
     )
-    late_others = base.filter(F.col("is_late") == 1).select(
-        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
-    )
+    w = Window.partitionBy("l_orderkey")
     sole_late = (
-        late1.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_key"))
-            & (F.col("l_suppkey") != F.col("s2_key")),
-            "left_semi",
-        ).join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_key"))
-            & (F.col("l_suppkey") != F.col("s3_key")),
-            "left_anti",
+        sup_order.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("any_late").over(w))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
     )
     return (
@@ -1110,7 +1127,7 @@ def q21_waiting_supplier(t):
             F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(50)
     )

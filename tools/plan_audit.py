@@ -48,6 +48,19 @@ EXTRA_QUERIES = [
     "d35_char_class_profile",
     "d36_ngram_novelty",
     "d37_ann_ivf_nprobe2",
+    # r5 additions: the completed TPC-H suite + new pipeline stages
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_part_value",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q20_excess_share_supplier",
+    "d38_curation_containment",
+    "d39_pii_redaction",
+    "d40_boilerplate_ngrams",
+    "d41_length_percentiles",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED query-set
@@ -58,6 +71,14 @@ BOUNDED_BNLJ_OK = {"d09_cosine_topk_bruteforce"}
 
 # Hand-pinned notes that must survive regeneration — keyed by query.
 NOTES = {
+    "q11_important_part_value": (
+        "Note: the static plan prints the natline→per_part subtree "
+        "twice (probe rows + the scalar cutoff broadcast), but the "
+        "adaptive EXECUTED plan replaces the duplicate with a "
+        "`ReusedExchange` of the per_part shuffle — lineitem is "
+        "scanned once at runtime. Verified via "
+        "`queryExecution().executedPlan()` (isFinalPlan=true)."
+    ),
     "d09_cosine_topk_bruteforce": (
         "Note (perf trade, pinned deliberately): the two-phase "
         "`grouped_topk` rewrite costs ~0.4 s extra at sf0.1 versus the "
@@ -103,11 +124,14 @@ def classify_bnlj(plan: str) -> dict[str, int]:
     the audit exists to catch).
 
     The scalar check looks only under the BroadcastExchange/
-    BroadcastQueryStage node (the build side), NOT the whole join
-    subtree — a multi-row nested loop whose STREAMED side contains a
-    global aggregate must still be flagged. If no broadcast node is
-    visible in the subtree (e.g. a ReusedExchange pointer), the check
-    conservatively falls back to the whole subtree."""
+    BroadcastQueryStage node that is the join's own BUILD side — a
+    DIRECT child of the BNLJ node, not merely the first broadcast
+    anywhere in the subtree (the streamed side may contain broadcast
+    dim joins of its own, as in q11). A multi-row nested loop whose
+    STREAMED side contains a global aggregate must still be flagged.
+    If no direct-child broadcast node is visible (e.g. a
+    ReusedExchange pointer), the check conservatively falls back to
+    the whole subtree."""
     lines = plan.splitlines()
     out = {"scalar": 0, "non_scalar": 0}
     agg = re.compile(r"Aggregate\((?:keys|key)=\[\]")
@@ -116,11 +140,17 @@ def classify_bnlj(plan: str) -> dict[str, int]:
             continue
         subtree = _subtree(lines, i)
         build_side: list[str] | None = None
-        for j, s in enumerate(subtree):
-            if "BroadcastExchange" in s or "BroadcastQueryStage" in s:
-                # the build side = the broadcast node + what feeds it
-                build_side = [s] + _subtree(subtree, j)
-                break
+        if subtree:
+            child_depth = min(
+                _node_depth(s) for s in subtree if s.strip()
+            )
+            for j, s in enumerate(subtree):
+                if _node_depth(s) != child_depth:
+                    continue  # not a direct child of the join
+                if "BroadcastExchange" in s or "BroadcastQueryStage" in s:
+                    # the build side = the broadcast child + what feeds it
+                    build_side = [s] + _subtree(subtree, j)
+                    break
         scope = build_side if build_side is not None else subtree
         scalar = any(agg.search(s) for s in scope)
         out["scalar" if scalar else "non_scalar"] += 1
