@@ -397,3 +397,50 @@ def s11_stream_dedup_against_corpus(t):
     )
     survivors = incoming.join(corpus, "fp", "left_anti").select("doc_id", "lang")
     return run_to_memory_table(survivors, "stream_corpus_dedup", "append")
+
+
+@query(
+    "s12_stream_append_final_windows",
+    """
+    WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, event_type, n, total_value
+    FROM agg, mx
+    WHERE window_end <= mt - INTERVAL '1 hour'
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def s12_stream_append_final_windows(t):
+    """Append-mode tumbling windows under a 1-hour watermark: unlike
+    the complete-mode s01, a window row is emitted ONLY once the
+    watermark (max event time seen minus the delay) passes its end —
+    the canonical production shape, where each window is written
+    exactly once to a durable sink and state is evicted. The
+    observable contract the oracle pins: the emitted set is exactly
+    the windows with ``window_end <= max(ts) - 1 hour``; the newest
+    windows are withheld, which is the proof the watermark ran (a
+    complete-mode run would include them). Late rows arriving after
+    their window closed are dropped — with the engine's real wrinkle
+    (the late-events watermark lags eviction by one batch) exercised
+    against a crafted out-of-order multi-batch input in
+    tests/test_streaming.py::test_s12_late_row_beyond_watermark_is_dropped.
+    Scale:
+    state is bounded by (open windows x event types), independent of
+    stream length; the final batch's eviction is a state-store scan,
+    no shuffle beyond the windowed agg's own."""
+    from data_engineer_project_spark.streaming import (
+        read_event_stream,
+        run_to_memory_table,
+        tumbling_counts,
+    )
+
+    stream = read_event_stream(t._spark, t._sf_dir)
+    return run_to_memory_table(
+        tumbling_counts(stream, watermark="1 hour"), "append_final", "append"
+    )

@@ -537,3 +537,53 @@ def test_document_stream_dir_dataset_fallback_and_loud_failure(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="no parquet files match"):
         read_document_stream(spark, str(tmp_path / "nothing_here"))
+
+
+def test_s12_late_row_beyond_watermark_is_dropped(spark, tmp_path):
+    """The watermark contract s12 gates has a second half the single-
+    batch gate can't show: a row arriving AFTER its window was closed
+    by the watermark is dropped from the aggregate. One wrinkle pinned
+    here deliberately: Spark filters late events with a watermark that
+    LAGS eviction by one batch (StateStoreSave carries separate
+    late-events and eviction watermarks), so the stale row must arrive
+    two batches after the data that advanced the watermark — batches
+    1+2 carry everything except one event from the earliest hour
+    window, batch 3 carries only that stale event, which is dropped
+    and its window (holding no other rows) never appears."""
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    ts = tbl["ts"].cast(pa.timestamp("us")).to_pylist()
+    victim = min(range(len(ts)), key=lambda i: ts[i])
+    mask = [i != victim for i in range(len(ts))]
+    main = tbl.filter(pa.array(mask))
+    half = main.num_rows // 2
+    d = tmp_path / "late_parts"
+    d.mkdir()
+    parts = [main.slice(0, half), main.slice(half), tbl.slice(victim, 1)]
+    for i, part in enumerate(parts):
+        p = d / f"part-{i:03d}.parquet"
+        pq.write_table(part, p)
+        os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = read_event_stream(spark, str(d), glob="*.parquet", max_files_per_trigger=1)
+    appended = run_to_memory_table(
+        tumbling_counts(stream, watermark="30 minutes"), "t_late_drop", "append"
+    )
+    victim_row = spark.createDataFrame(
+        [(ts[victim],)], "vts timestamp"
+    ).collect()[0]
+    victim_start = victim_row["vts"].replace(minute=0, second=0, microsecond=0)
+    victim_type = tbl["event_type"][victim].as_py()
+    batch_n = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(
+            (F.date_trunc("hour", "ts") == F.lit(victim_start))
+            & (F.col("event_type") == victim_type)
+        )
+        .count()
+    )
+    assert batch_n == 1, "victim must be alone in its (window, type) group"
+    got = appended.filter(
+        (F.col("window_start") == F.lit(victim_start))
+        & (F.col("event_type") == victim_type)
+    ).collect()
+    assert got == [], "the late row must have been dropped, not re-emitted"
