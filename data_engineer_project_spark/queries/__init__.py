@@ -26,15 +26,33 @@ from pathlib import Path as _Path
 
 _FAMILY_RANK = {"h": 0, "d": 1, "e": 2, "s": 3, "m": 4, "p": 5, "q": 6}
 
+# Queries whose result CONTRACT changed in a given round: driver-green
+# rows recorded BEFORE that round verified the old contract, so they
+# don't count toward "already checked" — the query re-enters the gate
+# prefix until a fresh green row lands in round >= the listed one.
+# (Round 5: d31/d32 inherit the co-scaled LSH bands / sharded packing
+# rewrites; d37's centroid count is now corpus-derived.)
+_CONTRACT_CHANGED_ROUND = {
+    "d31_semantic_decontamination": 5,
+    "d32_sequence_packing": 5,
+    "d37_ann_ivf_nprobe2": 5,
+}
+
 
 def _green_counts(repo_root=None) -> dict[str, int]:
     """Count driver-green rows per query across every CORRECTNESS_r*.json
     under ``repo_root`` (default: this repo's root). Pure given a root —
-    tests exercise future-round shapes by pointing it at a tmp dir."""
+    tests exercise future-round shapes by pointing it at a tmp dir.
+    Green rows older than a query's _CONTRACT_CHANGED_ROUND entry are
+    ignored: they verified a superseded contract."""
     counts: dict[str, int] = {}
     if repo_root is None:
         repo_root = _Path(__file__).resolve().parents[2]
     for f in sorted(_Path(repo_root).glob("CORRECTNESS_r*.json")):
+        try:
+            file_round = int(f.stem.split("_r")[-1])
+        except ValueError:
+            file_round = 0
         try:
             recorded = _json.loads(f.read_text())
         except (OSError, ValueError):
@@ -43,6 +61,8 @@ def _green_counts(repo_root=None) -> dict[str, int]:
             continue
         for name, res in recorded.items():
             if not isinstance(res, dict):
+                continue
+            if file_round < _CONTRACT_CHANGED_ROUND.get(name, 0):
                 continue
             # A declared rows-only query (err == "no_oracle") can never
             # hash-match; the driver ran it and it produced rows, which is
