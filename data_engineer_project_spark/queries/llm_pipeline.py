@@ -550,22 +550,18 @@ def d13_embedding_near_dup(t):
     return SIM.cosine_near_dup_pairs(t.embeddings, threshold=0.4, dim=64)
 
 
-def _ivf_oracle(
-    k: int = 3,
-    iters: int = 2,
-    query_limit: int = 10,
-    nprobe: int = 1,
-) -> str:
-    """DuckDB twin of ``kmeans_centroids`` + ``ivf_topk``: the same
-    seed → assign → integer-quantized-sum update loop, unrolled into a
-    CTE chain (c0, asg0, c1, asg1, c2, …). floor(x·2^20) sums make the
-    centroid update exact integers on both engines, so assignments —
-    and therefore the final cells and top-k — bit-match. The centroid
-    count is derived from COUNT(*) with the same pure-integer doubling
-    factors as ``similarity.adaptive_centroids`` (~sqrt(N) cells), so
-    both engines seed identical cells at ANY scale factor. ``nprobe``
-    widens the QUERY side to its nearest n cells (corpus stays in one
-    cell), matching ``ivf_topk(nprobe=...)``."""
+def _kmeans_chain(iters: int = 2) -> str:
+    """CTE chain (no ``WITH`` keyword) for the DuckDB twin of
+    ``kmeans_centroids`` + final assignment: seed → assign →
+    integer-quantized-sum update, unrolled (c0, asg0, c1, asg1, …),
+    ending in ``asg(vec_id, cid)``. floor(x·2^20) sums make the
+    centroid update exact integers on both engines, so assignments
+    bit-match. The centroid count is derived from COUNT(*) with the
+    same pure-integer doubling factors as
+    ``similarity.adaptive_centroids`` (~sqrt(N) cells), so both
+    engines seed identical cells at ANY scale factor. Shared by the
+    IVF ANN oracles (which append a query/cell-probe stage referencing
+    ``apd{iters}``) and the d44 cluster-profile oracle."""
     quant = SIM.KMEANS_QUANT
     n_cent_sql = f"{1 << SIM.MIN_CENTROID_BITS} " + " ".join(
         f"* (CASE WHEN n_vec > {1 << (2 * j)} THEN 2 ELSE 1 END)"
@@ -607,10 +603,23 @@ def _ivf_oracle(
              FROM cs{i + 1} GROUP BY cid)"""
         )
     ctes.append(assign_ctes(iters, f"c{iters}"))
-    chain = ",\n    ".join(ctes)
+    ctes.append(f"asg AS (SELECT vec_id, cid FROM asg{iters})")
+    return ",\n    ".join(ctes)
+
+
+def _ivf_oracle(
+    k: int = 3,
+    iters: int = 2,
+    query_limit: int = 10,
+    nprobe: int = 1,
+) -> str:
+    """DuckDB twin of ``kmeans_centroids`` + ``ivf_topk``: the shared
+    k-means chain (``_kmeans_chain``) plus the query-side cell probe
+    and in-cell top-k. ``nprobe`` widens the QUERY side to its nearest
+    n cells (corpus stays in one cell), matching
+    ``ivf_topk(nprobe=...)``."""
     return f"""
-    WITH {chain},
-    asg AS (SELECT vec_id, cid FROM asg{iters}),
+    WITH {_kmeans_chain(iters)},
     qasg AS (SELECT vec_id, cid FROM (
               SELECT vec_id, cid,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -2554,4 +2563,193 @@ def d41_length_percentiles(t):
             _at(99).alias("p99_chars"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------- domain mixture resampling
+
+# Fine-grained content-addressed bucket for sampling thresholds: the
+# first TWO md5 hex digits of the doc id → 0..255 (the d18 bucket
+# without the % 100 fold). Engine-portable; a doc keeps/drops the same
+# way on any engine, partitioning, or backfill.
+_SPARK_BUCKET256 = (
+    "((instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
+)
+_ORACLE_BUCKET256 = (
+    "((instr('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 2, 1)) - 1)"
+)
+
+
+@query(
+    "d42_domain_mixture_downsample",
+    f"""
+    WITH hist AS (
+      SELECT source, {_ORACLE_BUCKET256} AS bkt,
+             COUNT(*) AS n,
+             SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS tokens
+      FROM documents GROUP BY 1, 2
+    ),
+    src AS (SELECT source, SUM(n) AS orig_docs, SUM(tokens) AS orig_tokens
+            FROM hist GROUP BY source),
+    mn AS (SELECT MIN(orig_tokens) AS min_tok FROM src),
+    thr AS (SELECT source, orig_docs, orig_tokens,
+                   least(256, (256 * min_tok + orig_tokens - 1) // orig_tokens)
+                     AS keep_thr
+            FROM src, mn),
+    kept AS (SELECT h.source, SUM(h.n) AS kept_docs, SUM(h.tokens) AS kept_tokens
+             FROM hist h JOIN thr t ON h.source = t.source AND h.bkt < t.keep_thr
+             GROUP BY h.source)
+    SELECT t.source,
+           CAST(t.orig_docs AS BIGINT) AS orig_docs,
+           CAST(t.orig_tokens AS BIGINT) AS orig_tokens,
+           CAST(t.keep_thr AS BIGINT) AS keep_thr,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM thr t LEFT JOIN kept k ON t.source = k.source
+    ORDER BY t.source
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def d42_domain_mixture_downsample(t):
+    """Deterministic domain-mixture rebalancing: downsample every
+    source toward the smallest source's token count by a
+    content-addressed hash threshold — doc kept iff its md5 bucket
+    (0..255) < ceil(256 · min_tokens / source_tokens). The keep/drop
+    decision is a pure function of doc_id (d18's split property), so
+    the mixture survives re-sharding, backfills, and engine swaps;
+    no seeded sample() whose membership depends on partitioning.
+
+    Scale shape: ONE corpus scan folds into a (source × 256)-bucket
+    histogram (map-side combine; ≤ 256·n_sources rows ever shuffle);
+    thresholds and kept-counts all derive from that tiny table with
+    broadcast-size joins. Integer arithmetic end-to-end → bit-equal
+    in the oracle."""
+    hist = (
+        t.documents.select(
+            "source",
+            F.expr(_SPARK_BUCKET256).alias("bkt"),
+            T.bpe_token_estimate("text").alias("tok"),
+        )
+        .groupBy("source", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tok").alias("tokens"))
+    )
+    hist = tracked_persist(hist)
+    src = hist.groupBy("source").agg(
+        F.sum("n").alias("orig_docs"), F.sum("tokens").alias("orig_tokens")
+    )
+    mn = src.agg(F.min("orig_tokens").alias("min_tok"))
+    thr = src.crossJoin(F.broadcast(mn)).withColumn(
+        "keep_thr",
+        F.expr("least(256, (256 * min_tok + orig_tokens - 1) div orig_tokens)"),
+    )
+    kept = (
+        hist.join(F.broadcast(thr.select("source", "keep_thr")), "source")
+        .filter(F.col("bkt") < F.col("keep_thr"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("kept_docs"), F.sum("tokens").alias("kept_tokens"))
+    )
+    return (
+        thr.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("orig_docs").cast("long").alias("orig_docs"),
+            F.col("orig_tokens").cast("long").alias("orig_tokens"),
+            F.col("keep_thr").cast("long").alias("keep_thr"),
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "d43_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+    ),
+    w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INT), 2) AS pair
+      FROM w2, unnest(range(1, length(w))) AS t(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("llm", "tokenizer"),
+)
+def d43_bpe_pair_counts(t):
+    """One BPE-training iteration's merge-candidate statistics: count
+    adjacent character pairs inside lowercased alphabetic words across
+    the corpus, top 20 (the pair a byte-pair-encoding tokenizer would
+    merge next). Deterministic top-k (count desc, pair asc tiebreak).
+
+    Scale shape: explode is O(total chars) but feeds a partial
+    (map-side) aggregate that collapses each partition to ≤ 26² pair
+    keys before the shuffle, so the exchange is a few hundred rows per
+    partition regardless of corpus size; top-k is
+    TakeOrderedAndProject. The full BPE loop is this query iterated
+    with a merge table broadcast back — each iteration stays this
+    shape."""
+    words = t.documents.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "d44_semantic_cluster_profile",
+    f"""
+    WITH {_kmeans_chain()}
+    SELECT a.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM asg a JOIN documents d ON d.doc_id = a.vec_id
+    GROUP BY a.cid ORDER BY a.cid
+    """,
+    tags=("llm", "similarity", "curation"),
+)
+def d44_semantic_cluster_profile(t):
+    """Semantic corpus clustering for curation: assign every document
+    (via its embedding) to a spherical-k-means cluster and profile
+    each cluster — doc count, char mass, language spread, mean doc
+    length. The curation use: clusters with anomalous length/language
+    mixes are the ones to inspect or reweight; per-cluster quotas
+    (d33) then balance the training mix by TOPIC, not just source.
+
+    Reuses the IVF machinery end-to-end (adaptive ~sqrt(N) centroid
+    count from one metadata count, integer-quantized centroid sums —
+    exact on both engines; see operators/similarity.kmeans_centroids),
+    so the oracle shares the same unrolled CTE chain as d14/d37.
+    Scale shape: assignment is a centroid broadcast against a linear
+    corpus scan; the profile is one skinny (vec_id, cid) shuffle
+    joined to documents on the id — no all-pairs stage anywhere."""
+    emb = t.embeddings
+    cents = SIM.kmeans_centroids(emb)
+    asg = SIM.ivf_assign(emb, cents).select("vec_id", "cid")
+    docs = t.documents.select("doc_id", "lang", "n_chars")
+    joined = asg.join(docs, asg.vec_id == docs.doc_id, "inner")
+    return (
+        joined.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("cid")
     )

@@ -144,3 +144,80 @@ def test_q11_threshold_scale_invariant(spark, sf_dir):
     returned = {r["p_partkey"] for r in rows}
     expected = {k for k, v in per_part.items() if v > 2 * avg}
     assert returned == expected
+
+
+# ------------------------------------------- d42/d43/d44 semantic pins
+
+
+def test_d42_mixture_invariants(spark, sf_dir):
+    """The smallest source is never downsampled (threshold saturates at
+    256 → keeps everything); every source keeps a subset; and the
+    keep decision is content-addressed, so kept counts are identical
+    under a different partitioning of the input."""
+    rows = QUERIES["d42_domain_mixture_downsample"].fn(spark, sf_dir).collect()
+    assert rows, "no sources"
+    min_tok = min(r["orig_tokens"] for r in rows)
+    for r in rows:
+        assert r["kept_docs"] <= r["orig_docs"]
+        assert r["kept_tokens"] <= r["orig_tokens"]
+        assert 1 <= r["keep_thr"] <= 256
+        if r["orig_tokens"] == min_tok:
+            # ceil(256*min/min) == 256 → full retention
+            assert r["keep_thr"] == 256
+            assert r["kept_docs"] == r["orig_docs"]
+            assert r["kept_tokens"] == r["orig_tokens"]
+        else:
+            # downsampled source lands within one bucket's mass of the
+            # proportional target: thr/256 of its tokens ± bucket lumpiness.
+            assert r["keep_thr"] < 256
+
+
+def test_d42_downsample_hits_target_band(spark, sf_dir):
+    """Kept token mass per source approximates min_tok: the md5 bucket
+    is uniform, so each kept share should be within a loose 3x band of
+    the balanced target (a correctness-of-intent pin, not a tight
+    statistical claim)."""
+    rows = QUERIES["d42_domain_mixture_downsample"].fn(spark, sf_dir).collect()
+    min_tok = min(r["orig_tokens"] for r in rows)
+    for r in rows:
+        assert r["kept_tokens"] >= min_tok / 3, r
+        assert r["kept_tokens"] <= 3 * min_tok, r
+
+
+def test_d43_pairs_are_adjacent_char_bigrams(spark, sf_dir):
+    """Every returned pair is two lowercase letters, counts are
+    positive and sorted non-increasing, and the top pair's count
+    matches a from-scratch recount over the corpus."""
+    rows = QUERIES["d43_bpe_pair_counts"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(n > 0 for n in ns)
+    import re
+
+    assert all(re.fullmatch(r"[a-z]{2}", r["pair"]) for r in rows)
+    top_pair, top_n = rows[0]["pair"], rows[0]["n"]
+    t = load_tables(spark, sf_dir)
+    texts = [r[0] for r in t.documents.select(F.lower("text")).collect()]
+    recount = 0
+    for txt in texts:
+        for w in re.split(r"[^a-z]+", txt):
+            recount += sum(1 for i in range(len(w) - 1) if w[i : i + 2] == top_pair)
+    assert recount == top_n
+
+
+def test_d44_cluster_profile_partitions_corpus(spark, sf_dir):
+    """Cluster profile rows partition the joined corpus: doc counts sum
+    to the embeddings∩documents overlap, every cluster is nonempty,
+    and avg_chars == total_chars / n_docs."""
+    rows = QUERIES["d44_semantic_cluster_profile"].fn(spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir)
+    overlap = (
+        t.embeddings.select(F.col("vec_id").alias("doc_id"))
+        .join(t.documents.select("doc_id"), "doc_id", "inner")
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == overlap
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert abs(r["avg_chars"] - r["total_chars"] / r["n_docs"]) < 1e-9
