@@ -2651,7 +2651,7 @@ def d42_domain_mixture_downsample(t):
         .agg(F.sum("n").alias("kept_docs"), F.sum("tokens").alias("kept_tokens"))
     )
     return (
-        thr.join(kept, "source", "left")
+        thr.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             F.col("orig_docs").cast("long").alias("orig_docs"),

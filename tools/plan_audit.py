@@ -61,16 +61,36 @@ EXTRA_QUERIES = [
     "d39_pii_redaction",
     "d40_boilerplate_ngrams",
     "d41_length_percentiles",
+    "d42_domain_mixture_downsample",
+    "d43_bpe_pair_counts",
+    "d44_semantic_cluster_profile",
 ]
 
-# Queries whose BroadcastNestedLoopJoin is a BOUNDED query-set
-# broadcast by design (not a scalar stats row, not a cartesian risk):
-# d09 is the exact-ANN baseline — its contract IS "score a small
-# broadcast query set against the whole corpus".
-BOUNDED_BNLJ_OK = {"d09_cosine_topk_bruteforce"}
+# Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
+# design (not a scalar stats row, not a cartesian risk), with the
+# label explaining WHICH bounded set is broadcast: d09's contract IS
+# "score a small broadcast query set against the whole corpus"; the
+# IVF/k-means family broadcasts the ~sqrt(N)-capped centroid table for
+# nearest-centroid assignment — the standard IVF cost (N x n_cells
+# distance evaluations, no shuffle), bounded by MAX_CENTROID_BITS.
+_CENTROID_BNLJ = "BroadcastNestedLoopJoin(bounded-centroid-broadcast ~sqrt(N), by design)"
+BOUNDED_BNLJ_OK = {
+    "d09_cosine_topk_bruteforce": "BroadcastNestedLoopJoin(bounded-query-broadcast, by design)",
+    "d14_ann_ivf": _CENTROID_BNLJ,
+    "d37_ann_ivf_nprobe2": _CENTROID_BNLJ,
+    "d44_semantic_cluster_profile": _CENTROID_BNLJ,
+}
 
 # Hand-pinned notes that must survive regeneration — keyed by query.
 NOTES = {
+    "d42_domain_mixture_downsample": (
+        "Note: the static plan prints the documents scan once per "
+        "consumer of the cached (source x 256)-bucket histogram "
+        "(`tracked_persist`); at runtime the InMemoryTableScan serves "
+        "all three consumers, so the corpus is scanned ONCE. The two "
+        "scalar BNLJs are the 1-row min-token broadcast; the "
+        "thr/kept joins are source-cardinality broadcasts."
+    ),
     "q11_important_part_value": (
         "Note: the static plan prints the natline→per_part subtree "
         "twice (probe rows + the scalar cutoff broadcast), but the "
@@ -184,10 +204,8 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
     if bnlj["scalar"]:
         joins["BroadcastNestedLoopJoin(scalar-stats-broadcast, benign)"] = bnlj["scalar"]
     if bnlj["non_scalar"]:
-        label = (
-            "BroadcastNestedLoopJoin(bounded-query-broadcast, by design)"
-            if name in BOUNDED_BNLJ_OK
-            else "BroadcastNestedLoopJoin(NON-SCALAR — cartesian risk!)"
+        label = BOUNDED_BNLJ_OK.get(
+            name, "BroadcastNestedLoopJoin(NON-SCALAR — cartesian risk!)"
         )
         joins[label] = bnlj["non_scalar"]
     lines.append(f"- joins: {joins if joins else 'none'}")
