@@ -350,6 +350,19 @@ def kmeans_centroids(
                 lambda st: st["s"].cast("double"),
             ).alias("cvec")
         )
+        # Materialize the centroid table between iterations — the MLlib
+        # k-means shape: centroids are (bounded) driver state, the
+        # corpus never leaves the executors. Without this, iteration
+        # i+1's plan nests every prior assign/update stage (the
+        # unrolled-CTE plan compiles and re-executes per consumer);
+        # with it, the final assignment is corpus × a literal centroid
+        # list. Bounded by design: ≤ 2^MAX_CENTROID_BITS rows × dim
+        # doubles (a few MB at 32768 cells × 64 dims). Bit-exact: the
+        # quantized integer sums round-trip through doubles losslessly.
+        cents = corpus.sparkSession.createDataFrame(
+            [(r["cid"], list(r["cvec"])) for r in cents.collect()],
+            "cid bigint, cvec array<double>",
+        )
     return cents
 
 
