@@ -2753,3 +2753,84 @@ def d44_semantic_cluster_profile(t):
         )
         .orderBy("cid")
     )
+
+
+# ------------------------------------------------ epoch-seeded shuffle
+
+_EPOCH_SEED = "epoch7|"
+# First md5 hex digit of the SEEDED doc key → 16 shards. Seeding the
+# hash re-deals both shard membership and within-shard order each
+# epoch while staying a pure function of (seed, doc_id).
+_ORACLE_SHARD16 = (
+    f"(instr('0123456789abcdef', substring(md5(concat('{_EPOCH_SEED}',"
+    " cast(doc_id as varchar))), 1, 1)) - 1)"
+)
+
+
+@query(
+    "d45_epoch_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             {_ORACLE_SHARD16} AS shard,
+             md5(concat('{_EPOCH_SEED}', cast(doc_id AS varchar))) AS okey
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MAX(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+           CAST(SUM(rnk * doc_id) AS BIGINT) AS order_checksum
+    FROM ranked GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "sampling"),
+)
+def d45_epoch_shuffle(t):
+    """Epoch-seeded deterministic global shuffle: each training epoch
+    orders the corpus by md5(seed ‖ doc_id) — a reproducible
+    pseudorandom permutation that is a pure function of (seed, doc),
+    so data order is re-derivable on any engine, after any backfill,
+    for exact training-run reproduction (unlike engine rand(), whose
+    draw depends on partitioning). The seed re-deals shard membership
+    AND within-shard order, giving fresh mixing every epoch.
+
+    Output pins the permutation itself: per shard, the first doc in
+    shuffle order and a rank-weighted checksum — any engine that
+    disagrees on ANY doc's position disagrees on the checksum.
+
+    Scale shape: 16 content-addressed shards bound each rank window
+    (the d32 sharding pattern — at 100 TB use 2 hex digits → 256
+    shards or more; a trainer reads shard files in rank order, so no
+    global sort ever materializes), one scan, one shuffle on shard."""
+    return epoch_shuffle_profile(t.documents, _EPOCH_SEED)
+
+
+def epoch_shuffle_profile(docs, seed: str):
+    """The d45 plan for an arbitrary epoch ``seed`` (tests vary the
+    seed to pin that each epoch yields a different permutation while
+    any single epoch is deterministic under repartitioning)."""
+    hexpos = "instr('0123456789abcdef', substring(okey, 1, 1)) - 1"
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))).alias("okey"),
+    ).withColumn("shard", F.expr(f"({hexpos})"))
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.max(F.when(F.col("rnk") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("first_doc"),
+            F.sum(F.col("rnk") * F.col("doc_id")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -221,3 +221,24 @@ def test_d44_cluster_profile_partitions_corpus(spark, sf_dir):
     for r in rows:
         assert r["n_docs"] > 0
         assert abs(r["avg_chars"] - r["total_chars"] / r["n_docs"]) < 1e-9
+
+
+def test_d45_epoch_shuffle_seed_and_determinism(spark, sf_dir):
+    """One epoch's permutation is deterministic under a different input
+    partitioning; a different seed yields a different permutation
+    (checksums differ somewhere) while total doc count is conserved."""
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        epoch_shuffle_profile,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    base = epoch_shuffle_profile(docs, "epoch7|").collect()
+    repart = epoch_shuffle_profile(docs.repartition(7, "lang"), "epoch7|").collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in repart]
+
+    other = epoch_shuffle_profile(docs, "epoch8|").collect()
+    assert sum(r["n_docs"] for r in base) == sum(r["n_docs"] for r in other)
+    assert {r["shard"]: r["order_checksum"] for r in base} != {
+        r["shard"]: r["order_checksum"] for r in other
+    }
