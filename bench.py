@@ -62,9 +62,10 @@ BENCH_QUERIES = [
     # scale path whose candidate volume must stay corpus-linear.
     "d10_ann_lsh_bucketed",
     # r5 addition: the completed TPC-H surface's hardest composition —
-    # double-correlated EXISTS/NOT EXISTS planned as co-partitioned
-    # semi + anti joins on orderkey (q21), a physical path (two
-    # self-join legs reusing one shuffle key) no other slot covers.
+    # q21's double-correlated EXISTS/NOT EXISTS, decorrelated into ONE
+    # window over l_orderkey (per-order supplier counts replace both
+    # self-join legs) + two broadcast dim joins: the grouped-window
+    # decorrelation path no other slot covers.
     "q21_waiting_supplier",
 ]
 
@@ -103,7 +104,10 @@ def main() -> None:
         from data_engineer_project_spark.queries.healthcare import warm_fixtures
 
         warm_fixtures(spark)
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    try:
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    except ValueError:
+        runs = 3
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in names:

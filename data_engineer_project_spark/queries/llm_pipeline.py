@@ -1005,14 +1005,31 @@ def d17_approx_aggregates(t):
 # hash() builtins are NOT portable; seeded sample() is not stable
 # across partitionings.)
 
-_SPARK_BUCKET = (
-    "((instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16"
-    " + instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1) % 100"
-)
-_ORACLE_BUCKET = (
-    "((instr('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16"
-    " + instr('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 2, 1)) - 1) % 100"
-)
+def _md5_hex_int(
+    id_expr: str, cast_type: str, digits: int = 4, prefix: str = ""
+) -> str:
+    """Engine-portable integer from the first ``digits`` md5 hex digits
+    of ``prefix`` ‖ ``id_expr`` — pure md5/substring/instr arithmetic,
+    identical in Spark SQL (cast_type='string') and DuckDB
+    (cast_type='varchar'). The ONE definition behind every
+    content-addressed bucket/shard key in this module (d18/d19 splits,
+    d25/d31/d36 split reuse, d32 packing shards, d42 sampling buckets,
+    d45 epoch shards) — twin pairs stay identical by construction, not
+    by eyeball."""
+    key = f"cast({id_expr} as {cast_type})"
+    if prefix:
+        key = f"concat('{prefix}', {key})"
+    digit = f"(instr('0123456789abcdef', substring(md5({key}), {{i}}, 1)) - 1)"
+    return " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (digits - 1 - i)}"
+        if i < digits - 1
+        else digit.format(i=i + 1)
+        for i in range(digits)
+    )
+
+
+_SPARK_BUCKET = f"({_md5_hex_int('doc_id', 'string', 2)}) % 100"
+_ORACLE_BUCKET = f"({_md5_hex_int('doc_id', 'varchar', 2)}) % 100"
 
 
 @query(
@@ -1868,20 +1885,6 @@ def _pack_shards(n: int) -> int:
     )
 
 
-def _md5_hex16(id_expr: str, cast_type: str) -> str:
-    """Engine-portable 16-bit integer from the first 4 md5 hex digits
-    of ``id_expr`` — pure md5/substring/instr arithmetic, identical in
-    Spark SQL (cast_type='string') and DuckDB (cast_type='varchar')."""
-    digit = (
-        "(instr('0123456789abcdef', "
-        f"substring(md5(cast({id_expr} as {cast_type})), {{i}}, 1)) - 1)"
-    )
-    return " + ".join(
-        f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" if i < 3 else digit.format(i=i + 1)
-        for i in range(4)
-    )
-
-
 _PACK_SHARDS_SQL = "1 " + " ".join(
     f"* (CASE WHEN n_docs > {_PACK_SHARD_TARGET << j} THEN 2 ELSE 1 END)"
     for j in range(_PACK_SHARD_MAX_BITS)
@@ -1895,7 +1898,7 @@ _PACK_SHARDS_SQL = "1 " + " ".join(
     ns AS (SELECT {_PACK_SHARDS_SQL} AS n_shards FROM st),
     toks AS (
       SELECT doc_id, lang,
-             CAST(({_md5_hex16('doc_id', 'varchar')}) % n_shards AS BIGINT) AS shard,
+             CAST(({_md5_hex_int('doc_id', 'varchar')}) % n_shards AS BIGINT) AS shard,
              CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
       FROM documents, ns
     ),
@@ -1950,7 +1953,7 @@ def d32_sequence_packing(t):
     toks = t.documents.select(
         "doc_id",
         "lang",
-        F.expr(f"({_md5_hex16('doc_id', 'string')}) % {n_shards}")
+        F.expr(f"({_md5_hex_int('doc_id', 'string')}) % {n_shards}")
         .cast("long")
         .alias("shard"),
         T.bpe_token_estimate("text").alias("est_tokens"),
@@ -2274,7 +2277,6 @@ def _curated_fin(t):
                        / CAST(LEAST(za.n_sh, zb.n_sh) AS DOUBLE) >= 0.25),
     toks AS (SELECT doc_id, length(string_split(text, ' ')) AS tok FROM fin),
     drops AS (SELECT DISTINCT CASE WHEN ta.tok < tb.tok
-                                     OR (ta.tok = tb.tok AND doc_a > doc_b)
                                    THEN doc_a ELSE doc_b END AS doc_id
               FROM cpairs
               JOIN toks ta ON ta.doc_id = cpairs.doc_a
@@ -2310,11 +2312,9 @@ def d38_curation_containment(t):
         pairs.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
         .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
         .select(
-            F.when(
-                (F.col("ta.tok") < F.col("tb.tok"))
-                | ((F.col("ta.tok") == F.col("tb.tok")) & (F.col("doc_a") > F.col("doc_b"))),
-                F.col("doc_a"),
-            )
+            # pairs come ordered doc_a < doc_b, so "ties → higher id"
+            # is simply the ELSE branch (drop doc_b)
+            F.when(F.col("ta.tok") < F.col("tb.tok"), F.col("doc_a"))
             .otherwise(F.col("doc_b"))
             .alias("doc_id")
         )
@@ -2572,14 +2572,8 @@ def d41_length_percentiles(t):
 # first TWO md5 hex digits of the doc id → 0..255 (the d18 bucket
 # without the % 100 fold). Engine-portable; a doc keeps/drops the same
 # way on any engine, partitioning, or backfill.
-_SPARK_BUCKET256 = (
-    "((instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16"
-    " + instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
-)
-_ORACLE_BUCKET256 = (
-    "((instr('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16"
-    " + instr('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 2, 1)) - 1)"
-)
+_SPARK_BUCKET256 = f"({_md5_hex_int('doc_id', 'string', 2)})"
+_ORACLE_BUCKET256 = f"({_md5_hex_int('doc_id', 'varchar', 2)})"
 
 
 @query(
@@ -2761,10 +2755,7 @@ _EPOCH_SEED = "epoch7|"
 # First md5 hex digit of the SEEDED doc key → 16 shards. Seeding the
 # hash re-deals both shard membership and within-shard order each
 # epoch while staying a pure function of (seed, doc_id).
-_ORACLE_SHARD16 = (
-    f"(instr('0123456789abcdef', substring(md5(concat('{_EPOCH_SEED}',"
-    " cast(doc_id as varchar))), 1, 1)) - 1)"
-)
+_ORACLE_SHARD16 = f"({_md5_hex_int('doc_id', 'varchar', 1, prefix=_EPOCH_SEED)})"
 
 
 @query(

@@ -17,6 +17,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_spark.functions.numeric import money
@@ -644,8 +645,6 @@ def q2_min_cost_supplier(t):
     join-back, which would recompute the offers subtree and scan
     lineitem twice; part/supplier/nation dims broadcast. Ref parity:
     SURVEY §2.3 composite-key joins + §2.10 scalar subqueries."""
-    from pyspark.sql import Window
-
     li = t.lineitem
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(money("l_extendedprice")).alias("offer")
@@ -910,8 +909,6 @@ def q15_top_supplier(t):
     subtree and re-scan the fact); supplier joins broadcast. Ref
     parity: SURVEY §2.9 views (the revenue CTE is the view body) +
     §2.10 scalar subqueries."""
-    from pyspark.sql import Window
-
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -1019,8 +1016,6 @@ def q20_excess_share_supplier(t):
     bounded; the final IN is a semi-join into the 100-row supplier
     dim. Ref parity: SURVEY §2.3 semi joins + §2.10 nested
     subqueries."""
-    from pyspark.sql import Window
-
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -1095,8 +1090,6 @@ def q21_waiting_supplier(t):
     lineitems exactly like the reference query. Ref parity: SURVEY
     §2.3 semi/anti joins (≙ hq17-hq19) at their hardest composition,
     decorrelated."""
-    from pyspark.sql import Window
-
     f_orders = t.orders.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )

@@ -95,7 +95,14 @@ def read_document_stream(
     normalize_session(spark)
 
     def _matches(p: str, g: str) -> bool:
-        # schema-only listing (no data scan, no footer read needed)
+        # schema-only listing (no data scan, no footer read needed).
+        # Only "nothing there" maps to False; any OTHER failure
+        # (permissions, corrupt footer, transient FS error) re-raises —
+        # swallowing it would misreport a real read error as "no
+        # parquet files match" and could silently reroute an existing
+        # flat-file layout into the directory fallback.
+        from pyspark.errors import AnalysisException
+
         try:
             return bool(
                 spark.read.schema(DOC_RAW_SCHEMA)
@@ -103,8 +110,10 @@ def read_document_stream(
                 .parquet(p)
                 .inputFiles()
             )
-        except Exception:
-            return False
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                return False
+            raise
 
     target, eff_glob = path, glob
     if not _matches(path, glob):

@@ -64,6 +64,7 @@ EXTRA_QUERIES = [
     "d42_domain_mixture_downsample",
     "d43_bpe_pair_counts",
     "d44_semantic_cluster_profile",
+    "d45_epoch_shuffle",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
