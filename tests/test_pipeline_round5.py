@@ -242,3 +242,35 @@ def test_d45_epoch_shuffle_seed_and_determinism(spark, sf_dir):
     assert {r["shard"]: r["order_checksum"] for r in base} != {
         r["shard"]: r["order_checksum"] for r in other
     }
+
+
+def test_md5_hex_int_cross_engine(spark, sf_dir):
+    """The shared _md5_hex_int generator produces identical values on
+    Spark and DuckDB for every (digits, prefix) shape used in the
+    module — the twin pairs are identical by construction, this pins
+    the construction itself."""
+    import duckdb
+
+    from data_engineer_project_spark.queries.llm_pipeline import _md5_hex_int
+
+    t = load_tables(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    for digits, prefix in [(1, ""), (2, ""), (4, ""), (1, "epoch7|"), (3, "s|")]:
+        sx = _md5_hex_int("doc_id", "string", digits, prefix)
+        ox = _md5_hex_int("doc_id", "varchar", digits, prefix)
+        sv = {
+            r["doc_id"]: r["v"]
+            for r in t.documents.selectExpr(
+                "doc_id", f"({sx}) as v"
+            ).collect()
+        }
+        ov = dict(
+            con.execute(
+                f"SELECT doc_id, {ox} AS v FROM documents"
+            ).fetchall()
+        )
+        assert sv == ov, (digits, prefix)
+        assert all(0 <= v < 16**digits for v in sv.values())
