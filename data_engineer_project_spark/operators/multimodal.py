@@ -253,3 +253,58 @@ def audio_window_energy(media: DataFrame, window: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(stage, _AUDIO_SCHEMA)
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame, n_blocks: int = 32) -> DataFrame:
+    """Block-mean perceptual hash per payload (the aHash family): split
+    the decoded pixel stream into ``n_blocks`` equal spans; bit i is
+    set iff span i's mean exceeds the whole-payload mean. Comparison is
+    by integer cross-multiplication (block_sum · n > total · block_n),
+    so the bits — and the hash — are exact on any engine, no float
+    means. Empty/NULL payloads emit no row (nothing to hash).
+
+    Scale shape: one narrow mapInPandas (no shuffle); downstream dedup
+    groups on the hash value — candidate generation is an equi-shuffle
+    on a 2^n_blocks-domain key, never an all-pairs comparison. For
+    Hamming-near (not identical) matching, band the bits like SimHash
+    (operators/dedup.py) — same machinery, hash split into band keys.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_n, out_h = [], [], []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                if m is None or len(m) == 0:
+                    continue
+                a = np.frombuffer(m, dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                total = int(a.sum())
+                # byte x belongs to block x·n_blocks // n — the same
+                # assignment rule as the SQL twin's ((p-1)·m) // n, so
+                # both engines partition identically (floor-BOUNDARY
+                # spans are a *different* partition; don't mix them)
+                blk = (np.arange(n, dtype=np.int64) * n_blocks) // n
+                bs = np.bincount(blk, weights=a, minlength=n_blocks).astype(np.int64)
+                bn = np.bincount(blk, minlength=n_blocks).astype(np.int64)
+                bits = 0
+                for i in range(n_blocks):
+                    if bn[i] > 0 and int(bs[i]) * n > total * int(bn[i]):
+                        bits |= 1 << i
+                out_id.append(did)
+                out_n.append(n)
+                out_h.append(bits)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "n_px": out_n, "phash": out_h},
+                columns=["doc_id", "n_px", "phash"],
+            )
+
+    return media.mapInPandas(stage, _PHASH_SCHEMA)

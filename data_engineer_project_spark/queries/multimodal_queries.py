@@ -184,3 +184,56 @@ def m06_audio_window_rms(t):
     from data_engineer_project_spark.operators.multimodal import audio_window_energy
 
     return audio_window_energy(_media(t), window=64)
+
+
+@query(
+    "m07_phash_dup_groups",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS p FROM bl
+    ),
+    s AS (SELECT doc_id, COUNT(*) AS n, SUM(v) AS total FROM bytes GROUP BY doc_id),
+    blk AS (
+      SELECT bytes.doc_id, ((bytes.p - 1) * 8) // s.n AS blk,
+             SUM(bytes.v) AS bs, COUNT(*) AS bn
+      FROM bytes JOIN s USING (doc_id) GROUP BY 1, 2
+    ),
+    hashes AS (
+      SELECT blk.doc_id,
+             SUM(CASE WHEN blk.bs * s.n > s.total * blk.bn
+                      THEN (CAST(1 AS BIGINT) << blk.blk) ELSE 0 END) AS phash
+      FROM blk JOIN s USING (doc_id) GROUP BY blk.doc_id
+    )
+    SELECT CAST(phash AS BIGINT) AS phash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM hashes GROUP BY phash HAVING COUNT(*) >= 2 ORDER BY phash
+    """,
+    tags=("multimodal", "dedup"),
+)
+def m07_phash_dup_groups(t):
+    """Perceptual-hash BLOCKING for the image modality: an 8-bit
+    block-mean hash (aHash family; operators/multimodal.
+    perceptual_hash) per decoded payload, grouped into candidate
+    buckets — images sharing a coarse luminance profile are the pairs
+    a verifier would compare, the same generate-candidates-by-equi-key
+    shape as every LSH tier here (NEVER all-pairs over images).
+    Production widens to 32/64 bits with SimHash-style banding for
+    Hamming-near matching (operators/dedup.py); 8 bits is the blocking
+    operating point for this corpus size. Integer cross-multiplied
+    block means keep the bits — and the oracle — exact."""
+    from data_engineer_project_spark.operators.multimodal import perceptual_hash
+
+    hashes = perceptual_hash(_media(t), n_blocks=8)
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("phash")
+    )

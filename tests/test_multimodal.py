@@ -123,7 +123,7 @@ def test_byte_oracles_survive_non_ascii_and_empty_text(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     try:
-        for name in ("m02_byte_histogram_by_lang", "m04_decoded_pixel_stats", "m06_audio_window_rms"):
+        for name in ("m02_byte_histogram_by_lang", "m04_decoded_pixel_stats", "m06_audio_window_rms", "m07_phash_dup_groups"):
             spec = QUERIES[name]
             df = spec.fn(spark, str(sf))
             sfp = result_fingerprint(df.columns, [tuple(r) for r in df.collect()])
@@ -137,3 +137,29 @@ def test_byte_oracles_survive_non_ascii_and_empty_text(spark, tmp_path):
             )
     finally:
         con.close()
+
+
+def test_phash_identical_payloads_collide_and_bits_bounded(spark, docs):
+    """Identical payloads must produce identical hashes (the property
+    the dup-grouping relies on); every hash fits in n_blocks bits; and
+    an empty payload emits no row."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.operators.multimodal import perceptual_hash
+
+    media = attach_media(docs).limit(20)
+    twin = media.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = media.unionByName(twin)
+    rows = perceptual_hash(both, n_blocks=8).collect()
+    by_id = {r["doc_id"]: r["phash"] for r in rows}
+    for r in rows:
+        assert 0 <= r["phash"] < 256
+        if r["doc_id"] >= 100000:
+            assert r["phash"] == by_id[r["doc_id"] - 100000]
+
+    empty = spark.createDataFrame(
+        [(1, "en", bytearray(b""), "png", 1, 0, 0)],
+        "doc_id long, lang string, media binary, media_format string,"
+        " width int, height int, n_bytes long",
+    )
+    assert perceptual_hash(empty).count() == 0

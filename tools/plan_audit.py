@@ -65,6 +65,7 @@ EXTRA_QUERIES = [
     "d43_bpe_pair_counts",
     "d44_semantic_cluster_profile",
     "d45_epoch_shuffle",
+    "m07_phash_dup_groups",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
