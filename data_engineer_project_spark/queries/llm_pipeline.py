@@ -2752,20 +2752,19 @@ def d44_semantic_cluster_profile(t):
 # ------------------------------------------------ epoch-seeded shuffle
 
 _EPOCH_SEED = "epoch7|"
-# First md5 hex digit of the SEEDED doc key → 16 shards. Seeding the
-# hash re-deals both shard membership and within-shard order each
-# epoch while staying a pure function of (seed, doc_id).
-_ORACLE_SHARD16 = f"({_md5_hex_int('doc_id', 'varchar', 1, prefix=_EPOCH_SEED)})"
 
 
 @query(
     "d45_epoch_shuffle",
     f"""
-    WITH keyed AS (
+    WITH st AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ns AS (SELECT {_PACK_SHARDS_SQL} AS n_shards FROM st),
+    keyed AS (
       SELECT doc_id, source,
-             {_ORACLE_SHARD16} AS shard,
+             ({_md5_hex_int('doc_id', 'varchar', 4, prefix=_EPOCH_SEED)})
+               % n_shards AS shard,
              md5(concat('{_EPOCH_SEED}', cast(doc_id AS varchar))) AS okey
-      FROM documents
+      FROM documents, ns
     ),
     ranked AS (
       SELECT doc_id, source, shard,
@@ -2794,10 +2793,12 @@ def d45_epoch_shuffle(t):
     shuffle order and a rank-weighted checksum — any engine that
     disagrees on ANY doc's position disagrees on the checksum.
 
-    Scale shape: 16 content-addressed shards bound each rank window
-    (the d32 sharding pattern — at 100 TB use 2 hex digits → 256
-    shards or more; a trainer reads shard files in rank order, so no
-    global sort ever materializes), one scan, one shuffle on shard."""
+    Scale shape: the shard count DERIVES from the corpus (d32's
+    ~256-docs-per-shard doubling formula, capped 2^16, one metadata
+    count mirrored in the oracle from COUNT(*)), so each rank window
+    stays bounded at any scale — a trainer reads shard files in rank
+    order, so no global sort ever materializes. One scan, one shuffle
+    on shard."""
     return epoch_shuffle_profile(t.documents, _EPOCH_SEED)
 
 
@@ -2805,12 +2806,15 @@ def epoch_shuffle_profile(docs, seed: str):
     """The d45 plan for an arbitrary epoch ``seed`` (tests vary the
     seed to pin that each epoch yields a different permutation while
     any single epoch is deterministic under repartitioning)."""
-    hexpos = "instr('0123456789abcdef', substring(okey, 1, 1)) - 1"
+    n_shards = _pack_shards(docs.count())
     keyed = docs.select(
         "doc_id",
         "source",
         F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))).alias("okey"),
-    ).withColumn("shard", F.expr(f"({hexpos})"))
+    ).withColumn(
+        "shard",
+        F.expr(f"({_md5_hex_int('doc_id', 'string', 4, prefix=seed)}) % {n_shards}"),
+    )
     w = Window.partitionBy("shard").orderBy("okey", "doc_id")
     ranked = keyed.withColumn("rnk", F.row_number().over(w))
     return (
