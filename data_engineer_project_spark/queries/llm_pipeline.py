@@ -2569,18 +2569,20 @@ def d41_length_percentiles(t):
 # --------------------------------------------- domain mixture resampling
 
 # Fine-grained content-addressed bucket for sampling thresholds: the
-# first TWO md5 hex digits of the doc id → 0..255 (the d18 bucket
-# without the % 100 fold). Engine-portable; a doc keeps/drops the same
+# first FOUR md5 hex digits of the doc id → 0..65535, so the keep
+# ratio resolves to 1/65536 of a source's mass — fine enough to
+# downsample a source 10^4x larger than the smallest without
+# granularity overshoot. Engine-portable; a doc keeps/drops the same
 # way on any engine, partitioning, or backfill.
-_SPARK_BUCKET256 = f"({_md5_hex_int('doc_id', 'string', 2)})"
-_ORACLE_BUCKET256 = f"({_md5_hex_int('doc_id', 'varchar', 2)})"
+_SPARK_BUCKET64K = f"({_md5_hex_int('doc_id', 'string', 4)})"
+_ORACLE_BUCKET64K = f"({_md5_hex_int('doc_id', 'varchar', 4)})"
 
 
 @query(
     "d42_domain_mixture_downsample",
     f"""
     WITH hist AS (
-      SELECT source, {_ORACLE_BUCKET256} AS bkt,
+      SELECT source, {_ORACLE_BUCKET64K} AS bkt,
              COUNT(*) AS n,
              SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS tokens
       FROM documents GROUP BY 1, 2
@@ -2589,7 +2591,7 @@ _ORACLE_BUCKET256 = f"({_md5_hex_int('doc_id', 'varchar', 2)})"
             FROM hist GROUP BY source),
     mn AS (SELECT MIN(orig_tokens) AS min_tok FROM src),
     thr AS (SELECT source, orig_docs, orig_tokens,
-                   least(256, (256 * min_tok + orig_tokens - 1) // orig_tokens)
+                   least(65536, (65536 * min_tok + orig_tokens - 1) // orig_tokens)
                      AS keep_thr
             FROM src, mn),
     kept AS (SELECT h.source, SUM(h.n) AS kept_docs, SUM(h.tokens) AS kept_tokens
@@ -2610,20 +2612,24 @@ def d42_domain_mixture_downsample(t):
     """Deterministic domain-mixture rebalancing: downsample every
     source toward the smallest source's token count by a
     content-addressed hash threshold — doc kept iff its md5 bucket
-    (0..255) < ceil(256 · min_tokens / source_tokens). The keep/drop
+    (0..65535) < ceil(65536 · min_tokens / source_tokens). The
+    1/65536 resolution downsamples a source 10⁴× larger than the
+    smallest without granularity overshoot. The keep/drop
     decision is a pure function of doc_id (d18's split property), so
     the mixture survives re-sharding, backfills, and engine swaps;
     no seeded sample() whose membership depends on partitioning.
 
-    Scale shape: ONE corpus scan folds into a (source × 256)-bucket
-    histogram (map-side combine; ≤ 256·n_sources rows ever shuffle);
+    Scale shape: ONE corpus scan folds into a (source × 65536)-bucket
+    histogram (map-side combine; ≤ 65536·n_sources rows ever shuffle,
+    and per-partition partial aggregation bounds each task's emit at
+    its own row count);
     thresholds and kept-counts all derive from that tiny table with
     broadcast-size joins. Integer arithmetic end-to-end → bit-equal
     in the oracle."""
     hist = (
         t.documents.select(
             "source",
-            F.expr(_SPARK_BUCKET256).alias("bkt"),
+            F.expr(_SPARK_BUCKET64K).alias("bkt"),
             T.bpe_token_estimate("text").alias("tok"),
         )
         .groupBy("source", "bkt")
@@ -2636,7 +2642,7 @@ def d42_domain_mixture_downsample(t):
     mn = src.agg(F.min("orig_tokens").alias("min_tok"))
     thr = src.crossJoin(F.broadcast(mn)).withColumn(
         "keep_thr",
-        F.expr("least(256, (256 * min_tok + orig_tokens - 1) div orig_tokens)"),
+        F.expr("least(65536, (65536 * min_tok + orig_tokens - 1) div orig_tokens)"),
     )
     kept = (
         hist.join(F.broadcast(thr.select("source", "keep_thr")), "source")

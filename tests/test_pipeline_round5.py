@@ -160,16 +160,16 @@ def test_d42_mixture_invariants(spark, sf_dir):
     for r in rows:
         assert r["kept_docs"] <= r["orig_docs"]
         assert r["kept_tokens"] <= r["orig_tokens"]
-        assert 1 <= r["keep_thr"] <= 256
+        assert 1 <= r["keep_thr"] <= 65536
         if r["orig_tokens"] == min_tok:
-            # ceil(256*min/min) == 256 → full retention
-            assert r["keep_thr"] == 256
+            # ceil(65536*min/min) == 65536 → full retention
+            assert r["keep_thr"] == 65536
             assert r["kept_docs"] == r["orig_docs"]
             assert r["kept_tokens"] == r["orig_tokens"]
         else:
             # downsampled source lands within one bucket's mass of the
             # proportional target: thr/256 of its tokens ± bucket lumpiness.
-            assert r["keep_thr"] < 256
+            assert r["keep_thr"] < 65536
 
 
 def test_d42_downsample_hits_target_band(spark, sf_dir):
