@@ -210,3 +210,34 @@ def test_no_non_scalar_nested_loop_join_in_bench_queries(spark):
         if bnlj["non_scalar"]:
             offenders[name] = bnlj
     assert not offenders, f"non-scalar nested-loop joins: {offenders}"
+
+
+def test_d43_single_exchange_and_topk(spark):
+    """BPE pair counting must stay: one scan, partial agg BEFORE its
+    single exchange (map-side collapse to <=26^2 keys), top-k as
+    TakeOrderedAndProject — never a global sort."""
+    plan = plan_of(spark, "d43_bpe_pair_counts")
+    assert len(scans(plan)) == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_d42_no_sort_merge_join(spark):
+    """Everything downstream of the bucket histogram is
+    source-cardinality: the thr/kept joins must broadcast, never SMJ."""
+    plan = plan_of(spark, "d42_domain_mixture_downsample")
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan  # the one-scan cached histogram
+
+
+def test_d45_window_partitioned_by_shard(spark):
+    """The epoch-shuffle rank window must partition by shard (bounded
+    spans), never run as one global window."""
+    plan = plan_of(spark, "d45_epoch_shuffle")
+    assert "Window" in plan
+    import re
+
+    wline = next(ln for ln in plan.splitlines() if re.search(r"\bWindow\b", ln))
+    assert "shard" in wline
