@@ -1474,3 +1474,69 @@ def p70_column_profile(t):
     for df in per_col[1:]:
         out = out.unionByName(df)
     return out
+
+
+@query(
+    "p71_view_lifecycle_audit",
+    """
+    SELECT * FROM (VALUES
+      (1, 'create_if_absent', TRUE,  CAST(5 AS BIGINT)),
+      (2, 'guard_noop',       TRUE,  CAST(5 AS BIGINT)),
+      (3, 'alter_replace',    TRUE,  CAST(5 AS BIGINT)),
+      (4, 'rename_new',       TRUE,  CAST(5 AS BIGINT)),
+      (5, 'rename_old_gone',  FALSE, CAST(0 AS BIGINT)),
+      (6, 'drop',             FALSE, CAST(0 AS BIGINT))
+    ) AS t(step, action, view_exists, n_rows)
+    ORDER BY step
+    """,
+    tags=("catalog", "ddl"),
+)
+def p71_view_lifecycle_audit(t):
+    """The view-lifecycle DDL surface as a GATEABLE audit trail —
+    CREATE-if-absent guard (the reference's ``IF DB_ID()`` /
+    ``IF NOT EXISTS`` idiom, `SQLQueryiesPractice.sql:147`), ALTER
+    VIEW ≙ CREATE OR REPLACE (`SQLQueryiesPractice.sql:225-238`),
+    sp_rename ≙ drop+recreate (`SQLQueryiesPractice.sql:242-244`),
+    DROP. Each step performs the REAL catalog operation and records
+    the observed state (exists? row count through the view); the
+    oracle pins the expected transition table, so any engine whose
+    catalog semantics drift (guard not idempotent, replace losing
+    rows, rename leaving the old name) turns the row red. DDL is
+    imperative by nature — the audit rows are the query's honest
+    DataFrame form (temp views are session-scoped: no on-disk state,
+    re-entrant via createOrReplace + final drop)."""
+    spark = t.region.sparkSession
+    v1, v2 = "p71_vw_region", "p71_vw_region_renamed"
+    for name in (v1, v2):  # re-entrancy: heal any crashed prior run
+        spark.catalog.dropTempView(name)
+
+    def obs(step, action, name):
+        exists = spark.catalog.tableExists(name)
+        n = spark.table(name).count() if exists else 0
+        return (step, action, exists, n)
+
+    rows = []
+    # 1: guarded create (absent → created)
+    if not spark.catalog.tableExists(v1):
+        t.region.createOrReplaceTempView(v1)
+    rows.append(obs(1, "create_if_absent", v1))
+    # 2: guard again with a DIFFERENT body — must be a no-op
+    if not spark.catalog.tableExists(v1):
+        t.region.limit(2).createOrReplaceTempView(v1)
+    rows.append(obs(2, "guard_noop", v1))
+    # 3: ALTER VIEW == CREATE OR REPLACE (projection change, same rows)
+    t.region.selectExpr(
+        "r_regionkey", "upper(r_name) AS r_name"
+    ).createOrReplaceTempView(v1)
+    rows.append(obs(3, "alter_replace", v1))
+    # 4/5: rename == create new + drop old
+    spark.table(v1).createOrReplaceTempView(v2)
+    spark.catalog.dropTempView(v1)
+    rows.append(obs(4, "rename_new", v2))
+    rows.append(obs(5, "rename_old_gone", v1))
+    # 6: drop
+    spark.catalog.dropTempView(v2)
+    rows.append(obs(6, "drop", v2))
+    return spark.createDataFrame(
+        rows, "step int, action string, view_exists boolean, n_rows bigint"
+    ).orderBy("step")
