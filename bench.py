@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     # self-join legs) + two broadcast dim joins: the grouped-window
     # decorrelation path no other slot covers.
     "q21_waiting_supplier",
+    # r5 addition #2: the mixture-control path — one corpus scan folded
+    # into a (source x 65536)-bucket histogram, cached and consumed by
+    # three broadcast-size stages; times the fold+reuse shape.
+    "d42_domain_mixture_downsample",
 ]
 
 
