@@ -587,3 +587,22 @@ def test_s12_late_row_beyond_watermark_is_dropped(spark, tmp_path):
         & (F.col("event_type") == victim_type)
     ).collect()
     assert got == [], "the late row must have been dropped, not re-emitted"
+
+
+def test_stream_probe_reraises_real_read_errors(spark, tmp_path, monkeypatch):
+    """A probe-time failure that is NOT absence (permissions, transient
+    FS fault) must surface as the underlying error, not be misreported
+    as 'no parquet files match' — absence and breakage are different
+    diagnoses. (A corrupt FOOTER passes the schema-only listing probe
+    and correctly errors at stream start instead — the probe never
+    reads footers.)"""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated transient FS failure")
+
+    monkeypatch.setattr(DataFrameReader, "parquet", boom)
+    with pytest.raises(RuntimeError, match="simulated transient FS failure"):
+        read_document_stream(spark, str(tmp_path))
