@@ -2835,3 +2835,82 @@ def epoch_shuffle_profile(docs, seed: str):
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "d46_leakage_severity_histogram",
+    f"""
+    WITH {_SHINGLE_CTES},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    shf AS (
+      SELECT shd.doc_id, shd.shingle, {_ORACLE_BUCKET} AS bucket
+      FROM shd JOIN informative USING (shingle)
+    ),
+    test_sh AS (SELECT doc_id, shingle FROM shf WHERE bucket >= 90),
+    train_sh AS (SELECT doc_id, shingle FROM shf WHERE bucket < 80),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM test_sh GROUP BY doc_id),
+    overlap AS (
+      SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, COUNT(*) AS n_overlap
+      FROM test_sh te JOIN train_sh tr ON te.shingle = tr.shingle
+      GROUP BY 1, 2
+    ),
+    mo AS (SELECT test_doc, MAX(n_overlap) AS max_ov FROM overlap GROUP BY test_doc),
+    sev AS (
+      SELECT s.doc_id,
+             CAST(COALESCE((4 * m.max_ov) // s.n_sh, -1) AS INT) AS quartile
+      FROM sizes s LEFT JOIN mo m ON m.test_doc = s.doc_id
+    )
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_test_docs
+    FROM sev GROUP BY quartile ORDER BY quartile
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def d46_leakage_severity_histogram(t):
+    """Contamination SEVERITY distribution — the report that decides
+    whether a leak is droppable noise or a systemic split failure.
+    For every test-split doc: its worst informative-shingle overlap
+    with ANY train doc, as an exact integer quartile of its own
+    shingle count — (4·max_overlap) div n_shingles ∈ {0..4}, −1 for
+    docs with no train collision at all — then the doc count per
+    quartile. Complements d25 (which lists the offenders): this is
+    the severity histogram over the WHOLE test split, including the
+    clean mass. Candidates come through the same df ≤ 50 inverted
+    index as d12/d25, so the overlap join stays corpus-linear; the
+    quartile is pure integer arithmetic (no float ratios to drift
+    cross-engine)."""
+    b = F.expr(_SPARK_BUCKET)
+    sh = tracked_persist(
+        DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct()
+    )
+    informative = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= 50) & (F.col("df") > 1))
+        .select("shingle")
+    )
+    shf = sh.join(informative, "shingle").withColumn("bucket", b)
+    test_sh = shf.filter(F.col("bucket") >= 90).select("doc_id", "shingle")
+    train_sh = shf.filter(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    sizes = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    overlap = (
+        test_sh.join(train_sh, "shingle")
+        .groupBy(F.col("doc_id").alias("test_doc"), "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    mo = overlap.groupBy("test_doc").agg(F.max("n_overlap").alias("max_ov"))
+    sev = sizes.join(mo, sizes.doc_id == mo.test_doc, "left").select(
+        F.coalesce(
+            F.expr("(4 * max_ov) div n_sh").cast("int"), F.lit(-1)
+        ).alias("quartile")
+    )
+    return (
+        sev.groupBy("quartile")
+        .agg(F.count(F.lit(1)).alias("n_test_docs"))
+        .orderBy("quartile")
+    )

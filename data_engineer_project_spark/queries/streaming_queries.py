@@ -444,3 +444,67 @@ def s12_stream_append_final_windows(t):
     return run_to_memory_table(
         tumbling_counts(stream, watermark="1 hour"), "append_final", "append"
     )
+
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _ORACLE_BUCKET64K,
+    _SPARK_BUCKET64K,
+)
+
+_S13_BUCKET = _ORACLE_BUCKET64K.replace("doc_id", "d.doc_id")
+
+
+@query(
+    "s13_stream_mixture_gate",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS orig_tokens
+      FROM documents GROUP BY source
+    ),
+    mn AS (SELECT MIN(orig_tokens) AS min_tok FROM toks),
+    thr AS (SELECT source,
+                   least(65536, (65536 * min_tok + orig_tokens - 1) // orig_tokens)
+                     AS keep_thr
+            FROM toks, mn)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE ({_S13_BUCKET}) < thr.keep_thr
+    """,
+    tags=("streaming", "curation", "sampling"),
+)
+def s13_stream_mixture_gate(t):
+    """Streaming enforcement of the d42 mixture policy: a batch job
+    computes per-source keep thresholds (toward the smallest source's
+    token mass); the ingestion stream applies them — each arriving doc
+    joins its source's threshold (broadcast static side) and survives
+    iff its content-addressed md5 bucket clears it. The production
+    split of responsibilities: policy recomputed offline per day,
+    enforcement stateless per record. Stateless stream-static inner
+    join + filter → append mode, no watermark, no state store; the
+    keep decision is the same pure function of doc_id as d42, so batch
+    replay and stream agree doc-for-doc (the oracle IS the batch
+    form)."""
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    docs = t.documents
+    src = docs.groupBy("source").agg(
+        F.sum(T.bpe_token_estimate("text")).alias("orig_tokens")
+    )
+    mn = src.agg(F.min("orig_tokens").alias("min_tok"))
+    thr = src.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.expr(
+            "least(65536, (65536 * min_tok + orig_tokens - 1) div orig_tokens)"
+        ).alias("keep_thr"),
+    )
+    incoming = read_document_stream(t._spark, t._sf_dir).withColumn(
+        "bkt", F.expr(_SPARK_BUCKET64K)
+    )
+    kept = (
+        incoming.join(F.broadcast(thr), "source")
+        .filter(F.col("bkt") < F.col("keep_thr"))
+        .select("doc_id", "source")
+    )
+    return run_to_memory_table(kept, "mixture_gate", "append")

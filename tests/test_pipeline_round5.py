@@ -274,3 +274,57 @@ def test_md5_hex_int_cross_engine(spark, sf_dir):
         )
         assert sv == ov, (digits, prefix)
         assert all(0 <= v < 16**digits for v in sv.values())
+
+
+def test_s13_smallest_source_passes_untouched(spark, sf_dir):
+    """The mixture gate must never drop docs from the smallest source
+    (its threshold saturates), and every emitted doc must exist in the
+    corpus with its claimed source."""
+    kept = QUERIES["s13_stream_mixture_gate"].fn(spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir)
+    docs = {
+        (r["doc_id"], r["source"])
+        for r in t.documents.select("doc_id", "source").collect()
+    }
+    assert all((r["doc_id"], r["source"]) in docs for r in kept)
+
+    from data_engineer_project_spark.functions.text import bpe_token_estimate
+
+    src_tok = {
+        r["source"]: r["tok"]
+        for r in t.documents.groupBy("source")
+        .agg(F.sum(bpe_token_estimate("text")).alias("tok"))
+        .collect()
+    }
+    smallest = min(src_tok, key=src_tok.get)
+    n_smallest_total = sum(1 for (_, s) in docs if s == smallest)
+    n_smallest_kept = sum(1 for r in kept if r["source"] == smallest)
+    assert n_smallest_kept == n_smallest_total
+
+
+def test_d46_quartiles_partition_the_test_split(spark, sf_dir):
+    """Quartile bands are in [-1, 4] and the histogram sums to exactly
+    the number of test-split docs that own >=1 informative shingle."""
+    rows = QUERIES["d46_leakage_severity_histogram"].fn(spark, sf_dir).collect()
+    assert all(-1 <= r["quartile"] <= 4 for r in rows)
+
+    from data_engineer_project_spark.operators import dedup as DD
+    from data_engineer_project_spark.queries.llm_pipeline import _SPARK_BUCKET
+
+    t = load_tables(spark, sf_dir)
+    sh = DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct()
+    informative = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= 50) & (F.col("df") > 1))
+        .select("shingle")
+    )
+    n_test_docs = (
+        sh.join(informative, "shingle")
+        .withColumn("bucket", F.expr(_SPARK_BUCKET))
+        .filter(F.col("bucket") >= 90)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_test_docs"] for r in rows) == n_test_docs
