@@ -30,9 +30,13 @@ _FAMILY_RANK = {"h": 0, "d": 1, "e": 2, "s": 3, "m": 4, "p": 5, "q": 6}
 # rows recorded BEFORE that round verified the old contract, so they
 # don't count toward "already checked" — the query re-enters the gate
 # prefix until a fresh green row lands in round >= the listed one.
-# (Round 5: d31/d32 inherit the co-scaled LSH bands / sharded packing
-# rewrites; d14/d37's centroid count is now corpus-derived.)
+# (Round 4: d17 was promoted from a rows-only contract to a bounded
+# hash-checkable one — its round-2 "green" verified only row
+# production. Round 5: d31/d32 inherit the co-scaled LSH bands /
+# sharded packing rewrites; d14/d37's centroid count is now
+# corpus-derived.)
 _CONTRACT_CHANGED_ROUND = {
+    "d17_approx_aggregates": 4,
     "d14_ann_ivf": 5,
     "d31_semantic_decontamination": 5,
     "d32_sequence_packing": 5,
