@@ -66,6 +66,7 @@ EXTRA_QUERIES = [
     "d44_semantic_cluster_profile",
     "d45_epoch_shuffle",
     "m07_phash_dup_groups",
+    "d46_leakage_severity_histogram",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -87,7 +88,7 @@ BOUNDED_BNLJ_OK = {
 NOTES = {
     "d42_domain_mixture_downsample": (
         "Note: the static plan prints the documents scan once per "
-        "consumer of the cached (source x 256)-bucket histogram "
+        "consumer of the cached (source x 65536)-bucket histogram "
         "(`tracked_persist`); at runtime the InMemoryTableScan serves "
         "all three consumers, so the corpus is scanned ONCE. The two "
         "scalar BNLJs are the 1-row min-token broadcast; the "
