@@ -173,6 +173,47 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256, every: int = 4) -> D
     return media.mapInPandas(stage, _FRAME_SCHEMA)
 
 
+_FRAME_SUM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def frame_byte_sums(frames: DataFrame) -> DataFrame:
+    """Per-frame integer byte sum + length — the feature-extraction
+    stage a scene-cut detector runs on (a real detector extracts
+    per-frame luma means; the stub sums payload bytes — same Arrow
+    batch shape, numpy-vectorized). The sum is exact int64
+    (≤ frame_bytes·255), so every downstream comparison is
+    engine- and partitioning-independent."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, sums = [], []
+            for f in pdf["frame"]:
+                if f is None or len(f) == 0:
+                    lens.append(0)
+                    sums.append(0)
+                else:
+                    a = np.frombuffer(f, dtype=np.uint8)
+                    lens.append(len(a))
+                    sums.append(int(a.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "frame_no": pdf["frame_no"].values,
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(stage, _FRAME_SUM_SCHEMA)
+
+
 def resize_media(media: DataFrame, keep_every: int = 2) -> DataFrame:
     """Stub resize: keep every k-th byte (deterministic downsample);
     metadata recomputed to match. Same signature a real resampler has:

@@ -2914,3 +2914,254 @@ def d46_leakage_severity_histogram(t):
         .agg(F.count(F.lit(1)).alias("n_test_docs"))
         .orderBy("quartile")
     )
+
+
+_CHUNK_WORDS = 8
+
+
+@query(
+    "d47_chunk_substring_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             unnest(generate_series(0, (len(words) - 1) // {_CHUNK_WORDS})) AS pos,
+             words
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id, lang, pos,
+             array_to_string(
+               words[pos * {_CHUNK_WORDS} + 1 : (pos + 1) * {_CHUNK_WORDS}], ' '
+             ) AS chunk,
+             least({_CHUNK_WORDS}, len(words) - pos * {_CHUNK_WORDS}) AS n_words
+      FROM c
+    ),
+    r AS (
+      SELECT doc_id, lang, n_words,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM ch
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT)
+             AS removed_words,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS frac_kept
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "dedup"),
+)
+def d47_chunk_substring_dedup(t):
+    """Chunk-granular exact-substring dedup (the scalable approximation
+    of suffix-array ExactSubstr from "Deduplicating Training Data Makes
+    Language Models Better"): the corpus is cut into non-overlapping
+    {8}-word chunks and every repeat of a chunk already seen earlier
+    (first occurrence = lowest (doc_id, pos)) is dropped; report per
+    language how many chunks/words survive. Distinct from d34 (whole-doc
+    shingle containment) and d40 (docfreq boilerplate fraction): this is
+    the REMOVAL accounting at sub-document granularity.
+
+    Scale shape: chunking is a pure JVM map (sequence + slice inside
+    whole-stage codegen — bounded per-doc arrays, no joins); keep-first
+    is ONE shuffle keyed by the chunk text (window over chunk; per-key
+    multiplicity = the chunk's corpus frequency, naturally capped
+    because the final rollup only needs rn=1 vs rn>1); the rollup is a
+    map-side-partial groupBy on lang. No all-pairs surface anywhere —
+    cost is linear in corpus tokens, the same shape that holds at
+    100 TB. frac_kept is the only float: bigint/bigint → double."""
+    cw = _CHUNK_WORDS
+    d = t.documents.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("words")
+    )
+    ch = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(words)-1) div {cw}),"
+                f" j -> struct(concat_ws(' ', slice(words, j*{cw}+1, {cw})) AS chunk,"
+                f" least({cw}, size(words) - j*{cw}) AS n_words))"
+            )
+        ).alias("pos", "c"),
+    ).select("doc_id", "lang", "pos", "c.chunk", "c.n_words")
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    r = ch.withColumn("rn", F.row_number().over(w))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_chunks"),
+            kept.alias("kept_chunks"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_words")).otherwise(0)).alias(
+                "removed_words"
+            ),
+            (kept.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "frac_kept"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "d48_source_overlap_matrix",
+    """
+    WITH w AS (
+      SELECT doc_id, source, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    ss AS (SELECT DISTINCT source, shingle FROM sh),
+    sz AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+    ov AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_overlap
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           CAST(sa.n_sh AS BIGINT) AS n_sh_a,
+           CAST(sb.n_sh AS BIGINT) AS n_sh_b,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - COALESCE(ov.n_overlap, 0) AS DOUBLE)
+             AS jaccard
+    FROM sz sa
+    JOIN sz sb ON sa.source < sb.source
+    LEFT JOIN ov ON ov.source_a = sa.source AND ov.source_b = sb.source
+    ORDER BY source_a, source_b
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def d48_source_overlap_matrix(t):
+    """Inter-source contamination matrix: distinct 3-word-shingle
+    Jaccard between every pair of sources — the diagnostic that tells a
+    curation run which crawls/dumps are re-publishing each other before
+    any doc-level dedup is attempted. Zero-overlap pairs stay in the
+    matrix (full upper triangle).
+
+    Scale shape: distinct (source, shingle) is one shuffle; the
+    shingle self-join's per-key multiplicity is bounded by the SOURCE
+    COUNT (post-distinct, a shingle appears once per source), so join
+    output ≤ sources² per shingle and the pair rollup collapses
+    map-side into a ≤ sources² key domain. The final cross of the
+    per-source size table with itself is sources² rows — driver-scale
+    metadata, broadcast both sides. Everything JVM codegen."""
+    w = t.documents.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "wd"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    sh = (
+        w.withColumn("w1", F.lead("wd", 1).over(win))
+        .withColumn("w2", F.lead("wd", 2).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "source",
+            F.concat_ws(" ", "wd", "w1", "w2").alias("shingle"),
+        )
+    )
+    ss = sh.distinct()
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ss.select(F.col("source").alias("source_a"), "shingle")
+    b = ss.select(F.col("source").alias("source_b"), "shingle")
+    ov = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_sh_b"))
+    pairs = F.broadcast(sa).join(
+        F.broadcast(sb), sa.source_a < sb.source_b
+    )
+    out = pairs.join(F.broadcast(ov), ["source_a", "source_b"], "left")
+    novl = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_sh_a",
+        "n_sh_b",
+        novl.alias("n_overlap"),
+        (
+            novl.cast("double")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - novl).cast("double")
+        ).alias("jaccard"),
+    ).orderBy("source_a", "source_b")
+
+
+@query(
+    "e11_event_rate_anomalies",
+    """
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(cnt) AS BIGINT) AS tot,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+      FROM hc GROUP BY event_type
+    )
+    SELECT hc.event_type AS event_type, hc.hour, hc.cnt, st.n_hours,
+           CAST(hc.cnt * st.n_hours - st.tot AS DOUBLE)
+             / sqrt(CAST(st.n_hours * st.sumsq - st.tot * st.tot AS DOUBLE))
+             AS zscore
+    FROM hc JOIN st ON hc.event_type = st.event_type
+    WHERE hc.cnt * st.n_hours - st.tot > 0
+      AND (hc.cnt * st.n_hours - st.tot) * (hc.cnt * st.n_hours - st.tot)
+          > 4 * (st.n_hours * st.sumsq - st.tot * st.tot)
+    ORDER BY hc.event_type, hc.hour
+    """,
+    tags=("events", "quality"),
+)
+def e11_event_rate_anomalies(t):
+    """Event-rate spike detection: hours where a type's event count
+    exceeds mean + 2·stddev of that type's hourly counts. The 2-sigma
+    test is EXACT INTEGER arithmetic — ``cnt·n − tot > 0`` and
+    ``(cnt·n − tot)² > 4·(n·sumsq − tot²)`` (n²·var_pop = n·sumsq −
+    tot², so no float mean/stddev fold whose ordering could drift
+    cross-engine); the reported z-score is one integer-derived
+    division + sqrt, bit-identical on both engines.
+
+    Scale shape: hourly rollup is a map-side-partial groupBy; the
+    per-type stats table is ≤ #event-types rows (driver-scale) and is
+    broadcast back — no window over an unbounded per-type partition,
+    no second shuffle of the hourly table."""
+    hc = t.events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    j = hc.join(F.broadcast(st), "event_type")
+    dev = F.col("cnt") * F.col("n_hours") - F.col("tot")
+    nvar = F.col("n_hours") * F.col("sumsq") - F.col("tot") * F.col("tot")
+    return (
+        j.filter((dev > 0) & (dev * dev > 4 * nvar))
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            "n_hours",
+            (dev.cast("double") / F.sqrt(nvar.cast("double"))).alias("zscore"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -13,6 +13,7 @@ not just metadata arithmetic.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 # DuckDB expression: the UTF-8 bytes of `text` as a BIGINT list.
@@ -236,4 +237,86 @@ def m07_phash_dup_groups(t):
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy("phash")
+    )
+
+
+_CUT_FRAME_BYTES = 64
+_CUT_THRESHOLD = 250
+
+
+@query(
+    "m08_scene_cut_detection",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(ceil(len(b) / {_CUT_FRAME_BYTES}.0) AS BIGINT) - 1)) AS k,
+             b
+      FROM bl
+    ),
+    fs AS (
+      SELECT doc_id, k,
+             list_sum(b[k * {_CUT_FRAME_BYTES} + 1 : (k + 1) * {_CUT_FRAME_BYTES}])
+               AS s,
+             len(b[k * {_CUT_FRAME_BYTES} + 1 : (k + 1) * {_CUT_FRAME_BYTES}]) AS fl
+      FROM k
+    ),
+    d AS (
+      SELECT doc_id, fl, s,
+             lag(fl) OVER w AS pfl,
+             abs(s - lag(s) OVER w) AS delta
+      FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY k)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN fl = {_CUT_FRAME_BYTES} AND pfl = {_CUT_FRAME_BYTES}
+                          AND delta > {_CUT_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(COALESCE(MAX(CASE WHEN fl = {_CUT_FRAME_BYTES}
+                                   AND pfl = {_CUT_FRAME_BYTES}
+                              THEN delta END), 0) AS BIGINT) AS max_delta
+    FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def m08_scene_cut_detection(t):
+    """Scene-cut detection over the frame stream: every {64}-byte frame
+    is reduced to an integer byte sum (frame_byte_sums — the stub for
+    per-frame luma extraction), and a cut fires where two consecutive
+    FULL frames differ by more than {250}. Partial tail frames are
+    excluded from cut tests (their smaller mass would fake a cut — the
+    same reason real detectors normalize per-pixel). Per doc: frame
+    count, cut count, and the peak full-frame delta.
+
+    Scale shape: frame explosion + feature extraction is one Arrow
+    mapInPandas pass (no shuffle); the lag window partitions by doc —
+    per-doc frame counts are bounded by payload size, so no unbounded
+    window key; the rollup is a map-side-partial groupBy on doc_id.
+    All comparisons exact int64."""
+    from data_engineer_project_spark.operators.multimodal import frame_byte_sums
+
+    frames = sample_frames(_media(t), frame_bytes=_CUT_FRAME_BYTES, every=1)
+    fs = frame_byte_sums(frames)
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    d = fs.withColumn("pfl", F.lag("frame_len").over(w)).withColumn(
+        "delta", F.abs(F.col("frame_sum") - F.lag("frame_sum").over(w))
+    )
+    full = (F.col("frame_len") == _CUT_FRAME_BYTES) & (
+        F.col("pfl") == _CUT_FRAME_BYTES
+    )
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(
+                F.when(full & (F.col("delta") > _CUT_THRESHOLD), 1).otherwise(0)
+            ).alias("n_cuts"),
+            F.coalesce(
+                F.max(F.when(full, F.col("delta"))), F.lit(0).cast("long")
+            ).alias("max_delta"),
+        )
+        .orderBy("doc_id")
     )

@@ -328,3 +328,115 @@ def test_d46_quartiles_partition_the_test_split(spark, sf_dir):
         .count()
     )
     assert sum(r["n_test_docs"] for r in rows) == n_test_docs
+
+
+def test_d47_keepfirst_accounting(spark, sf_dir):
+    """Keep-first at chunk granularity: summed kept_chunks across
+    languages equals the number of DISTINCT chunks in the corpus
+    (exactly one survivor per chunk text), and per-lang total_chunks
+    equals sum(ceil(words/8)) recomputed from the raw corpus."""
+    out = {r["lang"]: r for r in QUERIES["d47_chunk_substring_dedup"].fn(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir).documents
+    cw = 8
+    chunks = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(split(text,' '))-1) div {cw}),"
+                f" j -> concat_ws(' ', slice(split(text,' '), j*{cw}+1, {cw})))"
+            )
+        ).alias("chunk"),
+    )
+    n_distinct = chunks.select("chunk").distinct().count()
+    assert sum(r["kept_chunks"] for r in out.values()) == n_distinct
+    per_lang_total = {
+        r["lang"]: r["n"]
+        for r in chunks.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, r in out.items():
+        assert r["total_chunks"] == per_lang_total[lang]
+        assert 0.0 < r["frac_kept"] <= 1.0
+        assert r["kept_chunks"] + (r["total_chunks"] - r["kept_chunks"]) == r["total_chunks"]
+
+
+def test_d48_matrix_is_full_upper_triangle(spark, sf_dir):
+    """One row per unordered source pair (including zero-overlap
+    pairs); overlap bounded by the smaller side; one pair's overlap
+    re-derived independently from raw distinct shingle sets."""
+    rows = QUERIES["d48_source_overlap_matrix"].fn(spark, sf_dir).collect()
+    docs = load_tables(spark, sf_dir).documents
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_overlap"] <= min(r["n_sh_a"], r["n_sh_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+    # independent re-derivation for the lexicographically first pair
+    from data_engineer_project_spark.functions import text as T
+
+    first = min(rows, key=lambda r: (r["source_a"], r["source_b"]))
+    sh = docs.select(
+        "source", F.explode(F.array_distinct(T.shingles("text", 3))).alias("sh")
+    ).distinct()
+    sa = {r["sh"] for r in sh.filter(F.col("source") == first["source_a"]).collect()}
+    sb = {r["sh"] for r in sh.filter(F.col("source") == first["source_b"]).collect()}
+    assert first["n_sh_a"] == len(sa)
+    assert first["n_sh_b"] == len(sb)
+    assert first["n_overlap"] == len(sa & sb)
+
+
+def test_e11_exact_two_sigma_rule(spark, sf_dir):
+    """The flagged (type, hour) set equals a pure-Python recomputation
+    of the integer 2-sigma test over hourly counts."""
+    out = {
+        (r["event_type"], r["hour"])
+        for r in QUERIES["e11_event_rate_anomalies"].fn(spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir).events
+    hc = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in hc:
+        by_type.setdefault(r["event_type"], []).append(r)
+    expect = set()
+    for et, rs in by_type.items():
+        n = len(rs)
+        tot = sum(r["cnt"] for r in rs)
+        sumsq = sum(r["cnt"] * r["cnt"] for r in rs)
+        for r in rs:
+            dev = r["cnt"] * n - tot
+            if dev > 0 and dev * dev > 4 * (n * sumsq - tot * tot):
+                expect.add((et, r["hour"]))
+    assert out == expect
+    assert out, "fixture data should contain at least one spike"
+
+
+def test_m08_frame_and_cut_semantics(spark, sf_dir):
+    """n_frames == ceil(utf8_bytes/64) per doc; a doc's cuts re-derived
+    from raw bytes in Python match; partial tail frames never
+    contribute cuts (max_delta only over full-frame pairs)."""
+    out = {r["doc_id"]: r for r in QUERIES["m08_scene_cut_detection"].fn(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    assert any(r["n_cuts"] > 0 for r in out.values()), "threshold should fire somewhere"
+    for row in docs[:50]:
+        b = row["text"].encode("utf-8")
+        nf = (len(b) + 63) // 64
+        r = out[row["doc_id"]]
+        assert r["n_frames"] == nf
+        sums = [sum(b[k * 64 : (k + 1) * 64]) for k in range(nf)]
+        lens = [len(b[k * 64 : (k + 1) * 64]) for k in range(nf)]
+        cuts = sum(
+            1
+            for k in range(1, nf)
+            if lens[k] == 64 and lens[k - 1] == 64 and abs(sums[k] - sums[k - 1]) > 250
+        )
+        full_deltas = [
+            abs(sums[k] - sums[k - 1])
+            for k in range(1, nf)
+            if lens[k] == 64 and lens[k - 1] == 64
+        ]
+        assert r["n_cuts"] == cuts
+        assert r["max_delta"] == (max(full_deltas) if full_deltas else 0)
