@@ -3073,7 +3073,9 @@ def d48_source_overlap_matrix(t):
             F.concat_ws(" ", "wd", "w1", "w2").alias("shingle"),
         )
     )
-    ss = sh.distinct()
+    # one corpus scan: the distinct (source, shingle) set feeds three
+    # consumers (sizes + both join sides) via the tracked cache
+    ss = tracked_persist(sh.distinct())
     sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ss.select(F.col("source").alias("source_a"), "shingle")
     b = ss.select(F.col("source").alias("source_b"), "shingle")
@@ -3143,9 +3145,13 @@ def e11_event_rate_anomalies(t):
     per-type stats table is ≤ #event-types rows (driver-scale) and is
     broadcast back — no window over an unbounded per-type partition,
     no second shuffle of the hourly table."""
-    hc = t.events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # the hourly rollup feeds both the stats build and the probe side;
+    # caching it keeps the raw events scan single-pass
+    hc = tracked_persist(
+        t.events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
     st = hc.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
         F.sum("cnt").alias("tot"),

@@ -67,6 +67,10 @@ EXTRA_QUERIES = [
     "d45_epoch_shuffle",
     "m07_phash_dup_groups",
     "d46_leakage_severity_histogram",
+    "d47_chunk_substring_dedup",
+    "d48_source_overlap_matrix",
+    "e11_event_rate_anomalies",
+    "m08_scene_cut_detection",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -82,10 +86,28 @@ BOUNDED_BNLJ_OK = {
     "d14_ann_ivf": _CENTROID_BNLJ,
     "d37_ann_ivf_nprobe2": _CENTROID_BNLJ,
     "d44_semantic_cluster_profile": _CENTROID_BNLJ,
+    # the upper-triangle pairing of the per-source size table with
+    # itself: both sides are <= #sources rows (driver-scale metadata),
+    # so the nested loop is sources^2 — bounded by design.
+    "d48_source_overlap_matrix": "BroadcastNestedLoopJoin(bounded-source-pair-broadcast <= sources^2, by design)",
 }
 
 # Hand-pinned notes that must survive regeneration — keyed by query.
 NOTES = {
+    "d48_source_overlap_matrix": (
+        "Note: the static plan prints the documents scan once per "
+        "consumer of the cached distinct (source, shingle) set "
+        "(`tracked_persist`); at runtime the InMemoryTableScan serves "
+        "all three consumers (sizes + both join sides), so the corpus "
+        "is scanned ONCE. The BNLJ is the upper-triangle pairing of "
+        "the <= #sources-row size table with itself."
+    ),
+    "e11_event_rate_anomalies": (
+        "Note: the static plan prints the events scan once per "
+        "consumer of the cached hourly rollup (`tracked_persist`); at "
+        "runtime the InMemoryTableScan serves both the stats build "
+        "and the probe side — events is scanned ONCE."
+    ),
     "d42_domain_mixture_downsample": (
         "Note: the static plan prints the documents scan once per "
         "consumer of the cached (source x 65536)-bucket histogram "
