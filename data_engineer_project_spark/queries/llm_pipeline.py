@@ -3171,3 +3171,81 @@ def e11_event_rate_anomalies(t):
         )
         .orderBy("event_type", "hour")
     )
+
+
+
+@query(
+    "d49_word_frequency_spectrum",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS wd FROM documents
+    ),
+    wc AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY wd),
+    b AS (
+      SELECT CAST(length(bin(cnt)) - 1 AS INT) AS freq_class, cnt FROM wc
+    ),
+    spec AS (
+      SELECT freq_class,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(cnt) AS BIGINT) AS token_mass
+      FROM b GROUP BY freq_class
+    ),
+    tot AS (SELECT SUM(token_mass) AS total FROM spec)
+    SELECT freq_class, n_words, token_mass,
+           CAST(token_mass AS DOUBLE) / CAST(total AS DOUBLE) AS mass_share,
+           CAST(SUM(token_mass) OVER (ORDER BY freq_class DESC) AS DOUBLE)
+             / CAST(total AS DOUBLE) AS head_cum_share
+    FROM spec, tot ORDER BY freq_class
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def d49_word_frequency_spectrum(t):
+    """Zipf frequency spectrum — the vocab-sizing profile: words are
+    bucketed by frequency class floor(log2(count)) and each class
+    reports its vocabulary size, token mass, mass share, and the
+    cumulative share of all classes at-or-above it (how head-heavy the
+    corpus is; what a 2^j-count cutoff would keep). Complements d27
+    (which lists the top-k words): this is the whole-distribution
+    shape in ~40 rows.
+
+    The bucket is EXACT integer arithmetic on both engines —
+    length(bin(count)) − 1, never float log2 (whose half-ulp rounding
+    can misbucket counts adjacent to powers of two at large scale).
+
+    Scale shape: word counting is one map-side-partial shuffle; the
+    class rollup collapses to <= ~40 keys map-side; the cumulative
+    window and scalar-total broadcast run over that bounded 40-row
+    table only. Nothing global touches unbounded data."""
+    w = t.documents.select(F.explode(F.split(F.col("text"), " ")).alias("wd"))
+    wc = w.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+    spec = (
+        wc.select(
+            (F.length(F.expr("bin(cnt)")) - 1).cast("int").alias("freq_class"),
+            "cnt",
+        )
+        .groupBy("freq_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("cnt").alias("token_mass"),
+        )
+    )
+    tot = spec.agg(F.sum("token_mass").alias("total"))
+    win = Window.orderBy(F.col("freq_class").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spec.crossJoin(F.broadcast(tot))
+        .withColumn("head_cum", F.sum("token_mass").over(win))
+        .select(
+            "freq_class",
+            "n_words",
+            "token_mass",
+            (F.col("token_mass").cast("double") / F.col("total").cast("double")).alias(
+                "mass_share"
+            ),
+            (F.col("head_cum").cast("double") / F.col("total").cast("double")).alias(
+                "head_cum_share"
+            ),
+        )
+        .orderBy("freq_class")
+    )

@@ -508,3 +508,85 @@ def s13_stream_mixture_gate(t):
         .select("doc_id", "source")
     )
     return run_to_memory_table(kept, "mixture_gate", "append")
+
+
+@query(
+    "s14_stream_rate_anomaly_gate",
+    """
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(cnt) AS BIGINT) AS tot,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+      FROM hc GROUP BY event_type
+    )
+    SELECT hc.event_type AS event_type, hc.window_start, hc.cnt
+    FROM hc JOIN st ON hc.event_type = st.event_type
+    WHERE hc.cnt * st.n_hours - st.tot > 0
+      AND (hc.cnt * st.n_hours - st.tot) * (hc.cnt * st.n_hours - st.tot)
+          > 4 * (st.n_hours * st.sumsq - st.tot * st.tot)
+    ORDER BY hc.event_type, hc.window_start
+    """,
+    tags=("streaming", "quality"),
+)
+def s14_stream_rate_anomaly_gate(t):
+    """Streaming enforcement of e11's rate-anomaly policy: a batch job
+    reduces each event type's hourly-count history to ONE integer
+    cutoff c* (the smallest count past mean + 2·sigma), and the stream
+    flags any 1-hour window reaching it. Spark forbids joins after a
+    streaming aggregation, so the per-type cutoffs — driver-scale
+    metadata, <= #event-types rows — are folded into the stream plan
+    as a literal CASE expression (the broadcast-as-literal pattern;
+    production recomputes the policy offline and restarts the query).
+
+    The cutoff is EXACT integer math: with K = n·sumsq − tot² and
+    d = cnt·n − tot, e11's test d > 0 AND d² > 4K is equivalent for
+    integer d to d >= isqrt(4K)+1, so c* = ceil((tot + isqrt(4K)+1)/n)
+    — math.isqrt on the driver, no float sqrt anywhere. The oracle is
+    e11's quadratic form, proving the two formulations agree
+    window-for-window. Flagged windows only (append-friendly volume),
+    complete-mode windowed count like s01."""
+    from math import isqrt
+
+    hc = t.events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = (
+        hc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("cnt").alias("tot"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+        )
+        .collect()
+    )
+    cutoffs: dict[str, int] = {}
+    for r in stats:
+        n, tot, sumsq = r["n_hours"], r["tot"], r["sumsq"]
+        k4 = 4 * (n * sumsq - tot * tot)
+        d_min = isqrt(k4) + 1
+        cutoffs[r["event_type"]] = -(-(tot + d_min) // n)  # ceil div
+    gate = F.lit(None).cast("long")
+    for et in sorted(cutoffs):
+        gate = F.when(F.col("event_type") == et, F.lit(cutoffs[et])).otherwise(
+            gate
+        )
+    wc = (
+        _stream(t)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "cnt",
+        )
+        .filter(F.col("cnt") >= gate)
+        .orderBy("event_type", "window_start")
+    )
+    return run_to_memory_table(wc, "rate_anomaly", "complete")

@@ -440,3 +440,30 @@ def test_m08_frame_and_cut_semantics(spark, sf_dir):
         ]
         assert r["n_cuts"] == cuts
         assert r["max_delta"] == (max(full_deltas) if full_deltas else 0)
+
+
+def test_d49_spectrum_partitions_the_vocabulary(spark, sf_dir):
+    """Class vocab sizes sum to the distinct word count, mass shares
+    sum to 1, every word's count fits its class bounds, and the
+    cumulative head share reaches 1.0 at the lowest class."""
+    rows = QUERIES["d49_word_frequency_spectrum"].fn(spark, sf_dir).collect()
+    docs = load_tables(spark, sf_dir).documents
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert sum(r["n_words"] for r in rows) == wc.count()
+    assert abs(sum(r["mass_share"] for r in rows) - 1.0) < 1e-12
+    assert abs(min(rows, key=lambda r: r["freq_class"])["head_cum_share"] - 1.0) < 1e-12
+    bounds = {r["freq_class"]: r["n_words"] for r in rows}
+    got = {
+        r["freq_class"]: r["n"]
+        for r in wc.select(
+            (F.length(F.expr("bin(cnt)")) - 1).cast("int").alias("freq_class")
+        )
+        .groupBy("freq_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert bounds == got

@@ -606,3 +606,21 @@ def test_stream_probe_reraises_real_read_errors(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(DataFrameReader, "parquet", boom)
     with pytest.raises(RuntimeError, match="simulated transient FS failure"):
         read_document_stream(spark, str(tmp_path))
+
+
+def test_s14_cutoffs_equal_quadratic_rule(spark, sf_dir):
+    """The isqrt-derived integer cutoff flags exactly the windows the
+    e11 quadratic form flags — the stream and the batch detector agree
+    window-for-window."""
+    from data_engineer_project_spark.queries import QUERIES
+
+    got = {
+        (r["event_type"], r["window_start"], r["cnt"])
+        for r in QUERIES["s14_stream_rate_anomaly_gate"].fn(spark, sf_dir).collect()
+    }
+    e11 = {
+        (r["event_type"], r["hour"], r["cnt"])
+        for r in QUERIES["e11_event_rate_anomalies"].fn(spark, sf_dir).collect()
+    }
+    assert got == e11
+    assert got, "fixture data should contain at least one spike"
