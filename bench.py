@@ -71,6 +71,14 @@ BENCH_QUERIES = [
     # into a (source x 65536)-bucket histogram, cached and consumed by
     # three broadcast-size stages; times the fold+reuse shape.
     "d42_domain_mixture_downsample",
+    # r5 addition #3: chunk-granular exact-substring dedup — the
+    # explode-heavy keep-first path (one shuffle keyed by chunk text);
+    # times the token-linear chunking shape at growing corpus size.
+    "d47_chunk_substring_dedup",
+    # r5 addition #4: the vocabulary frequency-spectrum fold — word
+    # count shuffle collapsing to a ~40-key class rollup; times the
+    # map-side-partial collapse no other slot isolates.
+    "d49_word_frequency_spectrum",
 ]
 
 

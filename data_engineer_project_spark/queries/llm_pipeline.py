@@ -3249,3 +3249,71 @@ def d49_word_frequency_spectrum(t):
         )
         .orderBy("freq_class")
     )
+
+
+@query(
+    "e12_event_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, SUM(n_transitions) AS from_total FROM tr GROUP BY 1
+    )
+    SELECT tr.from_type AS from_type, tr.to_type, tr.n_transitions,
+           CAST(tr.n_transitions AS DOUBLE) / CAST(tot.from_total AS DOUBLE)
+             AS share
+    FROM tr JOIN tot ON tr.from_type = tot.from_type
+    ORDER BY tr.from_type, tr.to_type
+    """,
+    tags=("events", "analytics"),
+)
+def e12_event_transition_matrix(t):
+    """First-order user-path transition matrix: for each consecutive
+    pair of events within a user's timeline ((ts, event_id) total
+    order), count from-type → to-type transitions and each row's share
+    of its from-type's outgoing mass — the Markov-chain view of user
+    behavior that funnels (e07) are a special case of.
+
+    Scale shape: ONE shuffle keyed by user_id for the lead window
+    (per-key volume = a single user's event count — the natural bound
+    in behavioral data); the pair rollup collapses map-side into a
+    ≤ types² key domain; the row-normalizing totals table is ≤ #types
+    rows, broadcast back. share is the only float (bigint/bigint)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t.events.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    # the <= types^2-row rollup feeds both the output and the
+    # normalizing totals; caching it keeps the window pass single-shot
+    tr = tracked_persist(
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n_transitions").alias("from_total"))
+    return (
+        tr.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("from_total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("from_type", "to_type")
+    )

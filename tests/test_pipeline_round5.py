@@ -467,3 +467,19 @@ def test_d49_spectrum_partitions_the_vocabulary(spark, sf_dir):
         .collect()
     }
     assert bounds == got
+
+
+def test_e12_rows_normalize_and_conserve(spark, sf_dir):
+    """Per-from-type shares sum to 1; total transitions equal
+    (events per user - 1) summed over users."""
+    rows = QUERIES["e12_event_transition_matrix"].fn(spark, sf_dir).collect()
+    shares: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        shares[r["from_type"]] = shares.get(r["from_type"], 0.0) + r["share"]
+        total += r["n_transitions"]
+    for s in shares.values():
+        assert abs(s - 1.0) < 1e-9
+    ev = load_tables(spark, sf_dir).events
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert total == sum(r["n"] - 1 for r in per_user)

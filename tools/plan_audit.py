@@ -71,6 +71,8 @@ EXTRA_QUERIES = [
     "d48_source_overlap_matrix",
     "e11_event_rate_anomalies",
     "m08_scene_cut_detection",
+    "d49_word_frequency_spectrum",
+    "e12_event_transition_matrix",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -101,6 +103,13 @@ NOTES = {
         "all three consumers (sizes + both join sides), so the corpus "
         "is scanned ONCE. The BNLJ is the upper-triangle pairing of "
         "the <= #sources-row size table with itself."
+    ),
+    "e12_event_transition_matrix": (
+        "Note: the static plan prints the events scan once per "
+        "consumer of the cached <= types^2-row transition rollup "
+        "(`tracked_persist`); at runtime the InMemoryTableScan serves "
+        "both the output and the normalizing totals — the lead-window "
+        "pass over events runs ONCE."
     ),
     "e11_event_rate_anomalies": (
         "Note: the static plan prints the events scan once per "
