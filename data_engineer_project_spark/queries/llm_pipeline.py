@@ -2967,13 +2967,18 @@ def d47_chunk_substring_dedup(t):
     the REMOVAL accounting at sub-document granularity.
 
     Scale shape: chunking is a pure JVM map (sequence + slice inside
-    whole-stage codegen — bounded per-doc arrays, no joins); keep-first
-    is ONE shuffle keyed by the chunk text (window over chunk; per-key
-    multiplicity = the chunk's corpus frequency, naturally capped
-    because the final rollup only needs rn=1 vs rn>1); the rollup is a
-    map-side-partial groupBy on lang. No all-pairs surface anywhere —
-    cost is linear in corpus tokens, the same shape that holds at
-    100 TB. frac_kept is the only float: bigint/bigint → double."""
+    whole-stage codegen — bounded per-doc arrays, no joins), and
+    keep-first is computed with PARTIAL-AGGREGATABLE groupBys only —
+    never a window over the chunk key. A window's row_number would
+    serialize a viral chunk's entire occurrence list (multiplicity =
+    corpus frequency, unbounded at 100 TB) through one task; instead,
+    identical chunk text implies identical n_words, so the survivor
+    per chunk is min(struct(doc_id, pos, lang, n_words)) — a map-side-
+    combining aggregate where every partition contributes ONE row per
+    chunk regardless of hot keys — and per-lang removed words fall out
+    as total_words − survivor_words. No all-pairs surface anywhere;
+    cost is linear in corpus tokens. frac_kept is the only float:
+    bigint/bigint → double."""
     cw = _CHUNK_WORDS
     d = t.documents.select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("words")
@@ -2989,21 +2994,39 @@ def d47_chunk_substring_dedup(t):
             )
         ).alias("pos", "c"),
     ).select("doc_id", "lang", "pos", "c.chunk", "c.n_words")
-    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    r = ch.withColumn("rn", F.row_number().over(w))
-    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    # per-lang occurrence totals: one map-side-partial shuffle on lang
+    occ = ch.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum("n_words").alias("total_words"),
+    )
+    # one survivor per chunk: min over (doc_id, pos); lang/n_words ride
+    # along as trailing struct fields (n_words is a function of the
+    # chunk text, so the survivor's value is THE value)
+    firsts = ch.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos", "lang", "n_words")).alias("first")
+    )
+    kept = firsts.groupBy(F.col("first.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.sum("first.n_words").alias("kept_words"),
+    )
+    zero = F.lit(0).cast("long")
     return (
-        r.groupBy("lang")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("total_chunks"),
-            kept.alias("kept_chunks"),
-            F.sum(F.when(F.col("rn") > 1, F.col("n_words")).otherwise(0)).alias(
+        # LEFT join: a language every one of whose chunks was first
+        # seen in another language still reports (with 0 kept)
+        occ.join(F.broadcast(kept), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "total_chunks",
+            F.coalesce("kept_chunks", zero).alias("kept_chunks"),
+            (F.col("total_words") - F.coalesce("kept_words", zero)).alias(
                 "removed_words"
             ),
-            (kept.cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "frac_kept"
-            ),
+            (
+                F.coalesce("kept_chunks", zero).cast("double")
+                / F.col("total_chunks").cast("double")
+            ).alias("frac_kept"),
         )
         .orderBy("lang")
     )

@@ -104,6 +104,15 @@ NOTES = {
         "is scanned ONCE. The BNLJ is the upper-triangle pairing of "
         "the <= #sources-row size table with itself."
     ),
+    "d47_chunk_substring_dedup": (
+        "Note: the two documents scans are deliberate (occurrence "
+        "totals + survivor-per-chunk branches). Caching the exploded "
+        "chunk table to save a scan would persist an intermediate "
+        "LARGER than the corpus — the same scans-beat-caching trade "
+        "the BM25 path pins (`retrieval.py`). Both branches collapse "
+        "map-side; no window over the chunk key anywhere, so a viral "
+        "chunk never serializes through one task."
+    ),
     "e12_event_transition_matrix": (
         "Note: the static plan prints the events scan once per "
         "consumer of the cached <= types^2-row transition rollup "
