@@ -3006,15 +3006,21 @@ def d47_chunk_substring_dedup(t):
     firsts = ch.groupBy("chunk").agg(
         F.min(F.struct("doc_id", "pos", "lang", "n_words")).alias("first")
     )
-    kept = firsts.groupBy(F.col("first.lang").alias("lang")).agg(
+    kept = firsts.groupBy(F.col("first.lang").alias("k_lang")).agg(
         F.count(F.lit(1)).alias("kept_chunks"),
         F.sum("first.n_words").alias("kept_words"),
     )
     zero = F.lit(0).cast("long")
     return (
         # LEFT join: a language every one of whose chunks was first
-        # seen in another language still reports (with 0 kept)
-        occ.join(F.broadcast(kept), "lang", "left")
+        # seen in another language still reports (with 0 kept).
+        # Null-SAFE key so a NULL-lang group matches its survivors the
+        # way the oracle's GROUP BY lang does.
+        occ.join(
+            F.broadcast(kept),
+            F.col("lang").eqNullSafe(F.col("k_lang")),
+            "left",
+        )
         .select(
             "lang",
             "n_docs",
@@ -3047,7 +3053,12 @@ def d47_chunk_substring_dedup(t):
       QUALIFY lead(wd,2) OVER win IS NOT NULL
     ),
     ss AS (SELECT DISTINCT source, shingle FROM sh),
-    sz AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+    shc AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+    srcs AS (SELECT source FROM documents GROUP BY source),
+    sz AS (
+      SELECT srcs.source, COALESCE(shc.n_sh, 0) AS n_sh
+      FROM srcs LEFT JOIN shc ON shc.source = srcs.source
+    ),
     ov AS (
       SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_overlap
       FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
@@ -3057,9 +3068,12 @@ def d47_chunk_substring_dedup(t):
            CAST(sa.n_sh AS BIGINT) AS n_sh_a,
            CAST(sb.n_sh AS BIGINT) AS n_sh_b,
            CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-           CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - COALESCE(ov.n_overlap, 0) AS DOUBLE)
-             AS jaccard
+           CASE WHEN sa.n_sh + sb.n_sh - COALESCE(ov.n_overlap, 0) = 0
+                THEN 0.0
+                ELSE CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                     / CAST(sa.n_sh + sb.n_sh - COALESCE(ov.n_overlap, 0)
+                            AS DOUBLE)
+           END AS jaccard
     FROM sz sa
     JOIN sz sb ON sa.source < sb.source
     LEFT JOIN ov ON ov.source_a = sa.source AND ov.source_b = sb.source
@@ -3072,7 +3086,9 @@ def d48_source_overlap_matrix(t):
     Jaccard between every pair of sources — the diagnostic that tells a
     curation run which crawls/dumps are re-publishing each other before
     any doc-level dedup is attempted. Zero-overlap pairs stay in the
-    matrix (full upper triangle).
+    matrix (full upper triangle over ALL sources in the corpus — a
+    source whose docs are too short to shingle still appears, with
+    n_sh = 0 and jaccard defined as 0 for an empty-empty pair).
 
     Scale shape: distinct (source, shingle) is one shuffle; the
     shingle self-join's per-key multiplicity is bounded by the SOURCE
@@ -3081,25 +3097,17 @@ def d48_source_overlap_matrix(t):
     map-side into a ≤ sources² key domain. The final cross of the
     per-source size table with itself is sources² rows — driver-scale
     metadata, broadcast both sides. Everything JVM codegen."""
-    w = t.documents.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.col("text"), " ")).alias("i", "wd"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("i")
-    sh = (
-        w.withColumn("w1", F.lead("wd", 1).over(win))
-        .withColumn("w2", F.lead("wd", 2).over(win))
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "source",
-            F.concat_ws(" ", "wd", "w1", "w2").alias("shingle"),
-        )
-    )
+    sh = DD.exploded_shingles(
+        t.documents, "doc_id", "text", 3, extra_cols=("source",)
+    ).select("source", "shingle")
     # one corpus scan: the distinct (source, shingle) set feeds three
     # consumers (sizes + both join sides) via the tracked cache
     ss = tracked_persist(sh.distinct())
-    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    shc = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    srcs = t.documents.select("source").distinct()
+    sz = srcs.join(F.broadcast(shc), "source", "left").select(
+        "source", F.coalesce("n_sh", F.lit(0).cast("long")).alias("n_sh")
+    )
     a = ss.select(F.col("source").alias("source_a"), "shingle")
     b = ss.select(F.col("source").alias("source_b"), "shingle")
     ov = (
@@ -3115,16 +3123,16 @@ def d48_source_overlap_matrix(t):
     )
     out = pairs.join(F.broadcast(ov), ["source_a", "source_b"], "left")
     novl = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    denom = F.col("n_sh_a") + F.col("n_sh_b") - novl
     return out.select(
         "source_a",
         "source_b",
         "n_sh_a",
         "n_sh_b",
         novl.alias("n_overlap"),
-        (
-            novl.cast("double")
-            / (F.col("n_sh_a") + F.col("n_sh_b") - novl).cast("double")
-        ).alias("jaccard"),
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(novl.cast("double") / denom.cast("double"))
+        .alias("jaccard"),
     ).orderBy("source_a", "source_b")
 
 
@@ -3139,8 +3147,8 @@ def d48_source_overlap_matrix(t):
     st AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_hours,
-             CAST(SUM(cnt) AS BIGINT) AS tot,
-             CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+             SUM(CAST(cnt AS HUGEINT)) AS tot,
+             SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq
       FROM hc GROUP BY event_type
     )
     SELECT hc.event_type AS event_type, hc.hour, hc.cnt, st.n_hours,
@@ -3162,12 +3170,17 @@ def e11_event_rate_anomalies(t):
     ``(cnt·n − tot)² > 4·(n·sumsq − tot²)`` (n²·var_pop = n·sumsq −
     tot², so no float mean/stddev fold whose ordering could drift
     cross-engine); the reported z-score is one integer-derived
-    division + sqrt, bit-identical on both engines.
+    division + sqrt, bit-identical on both engines. The stats fold in
+    128-bit-class types — Spark DECIMAL(38,0), DuckDB HUGEINT — so
+    sum-of-squares and the squared deviation stay exact far past
+    int64 (a type at 10⁷ events/hour for 10⁴ hours overflows BIGINT
+    sumsq; DECIMAL(38,0) holds every realistic operating point).
 
     Scale shape: hourly rollup is a map-side-partial groupBy; the
     per-type stats table is ≤ #event-types rows (driver-scale) and is
     broadcast back — no window over an unbounded per-type partition,
-    no second shuffle of the hourly table."""
+    no second shuffle of the hourly table. The wide-decimal math only
+    ever touches that bounded table and the hourly rows."""
     # the hourly rollup feeds both the stats build and the probe side;
     # caching it keeps the raw events scan single-pass
     hc = tracked_persist(
@@ -3175,14 +3188,16 @@ def e11_event_rate_anomalies(t):
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
         ).agg(F.count(F.lit(1)).alias("cnt"))
     )
+    cw = F.col("cnt").cast("decimal(38,0)")
     st = hc.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
-        F.sum("cnt").alias("tot"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+        F.sum(cw).alias("tot"),
+        F.sum(cw * cw).alias("sumsq"),
     )
     j = hc.join(F.broadcast(st), "event_type")
-    dev = F.col("cnt") * F.col("n_hours") - F.col("tot")
-    nvar = F.col("n_hours") * F.col("sumsq") - F.col("tot") * F.col("tot")
+    nw = F.col("n_hours").cast("decimal(38,0)")
+    dev = cw * nw - F.col("tot")
+    nvar = nw * F.col("sumsq") - F.col("tot") * F.col("tot")
     return (
         j.filter((dev > 0) & (dev * dev > 4 * nvar))
         .select(

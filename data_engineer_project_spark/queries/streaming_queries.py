@@ -556,22 +556,32 @@ def s14_stream_rate_anomaly_gate(t):
     hc = t.events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # DECIMAL(38,0) stats (e11's widening): sum-of-squares overflows
+    # BIGINT at high-rate types; Python ints are unbounded thereafter
+    cw = F.col("cnt").cast("decimal(38,0)")
     stats = (
         hc.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_hours"),
-            F.sum("cnt").alias("tot"),
-            F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+            F.sum(cw).alias("tot"),
+            F.sum(cw * cw).alias("sumsq"),
         )
         .collect()
     )
     cutoffs: dict[str, int] = {}
     for r in stats:
-        n, tot, sumsq = r["n_hours"], r["tot"], r["sumsq"]
+        n, tot, sumsq = int(r["n_hours"]), int(r["tot"]), int(r["sumsq"])
         k4 = 4 * (n * sumsq - tot * tot)
         d_min = isqrt(k4) + 1
         cutoffs[r["event_type"]] = -(-(tot + d_min) // n)  # ceil div
-    gate = F.lit(None).cast("long")
+    # FAIL-CLOSED default: an event type absent from the policy
+    # snapshot (appeared after the last offline recompute) gets cutoff
+    # 0 — every window of a novel type is surfaced as anomalous rather
+    # than silently passed (a NULL default would make `cnt >= gate`
+    # three-valued-false and drop exactly the types most likely to be
+    # misbehaving). Here batch and stream read the same corpus, so the
+    # default never fires and the oracle is unaffected.
+    gate = F.lit(0).cast("long")
     for et in sorted(cutoffs):
         gate = F.when(F.col("event_type") == et, F.lit(cutoffs[et])).otherwise(
             gate

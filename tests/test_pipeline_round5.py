@@ -356,7 +356,23 @@ def test_d47_keepfirst_accounting(spark, sf_dir):
     for lang, r in out.items():
         assert r["total_chunks"] == per_lang_total[lang]
         assert 0.0 < r["frac_kept"] <= 1.0
-        assert r["kept_chunks"] + (r["total_chunks"] - r["kept_chunks"]) == r["total_chunks"]
+    # word-level accounting: summed survivor words (total - removed)
+    # must equal the word count of the distinct chunk texts, computed
+    # independently (n_words is a function of the chunk text)
+    corpus_words = (
+        docs.select(F.size(F.split(F.col("text"), " ")).alias("n"))
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    survivor_words = (
+        chunks.select("chunk")
+        .distinct()
+        .select(F.size(F.split(F.col("chunk"), " ")).alias("n"))
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    total_removed = sum(r["removed_words"] for r in out.values())
+    assert corpus_words - total_removed == survivor_words
 
 
 def test_d48_matrix_is_full_upper_triangle(spark, sf_dir):
@@ -422,8 +438,12 @@ def test_m08_frame_and_cut_semantics(spark, sf_dir):
     docs = load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
     assert any(r["n_cuts"] > 0 for r in out.values()), "threshold should fire somewhere"
     for row in docs[:50]:
-        b = row["text"].encode("utf-8")
+        b = (row["text"] or "").encode("utf-8")
         nf = (len(b) + 63) // 64
+        if nf == 0:
+            # zero-frame doc: both engines emit no row at all
+            assert row["doc_id"] not in out
+            continue
         r = out[row["doc_id"]]
         assert r["n_frames"] == nf
         sums = [sum(b[k * 64 : (k + 1) * 64]) for k in range(nf)]

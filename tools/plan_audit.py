@@ -61,18 +61,16 @@ EXTRA_QUERIES = [
     "d39_pii_redaction",
     "d40_boilerplate_ngrams",
     "d41_length_percentiles",
-    "d42_domain_mixture_downsample",
     "d43_bpe_pair_counts",
     "d44_semantic_cluster_profile",
     "d45_epoch_shuffle",
     "m07_phash_dup_groups",
     "d46_leakage_severity_histogram",
-    "d47_chunk_substring_dedup",
     "d48_source_overlap_matrix",
     "e11_event_rate_anomalies",
     "m08_scene_cut_detection",
-    "d49_word_frequency_spectrum",
     "e12_event_transition_matrix",
+    # d47 / d49 / d42 are bench slots (audited via BENCH_QUERIES)
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -283,7 +281,9 @@ def main() -> None:
         "their micro-batch plans are exercised in `tests/test_streaming.py`.",
         "",
     ]
-    for name in BENCH_QUERIES + EXTRA_QUERIES:
+    # dict.fromkeys: a query promoted into the bench list stays listed
+    # in EXTRA_QUERIES history without being audited (and printed) twice
+    for name in dict.fromkeys(BENCH_QUERIES + EXTRA_QUERIES):
         if name.startswith("s"):
             continue
         body += audit_one(spark, name, sf_dir)
