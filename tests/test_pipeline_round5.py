@@ -503,3 +503,28 @@ def test_e12_rows_normalize_and_conserve(spark, sf_dir):
     ev = load_tables(spark, sf_dir).events
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert total == sum(r["n"] - 1 for r in per_user)
+
+
+def test_d49_bin_bucket_exact_at_power_boundaries(spark):
+    """length(bin(n))-1 equals floor(log2(n)) on BOTH engines for every
+    2^k-1 / 2^k / 2^k+1 up to 2^62 — the values where float log2's
+    half-ulp rounding would misbucket."""
+    import duckdb
+
+    vals = sorted(
+        {v for k in range(1, 63) for v in (2**k - 1, 2**k, 2**k + 1) if v >= 1}
+    )
+    expect = {v: v.bit_length() - 1 for v in vals}
+    sdf = spark.createDataFrame([(v,) for v in vals], "cnt long").select(
+        "cnt", (F.length(F.expr("bin(cnt)")) - 1).cast("int").alias("fc")
+    )
+    got_spark = {r["cnt"]: r["fc"] for r in sdf.collect()}
+    assert got_spark == expect
+    got_duck = dict(
+        duckdb.sql(
+            "SELECT cnt, CAST(length(bin(cnt)) - 1 AS INT) FROM (SELECT unnest(["
+            + ",".join(str(v) for v in vals)
+            + "]) AS cnt)"
+        ).fetchall()
+    )
+    assert got_duck == expect

@@ -500,3 +500,29 @@ def test_ivf_nprobe_recall_is_monotone(spark):
 
     h1, h2 = hits(1), hits(2)
     assert h2 >= h1, f"nprobe=2 recall ({h2}) below nprobe=1 ({h1})"
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**12), min_size=2, max_size=40)
+)
+@settings(max_examples=300, deadline=None)
+def test_s14_integer_cutoff_equals_quadratic_two_sigma(counts):
+    """s14's driver-side cutoff c* (isqrt form) flags exactly the
+    counts e11's quadratic form flags — for ANY hourly-count history,
+    including counts far past int32 and the exact boundary values
+    c*-1 / c*. Pure Python (unbounded ints), no Spark job."""
+    from math import isqrt
+
+    n = len(counts)
+    tot = sum(counts)
+    sumsq = sum(c * c for c in counts)
+    k4 = 4 * (n * sumsq - tot * tot)
+    d_min = isqrt(k4) + 1
+    c_star = -(-(tot + d_min) // n)
+    probes = set(counts) | {c_star - 1, c_star, c_star + 1, max(counts) + 1, 1}
+    for c in probes:
+        if c < 0:
+            continue
+        dev = c * n - tot
+        quadratic = dev > 0 and dev * dev > k4
+        assert (c >= c_star) == quadratic, (c, c_star, counts)
