@@ -320,3 +320,99 @@ def m08_scene_cut_detection(t):
         )
         .orderBy("doc_id")
     )
+
+
+_VAD_WINDOW_BYTES = 64
+_VAD_THRESHOLD = 6048
+
+
+@query(
+    "m09_audio_activity_segments",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(ceil(len(b) / {_VAD_WINDOW_BYTES}.0) AS BIGINT) - 1)) AS k,
+             b
+      FROM bl
+    ),
+    fs AS (
+      SELECT doc_id, k,
+             list_sum(b[k * {_VAD_WINDOW_BYTES} + 1 : (k + 1) * {_VAD_WINDOW_BYTES}])
+               AS s
+      FROM k
+    ),
+    act AS (
+      SELECT doc_id, k,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS rn
+      FROM fs WHERE s > {_VAD_THRESHOLD}
+    ),
+    runs AS (
+      SELECT doc_id, k - rn AS grp, COUNT(*) AS run_len
+      FROM act GROUP BY 1, 2
+    ),
+    pa AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(MAX(run_len) AS BIGINT) AS longest_run,
+             CAST(SUM(run_len) AS BIGINT) AS n_active
+      FROM runs GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM fs GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_windows,
+           COALESCE(pa.n_active, 0) AS n_active,
+           COALESCE(pa.n_segments, 0) AS n_segments,
+           COALESCE(pa.longest_run, 0) AS longest_run
+    FROM tot LEFT JOIN pa ON pa.doc_id = tot.doc_id
+    ORDER BY tot.doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def m09_audio_activity_segments(t):
+    """Voice-activity-style segmentation of the audio stub: the payload
+    is framed into {64}-sample windows, a window is ACTIVE when its
+    exact integer energy sum clears {6048} (the corpus median — a real
+    VAD learns this floor), and consecutive active windows merge into
+    segments via the gaps-and-islands rewrite (window_index −
+    row_number over active windows is constant within a run — no
+    self-join, no iteration). Per doc: window count, active count,
+    segment count, longest run. Docs with no active window report
+    zeros. The speech-curation primitive (silence trimming, utterance
+    splitting), and the one islands-shaped computation in the m family.
+
+    Scale shape: framing + energy is one Arrow mapInPandas pass (no
+    shuffle); both windows partition by doc — per-doc window counts
+    are payload-bounded, never corpus-bounded; the rollups are
+    map-side-partial groupBys. All comparisons exact int64."""
+    from data_engineer_project_spark.operators.multimodal import frame_byte_sums
+
+    frames = sample_frames(_media(t), frame_bytes=_VAD_WINDOW_BYTES, every=1)
+    fs = frame_byte_sums(frames)
+    act = fs.filter(F.col("frame_sum") > _VAD_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    runs = (
+        act.withColumn("grp", F.col("frame_no") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    pa = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("n_active"),
+    )
+    tot = fs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    zero = F.lit(0).cast("long")
+    return (
+        tot.join(pa, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_active", zero).alias("n_active"),
+            F.coalesce("n_segments", zero).alias("n_segments"),
+            F.coalesce("longest_run", zero).alias("longest_run"),
+        )
+        .orderBy("doc_id")
+    )

@@ -163,3 +163,41 @@ def test_phash_identical_payloads_collide_and_bits_bounded(spark, docs):
         " width int, height int, n_bytes long",
     )
     assert perceptual_hash(empty).count() == 0
+
+
+def test_m09_islands_match_python_rle(spark, sf_dir):
+    """Segment counts and longest runs re-derived per doc by a pure
+    Python run-length pass over the raw UTF-8 bytes."""
+    from data_engineer_project_spark.queries import QUERIES
+    from data_engineer_project_spark.sources.registry import load_tables
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["m09_audio_activity_segments"].fn(spark, sf_dir).collect()
+    }
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    checked = 0
+    for row in docs[:60]:
+        b = (row["text"] or "").encode("utf-8")
+        nw = (len(b) + 63) // 64
+        if nw == 0:
+            assert row["doc_id"] not in out
+            continue
+        active = [sum(b[k * 64 : (k + 1) * 64]) > 6048 for k in range(nw)]
+        runs = []
+        cur = 0
+        for a in active:
+            if a:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = out[row["doc_id"]]
+        assert r["n_windows"] == nw
+        assert r["n_active"] == sum(active)
+        assert r["n_segments"] == len(runs)
+        assert r["longest_run"] == (max(runs) if runs else 0)
+        checked += 1
+    assert checked > 0

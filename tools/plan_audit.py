@@ -70,6 +70,7 @@ EXTRA_QUERIES = [
     "e11_event_rate_anomalies",
     "m08_scene_cut_detection",
     "e12_event_transition_matrix",
+    "m09_audio_activity_segments",
     # d47 / d49 / d42 are bench slots (audited via BENCH_QUERIES)
 ]
 
