@@ -3355,3 +3355,52 @@ def e12_event_transition_matrix(t):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+
+_RH_BASE = 1_000_003
+_RH_MOD = 2_147_483_647  # Mersenne prime 2^31 - 1; acc*BASE + x < 2^52
+
+
+@query(
+    "d50_rolling_hash_fingerprints",
+    f"""
+    SELECT doc_id, lang,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> CAST({_md5_hex_int('w', 'varchar', 8)} AS BIGINT))),
+             (acc, x) -> (acc * {_RH_BASE} + x) % {_RH_MOD}) AS BIGINT)
+             AS rolling_fp
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "fingerprint"),
+)
+def d50_rolling_hash_fingerprints(t):
+    """Polynomial (Karp–Rabin) rolling-hash document fingerprint:
+    fold (acc·B + h(word)) mod M over the word sequence, with h =
+    32-bit md5 digits via the module's one content-address generator
+    and M = 2³¹−1 — ORDER-SENSITIVE, unlike d04's md5/min-shingle
+    fingerprints, so reordered-word documents get distinct prints
+    while the incremental form is what a content-defined-chunking
+    cutter computes per position. B·M < 2⁵² keeps every intermediate
+    exact in int64 on both engines (and in a double-based engine).
+
+    Scale shape: one scan, per-doc fold, NO shuffle at all (the only
+    ORDER BY is presentation). The fold lambda touches only its
+    arguments — no captured subexpression recompute, the interpreted-
+    HOF pitfall `exploded_shingles` documents — and the md5-per-word
+    cost equals the shingle builders'. Output is driver-thin: one
+    int64 per doc."""
+    # conv(hex,16,10) is the JVM-native 32-bit word hash (the instr
+    # arithmetic generator would need bigint coefficients at 8 digits;
+    # the value is identical to the oracle's digit expansion)
+    expr = (
+        f"aggregate(split(text, ' '), cast(0 as bigint),"
+        f" (acc, w) -> (acc * {_RH_BASE}"
+        f" + cast(conv(substring(md5(cast(w as string)), 1, 8), 16, 10)"
+        f" as bigint)) % {_RH_MOD})"
+    )
+    return t.documents.select(
+        "doc_id", "lang", F.expr(expr).cast("long").alias("rolling_fp")
+    ).orderBy("doc_id")

@@ -528,3 +528,32 @@ def test_d49_bin_bucket_exact_at_power_boundaries(spark):
         ).fetchall()
     )
     assert got_duck == expect
+
+
+def test_d50_matches_python_karp_rabin(spark, sf_dir):
+    """The fingerprint equals a pure-Python Karp-Rabin fold (hashlib
+    md5, first 8 hex digits per word) for every checked doc; reordering
+    two words changes the print (order sensitivity d04 lacks)."""
+    import hashlib
+
+    B, M = 1_000_003, 2_147_483_647
+
+    def fp(text):
+        acc = 0
+        for w in text.split(" "):
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            acc = (acc * B + h) % M
+        return acc
+
+    out = {
+        r["doc_id"]: r["rolling_fp"]
+        for r in QUERIES["d50_rolling_hash_fingerprints"].fn(spark, sf_dir).collect()
+    }
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    for row in docs[:40]:
+        assert out[row["doc_id"]] == fp(row["text"])
+    sample = next(r["text"] for r in docs if len(set(r["text"].split(" "))) >= 2)
+    ws = sample.split(" ")
+    i = next(k for k in range(1, len(ws)) if ws[k] != ws[0])
+    swapped = " ".join([ws[i]] + ws[1:i] + [ws[0]] + ws[i + 1 :])
+    assert fp(sample) != fp(swapped)

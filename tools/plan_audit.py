@@ -71,6 +71,7 @@ EXTRA_QUERIES = [
     "m08_scene_cut_detection",
     "e12_event_transition_matrix",
     "m09_audio_activity_segments",
+    "d50_rolling_hash_fingerprints",
     # d47 / d49 / d42 are bench slots (audited via BENCH_QUERIES)
 ]
 
