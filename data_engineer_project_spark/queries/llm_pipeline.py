@@ -3404,3 +3404,142 @@ def d50_rolling_hash_fingerprints(t):
     return t.documents.select(
         "doc_id", "lang", F.expr(expr).cast("long").alias("rolling_fp")
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------- OHLC downsample
+
+# Deterministic open/close selection: DuckDB's arg_min/arg_max take a
+# SCALAR ordering key (no struct keys), so both engines order by
+# epoch_us(ts)·2^20 + event_id folded into a 128-bit-class integer
+# (Spark DECIMAL(38,0), DuckDB HUGEINT) — microsecond timestamps tie-
+# broken by the unique event id, exact far past int64.
+_OHLC_KEY_SQL = (
+    "CAST(epoch_us(ts) AS HUGEINT) * 1048576 + CAST(event_id AS HUGEINT)"
+)
+
+
+@query(
+    "e13_ohlc_bars",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           arg_min(value, {_OHLC_KEY_SQL}) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, {_OHLC_KEY_SQL}) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS DOUBLE)
+             / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("events", "timeseries", "downsample"),
+)
+def e13_ohlc_bars(t):
+    """Daily OHLC bars per event type — the canonical time-series
+    DOWNSAMPLE (hypertable rollup / candlestick) operator: open (first
+    value of the day), high, low, close (last value), event count, and
+    mean value per (event_type, day).
+
+    Scale shape: ONE hash aggregate, no window — min_by/max_by carry
+    the (ordering-key, value) pair through map-side partial
+    aggregation, so each of a 1000 executors reduces its slice of a
+    day before the single shuffle on the (type, day) key; a window
+    formulation would instead sort every partition. open/close/high/
+    low are SELECTIONS of stored doubles (no float summation), and the
+    mean folds integer milli-units, so results are bit-identical on
+    both engines regardless of partitioning. Day-bucketed keys keep
+    every group bounded (one day × one type) at any corpus size."""
+    key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * 1048576
+        + F.col("event_id").cast("decimal(38,0)")
+    )
+    q = F.floor(F.col("value") * 1000.0).cast("long")
+    return (
+        t.events.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(q).cast("double")
+                / (F.lit(1000.0) * F.count(F.lit(1)).cast("double"))
+            ).alias("avg_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "e14_time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(value * 1000.0) AS BIGINT) AS q,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CAST(dur_us AS HUGEINT)) AS BIGINT) AS span_us,
+           CAST(SUM(CAST(q AS HUGEINT) * dur_us) AS DOUBLE)
+             / (1000.0 * CAST(SUM(CAST(dur_us AS HUGEINT)) AS DOUBLE))
+             AS twa_value
+    FROM seg WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("events", "timeseries"),
+)
+def e14_time_weighted_avg(t):
+    """Time-weighted average value per (event_type, day) — the
+    last-observation-carried-forward integral (∑ valueᵢ·Δtᵢ / ∑ Δtᵢ)
+    over segments between consecutive events, the correct mean for
+    irregularly-sampled series where e13's per-event mean over-weights
+    bursts. Segments are clipped at day boundaries (the day's last
+    observation contributes no segment) — the per-day contract that
+    also bounds the window key.
+
+    Exactness: value quantized to integer milli-units, durations are
+    integer microseconds, products fold in 128-bit-class integers
+    (Spark DECIMAL(38,0), DuckDB HUGEINT — a day of microseconds ×
+    milli-unit values overflows int64), so the single final division
+    is bit-identical cross-engine.
+
+    Scale shape: the lead() window partitions by (event_type, DAY) —
+    a bounded key (one day of one type per task), never the unbounded
+    per-type partition the d32 round-5 rewrite eliminated; then one
+    map-side-combinable aggregate on the same key, so AQE coalesces
+    both stages onto one exchange."""
+    day_us = F.unix_micros(F.date_trunc("day", "ts"))
+    w = Window.partitionBy("event_type", day_us).orderBy("ts", "event_id")
+    seg = t.events.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1000.0).cast("long").alias("q"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "dur_us"
+        ),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    qd = F.col("q").cast("decimal(38,0)")
+    dd = F.col("dur_us").cast("decimal(38,0)")
+    return (
+        seg.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dd).cast("long").alias("span_us"),
+            (
+                F.sum(qd * dd).cast("double")
+                / (F.lit(1000.0) * F.sum(dd).cast("double"))
+            ).alias("twa_value"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -34,6 +34,7 @@ from data_engineer_project_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
+from data_engineer_project_spark.operators.cache import tracked_persist
 from data_engineer_project_spark.queries.catalog import query
 
 
@@ -415,4 +416,120 @@ def m09_audio_activity_segments(t):
             F.coalesce("longest_run", zero).alias("longest_run"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "m10_image_neardup_clusters",
+    f"""
+    WITH RECURSIVE bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS p FROM bl
+    ),
+    s AS (SELECT doc_id, COUNT(*) AS n, SUM(v) AS total FROM bytes GROUP BY doc_id),
+    blk AS (
+      SELECT bytes.doc_id, ((bytes.p - 1) * 16) // s.n AS blk,
+             SUM(bytes.v) AS bs, COUNT(*) AS bn
+      FROM bytes JOIN s USING (doc_id) GROUP BY 1, 2
+    ),
+    hashes AS (
+      SELECT blk.doc_id,
+             SUM(CASE WHEN blk.bs * s.n > s.total * blk.bn
+                      THEN (CAST(1 AS BIGINT) << blk.blk) ELSE 0 END) AS phash
+      FROM blk JOIN s USING (doc_id) GROUP BY blk.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hashes a JOIN hashes b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 1
+    ),
+    edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.e_dst, w.comp FROM walk w JOIN edges e ON e.e_src = w.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+    SELECT CAST(lab.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(lab.node) AS BIGINT) AS canonical_doc,
+           CAST(COUNT(DISTINCT h.phash) AS BIGINT) AS n_hashes
+    FROM lab JOIN hashes h ON h.doc_id = lab.node
+    GROUP BY lab.component
+    """,
+    tags=("multimodal", "dedup", "graph"),
+)
+def m10_image_neardup_clusters(t):
+    """Image near-duplicate CLUSTERS — the full modality dedup
+    pipeline m07 only starts: 16-bit block-mean perceptual hash →
+    byte-banded candidate pairs → exact Hamming ≤ 1 verification →
+    connected components → one canonical image per cluster.
+
+    Recall is EXACT by pigeonhole: a pair within Hamming radius 1 has
+    its single differing bit in one byte-band, so the other band
+    matches — 2 bands of 8 bits cannot miss a radius-1 pair. The
+    oracle exploits that: it verifies against the PLAIN all-pairs
+    Hamming join, so a banding scheme that dropped any qualifying
+    pair would hash-mismatch, not just slow down. (Radius 2 needs 3
+    bands — same machinery, SimHash-style, operators/dedup.py.)
+
+    Scale shape: candidate generation is an equi-join on (band_idx,
+    band_value) — never all-pairs over images (the oracle's O(N²)
+    join is affordable only because DuckDB sees sf0.01); Hamming
+    verification is two codegen'd integer ops on the candidate set;
+    clustering is d20's min-label propagation (bounded-diameter dedup
+    graphs converge in ~3 rounds)."""
+    from data_engineer_project_spark.operators.graph import connected_components
+    from data_engineer_project_spark.operators.multimodal import perceptual_hash
+
+    # reused by both band joins and the final per-cluster hash count
+    h = tracked_persist(
+        perceptual_hash(_media(t), n_blocks=16).select("doc_id", "phash")
+    )
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"), (F.col("phash") % 256).alias("bk")
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.shiftright("phash", 8).alias("bk"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "phash", "band.bi", "band.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))) <= 1
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.join(h, comps.node == h.doc_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("canonical_doc"),
+            F.countDistinct("phash").alias("n_hashes"),
+        )
     )

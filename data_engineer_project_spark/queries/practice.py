@@ -1540,3 +1540,86 @@ def p71_view_lifecycle_audit(t):
     return spark.createDataFrame(
         rows, "step int, action string, view_exists boolean, n_rows bigint"
     ).orderBy("step")
+
+
+@query(
+    "p72_calendar_gap_fill",
+    """
+    WITH span AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders
+    ),
+    months AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+               AS month
+      FROM span
+    ),
+    grid AS (
+      SELECT m.month, n.n_nationkey, n.n_name FROM months m CROSS JOIN nation n
+    ),
+    monthly AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT g.n_name, g.month,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.revenue, 0.0) AS revenue
+    FROM grid g LEFT JOIN monthly m
+      ON g.n_nationkey = m.nk AND g.month = m.month
+    """,
+    tags=("calendar", "gapfill", "join"),
+)
+def p72_calendar_gap_fill(t):
+    """Calendar-dimension gap fill: a generated month spine (SEQUENCE
+    from the data's own min/max month — the engine form of a calendar
+    dim table) crossed with the nation dim, left-joined to per-nation
+    monthly order rollups so EMPTY nation-months surface as explicit
+    zero rows — the reporting contract dashboards need (a missing row
+    reads as 'no data', a zero row as 'no orders').
+
+    Scale shape: the spine is driver-thin (decades = hundreds of
+    rows) and the nation dim is small, so the grid is a broadcast on
+    both sides; the only real work is the orders⋈customer rollup —
+    one shuffle each, map-side-combined. The left join of a tiny grid
+    against a tiny rollup is broadcast too; nothing here grows with
+    fact size except the rollup scan. Revenue folds in DECIMAL(18,2)
+    then casts to DOUBLE — order-free, bit-exact cross-engine."""
+    o, c, n = t.orders, t.customer, t.nation
+    span = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    months = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval '1' month"))
+        ).alias("month")
+    )
+    grid = months.crossJoin(
+        F.broadcast(n.select("n_nationkey", "n_name"))
+    ).withColumnRenamed("month", "g_month")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+    return grid.join(
+        monthly,
+        (grid.n_nationkey == monthly.nk) & (grid.g_month == monthly.m_month),
+        "left",
+    ).select(
+        "n_name",
+        F.col("g_month").alias("month"),
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )

@@ -557,3 +557,157 @@ def test_d50_matches_python_karp_rabin(spark, sf_dir):
     i = next(k for k in range(1, len(ws)) if ws[k] != ws[0])
     swapped = " ".join([ws[i]] + ws[1:i] + [ws[0]] + ws[i + 1 :])
     assert fp(sample) != fp(swapped)
+
+
+def test_e13_ohlc_open_close_are_boundary_events(spark, sf_dir):
+    """open/close from min_by/max_by must equal the value of the
+    first/last (ts, event_id)-ordered event of each (type, day) —
+    recomputed independently with a window; and the bar envelope
+    holds (low <= open/close <= high, n_events conserves the table)."""
+    from pyspark.sql import Window
+
+    out = QUERIES["e13_ohlc_bars"].fn(spark, sf_dir)
+    ev = load_tables(spark, sf_dir).events.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    ref = (
+        ev.withColumn("rn_a", F.row_number().over(w))
+        .withColumn(
+            "rn_d",
+            F.row_number().over(
+                Window.partitionBy("event_type", "day").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("o"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    j = out.join(ref, ["event_type", "day"]).collect()
+    assert len(j) == out.count()
+    for r in j:
+        assert r["open"] == r["o"] and r["close"] == r["c"]
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] == r["n"]
+    total = load_tables(spark, sf_dir).events.count()
+    assert sum(r["n_events"] for r in j) == total
+
+
+def test_e14_segments_tile_the_day_span(spark, sf_dir):
+    """LOCF integral conservation: per (type, day) the summed segment
+    durations equal last-event − first-event time (zero-length
+    segments contribute nothing either way), and the time-weighted
+    mean sits inside the day's quantized value envelope."""
+    out = {
+        (r["event_type"], r["day"]): r
+        for r in QUERIES["e14_time_weighted_avg"].fn(spark, sf_dir).collect()
+    }
+    spans = (
+        load_tables(spark, sf_dir)
+        .events.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+                "span"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.min("value") * 1000.0) / 1000.0).alias("vmin"),
+            ((F.floor(F.max("value") * 1000.0) + 1) / 1000.0).alias("vmax"),
+        )
+        .collect()
+    )
+    for r in spans:
+        key = (r["event_type"], r["day"])
+        if r["n"] < 2 or r["span"] == 0:
+            assert key not in out
+            continue
+        got = out[key]
+        assert got["span_us"] == r["span"]
+        assert got["n_segments"] <= r["n"] - 1
+        assert r["vmin"] <= got["twa_value"] <= r["vmax"]
+
+
+def test_m10_clusters_match_brute_force_union_find(spark, sf_dir):
+    """The banded pipeline must reproduce EXACTLY the clusters of a
+    driver-side brute-force: all-pairs Hamming<=1 over the 16-bit
+    hashes, union-find, same (component -> members) partition — the
+    pigeonhole recall guarantee checked end-to-end."""
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_media,
+        perceptual_hash,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    hashes = {
+        r["doc_id"]: r["phash"]
+        for r in perceptual_hash(attach_media(docs), n_blocks=16).collect()
+    }
+    ids = sorted(hashes)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= 1:
+                linked.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for x in sorted(linked):
+        expected.setdefault(find(x), []).append(x)
+
+    out = QUERIES["m10_image_neardup_clusters"].fn(spark, sf_dir).collect()
+    assert {r["component"]: r["cluster_size"] for r in out} == {
+        c: len(m) for c, m in expected.items()
+    }
+    for r in out:
+        assert r["canonical_doc"] == min(expected[r["component"]])
+        assert r["n_hashes"] == len(
+            {hashes[m] for m in expected[r["component"]]}
+        )
+
+
+def test_p72_grid_is_complete_and_conserves_orders(spark, sf_dir):
+    """The month×nation grid is dense (every nation appears in every
+    month of the span), zero rows really mean zero, and the filled
+    rollup conserves global order count and revenue."""
+    out = QUERIES["p72_calendar_gap_fill"].fn(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    n_nations = t.nation.count()
+    span = t.orders.agg(
+        (
+            (F.year(F.max("o_orderdate")) - F.year(F.min("o_orderdate"))) * 12
+            + F.month(F.max("o_orderdate"))
+            - F.month(F.min("o_orderdate"))
+            + 1
+        ).alias("n_months")
+    ).collect()[0]["n_months"]
+    rows = out.collect()
+    assert len(rows) == span * n_nations
+    assert len({r["month"] for r in rows}) == span
+    assert sum(r["n_orders"] for r in rows) == t.orders.count()
+    total_rev = t.orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    ).collect()[0]["s"]
+    assert abs(sum(r["revenue"] for r in rows) - float(total_rev)) < 1e-6
+    zero = [r for r in rows if r["n_orders"] == 0]
+    for r in zero:
+        assert r["revenue"] == 0.0
