@@ -1,0 +1,101 @@
+"""Distributed exact linear algebra over embedding columns.
+
+The covariance / Gram matrix of a quantized embedding corpus is the
+preprocessing step for PCA whitening, OPQ rotation, and spherical
+k-means seeding (the IVF path in ``operators/similarity.py``). The
+naive declarative form — posexplode twice and groupBy (i, j) — shuffles
+N·d² rows; the scale-right form computes a PARTIAL d×d Gram per Arrow
+batch with one integer matmul (q.T @ q) and ships only d²-sized
+partials to a single tiny aggregation, so the corpus is scanned ONCE
+and the shuffle volume is O(partitions · d²), independent of N.
+
+Exactness: vectors are int8-quantized with the same symmetric max-abs
+rule as d28 (q = floor(127·x/maxabs + 0.5), identical IEEE double ops
+in numpy, Spark SQL, and DuckDB), after which every Gram entry and
+column sum is INTEGER — partial sums commute, so the result is
+bit-identical regardless of partitioning, and a SQL oracle can verify
+it hash-exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one row per upper-triangle Gram cell (j >= i) plus, per batch, the
+# quantized column sums encoded as j = -1 rows — both from ONE scan
+_PARTIAL_SCHEMA = "i int, j int, val long, n long"
+
+
+def quantized_gram_partials(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-Arrow-batch partial Gram of int8-quantized vectors.
+
+    Returns rows (i, j, val, n): for j >= i, ``val`` is the batch's
+    Σ q_i·q_j and ``n`` its vector count; rows with j = -1 carry the
+    batch's quantized column sums Σ q_i (needed to turn the Gram into
+    a covariance without a second corpus scan). Sum ``val``/``n``
+    over batches per (i, j) to get the exact corpus totals.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None and len(v) > 0]
+            if not vecs:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            maxabs = np.abs(x).max(axis=1, keepdims=True)
+            q = np.floor(127.0 * x / maxabs + 0.5).astype(np.int64)
+            n, d = q.shape
+            g = q.T @ q  # exact int64: |cell| <= n · 127²
+            iu, ju = np.triu_indices(d)
+            s = q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(d)]).astype(np.int32),
+                    "j": np.concatenate(
+                        [ju, np.full(d, -1)]
+                    ).astype(np.int32),
+                    "val": np.concatenate([g[iu, ju], s]),
+                    "n": np.full(iu.size + d, n, dtype=np.int64),
+                }
+            )
+
+    return emb.mapInPandas(stage, _PARTIAL_SCHEMA)
+
+
+def quantized_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact Gram + covariance of the int8-quantized corpus.
+
+    Returns (dim_i, dim_j, gram, n_vectors, cov) for j >= i, where
+    cov = (n·G_ij − S_i·S_j) / n² folds the integer numerator in
+    DECIMAL(38,0) (n·G alone overflows int64 near 10⁹ vectors) and
+    divides once — bit-identical on any engine.
+    """
+    parts = quantized_gram_partials(emb, vec_col)
+    tot = parts.groupBy("i", "j").agg(
+        F.sum("val").alias("val"), F.sum("n").alias("n")
+    )
+    g = tot.filter(F.col("j") >= 0)
+    s = tot.filter(F.col("j") == -1).select(
+        F.col("i").alias("k"), F.col("val").alias("s")
+    )
+    sa = s.select(F.col("k").alias("i"), F.col("s").alias("s_i"))
+    sb = s.select(F.col("k").alias("j"), F.col("s").alias("s_j"))
+    j = g.join(F.broadcast(sa), "i").join(F.broadcast(sb), "j")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * dec("val") - dec("s_i") * dec("s_j")
+    return j.select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        F.col("val").alias("gram"),
+        F.col("n").alias("n_vectors"),
+        (num.cast("double") / (dec("n") * dec("n")).cast("double")).alias(
+            "cov"
+        ),
+    )

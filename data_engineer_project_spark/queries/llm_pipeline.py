@@ -3543,3 +3543,62 @@ def e14_time_weighted_avg(t):
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "d51_embedding_covariance",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS p
+      FROM embeddings
+    ),
+    mx AS (
+      SELECT vec_id, MAX(ABS(CAST(x AS DOUBLE))) AS maxabs
+      FROM ex GROUP BY vec_id
+    ),
+    q AS (
+      SELECT e.vec_id, CAST(e.p - 1 AS INT) AS i,
+             CAST(floor(127 * CAST(e.x AS DOUBLE) / m.maxabs + 0.5) AS BIGINT)
+               AS qv
+      FROM ex e JOIN mx m ON e.vec_id = m.vec_id
+    ),
+    g AS (
+      SELECT a.i AS dim_i, b.i AS dim_j,
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS sv FROM q GROUP BY i)
+    SELECT g.dim_i, g.dim_j, g.gram, g.n_vectors,
+           CAST(CAST(g.n_vectors AS HUGEINT) * g.gram
+                  - CAST(sa.sv AS HUGEINT) * sb.sv AS DOUBLE)
+             / CAST(CAST(g.n_vectors AS HUGEINT) * g.n_vectors AS DOUBLE)
+             AS cov
+    FROM g JOIN s sa ON sa.i = g.dim_i JOIN s sb ON sb.i = g.dim_j
+    """,
+    tags=("llm", "similarity", "linalg"),
+)
+def d51_embedding_covariance(t):
+    """Exact covariance / Gram matrix of the int8-quantized embedding
+    corpus — the preprocessing primitive for PCA whitening, OPQ
+    rotation, and IVF centroid seeding (operators/linalg.py). Vectors
+    quantize with d28's symmetric max-abs rule, after which every Gram
+    cell Σ qᵢ·qⱼ and column sum Σ qᵢ is INTEGER, so partial results
+    commute across any partitioning and cov = (n·G − SᵢSⱼ)/n² is one
+    bit-exact division (numerator folded 128-bit-wide: Spark
+    DECIMAL(38,0), DuckDB HUGEINT — n·G overflows int64 near 10⁹
+    vectors).
+
+    Scale shape: ONE corpus scan; each Arrow batch emits a d×d partial
+    Gram via a single integer matmul (q.T @ q, the rank-n update), so
+    shuffle volume is O(partitions·d²) — independent of corpus size —
+    where the declarative posexplode²-and-groupBy form the oracle uses
+    would shuffle N·d² rows. The d² aggregate and the two column-sum
+    broadcasts are driver-thin."""
+    from data_engineer_project_spark.operators.linalg import (
+        quantized_covariance,
+    )
+
+    return quantized_covariance(t.embeddings)

@@ -711,3 +711,41 @@ def test_p72_grid_is_complete_and_conserves_orders(spark, sf_dir):
     zero = [r for r in rows if r["n_orders"] == 0]
     for r in zero:
         assert r["revenue"] == 0.0
+
+
+def test_d51_gram_matches_driver_side_numpy(spark, sf_dir):
+    """The distributed partial-Gram (one matmul per Arrow batch,
+    summed) must equal a single driver-side numpy Gram over the whole
+    corpus, and must be invariant to repartitioning — the
+    integer-partials-commute claim checked directly."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.linalg import (
+        quantized_covariance,
+    )
+
+    emb = load_tables(spark, sf_dir).embeddings
+    x = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    q = np.floor(
+        127.0 * x / np.abs(x).max(axis=1, keepdims=True) + 0.5
+    ).astype(np.int64)
+    g_ref = q.T @ q
+    s_ref = q.sum(axis=0)
+    n = q.shape[0]
+
+    for df in (emb, emb.repartition(7)):
+        rows = quantized_covariance(df).collect()
+        assert len(rows) == g_ref.shape[0] * (g_ref.shape[0] + 1) // 2
+        for r in rows:
+            i, j = r["dim_i"], r["dim_j"]
+            assert i <= j and r["n_vectors"] == n
+            assert r["gram"] == g_ref[i, j]
+            expect_cov = (n * g_ref[i, j] - s_ref[i] * s_ref[j]) / (n * n)
+            assert r["cov"] == expect_cov
+        # diagonal of a Gram matrix is non-negative
+        assert all(r["gram"] >= 0 for r in rows if r["dim_i"] == r["dim_j"])
