@@ -600,3 +600,30 @@ def s14_stream_rate_anomaly_gate(t):
         .orderBy("event_type", "window_start")
     )
     return run_to_memory_table(wc, "rate_anomaly", "complete")
+
+
+@query(
+    "s15_stream_ohlc_bars",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+                            + CAST(event_id AS HUGEINT)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+                            + CAST(event_id AS HUGEINT)) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "timeseries", "downsample"),
+)
+def s15_stream_ohlc_bars(t):
+    """readStream → watermark → hourly OHLC per event_type (min_by/
+    max_by streaming aggregate) → memory sink (complete). The
+    continuously-maintained candlestick rollup; batch twin e13 at
+    daily grain. Cross-batch exactness of the min_by/max_by state
+    merge is pinned in tests/test_streaming.py."""
+    from data_engineer_project_spark.streaming import ohlc_bars
+
+    return run_to_memory_table(ohlc_bars(_stream(t)), "ohlc", "complete")

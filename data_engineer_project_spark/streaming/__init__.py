@@ -14,6 +14,7 @@ streaming == batch on the driver's events table.
 from data_engineer_project_spark.streaming.events import (  # noqa: F401
     dedup_counts,
     enrich_with_static,
+    ohlc_bars,
     purchases_after_signup,
     read_document_stream,
     read_event_stream,

@@ -205,6 +205,47 @@ def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
+def ohlc_bars(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Hourly OHLC bars per event_type — the streaming form of the
+    e13 time-series downsample: open/high/low/close + count per
+    (window, type), continuously maintained.
+
+    min_by/max_by are ALGEBRAIC aggregates (state = one
+    (ordering-key, value) pair per group), so cross-micro-batch
+    merging is exact: whichever batch carried the day's earliest
+    (ts, event_id) key wins regardless of arrival order — pinned by
+    tests/test_streaming.py::test_streaming_ohlc_multibatch_equals_batch.
+    The ordering key is the same epoch_us·2^20 + event_id DECIMAL(38,0)
+    composite as the batch twin, so streaming, batch, and the DuckDB
+    oracle all agree bit-exactly. State per group is O(1); the
+    watermark bounds the number of open windows.
+    """
+    key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * 1048576
+        + F.col("event_id").cast("decimal(38,0)")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def sliding_totals(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Sliding 1-hour windows every 30 minutes: each event contributes
     to two overlapping windows (streaming twin of e02_sliding_window)."""

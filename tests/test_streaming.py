@@ -624,3 +624,47 @@ def test_s14_cutoffs_equal_quadratic_rule(spark, sf_dir):
     }
     assert got == e11
     assert got, "fixture data should contain at least one spike"
+
+
+def test_streaming_ohlc_multibatch_equals_batch(spark, tmp_path):
+    """min_by/max_by streaming state must merge exactly across
+    micro-batches: a 4-file one-file-per-trigger run (events split in
+    time order, so a window's open and close can arrive in DIFFERENT
+    batches) must equal both the single-batch streaming run and the
+    plain batch aggregate."""
+    from data_engineer_project_spark.sources.registry import normalize_event_ts
+    from data_engineer_project_spark.streaming import ohlc_bars
+
+    d = _write_parts(tmp_path, 4)
+    sliced = run_to_memory_table(
+        ohlc_bars(
+            read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+        ),
+        "ohlc_sliced",
+        "complete",
+    )
+    single = run_to_memory_table(
+        ohlc_bars(read_event_stream(spark, SF)), "ohlc_single", "complete"
+    )
+    key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * 1048576
+        + F.col("event_id").cast("decimal(38,0)")
+    )
+    batch = (
+        normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "open", "high", "low", "close", "n_events",
+        )
+    )
+    got = sorted(map(tuple, sliced.collect()))
+    assert got == sorted(map(tuple, single.collect()))
+    assert got == sorted(map(tuple, batch.collect()))
