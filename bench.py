@@ -79,6 +79,18 @@ BENCH_QUERIES = [
     # count shuffle collapsing to a ~40-key class rollup; times the
     # map-side-partial collapse no other slot isolates.
     "d49_word_frequency_spectrum",
+    # r5 addition #5: OHLC downsample — the min_by/max_by agg-only
+    # rollup (no window sort, map-side-combined composite-key
+    # selection); times the algebraic-selection aggregate path.
+    "e13_ohlc_bars",
+    # r5 addition #6: image near-dup clustering — banded equi-join
+    # candidates + Hamming verify + iterative connected components;
+    # times the multimodal graph path end-to-end.
+    "m10_image_neardup_clusters",
+    # r5 addition #7: the partial-Gram covariance — one integer matmul
+    # per Arrow batch, d^2-key aggregate; times the mapInPandas
+    # numeric-fold shape (shuffle independent of corpus size).
+    "d51_embedding_covariance",
 ]
 
 

@@ -4,20 +4,23 @@ CLUSTERS with one canonical survivor each. Spark has no graph operator
 in the DataFrame API; this is iterative min-label propagation built
 from joins + aggregates (SURVEY custom-operator tier (a)).
 
-Each iteration: every node takes the minimum label among itself and
-its neighbors — one equi-join + one groupBy-min, both plain shuffles
-on the node key. Convergence needs O(diameter) rounds; dedup cluster
-graphs are near-cliques (diameter ≤ ~3), so this terminates in a few
-rounds even at corpus scale. The driver-side loop only checks a scalar
-convergence count per round; all data movement is distributed.
-``localCheckpoint`` truncates the lineage each round so the plan does
-not grow with iterations.
+Each iteration does two label moves: (1) every node takes the minimum
+label among itself and its neighbors (one equi-join + one groupBy-min,
+plain shuffles on the node key), then (2) POINTER JUMPING — every node
+replaces its label with its label's label (labels are node ids, so one
+more self-join; labels only ever decrease). Step 2 doubles the
+distance a minimum has travelled, so convergence needs O(log diameter)
+rounds instead of O(diameter) — the same idea as Kiveris et al.'s
+large-star/small-star alternation ("Connected Components in MapReduce
+and Beyond", SoCC'14) and classic PRAM path halving. Hamming-chain
+near-dup graphs (m10) reach diameters in the tens where plain
+propagation would exhaust its round budget and silently mislabel;
+with jumping, 20 rounds cover any diameter up to ~2²⁰, and running
+out anyway RAISES rather than returning unconverged labels.
 
-At web scale with adversarially long chains you would switch to the
-large-star/small-star alternation (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) — same join/agg
-primitives, fewer rounds; min-label propagation is the right default
-for bounded-diameter dedup graphs.
+The driver-side loop only checks a scalar convergence checksum per
+round; all data movement is distributed. ``localCheckpoint`` truncates
+the lineage each round so the plan does not grow with iterations.
 """
 
 from __future__ import annotations
@@ -67,20 +70,42 @@ def connected_components(
         return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
     prev = _checksum(labels)
+    converged = False
     for _ in range(max_iter):
         neighbor = und.join(labels, und.e_src == labels.node).select(
             F.col("e_dst").alias("node"), "comp"
         )
-        labels = (
+        hop = (
             labels.union(neighbor)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp is itself a node id, so look up ITS label
+        # and adopt it (always <= comp). Left join + coalesce keeps the
+        # row even if a label were not a labeled node (cannot happen —
+        # labels are min() over node ids — but cheap insurance).
+        lut = hop.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        labels = (
+            hop.join(lut, hop.comp == lut.p_node, "left")
+            .select(
+                "node",
+                F.coalesce("p_comp", "comp").alias("comp"),
+            )
             .localCheckpoint()
         )
         cur = _checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
 
     und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(with pointer jumping that needs diameter > ~2^max_iter); "
+            "raise max_iter"
+        )
     return labels.select("node", F.col("comp").alias("component"))

@@ -196,6 +196,23 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 100-edge path graph (diameter 100 >> max_iter) must still
+    fully collapse: pointer jumping doubles label reach per round, so
+    20 rounds cover diameters up to ~2^20. Plain one-hop min-label
+    propagation would exhaust the budget and (before the fix) SILENTLY
+    return a partially-merged labeling — the m10 Hamming-chain graphs
+    hit exactly this at sf0.1."""
+    from data_engineer_project_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a bigint, doc_b bigint"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 101
+    assert {r["component"] for r in rows} == {0}
+
+
 def test_asof_forward_semantics(spark):
     """direction='forward': each probe gets the EARLIEST reference with
     ref_ts >= probe_ts; equality matches; nothing later -> NULL; an
