@@ -3602,3 +3602,185 @@ def d51_embedding_covariance(t):
     )
 
     return quantized_covariance(t.embeddings)
+
+
+@query(
+    "d52_quality_tiered_mixture",
+    f"""
+    WITH sc AS (
+      SELECT source,
+             (CASE WHEN length(string_split(text, ' ')) BETWEEN 20 AND 120
+                    AND CAST(length(list_filter(string_split(text, ' '),
+                                      x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                        / CAST(length(string_split(text, ' ')) AS DOUBLE) < 0.3
+                   THEN 0 ELSE 1000000 END)
+             + (length(list_filter(string_split(text, ' '),
+                                   x -> x IN ({_SW_SQL}))) * 1000000)
+               // length(string_split(text, ' ')) AS s,
+             length(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    hist AS (
+      SELECT source, s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(n_words) AS BIGINT) AS toks
+      FROM sc GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, SUM(cnt) AS n FROM hist GROUP BY source),
+    run AS (
+      SELECT h.source, h.s, h.cnt, h.toks, t.n,
+             SUM(h.cnt) OVER (PARTITION BY h.source ORDER BY h.s) AS rc
+      FROM hist h JOIN tot t ON h.source = t.source
+    ),
+    cut AS (
+      SELECT source, MIN(s) AS cutoff_score
+      FROM run WHERE rc * 4 >= n GROUP BY source
+    )
+    SELECT r.source,
+           CAST(MAX(r.n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r.s <= c.cutoff_score THEN r.cnt ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(MAX(c.cutoff_score) AS BIGINT) AS cutoff_score,
+           CAST(SUM(CASE WHEN r.s <= c.cutoff_score THEN r.toks ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM run r JOIN cut c ON r.source = c.source
+    GROUP BY r.source
+    """,
+    tags=("llm", "mixture", "quality"),
+)
+def d52_quality_tiered_mixture(t):
+    """Quality-tiered source mixture: per source keep the best ~25% of
+    documents by quality score (FineWeb-style quality pools feeding
+    d33/d42's budget apportionment). The keep rule is a THRESHOLD, not
+    a rank: scores quantize to integers (failed-filter penalty +
+    stopword millionths, lower = better), a per-(source, score)
+    histogram accumulates, and the cutoff is the smallest score whose
+    running count covers a quarter of the source — every doc scoring
+    <= cutoff is kept, so the decision is content-addressed and
+    reproducible under re-sharding, and ties at the boundary over-keep
+    deterministically rather than depending on row order.
+
+    Scale shape: ONE corpus scan folds to the (source × distinct-score)
+    histogram with map-side partials; the cumulative window partitions
+    by source but ranges over DISTINCT SCORES (≤ 10⁶-value quantized
+    domain, not corpus rows — the bounded-window-key rule d32/d45
+    established); cutoffs are a per-source scalar broadcast. Integer
+    arithmetic end to end."""
+    d = t.documents
+    n_words = T.token_count("text")
+    sw = T.stopword_count("text")
+    stop_ratio = sw.cast("double") / n_words.cast("double")
+    flag_pen = F.when(
+        n_words.between(20, 120) & (stop_ratio < 0.3), 0
+    ).otherwise(1000000)
+    s = flag_pen + F.expr(
+        "(size(filter(split(text, ' '), x -> array_contains("
+        + "array(" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "), x)))"
+        " * cast(1000000 as bigint))"
+        " div size(split(text, ' '))"
+    )
+    sc = d.select(
+        "source", s.cast("long").alias("s"), n_words.alias("n_words")
+    )
+    hist = tracked_persist(
+        sc.groupBy("source", "s").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("n_words").alias("toks")
+        )
+    )
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("source").orderBy("s")
+    run = hist.join(F.broadcast(tot), "source").withColumn(
+        "rc", F.sum("cnt").over(w)
+    )
+    cut = (
+        run.filter(F.col("rc") * 4 >= F.col("n"))
+        .groupBy("source")
+        .agg(F.min("s").alias("cutoff_score"))
+    )
+    kept = F.col("s") <= F.col("cutoff_score")
+    return (
+        run.join(F.broadcast(cut), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.sum(F.when(kept, F.col("cnt")).otherwise(0)).alias("n_kept"),
+            F.max("cutoff_score").alias("cutoff_score"),
+            F.sum(F.when(kept, F.col("toks")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
+@query(
+    "d53_corpus_snapshot_diff",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, text, {_ORACLE_BUCKET} AS bk FROM documents
+    ),
+    snap_a AS (
+      SELECT doc_id, lang, md5(text) AS fp FROM b WHERE bk < 90
+    ),
+    snap_b AS (
+      SELECT doc_id, lang,
+             md5(CASE WHEN bk BETWEEN 50 AND 59 THEN upper(text)
+                      ELSE text END) AS fp
+      FROM b WHERE bk >= 10
+    ),
+    d AS (
+      SELECT COALESCE(a.doc_id, c.doc_id) AS doc_id,
+             COALESCE(a.lang, c.lang) AS lang,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN c.doc_id IS NULL THEN 'removed'
+                  WHEN a.fp <> c.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM snap_a a FULL OUTER JOIN snap_b c ON a.doc_id = c.doc_id
+    )
+    SELECT lang, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY 1, 2
+    """,
+    tags=("llm", "incremental", "audit"),
+)
+def d53_corpus_snapshot_diff(t):
+    """Corpus snapshot diff — the audit a recurring-crawl pipeline runs
+    between ingests: full-outer join of two corpus versions on doc_id,
+    comparing content FINGERPRINTS (md5 of text, never the text
+    itself) to classify every document added / removed / changed /
+    unchanged, rolled up per lang. The two snapshots here are derived
+    views of the one test corpus (content-addressed buckets drop
+    different slices; one slice's text is deterministically mutated)
+    so both engines diff identical inputs — the operator shape, not
+    the simulation, is the contract.
+
+    Scale shape: fingerprints reduce each side to (id, 16-byte fp)
+    before the join — the shuffle moves hashes, not 100 TB of text;
+    at scale both snapshots bucket by doc_id so the full-outer join is
+    co-partitioned with no extra exchange, and the rollup output is
+    langs × 4 rows. This is s11's batch complement: s11 gates NEW docs
+    against a corpus incrementally, d53 reconciles two full versions."""
+    b = t.documents.select(
+        "doc_id", "lang", "text", F.expr(_SPARK_BUCKET).alias("bk")
+    )
+    snap_a = b.filter(F.col("bk") < 90).select(
+        "doc_id", "lang", F.md5("text").alias("fp")
+    )
+    snap_b = b.filter(F.col("bk") >= 10).select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.when(
+                F.col("bk").between(50, 59), F.upper("text")
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    a, c = snap_a.alias("a"), snap_b.alias("c")
+    d = a.join(c, F.col("a.doc_id") == F.col("c.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.lang"), F.col("c.lang")).alias("lang"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("c.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("c.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("lang", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

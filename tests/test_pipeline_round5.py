@@ -749,3 +749,74 @@ def test_d51_gram_matches_driver_side_numpy(spark, sf_dir):
             assert r["cov"] == expect_cov
         # diagonal of a Gram matrix is non-negative
         assert all(r["gram"] >= 0 for r in rows if r["dim_i"] == r["dim_j"])
+
+
+def test_d52_cutoff_is_minimal_and_covers_quarter(spark, sf_dir):
+    """Per source: kept >= 25% of docs (threshold semantics over-keep
+    only boundary ties), and the cutoff is MINIMAL — removing its own
+    score bucket would drop coverage below a quarter. Counts are
+    recomputed independently from the raw quality scores."""
+    from data_engineer_project_spark.functions import text as T
+
+    out = {
+        r["source"]: r
+        for r in QUERIES["d52_quality_tiered_mixture"].fn(spark, sf_dir).collect()
+    }
+    d = load_tables(spark, sf_dir).documents
+    n_words = T.token_count("text")
+    sw = T.stopword_count("text")
+    ratio = sw.cast("double") / n_words.cast("double")
+    pen = F.when(n_words.between(20, 120) & (ratio < 0.3), 0).otherwise(1000000)
+    s = (
+        pen
+        + (sw.cast("long") * 1000000 - (sw.cast("long") * 1000000) % n_words)
+        / n_words
+    ).cast("long")
+    rows = d.select("source", s.alias("s"), n_words.alias("nw")).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["s"], r["nw"]))
+    assert set(out) == set(by_src)
+    for src, docs in by_src.items():
+        got = out[src]
+        n = len(docs)
+        c = got["cutoff_score"]
+        kept = [x for x in docs if x[0] <= c]
+        below = [x for x in docs if x[0] < c]
+        assert got["n_docs"] == n
+        assert got["n_kept"] == len(kept)
+        assert got["kept_tokens"] == sum(nw for _, nw in kept)
+        assert 4 * len(kept) >= n          # covers the quarter
+        assert 4 * len(below) < n          # ...and c is minimal
+
+
+def test_d53_statuses_partition_the_union_and_match_buckets(spark, sf_dir):
+    """Statuses must reproduce the bucket construction exactly:
+    added == buckets 90-99, removed == 0-9, changed == 50-59 (mutated
+    slice present on both sides), unchanged == the rest; totals
+    partition the union of both snapshots."""
+    from data_engineer_project_spark.queries.llm_pipeline import _SPARK_BUCKET
+
+    got = {}
+    for r in QUERIES["d53_corpus_snapshot_diff"].fn(spark, sf_dir).collect():
+        got[r["status"]] = got.get(r["status"], 0) + r["n_docs"]
+    bk = (
+        load_tables(spark, sf_dir)
+        .documents.select(F.expr(_SPARK_BUCKET).alias("bk"))
+        .collect()
+    )
+    from collections import Counter
+
+    want = Counter()
+    for r in bk:
+        b = r["bk"]
+        if b >= 90:
+            want["added"] += 1
+        elif b < 10:
+            want["removed"] += 1
+        elif 50 <= b <= 59:
+            want["changed"] += 1
+        else:
+            want["unchanged"] += 1
+    assert got == dict(want)
+    assert sum(got.values()) == len(bk)
