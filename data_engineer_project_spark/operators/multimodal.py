@@ -349,3 +349,49 @@ def perceptual_hash(media: DataFrame, n_blocks: int = 32) -> DataFrame:
             )
 
     return media.mapInPandas(stage, _PHASH_SCHEMA)
+
+
+_FRAME_FP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("fp", LongType())]
+)
+
+
+def frame_fingerprints(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """DISTINCT per-video frame fingerprints: the payload splits into
+    ``frame_bytes`` frames and each frame folds to one integer —
+    (Σ byteᵥ·(pos_in_frame+1)) · (frame_bytes+1) + frame_len, a
+    position-weighted checksum that distinguishes reordered bytes
+    where a plain sum cannot, packed with the length so partial tail
+    frames never collide with full ones. Exact integer arithmetic, so
+    any engine computes the identical fingerprint set.
+
+    This is the video-dedup feature extractor: downstream Jaccard over
+    the distinct-fingerprint SETS (m11) finds videos sharing most of
+    their frames regardless of frame ORDER — trims, re-cuts,
+    re-stitches. One narrow mapInPandas, no shuffle; output is bounded
+    by frames-per-doc and already deduplicated per doc. Production
+    swaps the checksum for a per-frame perceptual hash (the m07
+    block-mean machinery applied per frame) — a data change to this
+    column, not a plan change. Empty/NULL payloads emit nothing.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                if m is None or len(m) == 0:
+                    continue
+                a = np.frombuffer(m, dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                pos = np.arange(n, dtype=np.int64)
+                ws = np.bincount(
+                    pos // frame_bytes, weights=a * (pos % frame_bytes + 1)
+                ).astype(np.int64)
+                fl = np.bincount(pos // frame_bytes).astype(np.int64)
+                uf = np.unique(ws * (frame_bytes + 1) + fl)
+                ids.extend([did] * len(uf))
+                fps.extend(int(x) for x in uf)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return media.mapInPandas(stage, _FRAME_FP_SCHEMA)

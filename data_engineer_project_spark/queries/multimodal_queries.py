@@ -533,3 +533,99 @@ def m10_image_neardup_clusters(t):
             F.countDistinct("phash").alias("n_hashes"),
         )
     )
+
+
+@query(
+    "m11_video_neardup_pairs",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS p FROM bl
+    ),
+    fr AS (
+      SELECT doc_id, (p - 1) // 64 AS fno,
+             SUM(v * ((p - 1) % 64 + 1)) AS ws, COUNT(*) AS flen
+      FROM bytes GROUP BY 1, 2
+    ),
+    fp AS (SELECT DISTINCT doc_id, ws * 65 + flen AS fp FROM fr),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_frames_a,
+           CAST(sb.n AS BIGINT) AS n_frames_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE 2 * i.n_common >= sa.n + sb.n - i.n_common
+    ORDER BY i.doc_a, i.doc_b
+    """,
+    tags=("multimodal", "dedup", "video"),
+)
+def m11_video_neardup_pairs(t):
+    """Video near-duplicate pairs by FRAME-SET overlap: each payload's
+    64-byte frames fold to position-weighted integer fingerprints
+    (operators/multimodal.frame_fingerprints), and two videos are
+    near-dups when the Jaccard of their distinct-fingerprint sets is
+    ≥ 0.5 — catching trims, re-cuts, and re-stitched copies that
+    whole-file hashing (m07/m10 operate on the full payload) misses,
+    because frame sets ignore frame ORDER. The threshold test is
+    integer cross-multiplied (2·|∩| ≥ |∪|), the reported jaccard one
+    integer-derived division.
+
+    Scale shape: candidate pairs come from the blocked equi-join on
+    the fingerprint value — only videos SHARING a frame ever meet,
+    never all-pairs (d12's shingle-Jaccard shape on the video
+    modality); per-fingerprint multiplicity is bounded by how many
+    videos share a frame. Fingerprinting itself is one narrow
+    mapInPandas, already distinct per doc."""
+    from data_engineer_project_spark.operators.multimodal import (
+        frame_fingerprints,
+    )
+
+    fp = tracked_persist(frame_fingerprints(_media(t), frame_bytes=64))
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fp.alias("a"), fp.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_frames_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_frames_b")
+    )
+    union_n = (
+        F.col("n_frames_a") + F.col("n_frames_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(2 * F.col("n_common") >= union_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_frames_a",
+            "n_frames_b",
+            (F.col("n_common").cast("double") / union_n.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

