@@ -1623,3 +1623,67 @@ def p72_calendar_gap_fill(t):
         F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
     )
+
+
+@query(
+    "p73_recursive_hierarchy",
+    """
+    WITH RECURSIVE sup AS (
+      SELECT s_suppkey, CAST(s_suppkey // 5 AS BIGINT) AS parent,
+             CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+      FROM supplier
+    ),
+    walk(root, node, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM sup WHERE s_suppkey < 5
+      UNION ALL
+      SELECT w.root, s.s_suppkey, w.depth + 1
+      FROM walk w JOIN sup s ON s.parent = w.node AND s.s_suppkey >= 5
+    )
+    SELECT w.root,
+           CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           CAST(MAX(w.depth) AS INT) AS max_depth,
+           CAST(SUM(s.bal) AS DOUBLE) AS subtree_balance
+    FROM walk w JOIN sup s ON s.s_suppkey = w.node
+    GROUP BY w.root
+    """,
+    tags=("recursive", "hierarchy"),
+)
+def p73_recursive_hierarchy(t):
+    """Recursive-CTE hierarchy rollup — the T-SQL org-chart /
+    bill-of-materials idiom, run NATIVELY with Spark's WITH RECURSIVE
+    (4.x): a synthetic 5-ary reports-to tree over suppliers
+    (parent = suppkey div 5, roots below 5) walked to transitive
+    closure, then per-root subtree size / depth / exact DECIMAL
+    balance rollup. DuckDB executes the IDENTICAL statement, so the
+    oracle pins the whole recursion, not a rewrite.
+
+    Scale shape: each recursion step is one equi-join of the frontier
+    against the child table plus a distinct — exactly the iteration
+    operators/graph.py hand-builds for component labeling; the engine
+    unrolls O(depth) joins (tree depth here is log₅ N). At 100 TB the
+    same statement runs with the child side bucketed on ``parent`` so
+    every step's join is co-partitioned."""
+    spark = t.supplier.sparkSession
+    t.supplier.createOrReplaceTempView("p73_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE sup AS (
+          SELECT s_suppkey, CAST(s_suppkey DIV 5 AS BIGINT) AS parent,
+                 CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+          FROM p73_supplier
+        ),
+        walk(root, node, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM sup WHERE s_suppkey < 5
+          UNION ALL
+          SELECT w.root, s.s_suppkey, w.depth + 1
+          FROM walk w JOIN sup s ON s.parent = w.node
+                                AND s.s_suppkey >= 5
+        )
+        SELECT w.root,
+               CAST(COUNT(*) AS BIGINT) AS n_reachable,
+               CAST(MAX(w.depth) AS INT) AS max_depth,
+               CAST(SUM(s.bal) AS DOUBLE) AS subtree_balance
+        FROM walk w JOIN sup s ON s.s_suppkey = w.node
+        GROUP BY w.root
+        """
+    )

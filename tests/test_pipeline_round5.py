@@ -860,3 +860,36 @@ def test_m11_jaccard_matches_python_frame_sets(spark, sf_dir):
     # changes nothing
     sample = next(iter(sets.values()))
     assert sample == set(sorted(sample))
+
+
+def test_p73_forest_partitions_suppliers(spark, sf_dir):
+    """Every supplier is reachable from exactly one root (the div-5
+    parent chain always terminates below 5), so subtree sizes and
+    balances partition the table; depth equals the chain length,
+    recomputed driver-side."""
+    out = {r["root"]: r for r in QUERIES["p73_recursive_hierarchy"].fn(spark, sf_dir).collect()}
+    sup = load_tables(spark, sf_dir).supplier.select("s_suppkey", "s_acctbal").collect()
+
+    def chain(k):
+        d = 0
+        while k >= 5:
+            k //= 5
+            d += 1
+        return k, d
+
+    from collections import defaultdict
+
+    size = defaultdict(int)
+    depth = defaultdict(int)
+    bal = defaultdict(float)
+    for r in sup:
+        root, d = chain(r["s_suppkey"])
+        size[root] += 1
+        depth[root] = max(depth[root], d)
+        bal[root] += round(r["s_acctbal"], 2)
+    assert set(out) == set(size)
+    for root in size:
+        assert out[root]["n_reachable"] == size[root]
+        assert out[root]["max_depth"] == depth[root]
+        assert abs(out[root]["subtree_balance"] - bal[root]) < 1e-6
+    assert sum(r["n_reachable"] for r in out.values()) == len(sup)
