@@ -3784,3 +3784,137 @@ def d53_corpus_snapshot_diff(t):
     return d.groupBy("lang", "status").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "e15_hourly_gap_fill",
+    """
+    WITH span AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT h.hour, t.event_type FROM hours h CROSS JOIN types t),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS vmilli
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           COALESCE(a.n, 0) AS n_events,
+           CAST(COALESCE(a.vmilli, 0) AS DOUBLE) / 1000.0 AS total_value
+    FROM grid g LEFT JOIN agg a
+      ON g.event_type = a.event_type AND g.hour = a.hour
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def e15_hourly_gap_fill(t):
+    """Hourly event gap fill — p72's calendar-spine pattern on the
+    time-series side, completing the hypertable toolkit (e13 OHLC
+    downsample, e14 LOCF integral, e15 dense grid): an hour spine
+    generated from the data's own span crossed with the observed
+    event types, left-joined to hourly rollups so silent hours
+    surface as explicit zero rows — what alerting (a dead producer
+    looks like a zero, not a missing row) and e11's anomaly scoring
+    need to see. Totals fold integer milli-units, so the zero-filled
+    column is bit-exact cross-engine.
+
+    Scale shape: the spine is driver-thin (a decade is ~90k hours)
+    and the type dim tiny, so the grid broadcasts; the rollup is one
+    map-side-combined aggregate on (type, hour); the left join of
+    grid against rollup is broadcast-size on both sides."""
+    ev = t.events
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval '1' hour"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types)).select(
+        "event_type", F.col("hour").alias("g_hour")
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("vmilli"),
+    )
+    return grid.join(
+        agg,
+        (grid.event_type == agg.event_type) & (grid.g_hour == agg.hour),
+        "left",
+    ).select(
+        grid.event_type,
+        F.col("g_hour").alias("hour"),
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+        (
+            F.coalesce("vmilli", F.lit(0).cast("long")).cast("double")
+            / 1000.0
+        ).alias("total_value"),
+    )
+
+
+@query(
+    "d54_rare_token_mass",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd
+      FROM documents
+    ),
+    wc AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY wd)
+    SELECT w.lang,
+           CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN wc.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rare_tokens,
+           CAST(SUM(CASE WHEN wc.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS rare_mass
+    FROM w JOIN wc ON w.wd = wc.wd
+    GROUP BY w.lang
+    """,
+    tags=("llm", "text", "quality"),
+)
+def d54_rare_token_mass(t):
+    """Rare-token mass per language: the fraction of token OCCURRENCES
+    whose corpus-wide frequency is ≤ 2 (hapax + dis legomena) — the
+    lexical-richness / OCR-noise signal quality filters read (a spike
+    in never-repeated tokens means garbled text or boilerplate-free
+    natural prose, and which one the d02 features disambiguate). The
+    corpus frequency table is d49's word-count rollup reused as a
+    lookup; the ratio is integer-derived, bit-exact cross-engine.
+
+    Scale shape: ONE tokenized projection persisted and read twice —
+    once folding to the (word → count) table (map-side combined),
+    once joining per-occurrence against it; both shuffles key on the
+    word, so at scale they share partitioning (the BM25 df shape).
+    The rare set is the vocabulary's long tail — far too big to
+    broadcast, which is exactly why this is a co-partitioned join and
+    not a lookup. Output is langs-thin."""
+    w = tracked_persist(
+        t.documents.select(
+            "doc_id", "lang", F.explode(T.words("text")).alias("wd")
+        )
+    )
+    wc = w.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+    rare = F.when(F.col("cnt") <= 2, 1).otherwise(0)
+    return (
+        w.join(wc, "wd")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(rare).alias("rare_tokens"),
+            (
+                F.sum(rare).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rare_mass"),
+        )
+    )

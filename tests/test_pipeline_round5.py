@@ -893,3 +893,58 @@ def test_p73_forest_partitions_suppliers(spark, sf_dir):
         assert out[root]["max_depth"] == depth[root]
         assert abs(out[root]["subtree_balance"] - bal[root]) < 1e-6
     assert sum(r["n_reachable"] for r in out.values()) == len(sup)
+
+
+def test_e15_grid_dense_and_conserving(spark, sf_dir):
+    """The hour×type grid is dense over the span, zero rows are real
+    zeros, and filled counts/totals conserve the events table."""
+    out = QUERIES["e15_hourly_gap_fill"].fn(spark, sf_dir)
+    ev = load_tables(spark, sf_dir).events
+    n_types = ev.select("event_type").distinct().count()
+    span = ev.agg(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+            + 1
+        ).alias("n_hours")
+    ).collect()[0]["n_hours"]
+    rows = out.collect()
+    assert len(rows) == int(span) * n_types
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    want_total = ev.agg(
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("s")
+    ).collect()[0]["s"]
+    assert abs(sum(r["total_value"] for r in rows) - want_total / 1000.0) < 1e-6
+    assert any(r["n_events"] == 0 for r in rows) or int(span) * n_types == sum(
+        1 for r in rows if r["n_events"] > 0
+    )
+
+
+def test_d54_rare_mass_matches_python_counter(spark, sf_dir):
+    """Corpus frequencies and the <=2 rare rule recomputed with a
+    driver-side Counter over the raw text."""
+    from collections import Counter, defaultdict
+
+    docs = load_tables(spark, sf_dir).documents.select("lang", "text").collect()
+    freq = Counter()
+    for r in docs:
+        freq.update(r["text"].split(" "))
+    tot = defaultdict(int)
+    rare = defaultdict(int)
+    ndocs = defaultdict(int)
+    for r in docs:
+        ndocs[r["lang"]] += 1
+        for wd in r["text"].split(" "):
+            tot[r["lang"]] += 1
+            if freq[wd] <= 2:
+                rare[r["lang"]] += 1
+    out = {r["lang"]: r for r in QUERIES["d54_rare_token_mass"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(tot)
+    for lang in tot:
+        assert out[lang]["n_docs"] == ndocs[lang]
+        assert out[lang]["total_tokens"] == tot[lang]
+        assert out[lang]["rare_tokens"] == rare[lang]
+        assert out[lang]["rare_mass"] == rare[lang] / tot[lang]
