@@ -526,3 +526,34 @@ def test_s14_integer_cutoff_equals_quadratic_two_sigma(counts):
         dev = c * n - tot
         quadratic = dev > 0 and dev * dev > k4
         assert (c >= c_star) == quadratic, (c, c_star, counts)
+
+
+def test_plan_lsh_bands_properties():
+    """S-curve planner: b·r always equals the signature size; the
+    operating split for the pipeline default (8 hashes @ 0.5) is the
+    4×2 the dedup tier ships with; raising the target threshold never
+    DECREASES rows-per-band (more AND-ing = more selective); and the
+    chosen split's collision curve really separates the target — a
+    pair well above threshold collides with higher probability than
+    one well below."""
+    import math
+
+    import pytest
+
+    from data_engineer_project_spark.operators.dedup import plan_lsh_bands
+
+    assert plan_lsh_bands(8, 0.5) == (4, 2)
+    for h in (4, 8, 16, 64, 128):
+        prev_r = 0
+        for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+            b, r = plan_lsh_bands(h, t)
+            assert b * r == h and b >= 1 and r >= 1
+            assert r >= prev_r
+            prev_r = r
+            p = lambda j: 1 - (1 - j**r) ** b  # noqa: E731
+            hi, lo = min(0.99, t + 0.2), max(0.01, t - 0.2)
+            assert p(hi) > p(t) > p(lo)
+    with pytest.raises(ValueError):
+        plan_lsh_bands(0, 0.5)
+    with pytest.raises(ValueError):
+        plan_lsh_bands(8, 1.0)

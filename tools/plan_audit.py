@@ -73,6 +73,16 @@ EXTRA_QUERIES = [
     "m09_audio_activity_segments",
     "d50_rolling_hash_fingerprints",
     # d47 / d49 / d42 are bench slots (audited via BENCH_QUERIES)
+    # post-sweep additions (e13/m10/d51 are bench slots; m10/d20 run
+    # their component loop at plan-build time and stay excluded)
+    "e14_time_weighted_avg",
+    "e15_hourly_gap_fill",
+    "p72_calendar_gap_fill",
+    "p73_recursive_hierarchy",
+    "d52_quality_tiered_mixture",
+    "d53_corpus_snapshot_diff",
+    "d54_rare_token_mass",
+    "m11_video_neardup_pairs",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
