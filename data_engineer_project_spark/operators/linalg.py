@@ -50,7 +50,16 @@ def quantized_gram_partials(
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
             maxabs = np.abs(x).max(axis=1, keepdims=True)
-            q = np.floor(127.0 * x / maxabs + 0.5).astype(np.int64)
+            # all-zero vectors quantize to q = 0 (dividing would make
+            # 0/0 = NaN, and numpy's NaN→int64 cast is garbage, not an
+            # error); the SQL twin mirrors this with a CASE guard
+            scaled = np.divide(
+                127.0 * x,
+                maxabs,
+                out=np.zeros_like(x),
+                where=maxabs > 0,
+            )
+            q = np.floor(scaled + 0.5).astype(np.int64)
             n, d = q.shape
             g = q.T @ q  # exact int64: |cell| <= n · 127²
             iu, ju = np.triu_indices(d)

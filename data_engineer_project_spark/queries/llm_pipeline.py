@@ -14,6 +14,8 @@ Oracle parity notes:
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -3410,11 +3412,16 @@ def d50_rolling_hash_fingerprints(t):
 
 # Deterministic open/close selection: DuckDB's arg_min/arg_max take a
 # SCALAR ordering key (no struct keys), so both engines order by
-# epoch_us(ts)·2^20 + event_id folded into a 128-bit-class integer
+# epoch_us(ts)·2^63 + event_id folded into a 128-bit-class integer
 # (Spark DECIMAL(38,0), DuckDB HUGEINT) — microsecond timestamps tie-
-# broken by the unique event id, exact far past int64.
+# broken by the unique event id. The 2^63 multiplier keeps the key
+# order-preserving for EVERY possible int64 event_id (a narrower slot
+# would let a large id outrank a later timestamp); epoch_us·2^63 tops
+# out ~4e34 for year-2100 timestamps, well inside both 38-digit types.
+_KEY_SLOT = Decimal(2**63)  # > any int64 event_id
+
 _OHLC_KEY_SQL = (
-    "CAST(epoch_us(ts) AS HUGEINT) * 1048576 + CAST(event_id AS HUGEINT)"
+    "CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + CAST(event_id AS HUGEINT)"
 )
 
 
@@ -3452,7 +3459,7 @@ def e13_ohlc_bars(t):
     both engines regardless of partitioning. Day-bucketed keys keep
     every group bounded (one day × one type) at any corpus size."""
     key = (
-        F.unix_micros("ts").cast("decimal(38,0)") * 1048576
+        F.unix_micros("ts").cast("decimal(38,0)") * _KEY_SLOT
         + F.col("event_id").cast("decimal(38,0)")
     )
     q = F.floor(F.col("value") * 1000.0).cast("long")
@@ -3559,8 +3566,9 @@ def e14_time_weighted_avg(t):
     ),
     q AS (
       SELECT e.vec_id, CAST(e.p - 1 AS INT) AS i,
-             CAST(floor(127 * CAST(e.x AS DOUBLE) / m.maxabs + 0.5) AS BIGINT)
-               AS qv
+             CASE WHEN m.maxabs = 0 THEN 0
+                  ELSE CAST(floor(127 * CAST(e.x AS DOUBLE) / m.maxabs + 0.5)
+                            AS BIGINT) END AS qv
       FROM ex e JOIN mx m ON e.vec_id = m.vec_id
     ),
     g AS (
@@ -3672,9 +3680,11 @@ def d52_quality_tiered_mixture(t):
     flag_pen = F.when(
         n_words.between(20, 120) & (stop_ratio < 0.3), 0
     ).otherwise(1000000)
+    # the Spark-SQL twin of the oracle's integer division, built from
+    # the SAME _SW_SQL stopword list (one source of truth)
     s = flag_pen + F.expr(
         "(size(filter(split(text, ' '), x -> array_contains("
-        + "array(" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "), x)))"
+        f"array({_SW_SQL}), x)))"
         " * cast(1000000 as bigint))"
         " div size(split(text, ' '))"
     )

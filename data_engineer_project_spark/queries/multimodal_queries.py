@@ -483,8 +483,11 @@ def m10_image_neardup_clusters(t):
     band_value) — never all-pairs over images (the oracle's O(N²)
     join is affordable only because DuckDB sees sf0.01); Hamming
     verification is two codegen'd integer ops on the candidate set;
-    clustering is d20's min-label propagation (bounded-diameter dedup
-    graphs converge in ~3 rounds)."""
+    clustering is operators/graph.py min-label propagation WITH
+    pointer jumping — Hamming-radius chains make these graphs
+    long-diameter (≈27 at sf0.1), which plain one-hop propagation
+    cannot finish inside its round budget; jumping converges in
+    O(log diameter) rounds."""
     from data_engineer_project_spark.operators.graph import connected_components
     from data_engineer_project_spark.operators.multimodal import perceptual_hash
 

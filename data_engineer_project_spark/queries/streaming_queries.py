@@ -607,11 +607,11 @@ def s14_stream_rate_anomaly_gate(t):
     """
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
-           arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+           arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808
                             + CAST(event_id AS HUGEINT)) AS open,
            max(value) AS high,
            min(value) AS low,
-           arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+           arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808
                             + CAST(event_id AS HUGEINT)) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY 1, 2

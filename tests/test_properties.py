@@ -557,3 +557,21 @@ def test_plan_lsh_bands_properties():
         plan_lsh_bands(0, 0.5)
     with pytest.raises(ValueError):
         plan_lsh_bands(8, 1.0)
+
+
+def test_minhash_default_bands_follow_planner(spark, sf_dir):
+    """With bands unspecified, the LSH pipeline adopts the planner's
+    split — at the 8-hash/0.5 knee that is exactly the historical 4×2,
+    so the default-planned pairs equal the explicit-bands pairs."""
+    from data_engineer_project_spark.operators import dedup as DD
+
+    from data_engineer_project_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, sf_dir).documents
+    planned = sorted(
+        map(tuple, DD.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect())
+    )
+    explicit = sorted(
+        map(tuple, DD.minhash_lsh_pairs(docs, bands=4, jaccard_threshold=0.5).collect())
+    )
+    assert planned == explicit and planned

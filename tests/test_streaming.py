@@ -9,6 +9,8 @@ deterministic) and reading with maxFilesPerTrigger=1.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 import os
 
 import pyarrow as pa
@@ -626,6 +628,9 @@ def test_s14_cutoffs_equal_quadratic_rule(spark, sf_dir):
     assert got, "fixture data should contain at least one spike"
 
 
+_KEY_SLOT = Decimal(2**63)  # > any int64 event_id
+
+
 def test_streaming_ohlc_multibatch_equals_batch(spark, tmp_path):
     """min_by/max_by streaming state must merge exactly across
     micro-batches: a 4-file one-file-per-trigger run (events split in
@@ -647,7 +652,7 @@ def test_streaming_ohlc_multibatch_equals_batch(spark, tmp_path):
         ohlc_bars(read_event_stream(spark, SF)), "ohlc_single", "complete"
     )
     key = (
-        F.unix_micros("ts").cast("decimal(38,0)") * 1048576
+        F.unix_micros("ts").cast("decimal(38,0)") * _KEY_SLOT
         + F.col("event_id").cast("decimal(38,0)")
     )
     batch = (

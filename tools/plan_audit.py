@@ -73,8 +73,11 @@ EXTRA_QUERIES = [
     "m09_audio_activity_segments",
     "d50_rolling_hash_fingerprints",
     # d47 / d49 / d42 are bench slots (audited via BENCH_QUERIES)
-    # post-sweep additions (e13/m10/d51 are bench slots; m10/d20 run
-    # their component loop at plan-build time and stay excluded)
+    # post-sweep additions (e13/d51 are bench slots; m10 — like
+    # d20/d26 — runs its component loop when the DataFrame is built,
+    # so it is SKIPPED below even though it is a bench slot: "auditing
+    # the plan" would execute the whole clustering and record only the
+    # post-localCheckpoint tail, not the banded-join pipeline)
     "e14_time_weighted_avg",
     "e15_hourly_gap_fill",
     "p72_calendar_gap_fill",
@@ -294,9 +297,14 @@ def main() -> None:
         "",
     ]
     # dict.fromkeys: a query promoted into the bench list stays listed
-    # in EXTRA_QUERIES history without being audited (and printed) twice
+    # in EXTRA_QUERIES history without being audited (and printed) twice.
+    # Iterative-loop queries (connected components) EXECUTE while their
+    # DataFrame is built — explaining them would run the whole query and
+    # record only the post-localCheckpoint tail, so they are excluded
+    # here like d20/d26 always were (m10 is a bench slot regardless).
+    LOOP_EXECUTES_AT_BUILD = {"m10_image_neardup_clusters"}
     for name in dict.fromkeys(BENCH_QUERIES + EXTRA_QUERIES):
-        if name.startswith("s"):
+        if name.startswith("s") or name in LOOP_EXECUTES_AT_BUILD:
             continue
         body += audit_one(spark, name, sf_dir)
 
