@@ -3928,3 +3928,100 @@ def d54_rare_token_mass(t):
             ).alias("rare_mass"),
         )
     )
+
+
+@query(
+    "d55_clean_train_split",
+    f"""
+    WITH {_SHINGLE_CTES},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    shf AS (
+      SELECT shd.doc_id, shd.shingle, {_ORACLE_BUCKET} AS bucket
+      FROM shd JOIN informative USING (shingle)
+    ),
+    test_sh AS (SELECT doc_id, shingle FROM shf WHERE bucket >= 90),
+    train_sh AS (SELECT doc_id, shingle FROM shf WHERE bucket < 80),
+    overlap AS (
+      SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+             COUNT(*) AS n_overlap
+      FROM test_sh te JOIN train_sh tr ON te.shingle = tr.shingle
+      GROUP BY 1, 2
+    ),
+    leaky AS (
+      SELECT DISTINCT train_doc FROM overlap WHERE n_overlap >= 2
+    ),
+    tr AS (
+      SELECT doc_id, lang, length(string_split(text, ' ')) AS nw
+      FROM documents WHERE {_ORACLE_BUCKET} < 80
+    )
+    SELECT tr.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN l.train_doc IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN l.train_doc IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN l.train_doc IS NULL THEN nw ELSE 0 END)
+                AS BIGINT) AS clean_tokens
+    FROM tr LEFT JOIN leaky l ON tr.doc_id = l.train_doc
+    GROUP BY tr.lang
+    """,
+    tags=("llm", "eval", "split"),
+)
+def d55_clean_train_split(t):
+    """The DECONTAMINATED training split — the step d25 only reports
+    on: training-split documents that share ≥2 informative shingles
+    with ANY held-out doc are REMOVED (the GPT-3-style n-gram rule,
+    applied train-side), and the survivors are rolled up per lang with
+    their token budget. d25 answers "which test docs are compromised";
+    d55 answers "what do I actually train on" — the materialization a
+    pipeline ships to the tokenizer. Every piece is the established
+    machinery: d18's content-addressed buckets split with no data
+    movement, d12/d25's inverted informative-shingle index keeps the
+    overlap join corpus-linear, and the final anti-join-shaped LEFT
+    JOIN touches only the leaky-id set (far smaller than train).
+
+    Scale note: at 100 TB the leaky set is the join's broadcast side
+    (contaminated train docs are a sliver of train); the per-lang
+    rollup is map-side-combined."""
+    b = F.expr(_SPARK_BUCKET)
+    sh = tracked_persist(
+        DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct()
+    )
+    informative = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= 50) & (F.col("df") > 1))
+        .select("shingle")
+    )
+    shf = sh.join(informative, "shingle").withColumn("bucket", b)
+    test_sh = shf.filter(F.col("bucket") >= 90).select("doc_id", "shingle")
+    train_sh = shf.filter(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    leaky = (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("train_doc", F.col("doc_id").alias("test_doc"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 2)
+        .select("train_doc")
+        .distinct()
+    )
+    tr = t.documents.filter(b < 80).select(
+        "doc_id", "lang", T.token_count("text").alias("nw")
+    )
+    j = tr.join(
+        F.broadcast(leaky), tr.doc_id == leaky.train_doc, "left"
+    )
+    removed = F.col("train_doc").isNotNull()
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(removed.cast("long")).alias("n_removed"),
+        F.sum((~removed).cast("long")).alias("n_clean"),
+        F.sum(F.when(~removed, F.col("nw")).otherwise(0)).alias(
+            "clean_tokens"
+        ),
+    )

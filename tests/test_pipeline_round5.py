@@ -997,3 +997,37 @@ def test_d51_zero_vector_quantizes_to_zero(spark):
         i, j = r["dim_i"], r["dim_j"]
         assert r["gram"] == q1[i] * q1[j] + q2[i] * q2[j]
         assert math.isfinite(r["cov"]) and r["n_vectors"] == 3
+
+
+def test_d55_removal_accounting(spark, sf_dir):
+    """n_removed + n_clean == n_train per lang; n_train matches the
+    bucket rule recomputed from raw docs; the removed total equals the
+    count of distinct leaky train docs derived independently through
+    the d25-style overlap (grouped the opposite way)."""
+    from data_engineer_project_spark.operators import dedup as DD
+    from data_engineer_project_spark.queries.llm_pipeline import _SPARK_BUCKET
+
+    out = {r["lang"]: r for r in QUERIES["d55_clean_train_split"].fn(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir).documents
+    b = F.expr(_SPARK_BUCKET)
+    train = docs.filter(b < 80)
+    per_lang = {r["lang"]: r["n"] for r in train.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(out) == set(per_lang)
+    for lang, r in out.items():
+        assert r["n_train"] == per_lang[lang]
+        assert r["n_removed"] + r["n_clean"] == r["n_train"]
+
+    sh = DD.exploded_shingles(docs, "doc_id", "text", 3).distinct()
+    informative = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= 50) & (F.col("df") > 1)).select("shingle")
+    )
+    shf = sh.join(informative, "shingle").withColumn("bucket", b)
+    pairs = (
+        shf.filter(F.col("bucket") >= 90).select(F.col("doc_id").alias("te"), "shingle")
+        .join(shf.filter(F.col("bucket") < 80).select(F.col("doc_id").alias("tr"), "shingle"), "shingle")
+        .groupBy("te", "tr").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    n_leaky = pairs.select("tr").distinct().count()
+    assert sum(r["n_removed"] for r in out.values()) == n_leaky
