@@ -4025,3 +4025,98 @@ def d55_clean_train_split(t):
             "clean_tokens"
         ),
     )
+
+
+@query(
+    "e16_type_correlation_matrix",
+    """
+    WITH hb AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             SUM(CAST(a.v AS HUGEINT)) AS sx,
+             SUM(CAST(b.v AS HUGEINT)) AS sy,
+             SUM(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+             SUM(CAST(b.v AS HUGEINT) * b.v) AS syy,
+             SUM(CAST(a.v AS HUGEINT) * b.v) AS sxy
+      FROM hb a JOIN hb b
+        ON a.hour = b.hour AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_hours,
+           CAST(n_hours * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE))) AS corr
+    FROM p
+    WHERE n_hours * sxx - sx * sx > 0 AND n_hours * syy - sy * sy > 0
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def e16_type_correlation_matrix(t):
+    """Pairwise Pearson correlation between event types' hourly value
+    totals — the cross-series co-movement matrix (do error spikes track
+    purchase volume?) a monitoring stack computes over its rollups.
+    Hours are aligned by inner join (pairwise-complete observations);
+    all five moment sums fold integer milli-units in 128-bit-class
+    types (hourly totals squared overflow int64 fast), so the one
+    final (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²̄)·√(n·Σy²−Σȳ²)) expression is
+    built from exact integers and is bit-identical cross-engine
+    (+, −, ×, ÷, √ are all IEEE correctly-rounded). Degenerate
+    (zero-variance) pairs are excluded by the same integer test e11
+    uses.
+
+    Scale shape: the hourly rollup is map-side combined; the pair join
+    multiplies each hour row by at most #types (bounded fan-out, the
+    d48 pattern); the moment aggregate collapses to types² rows."""
+    hb = tracked_persist(
+        t.events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(
+            F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("v")
+        )
+    )
+    a = hb.select(
+        F.col("event_type").alias("type_a"),
+        "hour",
+        F.col("v").cast("decimal(38,0)").alias("x"),
+    )
+    b = hb.select(
+        F.col("event_type").alias("type_b"),
+        "hour",
+        F.col("v").cast("decimal(38,0)").alias("y"),
+    )
+    p = (
+        a.join(b, "hour")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n = F.col("n_hours").cast("decimal(38,0)")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        p.filter((dx > 0) & (dy > 0))
+        .select(
+            "type_a",
+            "type_b",
+            "n_hours",
+            (
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+            ).alias("corr"),
+        )
+        .orderBy("type_a", "type_b")
+    )

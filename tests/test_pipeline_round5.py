@@ -1031,3 +1031,31 @@ def test_d55_removal_accounting(spark, sf_dir):
     )
     n_leaky = pairs.select("tr").distinct().count()
     assert sum(r["n_removed"] for r in out.values()) == n_leaky
+
+
+def test_e16_matches_numpy_corrcoef(spark, sf_dir):
+    """Correlations recomputed with numpy over the quantized hourly
+    matrix (pairwise-complete alignment) agree to float precision, and
+    every value sits in [-1, 1]."""
+    import numpy as np
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("v"))
+        .collect()
+    )
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["h"]] = r["v"]
+    out = QUERIES["e16_type_correlation_matrix"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        sa, sb = series[r["type_a"]], series[r["type_b"]]
+        hours = sorted(set(sa) & set(sb))
+        assert r["n_hours"] == len(hours)
+        x = np.array([sa[h] for h in hours], dtype=np.float64)
+        y = np.array([sb[h] for h in hours], dtype=np.float64)
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(r["corr"] - want) < 1e-9
+        assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
