@@ -34,13 +34,17 @@ _FAMILY_RANK = {"h": 0, "d": 1, "e": 2, "s": 3, "m": 4, "p": 5, "q": 6}
 # hash-checkable one — its round-2 "green" verified only row
 # production. Round 5: d31/d32 inherit the co-scaled LSH bands /
 # sharded packing rewrites; d14/d37's centroid count is now
-# corpus-derived.)
+# corpus-derived.  Round 6: q12's oracle SUMs gained the explicit
+# BIGINT cast every sibling already had — DuckDB typed the uncast
+# SUM(int) as HUGEINT, so every prior driver row fingerprinted a
+# superseded contract and q12 must lead the gate prefix.)
 _CONTRACT_CHANGED_ROUND = {
     "d17_approx_aggregates": 4,
     "d14_ann_ivf": 5,
     "d31_semantic_decontamination": 5,
     "d32_sequence_packing": 5,
     "d37_ann_ivf_nprobe2": 5,
+    "q12_late_shipment_priority": 6,
 }
 
 
