@@ -95,18 +95,50 @@ def write_sorted_parquet(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
-    """Z-order (Morton) interleave key over 2+ columns, built-ins only.
+def _orderable_as_double(df: DataFrame, c: str):
+    """Map any orderable column to a double that preserves its order
+    (dates → epoch days, timestamps → epoch seconds, numerics → cast).
+    Strings get ``xxhash64`` — equal values still co-cluster, but range
+    locality is lost, same trade a hash-partitioned layout makes."""
+    from pyspark.sql import functions as F
 
-    Each column is rank-normalized to ``bits`` levels with ``ntile``
-    (so skew can't collapse the curve), then the bit planes are
-    interleaved into one long. Sorting/range-partitioning by this key
-    clusters EVERY participating column simultaneously, so row-group
-    min/max stats stay selective for predicates on any of them — the
-    multi-column data-skipping layout single-column sorting can't give.
-    One window pass per column at write time; read-side cost: zero.
+    dt = dict(df.dtypes).get(c, "")
+    col = F.col(c)
+    if dt == "date":
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
+    if dt.startswith("timestamp"):
+        return col.cast("double")
+    if dt == "string":
+        return F.xxhash64(col).cast("double")
+    if dt == "boolean":
+        return col.cast("int").cast("double")
+    return col.cast("double")
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) interleave key over 2+ columns.
+
+    Each column is rank-normalized to ``2^bits`` levels, then the bit
+    planes are interleaved into one long. Sorting/range-partitioning by
+    this key clusters EVERY participating column simultaneously, so
+    row-group min/max stats stay selective for predicates on any of
+    them — the multi-column data-skipping layout single-column sorting
+    can't give.
+
+    Scale design: rank-normalization is distributed, never a global
+    sort. One aggregate pass computes per-column ``approx_percentile``
+    cutoffs (a mergeable sketch — map-side partials, one small final
+    merge), the ≤4095-cutoff arrays ship to every task as Arrow-batch
+    closure state, and level assignment is a vectorized
+    ``np.searchsorted`` scalar pandas UDF (O(log levels) per row, no
+    shuffle, no window). Quantile cutoffs, not (max-min)/n buckets, so
+    skew can't collapse the curve — same property the previous
+    ``ntile`` form had, without its single-partition sort. Cutoff
+    resolution caps at 2^12 (finer planes zero-fill): row-group
+    clustering needs file-count granularity, not 65536 distinct ranks.
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
     n = len(cols)
@@ -114,13 +146,43 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
         raise ValueError("zorder_key needs >= 2 columns; use a plain sort for 1")
     if bits * n > 62:
         raise ValueError(f"bits={bits} too large for {n} columns (max {62 // n})")
-    ranked = [
-        (F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - F.lit(1)).alias(
-            f"__r_{i}"
-        )
-        for i, c in enumerate(cols)
-    ]
-    out = df.select("*", *ranked)
+
+    q_bits = min(bits, 12)
+    shift = bits - q_bits
+    levels = 1 << q_bits
+    probs = [i / levels for i in range(1, levels)]
+    numeric = [_orderable_as_double(df, c) for c in cols]
+    accuracy = max(10_000, levels * 8)
+    cut_row = df.agg(
+        *[
+            F.percentile_approx(num, probs, accuracy).alias(f"__q_{i}")
+            for i, num in enumerate(numeric)
+        ]
+    ).first()
+
+    def make_level(cuts_list):
+        cuts = np.asarray(cuts_list or [], dtype=np.float64)
+
+        def level(v):
+            x = v.to_numpy(dtype=np.float64, na_value=np.nan)
+            idx = np.searchsorted(cuts, x, side="right").astype(np.int64)
+            np.minimum(idx, levels - 1, out=idx)
+            idx[np.isnan(x)] = 0  # nulls-first, matching ntile's ordering
+            return pd.Series(idx << shift)
+
+        # Real (non-string) annotations: the module's `from __future__
+        # import annotations` would otherwise stringify them where the
+        # locally-imported `pd` can't be resolved by the UDF inspector.
+        level.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        return F.pandas_udf(level, "long")
+
+    out = df.select(
+        "*",
+        *[
+            make_level(cut_row[f"__q_{i}"])(num).alias(f"__r_{i}")
+            for i, num in enumerate(numeric)
+        ],
+    )
     key = F.lit(0).cast("long")
     for plane in range(bits - 1, -1, -1):
         for i in range(n):
@@ -142,10 +204,10 @@ def write_zordered_parquet(
     """Multi-column clustered sink: range-partition + sort by the
     Morton key, drop it, write parquet. See ``zorder_key`` for why.
 
-    The ntile windows are single-reducer at write time — acceptable for
-    a maintenance/compaction pass (this is OPTIMIZE ZORDER's cost
-    profile too); at 100 TB you'd compute the per-column split points
-    with approxQuantile instead and map ranks distributively."""
+    Fully distributed end-to-end: cutoff sketch aggregate → vectorized
+    rank lookup → range partition → within-partition sort. No stage
+    funnels the table through one task, so the write scales with the
+    cluster like OPTIMIZE ZORDER does."""
     from pyspark.sql import functions as F
 
     keyed = zorder_key(df, cols, bits)

@@ -303,3 +303,59 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:120]
+
+
+def test_zorder_key_plan_is_narrow_no_window_no_shuffle(spark):
+    """Round-6 scale fix pin: zorder_key must never funnel the table
+    through a single-partition window (the old ntile form did). The
+    keyed plan is scan -> Arrow-batched rank lookup -> project: no
+    Window, no Sort, no Exchange. The only extra cost is the one
+    percentile-sketch aggregate that ran eagerly for the cutoffs."""
+    from data_engineer_project_spark.sources.io import zorder_key
+
+    df = spark.range(10_000).selectExpr(
+        "pmod(hash(id), 97) AS x", "id AS y"
+    )
+    keyed = zorder_key(df, ["x", "y"], bits=8)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Sort" not in plan.replace("searchsorted", ""), plan
+
+
+def test_zorder_key_handles_nulls_skew_and_mixed_types(spark):
+    """Quantile cutoffs must survive what ntile survived: heavy skew
+    (one dominant value), nulls (cluster at level 0, nulls-first like
+    a sort), and date/string columns. Keys stay in range and equal
+    inputs get equal keys."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.sources.io import zorder_key
+
+    df = spark.range(20_000).selectExpr(
+        # 90% of rows share x=0; the rest spread 1..1000
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE CAST(pmod(hash(id), 1000) AS INT) END AS x",
+        "CASE WHEN id % 13 = 0 THEN NULL ELSE id END AS y",
+        "date_add(date'2024-01-01', CAST(id % 365 AS INT)) AS d",
+        "concat('u', CAST(id % 50 AS STRING)) AS s",
+    )
+    keyed = zorder_key(df, ["x", "y", "d", "s"], bits=8).cache()
+    try:
+        n_bits = 8 * 4
+        stats = keyed.agg(
+            F.min("__zkey").alias("lo"),
+            F.max("__zkey").alias("hi"),
+            F.count_distinct("__zkey").alias("nk"),
+        ).first()
+        assert stats.lo >= 0 and stats.hi < (1 << n_bits)
+        assert stats.nk > 100  # skew didn't collapse the curve
+        # determinism: same input tuple -> same key
+        dup = (
+            keyed.groupBy("x", "y", "d", "s")
+            .agg(F.count_distinct("__zkey").alias("nkeys"))
+            .agg(F.max("nkeys").alias("mx"))
+            .first()
+        )
+        assert dup.mx == 1
+    finally:
+        keyed.unpersist()
