@@ -1687,3 +1687,119 @@ def p73_recursive_hierarchy(t):
         GROUP BY w.root
         """
     )
+
+
+@query(
+    "p74_catalog_bootstrap_audit",
+    """
+    SELECT * FROM (VALUES
+      ( 1, 'create_db_if_absent',    TRUE,  CAST(1 AS BIGINT)),
+      ( 2, 'create_db_guard_noop',   TRUE,  CAST(1 AS BIGINT)),
+      ( 3, 'create_schema_if_absent',TRUE,  CAST(1 AS BIGINT)),
+      ( 4, 'create_table_declared',  TRUE,  CAST(4 AS BIGINT)),
+      ( 5, 'insert_values_seed',     TRUE,  CAST(3 AS BIGINT)),
+      ( 6, 'create_table_guard_noop',TRUE,  CAST(4 AS BIGINT)),
+      ( 7, 'check_pk_unique',        TRUE,  CAST(0 AS BIGINT)),
+      ( 8, 'check_not_null',         TRUE,  CAST(0 AS BIGINT)),
+      ( 9, 'check_default_applied',  TRUE,  CAST(2 AS BIGINT)),
+      (10, 'check_fk_region',        TRUE,  CAST(0 AS BIGINT)),
+      (11, 'drop_db_cascade',        FALSE, CAST(0 AS BIGINT))
+    ) AS t(step, action, ok, observed)
+    ORDER BY step
+    """,
+    tags=("catalog", "ddl", "quality"),
+)
+def p74_catalog_bootstrap_audit(t):
+    """The reference's database/schema/table bootstrap as a GATEABLE
+    audit trail — the last §2.1 rows that were pytest-only. Performs
+    the REAL catalog lifecycle: guarded CREATE DATABASE (``IF DB_ID()
+    IS NULL``, `Members&EligibilitySource.sql:1-6`), guarded CREATE
+    SCHEMA (`Members&EligibilitySource.sql:8-9`), CREATE TABLE with
+    the constraint regime of `Claims & Encounters.sql:15-27` (NOT
+    NULL + DEFAULT 'Submitted' enforced natively by Spark's column
+    DEFAULT; PK/UNIQUE/FK as the data-quality checks Spark maps them
+    to, `plans/quality.py`), INSERT...VALUES seeding (partial column
+    list exercising the DEFAULT), idempotent re-CREATE guards, and
+    DROP ... CASCADE. Each step records observed catalog state; the
+    oracle pins the expected transition table, so drifted guard
+    semantics, a lost DEFAULT, or constraint-check regressions turn
+    the row red.
+
+    The scratch database lives in a mkdtemp warehouse (never the
+    caller's cwd), is healed at entry and dropped at exit, so the
+    query is re-entrant and leaves no state behind."""
+    import tempfile
+
+    from data_engineer_project_spark.plans.quality import (
+        duplicate_keys,
+        fk_violations,
+    )
+
+    spark = t.region.sparkSession
+    db, schema_db = "p74_cca", "p74_cca_s2_claims"
+    for d in (db, schema_db):  # heal any crashed prior run
+        spark.sql(f"DROP DATABASE IF EXISTS {d} CASCADE")
+    wh = tempfile.mkdtemp(prefix="p74_wh_")
+    rows = []
+
+    def create_db(name):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {name} LOCATION '{wh}/{name}'")
+        return spark.catalog.databaseExists(name)
+
+    try:
+        # 1/2: guarded CREATE DATABASE, then the guard again (no-op)
+        rows.append((1, "create_db_if_absent", create_db(db), int(create_db(db))))
+        rows.append((2, "create_db_guard_noop", create_db(db), int(create_db(db))))
+        # 3: CREATE SCHEMA ≙ Spark database-as-namespace
+        rows.append(
+            (3, "create_schema_if_absent", create_db(schema_db), int(create_db(schema_db)))
+        )
+        tbl = f"{schema_db}.claim_header"
+        ddl = f"""CREATE TABLE IF NOT EXISTS {tbl} (
+            claim_id INT NOT NULL,
+            claim_number STRING NOT NULL,
+            region_key INT,
+            claim_status STRING DEFAULT 'Submitted'
+        ) USING parquet"""
+        # 4: declared schema + native NOT NULL / DEFAULT
+        spark.sql(ddl)
+        rows.append(
+            (4, "create_table_declared", spark.catalog.tableExists(tbl),
+             len(spark.table(tbl).columns))
+        )
+        # 5: INSERT...VALUES — partial column list rides the DEFAULT
+        spark.sql(
+            f"INSERT INTO {tbl} (claim_id, claim_number, region_key) "
+            "VALUES (1, 'C-1001', 0), (2, 'C-1002', 1)"
+        )
+        spark.sql(f"INSERT INTO {tbl} VALUES (3, 'C-1003', 2, 'Paid')")
+        rows.append((5, "insert_values_seed", True, spark.table(tbl).count()))
+        # 6: CREATE guard again with a DIFFERENT body — must be a no-op
+        spark.sql(ddl.replace("region_key INT,", ""))
+        rows.append(
+            (6, "create_table_guard_noop", spark.catalog.tableExists(tbl),
+             len(spark.table(tbl).columns))
+        )
+        # 7-10: the constraint regime as distributed quality checks
+        claims = spark.table(tbl)
+        n_dup = duplicate_keys(claims, ["claim_id"]).count()
+        rows.append((7, "check_pk_unique", n_dup == 0, n_dup))
+        n_null = claims.filter(F.col("claim_number").isNull()).count()
+        rows.append((8, "check_not_null", n_null == 0, n_null))
+        n_def = claims.filter(F.col("claim_status") == "Submitted").count()
+        rows.append((9, "check_default_applied", n_def == 2, n_def))
+        n_fk = fk_violations(
+            claims,
+            t.region.select(F.col("r_regionkey").alias("region_key")),
+            on="region_key",
+        ).count()
+        rows.append((10, "check_fk_region", n_fk == 0, n_fk))
+    finally:
+        for d in (schema_db, db):
+            spark.sql(f"DROP DATABASE IF EXISTS {d} CASCADE")
+    rows.append(
+        (11, "drop_db_cascade", spark.catalog.databaseExists(schema_db), 0)
+    )
+    return spark.createDataFrame(
+        rows, "step int, action string, ok boolean, observed bigint"
+    ).orderBy("step")
