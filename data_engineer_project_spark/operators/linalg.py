@@ -43,12 +43,41 @@ def quantized_gram_partials(
     over batches per (i, j) to get the exact corpus totals.
     """
 
+    id_col = "vec_id"
+
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        expect_d: int | None = None
         for pdf in batches:
-            vecs = [v for v in pdf[vec_col] if v is not None and len(v) > 0]
-            if not vecs:
+            keep = [
+                (rid, v)
+                for rid, v in zip(
+                    pdf[id_col] if id_col in pdf.columns else pdf.index,
+                    pdf[vec_col],
+                )
+                if v is not None and len(v) > 0
+            ]
+            if not keep:
                 continue
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            # A ragged corpus must fail LOUDLY with the offending ids:
+            # np.stack's own error names nothing, and dimension drift
+            # ACROSS batches would silently produce per-cell n_vectors
+            # that differ by Gram cell (each batch only contributes the
+            # cells its width has) — a corrupted covariance, not a
+            # crash. Pin every batch to the first-seen dimension.
+            dims = {len(v) for _, v in keep}
+            if expect_d is not None:
+                dims.add(expect_d)
+            if len(dims) > 1:
+                offenders = [
+                    (rid, len(v)) for rid, v in keep if len(v) != min(dims)
+                ][:5]
+                raise ValueError(
+                    f"quantized_gram_partials: inconsistent embedding "
+                    f"dimensions {sorted(dims)} in column {vec_col!r}; "
+                    f"first offenders (id, dim): {offenders}"
+                )
+            expect_d = dims.pop()
+            x = np.stack([np.asarray(v, dtype=np.float64) for _, v in keep])
             maxabs = np.abs(x).max(axis=1, keepdims=True)
             # all-zero vectors quantize to q = 0 (dividing would make
             # 0/0 = NaN, and numpy's NaN→int64 cast is garbage, not an
@@ -89,6 +118,30 @@ def quantized_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     parts = quantized_gram_partials(emb, vec_col)
     tot = parts.groupBy("i", "j").agg(
         F.sum("val").alias("val"), F.sum("n").alias("n")
+    )
+    # Cross-batch dimension drift is invisible to the per-batch guard
+    # when each task happens to see only same-width vectors (e.g. the
+    # drifted rows live in their own partitions): every batch then
+    # contributes only the cells its width has, and per-cell n_vectors
+    # silently diverge — a corrupted covariance, not a crash. With a
+    # consistent dimension EVERY cell aggregates every batch, so all n
+    # are equal; enforce that invariant JVM-side and fail loud. The
+    # assert lives in a filter so column pruning can't drop it; cost is
+    # one 1-row broadcast over d² rows.
+    n_max = tot.agg(F.max("n").alias("__n_max"))
+    tot = (
+        tot.crossJoin(F.broadcast(n_max))
+        .filter(
+            F.assert_true(
+                F.col("n") == F.col("__n_max"),
+                F.lit(
+                    "quantized_covariance: embedding dimension drift across "
+                    "batches — Gram cells were contributed by differing "
+                    f"vector counts; check {vec_col!r} for ragged dimensions"
+                ),
+            ).isNull()
+        )
+        .drop("__n_max")
     )
     g = tot.filter(F.col("j") >= 0)
     s = tot.filter(F.col("j") == -1).select(

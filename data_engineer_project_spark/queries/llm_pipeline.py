@@ -14,7 +14,6 @@ Oracle parity notes:
 
 from __future__ import annotations
 
-from decimal import Decimal
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -3410,18 +3409,13 @@ def d50_rolling_hash_fingerprints(t):
 
 # ------------------------------------------------------- OHLC downsample
 
-# Deterministic open/close selection: DuckDB's arg_min/arg_max take a
-# SCALAR ordering key (no struct keys), so both engines order by
-# epoch_us(ts)·2^63 + event_id folded into a 128-bit-class integer
-# (Spark DECIMAL(38,0), DuckDB HUGEINT) — microsecond timestamps tie-
-# broken by the unique event id. The 2^63 multiplier keeps the key
-# order-preserving for EVERY possible int64 event_id (a narrower slot
-# would let a large id outrank a later timestamp); epoch_us·2^63 tops
-# out ~4e34 for year-2100 timestamps, well inside both 38-digit types.
-_KEY_SLOT = Decimal(2**63)  # > any int64 event_id
-
-_OHLC_KEY_SQL = (
-    "CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + CAST(event_id AS HUGEINT)"
+# Deterministic open/close selection: the shared (ts, event_id) scalar
+# ordering key — one definition for e13, streaming ohlc_bars/s15, and
+# the tests. See functions/ordering.py for the 2^64-slot width argument
+# (order-preserving for EVERY int64 event_id, negatives included).
+from data_engineer_project_spark.functions.ordering import (  # noqa: E402
+    OHLC_KEY_SQL as _OHLC_KEY_SQL,
+    ohlc_order_key as _ohlc_order_key,
 )
 
 
@@ -3458,10 +3452,7 @@ def e13_ohlc_bars(t):
     mean folds integer milli-units, so results are bit-identical on
     both engines regardless of partitioning. Day-bucketed keys keep
     every group bounded (one day × one type) at any corpus size."""
-    key = (
-        F.unix_micros("ts").cast("decimal(38,0)") * _KEY_SLOT
-        + F.col("event_id").cast("decimal(38,0)")
-    )
+    key = _ohlc_order_key()
     q = F.floor(F.col("value") * 1000.0).cast("long")
     return (
         t.events.groupBy(

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from data_engineer_project_spark.functions.ordering import OHLC_KEY_SQL
 from data_engineer_project_spark.functions.text import STOPWORDS as T_STOPWORDS
 from data_engineer_project_spark.queries.catalog import query
 from data_engineer_project_spark.streaming import (
@@ -539,10 +540,16 @@ def s14_stream_rate_anomaly_gate(t):
     reduces each event type's hourly-count history to ONE integer
     cutoff c* (the smallest count past mean + 2·sigma), and the stream
     flags any 1-hour window reaching it. Spark forbids joins after a
-    streaming aggregation, so the per-type cutoffs — driver-scale
-    metadata, <= #event-types rows — are folded into the stream plan
-    as a literal CASE expression (the broadcast-as-literal pattern;
-    production recomputes the policy offline and restarts the query).
+    streaming aggregation, so the policy snapshot joins the stream
+    BEFORE the windowed aggregation (the key is already on every
+    event): a broadcast stream-static left join stamps each event with
+    its type's cutoff, the cutoff rides the grouping key (functionally
+    dependent on event_type — group count unchanged), and the
+    post-aggregation filter is one column comparison. Plan size stays
+    FLAT in the number of event types — at 10⁴+ types the policy is
+    still one small broadcast relation, not a 10⁴-branch CASE tree
+    (pinned by tests/test_streaming.py). Production recomputes the
+    policy offline and restarts the query.
 
     The cutoff is EXACT integer math: with K = n·sumsq − tot² and
     d = cnt·n − tot, e11's test d > 0 AND d² > 4K is equivalent for
@@ -574,29 +581,31 @@ def s14_stream_rate_anomaly_gate(t):
         k4 = 4 * (n * sumsq - tot * tot)
         d_min = isqrt(k4) + 1
         cutoffs[r["event_type"]] = -(-(tot + d_min) // n)  # ceil div
+    policy = t._spark.createDataFrame(
+        [(et, cutoffs[et]) for et in sorted(cutoffs)],
+        "event_type string, cutoff long",
+    )
     # FAIL-CLOSED default: an event type absent from the policy
-    # snapshot (appeared after the last offline recompute) gets cutoff
-    # 0 — every window of a novel type is surfaced as anomalous rather
-    # than silently passed (a NULL default would make `cnt >= gate`
-    # three-valued-false and drop exactly the types most likely to be
-    # misbehaving). Here batch and stream read the same corpus, so the
-    # default never fires and the oracle is unaffected.
-    gate = F.lit(0).cast("long")
-    for et in sorted(cutoffs):
-        gate = F.when(F.col("event_type") == et, F.lit(cutoffs[et])).otherwise(
-            gate
-        )
+    # snapshot (appeared after the last offline recompute) coalesces
+    # to cutoff 0 — every window of a novel type is surfaced as
+    # anomalous rather than silently passed (a NULL cutoff would make
+    # `cnt >= cutoff` three-valued-false and drop exactly the types
+    # most likely to be misbehaving). Here batch and stream read the
+    # same corpus, so the default never fires and the oracle is
+    # unaffected.
     wc = (
         _stream(t)
+        .join(F.broadcast(policy), "event_type", "left")
+        .withColumn("cutoff", F.coalesce("cutoff", F.lit(0).cast("long")))
         .withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .groupBy(F.window("ts", "1 hour"), "event_type", "cutoff")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.col("cutoff"))
         .select(
             "event_type",
             F.col("window.start").alias("window_start"),
             "cnt",
         )
-        .filter(F.col("cnt") >= gate)
         .orderBy("event_type", "window_start")
     )
     return run_to_memory_table(wc, "rate_anomaly", "complete")
@@ -604,15 +613,13 @@ def s14_stream_rate_anomaly_gate(t):
 
 @query(
     "s15_stream_ohlc_bars",
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
-           arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808
-                            + CAST(event_id AS HUGEINT)) AS open,
+           arg_min(value, {OHLC_KEY_SQL}) AS open,
            max(value) AS high,
            min(value) AS low,
-           arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808
-                            + CAST(event_id AS HUGEINT)) AS close,
+           arg_max(value, {OHLC_KEY_SQL}) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY 1, 2
     """,

@@ -21,7 +21,6 @@ Scale notes (100 TB / 1000-executor design):
 
 from __future__ import annotations
 
-from decimal import Decimal
 
 import itertools
 from typing import Iterator
@@ -207,9 +206,6 @@ def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
-_KEY_SLOT = Decimal(2**63)  # > any int64 event_id
-
-
 def ohlc_bars(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Hourly OHLC bars per event_type — the streaming form of the
     e13 time-series downsample: open/high/low/close + count per
@@ -220,15 +216,15 @@ def ohlc_bars(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     merging is exact: whichever batch carried the day's earliest
     (ts, event_id) key wins regardless of arrival order — pinned by
     tests/test_streaming.py::test_streaming_ohlc_multibatch_equals_batch.
-    The ordering key is the same epoch_us·2^63 + event_id DECIMAL(38,0)
-    composite as the batch twin, so streaming, batch, and the DuckDB
-    oracle all agree bit-exactly. State per group is O(1); the
-    watermark bounds the number of open windows.
+    The ordering key is the SHARED (ts, event_id) DECIMAL(38,0)
+    composite from functions/ordering.py — the same definition the
+    batch twin and the DuckDB oracle use, so streaming, batch, and
+    oracle agree bit-exactly. State per group is O(1); the watermark
+    bounds the number of open windows.
     """
-    key = (
-        F.unix_micros("ts").cast("decimal(38,0)") * _KEY_SLOT
-        + F.col("event_id").cast("decimal(38,0)")
-    )
+    from data_engineer_project_spark.functions.ordering import ohlc_order_key
+
+    key = ohlc_order_key()
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

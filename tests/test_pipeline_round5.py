@@ -1059,3 +1059,28 @@ def test_e16_matches_numpy_corrcoef(spark, sf_dir):
         want = np.corrcoef(x, y)[0, 1]
         assert abs(r["corr"] - want) < 1e-9
         assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+
+
+def test_quantized_covariance_rejects_ragged_dimensions(spark):
+    """Round-6 hardening: a ragged embedding corpus must fail LOUDLY in
+    both placements — mixed widths inside one Arrow batch (Python guard
+    naming the offending vec_ids) and drifted rows isolated in their
+    own partitions (JVM-side per-cell contributor-count invariant),
+    where the old code silently produced a corrupted covariance."""
+    import pytest as _pytest
+
+    from data_engineer_project_spark.operators.linalg import quantized_covariance
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0, 5.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="inconsistent embedding"):
+        quantized_covariance(ragged.coalesce(1)).collect()
+    with _pytest.raises(Exception, match="dimension drift|inconsistent embedding"):
+        quantized_covariance(ragged.repartition(4)).collect()
+    ok = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 2.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    assert len(quantized_covariance(ok).collect()) == 6

@@ -9,7 +9,6 @@ deterministic) and reading with maxFilesPerTrigger=1.
 
 from __future__ import annotations
 
-from decimal import Decimal
 
 import os
 
@@ -628,9 +627,6 @@ def test_s14_cutoffs_equal_quadratic_rule(spark, sf_dir):
     assert got, "fixture data should contain at least one spike"
 
 
-_KEY_SLOT = Decimal(2**63)  # > any int64 event_id
-
-
 def test_streaming_ohlc_multibatch_equals_batch(spark, tmp_path):
     """min_by/max_by streaming state must merge exactly across
     micro-batches: a 4-file one-file-per-trigger run (events split in
@@ -651,10 +647,9 @@ def test_streaming_ohlc_multibatch_equals_batch(spark, tmp_path):
     single = run_to_memory_table(
         ohlc_bars(read_event_stream(spark, SF)), "ohlc_single", "complete"
     )
-    key = (
-        F.unix_micros("ts").cast("decimal(38,0)") * _KEY_SLOT
-        + F.col("event_id").cast("decimal(38,0)")
-    )
+    from data_engineer_project_spark.functions.ordering import ohlc_order_key
+
+    key = ohlc_order_key()
     batch = (
         normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -673,3 +668,35 @@ def test_streaming_ohlc_multibatch_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, sliced.collect()))
     assert got == sorted(map(tuple, single.collect()))
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def _policy_gated_plan(spark, n_types: int) -> str:
+    """s14's shape with a synthetic n-type policy: broadcast
+    stream-static left join BEFORE the windowed aggregation."""
+    policy = spark.createDataFrame(
+        [(f"type_{i}", i % 97) for i in range(n_types)],
+        "event_type string, cutoff long",
+    )
+    gated = (
+        read_event_stream(spark, SF)
+        .join(F.broadcast(policy), "event_type", "left")
+        .withColumn("cutoff", F.coalesce("cutoff", F.lit(0).cast("long")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type", "cutoff")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.col("cutoff"))
+    )
+    return gated._jdf.queryExecution().analyzed().toString()
+
+
+def test_s14_policy_gate_plan_flat_in_type_count(spark):
+    """Round-6 pin: the rate-anomaly policy is a broadcast relation,
+    not a literal CASE tree — the stream plan must NOT grow with the
+    number of event types (the old chained-when form grew one branch
+    per type and got silly past ~10^3 types)."""
+    small = _policy_gated_plan(spark, 10)
+    big = _policy_gated_plan(spark, 1000)
+    # the 100x type count may not add even one percent of plan text
+    assert len(big) <= len(small) * 1.01, (len(small), len(big))
+    # and no per-type branches anywhere
+    assert big.count("CASE WHEN") <= 2, big.count("CASE WHEN")

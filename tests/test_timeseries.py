@@ -263,3 +263,33 @@ def test_asof_tiebreak_on_reference_column(spark):
     with _pytest.raises(ValueError, match="probe side"):
         asof_join(probe, ref, key="k", left_ts="ts", right_ts="ts",
                   value_cols=["val"], tiebreak_cols=["tag"])
+
+
+def test_ohlc_order_key_handles_negative_event_ids(spark):
+    """Round-6 key-width fix: int64 event_ids span 2^64 values, so the
+    old 2^63 slot let a NEGATIVE id at a LATER microsecond produce a
+    smaller key than a huge positive id at an earlier one — open/close
+    would pick the wrong event. The shared key must order strictly by
+    (ts, event_id) for every int64 id."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.functions.ordering import ohlc_order_key
+
+    rows = [
+        # (event_id, ts, value): the adversarial pair from the review —
+        # max-positive id at t0, negative id one microsecond later
+        (2**63 - 1, "2025-01-01 00:00:00.000000", 10.0),
+        (-5, "2025-01-01 00:00:00.000001", 20.0),
+        # and a same-timestamp pair ordered by id (negative first)
+        (-7, "2025-01-01 00:00:01.000000", 30.0),
+        (4, "2025-01-01 00:00:01.000000", 40.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, v) for i, t, v in rows], "event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = df.agg(
+        F.min_by("value", ohlc_order_key()).alias("open"),
+        F.max_by("value", ohlc_order_key()).alias("close"),
+    ).first()
+    assert got.open == 10.0  # earliest ts wins, not the negative id
+    assert got.close == 40.0  # same-ts tie broken by id: 4 > -7
