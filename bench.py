@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     # per Arrow batch, d^2-key aggregate; times the mapInPandas
     # numeric-fold shape (shuffle independent of corpus size).
     "d51_embedding_covariance",
+    # r6 addition: the END-TO-END curation DAG (split -> decontaminate
+    # -> redact -> chunk-dedup -> mixture -> epoch shuffle) — times the
+    # composed five-stage pipeline whose stages the other d-slots time
+    # in isolation; the honest "what does a full curation pass cost"
+    # number.
+    "d56_end_to_end_curation",
 ]
 
 

@@ -4111,3 +4111,261 @@ def e16_type_correlation_matrix(t):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ------------------------------------------- end-to-end curation DAG
+
+_D56_SEED = "d56epoch1|"
+
+
+@query(
+    "d56_end_to_end_curation",
+    f"""
+    WITH {_SHINGLE_CTES},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    shf AS (
+      SELECT shd.doc_id, shd.shingle, {_ORACLE_BUCKET} AS bucket
+      FROM shd JOIN informative USING (shingle)
+    ),
+    test_sh AS (SELECT doc_id, shingle FROM shf WHERE bucket >= 90),
+    train_sh AS (SELECT doc_id, shingle FROM shf WHERE bucket < 80),
+    overlap AS (
+      SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+             COUNT(*) AS n_overlap
+      FROM test_sh te JOIN train_sh tr ON te.shingle = tr.shingle
+      GROUP BY 1, 2
+    ),
+    leaky AS (SELECT DISTINCT train_doc FROM overlap WHERE n_overlap >= 2),
+    clean AS (
+      SELECT doc_id, lang, source, text FROM documents
+      WHERE {_ORACLE_BUCKET} < 80
+        AND doc_id NOT IN (SELECT train_doc FROM leaky)
+    ),
+    red AS (
+      SELECT doc_id, lang, source,
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail-' || CAST(doc_id % 97 AS VARCHAR)
+                      || '.example.com'
+                      || ' call 555-'
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                 '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS ctext
+      FROM clean
+    ),
+    w2 AS (SELECT doc_id, source, string_split(ctext, ' ') AS words FROM red),
+    c2 AS (
+      SELECT doc_id, source,
+             unnest(generate_series(0, (len(words) - 1) // {_CHUNK_WORDS})) AS pos,
+             words
+      FROM w2
+    ),
+    ch2 AS (
+      SELECT doc_id, source, pos,
+             array_to_string(
+               words[pos * {_CHUNK_WORDS} + 1 : (pos + 1) * {_CHUNK_WORDS}], ' '
+             ) AS chunk,
+             least({_CHUNK_WORDS}, len(words) - pos * {_CHUNK_WORDS}) AS n_words
+      FROM c2
+    ),
+    r2 AS (
+      SELECT doc_id, n_words,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM ch2
+    ),
+    kpd AS (
+      SELECT doc_id, SUM(n_words) AS kept_words
+      FROM r2 WHERE rn = 1 GROUP BY doc_id
+    ),
+    surv AS (
+      SELECT red.doc_id, red.source, kpd.kept_words
+      FROM red JOIN kpd USING (doc_id)
+    ),
+    srcs AS (SELECT source, SUM(kept_words) AS orig_tokens FROM surv GROUP BY source),
+    mn2 AS (SELECT MIN(orig_tokens) AS min_tok FROM srcs),
+    thr2 AS (
+      SELECT source,
+             least(65536, (65536 * min_tok + orig_tokens - 1) // orig_tokens)
+               AS keep_thr
+      FROM srcs, mn2
+    ),
+    fin AS (
+      SELECT s.doc_id, s.source, s.kept_words
+      FROM surv s JOIN thr2 tt USING (source)
+      WHERE ({_ORACLE_BUCKET64K}) < tt.keep_thr
+    ),
+    nf AS (SELECT COUNT(*) AS n_docs FROM fin),
+    ns2 AS (SELECT {_PACK_SHARDS_SQL} AS n_shards FROM nf),
+    keyed AS (
+      SELECT doc_id, source, kept_words,
+             ({_md5_hex_int('doc_id', 'varchar', 4, prefix=_D56_SEED)})
+               % n_shards AS shard,
+             md5(concat('{_D56_SEED}', cast(doc_id AS varchar))) AS okey
+      FROM fin, ns2
+    ),
+    rk AS (
+      SELECT doc_id, source, kept_words, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(kept_words) AS BIGINT) AS kept_tokens,
+           CAST(MAX(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+           CAST(SUM(rnk * doc_id) AS BIGINT) AS order_checksum
+    FROM rk GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def d56_end_to_end_curation(t):
+    """The FULL training-data curation DAG as one gated query — the
+    composition the d-family proves piecewise: train/test split (d18's
+    content-addressed buckets) → decontamination (d55's informative-
+    shingle rule removes train docs sharing ≥2 rare shingles with any
+    held-out doc) → PII redaction (d39's inject+scrub, so the cleaned
+    text carries <EMAIL>/<PHONE> markers) → chunk-granular exact-
+    substring dedup (d47's keep-first over 8-word chunks of the
+    REDACTED text; per-doc surviving token budget; the injected
+    redaction markers become cross-doc boilerplate chunks that dedup
+    correctly strips after the first doc) → domain-mixture rebalance
+    (d42's 1/65536-resolution hash threshold, token budget = chunk-
+    surviving words) → epoch-seeded shuffle (d45's md5 permutation
+    into corpus-derived shards). Output pins the FINAL corpus
+    identity: per shard, doc/source counts, token mass, first doc in
+    shuffle order, and a rank-weighted checksum — one row disagreeing
+    anywhere in the five upstream stages flips the hash.
+
+    Scale shape inherits each stage's audited form: the shingle
+    overlap join is inverted-index (df ≤ 50) corpus-linear; leaky is
+    a broadcast anti-join; redaction is row-local; chunk keep-first
+    is the partial-aggregatable min(struct) (no window over hot
+    chunks); mixture thresholds derive from a histogram-scale
+    aggregate; the only windows run inside bounded corpus-derived
+    shards. The one driver sync — the final doc count that sizes the
+    shard count — reads a persisted intermediate the shuffle stage
+    reuses (the d32/d45 metadata-count pattern)."""
+    b = F.expr(_SPARK_BUCKET)
+    docs = t.documents
+    # decontaminated train split (d55 machinery)
+    sh = tracked_persist(
+        DD.exploded_shingles(docs, "doc_id", "text", 3).distinct()
+    )
+    informative = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= 50) & (F.col("df") > 1))
+        .select("shingle")
+    )
+    shf = sh.join(informative, "shingle").withColumn("bucket", b)
+    test_sh = shf.filter(F.col("bucket") >= 90).select("doc_id", "shingle")
+    train_sh = shf.filter(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    leaky = (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("train_doc", F.col("doc_id").alias("test_doc"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 2)
+        .select("train_doc")
+        .distinct()
+    )
+    clean = docs.filter(b < 80).join(
+        F.broadcast(leaky),
+        docs.doc_id == leaky.train_doc,
+        "left_anti",
+    )
+    # PII redaction (d39 machinery) on the surviving train docs
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail-"),
+        (d % 97).cast("string"),
+        F.lit(".example.com"),
+        F.lit(" call 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    red = clean.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.regexp_replace(pii_text, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("ctext"),
+    )
+    # chunk-granular keep-first dedup (d47 machinery) on redacted text
+    cw = _CHUNK_WORDS
+    ch = (
+        red.select("doc_id", "source", F.split("ctext", " ").alias("words"))
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(words)-1) div {cw}),"
+                    f" j -> struct(concat_ws(' ', slice(words, j*{cw}+1, {cw})) AS chunk,"
+                    f" least({cw}, size(words) - j*{cw}) AS n_words))"
+                )
+            ).alias("pos", "c"),
+        )
+        .select("doc_id", "source", "pos", "c.chunk", "c.n_words")
+    )
+    firsts = ch.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos", "n_words")).alias("first")
+    )
+    kpd = firsts.groupBy(F.col("first.doc_id").alias("doc_id")).agg(
+        F.sum("first.n_words").alias("kept_words")
+    )
+    surv = red.select("doc_id", "source").join(kpd, "doc_id")
+    # domain-mixture rebalance (d42 machinery) on surviving token mass
+    srcs = surv.groupBy("source").agg(F.sum("kept_words").alias("orig_tokens"))
+    mn = srcs.agg(F.min("orig_tokens").alias("min_tok"))
+    thr = srcs.crossJoin(F.broadcast(mn)).withColumn(
+        "keep_thr",
+        F.expr("least(65536, (65536 * min_tok + orig_tokens - 1) div orig_tokens)"),
+    )
+    fin = tracked_persist(
+        surv.withColumn("bkt", F.expr(_SPARK_BUCKET64K))
+        .join(F.broadcast(thr.select("source", "keep_thr")), "source")
+        .filter(F.col("bkt") < F.col("keep_thr"))
+        .select("doc_id", "source", "kept_words")
+    )
+    # epoch-seeded shuffle (d45 machinery) into corpus-derived shards
+    n_shards = _pack_shards(fin.count())
+    keyed = fin.select(
+        "doc_id",
+        "source",
+        "kept_words",
+        F.md5(
+            F.concat(F.lit(_D56_SEED), F.col("doc_id").cast("string"))
+        ).alias("okey"),
+        F.expr(
+            f"({_md5_hex_int('doc_id', 'string', 4, prefix=_D56_SEED)}) % {n_shards}"
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("kept_words").cast("long").alias("kept_tokens"),
+            F.max(F.when(F.col("rnk") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("first_doc"),
+            F.sum(F.col("rnk") * F.col("doc_id")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
