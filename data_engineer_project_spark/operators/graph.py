@@ -28,6 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Diagnostics of the most recent connected_components call (rounds
+# taken, converged flag). The loop's cost model is O(log diameter)
+# rounds — scale tooling (tools/scale_stress.py, tests) reads this to
+# assert the logarithmic claim empirically instead of trusting the
+# docstring. Overwritten per call; no extra Spark actions.
+LAST_RUN_STATS: dict = {}
+
 
 def connected_components(
     pairs: DataFrame,
@@ -71,7 +78,9 @@ def connected_components(
 
     prev = _checksum(labels)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor = und.join(labels, und.e_src == labels.node).select(
             F.col("e_dst").alias("node"), "comp"
         )
@@ -102,6 +111,8 @@ def connected_components(
         prev = cur
 
     und.unpersist()
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update({"rounds": rounds, "converged": converged})
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

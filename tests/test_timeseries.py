@@ -293,3 +293,31 @@ def test_ohlc_order_key_handles_negative_event_ids(spark):
     ).first()
     assert got.open == 10.0  # earliest ts wins, not the negative id
     assert got.close == 40.0  # same-ts tie broken by id: 4 > -7
+
+
+def test_connected_components_rounds_grow_logarithmically(spark):
+    """Round-6 scale pin: pointer jumping must converge in O(log D)
+    rounds on a path graph of diameter D — the property that keeps m10
+    viable on long Hamming chains. Measure rounds at D = 8, 64, 512 via
+    graph.LAST_RUN_STATS: each 8x diameter step may add only a few
+    rounds (log2(8) = 3), never scale with D itself."""
+    from data_engineer_project_spark.operators import graph as G
+
+    rounds = {}
+    for d in (8, 64, 512):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(d)], "doc_a long, doc_b long"
+        )
+        labels = {
+            r["node"]: r["component"]
+            for r in G.connected_components(pairs, max_iter=25).collect()
+        }
+        assert set(labels.values()) == {0}  # one component, min label
+        assert G.LAST_RUN_STATS["converged"]
+        rounds[d] = G.LAST_RUN_STATS["rounds"]
+    import math
+
+    for d, r in rounds.items():
+        assert r <= 2 * math.log2(d) + 4, (d, r, rounds)
+    # logarithmic, not linear: 64x more diameter, bounded extra rounds
+    assert rounds[512] - rounds[8] <= 8, rounds

@@ -1,0 +1,179 @@
+"""10x pressure harness (round 6): iterative/stateful operators beyond
+sf0.1.
+
+The per-round SCALING.md table stops at sf0.1; the operators whose cost
+model is ITERATIVE (m10's connected components) or STATEFUL (s04's
+per-user state) deserve a direct look at the next decade. This tool
+synthesizes an sf1-equivalent corpus from sf0.1 — documents replicated
+``factor`` times with shifted doc_ids (10x images, 10x chunk mass,
+replica cliques for the near-dup graph), events replicated with shifted
+event/user ids and time-shifted stamps (10x distinct users => 10x
+streaming state; 10x distinct hours) — then measures:
+
+- m10_image_neardup_clusters: wall time + CC rounds (graph.LAST_RUN_STATS),
+  asserting rounds stay in the O(log diameter) regime;
+- d47_chunk_substring_dedup: wall time (keep-first min(struct) under 10x
+  hot-chunk multiplicity);
+- d45_epoch_shuffle: wall time + shard count (corpus-derived shards must
+  grow so per-shard rank windows stay bounded);
+- s04 stateful_user_stats: wall time + state rows / state memory from the
+  streaming progress stateOperators metrics.
+
+Usage: python tools/scale_stress.py [factor] [sf_dir]
+Prints one JSON line per (op, scale) measurement; paste into SCALING.md.
+Synthesized data lives in a temp dir and is removed on exit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def synth(sf_dir: str, out_dir: str, factor: int) -> None:
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    stride = pc.max(docs["doc_id"]).as_py() + 1
+    i_doc = docs.schema.get_field_index("doc_id")
+    pq.write_table(
+        pa.concat_tables(
+            docs.set_column(
+                i_doc, "doc_id", pc.add(docs["doc_id"], k * stride)
+            )
+            for k in range(factor)
+        ),
+        f"{out_dir}/documents.parquet",
+    )
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet")
+    e_stride = pc.max(ev["event_id"]).as_py() + 1
+    u_stride = pc.max(ev["user_id"]).as_py() + 1
+    tmin = pc.min(ev["ts"]).as_py()
+    tmax = pc.max(ev["ts"]).as_py()
+    span_us = int((tmax - tmin).total_seconds() * 1_000_000) + 3_600_000_000
+    i_eid = ev.schema.get_field_index("event_id")
+    i_uid = ev.schema.get_field_index("user_id")
+    i_ts = ev.schema.get_field_index("ts")
+    parts = []
+    for k in range(factor):
+        t = ev.set_column(i_eid, "event_id", pc.add(ev["event_id"], k * e_stride))
+        t = t.set_column(i_uid, "user_id", pc.add(ev["user_id"], k * u_stride))
+        shifted = pc.add(
+            ev["ts"].cast(pa.timestamp("us")),
+            pa.scalar(k * span_us, type=pa.duration("us")),
+        )
+        t = t.set_column(i_ts, "ts", shifted)
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/events.parquet")
+
+    for t in TABLES:
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"), dst)
+
+
+def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
+    from data_engineer_project_spark.operators import graph as G
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+    from data_engineer_project_spark.streaming import read_event_stream
+    from data_engineer_project_spark.streaming.events import stateful_user_stats
+
+    out = []
+
+    def timed(fn):
+        best, extra = None, {}
+        for _ in range(runs):
+            t0 = time.time()
+            extra = fn() or {}
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            release_all()
+        return best, extra
+
+    def run_query(name, extract=None):
+        def go():
+            rows = QUERIES[name].fn(spark, sf_dir).collect()
+            return extract(rows) if extract else {}
+
+        sec, extra = timed(go)
+        out.append({"op": name, "scale": scale_label, "sec": round(sec, 2), **extra})
+
+    run_query(
+        "m10_image_neardup_clusters",
+        lambda rows: {
+            "cc_rounds": G.LAST_RUN_STATS.get("rounds"),
+            "converged": G.LAST_RUN_STATS.get("converged"),
+            "n_clusters": len(rows),
+        },
+    )
+    run_query("d47_chunk_substring_dedup")
+    run_query("d45_epoch_shuffle", lambda rows: {"n_shards": len(rows)})
+
+    def s04():
+        name = f"stress_s04_{scale_label}_{int(time.time() * 1000)}"
+        q = (
+            stateful_user_stats(read_event_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = state_bytes = 0
+        for p in q.recentProgress:
+            for so in p.get("stateOperators", []):
+                state_rows = max(state_rows, so.get("numRowsTotal", 0))
+                state_bytes = max(state_bytes, so.get("memoryUsedBytes", 0))
+        n_out = spark.table(name).count()
+        return {
+            "state_rows": state_rows,
+            "state_mb": round(state_bytes / 1e6, 1),
+            "out_rows": n_out,
+        }
+
+    sec, extra = timed(s04)
+    out.append(
+        {"op": "s04_stateful_user_stats", "scale": scale_label, "sec": round(sec, 2), **extra}
+    )
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from data_engineer_project_spark.session import get_spark
+
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = measure(spark, sf_dir, "1x")
+    tmp = tempfile.mkdtemp(prefix="stress_sf1_")
+    try:
+        synth(sf_dir, tmp, factor)
+        results += measure(spark, tmp, f"{factor}x")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
