@@ -4328,10 +4328,17 @@ def d56_end_to_end_curation(t):
         F.sum("first.n_words").alias("kept_words")
     )
     surv = red.select("doc_id", "source").join(kpd, "doc_id")
-    # domain-mixture rebalance (d42 machinery) on surviving token mass
+    # domain-mixture rebalance (d42 machinery) on surviving token mass.
+    # min-across-sources via a window over the per-source aggregate:
+    # the frame spans <= #sources rows (driver-scale metadata), so the
+    # single-partition window is bounded by design — and unlike d42's
+    # equivalent scalar crossJoin it keeps the cached-lineage plan free
+    # of BroadcastNestedLoopJoin nodes the audit would have to parse
+    # inside the InMemoryRelation printout.
     srcs = surv.groupBy("source").agg(F.sum("kept_words").alias("orig_tokens"))
-    mn = srcs.agg(F.min("orig_tokens").alias("min_tok"))
-    thr = srcs.crossJoin(F.broadcast(mn)).withColumn(
+    thr = srcs.withColumn(
+        "min_tok", F.min("orig_tokens").over(Window.partitionBy(F.lit(1)))
+    ).withColumn(
         "keep_thr",
         F.expr("least(65536, (65536 * min_tok + orig_tokens - 1) div orig_tokens)"),
     )
