@@ -13,6 +13,7 @@ covered by tests/test_streaming.py with a controlled multi-file input.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_spark.functions.ordering import OHLC_KEY_SQL
@@ -634,3 +635,154 @@ def s15_stream_ohlc_bars(t):
     from data_engineer_project_spark.streaming import ohlc_bars
 
     return run_to_memory_table(ohlc_bars(_stream(t)), "ohlc", "complete")
+
+
+# ---------------------------------------- composed streaming front door
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _EMAIL_RE,
+    _PHONE_RE,
+)
+
+# The d39 inject+redact expression in DuckDB SQL (text/doc_id columns in
+# scope); the Spark twin is _s16_redact below. Shared shape with d56's
+# batch composition.
+_S16_RED_SQL = (
+    "regexp_replace(regexp_replace("
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail-' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'"
+    " || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    f" '{_EMAIL_RE}', '<EMAIL>', 'g'),"
+    f" '{_PHONE_RE}', '<PHONE>', 'g')"
+)
+
+
+def _s16_redact():
+    d = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail-"),
+        (d % 97).cast("string"),
+        F.lit(".example.com"),
+        F.lit(" call 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    return F.regexp_replace(
+        F.regexp_replace(pii, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+
+
+@query(
+    "s16_stream_curation_front_door",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents WHERE {_S11_BUCKET_DUCK} < 50
+    ),
+    inc AS (
+      SELECT doc_id, lang, source, text FROM documents
+      WHERE {_S11_BUCKET_DUCK} >= 50
+    ),
+    cred AS (SELECT DISTINCT md5({_S16_RED_SQL}) AS fp FROM corpus),
+    ired AS (SELECT doc_id, lang, source, {_S16_RED_SQL} AS ctext FROM inc),
+    q AS (
+      SELECT * FROM ired
+      WHERE len(string_split(ctext, ' ')) BETWEEN 20 AND 120
+        AND CAST(length(list_filter(string_split(ctext, ' '),
+                                    x -> x IN ({_S10_SW}))) AS DOUBLE)
+            / CAST(len(string_split(ctext, ' ')) AS DOUBLE) < 0.3
+    ),
+    dd AS (
+      SELECT q.* FROM q LEFT JOIN cred c ON md5(q.ctext) = c.fp
+      WHERE c.fp IS NULL
+    ),
+    toks AS (
+      SELECT source,
+             SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS orig_tokens
+      FROM corpus GROUP BY source
+    ),
+    mn AS (SELECT MIN(orig_tokens) AS min_tok FROM toks),
+    thr AS (SELECT source,
+                   least(65536, (65536 * min_tok + orig_tokens - 1) // orig_tokens)
+                     AS keep_thr
+            FROM toks, mn),
+    kept AS (
+      SELECT dd.doc_id, dd.lang, dd.source, dd.ctext
+      FROM dd JOIN thr ON dd.source = thr.source
+      WHERE ({_ORACLE_BUCKET64K}) < thr.keep_thr
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ceil(length(ctext) / 4.0) AS BIGINT)) AS BIGINT)
+             AS survivor_tokens
+    FROM kept GROUP BY source, lang ORDER BY source, lang
+    """,
+    tags=("streaming", "llm", "curation", "pipeline"),
+)
+def s16_stream_curation_front_door(t):
+    """The streaming twin of d56: the curation FRONT DOOR as one
+    composed continuously-ingesting pipeline. Newly-arriving documents
+    (the content-addressed upper half, per s11's split) flow through
+    PII redaction (d39, row-local) → quality gate (s10's d02 filter,
+    scored on the REDACTED text) → exact-dedup against the existing
+    corpus (s11's stream-static anti-join on the redacted
+    fingerprint) → mixture gate (s13's per-source thresholds computed
+    offline from the stored corpus, enforced per record) → a per
+    (source, lang) running doc/token tally. d56 is the nightly batch
+    rebuild; s16 is what runs between rebuilds — same stage semantics,
+    re-expressed in the stream-legal subset (every stage stateless or
+    stream-static; the only state is the final ≤ sources×langs-key
+    complete-mode tally, so no watermark is needed).
+
+    Scale shape: redaction and scoring are row-local inside the
+    micro-batch; both static sides broadcast (corpus fingerprints are
+    the one large static input — at 100 TB that side becomes the
+    bucketed fingerprint table of s11's docstring and the anti-join
+    co-locates by fingerprint instead); the keep decision is the same
+    pure function of doc_id as d42/d45, so a batch replay of the
+    stream produces doc-for-doc identical survivors (the oracle IS
+    that batch form)."""
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    b = F.expr(_S11_BUCKET)
+    corpus = t.documents.withColumn("bucket", b).filter(F.col("bucket") < 50)
+    cred = corpus.select(F.md5(_s16_redact()).alias("fp")).distinct()
+    incoming = (
+        read_document_stream(t._spark, t._sf_dir)
+        .withColumn("bucket", b)
+        .filter(F.col("bucket") >= 50)
+        .withColumn("ctext", _s16_redact())
+        .select("doc_id", "lang", "source", "ctext")
+    )
+    n_words = T.token_count("ctext")
+    sr = T.stopword_count("ctext").cast("double") / n_words.cast("double")
+    q = incoming.filter(n_words.between(20, 120) & (sr < 0.3))
+    dd = q.withColumn("fp", F.md5("ctext")).join(cred, "fp", "left_anti")
+    src = corpus.groupBy("source").agg(
+        F.sum(T.bpe_token_estimate("text")).alias("orig_tokens")
+    )
+    thr = src.withColumn(
+        "min_tok", F.min("orig_tokens").over(Window.partitionBy(F.lit(1)))
+    ).select(
+        "source",
+        F.expr(
+            "least(65536, (65536 * min_tok + orig_tokens - 1) div orig_tokens)"
+        ).alias("keep_thr"),
+    )
+    kept = (
+        dd.withColumn("bkt", F.expr(_SPARK_BUCKET64K))
+        .join(F.broadcast(thr), "source")
+        .filter(F.col("bkt") < F.col("keep_thr"))
+    )
+    tally = kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.bpe_token_estimate("ctext")).alias("survivor_tokens"),
+    )
+    return run_to_memory_table(tally, "curation_door", "complete").orderBy(
+        "source", "lang"
+    )
