@@ -551,60 +551,76 @@ def d13_embedding_near_dup(t):
     return SIM.cosine_near_dup_pairs(t.embeddings, threshold=0.4, dim=64)
 
 
-def _kmeans_chain(iters: int = 2) -> str:
+def _kmeans_chain(
+    iters: int = 2,
+    src: str = "embeddings",
+    prefix: str = "",
+    n_centroids: int | None = None,
+) -> str:
     """CTE chain (no ``WITH`` keyword) for the DuckDB twin of
     ``kmeans_centroids`` + final assignment: seed → assign →
     integer-quantized-sum update, unrolled (c0, asg0, c1, asg1, …),
-    ending in ``asg(vec_id, cid)``. floor(x·2^20) sums make the
-    centroid update exact integers on both engines, so assignments
+    ending in ``{prefix}asg(vec_id, cid)``. floor(x·2^20) sums make
+    the centroid update exact integers on both engines, so assignments
     bit-match. The centroid count is derived from COUNT(*) with the
     same pure-integer doubling factors as
     ``similarity.adaptive_centroids`` (~sqrt(N) cells), so both
-    engines seed identical cells at ANY scale factor. Shared by the
+    engines seed identical cells at ANY scale factor — unless a fixed
+    ``n_centroids`` is passed (the PQ-codebook case, where the code
+    count is the format, not a function of corpus size). Shared by the
     IVF ANN oracles (which append a query/cell-probe stage referencing
-    ``apd{iters}``) and the d44 cluster-profile oracle."""
+    ``apd{iters}``), the d44 cluster-profile oracle, and — via
+    ``src``/``prefix`` — the per-subspace chains of the d57 PQ oracle
+    (``src`` is any CTE shaped (vec_id, embedding))."""
     quant = SIM.KMEANS_QUANT
-    n_cent_sql = f"{1 << SIM.MIN_CENTROID_BITS} " + " ".join(
-        f"* (CASE WHEN n_vec > {1 << (2 * j)} THEN 2 ELSE 1 END)"
-        for j in range(SIM.MIN_CENTROID_BITS, SIM.MAX_CENTROID_BITS)
-    )
+    p = prefix
 
     def assign_ctes(i: int, cents: str) -> str:
-        return f"""ap{i} AS (SELECT e.vec_id, c.cid, e.embedding, c.cvec
-             FROM embeddings e, {cents} c),
-    apx{i} AS (SELECT vec_id, cid, unnest(embedding) AS vx, unnest(cvec) AS cx FROM ap{i}),
-    apd{i} AS (SELECT vec_id, cid,
+        return f"""{p}ap{i} AS (SELECT e.vec_id, c.cid, e.embedding, c.cvec
+             FROM {src} e, {cents} c),
+    {p}apx{i} AS (SELECT vec_id, cid, unnest(embedding) AS vx, unnest(cvec) AS cx FROM {p}ap{i}),
+    {p}apd{i} AS (SELECT vec_id, cid,
                    SUM(CAST(vx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
                    SUM(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)) AS vv,
                    SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
-            FROM apx{i} GROUP BY vec_id, cid),
-    asg{i} AS (SELECT vec_id, cid FROM (
+            FROM {p}apx{i} GROUP BY vec_id, cid),
+    {p}asg{i} AS (SELECT vec_id, cid FROM (
               SELECT vec_id, cid,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY dotp / (sqrt(vv) * sqrt(cc)) DESC, cid) AS rn
-              FROM apd{i}) WHERE rn = 1)"""
+              FROM {p}apd{i}) WHERE rn = 1)"""
 
-    ctes = [
-        f"""cn AS (SELECT {n_cent_sql} AS n_cent
-              FROM (SELECT COUNT(*) AS n_vec FROM embeddings)),
-    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, cn
+    if n_centroids is None:
+        n_cent_sql = f"{1 << SIM.MIN_CENTROID_BITS} " + " ".join(
+            f"* (CASE WHEN n_vec > {1 << (2 * j)} THEN 2 ELSE 1 END)"
+            for j in range(SIM.MIN_CENTROID_BITS, SIM.MAX_CENTROID_BITS)
+        )
+        ctes = [
+            f"""{p}cn AS (SELECT {n_cent_sql} AS n_cent
+              FROM (SELECT COUNT(*) AS n_vec FROM {src})),
+    {p}c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM {src}, {p}cn
               WHERE vec_id < n_cent)"""
-    ]
+        ]
+    else:
+        ctes = [
+            f"""{p}c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM {src}
+              WHERE vec_id < {n_centroids})"""
+        ]
     for i in range(iters):
-        ctes.append(assign_ctes(i, f"c{i}"))
+        ctes.append(assign_ctes(i, f"{p}c{i}"))
         ctes.append(
-            f"""cs{i + 1} AS (SELECT a.cid, ex.pos,
+            f"""{p}cs{i + 1} AS (SELECT a.cid, ex.pos,
                    SUM(CAST(floor(CAST(ex.x AS DOUBLE) * {quant}) AS BIGINT)) AS s
              FROM (SELECT vec_id, unnest(embedding) AS x,
                           generate_subscripts(embedding, 1) AS pos
-                   FROM embeddings) ex
-             JOIN asg{i} a ON a.vec_id = ex.vec_id
+                   FROM {src}) ex
+             JOIN {p}asg{i} a ON a.vec_id = ex.vec_id
              GROUP BY a.cid, ex.pos),
-    c{i + 1} AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
-             FROM cs{i + 1} GROUP BY cid)"""
+    {p}c{i + 1} AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
+             FROM {p}cs{i + 1} GROUP BY cid)"""
         )
-    ctes.append(assign_ctes(iters, f"c{iters}"))
-    ctes.append(f"asg AS (SELECT vec_id, cid FROM asg{iters})")
+    ctes.append(assign_ctes(iters, f"{p}c{iters}"))
+    ctes.append(f"{p}asg AS (SELECT vec_id, cid FROM {p}asg{iters})")
     return ",\n    ".join(ctes)
 
 
@@ -4375,4 +4391,130 @@ def d56_end_to_end_curation(t):
             F.sum(F.col("rnk") * F.col("doc_id")).alias("order_checksum"),
         )
         .orderBy("shard")
+    )
+
+
+# --------------------------------------------- product quantization
+
+_PQ_M = 4  # subspaces
+_PQ_DLEN = 16  # dims per subspace (embeddings are 64-d)
+_PQ_K = 16  # codes per subspace (4-bit codes)
+
+_PQ_SUBS = ",\n    ".join(
+    f"sub{m} AS (SELECT vec_id, embedding[{m * _PQ_DLEN + 1}:{(m + 1) * _PQ_DLEN}]"
+    f" AS embedding FROM embeddings)"
+    for m in range(_PQ_M)
+)
+_PQ_CHAINS = ",\n    ".join(
+    _kmeans_chain(2, src=f"sub{m}", prefix=f"s{m}_", n_centroids=_PQ_K)
+    for m in range(_PQ_M)
+)
+_PQ_CODED = " UNION ALL ".join(
+    f"SELECT {m} AS subspace, vec_id, cid FROM s{m}_asg" for m in range(_PQ_M)
+)
+
+
+@query(
+    "d57_pq_codebook",
+    f"""
+    WITH {_PQ_SUBS},
+    {_PQ_CHAINS},
+    coded AS ({_PQ_CODED})
+    SELECT subspace,
+           CAST(cid AS BIGINT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS member_id_sum
+    FROM coded GROUP BY subspace, cid ORDER BY subspace, code
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def d57_pq_codebook(t):
+    """Product-quantization codebook build + corpus encoding — the
+    missing piece between the IVF coarse quantizer (d14/d37) and a
+    production ANN index (IVF-PQ): each 64-d embedding splits into
+    {4} contiguous 16-d subvectors, each subspace learns a {16}-entry
+    codebook with the SAME integer-exact spherical k-means as the IVF
+    path (operators/similarity.kmeans_centroids, 2 iterations,
+    lowest-id seeds), and every vector is encoded as its nearest code
+    per subspace — 4x4-bit codes replacing 256 bytes of floats, the
+    16x-compression memory layout ANN serving needs at 10^9+ vectors.
+    Output pins the full encoding: per (subspace, code) population and
+    the member-id sum, so one vector assigned to a different code on
+    either engine flips the hash.
+
+    Scale shape: ALL subspaces train in ONE subspace-tagged k-means —
+    the corpus explodes once into (subspace, vec_id, subvector) rows,
+    the 4x16-row codebook broadcasts tagged by subspace, assignment is
+    one equi-join-on-subspace + per-(subspace, vector) rank, and the
+    centroid update is one (subspace, code, pos)-keyed integer-sum
+    aggregate. Job count is therefore independent of M (2 iterations +
+    final assign, same as ONE k-means), instead of M sequential
+    codebook builds; per-stage work is the audited k-means shape
+    (broadcast codebook x linear scan, integer-quantized sums — no
+    floating mean drift), nothing all-pairs. The code count is FIXED
+    (it is the index format, 4 bits), unlike the IVF cell count which
+    scales ~sqrt(N) — exactly how FAISS separates nlist from the PQ
+    codebook. The oracle unrolls the mathematically identical chain
+    per subspace via the parameterized _kmeans_chain (same seeds,
+    same quantized updates, same tie-breaks — the subspace tag only
+    fuses the jobs)."""
+    from data_engineer_project_spark.operators.similarity import cosine
+
+    spark = t.embeddings.sparkSession
+    subs = tracked_persist(
+        t.embeddings.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}),"
+                    f" m -> slice(embedding, m * {_PQ_DLEN} + 1, {_PQ_DLEN}))"
+                )
+            ).alias("m", "sv"),
+        )
+    )
+    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cvec")
+    )
+
+    def assign(cent_df):
+        scored = subs.join(F.broadcast(cent_df), "m").select(
+            "m", "vec_id", "sv", "cid", cosine(F.col("sv"), F.col("cvec")).alias("cs")
+        )
+        w = Window.partitionBy("m", "vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("m", "vec_id", "sv", "cid")
+        )
+
+    q = float(SIM.KMEANS_QUANT)
+    for _ in range(2):
+        sums = (
+            assign(cents)
+            .select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.sum(F.floor(F.col("x").cast("double") * F.lit(q)).cast("long")).alias("s"))
+        )
+        upd = sums.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st["s"].cast("double"),
+            ).alias("cvec")
+        )
+        # materialize the <= M*K-row codebook between iterations (the
+        # kmeans_centroids pattern: bounded driver state, lineage cut)
+        cents = spark.createDataFrame(
+            [(r["m"], r["cid"], list(r["cvec"])) for r in upd.collect()],
+            "m int, cid bigint, cvec array<double>",
+        )
+    return (
+        assign(cents)
+        .groupBy(
+            F.col("m").alias("subspace"), F.col("cid").cast("long").alias("code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("member_id_sum"),
+        )
+        .orderBy("subspace", "code")
     )
