@@ -4458,11 +4458,29 @@ def d57_pq_codebook(t):
     per subspace via the parameterized _kmeans_chain (same seeds,
     same quantized updates, same tie-breaks — the subspace tag only
     fuses the jobs)."""
+    _, codes, _ = _pq_train(t.embeddings)
+    return (
+        codes.groupBy(
+            F.col("m").alias("subspace"), F.col("cid").cast("long").alias("code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("member_id_sum"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+def _pq_train(emb):
+    """The fused subspace-tagged PQ trainer behind d57/d58: returns
+    (codebook literal DF (m, cid, cvec), corpus codes DF (m, vec_id,
+    sv, cid), cached subvector table (vec_id, m, sv)). One exploded
+    corpus scan; job count independent of the subspace count."""
     from data_engineer_project_spark.operators.similarity import cosine
 
-    spark = t.embeddings.sparkSession
+    spark = emb.sparkSession
     subs = tracked_persist(
-        t.embeddings.select(
+        emb.select(
             "vec_id",
             F.posexplode(
                 F.expr(
@@ -4507,14 +4525,137 @@ def d57_pq_codebook(t):
             [(r["m"], r["cid"], list(r["cvec"])) for r in upd.collect()],
             "m int, cid bigint, cvec array<double>",
         )
+    return cents, assign(cents), subs
+
+
+_ADC_SCALE = 1 << 30  # per-subspace cosine -> exact int (order-free sums)
+
+_D58_CODES = " UNION ALL ".join(
+    f"SELECT {m} AS m, vec_id, cid FROM s{m}_asg" for m in range(_PQ_M)
+)
+_D58_CBOOK = " UNION ALL ".join(
+    f"SELECT {m} AS m, cid, cvec FROM s{m}_c2" for m in range(_PQ_M)
+)
+_D58_QSUB = " UNION ALL ".join(
+    f"SELECT {m} AS m, vec_id AS query_id, embedding AS qv FROM sub{m}"
+    f" WHERE vec_id < 10"
+    for m in range(_PQ_M)
+)
+
+
+@query(
+    "d58_ivfpq_adc_topk",
+    f"""
+    WITH {_kmeans_chain(2)},
+    qasg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dotp / (sqrt(vv) * sqrt(cc)) DESC, cid) AS rn
+              FROM apd2) WHERE rn = 1),
+    {_PQ_SUBS},
+    {_PQ_CHAINS},
+    codes AS ({_D58_CODES}),
+    cbook AS ({_D58_CBOOK}),
+    qsub AS ({_D58_QSUB}),
+    lutx AS (SELECT q.query_id, q.m, c.cid AS code,
+                    unnest(q.qv) AS qx, unnest(c.cvec) AS cx
+             FROM qsub q JOIN cbook c ON q.m = c.m),
+    lut AS (SELECT query_id, m, code,
+                   CAST(floor(
+                     (SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE))
+                      / (sqrt(SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)))
+                         * sqrt(SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)))))
+                     * {_ADC_SCALE}) AS BIGINT) AS ics
+            FROM lutx GROUP BY query_id, m, code),
+    cand AS (SELECT qa.vec_id AS query_id, a.vec_id AS neighbor_id
+             FROM qasg qa JOIN asg a ON qa.cid = a.cid
+             WHERE qa.vec_id < 10 AND a.vec_id <> qa.vec_id),
+    adc AS (SELECT c.query_id, c.neighbor_id,
+                   CAST(SUM(l.ics) AS BIGINT) AS iscore
+            FROM cand c
+            JOIN codes k ON k.vec_id = c.neighbor_id
+            JOIN lut l ON l.query_id = c.query_id AND l.m = k.m
+                       AND l.code = k.cid
+            GROUP BY c.query_id, c.neighbor_id)
+    SELECT query_id, neighbor_id,
+           CAST(iscore AS DOUBLE) / {_ADC_SCALE} AS adc_score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY iscore DESC, neighbor_id) AS rn
+          FROM adc)
+    WHERE rn <= 3
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def d58_ivfpq_adc_topk(t):
+    """IVF-PQ ANN search with asymmetric distance computation (ADC) —
+    the composed FAISS-style query path the index pieces build toward:
+    d14's coarse quantizer restricts each query to its IVF cell, d57's
+    PQ codes stand in for the corpus vectors, and each query scores
+    candidates via a precomputed LOOKUP TABLE — per (query, subspace,
+    code): the cosine between the query's exact subvector and that
+    code's centroid, floor-quantized to an integer at 2^30 resolution.
+    A candidate's ADC score is then FOUR integer lookups summed —
+    order-free exact arithmetic, no per-candidate float math at all —
+    and per-query top-3 ranks on (score desc, id). This is the memory
+    layout that serves billion-vector ANN: the scan touches 4-bit
+    codes + a 640-entry LUT instead of 256-byte float vectors.
+
+    Scale shape: the LUT is queries x M x K rows (driver-thin) built
+    from one broadcast join and BROADCAST back; candidate generation
+    is the IVF cell equi-join (per-query cost ~sqrt(N)); scoring is
+    two broadcast hash joins + a (query, neighbor)-keyed integer-sum
+    aggregate with map-side partials. Nothing all-pairs, nothing
+    floating-point per candidate. The oracle composes the identical
+    coarse chain, per-subspace PQ chains, LUT, and integer ADC."""
+    from data_engineer_project_spark.operators.similarity import cosine
+
+    emb = t.embeddings
+    # coarse quantizer (d14 machinery)
+    coarse = SIM.kmeans_centroids(emb)
+    asg = SIM.ivf_assign(emb, coarse).select("vec_id", "cid")
+    qasg = (
+        SIM.ivf_assign(emb.filter(F.col("vec_id") < 10), coarse)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    # PQ codebook + corpus codes (d57 machinery)
+    cbook, codes, subs = _pq_train(emb)
+    qsub = subs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    lut = qsub.join(F.broadcast(cbook), "m").select(
+        "query_id",
+        "m",
+        F.col("cid").alias("code"),
+        F.floor(cosine(F.col("qv"), F.col("cvec")) * F.lit(float(_ADC_SCALE)))
+        .cast("long")
+        .alias("ics"),
+    )
+    cand = qasg.join(asg, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    adc = (
+        cand.join(
+            codes.select(F.col("vec_id").alias("neighbor_id"), "m",
+                         F.col("cid").alias("code")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ics").alias("iscore"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("iscore"), F.asc("neighbor_id")
+    )
     return (
-        assign(cents)
-        .groupBy(
-            F.col("m").alias("subspace"), F.col("cid").cast("long").alias("code")
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("iscore").cast("double") / F.lit(float(_ADC_SCALE))).alias(
+                "adc_score"
+            ),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum("vec_id").alias("member_id_sum"),
-        )
-        .orderBy("subspace", "code")
+        .orderBy("query_id", "neighbor_id")
     )
