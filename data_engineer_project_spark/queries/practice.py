@@ -1795,8 +1795,11 @@ def p74_catalog_bootstrap_audit(t):
         ).count()
         rows.append((10, "check_fk_region", n_fk == 0, n_fk))
     finally:
+        import shutil
+
         for d in (schema_db, db):
             spark.sql(f"DROP DATABASE IF EXISTS {d} CASCADE")
+        shutil.rmtree(wh, ignore_errors=True)  # leave no scratch behind
     rows.append(
         (11, "drop_db_cascade", spark.catalog.databaseExists(schema_db), 0)
     )
