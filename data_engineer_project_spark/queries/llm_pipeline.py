@@ -4659,3 +4659,174 @@ def d58_ivfpq_adc_topk(t):
         )
         .orderBy("query_id", "neighbor_id")
     )
+
+
+@query(
+    "d59_curriculum_difficulty_bands",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd FROM documents
+    ),
+    wc AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY wd),
+    cls AS (SELECT wd, CAST(length(bin(cnt)) - 1 AS BIGINT) AS freq_class FROM wc),
+    per_doc AS (
+      SELECT w.doc_id, w.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(c.freq_class) AS BIGINT) AS sum_class
+      FROM w JOIN cls c ON w.wd = c.wd
+      GROUP BY w.doc_id, w.lang
+    )
+    SELECT lang,
+           CAST(sum_class // n_words AS INT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+    FROM per_doc
+    GROUP BY lang, band
+    ORDER BY lang, band
+    """,
+    tags=("llm", "curation", "curriculum"),
+)
+def d59_curriculum_difficulty_bands(t):
+    """Curriculum-learning difficulty binning: score every document by
+    the mean frequency class of its words (d49's exact integer
+    log2-of-corpus-count buckets — docs of common words score HIGH /
+    easy, rare-word docs score LOW / hard) and band the corpus by the
+    integer mean ``sum_class div n_words``. The training scheduler
+    then feeds bands in order (easy → hard) or reweights them — the
+    standard data-curriculum primitive, computed as a pure corpus
+    statistic with no model in the loop.
+
+    Everything is integer-exact: frequency classes are
+    length(bin(count))−1 (never float log2), the band is integer
+    division — both engines agree bit-for-bit at any scale, unlike a
+    float mean whose banding could flip on ulp drift. Banding by
+    ABSOLUTE score (not per-lang quantiles) keeps the plan
+    window-free: scale shape is one word-count shuffle, one
+    word→class equi-join back to the exploded corpus (map-side
+    partials into per-doc sums), and a (lang, band)-keyed rollup —
+    all corpus-linear; the ≤ ~40-band output is driver-thin."""
+    w = t.documents.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("wd")
+    )
+    wc = w.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+    cls = wc.select(
+        "wd", (F.length(F.expr("bin(cnt)")) - 1).cast("long").alias("freq_class")
+    )
+    per_doc = (
+        w.join(cls, "wd")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq_class").alias("sum_class"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            "lang",
+            F.expr("sum_class div n_words").cast("int").alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+@query(
+    "e17_anomaly_episodes",
+    """
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             SUM(CAST(cnt AS HUGEINT)) AS tot,
+             SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq
+      FROM hc GROUP BY event_type
+    ),
+    anom AS (
+      SELECT hc.event_type, hc.hour, hc.cnt,
+             CAST(epoch(hc.hour) // 3600 AS BIGINT) AS hidx
+      FROM hc JOIN st ON hc.event_type = st.event_type
+      WHERE hc.cnt * st.n_hours - st.tot > 0
+        AND (hc.cnt * st.n_hours - st.tot) * (hc.cnt * st.n_hours - st.tot)
+            > 4 * (st.n_hours * st.sumsq - st.tot * st.tot)
+    ),
+    isl AS (
+      SELECT event_type, hour, cnt,
+             hidx - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hidx)
+               AS grp
+      FROM anom
+    )
+    SELECT event_type,
+           MIN(hour) AS episode_start,
+           MAX(hour) AS episode_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(MAX(cnt) AS BIGINT) AS peak_cnt,
+           CAST(SUM(cnt) AS BIGINT) AS total_cnt
+    FROM isl
+    GROUP BY event_type, grp
+    ORDER BY event_type, episode_start
+    """,
+    tags=("events", "quality", "islands"),
+)
+def e17_anomaly_episodes(t):
+    """Alert EPISODES from e11's spike detector: consecutive anomalous
+    hours per event type merge into one incident row (start, end,
+    duration, peak and total volume) via the gaps-and-islands rewrite —
+    hour_index − row_number is constant within a consecutive run, so
+    one window + one groupBy produce the episodes with no self-join
+    and no iteration (m09's segmentation idiom on the time axis). The
+    operational report a pager wants: 7 anomalous hours across 2
+    bursts = 2 rows, not 7.
+
+    Scale shape: the anomaly filter (e11's exact-integer 2σ rule with
+    the per-type stats broadcast back) reduces the hourly table to the
+    anomalous sliver BEFORE the window, and the islands window
+    partitions by event_type over that sliver — bounded by hours of
+    history per type (calendar-bounded, ~10⁴ rows/type/year), not by
+    event volume. Everything upstream is the audited e11 shape."""
+    hc = tracked_persist(
+        t.events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cw = F.col("cnt").cast("decimal(38,0)")
+    st = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(cw).alias("tot"),
+        F.sum(cw * cw).alias("sumsq"),
+    )
+    nw = F.col("n_hours").cast("decimal(38,0)")
+    dev = cw * nw - F.col("tot")
+    nvar = nw * F.col("sumsq") - F.col("tot") * F.col("tot")
+    anom = (
+        hc.join(F.broadcast(st), "event_type")
+        .filter((dev > 0) & (dev * dev > 4 * nvar))
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            (F.unix_timestamp("hour") / 3600).cast("long").alias("hidx"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hidx")
+    isl = anom.withColumn("grp", F.col("hidx") - F.row_number().over(w))
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("hour").alias("episode_start"),
+            F.max("hour").alias("episode_end"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("cnt").alias("peak_cnt"),
+            F.sum("cnt").alias("total_cnt"),
+        )
+        .drop("grp")
+        .orderBy("event_type", "episode_start")
+    )

@@ -632,3 +632,87 @@ def m11_video_neardup_pairs(t):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "m12_crossmodal_dup_consensus",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, lang, {_UTF8_BYTES} AS b FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS p FROM bl
+    ),
+    s AS (SELECT doc_id, COUNT(*) AS n, SUM(v) AS total FROM bytes GROUP BY doc_id),
+    blk AS (
+      SELECT bytes.doc_id, ((bytes.p - 1) * 8) // s.n AS blk,
+             SUM(bytes.v) AS bs, COUNT(*) AS bn
+      FROM bytes JOIN s USING (doc_id) GROUP BY 1, 2
+    ),
+    hashes AS (
+      SELECT blk.doc_id,
+             SUM(CASE WHEN blk.bs * s.n > s.total * blk.bn
+                      THEN (CAST(1 AS BIGINT) << blk.blk) ELSE 0 END) AS phash
+      FROM blk JOIN s USING (doc_id) GROUP BY blk.doc_id
+    ),
+    idup AS (
+      SELECT doc_id,
+             COUNT(*) OVER (PARTITION BY phash) >= 2 AS image_dup
+      FROM hashes
+    ),
+    tdup AS (
+      SELECT doc_id, lang,
+             COUNT(*) OVER (PARTITION BY md5(text)) >= 2 AS text_dup
+      FROM documents
+    )
+    SELECT t.lang, t.text_dup, i.image_dup,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(t.doc_id) AS BIGINT) AS sample_doc
+    FROM tdup t JOIN idup i ON t.doc_id = i.doc_id
+    GROUP BY t.lang, t.text_dup, i.image_dup
+    ORDER BY t.lang, t.text_dup, i.image_dup
+    """,
+    tags=("multimodal", "dedup", "quality"),
+)
+def m12_crossmodal_dup_consensus(t):
+    """Cross-modal duplicate CONSENSUS audit: classify every document
+    by both modalities' duplicate verdicts — text-exact (md5(text)
+    shared by ≥2 docs, d05's rule) × image-perceptual (m07's 8-bit
+    block-mean phash shared by ≥2 docs) — and tabulate the per-lang
+    contingency. The cell that matters for curation is
+    (text_dup=false, image_dup=true): perceptually-identical payloads
+    with DIFFERENT text — the near-dup/template mass exact text dedup
+    cannot see, and exactly what a multimodal pipeline must route to
+    the verifier tier instead of trusting either modality alone.
+    (text_dup=true ⊂ image_dup=true here by construction — the payload
+    derives from the text — so that containment doubles as a pipeline
+    self-check: a nonzero (true, false) cell means the phash stage
+    broke.)
+
+    Scale shape: both duplicate verdicts are groupBy-count shapes on
+    derived keys (md5 / phash) — the windows in the oracle SQL are
+    notation; the engine computes group sizes with partial-aggregatable
+    groupBys and broadcasts nothing unbounded. The phash pass is the
+    audited m07 Arrow stage; the contingency rollup collapses to ≤
+    langs × 4 rows map-side."""
+    from data_engineer_project_spark.operators.multimodal import perceptual_hash
+
+    hashes = perceptual_hash(_media(t), n_blocks=8)
+    isz = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("i_n"))
+    idup = hashes.join(isz, "phash").select(
+        "doc_id", (F.col("i_n") >= 2).alias("image_dup")
+    )
+    docs = t.documents.select("doc_id", "lang", F.md5("text").alias("fp"))
+    tsz = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("t_n"))
+    tdup = docs.join(tsz, "fp").select(
+        "doc_id", "lang", (F.col("t_n") >= 2).alias("text_dup")
+    )
+    return (
+        tdup.join(idup, "doc_id")
+        .groupBy("lang", "text_dup", "image_dup")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .orderBy("lang", "text_dup", "image_dup")
+    )

@@ -786,3 +786,65 @@ def s16_stream_curation_front_door(t):
     return run_to_memory_table(tally, "curation_door", "complete").orderBy(
         "source", "lang"
     )
+
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _kmeans_chain,
+)
+
+
+@query(
+    "s17_stream_ivf_cell_ingestion",
+    f"""
+    WITH {_kmeans_chain(2)}
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+    FROM asg GROUP BY cid ORDER BY cid
+    """,
+    tags=("streaming", "similarity", "llm"),
+)
+def s17_stream_ivf_cell_ingestion(t):
+    """Continuously-maintained vector-index intake: newly-embedded
+    vectors arrive as a file stream and each is assigned to its IVF
+    cell IN-STREAM, feeding a running per-cell population tally (the
+    signal that drives index maintenance — cell splits, re-training,
+    nprobe tuning). The coarse quantizer is trained OFFLINE on the
+    stored corpus (the audited d14 k-means) and its ≤ ~sqrt(N)
+    materialized centroids are folded into the stream as a LITERAL
+    scored-argmax expression — Spark forbids rank windows on streams,
+    so nearest-centroid is array_max over a literal (cosine, −cid)
+    struct array: exactly the batch assignment's (score desc, cid asc)
+    order, no join, no window, no state beyond the bounded per-cell
+    tally. At 32768-cell scale the literal form gives way to a
+    stream-static broadcast join + max_by aggregate — same semantics,
+    documented here as the production form.
+
+    The oracle is the batch k-means chain's final assignment rolled up
+    per cell: stream and batch replay agree vector-for-vector, the
+    same policy-offline / apply-in-stream split as s13/s14."""
+    from data_engineer_project_spark.operators import similarity as SIM
+    from data_engineer_project_spark.operators.similarity import cosine
+    from data_engineer_project_spark.streaming import read_embedding_stream
+
+    cents = SIM.kmeans_centroids(t.embeddings).collect()
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in r["cvec"]]),
+                ).alias("cs"),
+                F.lit(-int(r["cid"])).cast("long").alias("ncid"),
+            )
+            for r in cents
+        ]
+    )
+    stream = read_embedding_stream(t._spark, t._sf_dir).withColumn(
+        "cid", -F.array_max(scored)["ncid"]
+    )
+    tally = stream.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("id_checksum"),
+    )
+    return run_to_memory_table(tally, "ivf_ingest", "complete").orderBy("cid")

@@ -17,6 +17,7 @@ from data_engineer_project_spark.streaming.events import (  # noqa: F401
     ohlc_bars,
     purchases_after_signup,
     read_document_stream,
+    read_embedding_stream,
     read_event_stream,
     run_incremental_rollup,
     run_to_memory_table,

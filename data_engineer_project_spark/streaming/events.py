@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -586,3 +589,34 @@ def signups_with_purchase_outcome(
         "purchase_id",
         "purchase_ts",
     )
+
+
+EMBEDDING_RAW_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def read_embedding_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "embeddings.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open the embeddings table as a stream (file source) — the
+    intake side of a continuously-maintained vector index: newly
+    embedded documents land as parquet part-files and each micro-batch
+    is scored/assigned downstream (s17). Fixed declared schema;
+    ``max_files_per_trigger=1`` forces multi-batch runs in tests."""
+    from data_engineer_project_spark.session import normalize_session
+
+    normalize_session(spark)
+    reader = spark.readStream.schema(EMBEDDING_RAW_SCHEMA).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

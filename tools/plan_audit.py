@@ -86,6 +86,13 @@ EXTRA_QUERIES = [
     "d53_corpus_snapshot_diff",
     "d54_rare_token_mass",
     "m11_video_neardup_pairs",
+    # r6 additions: PQ compression + the composed IVF-PQ query path
+    # (their k-means/codebook training executes during construction,
+    # like d14/d37 — the audited plan is the final scoring stage).
+    # s16 is excluded like every s* query: its plan is micro-batch,
+    # exercised in tests/test_streaming.py.
+    "d57_pq_codebook",
+    "d58_ivfpq_adc_topk",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
