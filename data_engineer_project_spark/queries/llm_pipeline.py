@@ -4830,3 +4830,106 @@ def e17_anomaly_episodes(t):
         .drop("grp")
         .orderBy("event_type", "episode_start")
     )
+
+
+_SEMDEDUP_TAU = 0.4  # this synthetic corpus has no >0.52 cosine pairs
+
+
+@query(
+    "d60_semdedup",
+    f"""
+    WITH {_kmeans_chain(2)},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    px AS (
+      SELECT p.id_a, p.id_b, unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.id_a
+      JOIN embeddings eb ON eb.vec_id = p.id_b
+    ),
+    pc AS (
+      SELECT id_a, id_b,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dotp,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS aa,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS bb
+      FROM px GROUP BY id_a, id_b
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM pc
+      WHERE dotp / (sqrt(aa) * sqrt(bb)) >= {_SEMDEDUP_TAU}
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN dr.vec_id IS NOT NULL THEN d.doc_id END)
+                AS BIGINT) AS sample_dropped
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    LEFT JOIN dropped dr ON dr.vec_id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def d60_semdedup(t):
+    """SemDeDup — semantic deduplication via embedding clusters
+    ("SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", Abbas et al. 2023): cluster the corpus with the
+    audited IVF k-means (~sqrt(N) cells), compare embeddings PAIRWISE
+    ONLY WITHIN each cluster, and greedily drop the higher-id member
+    of every pair with cosine ≥ τ. Catches paraphrase/translation-
+    style duplicates that share no n-grams (d07/d12 are blind to
+    them) at a cost exact all-pairs could never pay: the quadratic
+    term is Σ|cell|² ≈ N·sqrt(N) instead of N², and each cell's
+    comparisons are an independent equi-join partition — the paper's
+    exact trick, expressed as joins. Per-lang keep/drop accounting,
+    LEFT-JOIN-complete so every lang reports even with zero drops.
+
+    Engine-exactness: pair cosines recompute the same IEEE double
+    fold on both engines (the d09/d14 convention); the keep rule
+    (lowest id survives any qualifying pair) is a deterministic
+    integer comparison, so the dropped set — not just its size — is
+    pinned via sample_dropped."""
+    emb = t.embeddings
+    cents = SIM.kmeans_centroids(emb)
+    asg = SIM.ivf_assign(emb, cents).select("vec_id", "cid")
+    a = asg.select(F.col("vec_id").alias("id_a"), "cid")
+    b = asg.select(F.col("vec_id").alias("id_b"), F.col("cid").alias("cid_b"))
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, (a.cid == b.cid_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+    )
+    from data_engineer_project_spark.operators.similarity import cosine
+
+    dropped = (
+        pairs.filter(cosine(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    docs = t.documents.select("doc_id", "lang").join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    j = docs.join(
+        F.broadcast(dropped.withColumnRenamed("vec_id", "dr_id")),
+        docs.doc_id == F.col("dr_id"),
+        "left",
+    )
+    hit = F.col("dr_id").isNotNull()
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hit.cast("long")).alias("n_dropped"),
+            F.sum((~hit).cast("long")).alias("n_kept"),
+            F.min(F.when(hit, F.col("doc_id"))).alias("sample_dropped"),
+        )
+        .orderBy("lang")
+    )

@@ -278,3 +278,82 @@ def test_d58_adc_scores_and_topk_re_derive_with_numpy(spark):
         assert [r.neighbor_id for r in got] == want, qid
         for r in got:
             assert r.adc_score == iscore(qid, r.neighbor_id) / _ADC_SCALE
+
+
+# ------------------------------------------------------------- s17
+
+
+def test_s17_ivf_ingestion_multibatch_equals_batch(spark, tmp_path):
+    """The in-stream literal-argmax cell assignment must be slicing-
+    invariant and equal the batch k-means assignment: stream the
+    embeddings as 3 one-file micro-batches and compare the final
+    per-cell tally against both the single-batch stream and the batch
+    ivf_assign rollup."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_engineer_project_spark.operators import similarity as SIM
+    from data_engineer_project_spark.operators.similarity import cosine
+    from data_engineer_project_spark.sources.registry import load_tables
+    from data_engineer_project_spark.streaming import (
+        read_embedding_stream,
+        run_to_memory_table,
+    )
+
+    d = tmp_path / "emb_parts"
+    d.mkdir()
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    step = (tbl.num_rows + 2) // 3
+    for i in range(3):
+        p = d / f"part-{i:03d}.parquet"
+        pq.write_table(tbl.slice(i * step, step), p)
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+    t = load_tables(spark, SF)
+    cents_df = SIM.kmeans_centroids(t.embeddings)
+    cents = cents_df.collect()
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in r["cvec"]]),
+                ).alias("cs"),
+                F.lit(-int(r["cid"])).cast("long").alias("ncid"),
+            )
+            for r in cents
+        ]
+    )
+
+    def tally(stream):
+        return stream.withColumn(
+            "cid", -F.array_max(scored)["ncid"]
+        ).groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("id_checksum"),
+        )
+
+    sliced = run_to_memory_table(
+        tally(
+            read_embedding_stream(
+                spark, str(d), glob="*.parquet", max_files_per_trigger=1
+            )
+        ),
+        "s17_sliced",
+        "complete",
+    )
+    single = run_to_memory_table(
+        tally(read_embedding_stream(spark, SF)), "s17_single", "complete"
+    )
+    want = (
+        SIM.ivf_assign(t.embeddings, cents_df)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("id_checksum"),
+        )
+    )
+    s = sorted(map(tuple, sliced.collect()))
+    assert s == sorted(map(tuple, single.collect()))
+    assert s == sorted(map(tuple, want.collect()))
