@@ -108,6 +108,11 @@ BOUNDED_BNLJ_OK = {
     "d14_ann_ivf": _CENTROID_BNLJ,
     "d37_ann_ivf_nprobe2": _CENTROID_BNLJ,
     "d44_semantic_cluster_profile": _CENTROID_BNLJ,
+    # r6: the IVF-PQ query path and SemDeDup both assign corpus (and,
+    # for d58, query) vectors via ivf_assign's bounded centroid
+    # broadcast — the same nearest-centroid cost as d14.
+    "d58_ivfpq_adc_topk": _CENTROID_BNLJ,
+    "d60_semdedup": _CENTROID_BNLJ,
     # the upper-triangle pairing of the per-source size table with
     # itself: both sides are <= #sources rows (driver-scale metadata),
     # so the nested loop is sources^2 — bounded by design.
