@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_spark import fixtures
+from data_engineer_project_spark.functions.numeric import money
 from data_engineer_project_spark.operators.asof import asof_join
 from data_engineer_project_spark.plans.quality import fk_violations
 from data_engineer_project_spark.plans.snowflake import build_snowflake
@@ -1262,4 +1263,147 @@ def hq29_risk_asof_encounter(t):
     ).select(
         "EncounterID", "MemberID", "EncounterDate",
         F.col("asof_Score"), F.col("asof_RiskTier"),
+    )
+
+
+@query(
+    "hq30_readmission_30day",
+    _oracle(
+        """
+        , ip AS (
+          SELECT EncounterID, MemberID, AdmitDate, DischargeDate,
+                 FacilityPOSCode,
+                 LEAD(AdmitDate) OVER (PARTITION BY MemberID
+                                       ORDER BY AdmitDate, EncounterID)
+                   AS next_admit
+          FROM s2_claims_encounter
+          WHERE EncounterType = 'INPATIENT'
+        )
+        SELECT FacilityPOSCode,
+               CAST(COUNT(*) AS BIGINT) AS n_discharges,
+               CAST(SUM(CASE WHEN next_admit IS NOT NULL
+                              AND next_admit >= DischargeDate
+                              AND next_admit <= DischargeDate + INTERVAL 30 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_readmissions,
+               CAST(SUM(CASE WHEN next_admit IS NOT NULL
+                              AND next_admit >= DischargeDate
+                              AND next_admit <= DischargeDate + INTERVAL 30 DAY
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS readmit_rate
+        FROM ip GROUP BY FacilityPOSCode ORDER BY FacilityPOSCode
+        """,
+        ["s2_claims_encounter"],
+    ),
+    tags=("healthcare", "window", "quality"),
+)
+def hq30_readmission_30day(t):
+    """30-day all-cause readmission rate per facility — THE hospital
+    quality measure (CMS HRRP's shape) the reference's encounter model
+    implies but never computes: an inpatient discharge counts as a
+    readmission when the member's NEXT inpatient admission starts
+    within 30 days of it. One lead window per member over inpatient
+    encounters only (admissions per member are care-bounded, never
+    corpus-bounded), then a facility rollup; the rate is the only
+    float, one bigint/bigint division. Extends Q7's LOS
+    (`Claims & Encounters.sql:395-401`) from per-stay to
+    across-stay analytics."""
+    return readmission_rollup(hc(t)["s2_claims_encounter"])
+
+
+def readmission_rollup(encounters):
+    """The hq30 plan over any encounter DataFrame — factored out so
+    tests can drive it with synthetic admission patterns (the default
+    12-member fixture happens to contain zero readmissions, which
+    would leave the flag logic unexercised by the oracle gate alone;
+    tests/test_healthcare_etl.py pins planted readmit/late/overlap
+    cases)."""
+    ip = encounters.filter(F.col("EncounterType") == "INPATIENT")
+    w = Window.partitionBy("MemberID").orderBy("AdmitDate", "EncounterID")
+    flagged = ip.withColumn("next_admit", F.lead("AdmitDate").over(w))
+    readmit = (
+        F.col("next_admit").isNotNull()
+        & (F.col("next_admit") >= F.col("DischargeDate"))
+        & (F.col("next_admit") <= F.date_add(F.col("DischargeDate"), 30))
+    )
+    return (
+        flagged.groupBy("FacilityPOSCode")
+        .agg(
+            F.count(F.lit(1)).alias("n_discharges"),
+            F.sum(readmit.cast("long")).alias("n_readmissions"),
+            (
+                F.sum(readmit.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("readmit_rate"),
+        )
+        .orderBy("FacilityPOSCode")
+    )
+
+
+@query(
+    "hq31_pmpm_cost_trend",
+    _oracle(
+        """
+        , mm AS (
+          SELECT EnrollmentMonth AS month,
+                 CAST(COUNT(*) AS BIGINT) AS member_months
+          FROM s1_elig_enrollment WHERE IsActive GROUP BY 1
+        ),
+        paid AS (
+          SELECT date_trunc('month', ch.ClaimDate) AS month,
+                 SUM(pay.PaidAmount) AS total_paid
+          FROM s2_claims_claim_header ch
+          JOIN s2_claims_claim_payment pay USING (ClaimID)
+          GROUP BY 1
+        )
+        SELECT mm.month, mm.member_months,
+               CAST(COALESCE(p.total_paid, 0) AS DOUBLE) AS total_paid,
+               CAST(COALESCE(p.total_paid, 0) AS DOUBLE)
+                 / CAST(mm.member_months AS DOUBLE) AS pmpm
+        FROM mm LEFT JOIN paid p ON p.month = mm.month
+        ORDER BY mm.month
+        """,
+        ["s1_elig_enrollment", "s2_claims_claim_header", "s2_claims_claim_payment"],
+    ),
+    tags=("healthcare", "agg", "finance"),
+)
+def hq31_pmpm_cost_trend(t):
+    """Per-member-per-month (PMPM) cost trend — the managed-care
+    finance metric the eligibility-month grain exists for
+    (`StarSchemaForHealthcare.sql:286-296`): active member-months per
+    enrollment month joined to that month's paid claims, PMPM = paid /
+    member-months. Months with enrollment but no claims surface with
+    PMPM 0 (left join), which is the reporting contract. Money folds
+    in DECIMAL (exact, order-free) and casts to double once; the PMPM
+    division is the only other float. Scale: two map-side-combined
+    rollups joined on a calendar-bounded month key."""
+    s = hc(t)
+    mm = (
+        s["s1_elig_enrollment"]
+        .filter(F.col("IsActive"))
+        .groupBy(F.col("EnrollmentMonth").alias("month"))
+        .agg(F.count(F.lit(1)).alias("member_months"))
+    )
+    paid = (
+        s["s2_claims_claim_header"]
+        .join(s["s2_claims_claim_payment"], "ClaimID")
+        .groupBy(
+            F.date_trunc("month", F.col("ClaimDate")).cast("date").alias("p_month")
+        )
+        .agg(F.sum(money("PaidAmount")).alias("total_paid"))
+    )
+    zero = F.lit(0).cast("double")
+    return (
+        mm.join(paid, mm.month == paid.p_month, "left")
+        .select(
+            "month",
+            "member_months",
+            F.coalesce(F.col("total_paid").cast("double"), zero).alias(
+                "total_paid"
+            ),
+            (
+                F.coalesce(F.col("total_paid").cast("double"), zero)
+                / F.col("member_months").cast("double")
+            ).alias("pmpm"),
+        )
+        .orderBy("month")
     )

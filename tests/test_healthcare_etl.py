@@ -104,3 +104,42 @@ def test_write_star_partitioned_roundtrip(spark, tmp_path):
     assert pruned.count() == dw["fact_claims_line"].filter(
         (F.col("ServiceDateSK") / 10000).cast("int") == 2025
     ).count()
+
+
+def test_hq30_readmission_flags_planted_cases(spark):
+    """The default fixture contains zero readmissions, so the oracle
+    gate alone never exercises the flag; plant the cases here. Member
+    1: discharge Jan-10, next admit Jan-25 (day 15 -> READMIT). Member
+    2: next admit 60 days out (no). Member 3: exactly day 30 boundary
+    (READMIT, inclusive). Member 4: single stay. An outpatient row
+    must be ignored entirely."""
+    import datetime as dt
+
+    from data_engineer_project_spark.queries.healthcare import (
+        readmission_rollup,
+    )
+
+    D = dt.date
+    rows = [
+        # (EncounterID, MemberID, EncounterType, AdmitDate, DischargeDate, FacilityPOSCode)
+        (1, 1, "INPATIENT", D(2025, 1, 1), D(2025, 1, 10), "21"),
+        (2, 1, "INPATIENT", D(2025, 1, 25), D(2025, 1, 28), "21"),
+        (3, 2, "INPATIENT", D(2025, 1, 1), D(2025, 1, 5), "21"),
+        (4, 2, "INPATIENT", D(2025, 3, 10), D(2025, 3, 12), "21"),
+        (5, 3, "INPATIENT", D(2025, 2, 1), D(2025, 2, 3), "22"),
+        (6, 3, "INPATIENT", D(2025, 3, 5), D(2025, 3, 7), "22"),  # day 30
+        (7, 4, "INPATIENT", D(2025, 4, 1), D(2025, 4, 2), "22"),
+        (8, 5, "OUTPATIENT", D(2025, 4, 1), None, "23"),
+    ]
+    enc = spark.createDataFrame(
+        rows,
+        "EncounterID int, MemberID int, EncounterType string, "
+        "AdmitDate date, DischargeDate date, FacilityPOSCode string",
+    )
+    got = {r.FacilityPOSCode: r for r in readmission_rollup(enc).collect()}
+    assert set(got) == {"21", "22"}  # outpatient facility absent
+    # facility 21: encounters 1,2,3,4 -> discharges 4, readmits 1 (enc 1)
+    assert (got["21"].n_discharges, got["21"].n_readmissions) == (4, 1)
+    # facility 22: encounters 5,6,7 -> readmit 1 (enc 5, inclusive day 30)
+    assert (got["22"].n_discharges, got["22"].n_readmissions) == (3, 1)
+    assert got["22"].readmit_rate == 1 / 3
