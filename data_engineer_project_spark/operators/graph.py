@@ -93,6 +93,11 @@ def connected_components(
         # and adopt it (always <= comp). Left join + coalesce keeps the
         # row even if a label were not a labeled node (cannot happen —
         # labels are min() over node ids — but cheap insurance).
+        # (A second jump per round was measured in round 6 and
+        # REJECTED: rounds stayed exactly 13 on m10's sf0.1 graphs —
+        # after one jump the pointer graph is already flat, so the
+        # frontier is edge-propagation-bound and the extra label
+        # self-join only added ~60% wall time.)
         lut = hop.select(
             F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
         )
