@@ -4933,3 +4933,163 @@ def d60_semdedup(t):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "d61_decontamination_span_masking",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    sh3 AS (
+      SELECT doc_id, i,
+             wd || ' ' || lead(wd, 1) OVER win || ' ' || lead(wd, 2) OVER win
+               AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd, 2) OVER win IS NOT NULL
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh3),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    test_sh AS (
+      SELECT DISTINCT s.shingle
+      FROM shd s JOIN informative USING (shingle)
+      WHERE ({_ORACLE_BUCKET.replace('doc_id', 's.doc_id')}) >= 90
+    ),
+    hits AS (
+      SELECT s.doc_id, s.i
+      FROM sh3 s JOIN test_sh USING (shingle)
+      WHERE ({_ORACLE_BUCKET.replace('doc_id', 's.doc_id')}) < 80
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, i + off AS p
+      FROM hits, unnest([0, 1, 2]) AS t(off)
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM pos
+    ),
+    spans AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(span_len) AS BIGINT) AS masked_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    ),
+    train AS (
+      SELECT doc_id, lang,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE ({_ORACLE_BUCKET}) < 80
+    )
+    SELECT tr.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(CASE WHEN pd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_touched,
+           CAST(SUM(COALESCE(pd.n_spans, 0)) AS BIGINT) AS n_spans,
+           CAST(SUM(COALESCE(pd.masked_tokens, 0)) AS BIGINT) AS masked_tokens,
+           CAST(SUM(tr.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(pd.masked_tokens, 0)) AS DOUBLE)
+             / CAST(SUM(tr.n_tokens) AS DOUBLE) AS frac_masked
+    FROM train tr LEFT JOIN per_doc pd ON pd.doc_id = tr.doc_id
+    GROUP BY tr.lang ORDER BY tr.lang
+    """,
+    tags=("llm", "eval", "dedup"),
+)
+def d61_decontamination_span_masking(t):
+    """SURGICAL span-level decontamination — the loss-masking
+    alternative to d55's whole-doc removal: instead of dropping every
+    train doc that overlaps the held-out split, mask ONLY the
+    contaminated token spans. Every train-doc occurrence of an
+    informative 3-shingle that also appears in any test doc marks its
+    3 word positions; overlapping/adjacent positions merge into spans
+    via gaps-and-islands (position − row_number constant within a
+    run); per-lang accounting reports docs touched, span count,
+    masked vs total tokens. The trainer zeroes the loss on masked
+    spans and keeps the rest of the doc — recovering the training
+    signal d55 throws away with the bathwater (compare: d55 removes
+    whole docs; here the same leak costs only its actual tokens).
+
+    Scale shape: shingle building is the audited positional-lead
+    form; the test-shingle set is the df ≤ 50 informative sliver
+    (corpus-linear inverted index, same as d25/d55); the hits join
+    touches only colliding positions; the islands window partitions
+    per doc over HIT positions only (bounded by doc length). The
+    final rollup is a broadcast-size left join per lang."""
+    b = F.expr(_SPARK_BUCKET)
+    w = t.documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("i", "wd")
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    sh3 = tracked_persist(
+        w.select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ", "wd", F.lead("wd", 1).over(win), F.lead("wd", 2).over(win)
+            ).alias("shingle"),
+            F.lead("wd", 2).over(win).alias("_w2"),
+        )
+        .filter(F.col("_w2").isNotNull())
+        .drop("_w2")
+    )
+    shd = sh3.select("doc_id", "shingle").distinct()
+    informative = (
+        shd.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= 50) & (F.col("df") > 1))
+        .select("shingle")
+    )
+    test_sh = (
+        shd.join(informative, "shingle")
+        .filter(b >= 90)
+        .select("shingle")
+        .distinct()
+    )
+    hits = sh3.filter(b < 80).join(test_sh, "shingle").select("doc_id", "i")
+    pos = (
+        hits.select(
+            "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"), "i"
+        )
+        .select("doc_id", (F.col("i") + F.col("off")).alias("p"))
+        .distinct()
+    )
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    isl = pos.withColumn("grp", F.col("p") - F.row_number().over(wp))
+    spans = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("span_len"))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("masked_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    train = t.documents.filter(b < 80).select(
+        "doc_id", "lang", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    j = train.join(
+        F.broadcast(per_doc.withColumnRenamed("doc_id", "pd_id")),
+        train.doc_id == F.col("pd_id"),
+        "left",
+    )
+    touched = F.col("pd_id").isNotNull()
+    zero = F.lit(0).cast("long")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(touched.cast("long")).alias("n_docs_touched"),
+            F.sum(F.coalesce("n_spans", zero)).alias("n_spans"),
+            F.sum(F.coalesce("masked_tokens", zero)).alias("masked_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.coalesce("masked_tokens", zero)).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("frac_masked"),
+        )
+        .orderBy("lang")
+    )
