@@ -5093,3 +5093,123 @@ def d61_decontamination_span_masking(t):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "e18_funnel_latency_percentiles",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id, v.t_view
+    ),
+    p AS (
+      SELECT e.user_id, c.t_click, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id, c.t_click
+    ),
+    lat AS (
+      SELECT 'view_to_click' AS stage, user_id,
+             CAST(epoch_us(t_click) - epoch_us(t_view) AS BIGINT) AS lat_us
+      FROM c
+      UNION ALL
+      SELECT 'click_to_purchase', user_id,
+             CAST(epoch_us(t_purchase) - epoch_us(t_click) AS BIGINT)
+      FROM p
+    ),
+    ranked AS (
+      SELECT stage, lat_us,
+             row_number() OVER (PARTITION BY stage ORDER BY lat_us, user_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY stage) AS n
+      FROM lat
+    )
+    SELECT stage,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN lat_us END) AS p25_us,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_us END) AS p50_us,
+           MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat_us END) AS p90_us,
+           CAST(MAX(CASE WHEN rn = n THEN lat_us END) AS BIGINT) AS max_us
+    FROM ranked
+    GROUP BY stage
+    ORDER BY stage
+    """,
+    tags=("events", "funnel", "stats"),
+)
+def e18_funnel_latency_percentiles(t):
+    """Funnel CONVERSION-LATENCY distribution — the product-analytics
+    question e07's stage counts set up but never answer: for users who
+    progressed, how long did each transition take? Latencies are exact
+    integer microseconds (epoch_us differences of the stage-N minimum
+    timestamps), and the p25/p50/p90/max are d41's integer-rank
+    PERCENTILE_DISC — rank ceil(p·n) via ``(n·p + 99) div 100``, no
+    float interpolation to drift cross-engine, user_id tiebreak for a
+    total order. Composes the two audited shapes: e07's monotonically-
+    shrinking stage joins feed d41's bounded rank windows (partitioned
+    by the 2-value stage key over converting users only)."""
+    e = t.events
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = c.select(
+        F.lit("view_to_click").alias("stage"),
+        "user_id",
+        (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("lat_us"),
+    ).unionByName(
+        p.select(
+            F.lit("click_to_purchase").alias("stage"),
+            "user_id",
+            (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias(
+                "lat_us"
+            ),
+        )
+    )
+    w = Window.partitionBy("stage").orderBy("lat_us", "user_id")
+    ranked = lat.select(
+        "stage",
+        "lat_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("stage")).alias("n"),
+    )
+
+    def at(pct):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {pct} + 99) div 100"),
+                F.col("lat_us"),
+            )
+        )
+
+    return (
+        ranked.groupBy("stage")
+        .agg(
+            F.max("n").alias("n_users"),
+            at(25).alias("p25_us"),
+            at(50).alias("p50_us"),
+            at(90).alias("p90_us"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("lat_us"))).alias(
+                "max_us"
+            ),
+        )
+        .orderBy("stage")
+    )
