@@ -1407,3 +1407,111 @@ def hq31_pmpm_cost_trend(t):
         )
         .orderBy("month")
     )
+
+
+@query(
+    "hq32_gap_closure_velocity",
+    _oracle(
+        """
+        , closed AS (
+          SELECT g.MeasureID,
+                 CAST(date_diff('day', g.PeriodStart, g.ClosedDate) AS BIGINT)
+                   AS days_to_close,
+                 g.GapID
+          FROM s3_cca_care_gap g WHERE g.Status = 'CLOSED'
+        ),
+        ranked AS (
+          SELECT MeasureID, days_to_close,
+                 row_number() OVER (PARTITION BY MeasureID
+                                    ORDER BY days_to_close, GapID) AS rn,
+                 COUNT(*) OVER (PARTITION BY MeasureID) AS n
+          FROM closed
+        ),
+        med AS (
+          SELECT MeasureID,
+                 CAST(MAX(n) AS BIGINT) AS n_closed,
+                 MAX(CASE WHEN rn = (n * 50 + 99) // 100
+                     THEN days_to_close END) AS median_days
+          FROM ranked GROUP BY MeasureID
+        ),
+        tot AS (
+          SELECT g.MeasureID, qm.MeasureName,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(CASE WHEN g.Status = 'OPEN' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_open
+          FROM s3_cca_care_gap g
+          JOIN s3_cca_quality_measure qm USING (MeasureID)
+          GROUP BY g.MeasureID, qm.MeasureName
+        )
+        SELECT tot.MeasureName, tot.n_gaps, tot.n_open,
+               COALESCE(med.n_closed, 0) AS n_closed,
+               med.median_days,
+               CAST(COALESCE(med.n_closed, 0) AS DOUBLE)
+                 / CAST(tot.n_gaps AS DOUBLE) AS closure_rate
+        FROM tot LEFT JOIN med ON med.MeasureID = tot.MeasureID
+        ORDER BY tot.MeasureName
+        """,
+        ["s3_cca_care_gap", "s3_cca_quality_measure"],
+    ),
+    tags=("healthcare", "quality", "stats"),
+)
+def hq32_gap_closure_velocity(t):
+    """Care-gap closure VELOCITY per quality measure — the
+    care-management operations metric Q8's open-gap counts
+    (`CareManagementCCA.sql:305-313`) set up but never finish: how
+    fast do gaps actually close? Per measure: total/open/closed
+    counts, the MEDIAN days from period start to closure (d41's
+    integer-rank PERCENTILE_DISC — rank ceil(n/2) via integer
+    arithmetic, GapID tiebreak), and the closure rate (one
+    bigint/bigint division). Measures with no closures report NULL
+    median and rate 0 via the left join — absence is visible, not
+    dropped."""
+    s = hc(t)
+    gaps = s["s3_cca_care_gap"]
+    closed = gaps.filter(F.col("Status") == "CLOSED").select(
+        "MeasureID",
+        F.datediff(F.col("ClosedDate"), F.col("PeriodStart"))
+        .cast("long")
+        .alias("days_to_close"),
+        "GapID",
+    )
+    w = Window.partitionBy("MeasureID").orderBy("days_to_close", "GapID")
+    ranked = closed.select(
+        "MeasureID",
+        "days_to_close",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("MeasureID")).alias("n"),
+    )
+    med = ranked.groupBy("MeasureID").agg(
+        F.max("n").alias("n_closed"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 50 + 99) div 100"),
+                F.col("days_to_close"),
+            )
+        ).alias("median_days"),
+    )
+    tot = (
+        gaps.join(s["s3_cca_quality_measure"], "MeasureID")
+        .groupBy("MeasureID", "MeasureName")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum((F.col("Status") == "OPEN").cast("long")).alias("n_open"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        tot.join(F.broadcast(med), "MeasureID", "left")
+        .select(
+            "MeasureName",
+            "n_gaps",
+            "n_open",
+            F.coalesce("n_closed", zero).alias("n_closed"),
+            "median_days",
+            (
+                F.coalesce("n_closed", zero).cast("double")
+                / F.col("n_gaps").cast("double")
+            ).alias("closure_rate"),
+        )
+        .orderBy("MeasureName")
+    )
