@@ -716,3 +716,72 @@ def m12_crossmodal_dup_consensus(t):
         )
         .orderBy("lang", "text_dup", "image_dup")
     )
+
+
+@query(
+    "m13_payload_integrity_quarantine",
+    """
+    WITH m AS (
+      SELECT doc_id, lang,
+             list_extract(['png','jpeg','webp'],
+                          CAST(doc_id % 3 + 1 AS INT)) AS media_format,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    chk AS (
+      SELECT lang, media_format, n_bytes,
+             CASE WHEN doc_id % 37 = 0 THEN n_bytes // 2
+                  ELSE n_bytes END AS actual_bytes
+      FROM m
+    )
+    SELECT lang, media_format,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN actual_bytes <> n_bytes THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN actual_bytes <> n_bytes THEN n_bytes
+                    ELSE 0 END) AS BIGINT) AS bytes_quarantined
+    FROM chk
+    GROUP BY lang, media_format
+    ORDER BY lang, media_format
+    """,
+    tags=("multimodal", "quality"),
+)
+def m13_payload_integrity_quarantine(t):
+    """Payload-integrity quarantine — the validation gate a multimodal
+    intake pipeline runs before any decode: a payload whose ACTUAL
+    byte length disagrees with its declared metadata (n_bytes, and
+    therefore the height = ceil(bytes/width) contract) is quarantined,
+    not decoded — truncated uploads crash or, worse, silently produce
+    garbage features. The corpus has no real corruption, so — the
+    d39/s11 planted-case convention — docs with doc_id % 37 == 0 are
+    deterministically TRUNCATED to half their bytes on the Spark side
+    (a real binary substring of the payload), and the engine measures
+    octet_length of the damaged blob against the intact metadata; the
+    oracle models the same lengths arithmetically. Per (lang, format):
+    doc counts, corrupt counts, and quarantined byte mass.
+
+    Scale shape: the check is a row-local integer comparison inside
+    whole-stage codegen (no Python, no decode); the rollup collapses
+    to langs × formats keys map-side."""
+    from data_engineer_project_spark.operators.multimodal import attach_media
+
+    media = attach_media(t.documents)
+    damaged = media.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
+        ).otherwise(F.col("media")),
+    )
+    ok = F.octet_length("payload") == F.col("n_bytes")
+    return (
+        damaged.groupBy("lang", "media_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~ok).cast("long")).alias("n_corrupt"),
+            F.sum(F.when(~ok, F.col("n_bytes")).otherwise(0)).alias(
+                "bytes_quarantined"
+            ),
+        )
+        .orderBy("lang", "media_format")
+    )
