@@ -5213,3 +5213,79 @@ def e18_funnel_latency_percentiles(t):
         )
         .orderBy("stage")
     )
+
+
+# Synthetic stand-in blocklist: real pipelines load thousands of terms
+# from a policy file; these corpus-present words exercise every code
+# path (multi-hit docs, zero-hit docs, per-term attribution).
+_BLOCKLIST = ("merge", "window", "scan")
+_BLOCK_MAX_HITS = 2  # drop a doc at >= this many blocklisted TOKENS
+
+_BL_SQL = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+
+
+@query(
+    "d62_blocklist_safety_filter",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) FILTER (wd IN ({_BL_SQL})) AS BIGINT) AS n_hits,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM w GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits >= {_BLOCK_MAX_HITS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN n_hits < {_BLOCK_MAX_HITS} THEN n_words
+                    ELSE 0 END) AS BIGINT) AS kept_words,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST(MIN(CASE WHEN n_hits >= {_BLOCK_MAX_HITS} THEN doc_id END)
+                AS BIGINT) AS sample_dropped
+    FROM hits GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "safety", "quality"),
+)
+def d62_blocklist_safety_filter(t):
+    """Term-blocklist safety filtering — the policy-compliance stage
+    (NSFW/spam/PII-keyword exclusion) every production corpus passes
+    before training: tokens are matched against a blocklist, documents
+    reaching the hit threshold are dropped, and per-lang accounting
+    reports drop counts, surviving token mass, total hit volume, and a
+    sample dropped id (pinning the DECISION, not just its size). The
+    blocklist here is a 3-term synthetic stand-in chosen to exercise
+    multi-hit, zero-hit, and threshold-boundary docs; production swaps
+    in the policy file and, at 10⁴+ terms, replaces the IN-list with a
+    broadcast join against the term table — same plan shape as s14's
+    policy gate.
+
+    Scale shape: one explode + a per-doc map-side-combining count
+    (the filter predicate is a codegen'd IN over a literal set — no
+    join, no Python), then a ≤ langs-key rollup. Corpus-linear,
+    shuffle keyed by doc id only."""
+    bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    w = t.documents.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("wd")
+    )
+    hits = w.groupBy("doc_id", "lang").agg(
+        F.sum(F.array_contains(bl, F.col("wd")).cast("long")).alias("n_hits"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    drop = F.col("n_hits") >= _BLOCK_MAX_HITS
+    return (
+        hits.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(drop.cast("long")).alias("n_dropped"),
+            F.sum(F.when(~drop, F.col("n_words")).otherwise(0)).alias(
+                "kept_words"
+            ),
+            F.sum("n_hits").alias("total_hits"),
+            F.min(F.when(drop, F.col("doc_id"))).alias("sample_dropped"),
+        )
+        .orderBy("lang")
+    )
