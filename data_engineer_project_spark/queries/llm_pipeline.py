@@ -5289,3 +5289,56 @@ def d62_blocklist_safety_filter(t):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "e19_top_user_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER win AS t2,
+             lead(event_type, 2) OVER win AS t3
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path
+      FROM o WHERE t3 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 15
+    """,
+    tags=("events", "sequence", "topk"),
+)
+def e19_top_user_paths(t):
+    """Top-k 3-step behavioral paths — sequence mining one order
+    deeper than e12's transition matrix: every consecutive
+    (event, next, next-next) triple per user (ts + event_id total
+    order), counted corpus-wide, top 15 deterministically (count
+    desc, path asc). The product-analytics view that distinguishes
+    'view > click > purchase' journeys from 'view > view > view'
+    loops, which a first-order matrix provably cannot (it forgets
+    where the chain came from).
+
+    Scale shape: ONE window pass per user (the e03/e12 sessionization
+    shuffle, per-user partitions bounded by activity), then a
+    groupBy whose key domain is ≤ types³ — partial aggregation
+    collapses each partition to that bounded key set before the
+    shuffle, and top-k plans as TakeOrderedAndProject, never a global
+    sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t.events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        o.select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(15)
+    )
