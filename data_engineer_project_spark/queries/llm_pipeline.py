@@ -5342,3 +5342,116 @@ def e19_top_user_paths(t):
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(15)
     )
+
+
+@query(
+    "d63_split_drift_ks",
+    f"""
+    WITH s AS (
+      SELECT lang, n_chars, doc_id,
+             CASE WHEN ({_ORACLE_BUCKET}) < 80 THEN 1 ELSE 0 END AS is_train,
+             CASE WHEN ({_ORACLE_BUCKET}) >= 90 THEN 1 ELSE 0 END AS is_test
+      FROM documents
+      WHERE ({_ORACLE_BUCKET}) < 80 OR ({_ORACLE_BUCKET}) >= 90
+    ),
+    tot AS (
+      SELECT lang,
+             CAST(SUM(is_train) AS BIGINT) AS n_train,
+             CAST(SUM(is_test) AS BIGINT) AS n_test
+      FROM s GROUP BY lang
+    ),
+    run AS (
+      SELECT s.lang,
+             SUM(s.is_train) OVER (PARTITION BY s.lang
+                                   ORDER BY s.n_chars, s.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS a,
+             SUM(s.is_test) OVER (PARTITION BY s.lang
+                                  ORDER BY s.n_chars, s.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS b
+      FROM s
+    ),
+    dev AS (
+      SELECT run.lang,
+             MAX(abs(run.a * tot.n_test - run.b * tot.n_train)) AS max_cross
+      FROM run JOIN tot ON run.lang = tot.lang
+      GROUP BY run.lang
+    )
+    SELECT tot.lang, tot.n_train, tot.n_test,
+           CAST(dev.max_cross AS BIGINT) AS ks_cross,
+           CAST(dev.max_cross AS DOUBLE)
+             / (CAST(tot.n_train AS DOUBLE) * CAST(tot.n_test AS DOUBLE))
+             AS ks_stat
+    FROM tot JOIN dev ON dev.lang = tot.lang
+    ORDER BY tot.lang
+    """,
+    tags=("llm", "eval", "stats"),
+)
+def d63_split_drift_ks(t):
+    """Split-drift health check: the exact two-sample
+    Kolmogorov–Smirnov statistic between the train and test splits'
+    length distributions, per language — a drifted split (test docs
+    systematically longer/shorter than train) invalidates eval
+    comparisons before a single token is trained on. The KS supremum
+    is computed in EXACT integer arithmetic: at each length-ordered
+    step, |a·n_test − b·n_train| (a, b = running split counts) is the
+    cross-multiplied deviation, its max divides ONCE by n_train·n_test
+    — no per-row float CDFs whose accumulation could drift
+    cross-engine. Same content-addressed split as d18/d55, so the
+    statistic is reproducible on any engine, any re-shard.
+
+    Scale shape: one window pass ordered by (n_chars, doc_id) within
+    each language — d41's caveat applies verbatim (percentile/CDF
+    extraction genuinely needs a per-language global order; the
+    honest 100 TB form is sort-within-language); everything after the
+    window is a map-side-combining max per ≤ #langs keys."""
+    b = F.expr(_SPARK_BUCKET)
+    s = t.documents.filter((b < 80) | (b >= 90)).select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        (b < 80).cast("long").alias("is_train"),
+        (b >= 90).cast("long").alias("is_test"),
+    )
+    tot = s.groupBy("lang").agg(
+        F.sum("is_train").alias("n_train"),
+        F.sum("is_test").alias("n_test"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = s.select(
+        "lang",
+        F.sum("is_train").over(w).alias("a"),
+        F.sum("is_test").over(w).alias("b"),
+    )
+    dev = (
+        run.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("a") * F.col("n_test")
+                    - F.col("b") * F.col("n_train")
+                )
+            ).alias("max_cross")
+        )
+    )
+    return (
+        tot.join(dev, "lang")
+        .select(
+            "lang",
+            "n_train",
+            "n_test",
+            F.col("max_cross").cast("long").alias("ks_cross"),
+            (
+                F.col("max_cross").cast("double")
+                / (
+                    F.col("n_train").cast("double")
+                    * F.col("n_test").cast("double")
+                )
+            ).alias("ks_stat"),
+        )
+        .orderBy("lang")
+    )
