@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_engineer_project_spark.operators.cache import tracked_persist
+
 # one row per upper-triangle Gram cell (j >= i) plus, per batch, the
 # quantized column sums encoded as j = -1 rows — both from ONE scan
 _PARTIAL_SCHEMA = "i int, j int, val long, n long"
@@ -116,8 +118,15 @@ def quantized_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     divides once — bit-identical on any engine.
     """
     parts = quantized_gram_partials(emb, vec_col)
-    tot = parts.groupBy("i", "j").agg(
-        F.sum("val").alias("val"), F.sum("n").alias("n")
+    # Persist the d²-sized aggregate: four plan consumers fork off it
+    # (n_max guard, Gram cells, and both column-sum sides), and without
+    # a persist each fork re-executes the full mapInPandas corpus scan.
+    # The cached frame is tiny (d² + d rows) — the expensive Gram
+    # partials compute exactly once per action.
+    tot = tracked_persist(
+        parts.groupBy("i", "j").agg(
+            F.sum("val").alias("val"), F.sum("n").alias("n")
+        )
     )
     # Cross-batch dimension drift is invisible to the per-batch guard
     # when each task happens to see only same-width vectors (e.g. the
@@ -126,8 +135,9 @@ def quantized_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     # silently diverge — a corrupted covariance, not a crash. With a
     # consistent dimension EVERY cell aggregates every batch, so all n
     # are equal; enforce that invariant JVM-side and fail loud. The
-    # assert lives in a filter so column pruning can't drop it; cost is
-    # one 1-row broadcast over d² rows.
+    # assert lives in a filter so column pruning can't drop it; with
+    # ``tot`` persisted above, the guard subquery reads the cached
+    # d²-row aggregate (one 1-row broadcast), not a fresh corpus scan.
     n_max = tot.agg(F.max("n").alias("__n_max"))
     tot = (
         tot.crossJoin(F.broadcast(n_max))

@@ -3991,9 +3991,12 @@ def d55_clean_train_split(t):
     overlap join corpus-linear, and the final anti-join-shaped LEFT
     JOIN touches only the leaky-id set (far smaller than train).
 
-    Scale note: at 100 TB the leaky set is the join's broadcast side
-    (contaminated train docs are a sliver of train); the per-lang
-    rollup is map-side-combined."""
+    Scale note: the leaky set's size is a property of the data, not
+    the query — a contaminated crawl (the exact case decontamination
+    exists for) makes it corpus-proportional, so the join carries no
+    forced broadcast hint: AQE broadcasts it when it is actually
+    small and falls back to a sort-merge join on doc_id otherwise.
+    The per-lang rollup is map-side-combined."""
     b = F.expr(_SPARK_BUCKET)
     sh = tracked_persist(
         DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct()
@@ -4020,9 +4023,10 @@ def d55_clean_train_split(t):
     tr = t.documents.filter(b < 80).select(
         "doc_id", "lang", T.token_count("text").alias("nw")
     )
-    j = tr.join(
-        F.broadcast(leaky), tr.doc_id == leaky.train_doc, "left"
-    )
+    # No broadcast hint: the leaky set is data-dependent (a contaminated
+    # crawl makes it corpus-proportional).  AQE still broadcasts it when
+    # it is actually small; otherwise this is a fine sort-merge on doc_id.
+    j = tr.join(leaky, tr.doc_id == leaky.train_doc, "left")
     removed = F.col("train_doc").isNotNull()
     return j.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_train"),
@@ -4260,7 +4264,8 @@ def d56_end_to_end_curation(t):
 
     Scale shape inherits each stage's audited form: the shingle
     overlap join is inverted-index (df ≤ 50) corpus-linear; leaky is
-    a broadcast anti-join; redaction is row-local; chunk keep-first
+    an unhinted anti-join (AQE broadcasts iff small — the set is
+    data-dependent); redaction is row-local; chunk keep-first
     is the partial-aggregatable min(struct) (no window over hot
     chunks); mixture thresholds derive from a histogram-scale
     aggregate; the only windows run inside bounded corpus-derived
@@ -4292,8 +4297,10 @@ def d56_end_to_end_curation(t):
         .select("train_doc")
         .distinct()
     )
+    # No broadcast hint on the data-dependent leaky set (see d55): AQE
+    # broadcasts it when small, shuffle-anti-join otherwise.
     clean = docs.filter(b < 80).join(
-        F.broadcast(leaky),
+        leaky,
         docs.doc_id == leaky.train_doc,
         "left_anti",
     )
@@ -4813,7 +4820,11 @@ def e17_anomaly_episodes(t):
             "event_type",
             "hour",
             "cnt",
-            (F.unix_timestamp("hour") / 3600).cast("long").alias("hidx"),
+            # Exact integer division (no double roundtrip).  Both Spark's
+            # `div` and DuckDB's `//` truncate toward zero (verified:
+            # -3601 // 3600 = -1 in DuckDB), so the engines agree for
+            # every epoch, including pre-1970 negatives.
+            F.expr("unix_timestamp(hour) div 3600").alias("hidx"),
         )
     )
     w = Window.partitionBy("event_type").orderBy("hidx")
@@ -4917,8 +4928,11 @@ def d60_semdedup(t):
     docs = t.documents.select("doc_id", "lang").join(
         emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
     )
+    # No broadcast hint: SemDeDup's dropped set is corpus-proportional by
+    # design (the paper prunes up to ~50% of docs) — forcing a broadcast
+    # here is an OOM at scale.  AQE picks broadcast only when it fits.
     j = docs.join(
-        F.broadcast(dropped.withColumnRenamed("vec_id", "dr_id")),
+        dropped.withColumnRenamed("vec_id", "dr_id"),
         docs.doc_id == F.col("dr_id"),
         "left",
     )
@@ -5022,7 +5036,10 @@ def d61_decontamination_span_masking(t):
     (corpus-linear inverted index, same as d25/d55); the hits join
     touches only colliding positions; the islands window partitions
     per doc over HIT positions only (bounded by doc length). The
-    final rollup is a broadcast-size left join per lang."""
+    touched-doc rollup join carries no forced broadcast hint — the
+    per_doc set is data-dependent (heavy contamination makes it
+    corpus-proportional), so AQE decides; the per-lang rollup is
+    map-side-combined."""
     b = F.expr(_SPARK_BUCKET)
     w = t.documents.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("i", "wd")
@@ -5071,8 +5088,10 @@ def d61_decontamination_span_masking(t):
     train = t.documents.filter(b < 80).select(
         "doc_id", "lang", T.token_count("text").cast("long").alias("n_tokens")
     )
+    # No broadcast hint on the data-dependent touched-doc set (a heavily
+    # contaminated corpus makes per_doc corpus-proportional); AQE decides.
     j = train.join(
-        F.broadcast(per_doc.withColumnRenamed("doc_id", "pd_id")),
+        per_doc.withColumnRenamed("doc_id", "pd_id"),
         train.doc_id == F.col("pd_id"),
         "left",
     )

@@ -12,28 +12,25 @@ from pyspark.sql import functions as F
 
 from data_engineer_project_spark.queries import QUERIES
 
-SF = "/root/testdata/sf0.001"
-
-
-def _rows(spark, name, sf=SF):
+def _rows(spark, name, sf):
     return QUERIES[name].fn(spark, sf).collect()
 
 
 # ------------------------------------------------------------- d56
 
 
-def test_d56_conserves_docs_and_respects_upstream_stages(spark):
+def test_d56_conserves_docs_and_respects_upstream_stages(spark, sf_dir):
     """Cross-stage accounting: the per-shard doc counts must sum to a
     total that is (a) no more than the train-split size minus the
     d55-leaky removals, and (b) consistent with d42-style per-source
     keep thresholds — every surviving doc's bucket clears its source's
     threshold by construction, so re-deriving the bucket from doc_id
     via the shard count must place every shard within range."""
-    rows = _rows(spark, "d56_end_to_end_curation")
+    rows = _rows(spark, "d56_end_to_end_curation", sf_dir)
     assert rows, "pipeline must keep at least one doc on the fixture"
     total = sum(r.n_docs for r in rows)
     # stage-1/2 bound: d55 reports the decontaminated train split
-    d55 = {r.lang: r for r in _rows(spark, "d55_clean_train_split")}
+    d55 = {r.lang: r for r in _rows(spark, "d55_clean_train_split", sf_dir)}
     n_clean_train = sum(r.n_clean for r in d55.values())
     assert 0 < total <= n_clean_train
     # shard ids form a dense power-of-two range (d45's corpus-derived
@@ -50,7 +47,7 @@ def test_d56_conserves_docs_and_respects_upstream_stages(spark):
         assert r.kept_tokens > 0
 
 
-def test_d56_epoch_seed_changes_permutation_not_membership(spark):
+def test_d56_epoch_seed_changes_permutation_not_membership(spark, sf_dir):
     """The epoch seed must re-deal order/shards while keeping the
     SURVIVING DOC SET fixed: membership is decided by the five
     curation stages, the shuffle only permutes. Re-run the final stage
@@ -61,7 +58,7 @@ def test_d56_epoch_seed_changes_permutation_not_membership(spark):
     )
     from data_engineer_project_spark.sources.registry import load_tables
 
-    t = load_tables(spark, SF)
+    t = load_tables(spark, sf_dir)
     a = epoch_shuffle_profile(t.documents, "pinA|").collect()
     b = epoch_shuffle_profile(t.documents, "pinB|").collect()
     assert sum(r.n_docs for r in a) == sum(r.n_docs for r in b)
@@ -73,7 +70,7 @@ def test_d56_epoch_seed_changes_permutation_not_membership(spark):
 # ------------------------------------------------------------- s16
 
 
-def test_s16_multibatch_stream_equals_single_batch(spark, tmp_path):
+def test_s16_multibatch_stream_equals_single_batch(spark, tmp_path, sf_dir):
     """The front door's per-(source, lang) tallies must not depend on
     micro-batch slicing: splitting the arriving documents into 3 part
     files with one-file triggers must produce the same final complete-
@@ -97,14 +94,14 @@ def test_s16_multibatch_stream_equals_single_batch(spark, tmp_path):
 
     d = tmp_path / "doc_parts"
     d.mkdir()
-    tbl = pq.read_table(f"{SF}/documents.parquet")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
     step = (tbl.num_rows + 2) // 3
     for i in range(3):
         p = d / f"part-{i:03d}.parquet"
         pq.write_table(tbl.slice(i * step, step), p)
         os.utime(p, (1_700_000_000 + i * 10,) * 2)
 
-    t = load_tables(spark, SF)
+    t = load_tables(spark, sf_dir)
     b = F.expr(_S11_BUCKET)
     corpus = t.documents.withColumn("bucket", b).filter(F.col("bucket") < 50)
     cred = corpus.select(F.md5(_s16_redact()).alias("fp")).distinct()
@@ -153,7 +150,7 @@ def test_s16_multibatch_stream_equals_single_batch(spark, tmp_path):
         "complete",
     )
     single = run_to_memory_table(
-        door(read_document_stream(spark, SF)), "s16_single", "complete"
+        door(read_document_stream(spark, sf_dir)), "s16_single", "complete"
     )
     assert sorted(map(tuple, sliced.collect())) == sorted(
         map(tuple, single.collect())
@@ -163,7 +160,7 @@ def test_s16_multibatch_stream_equals_single_batch(spark, tmp_path):
 # ------------------------------------------------------------- d57
 
 
-def test_d57_codes_partition_the_corpus_and_are_nearest(spark):
+def test_d57_codes_partition_the_corpus_and_are_nearest(spark, sf_dir):
     """Every vector must receive exactly one code per subspace, codes
     lie in [0, K), and — re-derived with plain numpy, independently of
     the Spark assign machinery — each vector's assigned code is the
@@ -178,9 +175,9 @@ def test_d57_codes_partition_the_corpus_and_are_nearest(spark):
     )
     from data_engineer_project_spark.sources.registry import load_tables
 
-    t = load_tables(spark, SF)
+    t = load_tables(spark, sf_dir)
     n_vecs = t.embeddings.count()
-    rows = _rows(spark, "d57_pq_codebook")
+    rows = _rows(spark, "d57_pq_codebook", sf_dir)
     per_sub: dict[int, int] = {}
     for r in rows:
         assert 0 <= r.code < _PQ_K
@@ -216,7 +213,7 @@ def test_d57_codes_partition_the_corpus_and_are_nearest(spark):
 # ------------------------------------------------------------- d58
 
 
-def test_d58_adc_scores_and_topk_re_derive_with_numpy(spark):
+def test_d58_adc_scores_and_topk_re_derive_with_numpy(spark, sf_dir):
     """Re-derive the ENTIRE ADC path with plain numpy — codebook
     cosines, floor quantization, 4-lookup integer sums, in-cell
     candidate set, (score desc, id) top-3 — and demand exact agreement
@@ -236,8 +233,8 @@ def test_d58_adc_scores_and_topk_re_derive_with_numpy(spark):
     )
     from data_engineer_project_spark.sources.registry import load_tables
 
-    t = load_tables(spark, SF)
-    rows = _rows(spark, "d58_ivfpq_adc_topk")
+    t = load_tables(spark, sf_dir)
+    rows = _rows(spark, "d58_ivfpq_adc_topk", sf_dir)
     assert rows
     for r in rows:
         assert -_PQ_M <= r.adc_score <= _PQ_M
@@ -283,7 +280,7 @@ def test_d58_adc_scores_and_topk_re_derive_with_numpy(spark):
 # ------------------------------------------------------------- s17
 
 
-def test_s17_ivf_ingestion_multibatch_equals_batch(spark, tmp_path):
+def test_s17_ivf_ingestion_multibatch_equals_batch(spark, tmp_path, sf_dir):
     """The in-stream literal-argmax cell assignment must be slicing-
     invariant and equal the batch k-means assignment: stream the
     embeddings as 3 one-file micro-batches and compare the final
@@ -303,14 +300,14 @@ def test_s17_ivf_ingestion_multibatch_equals_batch(spark, tmp_path):
 
     d = tmp_path / "emb_parts"
     d.mkdir()
-    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     step = (tbl.num_rows + 2) // 3
     for i in range(3):
         p = d / f"part-{i:03d}.parquet"
         pq.write_table(tbl.slice(i * step, step), p)
         os.utime(p, (1_700_000_000 + i * 10,) * 2)
 
-    t = load_tables(spark, SF)
+    t = load_tables(spark, sf_dir)
     cents_df = SIM.kmeans_centroids(t.embeddings)
     cents = cents_df.collect()
     scored = F.array(
@@ -344,7 +341,7 @@ def test_s17_ivf_ingestion_multibatch_equals_batch(spark, tmp_path):
         "complete",
     )
     single = run_to_memory_table(
-        tally(read_embedding_stream(spark, SF)), "s17_single", "complete"
+        tally(read_embedding_stream(spark, sf_dir)), "s17_single", "complete"
     )
     want = (
         SIM.ivf_assign(t.embeddings, cents_df)

@@ -232,6 +232,129 @@ def test_d42_no_sort_merge_join(spark):
     assert "InMemoryTableScan" in plan  # the one-scan cached histogram
 
 
+def test_no_forced_broadcast_of_unbounded_frames():
+    """Scale-review gate for ``F.broadcast()`` hints (round-6 verdict:
+    the one genuine scale anti-pattern was forced broadcasts of
+    data-dependent doc-id sets — d55/d56's leaky, d60's dropped,
+    d61's per_doc, all corpus-proportional in the adversarial case).
+
+    Two assertions:
+    1. DENYLIST — the known data-dependent set names are never
+       broadcast-hinted anywhere in the package. AQE broadcasts them
+       when they are actually small; the hint would force an OOM on a
+       contaminated/duplicate-heavy corpus.
+    2. ALLOWLIST — every ``F.broadcast(<expr>)`` call site wraps a
+       variable whose (file, root-name) pair is in the vetted registry
+       below. Every entry was reviewed as bounded-cardinality: star/
+       snowflake dims, TPC-H dims and filtered part/supplier slices,
+       centroid/threshold/LUT/policy tables, scalar-stats aggregates,
+       and query sets. Adding a NEW broadcast hint requires adding its
+       pair here — i.e. consciously vetting that the frame's size is a
+       property of the QUERY (schema/constants), not of the data.
+    """
+    import ast
+    import pathlib
+
+    DENY = {"leaky", "dropped", "per_doc"}
+    ALLOW = {
+        ("operators/linalg.py", "n_max"),  # 1-row guard aggregate
+        ("operators/linalg.py", "sa"),  # d column sums
+        ("operators/linalg.py", "sb"),
+        ("operators/retrieval.py", "stats"),  # 1-row corpus stats
+        ("operators/similarity.py", "q"),  # bounded query set
+        ("operators/similarity.py", "c"),  # ~sqrt(N) centroids
+        ("operators/similarity.py", "q_assigned"),  # query-set-sized
+        ("plans/snowflake.py", "dim_payer"),
+        ("plans/snowflake.py", "dim_org"),
+        ("plans/snowflake.py", "dim_provider"),
+        ("plans/snowflake.py", "dim_specialty"),
+        ("plans/star.py", "dims"),  # dims[...] lookups
+        ("plans/star.py", "src"),  # date-dim source
+        ("queries/healthcare.py", "s"),  # star dims dict
+        ("queries/healthcare.py", "dw"),  # warehouse dims dict
+        ("queries/healthcare.py", "c"),  # top-cohort slice
+        ("queries/healthcare.py", "cr"),
+        ("queries/healthcare.py", "p"),
+        ("queries/healthcare.py", "ds"),
+        ("queries/healthcare.py", "med"),  # per-group medians
+        ("queries/llm_pipeline.py", "sketch_df"),  # 1-row sketch
+        ("queries/llm_pipeline.py", "s"),  # per-lang stats
+        ("queries/llm_pipeline.py", "tot"),  # scalar totals
+        ("queries/llm_pipeline.py", "nd"),  # per-lang doc counts
+        ("queries/llm_pipeline.py", "mn"),  # 1-row min
+        ("queries/llm_pipeline.py", "thr"),  # per-source thresholds
+        ("queries/llm_pipeline.py", "kept"),  # per-source keep set
+        ("queries/llm_pipeline.py", "shc"),  # per-source counts
+        ("queries/llm_pipeline.py", "sa"),  # source list
+        ("queries/llm_pipeline.py", "sb"),
+        ("queries/llm_pipeline.py", "ov"),  # source-pair overlaps
+        ("queries/llm_pipeline.py", "st"),  # per-type stats
+        ("queries/llm_pipeline.py", "cut"),  # per-source cutoffs
+        ("queries/llm_pipeline.py", "types"),  # event-type dim
+        ("queries/llm_pipeline.py", "cbook"),  # M*K PQ codebook
+        ("queries/llm_pipeline.py", "cent_df"),  # ~sqrt(N) centroids
+        ("queries/llm_pipeline.py", "lut"),  # queries x M x K LUT
+        ("queries/practice.py", "t"),  # small dim tables
+        ("queries/practice.py", "p"),
+        ("queries/practice.py", "n"),  # 1-row counts
+        ("queries/practice.py", "dim"),
+        ("queries/streaming_queries.py", "mn"),
+        ("queries/streaming_queries.py", "thr"),
+        ("queries/streaming_queries.py", "policy"),  # per-type policy
+        ("queries/tpch.py", "region"),
+        ("queries/tpch.py", "nat"),
+        ("queries/tpch.py", "cust"),
+        ("queries/tpch.py", "sup"),
+        ("queries/tpch.py", "supp"),
+        ("queries/tpch.py", "parts"),  # filtered part slice
+        ("queries/tpch.py", "part_type"),
+        ("queries/tpch.py", "p"),
+        ("queries/tpch.py", "t"),
+        ("queries/tpch.py", "n1"),
+        ("queries/tpch.py", "n2"),
+        ("queries/tpch.py", "cutoff"),  # 1-row quantile
+        ("queries/tpch.py", "total"),  # 1-row total
+        ("queries/tpch.py", "flagged"),  # q21-style filtered suppliers
+        ("queries/tpch.py", "dominating"),  # per-part max aggregate
+    }
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "data_engineer_project_spark"
+    offenders, denied = [], []
+    for py in sorted(pkg.rglob("*.py")):
+        rel = py.relative_to(pkg).as_posix()
+        for node in ast.walk(ast.parse(py.read_text())):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
+                continue
+            root = node.args[0]
+            while True:
+                if isinstance(root, ast.Call):
+                    root = root.func
+                elif isinstance(root, (ast.Attribute, ast.Subscript)):
+                    root = root.value
+                else:
+                    break
+            name = root.id if isinstance(root, ast.Name) else "<expr>"
+            if name in DENY:
+                denied.append((rel, node.lineno, name))
+            elif (rel, name) not in ALLOW:
+                offenders.append((rel, node.lineno, name))
+    assert not denied, (
+        f"forced broadcast of data-dependent sets (re-introduced the "
+        f"round-6 scale defect): {denied}"
+    )
+    assert not offenders, (
+        f"unvetted F.broadcast() sites — review that each wrapped frame "
+        f"is bounded by the query, not the data, then add (file, name) "
+        f"to the allowlist: {offenders}"
+    )
+
+
 def test_d45_window_partitioned_by_shard(spark):
     """The epoch-shuffle rank window must partition by shard (bounded
     spans), never run as one global window."""
