@@ -138,6 +138,24 @@ def main() -> None:
         runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     except ValueError:
         runs = 3
+    # Box-load hygiene (round-6 lesson: BENCH_r06 was taken on a loaded
+    # box and its inflated slots cost the round a clean like-for-like
+    # comparison). Record the 1-min loadavg before and after the run so
+    # the grader can discount noisy runs; flag when load exceeds 2x the
+    # core count at start.
+    n_cpus = os.cpu_count() or 1
+    load_before = round(os.getloadavg()[0], 2)
+    if load_before > 2 * n_cpus:
+        print(
+            json.dumps(
+                {
+                    "warning": "box load exceeds 2x cores; timings unreliable",
+                    "load_1min": load_before,
+                    "cpus": n_cpus,
+                }
+            ),
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in names:
@@ -163,6 +181,12 @@ def main() -> None:
                 "runs_per_query": runs,
                 "first_run_total": round(sum(first_run.values()), 3),
                 "first_run_queries": first_run,
+                "load": {
+                    "before_1min": load_before,
+                    "after_1min": round(os.getloadavg()[0], 2),
+                    "cpus": n_cpus,
+                    "overloaded": load_before > 2 * n_cpus,
+                },
             }
         )
     )

@@ -2756,7 +2756,7 @@ def d44_semantic_cluster_profile(t):
     corpus scan; the profile is one skinny (vec_id, cid) shuffle
     joined to documents on the id — no all-pairs stage anywhere."""
     emb = t.embeddings
-    cents = SIM.kmeans_centroids(emb)
+    cents = SIM.materialized_centroids(emb)
     asg = SIM.ivf_assign(emb, cents).select("vec_id", "cid")
     docs = t.documents.select("doc_id", "lang", "n_chars")
     joined = asg.join(docs, asg.vec_id == docs.doc_id, "inner")
@@ -4619,7 +4619,7 @@ def d58_ivfpq_adc_topk(t):
 
     emb = t.embeddings
     # coarse quantizer (d14 machinery)
-    coarse = SIM.kmeans_centroids(emb)
+    coarse = SIM.materialized_centroids(emb)
     asg = SIM.ivf_assign(emb, coarse).select("vec_id", "cid")
     qasg = (
         SIM.ivf_assign(emb.filter(F.col("vec_id") < 10), coarse)
@@ -4906,7 +4906,7 @@ def d60_semdedup(t):
     integer comparison, so the dropped set — not just its size — is
     pinned via sample_dropped."""
     emb = t.embeddings
-    cents = SIM.kmeans_centroids(emb)
+    cents = SIM.materialized_centroids(emb)
     asg = SIM.ivf_assign(emb, cents).select("vec_id", "cid")
     a = asg.select(F.col("vec_id").alias("id_a"), "cid")
     b = asg.select(F.col("vec_id").alias("id_b"), F.col("cid").alias("cid_b"))

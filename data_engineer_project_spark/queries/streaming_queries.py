@@ -827,7 +827,7 @@ def s17_stream_ivf_cell_ingestion(t):
     from data_engineer_project_spark.operators.similarity import cosine
     from data_engineer_project_spark.streaming import read_embedding_stream
 
-    cents = SIM.kmeans_centroids(t.embeddings).collect()
+    cents = SIM.materialized_centroids(t.embeddings).collect()
     scored = F.array(
         *[
             F.struct(

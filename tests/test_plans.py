@@ -232,6 +232,31 @@ def test_d42_no_sort_merge_join(spark):
     assert "InMemoryTableScan" in plan  # the one-scan cached histogram
 
 
+def test_materialized_centroids_reads_table_not_kmeans_lineage(spark, sf_dir):
+    """The IVF coarse quantizer is trained OFFLINE: consumers (s17
+    stream intake, d58 ADC coarse stage, ivf_topk) must read the
+    materialized centroid table, not re-run k-means per invocation.
+    Pin: after the first (training) call, a repeat call's plan is a
+    parquet FileScan of the centroid store — no Window / Generate /
+    aggregate lineage — and the rows are bit-equal to inline
+    training."""
+    from data_engineer_project_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = SIM.materialized_centroids(emb)  # trains + writes if absent
+    again = SIM.materialized_centroids(emb)
+    plan = again._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan and "centroid_store" in plan
+    for stage in ("Window", "Generate", "HashAggregate"):
+        assert stage not in plan, stage
+    want = sorted(
+        (r["cid"], tuple(r["cvec"])) for r in SIM.kmeans_centroids(emb).collect()
+    )
+    got = sorted((r["cid"], tuple(r["cvec"])) for r in again.collect())
+    assert got == want
+    assert sorted(map(tuple, first.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_no_forced_broadcast_of_unbounded_frames():
     """Scale-review gate for ``F.broadcast()`` hints (round-6 verdict:
     the one genuine scale anti-pattern was forced broadcasts of
