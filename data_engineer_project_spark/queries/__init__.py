@@ -47,13 +47,53 @@ _CONTRACT_CHANGED_ROUND = {
     "q12_late_shipment_priority": 6,
 }
 
+# Gate ROTATION (distinct from a contract change): queries whose
+# implementation materially changed in the listed round — same result
+# contract, same hashes, but the executing code is new, so prior
+# driver-green rows verified a superseded implementation and the
+# driver should re-confirm on current code. Round 7: d55/d56/d60/d61
+# dropped their forced broadcasts of data-dependent sets, e17 moved to
+# exact integer hour division, d51 persists the Gram aggregate, and
+# d14/d37/d44/d58/d60/s17 + the IVF path now read the materialized
+# centroid table instead of training inline. s02–s15 rotate through
+# because their only driver rows predate several rounds of shared-
+# machinery changes (round-6 verdict item 6).
+_REGATE_ROUND = {
+    "d14_ann_ivf": 7,
+    "d37_ann_ivf_nprobe2": 7,
+    "d44_semantic_cluster_profile": 7,
+    "d51_embedding_covariance": 7,
+    "d55_clean_train_split": 7,
+    "d56_end_to_end_curation": 7,
+    "d58_ivfpq_adc_topk": 7,
+    "d60_semdedup": 7,
+    "d61_decontamination_span_masking": 7,
+    "e17_anomaly_episodes": 7,
+    "s02_stream_sliding": 7,
+    "s03_stream_sessionization": 7,
+    "s04_stream_stateful_user_stats": 7,
+    "s05_stream_static_join": 7,
+    "s06_stream_stream_join": 7,
+    "s07_stream_dedup": 7,
+    "s08_stream_stream_left_outer": 7,
+    "s09_incremental_rollup": 7,
+    "s10_stream_quality_gate": 7,
+    "s11_stream_dedup_against_corpus": 7,
+    "s12_stream_append_final_windows": 7,
+    "s13_stream_mixture_gate": 7,
+    "s14_stream_rate_anomaly_gate": 7,
+    "s15_stream_ohlc_bars": 7,
+    "s17_stream_ivf_cell_ingestion": 7,
+}
+
 
 def _green_counts(repo_root=None) -> dict[str, int]:
     """Count driver-green rows per query across every CORRECTNESS_r*.json
     under ``repo_root`` (default: this repo's root). Pure given a root —
     tests exercise future-round shapes by pointing it at a tmp dir.
-    Green rows older than a query's _CONTRACT_CHANGED_ROUND entry are
-    ignored: they verified a superseded contract."""
+    Green rows older than a query's _CONTRACT_CHANGED_ROUND or
+    _REGATE_ROUND entry are ignored: they verified a superseded
+    contract or a superseded implementation."""
     counts: dict[str, int] = {}
     if repo_root is None:
         repo_root = _Path(__file__).resolve().parents[2]
@@ -71,7 +111,10 @@ def _green_counts(repo_root=None) -> dict[str, int]:
         for name, res in recorded.items():
             if not isinstance(res, dict):
                 continue
-            if file_round < _CONTRACT_CHANGED_ROUND.get(name, 0):
+            if file_round < max(
+                _CONTRACT_CHANGED_ROUND.get(name, 0),
+                _REGATE_ROUND.get(name, 0),
+            ):
                 continue
             # A declared rows-only query (err == "no_oracle") can never
             # hash-match; the driver ran it and it produced rows, which is
