@@ -125,6 +125,40 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
     run_query("d47_chunk_substring_dedup")
     run_query("d45_epoch_shuffle", lambda rows: {"n_shards": len(rows)})
 
+    # Round-7 addition: the composed curation DAGs. d56 chains five
+    # audited stages with two persisted intermediates — measure wall
+    # AND the peak persisted footprint (memory + disk across all
+    # cached RDDs, read before release_all) so the shingle
+    # tracked_persist's growth is a recorded number, not an assumption.
+    def d56():
+        def go():
+            rows = QUERIES["d56_end_to_end_curation"].fn(spark, sf_dir).collect()
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            cached = sum(i.memSize() + i.diskSize() for i in infos)
+            return {
+                "n_shards": len(rows),
+                "persisted_mb": round(cached / 1e6, 1),
+            }
+
+        sec, extra = timed(go)
+        out.append(
+            {
+                "op": "d56_end_to_end_curation",
+                "scale": scale_label,
+                "sec": round(sec, 2),
+                **extra,
+            }
+        )
+
+    d56()
+    # s16 — the streaming front door: the registered fn runs the
+    # availableNow stream to completion; its only state is the bounded
+    # (source x lang) complete-mode tally.
+    run_query(
+        "s16_stream_curation_front_door",
+        lambda rows: {"out_rows": len(rows)},
+    )
+
     def s04():
         name = f"stress_s04_{scale_label}_{int(time.time() * 1000)}"
         q = (
