@@ -1515,3 +1515,136 @@ def hq32_gap_closure_velocity(t):
         )
         .orderBy("MeasureName")
     )
+
+
+@query(
+    "hq33_measure_compliance_rate",
+    _oracle(
+        """
+        , months AS (
+          SELECT COUNT(DISTINCT EnrollmentMonth) AS n_months
+          FROM s1_elig_enrollment
+        ),
+        cont AS (
+          SELECT MemberID FROM s1_elig_enrollment
+          GROUP BY MemberID
+          HAVING SUM(CASE WHEN IsActive THEN 1 ELSE 0 END)
+                 = (SELECT n_months FROM months)
+        ),
+        mm AS (
+          SELECT g.MeasureID, g.MemberID,
+                 COUNT(*) AS n_gaps,
+                 SUM(CASE WHEN g.Status = 'CLOSED'
+                           AND g.ClosedDate IS NOT NULL
+                           AND g.ClosedDate >= g.PeriodStart
+                           AND g.ClosedDate <= g.PeriodEnd
+                     THEN 1 ELSE 0 END) AS n_closed
+          FROM s3_cca_care_gap g JOIN cont USING (MemberID)
+          GROUP BY g.MeasureID, g.MemberID
+        ),
+        roll AS (
+          SELECT MeasureID,
+                 CAST(COUNT(*) AS BIGINT) AS denominator,
+                 CAST(SUM(CASE WHEN n_gaps = n_closed THEN 1 ELSE 0 END)
+                      AS BIGINT) AS numerator
+          FROM mm GROUP BY MeasureID
+        )
+        SELECT qm.MeasureID, qm.MeasureName, qm.Owner,
+               CAST(COALESCE(r.denominator, 0) AS BIGINT) AS denominator,
+               CAST(COALESCE(r.numerator, 0) AS BIGINT) AS numerator,
+               CASE WHEN COALESCE(r.denominator, 0) = 0 THEN NULL
+                    ELSE CAST(r.numerator AS DOUBLE)
+                         / CAST(r.denominator AS DOUBLE)
+               END AS compliance_rate
+        FROM s3_cca_quality_measure qm
+        LEFT JOIN roll r ON r.MeasureID = qm.MeasureID
+        ORDER BY qm.MeasureID
+        """,
+        ["s1_elig_enrollment", "s3_cca_care_gap", "s3_cca_quality_measure"],
+    ),
+    tags=("healthcare", "quality", "stats"),
+)
+def hq33_measure_compliance_rate(t):
+    """HEDIS-style per-measure COMPLIANCE RATE — the numerator /
+    denominator the reference's quality-measure star exists to serve
+    but never computes (`StarSchemaForHealthcare.sql:68-73`
+    DimQualityMeasure; `:270-284` FactCareGaps carries GapOpenFlag /
+    GapClosedFlag / ClosedDateSK per member-measure-period, i.e. the
+    raw material of a HEDIS administrative-rate measure).
+
+    Semantics, member-level as HEDIS specifies: the DENOMINATOR for a
+    measure is the distinct continuously-enrolled members carrying at
+    least one care-gap row for it (continuous enrollment = active in
+    every month the enrollment table covers — the fixture's 3-month
+    window stands in for the measurement-year requirement); the
+    NUMERATOR is the subset whose EVERY gap for that measure closed
+    inside its own period (Status CLOSED with ClosedDate within
+    [PeriodStart, PeriodEnd] — one open or late gap keeps the member
+    non-compliant). LEFT-complete from the measure dim so a measure
+    with zero eligible members reports 0/0 with NULL rate instead of
+    vanishing (hq32's absence-is-visible convention).
+
+    Scale shape: the member-month rollup and the member-measure
+    rollup both reduce on their group keys with map-side partials;
+    the continuous-enrollment filter joins a per-member aggregate
+    against a 1-row month count (broadcast); the final join is the
+    bounded measure dim against a measures-sized rollup. No windows,
+    no distinct-expansion — at 100 M members this is two shuffles on
+    (member) and (measure, member)."""
+    s = hc(t)
+    enr = s["s1_elig_enrollment"]
+    n_months = enr.select(
+        F.countDistinct("EnrollmentMonth").alias("n_months")
+    )
+    cont = (
+        enr.groupBy("MemberID")
+        .agg(F.sum(F.col("IsActive").cast("long")).alias("active_months"))
+        .join(
+            F.broadcast(n_months),
+            F.col("active_months") == F.col("n_months"),
+        )
+        .select("MemberID")
+    )
+    gaps = s["s3_cca_care_gap"]
+    closed_ok = (
+        (F.col("Status") == "CLOSED")
+        & F.col("ClosedDate").isNotNull()
+        & (F.col("ClosedDate") >= F.col("PeriodStart"))
+        & (F.col("ClosedDate") <= F.col("PeriodEnd"))
+    ).cast("long")
+    mm = (
+        gaps.join(cont, "MemberID")
+        .groupBy("MeasureID", "MemberID")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(closed_ok).alias("n_closed"),
+        )
+    )
+    roll = mm.groupBy("MeasureID").agg(
+        F.count(F.lit(1)).alias("denominator"),
+        F.sum((F.col("n_gaps") == F.col("n_closed")).cast("long")).alias(
+            "numerator"
+        ),
+    )
+    qm = s["s3_cca_quality_measure"]
+    zero = F.lit(0).cast("long")
+    return (
+        qm.join(roll, "MeasureID", "left")
+        .select(
+            "MeasureID",
+            "MeasureName",
+            "Owner",
+            F.coalesce("denominator", zero).alias("denominator"),
+            F.coalesce("numerator", zero).alias("numerator"),
+            F.when(
+                F.coalesce("denominator", zero) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.col("numerator").cast("double")
+                / F.col("denominator").cast("double")
+            )
+            .alias("compliance_rate"),
+        )
+        .orderBy("MeasureID")
+    )
