@@ -848,3 +848,211 @@ def s17_stream_ivf_cell_ingestion(t):
         F.sum("vec_id").alias("id_checksum"),
     )
     return run_to_memory_table(tally, "ivf_ingest", "complete").orderBy("cid")
+
+
+# ------------------------------- incremental curation rebuild (batch)
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _PACK_SHARDS_SQL,
+    _md5_hex_int,
+    _pack_shards,
+)
+from data_engineer_project_spark.operators.cache import (  # noqa: E402
+    tracked_persist,
+)
+
+_D64_SEED = "d64incr1|"
+
+
+def s16_door_survivors(t, incoming):
+    """The s16 front door in BATCH form, applied to ``incoming`` docs
+    against artifacts FROZEN from the stored corpus (bucket < 50):
+    redaction (row-local) → quality gate → exact-dedup against the
+    store's redacted fingerprints → mixture gate with per-source
+    thresholds computed from the store. Because every gate is either
+    row-local or a join against the frozen store artifacts — never a
+    function of other increment rows — the survivor set is increment-
+    SLICING-INVARIANT: door(inc₁ ∪ inc₂) = door(inc₁) ∪ door(inc₂),
+    the property that makes daily increments composable and is pinned
+    at the DAG level in tests/test_streaming_extra.py."""
+    from data_engineer_project_spark.functions import text as T
+
+    b = F.expr(_S11_BUCKET)
+    corpus = t.documents.withColumn("bucket", b).filter(F.col("bucket") < 50)
+    cred = corpus.select(F.md5(_s16_redact()).alias("fp")).distinct()
+    src = corpus.groupBy("source").agg(
+        F.sum(T.bpe_token_estimate("text")).alias("orig_tokens")
+    )
+    thr = src.withColumn(
+        "min_tok", F.min("orig_tokens").over(Window.partitionBy(F.lit(1)))
+    ).select(
+        "source",
+        F.expr(
+            "least(65536, (65536 * min_tok + orig_tokens - 1) div orig_tokens)"
+        ).alias("keep_thr"),
+    )
+    inc = incoming.withColumn("ctext", _s16_redact()).select(
+        "doc_id", "lang", "source", "ctext"
+    )
+    n_words = T.token_count("ctext")
+    sr = T.stopword_count("ctext").cast("double") / n_words.cast("double")
+    q = inc.filter(n_words.between(20, 120) & (sr < 0.3))
+    dd = q.withColumn("fp", F.md5("ctext")).join(cred, "fp", "left_anti")
+    return (
+        dd.withColumn("bkt", F.expr(_SPARK_BUCKET64K))
+        .join(F.broadcast(thr), "source")
+        .filter(F.col("bkt") < F.col("keep_thr"))
+        .select(
+            "doc_id",
+            "source",
+            T.bpe_token_estimate("ctext").cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+@query(
+    "d64_incremental_curation_rebuild",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents WHERE {_S11_BUCKET_DUCK} < 50
+    ),
+    inc AS (
+      SELECT doc_id, lang, source, text FROM documents
+      WHERE {_S11_BUCKET_DUCK} >= 50
+    ),
+    cred AS (SELECT DISTINCT md5({_S16_RED_SQL}) AS fp FROM corpus),
+    ired AS (SELECT doc_id, lang, source, {_S16_RED_SQL} AS ctext FROM inc),
+    q AS (
+      SELECT * FROM ired
+      WHERE len(string_split(ctext, ' ')) BETWEEN 20 AND 120
+        AND CAST(length(list_filter(string_split(ctext, ' '),
+                                    x -> x IN ({_S10_SW}))) AS DOUBLE)
+            / CAST(len(string_split(ctext, ' ')) AS DOUBLE) < 0.3
+    ),
+    dd AS (
+      SELECT q.* FROM q LEFT JOIN cred c ON md5(q.ctext) = c.fp
+      WHERE c.fp IS NULL
+    ),
+    toks AS (
+      SELECT source,
+             SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS orig_tokens
+      FROM corpus GROUP BY source
+    ),
+    mn AS (SELECT MIN(orig_tokens) AS min_tok FROM toks),
+    thr AS (SELECT source,
+                   least(65536, (65536 * min_tok + orig_tokens - 1) // orig_tokens)
+                     AS keep_thr
+            FROM toks, mn),
+    kept AS (
+      SELECT dd.doc_id, dd.source,
+             CAST(ceil(length(dd.ctext) / 4.0) AS BIGINT) AS kept_tokens
+      FROM dd JOIN thr ON dd.source = thr.source
+      WHERE ({_ORACLE_BUCKET64K}) < thr.keep_thr
+    ),
+    un AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS kept_tokens,
+             1 AS is_base
+      FROM corpus
+      UNION ALL
+      SELECT doc_id, source, kept_tokens, 0 AS is_base FROM kept
+    ),
+    nf AS (SELECT COUNT(*) AS n_docs FROM un),
+    ns AS (SELECT {_PACK_SHARDS_SQL} AS n_shards FROM nf),
+    keyed AS (
+      SELECT doc_id, source, kept_tokens, is_base,
+             ({_md5_hex_int('doc_id', 'varchar', 4, prefix=_D64_SEED)})
+               % n_shards AS shard,
+             md5(concat('{_D64_SEED}', cast(doc_id AS varchar))) AS okey
+      FROM un, ns
+    ),
+    rk AS (
+      SELECT doc_id, source, kept_tokens, is_base, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_base) AS BIGINT) AS n_base,
+           CAST(SUM(1 - is_base) AS BIGINT) AS n_new,
+           CAST(SUM(kept_tokens) AS BIGINT) AS kept_tokens,
+           CAST(MAX(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+           CAST(SUM(rnk * doc_id) AS BIGINT) AS order_checksum
+    FROM rk GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def d64_incremental_curation_rebuild(t):
+    """INCREMENTAL corpus rebuild — the missing third leg of the
+    curation triptych (d56 = nightly batch, s16 = the continuously-
+    running door, d64 = what the nightly job actually does between
+    full rebuilds): fold one day's door SURVIVORS into the stored
+    corpus and re-deal the union into training shards, without
+    re-curating the store. The door runs in batch form against
+    artifacts frozen from the store (see ``s16_door_survivors`` —
+    identical gates to s16, so the stream and this rebuild agree
+    doc-for-doc); the re-shard is the d45/d56 seeded md5 permutation
+    with a corpus-derived shard count over the UNION, which is pure
+    per-row hash math — the only part that touches base docs, and it
+    moves no text, only (doc_id, source, token) metadata.
+
+    Output pins the rebuilt corpus identity per shard — doc count,
+    base/new split, token mass, first doc in shuffle order, rank
+    checksum — so one wrong survivor or one mis-dealt base doc flips
+    the hash.
+
+    Scale shape: the door inherits s16's audited form (fingerprint
+    anti-join co-locates by fp at 100 TB; thresholds are a per-source
+    broadcast); the union is metadata-width; the re-shard windows are
+    bounded by the corpus-derived shard count (~256 docs each). One
+    driver sync (the union count that sizes the shard count) reads a
+    persisted metadata-width intermediate."""
+    b = F.expr(_S11_BUCKET)
+    base = (
+        t.documents.withColumn("bucket", b)
+        .filter(F.col("bucket") < 50)
+        .select(
+            "doc_id",
+            "source",
+            F.expr("cast(ceil(length(text) / 4.0) as long)").alias(
+                "kept_tokens"
+            ),
+            F.lit(1).cast("int").alias("is_base"),
+        )
+    )
+    newd = s16_door_survivors(
+        t, t.documents.withColumn("bucket", b).filter(F.col("bucket") >= 50)
+    ).select(
+        "doc_id", "source", "kept_tokens", F.lit(0).cast("int").alias("is_base")
+    )
+    un = tracked_persist(base.unionByName(newd))
+    n_shards = _pack_shards(un.count())
+    keyed = un.select(
+        "doc_id",
+        "source",
+        "kept_tokens",
+        "is_base",
+        F.md5(
+            F.concat(F.lit(_D64_SEED), F.col("doc_id").cast("string"))
+        ).alias("okey"),
+        F.expr(
+            f"({_md5_hex_int('doc_id', 'string', 4, prefix=_D64_SEED)})"
+            f" % {n_shards}"
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_base").cast("long").alias("n_base"),
+            F.sum(1 - F.col("is_base")).cast("long").alias("n_new"),
+            F.sum("kept_tokens").cast("long").alias("kept_tokens"),
+            F.max(F.when(F.col("rnk") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("first_doc"),
+            F.sum(F.col("rnk") * F.col("doc_id")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -1,0 +1,60 @@
+"""Semantic pins for the round-7 additions: the incremental curation
+rebuild (d64) and its door helper. Each pin re-derives an invariant
+independently of the query's own machinery (the round-6 convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_project_spark.queries import QUERIES
+from data_engineer_project_spark.queries.streaming_queries import (
+    _S11_BUCKET,
+    s16_door_survivors,
+)
+from data_engineer_project_spark.sources.registry import Tables
+
+
+def test_d64_door_is_increment_slicing_invariant(spark, sf_dir):
+    """door(inc₁ ∪ inc₂) must equal door(inc₁) ∪ door(inc₂) row-for-row:
+    every gate is row-local or joins frozen store artifacts, so slicing
+    the increment (here by doc_id parity) cannot change the survivor
+    set — the property that makes daily increments composable."""
+    t = Tables(spark, sf_dir)
+    b = F.expr(_S11_BUCKET)
+    inc = t.documents.withColumn("bucket", b).filter(F.col("bucket") >= 50)
+    whole = s16_door_survivors(t, inc).collect()
+    even = s16_door_survivors(t, inc.filter(F.col("doc_id") % 2 == 0)).collect()
+    odd = s16_door_survivors(t, inc.filter(F.col("doc_id") % 2 == 1)).collect()
+    assert sorted(map(tuple, even + odd)) == sorted(map(tuple, whole))
+    assert whole, "fixture must produce door survivors"
+
+
+def test_d64_agrees_with_s16_stream_totals(spark, sf_dir):
+    """The rebuild folds in exactly what the streaming door admits:
+    d64's n_new/token mass must equal s16's complete-mode tally totals
+    (stream and batch door share gates and frozen artifacts)."""
+    d64 = QUERIES["d64_incremental_curation_rebuild"].fn(spark, sf_dir).collect()
+    s16 = QUERIES["s16_stream_curation_front_door"].fn(spark, sf_dir).collect()
+    assert sum(r.n_new for r in d64) == sum(r.n_docs for r in s16)
+    t = Tables(spark, sf_dir)
+    b = F.expr(_S11_BUCKET)
+    inc = t.documents.withColumn("bucket", b).filter(F.col("bucket") >= 50)
+    door_tokens = (
+        s16_door_survivors(t, inc).agg(F.sum("kept_tokens")).collect()[0][0]
+    )
+    assert door_tokens == sum(r.survivor_tokens for r in s16)
+
+
+def test_d64_base_docs_are_all_retained(spark, sf_dir):
+    """The rebuild never re-curates the store: every stored-corpus doc
+    appears in exactly one shard (n_base sums to the store size), and
+    shard ids form the dense power-of-two range of the union count."""
+    t = Tables(spark, sf_dir)
+    b = F.expr(_S11_BUCKET)
+    n_store = t.documents.filter(b < 50).count()
+    rows = QUERIES["d64_incremental_curation_rebuild"].fn(spark, sf_dir).collect()
+    assert sum(r.n_base for r in rows) == n_store
+    shards = sorted(r.shard for r in rows)
+    n = len(shards)
+    assert n & (n - 1) == 0 and shards == list(range(n))
