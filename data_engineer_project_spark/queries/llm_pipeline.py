@@ -5474,3 +5474,130 @@ def d63_split_drift_ks(t):
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------- near-dup doc clusters
+
+def _minhash_cluster_oracle(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    vp AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+              / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {threshold}
+    ),
+    edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM vp
+      UNION SELECT doc_b, doc_a FROM vp
+    ),
+    nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.e_dst, w2.comp FROM walk w2 JOIN edges e ON e.e_src = w2.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+    tk AS (SELECT doc_id, length(string_split(text, ' ')) AS n_tokens
+           FROM documents)
+    SELECT CAST(lab.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(lab.node) AS BIGINT) AS canonical_doc,
+           CAST(SUM(tk.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN lab.node <> lab.component
+                    THEN tk.n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
+    FROM lab JOIN tk ON tk.doc_id = lab.node
+    GROUP BY lab.component ORDER BY component
+    """
+
+
+@query(
+    "d65_neardup_doc_clusters",
+    _minhash_cluster_oracle(),
+    tags=("llm", "dedup", "graph"),
+)
+def d65_neardup_doc_clusters(t):
+    """Near-duplicate document CLUSTERS — the step every pairwise
+    dedup (d07/d08/d12) stops short of: near-dup relations are not
+    transitive pairwise decisions, so production dedup canonicalizes
+    by CONNECTED COMPONENT (the m10 pipeline, here for text): MinHash
+    +LSH verified pairs (exact Jaccard ≥ 0.5, the audited d07
+    machinery — banded equi-join, never all-pairs) → pointer-jumped
+    connected components (O(log diameter) rounds, measured flat at
+    10× in SCALING.md) → per cluster: size, canonical doc (min id,
+    the keep rule), total token mass, and DUP token mass (what
+    deleting non-canonical members saves — the dedup ROI number a
+    curation run reports).
+
+    The oracle re-derives the same clusters with a recursive-CTE walk
+    over the same verified pair set, so a banding scheme that dropped
+    a qualifying pair, or a CC that mislabeled one node, flips the
+    hash — not just the row count.
+
+    Scale shape: pair generation inherits d07's corpus-linear form;
+    CC shuffles only the EDGE set per round for ≤ 2·log₂(diameter)+4
+    rounds; the rollup is one shuffle on component ids. Nothing
+    quadratic, nothing driver-bound beyond the CC convergence
+    checksum."""
+    pairs = DD.minhash_lsh_pairs(
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b")
+    comps = GR.connected_components(pairs)
+    toks = t.documents.select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    return (
+        comps.join(toks, comps.node == toks.doc_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("canonical_doc"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("node") != F.col("component"), F.col("n_tokens"))
+                .otherwise(F.lit(0))
+            ).alias("dup_tokens"),
+        )
+        .orderBy("component")
+    )
