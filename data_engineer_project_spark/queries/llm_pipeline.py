@@ -5601,3 +5601,152 @@ def d65_neardup_doc_clusters(t):
         )
         .orderBy("component")
     )
+
+
+@query(
+    "e20_conversion_attribution",
+    """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS cts,
+             CAST(value AS DECIMAL(18,2)) AS val
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS tid, user_id, event_type AS ttype, ts AS tts
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    j AS (
+      SELECT c.conv_id, c.val, t.tts, t.tid, t.ttype
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+    ),
+    pc AS (
+      SELECT conv_id, MAX(val) AS val,
+             (MIN({'ts': tts, 'id': tid, 'ty': ttype})).ty AS first_type,
+             (MAX({'ts': tts, 'id': tid, 'ty': ttype})).ty AS last_type
+      FROM j GROUP BY conv_id
+    ),
+    una AS (
+      SELECT c.conv_id, c.val FROM conv c
+      WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.conv_id)
+    ),
+    ft AS (
+      SELECT first_type AS touch_type, COUNT(*) AS n, SUM(val) AS rev
+      FROM pc GROUP BY first_type
+      UNION ALL
+      SELECT 'none', COUNT(*), SUM(val) FROM una HAVING COUNT(*) > 0
+    ),
+    lt AS (
+      SELECT last_type AS touch_type, COUNT(*) AS n, SUM(val) AS rev
+      FROM pc GROUP BY last_type
+      UNION ALL
+      SELECT 'none', COUNT(*), SUM(val) FROM una HAVING COUNT(*) > 0
+    )
+    SELECT COALESCE(ft.touch_type, lt.touch_type) AS touch_type,
+           CAST(COALESCE(ft.n, 0) AS BIGINT) AS first_touch_convs,
+           CAST(COALESCE(ft.rev, 0) AS DOUBLE) AS first_touch_revenue,
+           CAST(COALESCE(lt.n, 0) AS BIGINT) AS last_touch_convs,
+           CAST(COALESCE(lt.rev, 0) AS DOUBLE) AS last_touch_revenue
+    FROM ft FULL JOIN lt ON ft.touch_type = lt.touch_type
+    ORDER BY touch_type
+    """,
+    tags=("events", "funnel", "window"),
+)
+def e20_conversion_attribution(t):
+    """Marketing-style conversion ATTRIBUTION — for every purchase,
+    credit the FIRST and the LAST touch (click/view/signup) by the
+    same user inside a 7-day lookback, then roll up per touch type:
+    conversions and revenue under first-touch vs last-touch rules
+    (the two ends of the attribution-model spectrum; the gap between
+    the two columns per channel is the classic over/under-credit
+    signal). Purchases with no touch in the window surface as an
+    explicit 'none' row — direct conversions are visible, not
+    dropped.
+
+    Engine-exactness: first/last are min/max over a (ts, event_id,
+    type) struct — the event_id tiebreak makes simultaneous touches
+    deterministic on both engines; revenue folds in DECIMAL(18,2)
+    and casts to double once.
+
+    Scale shape: the conversion-touch join is an equi-join on
+    user_id (co-partitioned; the range predicate prunes within each
+    user's bounded event history — the e03 sessionization cost
+    model), the per-conversion argmin/argmax is a map-side-partial
+    struct aggregate, and the final rollups are touch-type-sized. At
+    10⁹ users nothing here exceeds per-user work."""
+    e = t.events
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        money("value").alias("val"),
+    )
+    touch = e.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("event_type").alias("ttype"),
+        F.col("ts").alias("tts"),
+    )
+    j = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (touch.tts < conv.cts)
+        & (touch.tts >= conv.cts - F.expr("INTERVAL 7 DAYS")),
+    ).select("conv_id", "val", "tts", "tid", "ttype")
+    pc = tracked_persist(
+        j.groupBy("conv_id").agg(
+            F.max("val").alias("val"),
+            F.min(F.struct("tts", "tid", "ttype")).getField("ttype").alias(
+                "first_type"
+            ),
+            F.max(F.struct("tts", "tid", "ttype")).getField("ttype").alias(
+                "last_type"
+            ),
+        )
+    )
+    una = conv.join(pc.select("conv_id"), "conv_id", "left_anti").select(
+        "conv_id", "val"
+    )
+    none_row = una.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("rev")
+    ).filter(F.col("n") > 0).select(F.lit("none").alias("touch_type"), "n", "rev")
+    ft = (
+        pc.groupBy(F.col("first_type").alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("rev"))
+        .unionByName(none_row)
+    )
+    lt = (
+        pc.groupBy(F.col("last_type").alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("rev"))
+        .unionByName(none_row)
+    )
+    zero_l = F.lit(0).cast("long")
+    zero_d = F.lit(0).cast("double")
+    ftj = ft.select(
+        F.col("touch_type").alias("ft_type"),
+        F.col("n").alias("ft_n"),
+        F.col("rev").alias("ft_rev"),
+    )
+    ltj = lt.select(
+        F.col("touch_type").alias("lt_type"),
+        F.col("n").alias("lt_n"),
+        F.col("rev").alias("lt_rev"),
+    )
+    return (
+        ftj.join(ltj, ftj.ft_type == ltj.lt_type, "full_outer")
+        .select(
+            F.coalesce("ft_type", "lt_type").alias("touch_type"),
+            F.coalesce(F.col("ft_n"), zero_l).alias("first_touch_convs"),
+            F.coalesce(F.col("ft_rev").cast("double"), zero_d).alias(
+                "first_touch_revenue"
+            ),
+            F.coalesce(F.col("lt_n"), zero_l).alias("last_touch_convs"),
+            F.coalesce(F.col("lt_rev").cast("double"), zero_d).alias(
+                "last_touch_revenue"
+            ),
+        )
+        .orderBy("touch_type")
+    )
