@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     # in isolation; the honest "what does a full curation pass cost"
     # number.
     "d56_end_to_end_curation",
+    # r7 addition: the INCREMENTAL rebuild (s16 door in batch form
+    # against frozen store artifacts + metadata-only re-shard of the
+    # union) — times what a nightly job pays BETWEEN full d56 rebuilds;
+    # the d56/d64 pair prices full-rebuild vs incremental directly.
+    "d64_incremental_curation_rebuild",
 ]
 
 

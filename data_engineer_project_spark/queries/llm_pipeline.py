@@ -5750,3 +5750,94 @@ def e20_conversion_attribution(t):
         )
         .orderBy("touch_type")
     )
+
+
+# --------------------------------- contamination method attribution
+
+from data_engineer_project_spark.queries.catalog import (  # noqa: E402
+    QUERIES as _REGISTRY,
+)
+
+
+def _d66_oracle() -> str:
+    ex = _REGISTRY["d25_decontamination"].oracle
+    sem = _REGISTRY["d31_semantic_decontamination"].oracle
+    return f"""
+    WITH ex AS (SELECT test_doc AS doc_id FROM ({ex})),
+    sem AS (SELECT test_vec AS doc_id FROM ({sem})),
+    td AS (SELECT doc_id FROM documents WHERE {_ORACLE_BUCKET} >= 90),
+    cls AS (
+      SELECT td.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+                    THEN 'both'
+                  WHEN e.doc_id IS NOT NULL THEN 'exact_only'
+                  WHEN s.doc_id IS NOT NULL THEN 'semantic_only'
+                  ELSE 'clean' END AS method
+      FROM td
+      LEFT JOIN ex e ON e.doc_id = td.doc_id
+      LEFT JOIN sem s ON s.doc_id = td.doc_id
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+    FROM cls GROUP BY method ORDER BY method
+    """
+
+
+@query(
+    "d66_contamination_method_attribution",
+    _d66_oracle(),
+    tags=("llm", "eval", "split", "similarity"),
+)
+def d66_contamination_method_attribution(t):
+    """Which decontamination method catches WHICH leaks — the Venn
+    report that justifies running both passes: every held-out doc is
+    classified 'exact_only' (caught by d25's informative-shingle
+    overlap but invisible to embeddings), 'semantic_only' (caught by
+    d31's LSH-blocked cosine — paraphrased/translated leakage with no
+    shared n-grams, the case the SemDeDup line of work exists for),
+    'both', or 'clean'. The per-method counts are the operational
+    answer to "can we skip the expensive semantic pass?" — a nonzero
+    semantic_only row says no.
+
+    Composition-exact: the two flag sets are the REGISTERED d25/d31
+    queries (same machinery, same thresholds), so this report can
+    never drift from what the individual passes actually do; the
+    oracle nests both registered oracle twins verbatim for the same
+    reason.
+
+    Scale shape: inherits d25's inverted-index overlap join and d31's
+    banded-LSH blocking (both corpus-linear); the attribution itself
+    is two left joins keyed on doc_id against flag sets bounded by
+    the test split, then a 4-key rollup."""
+    ex = d25_decontamination(t).select(
+        F.col("test_doc").alias("doc_id"), F.lit(1).alias("ex_hit")
+    )
+    sem = d31_semantic_decontamination(t).select(
+        F.col("test_vec").alias("doc_id"), F.lit(1).alias("sem_hit")
+    )
+    b = F.expr(_SPARK_BUCKET)
+    td = t.documents.filter(b >= 90).select("doc_id")
+    cls = (
+        td.join(ex, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("ex_hit").isNotNull() & F.col("sem_hit").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("ex_hit").isNotNull(), F.lit("exact_only"))
+            .when(F.col("sem_hit").isNotNull(), F.lit("semantic_only"))
+            .otherwise(F.lit("clean"))
+            .alias("method"),
+        )
+    )
+    return (
+        cls.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .orderBy("method")
+    )
