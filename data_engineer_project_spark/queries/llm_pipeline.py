@@ -5841,3 +5841,138 @@ def d66_contamination_method_attribution(t):
         )
         .orderBy("method")
     )
+
+
+@query(
+    "d67_token_budget_waterfill",
+    """
+    WITH srcs AS (
+      SELECT source,
+             CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    st AS (
+      SELECT CAST(SUM(toks) // 2 AS BIGINT) AS budget, COUNT(*) AS n
+      FROM srcs
+    ),
+    rk AS (
+      SELECT source, toks,
+             ROW_NUMBER() OVER (ORDER BY toks, source) AS i,
+             SUM(toks) OVER (ORDER BY toks, source
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS pref
+      FROM srcs
+    ),
+    thr AS (
+      SELECT budget, n, k, pk,
+             (budget - pk) // (n - k) AS cap,
+             (budget - pk) % (n - k) AS rem
+      FROM (
+        SELECT MAX(st.budget) AS budget, MAX(st.n) AS n,
+               COALESCE(MAX(CASE WHEN pref + (st.n - i) * toks <= st.budget
+                                 THEN i END), 0) AS k,
+               COALESCE(MAX(CASE WHEN pref + (st.n - i) * toks <= st.budget
+                                 THEN pref END), 0) AS pk
+        FROM rk, st
+      )
+    )
+    SELECT rk.source,
+           rk.toks AS orig_tokens,
+           CAST(CASE WHEN rk.i <= thr.k THEN rk.toks
+                     WHEN rk.i - thr.k <= thr.rem THEN thr.cap + 1
+                     ELSE thr.cap END AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN rk.i <= thr.k THEN 1.0
+                     ELSE CAST(CASE WHEN rk.i - thr.k <= thr.rem
+                                    THEN thr.cap + 1 ELSE thr.cap END
+                               AS DOUBLE) / CAST(rk.toks AS DOUBLE)
+                END AS DOUBLE) AS keep_ratio,
+           rk.i <= thr.k AS uncapped
+    FROM rk, thr ORDER BY rk.source
+    """,
+    tags=("llm", "mixture", "stats"),
+)
+def d67_token_budget_waterfill(t):
+    """Data-mixing WATERFILL — the allocator behind "train on B tokens
+    with sources as balanced as possible": find the unique cap C where
+    granting every source min(its_tokens, C) exactly spends the budget
+    (here B = half the corpus), i.e. the classic waterfilling solution
+    that maximizes the minimum allocation. Small sources keep
+    everything ('uncapped'); large sources are cut to the common cap,
+    with the integer remainder dealt deterministically to the smallest
+    capped sources. Compare d42 (fixed min-source target) and d33
+    (fixed per-source quota): waterfill is the budget-first variant a
+    mixture planner actually runs, and its output IS d42's
+    keep-threshold input.
+
+    Exactness: the threshold index k, the prefix sums, C and the
+    remainder are all integer arithmetic over the per-source token
+    totals — bit-equal cross-engine, including the alloc-sums-to-
+    budget invariant (pinned in tests).
+
+    Scale shape: one corpus scan folds to a per-source aggregate;
+    everything after — the sort window, the threshold fold, the final
+    cross join — runs over #sources rows (driver-scale metadata, the
+    d56 bounded-window pattern). The 1-row parameter frames broadcast."""
+    srcs = t.documents.groupBy("source").agg(
+        F.sum(T.token_count("text").cast("long")).alias("toks")
+    )
+    st = srcs.agg(
+        F.expr("sum(toks) div 2").cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("toks", "source")
+    rk = srcs.select(
+        "source",
+        "toks",
+        F.row_number().over(w).alias("i"),
+        F.sum("toks")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pref"),
+    )
+    uncapped_i = F.when(
+        F.col("pref") + (F.col("n") - F.col("i")) * F.col("toks")
+        <= F.col("budget"),
+        F.col("i"),
+    )
+    uncapped_p = F.when(
+        F.col("pref") + (F.col("n") - F.col("i")) * F.col("toks")
+        <= F.col("budget"),
+        F.col("pref"),
+    )
+    zero = F.lit(0).cast("long")
+    thr = (
+        rk.crossJoin(F.broadcast(st))
+        .agg(
+            F.max("budget").alias("budget"),
+            F.max("n").alias("n"),
+            F.coalesce(F.max(uncapped_i), zero).alias("k"),
+            F.coalesce(F.max(uncapped_p), zero).alias("pk"),
+        )
+        .select(
+            "budget",
+            "n",
+            "k",
+            "pk",
+            F.expr("(budget - pk) div (n - k)").alias("cap"),
+            F.expr("(budget - pk) % (n - k)").alias("rem"),
+        )
+    )
+    alloc = (
+        F.when(F.col("i") <= F.col("k"), F.col("toks"))
+        .when(F.col("i") - F.col("k") <= F.col("rem"), F.col("cap") + 1)
+        .otherwise(F.col("cap"))
+    )
+    return (
+        rk.crossJoin(F.broadcast(thr))
+        .select(
+            "source",
+            F.col("toks").alias("orig_tokens"),
+            alloc.cast("long").alias("alloc_tokens"),
+            F.when(F.col("i") <= F.col("k"), F.lit(1.0))
+            .otherwise(alloc.cast("double") / F.col("toks").cast("double"))
+            .cast("double")
+            .alias("keep_ratio"),
+            (F.col("i") <= F.col("k")).alias("uncapped"),
+        )
+        .orderBy("source")
+    )

@@ -58,3 +58,24 @@ def test_d64_base_docs_are_all_retained(spark, sf_dir):
     shards = sorted(r.shard for r in rows)
     n = len(shards)
     assert n & (n - 1) == 0 and shards == list(range(n))
+
+
+def test_d67_waterfill_invariants(spark, sf_dir):
+    """Re-derive the waterfill contract independently: allocations sum
+    EXACTLY to the budget (half the corpus tokens), nobody exceeds
+    their own mass, uncapped sources keep everything, and capped
+    allocations differ by at most 1 (the dealt remainder)."""
+    rows = QUERIES["d67_token_budget_waterfill"].fn(spark, sf_dir).collect()
+    total = sum(r.orig_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == total // 2
+    for r in rows:
+        assert r.alloc_tokens <= r.orig_tokens
+        if r.uncapped:
+            assert r.alloc_tokens == r.orig_tokens
+    capped = [r.alloc_tokens for r in rows if not r.uncapped]
+    if capped:
+        assert max(capped) - min(capped) <= 1
+        # every uncapped source is no larger than any capped allocation
+        for r in rows:
+            if r.uncapped:
+                assert r.orig_tokens <= min(capped) + 1
