@@ -1056,3 +1056,78 @@ def d64_incremental_curation_rebuild(t):
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "s18_stream_media_integrity_gate",
+    """
+    WITH m AS (
+      SELECT doc_id, lang,
+             list_extract(['png','jpeg','webp'],
+                          CAST(doc_id % 3 + 1 AS INT)) AS media_format,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    chk AS (
+      SELECT lang, media_format, n_bytes,
+             CASE WHEN doc_id % 37 = 0 THEN n_bytes // 2
+                  ELSE n_bytes END AS actual_bytes
+      FROM m
+    )
+    SELECT lang, media_format,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN actual_bytes <> n_bytes THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN actual_bytes <> n_bytes THEN n_bytes
+                    ELSE 0 END) AS BIGINT) AS bytes_quarantined
+    FROM chk
+    GROUP BY lang, media_format
+    ORDER BY lang, media_format
+    """,
+    tags=("streaming", "multimodal", "quality"),
+)
+def s18_stream_media_integrity_gate(t):
+    """The multimodal intake gate AS A STREAM — m13's payload-
+    integrity quarantine running continuously at the ingest door,
+    where a production pipeline actually runs it (quarantine BEFORE
+    the blob hits the decode fleet, not in a nightly audit): arriving
+    documents get their media payload + metadata attached (row-local
+    codegen, no Python), the planted doc_id % 37 truncation damages
+    the same payloads as the batch twin, and the octet-length-vs-
+    metadata check feeds a complete-mode (lang, format) quarantine
+    tally — the first streaming member of the multimodal family.
+
+    Every stage is stateless except the final ≤ langs×formats-key
+    aggregate, so no watermark is needed and a batch replay (the
+    oracle) agrees row-for-row — the s10/s16 policy: gates row-local,
+    state bounded by the reporting grain, stream == batch pinned by
+    the driver's oracle comparison itself.
+
+    Scale shape: the check never leaves whole-stage codegen; at 100 TB
+    of blobs the only cross-executor traffic is the tally's partial
+    aggregates (map-side-combined)."""
+    from data_engineer_project_spark.operators.multimodal import attach_media
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    media = attach_media(read_document_stream(t._spark, t._sf_dir))
+    damaged = media.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
+        ).otherwise(F.col("media")),
+    )
+    ok = F.octet_length("payload") == F.col("n_bytes")
+    tally = (
+        damaged.groupBy("lang", "media_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~ok).cast("long")).alias("n_corrupt"),
+            F.sum(F.when(~ok, F.col("n_bytes")).otherwise(0)).alias(
+                "bytes_quarantined"
+            ),
+        )
+    )
+    return run_to_memory_table(tally, "media_gate", "complete").orderBy(
+        "lang", "media_format"
+    )

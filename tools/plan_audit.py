@@ -93,6 +93,13 @@ EXTRA_QUERIES = [
     # exercised in tests/test_streaming.py.
     "d57_pq_codebook",
     "d58_ivfpq_adc_topk",
+    # r7 additions. d64 is a bench slot (audited via BENCH_QUERIES);
+    # d65 runs its CC loop at construction (skipped like m10/d20);
+    # d66 composes d25+d31 whose stages are audited individually.
+    "hq33_measure_compliance_rate",
+    "d66_contamination_method_attribution",
+    "d67_token_budget_waterfill",
+    "e20_conversion_attribution",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
