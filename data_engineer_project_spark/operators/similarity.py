@@ -243,14 +243,26 @@ def ivf_assign_n(
     lowest centroid id); one output row per (vector, probed cell).
     Centroids broadcast; corpus never shuffles until the final
     per-vector rank window on its own id."""
-    c = centroids.select(F.col("cid"), F.col("cvec"))
-    scored = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(c)
-    ).select(
+    # Hoist the norms out of the pair loop: cosine(a, b) recomputes
+    # sqrt(dot(a,a)) and sqrt(dot(b,b)) per PAIR, i.e. 3 array folds ×
+    # n_centroids per vector. Computing |q| once per vector (before the
+    # join fans it out) and |c| once per centroid (on the broadcast
+    # side) leaves one fold per pair — ~3× less fold work, and
+    # BIT-IDENTICAL: the final expression is still
+    # dot/(sqrt(aa)·sqrt(bb)), the exact op sequence the oracle runs.
+    c = centroids.select(
+        F.col("cid"), F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
+    )
+    scored = vectors.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("qnrm")
+    ).crossJoin(F.broadcast(c)).select(
         id_col,
         vec_col,
         "cid",
-        cosine(F.col(vec_col), F.col("cvec")).alias("csim"),
+        (
+            dot(F.col(vec_col), F.col("cvec"))
+            / (F.col("qnrm") * F.col("cnrm"))
+        ).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
     return (

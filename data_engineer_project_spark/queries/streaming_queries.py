@@ -823,25 +823,46 @@ def s17_stream_ivf_cell_ingestion(t):
     The oracle is the batch k-means chain's final assignment rolled up
     per cell: stream and batch replay agree vector-for-vector, the
     same policy-offline / apply-in-stream split as s13/s14."""
+    import math
+
     from data_engineer_project_spark.operators import similarity as SIM
-    from data_engineer_project_spark.operators.similarity import cosine
+    from data_engineer_project_spark.operators.similarity import dot, norm
     from data_engineer_project_spark.streaming import read_embedding_stream
 
     cents = SIM.materialized_centroids(t.embeddings).collect()
+
+    # Hoist the norms out of the argmax: cosine per centroid would
+    # re-fold |q| (and |c|) for every one of the ~sqrt(N) candidates.
+    # |c| is a DRIVER-SIDE constant — computed here with the exact
+    # left-to-right IEEE fold the JVM/DuckDB use, so the resulting
+    # double is bit-identical — and |q| folds once per row; each
+    # candidate then costs a single dot fold. Same final expression
+    # shape as the oracle: dot / (sqrt(aa) · sqrt(bb)).
+    def _cnorm(v):
+        s = 0.0
+        for x in v:
+            s += float(x) * float(x)
+        return math.sqrt(s)
+
     scored = F.array(
         *[
             F.struct(
-                cosine(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in r["cvec"]]),
+                (
+                    dot(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in r["cvec"]]),
+                    )
+                    / (F.col("qnrm") * F.lit(_cnorm(r["cvec"])))
                 ).alias("cs"),
                 F.lit(-int(r["cid"])).cast("long").alias("ncid"),
             )
             for r in cents
         ]
     )
-    stream = read_embedding_stream(t._spark, t._sf_dir).withColumn(
-        "cid", -F.array_max(scored)["ncid"]
+    stream = (
+        read_embedding_stream(t._spark, t._sf_dir)
+        .withColumn("qnrm", norm(F.col("embedding")))
+        .withColumn("cid", -F.array_max(scored)["ncid"])
     )
     tally = stream.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),
