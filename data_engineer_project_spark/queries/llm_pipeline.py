@@ -4502,8 +4502,28 @@ def _pq_train(emb):
     )
 
     def assign(cent_df):
-        scored = subs.join(F.broadcast(cent_df), "m").select(
-            "m", "vec_id", "sv", "cid", cosine(F.col("sv"), F.col("cvec")).alias("cs")
+        # norms hoisted out of the pair loop (the ivf_assign_n move):
+        # |sv| folds once per subvector, |cvec| once per codebook row;
+        # dot/(sqrt·sqrt) in the same op order keeps results bit-equal.
+        from data_engineer_project_spark.operators.similarity import (
+            dot,
+            norm,
+        )
+
+        cn = cent_df.select("m", "cid", "cvec", norm(F.col("cvec")).alias("cnrm"))
+        scored = (
+            subs.withColumn("qnrm", norm(F.col("sv")))
+            .join(F.broadcast(cn), "m")
+            .select(
+                "m",
+                "vec_id",
+                "sv",
+                "cid",
+                (
+                    dot(F.col("sv"), F.col("cvec"))
+                    / (F.col("qnrm") * F.col("cnrm"))
+                ).alias("cs"),
+            )
         )
         w = Window.partitionBy("m", "vec_id").orderBy(F.desc("cs"), F.asc("cid"))
         return (
