@@ -70,11 +70,19 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, score). Self-matches excluded.
     Deterministic: ties broken by neighbor id.
     """
+    # Norms hoisted out of the pair loop (the ivf_assign_n move): |q|
+    # folds once per query (on the broadcast side), |c| once per corpus
+    # row instead of once per (query, corpus) pair; dot/(sqrt(aa)·
+    # sqrt(bb)) in the same op order keeps scores bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -82,7 +90,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("score"),
         )
     )
     return grouped_topk(
