@@ -4930,18 +4930,32 @@ def d60_semdedup(t):
     asg = SIM.ivf_assign(emb, cents).select("vec_id", "cid")
     a = asg.select(F.col("vec_id").alias("id_a"), "cid")
     b = asg.select(F.col("vec_id").alias("id_b"), F.col("cid").alias("cid_b"))
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from data_engineer_project_spark.operators.similarity import dot, norm
+
+    # norms computed once per VECTOR before the pair join fans each
+    # vector into its cell's pairs (the ivf_assign_n hoist); same
+    # dot/(sqrt(aa)·sqrt(bb)) op order → bit-equal with the oracle
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
     pairs = (
         a.join(b, (a.cid == b.cid_b) & (a.id_a < b.id_b))
         .select("id_a", "id_b")
         .join(ea, "id_a")
         .join(eb, "id_b")
     )
-    from data_engineer_project_spark.operators.similarity import cosine
-
     dropped = (
-        pairs.filter(cosine(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        pairs.filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= _SEMDEDUP_TAU
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
