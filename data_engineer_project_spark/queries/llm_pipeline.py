@@ -6010,3 +6010,141 @@ def d67_token_budget_waterfill(t):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "e21_activation_latency",
+    """
+    WITH su AS (
+      SELECT user_id, MIN({'ts': ts, 'id': event_id}).ts AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT su.user_id, su.signup_ts,
+             MIN(p.ts) AS first_purchase_ts
+      FROM su LEFT JOIN events p
+        ON p.user_id = su.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= su.signup_ts
+      GROUP BY su.user_id, su.signup_ts
+    ),
+    lat AS (
+      SELECT user_id,
+             CAST(date_trunc('month', signup_ts) AS DATE) AS cohort,
+             CASE WHEN first_purchase_ts IS NOT NULL THEN
+               CAST(epoch(first_purchase_ts) AS BIGINT) // 3600
+               - CAST(epoch(signup_ts) AS BIGINT) // 3600
+             END AS lat_hours
+      FROM fp
+    ),
+    act AS (
+      SELECT cohort, lat_hours, user_id,
+             ROW_NUMBER() OVER (PARTITION BY cohort
+                                ORDER BY lat_hours, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort) AS n
+      FROM lat WHERE lat_hours IS NOT NULL AND lat_hours <= 336
+    ),
+    med AS (
+      SELECT cohort,
+             CAST(MAX(n) AS BIGINT) AS n_activated,
+             MAX(CASE WHEN rn = (n * 50 + 99) // 100
+                 THEN lat_hours END) AS median_hours,
+             MAX(CASE WHEN rn = (n * 90 + 99) // 100
+                 THEN lat_hours END) AS p90_hours
+      FROM act GROUP BY cohort
+    ),
+    coh AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_signups FROM lat
+      GROUP BY cohort
+    )
+    SELECT coh.cohort, coh.n_signups,
+           CAST(COALESCE(med.n_activated, 0) AS BIGINT) AS n_activated,
+           med.median_hours, med.p90_hours,
+           CAST(COALESCE(med.n_activated, 0) AS DOUBLE)
+             / CAST(coh.n_signups AS DOUBLE) AS activation_rate
+    FROM coh LEFT JOIN med ON med.cohort = coh.cohort
+    ORDER BY coh.cohort
+    """,
+    tags=("events", "funnel", "stats"),
+)
+def e21_activation_latency(t):
+    """Activation latency by signup cohort — the time-to-event metric
+    behind every activation dashboard: for each user's FIRST signup,
+    the hours until their first purchase at-or-after it; per monthly
+    cohort, the signup count, how many activated within 14 days
+    (336 h), the exact integer-rank median and p90 of the activation
+    latency (d41's PERCENTILE_DISC machinery, partitioned per cohort
+    so the rank window never goes global), and the activation rate.
+    Cohorts with zero activations keep their row with NULL latency
+    (hq32's absence-is-visible convention).
+
+    Engine-exactness: latency is integer hour arithmetic (epoch div
+    3600 on both engines — truncation semantics agree for all
+    epochs, see e17); first-signup ties break on event_id via the
+    struct-min; the rate is one bigint/bigint division.
+
+    Scale shape: first-signup and first-purchase both reduce per
+    user with map-side partials; the signup-purchase join is
+    user_id-co-partitioned (per-user bounded, the e03/e20 cost
+    model); the percentile windows partition by cohort."""
+    e = t.events
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).getField("ts").alias("signup_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    fp = (
+        su.join(
+            p, (su.user_id == p.p_user) & (p.pts >= su.signup_ts), "left"
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("first_purchase_ts"))
+    )
+    lat = fp.select(
+        "user_id",
+        F.date_trunc("month", "signup_ts").cast("date").alias("cohort"),
+        F.when(
+            F.col("first_purchase_ts").isNotNull(),
+            F.expr("unix_timestamp(first_purchase_ts) div 3600")
+            - F.expr("unix_timestamp(signup_ts) div 3600"),
+        ).alias("lat_hours"),
+    )
+    act = lat.filter(
+        F.col("lat_hours").isNotNull() & (F.col("lat_hours") <= 336)
+    )
+    w = Window.partitionBy("cohort").orderBy("lat_hours", "user_id")
+    ranked = act.select(
+        "cohort",
+        "lat_hours",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cohort")).alias("n"),
+    )
+    med = ranked.groupBy("cohort").agg(
+        F.max("n").alias("n_activated"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 50 + 99) div 100"), F.col("lat_hours"))
+        ).alias("median_hours"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 90 + 99) div 100"), F.col("lat_hours"))
+        ).alias("p90_hours"),
+    )
+    coh = lat.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_signups"))
+    zero = F.lit(0).cast("long")
+    return (
+        coh.join(med, "cohort", "left")
+        .select(
+            "cohort",
+            "n_signups",
+            F.coalesce("n_activated", zero).alias("n_activated"),
+            "median_hours",
+            "p90_hours",
+            (
+                F.coalesce("n_activated", zero).cast("double")
+                / F.col("n_signups").cast("double")
+            ).alias("activation_rate"),
+        )
+        .orderBy("cohort")
+    )
