@@ -575,3 +575,52 @@ def test_minhash_default_bands_follow_planner(spark, sf_dir):
         map(tuple, DD.minhash_lsh_pairs(docs, bands=4, jaccard_threshold=0.5).collect())
     )
     assert planned == explicit and planned
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_waterfill_formula_matches_bruteforce(toks):
+    """d67's closed-form waterfill (threshold index k via the sorted
+    prefix condition, cap C and remainder by integer division) must
+    agree with a brute-force reference on random token distributions:
+    allocations sum exactly to the budget, respect per-source mass,
+    and are max-min fair (no capped source could gain without a
+    same-or-larger source losing)."""
+    srcs = sorted((tv, i) for i, tv in enumerate(toks))
+    n = len(srcs)
+    budget = sum(toks) // 2
+    if budget == 0:
+        return
+    # formula (as in the d67 query/oracle)
+    pref = 0
+    k = pk = 0
+    for idx, (tv, _) in enumerate(srcs, 1):
+        pref += tv
+        if pref + (n - idx) * tv <= budget:
+            k, pk = idx, pref
+    cap, rem = divmod(budget - pk, n - k) if k < n else (0, 0)
+    alloc = []
+    for idx, (tv, _) in enumerate(srcs, 1):
+        if idx <= k:
+            alloc.append(tv)
+        elif idx - k <= rem:
+            alloc.append(cap + 1)
+        else:
+            alloc.append(cap)
+    assert sum(alloc) == budget
+    for (tv, _), a in zip(srcs, alloc):
+        assert 0 <= a <= tv
+    # max-min fairness: every source is either fully kept or within 1
+    # of the common cap, and no fully-kept source exceeds cap + 1
+    capped = [a for idx, a in enumerate(alloc, 1) if idx > k]
+    if capped:
+        assert max(capped) - min(capped) <= 1
+        for idx, (tv, _) in enumerate(srcs, 1):
+            if idx <= k:
+                assert tv <= min(capped) + 1
+    # brute-force reference: the scalar threshold search
+    lo = sum(min(tv, cap) for tv, _ in srcs)
+    hi = sum(min(tv, cap + 1) for tv, _ in srcs)
+    assert lo <= budget <= hi
