@@ -6148,3 +6148,111 @@ def e21_activation_latency(t):
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "d68_test_doc_bigram_novelty",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, i, wd || ' ' || lead(wd,1) OVER win AS bigram
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,1) OVER win IS NOT NULL
+    ),
+    b AS (SELECT doc_id, lang, {_ORACLE_BUCKET} AS bucket FROM documents),
+    train_bg AS (
+      SELECT DISTINCT bigram FROM bg JOIN b USING (doc_id)
+      WHERE b.bucket < 80
+    ),
+    test_occ AS (
+      SELECT bg.doc_id, b.lang, bg.bigram
+      FROM bg JOIN b USING (doc_id) WHERE b.bucket >= 90
+    ),
+    per_doc AS (
+      SELECT o.doc_id, o.lang,
+             COUNT(*) AS n_bg,
+             SUM(CASE WHEN t.bigram IS NULL THEN 1 ELSE 0 END) AS n_unseen
+      FROM test_occ o LEFT JOIN train_bg t ON t.bigram = o.bigram
+      GROUP BY o.doc_id, o.lang
+    )
+    SELECT lang,
+           CAST((100 * n_unseen) // n_bg // 10 AS BIGINT) AS novelty_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_unseen) AS BIGINT) AS unseen_bigrams,
+           CAST(SUM(n_bg) AS BIGINT) AS total_bigrams,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+    FROM per_doc
+    GROUP BY lang, (100 * n_unseen) // n_bg // 10
+    ORDER BY lang, novelty_band
+    """,
+    tags=("llm", "eval", "split"),
+)
+def d68_test_doc_bigram_novelty(t):
+    """Per-DOC bigram novelty of the held-out split — the doc-level
+    dual of d36's corpus-level type coverage, and the shape of the
+    CCNet-style LM-novelty quality signal with the logs stripped out:
+    for every test doc, what fraction of its bigram OCCURRENCES never
+    appears in the train split? Low novelty ⇒ the doc is boilerplate
+    the model has seen (or leakage d25 should confirm); high novelty
+    ⇒ new material (or noise — pair with d02's quality gates). Docs
+    roll up per (lang, novelty decile band) so the output is bounded
+    at langs × 11 rows with counts, occurrence masses, and a sample
+    doc per band. Docs with fewer than two words carry no bigram and
+    are excluded by construction (the per_doc grain requires ≥ 1
+    occurrence).
+
+    Engine-exactness: the novelty percent is pure integer arithmetic
+    ((100 · unseen) div total div 10) — no floats anywhere.
+
+    Scale shape: bigram building is the positional-lead window inside
+    each doc (d12's shingle machinery at n=2); the train TYPE set
+    collapses by bigram with map-side partials; the occurrence check
+    is one equi-join on the bigram string (corpus-linear both sides,
+    AQE-sized); the band rollup is bounded."""
+    w = t.documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("i", "wd")
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    bg = tracked_persist(
+        w.select(
+            "doc_id",
+            F.concat_ws(" ", "wd", F.lead("wd", 1).over(win)).alias("bigram"),
+            F.lead("wd", 1).over(win).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .drop("nxt")
+    )
+    b = F.expr(_SPARK_BUCKET)
+    docs = t.documents.select("doc_id", "lang").withColumn("bucket", b)
+    train_bg = (
+        bg.join(docs.filter(F.col("bucket") < 80).select("doc_id"), "doc_id")
+        .select("bigram")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test_occ = bg.join(
+        docs.filter(F.col("bucket") >= 90).select("doc_id", "lang"), "doc_id"
+    )
+    per_doc = (
+        test_occ.join(train_bg, "bigram", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum(F.col("seen").isNull().cast("long")).alias("n_unseen"),
+        )
+    )
+    band = F.expr("(100 * n_unseen) div n_bg div 10")
+    return (
+        per_doc.groupBy("lang", band.alias("novelty_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_unseen").alias("unseen_bigrams"),
+            F.sum("n_bg").alias("total_bigrams"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .orderBy("lang", "novelty_band")
+    )
