@@ -200,11 +200,17 @@ def banded_lsh_sigs(
                 dot(F.col("vec"), plane) > 0, F.lit(1 << r)
             ).otherwise(F.lit(0))
         buckets.append(bucket.cast("int"))
+    # ``nrm`` rides along so downstream verify joins score pairs with
+    # one dot fold (|v| computed once per input row, BEFORE the
+    # per-band explode fans it out) — the ivf_assign_n hoist.
     return df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
     ).select(
         "vid",
         "vec",
+        "nrm",
         F.posexplode(F.array(*buckets)).alias("band", "bucket"),
     )
 
@@ -235,7 +241,10 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("score"),
         )
         .groupBy("vec_a", "vec_b")
         .agg(F.max("score").alias("score"))
@@ -471,10 +480,16 @@ def ivf_topk(
         n_centroids = adaptive_centroids(corpus.count())
     cents = materialized_centroids(corpus, n_centroids, iters, id_col, vec_col)
     c_assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2"), "cid"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec2"),
+        norm(F.col(vec_col)).alias("cnrm2"),
+        "cid",
     )
     q_assigned = ivf_assign_n(queries, cents, nprobe, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cid"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnrm2"),
+        "cid",
     )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "cid")
@@ -483,7 +498,10 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.col("cid"),
-            cosine(F.col("qvec"), F.col("cvec2")).alias("score"),
+            (
+                dot(F.col("qvec"), F.col("cvec2"))
+                / (F.col("qnrm2") * F.col("cnrm2"))
+            ).alias("score"),
         )
     )
     return grouped_topk(
@@ -517,6 +535,7 @@ def lsh_topk(
     ).select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
         "band",
         "bucket",
     )
@@ -525,6 +544,7 @@ def lsh_topk(
     ).select(
         F.col("vid").alias("neighbor_id"),
         F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
         "band",
         "bucket",
     )
@@ -534,7 +554,10 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("score"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("score").alias("score"))

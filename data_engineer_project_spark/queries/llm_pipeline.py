@@ -1853,18 +1853,29 @@ def d31_semantic_decontamination(t):
     verified by exact cosine."""
     from data_engineer_project_spark.operators.similarity import (
         banded_lsh_sigs,
-        cosine,
     )
 
     b = F.expr(_SPARK_BUCKET.replace("doc_id", "vid"))
     v = banded_lsh_sigs(t.embeddings, t.embeddings).withColumn("split_b", b)
     test = v.filter(F.col("split_b") >= 90).select(
-        F.col("vid").alias("test_vec"), F.col("vec").alias("qv"), "band", "bucket"
+        F.col("vid").alias("test_vec"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "band",
+        "bucket",
     )
     train = v.filter(F.col("split_b") < 80).select(
-        F.col("vid").alias("train_vec"), F.col("vec").alias("cv"), "band", "bucket"
+        F.col("vid").alias("train_vec"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn2"),
+        "band",
+        "bucket",
     )
-    score = cosine(F.col("qv"), F.col("cv"))
+    from data_engineer_project_spark.operators.similarity import dot as _dot
+
+    # banded_lsh_sigs hoists |v| per vector before the band explode;
+    # one dot fold per verified candidate, same op order → bit-equal
+    score = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn2"))
     return (
         test.join(train, ["band", "bucket"])
         .select("test_vec", "train_vec", score.alias("score"))

@@ -158,6 +158,23 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
         "s16_stream_curation_front_door",
         lambda rows: {"out_rows": len(rows)},
     )
+    # d64 — the incremental rebuild: prices the between-rebuilds path
+    # (frozen-artifact door + metadata re-shard) at the same scales as
+    # the full d56 rebuild above.
+    run_query(
+        "d64_incremental_curation_rebuild",
+        lambda rows: {"n_shards": len(rows)},
+    )
+    # d65 — doc-level near-dup clustering: the text twin of m10's CC
+    # measurement (replica corpora grow the dup cliques 10x).
+    run_query(
+        "d65_neardup_doc_clusters",
+        lambda rows: {
+            "cc_rounds": G.LAST_RUN_STATS.get("rounds"),
+            "converged": G.LAST_RUN_STATS.get("converged"),
+            "n_clusters": len(rows),
+        },
+    )
 
     def s04():
         name = f"stress_s04_{scale_label}_{int(time.time() * 1000)}"
