@@ -6267,3 +6267,148 @@ def d68_test_doc_bigram_novelty(t):
         )
         .orderBy("lang", "novelty_band")
     )
+
+
+# --------------------------------------------- BPE merge training
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled-CTE twin of the BPE trainer: per round, adjacency
+    pair counts over the word-frequency table -> deterministic argmax
+    -> greedy left-to-right merge via the same reduce() fold Spark
+    runs (verified bit-identical for overlapping runs like 'aaa')."""
+    parts = [
+        """
+    WITH w0 AS (
+      SELECT wd AS w, COUNT(*) AS wc
+      FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+      WHERE wd <> '' GROUP BY wd
+    ),
+    s0 AS (
+      SELECT w, wc, list_filter(string_split(w, ''), x -> x <> '') AS syms
+      FROM w0
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+    ex{r} AS (
+      SELECT w, wc, unnest(syms) AS sym, generate_subscripts(syms, 1) AS i
+      FROM s{r}
+    ),
+    pr{r} AS (
+      SELECT w, wc, sym, lead(sym, 1) OVER win AS nxt
+      FROM ex{r} WINDOW win AS (PARTITION BY w ORDER BY i)
+      QUALIFY lead(sym, 1) OVER win IS NOT NULL
+    ),
+    cnt{r} AS (
+      SELECT sym, nxt, SUM(wc) AS cnt FROM pr{r} GROUP BY sym, nxt
+    ),
+    b{r} AS (
+      SELECT sym AS pa, nxt AS pb, cnt FROM cnt{r}
+      ORDER BY cnt DESC, sym, nxt LIMIT 1
+    ),
+    s{r + 1} AS (
+      SELECT w, wc,
+             reduce(list_transform(syms, x -> [x]),
+                    (acc, x) -> CASE WHEN acc[-1] = b.pa AND x[1] = b.pb
+                                THEN list_concat(
+                                       list_slice(acc, 1, len(acc) - 1),
+                                       [b.pa || b.pb])
+                                ELSE list_concat(acc, x) END) AS syms
+      FROM s{r}, b{r} b
+    ),
+    out{r} AS (
+      SELECT {r + 1} AS round, b.pa AS pair_a, b.pb AS pair_b,
+             b.pa || b.pb AS merged,
+             CAST(b.cnt AS BIGINT) AS pair_count,
+             (SELECT CAST(SUM(len(syms) * wc) AS BIGINT) FROM s{r + 1})
+               AS corpus_tokens_after
+      FROM b{r} b
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM out{r}" for r in range(rounds))
+    return "".join(parts) + f"\n    {union} ORDER BY round"
+
+
+@query(
+    "d69_bpe_merge_trainer",
+    _bpe_oracle(),
+    tags=("llm", "tokenizer", "flagship"),
+)
+def d69_bpe_merge_trainer(t):
+    """BPE tokenizer TRAINING, the first _BPE_ROUNDS merge rounds — the
+    iterative algorithm d43's single pair-count round sets up (Sennrich
+    et al. 2016): fold the corpus ONCE into the word-frequency table
+    (the classical BPE trick — iterations then run over the vocab, not
+    the corpus), and per round (a) count adjacent symbol pairs weighted
+    by word frequency, (b) take the deterministic argmax (count desc,
+    pair lexicographic), (c) greedily merge that pair left-to-right in
+    every word via an exact aggregate fold (overlapping runs resolve
+    leftmost-first: 'aaa' + merge(a,a) -> [aa, a] on both engines,
+    verified). Output is the actual training artifact: the merge table
+    (round, pair, count) plus the corpus token count after each merge —
+    the compression-progress curve a tokenizer build monitors.
+
+    Exactness: pair counts are integer word-frequency sums; the merge
+    is the same left-fold in Spark's aggregate() and DuckDB's
+    reduce(); the argmax tiebreak is total lexicographic order.
+
+    Scale shape: ONE corpus-wide shuffle builds the word table; every
+    round after that is vocab-sized (explode/lead/count with map-side
+    partials; the chosen pair is a 1-row driver sync, the k-means
+    literal pattern); the per-round vocab table is persisted to cut
+    the unrolled lineage. At 100 TB the vocab is millions of rows —
+    executor-trivial — and rounds stay corpus-free."""
+    words = (
+        t.documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    sy = tracked_persist(
+        words.select(
+            "w",
+            "wc",
+            F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"),
+        )
+    )
+    out_rows = []
+    for r in range(_BPE_ROUNDS):
+        ex = sy.select("w", "wc", F.posexplode("syms").alias("i", "sym"))
+        win = Window.partitionBy("w").orderBy("i")
+        pr = ex.select(
+            "wc", "sym", F.lead("sym", 1).over(win).alias("nxt")
+        ).filter(F.col("nxt").isNotNull())
+        cnt = pr.groupBy("sym", "nxt").agg(F.sum("wc").alias("cnt"))
+        best = cnt.orderBy(F.desc("cnt"), "sym", "nxt").limit(1).collect()[0]
+        pa, pb = best["sym"], best["nxt"]
+        qa, qb = pa.replace("'", "''"), pb.replace("'", "''")
+        sy = tracked_persist(
+            sy.select(
+                "w",
+                "wc",
+                F.expr(
+                    f"aggregate(slice(syms, 2, size(syms) - 1),"
+                    f" array(element_at(syms, 1)),"
+                    f" (acc, x) -> IF(element_at(acc, -1) = '{qa}'"
+                    f" AND x = '{qb}',"
+                    f" concat(slice(acc, 1, size(acc) - 1),"
+                    f" array('{qa}{qb}')),"
+                    f" concat(acc, array(x))))"
+                ).alias("syms"),
+            )
+        )
+        toks_after = sy.agg(
+            F.sum(F.size("syms") * F.col("wc")).cast("long")
+        ).collect()[0][0]
+        out_rows.append(
+            (r + 1, pa, pb, pa + pb, int(best["cnt"]), int(toks_after))
+        )
+    return t._spark.createDataFrame(
+        out_rows,
+        "round int, pair_a string, pair_b string, merged string,"
+        " pair_count bigint, corpus_tokens_after bigint",
+    ).orderBy("round")
