@@ -6412,3 +6412,158 @@ def d69_bpe_merge_trainer(t):
         "round int, pair_a string, pair_b string, merged string,"
         " pair_count bigint, corpus_tokens_after bigint",
     ).orderBy("round")
+
+
+# ------------------------------------------------ Bloom membership
+
+_BLOOM_BITS = 1 << 16  # m = 65536 bits -> 2048 32-bit words
+_BLOOM_K = 3
+
+
+def _bloom_positions_sql(text_expr: str) -> list[str]:
+    """k bit positions for ``text_expr`` — 4 md5 hex digits of
+    (seed || text) mod m, identical integer derivation on both
+    engines (the _md5_hex_int machinery with a per-hash seed)."""
+    return [
+        f"({_md5_hex_int(text_expr, 'varchar', 4, prefix=f'bl{j}|')})"
+        f" % {_BLOOM_BITS}"
+        for j in range(_BLOOM_K)
+    ]
+
+
+@query(
+    "d70_bloom_membership_sketch",
+    f"""
+    WITH train AS (
+      SELECT md5(text) AS fp, text FROM documents WHERE {_ORACLE_BUCKET} < 80
+    ),
+    test AS (
+      SELECT doc_id, md5(text) AS fp, text FROM documents
+      WHERE {_ORACLE_BUCKET} >= 90
+    ),
+    pos AS (
+      {" UNION ALL ".join(
+        f"SELECT {p} AS idx FROM train" for p in _bloom_positions_sql("text")
+      )}
+    ),
+    bitset AS (
+      SELECT idx // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (idx % 32)) AS bits
+      FROM pos GROUP BY idx // 32
+    ),
+    probe AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {p} AS idx FROM test"
+        for p in _bloom_positions_sql("text")
+      )}
+    ),
+    hits AS (
+      SELECT p.doc_id,
+             SUM(CASE WHEN b.bits IS NOT NULL
+                       AND ((b.bits >> (p.idx % 32)) & 1) = 1
+                 THEN 1 ELSE 0 END) AS k_set
+      FROM probe p LEFT JOIN bitset b ON b.word_idx = p.idx // 32
+      GROUP BY p.doc_id
+    ),
+    truth AS (
+      SELECT t.doc_id,
+             CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM test t LEFT JOIN (SELECT DISTINCT fp FROM train) tr
+        ON tr.fp = t.fp
+    ),
+    occ AS (SELECT CAST(COUNT(*) AS BIGINT) AS words_occupied FROM (
+      SELECT DISTINCT idx FROM pos))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN h.k_set = {_BLOOM_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(t.is_member) AS BIGINT) AS n_true_members,
+           CAST(SUM(CASE WHEN h.k_set = {_BLOOM_K} AND t.is_member = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN h.k_set = {_BLOOM_K} AND t.is_member = 0
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS fp_rate,
+           (SELECT words_occupied FROM occ) AS bits_set
+    FROM hits h JOIN truth t ON t.doc_id = h.doc_id
+    """,
+    tags=("llm", "sketch", "dedup"),
+)
+def d70_bloom_membership_sketch(t):
+    """A BLOOM FILTER built and probed entirely in relational ops —
+    the broadcastable membership sketch a 100 TB dedup/decontamination
+    pass ships to executors instead of the full fingerprint set: k=3
+    md5-derived bit positions per train doc OR-fold into a 65536-bit /
+    2048-word bitset (an 16 KB table!), every held-out doc probes its
+    k positions, and the exact fingerprint anti-join provides ground
+    truth, so the output reports the MEASURED false-positive rate next
+    to the sketch's occupancy — the number you check against the
+    (1-e^{{-kn/m}})^k design point before trusting the sketch at scale.
+
+    Engine-exactness: positions, the OR-fold (bit_or over 1 << (idx %
+    32) in BIGINT words), and the probe's shift-and-mask are pure
+    integer/bit arithmetic, identical cross-engine; only the final
+    rate divides.
+
+    Scale shape: the build is one train-scan fan-out (k rows per doc)
+    collapsing map-side into ≤ 2048 words; the probe joins test
+    positions against the 2048-row bitset (trivially broadcast — the
+    entire point of the sketch); ground truth is one fingerprint
+    equi-join. Nothing here exceeds corpus-linear."""
+    b = F.expr(_SPARK_BUCKET)
+    train = t.documents.filter(b < 80).select("text", F.md5("text").alias("fp"))
+    test = t.documents.filter(b >= 90).select(
+        "doc_id", "text", F.md5("text").alias("fp")
+    )
+    pos_exprs = [
+        F.expr(
+            f"({_md5_hex_int('text', 'string', 4, prefix=f'bl{j}|')})"
+            f" % {_BLOOM_BITS}"
+        )
+        for j in range(_BLOOM_K)
+    ]
+    pos = train.select(
+        F.explode(F.array(*pos_exprs)).alias("idx")
+    )
+    bitset = pos.groupBy((F.col("idx") / 32).cast("long").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), idx % 32))").alias("bits")
+    )
+    probe = test.select(
+        "doc_id", F.explode(F.array(*pos_exprs)).alias("idx")
+    )
+    hits = (
+        probe.join(
+            F.broadcast(bitset),
+            (F.col("idx") / 32).cast("long") == F.col("word_idx"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("bits").isNotNull()
+                    & (
+                        F.expr("(shiftright(bits, idx % 32) & 1)") == 1
+                    )
+                ).cast("long")
+            ).alias("k_set")
+        )
+    )
+    truth = test.join(
+        train.select("fp").distinct().withColumn("hit", F.lit(1)),
+        "fp",
+        "left",
+    ).select("doc_id", F.coalesce("hit", F.lit(0)).alias("is_member"))
+    occupied = pos.select("idx").distinct().count()
+    flagged = (F.col("k_set") == _BLOOM_K).cast("long")
+    fpos = ((F.col("k_set") == _BLOOM_K) & (F.col("is_member") == 0)).cast(
+        "long"
+    )
+    return hits.join(truth, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(flagged).alias("n_flagged"),
+        F.sum("is_member").cast("long").alias("n_true_members"),
+        F.sum(fpos).alias("n_false_positives"),
+        (F.sum(fpos).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "fp_rate"
+        ),
+        F.lit(occupied).cast("long").alias("bits_set"),
+    )
