@@ -6567,3 +6567,124 @@ def d70_bloom_membership_sketch(t):
         ),
         F.lit(occupied).cast("long").alias("bits_set"),
     )
+
+
+_CMS_W = 1024  # counters per hash row
+_CMS_D = 3  # hash rows
+
+
+@query(
+    "d71_countmin_heavy_hitters",
+    f"""
+    WITH words AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+      WHERE wd <> '' GROUP BY wd
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS row_j, "
+        f"({_md5_hex_int('wd', 'varchar', 4, prefix=f'cm{j}|')}) % {_CMS_W}"
+        f" AS idx, cnt FROM words"
+        for j in range(_CMS_D)
+      )}
+    ),
+    cms AS (
+      SELECT row_j, idx, SUM(cnt) AS counter FROM cells GROUP BY row_j, idx
+    ),
+    top AS (
+      SELECT wd, cnt FROM words ORDER BY cnt DESC, wd LIMIT 10
+    ),
+    tprobe AS (
+      {" UNION ALL ".join(
+        f"SELECT wd, cnt, {j} AS row_j, "
+        f"({_md5_hex_int('wd', 'varchar', 4, prefix=f'cm{j}|')}) % {_CMS_W}"
+        f" AS idx FROM top"
+        for j in range(_CMS_D)
+      )}
+    ),
+    est AS (
+      SELECT p.wd, p.cnt, MIN(c.counter) AS estimate
+      FROM tprobe p JOIN cms c ON c.row_j = p.row_j AND c.idx = p.idx
+      GROUP BY p.wd, p.cnt
+    )
+    SELECT wd AS word, cnt AS exact_count,
+           CAST(estimate AS BIGINT) AS cms_estimate,
+           CAST(estimate - cnt AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_count DESC, word
+    """,
+    tags=("llm", "sketch", "stats"),
+)
+def d71_countmin_heavy_hitters(t):
+    """COUNT-MIN SKETCH heavy hitters with exact error accounting —
+    d70's Bloom sibling for FREQUENCIES: fold the corpus word counts
+    into a d=3 x w=1024 counter grid (md5-derived column per hash
+    row, integer sums — a 3 KB table an executor keeps in L1), then
+    read back the true top-10 words' estimates (min over the d
+    counters, the CMS read rule) next to their exact counts. The
+    overestimate column is the sketch's one-sided error realized on
+    this corpus — never negative (pinned), bounded in expectation by
+    N/w — the number you validate before replacing an exact
+    frequency shuffle with a mergeable 3 KB sketch at 100 TB.
+
+    Exactness: counters and estimates are integer sums/mins over
+    md5-derived cells — identical cross-engine; no floats at all.
+
+    Scale shape: the corpus folds once to the word table; the grid
+    collapses map-side to <= d*w cells; the top-k probe joins 10
+    words against the tiny grid. The sketch itself is what makes the
+    100 TB version cheap: counter grids from every partition merge
+    by addition."""
+    words = (
+        t.documents.select(F.explode(F.split(F.col("text"), " ")).alias("wd"))
+        .filter(F.col("wd") != "")
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cell_exprs = [
+        F.expr(
+            f"({_md5_hex_int('wd', 'string', 4, prefix=f'cm{j}|')}) % {_CMS_W}"
+        ).alias(f"idx{j}")
+        for j in range(_CMS_D)
+    ]
+    wpos = tracked_persist(words.select("wd", "cnt", *cell_exprs))
+    cells = wpos.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"), F.col(f"idx{j}").alias("idx")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("cnt", "c.row_j", "c.idx")
+    cms = cells.groupBy("row_j", "idx").agg(F.sum("cnt").alias("counter"))
+    top = wpos.orderBy(F.desc("cnt"), "wd").limit(10)
+    probe = top.select(
+        "wd",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"), F.col(f"idx{j}").alias("idx")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("wd", "cnt", "c.row_j", "c.idx")
+    est = (
+        probe.join(F.broadcast(cms), ["row_j", "idx"])
+        .groupBy("wd", "cnt")
+        .agg(F.min("counter").alias("estimate"))
+    )
+    return est.select(
+        F.col("wd").alias("word"),
+        F.col("cnt").alias("exact_count"),
+        F.col("estimate").cast("long").alias("cms_estimate"),
+        (F.col("estimate") - F.col("cnt")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "word")
