@@ -79,3 +79,25 @@ def test_d67_waterfill_invariants(spark, sf_dir):
         for r in rows:
             if r.uncapped:
                 assert r.orig_tokens <= min(capped) + 1
+
+
+def test_d70_bloom_has_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may over-approximate but NEVER under-approximate:
+    every true cross-split member must be flagged, i.e. flagged-true
+    (n_flagged - n_false_positives) equals n_true_members exactly."""
+    (row,) = QUERIES["d70_bloom_membership_sketch"].fn(spark, sf_dir).collect()
+    assert row.n_flagged - row.n_false_positives == row.n_true_members
+    assert 0 < row.bits_set <= 1 << 16
+    assert 0.0 <= row.fp_rate < 1.0
+
+
+def test_d71_cms_overestimates_only(spark, sf_dir):
+    """Count-Min error is one-sided: every estimate >= the exact
+    count, and the grid bound (overestimate <= corpus words / 1024
+    per row in expectation) stays sane on the fixture."""
+    rows = QUERIES["d71_countmin_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+        assert r.overestimate >= 0
