@@ -6688,3 +6688,157 @@ def d71_countmin_heavy_hitters(t):
         F.col("estimate").cast("long").alias("cms_estimate"),
         (F.col("estimate") - F.col("cnt")).cast("long").alias("overestimate"),
     ).orderBy(F.desc("exact_count"), "word")
+
+
+# ------------------------------------------------ HyperLogLog
+
+_HLL_M = 256  # registers (b = 8 index bits)
+# alpha_256 * m^2 * 2^41, folded to ONE double literal in Python and
+# embedded in scientific notation (which both Spark SQL and DuckDB
+# parse as DOUBLE — plain decimal literals are DECIMAL-typed with
+# engine-specific arithmetic, the drift this avoids). The single
+# division by the exact integer harmonic sum is then IEEE-identical
+# cross-engine.
+_HLL_EST_NUM = repr(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0)
+assert "e" in _HLL_EST_NUM  # scientific notation => DOUBLE literal
+
+
+def _hll_fields_sql(item_expr: str, cast_type: str) -> tuple[str, str]:
+    """(register, rho) SQL for ``item_expr``: the register is the first
+    2 md5 hex digits of ('hl|' || item); rho is 1 + the number of
+    leading zero BITS in the next 10 hex digits (a 40-bit window) —
+    derived with TRIM(LEADING '0') + a 4-way CASE on the first
+    surviving hex digit, pure string/integer ops identical in Spark
+    SQL and DuckDB (no log2, no floats)."""
+    reg = _md5_hex_int(item_expr, cast_type, 2, prefix="hl|")
+    tail = (
+        f"substring(md5(concat('hl|', cast({item_expr} as {cast_type}))), 3, 10)"
+    )
+    stripped = f"trim(LEADING '0' FROM {tail})"
+    first = f"substring({stripped}, 1, 1)"
+    intra = (
+        f"CASE WHEN {first} IN ('8','9','a','b','c','d','e','f') THEN 0"
+        f" WHEN {first} IN ('4','5','6','7') THEN 1"
+        f" WHEN {first} IN ('2','3') THEN 2 ELSE 3 END"
+    )
+    rho = (
+        f"CASE WHEN length({stripped}) = 0 THEN 41"
+        f" ELSE (10 - length({stripped})) * 4 + {intra} + 1 END"
+    )
+    return reg, rho
+
+
+_HLL_REG_SQL, _HLL_RHO_SQL = _hll_fields_sql("sh", "varchar")
+_HLL_REG_SPARK, _HLL_RHO_SPARK = _hll_fields_sql("sh", "string")
+
+
+@query(
+    "d72_hll_distinct_sketch",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    occ AS (
+      SELECT wd || ' ' || lead(wd, 1) OVER win || ' '
+                || lead(wd, 2) OVER win AS sh
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd, 2) OVER win IS NOT NULL
+    ),
+    hashed AS (
+      SELECT ({_HLL_REG_SQL}) AS reg, ({_HLL_RHO_SQL}) AS rho FROM occ
+    ),
+    regs AS (SELECT reg, MAX(rho) AS m_r FROM hashed GROUP BY reg),
+    st AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << (41 - m_r)) AS BIGINT)
+               AS s_present,
+             CAST(COUNT(*) AS BIGINT) AS registers_used,
+             CAST(MAX(m_r) AS BIGINT) AS max_rho
+      FROM regs
+    ),
+    ex AS (SELECT CAST(COUNT(DISTINCT sh) AS BIGINT) AS exact_distinct
+           FROM occ)
+    SELECT CAST({_HLL_M} AS BIGINT) AS m_registers,
+           ex.exact_distinct,
+           st.registers_used,
+           st.max_rho,
+           CAST(st.s_present
+                + ({_HLL_M} - st.registers_used)
+                  * (CAST(1 AS BIGINT) << 41) AS BIGINT)
+             AS harmonic_sum_scaled,
+           {_HLL_EST_NUM}
+             / CAST(st.s_present
+                    + ({_HLL_M} - st.registers_used)
+                      * (CAST(1 AS BIGINT) << 41) AS DOUBLE)
+             AS hll_estimate,
+           ({_HLL_EST_NUM}
+             / CAST(st.s_present
+                    + ({_HLL_M} - st.registers_used)
+                      * (CAST(1 AS BIGINT) << 41) AS DOUBLE)
+            - CAST(ex.exact_distinct AS DOUBLE))
+             / CAST(ex.exact_distinct AS DOUBLE) AS rel_error
+    FROM st, ex
+    """,
+    tags=("llm", "sketch", "stats"),
+)
+def d72_hll_distinct_sketch(t):
+    """HYPERLOGLOG cardinality of the 3-gram SHINGLE universe — the
+    third sketch next to d70 (membership) and d71 (frequency), and
+    the number that actually sizes d07's LSH parameters: every
+    shingle OCCURRENCE hashes to one of m=256 registers whose value
+    is the max leading-zero run rho of a 40-bit md5 window, and the
+    harmonic-mean estimate alpha*m^2/sum(2^-M_r) is read off a
+    256-row table. The exact COUNT(DISTINCT) runs beside it so the
+    output states the realized relative error — the number that
+    justifies replacing a corpus-wide distinct shuffle with a 2 KB
+    mergeable sketch at 100 TB (registers from every partition merge
+    by MAX). The shingle universe (~17k at sf0.01) sits in the raw
+    estimator's regime (n >= 2.5m); below that HLL prescribes linear
+    counting, which this corpus never triggers.
+
+    Engine-exactness: registers and rho are md5/string/CASE integer
+    arithmetic; the harmonic sum is the exact integer
+    sum(2^(41-M_r)) (zero registers contribute 2^41); the only
+    floats are one literal-constant multiply chain and one division,
+    IEEE-identical cross-engine.
+
+    Scale shape: the occurrence scan collapses map-side into <= 256
+    (reg, max-rho) rows — no distinct shuffle, no word table; the
+    exact count pays the distinct shuffle precisely to measure what
+    the sketch saves. At 100 TB you'd ship only the sketch."""
+    occ = t.documents.select(F.explode(T.shingles("text", 3)).alias("sh"))
+    regs = (
+        occ.select(
+            F.expr(_HLL_REG_SPARK).alias("reg"),
+            F.expr(_HLL_RHO_SPARK).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m_r"))
+    )
+    st = regs.agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 41 - m_r)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("registers_used"),
+        F.max("m_r").cast("long").alias("max_rho"),
+    )
+    ex = occ.agg(F.countDistinct("sh").alias("exact_distinct"))
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("registers_used"))
+        * F.expr("shiftleft(cast(1 as bigint), 41)")
+    ).cast("long")
+    est = F.expr(_HLL_EST_NUM) / s_total.cast("double")
+    return st.crossJoin(ex).select(
+        F.lit(_HLL_M).cast("long").alias("m_registers"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("registers_used").cast("long").alias("registers_used"),
+        "max_rho",
+        s_total.alias("harmonic_sum_scaled"),
+        est.alias("hll_estimate"),
+        (
+            (est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_error"),
+    )

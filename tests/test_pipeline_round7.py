@@ -101,3 +101,19 @@ def test_d71_cms_overestimates_only(spark, sf_dir):
         assert r.cms_estimate >= r.exact_count
         assert r.overestimate == r.cms_estimate - r.exact_count
         assert r.overestimate >= 0
+
+
+def test_d72_hll_estimate_within_design_error(spark, sf_dir):
+    """HLL with m=256 registers has standard error 1.04/sqrt(m) = 6.5%;
+    the realized error on the fixture must stay within 4 sigma of it,
+    and the integer harmonic sum must re-derive from the register
+    identity sum(2^(41-M_r)) with zero registers contributing 2^41."""
+    (row,) = QUERIES["d72_hll_distinct_sketch"].fn(spark, sf_dir).collect()
+    assert row.m_registers == 256
+    assert 0 < row.registers_used <= 256
+    assert 1 <= row.max_rho <= 41
+    assert abs(row.rel_error) < 4 * 1.04 / (256 ** 0.5)
+    assert row.hll_estimate > 0
+    # the estimate actually equals the published formula on the sum
+    alpha_num = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
+    assert row.hll_estimate == alpha_num / float(row.harmonic_sum_scaled)

@@ -100,6 +100,14 @@ EXTRA_QUERIES = [
     "d66_contamination_method_attribution",
     "d67_token_budget_waterfill",
     "e20_conversion_attribution",
+    # r7 second wave. d69 executes its merge rounds at construction
+    # (the k-means pattern) — the audited plan is the final literal
+    # table, so it is skipped like d20/d26; d70/d71 each run one eager
+    # bounded count/argmax and audit fine.
+    "d68_test_doc_bigram_novelty",
+    "d70_bloom_membership_sketch",
+    "d71_countmin_heavy_hitters",
+    "e21_activation_latency",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
