@@ -171,3 +171,83 @@ def quantized_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
             "cov"
         ),
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    quant: float = 1024.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pos, qv): the vector table exploded to 1-based coordinates
+    quantized as floor(x * quant) — exact int64, so downstream sums
+    are aggregation-order-free (the kmeans_centroids playbook)."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("p0", "x")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(float(quant)))
+        .cast("long")
+        .alias("qv"),
+    )
+
+
+def power_iteration(
+    q: DataFrame,
+    rounds: int = 3,
+    vscale: float = 128.0,
+) -> tuple[dict[int, int], list[tuple[int, int]]]:
+    """Matrix-free power iteration on the second-moment matrix of the
+    quantized coordinate table ``q`` (vec_id, pos, qv): per round
+    s_i = q_i . v (one vector-keyed shuffle), y = sum_i q_i s_i (one
+    coordinate-keyed shuffle), then the direction rescales to
+    max|v| = vscale via FLOOR(y * vscale / max|y| + 0.5) — evaluated
+    here in driver Python on exact integer inputs with the same IEEE
+    double semantics the SQL oracle twin uses, so both derive
+    identical integer directions.
+
+    Returns (final direction {pos: int}, [(num_k, vv_k)] per round)
+    where num_k = v_{k-1}' y_k and vv_k = |v_{k-1}|^2 are the EXACT
+    integer Rayleigh-quotient ingredients (divide by n outside).
+    Power iteration on a PSD matrix increases the Rayleigh quotient
+    monotonically; the convergence RATE is the eigengap lambda2/
+    lambda1 — near-isotropic corpora converge slowly by nature, which
+    is a property of the data, not the operator (pinned both ways in
+    tests: monotone on the corpus, 3-round recovery on a planted
+    spike).
+
+    Scale shape: the quantized corpus should be persisted by the
+    caller; each round broadcasts the <= dim-row direction against a
+    linear scan. Driver state is the direction and max|y| — bounded
+    by dim, never by n."""
+    import math
+
+    dims = [r["pos"] for r in q.select("pos").distinct().collect()]
+    v = {p: int(vscale) for p in dims}
+    spark = q.sparkSession
+    stats: list[tuple[int, int]] = []
+    for _ in range(rounds):
+        vdir = spark.createDataFrame(
+            [(p, v[p]) for p in sorted(v)], "pos int, v long"
+        )
+        s = (
+            q.join(F.broadcast(vdir), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("qv") * F.col("v")).alias("s"))
+        )
+        y = (
+            q.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("qv") * F.col("s")).alias("y"))
+        )
+        rows = {r["pos"]: r["y"] for r in y.collect()}
+        num = sum(rows[p] * v[p] for p in rows)
+        vv = sum(x * x for x in v.values())
+        stats.append((num, vv))
+        m = float(max(abs(x) for x in rows.values()))
+        v = {
+            p: math.floor(float(rows[p]) * float(vscale) / m + 0.5)
+            for p in rows
+        }
+    return v, stats

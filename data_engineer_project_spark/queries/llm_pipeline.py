@@ -23,6 +23,7 @@ from data_engineer_project_spark.functions.numeric import money
 from data_engineer_project_spark.operators import dedup as DD
 from data_engineer_project_spark.operators.cache import tracked_persist
 from data_engineer_project_spark.operators import graph as GR
+from data_engineer_project_spark.operators import linalg as LA
 from data_engineer_project_spark.operators import retrieval as RET
 from data_engineer_project_spark.operators import similarity as SIM
 from data_engineer_project_spark.operators.asof import asof_join
@@ -6842,3 +6843,149 @@ def d72_hll_distinct_sketch(t):
             / F.col("exact_distinct").cast("double")
         ).alias("rel_error"),
     )
+
+
+
+
+# ------------------------------------- power iteration (top PC)
+
+_PI_QUANT = 1024.0  # embedding quantization: floor(x * 2^10)
+_PI_VSCALE = 128.0  # direction rescale target: max|v| = 2^7
+_PI_ROUNDS = 3
+
+
+def _pi_iter_sql(k: int) -> str:
+    """One unrolled power-iteration round as oracle CTEs: s_k (per-
+    vector dot with v_{k-1}), y_k (the matrix-vector product Q'Q v,
+    exact BIGINT sums), the Rayleigh ingredients nm_k/vq_k, and v_k
+    (y rescaled to max|v| = 128 with the same FLOOR(x + 0.5) double
+    arithmetic the Spark driver loop runs)."""
+    return f"""
+    s{k} AS (SELECT q.vec_id, SUM(q.qv * v{k - 1}.v) AS s
+             FROM q JOIN v{k - 1} USING (pos) GROUP BY q.vec_id),
+    y{k} AS (SELECT q.pos, SUM(q.qv * s{k}.s) AS y
+             FROM q JOIN s{k} USING (vec_id) GROUP BY q.pos),
+    nm{k} AS (SELECT SUM(y{k}.y * v{k - 1}.v) AS num
+              FROM y{k} JOIN v{k - 1} USING (pos)),
+    vq{k} AS (SELECT SUM(v * v) AS vv FROM v{k - 1}),
+    v{k} AS (SELECT pos,
+                    CAST(FLOOR(CAST(y AS DOUBLE) * {_PI_VSCALE} / m + 0.5)
+                         AS BIGINT) AS v
+             FROM y{k},
+                  (SELECT CAST(MAX(ABS(y)) AS DOUBLE) AS m FROM y{k}))"""
+
+
+_PI_R = _PI_ROUNDS  # short alias for the f-string below
+
+
+@query(
+    "d73_power_iteration_top_pc",
+    f"""
+    WITH q AS (
+      SELECT vec_id, pos,
+             CAST(FLOOR(CAST(x AS DOUBLE) * {_PI_QUANT}) AS BIGINT) AS qv
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+    ),
+    v0 AS (SELECT DISTINCT pos, CAST({int(_PI_VSCALE)} AS BIGINT) AS v
+           FROM q),
+    {",".join(_pi_iter_sql(k) for k in range(1, _PI_ROUNDS + 1))},
+    sf AS (SELECT q.vec_id, SUM(q.qv * v{_PI_R}.v) AS s
+           FROM q JOIN v{_PI_R} USING (pos) GROUP BY q.vec_id),
+    yf AS (SELECT q.pos, SUM(q.qv * sf.s) AS y
+           FROM q JOIN sf USING (vec_id) GROUP BY q.pos),
+    nmf AS (SELECT SUM(yf.y * v{_PI_R}.v) AS num
+            FROM yf JOIN v{_PI_R} USING (pos)),
+    vqf AS (SELECT SUM(v * v) AS vv FROM v{_PI_R}),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    tr AS (SELECT SUM(qv * qv) AS tr FROM q)
+    SELECT v{_PI_R}.pos AS pos,
+           v{_PI_R}.v AS component,
+           {",".join(
+               f"CAST(nm{k}.num AS DOUBLE)"
+               f" / (CAST(vq{k}.vv AS DOUBLE) * CAST(nn.n AS DOUBLE))"
+               f" AS rayleigh_r{k}"
+               for k in range(1, _PI_ROUNDS + 1)
+           )},
+           CAST(nmf.num AS DOUBLE)
+             / (CAST(vqf.vv AS DOUBLE) * CAST(nn.n AS DOUBLE))
+             AS eigval_quantized,
+           CAST(nmf.num AS DOUBLE)
+             / (CAST(vqf.vv AS DOUBLE) * CAST(tr.tr AS DOUBLE))
+             AS top_share
+    FROM v{_PI_R},
+         {",".join(f"nm{k}, vq{k}" for k in range(1, _PI_ROUNDS + 1))},
+         nmf, vqf, nn, tr
+    ORDER BY pos
+    """,
+    tags=("llm", "linalg", "iterative"),
+)
+def d73_power_iteration_top_pc(t):
+    """POWER ITERATION toward the dominant principal direction of the
+    embedding second-moment matrix C = (1/n) X'X — the iterative
+    eigensolver next to d51 (covariance) and d57 (PQ k-means),
+    matrix-free: no d x d matrix is materialized; each round is two
+    relational passes (s_i = x_i . v per vector, y = sum x_i s_i per
+    coordinate), exactly how Krylov methods run on data-parallel
+    engines (operators/linalg.power_iteration).
+
+    The output carries the per-round Rayleigh quotients: on a PSD
+    matrix power iteration increases them monotonically (pinned),
+    and their climb rate IS the eigengap — this corpus is near-
+    isotropic (lambda2/lambda1 ~ 0.93 at sf0.001), so 3 rounds make
+    honest progress, not convergence; on a spectrum WITH a gap the
+    same operator recovers the planted direction in 3 rounds
+    (pinned on a synthetic spike in tests). Reporting the climb
+    rather than pretending a converged vector is the point.
+
+    Engine-exactness (the kmeans_centroids playbook): embeddings
+    quantize once to integers; every sum is exact int64 (worst case
+    at sf0.1: n = 2^17, |q| < 2^10, |v| <= 2^7 keeps all sums under
+    2^62); the inter-round rescale FLOOR(y * 128 / max|y| + 0.5) and
+    the final Rayleigh divisions are the only doubles — IEEE-
+    identical in driver Python, Spark SQL, and DuckDB.
+
+    Scale shape: the quantized corpus persists once; each round
+    broadcasts the 64-row direction against a linear scan plus one
+    vector-keyed shuffle. Driver state is the direction, max|y|,
+    and four scalars — bounded by dim, never by n. 100 TB: same
+    plan, still 3 rounds."""
+    q = tracked_persist(LA.quantize_embeddings(t.embeddings, _PI_QUANT))
+    n = t.embeddings.count()
+    v, stats = LA.power_iteration(q, _PI_ROUNDS, _PI_VSCALE)
+    spark = t._spark
+    vdir = spark.createDataFrame(
+        [(p, v[p]) for p in sorted(v)], "pos int, v long"
+    )
+    s = (
+        q.join(F.broadcast(vdir), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("s"))
+    )
+    y = (
+        q.join(s, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("qv") * F.col("s")).alias("y"))
+    )
+    num_f = (
+        y.join(F.broadcast(vdir), "pos")
+        .agg(F.sum(F.col("y") * F.col("v")))
+        .collect()[0][0]
+    )
+    vv_f = sum(x * x for x in v.values())
+    tr = q.agg(F.sum(F.col("qv") * F.col("qv"))).collect()[0][0]
+    rayleighs = [
+        float(num) / (float(vv) * float(n)) for num, vv in stats
+    ]
+    eigval = float(num_f) / (float(vv_f) * float(n))
+    share = float(num_f) / (float(vv_f) * float(tr))
+    return spark.createDataFrame(
+        [
+            (p, v[p], *rayleighs, eigval, share)
+            for p in sorted(v)
+        ],
+        "pos int, component long, "
+        + ", ".join(f"rayleigh_r{k} double" for k in range(1, _PI_ROUNDS + 1))
+        + ", eigval_quantized double, top_share double",
+    ).orderBy("pos")

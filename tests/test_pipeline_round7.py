@@ -117,3 +117,61 @@ def test_d72_hll_estimate_within_design_error(spark, sf_dir):
     # the estimate actually equals the published formula on the sum
     alpha_num = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
     assert row.hll_estimate == alpha_num / float(row.harmonic_sum_scaled)
+
+
+def test_d73_rayleigh_climbs_within_numpy_bracket(spark, sf_dir):
+    """Power iteration on a PSD matrix increases the Rayleigh quotient
+    monotonically, and every quotient must sit inside numpy's
+    [lambda_min, lambda_max] bracket for the SAME quantized
+    second-moment matrix (tiny tolerance for the integer direction
+    rescale between rounds)."""
+    import numpy as np
+
+    rows = QUERIES["d73_power_iteration_top_pc"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    r = rows[0]
+    seq = [r.rayleigh_r1, r.rayleigh_r2, r.rayleigh_r3, r.eigval_quantized]
+    for a, b in zip(seq, seq[1:]):
+        assert b >= a * (1.0 - 1e-9), seq
+    t = Tables(spark, sf_dir)
+    emb = np.array(
+        [x.embedding for x in t.embeddings.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * 1024.0)
+    w = np.linalg.eigvalsh(q.T @ q)
+    n = q.shape[0]
+    for lam in seq:
+        assert w[0] / n - 1e-6 <= lam <= w[-1] / n * (1.0 + 1e-9), (lam, w[-1] / n)
+    assert 0.0 < r.top_share <= 1.0
+
+
+def test_d73_operator_recovers_planted_spike(spark):
+    """On a spectrum WITH a gap the same operator converges fast: a
+    planted dominant direction (spike at 20x the noise floor) must be
+    recovered with |cosine| > 0.99 within the query's 3 rounds."""
+    import math
+    import random
+
+    from data_engineer_project_spark.operators import linalg as LA
+
+    rng = random.Random(7)
+    d, n = 16, 400
+    spike = [math.sin(0.5 + 0.37 * j) for j in range(d)]
+    nrm = math.sqrt(sum(x * x for x in spike))
+    spike = [x / nrm for x in spike]
+    rows = []
+    for i in range(n):
+        a = rng.gauss(0.0, 1.0) * 20.0
+        vec = [a * spike[j] + rng.gauss(0.0, 1.0) for j in range(d)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = LA.quantize_embeddings(emb, 1024.0)
+    v, stats = LA.power_iteration(q, rounds=3, vscale=128.0)
+    got = [v[p] for p in sorted(v)]
+    dot = sum(g * sp for g, sp in zip(got, spike))
+    cos = abs(dot) / math.sqrt(sum(g * g for g in got))
+    assert cos > 0.99, cos
+    # Rayleigh ingredients must be monotone here too
+    seq = [num / vv for num, vv in stats]
+    assert seq[0] <= seq[1] <= seq[2]

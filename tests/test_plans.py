@@ -283,6 +283,8 @@ def test_no_forced_broadcast_of_unbounded_frames():
     DENY = {"leaky", "dropped", "per_doc"}
     ALLOW = {
         ("operators/linalg.py", "n_max"),  # 1-row guard aggregate
+        ("operators/linalg.py", "vdir"),  # <= dim-row direction
+        ("queries/llm_pipeline.py", "vdir"),  # <= dim-row direction
         ("operators/linalg.py", "sa"),  # d column sums
         ("operators/linalg.py", "sb"),
         ("operators/retrieval.py", "stats"),  # 1-row corpus stats
