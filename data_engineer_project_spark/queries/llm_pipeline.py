@@ -5524,9 +5524,13 @@ def d63_split_drift_ks(t):
 
 # ------------------------------------------- near-dup doc clusters
 
-def _minhash_cluster_oracle(
+def _minhash_graph_ctes(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:
+    """The shared verified-near-dup-graph CTE prefix (shingles ->
+    MinHash signatures -> banded candidates -> exact-Jaccard verified
+    pairs -> undirected edges -> recursive-walk component labels) —
+    one definition behind the d65 and d74 oracles."""
     r = num_hashes // bands
     sig_cols = ", ".join(
         f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(num_hashes)
@@ -5584,7 +5588,13 @@ def _minhash_cluster_oracle(
       UNION
       SELECT e.e_dst, w2.comp FROM walk w2 JOIN edges e ON e.e_src = w2.node
     ),
-    lab AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+    lab AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)"""
+
+
+def _minhash_cluster_oracle(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    return f"""{_minhash_graph_ctes(num_hashes, bands, threshold)},
     tk AS (SELECT doc_id, length(string_split(text, ' ')) AS n_tokens
            FROM documents)
     SELECT CAST(lab.component AS BIGINT) AS component,
@@ -6989,3 +6999,118 @@ def d73_power_iteration_top_pc(t):
         + ", ".join(f"rayleigh_r{k} double" for k in range(1, _PI_ROUNDS + 1))
         + ", eigval_quantized double, top_share double",
     ).orderBy("pos")
+
+
+# --------------------------------------- PageRank canonical pick
+
+_PR_ROUNDS = 3
+_PR_SCALE = 1_000_000  # initial integer rank per node
+_PR_BASE = 150_000  # (1 - 0.85) * scale, exact integers
+
+
+def _pr_iter_sql(k: int) -> str:
+    """One unrolled integer-PageRank round as oracle CTEs: every node
+    splits its rank across its out-edges with floor division, and the
+    damped update 150000 + (85 * inflow) // 100 stays in exact BIGINT
+    arithmetic (all values nonnegative, so DuckDB's flooring // and
+    Spark's truncating div agree)."""
+    return f"""
+    r{k} AS (SELECT e.e_dst AS node,
+                    CAST({_PR_BASE}
+                         + (85 * SUM(r{k - 1}.r // d.deg)) // 100
+                         AS BIGINT) AS r
+             FROM edges e
+             JOIN r{k - 1} ON r{k - 1}.node = e.e_src
+             JOIN deg d ON d.e_src = e.e_src
+             GROUP BY e.e_dst)"""
+
+
+@query(
+    "d74_pagerank_canonical_doc",
+    f"""{_minhash_graph_ctes()},
+    deg AS (SELECT e_src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY e_src),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),
+    {",".join(_pr_iter_sql(k) for k in range(1, _PR_ROUNDS + 1))}
+    SELECT CAST(lab.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(lab.node) AS BIGINT) AS canonical_minid,
+           CAST((MAX({{'r': rk.r, 'i': -lab.node}})).i * -1 AS BIGINT)
+             AS canonical_pagerank,
+           CAST(MAX(rk.r) AS BIGINT) AS top_rank,
+           CAST(MIN(lab.node)
+                = (MAX({{'r': rk.r, 'i': -lab.node}})).i * -1
+                AS BOOLEAN) AS same_pick
+    FROM lab JOIN r{_PR_ROUNDS} rk ON rk.node = lab.node
+    GROUP BY lab.component ORDER BY component
+    """,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def d74_pagerank_canonical_doc(t):
+    """PAGERANK over the verified near-dup graph — the canonical-pick
+    refinement of d65: min-id keeps an arbitrary cluster member, but
+    the member a curation run should keep is the most CENTRAL one
+    (the doc most similar to the most others — the medoid the random
+    surfer concentrates on). 3 unrolled damped rounds of integer
+    PageRank (rank splits over out-edges by floor division; update =
+    150000 + 85% of inflow, exact int64 throughout — nonnegative, so
+    truncating and flooring division agree cross-engine) over the
+    SAME verified pair set as d65, then per component: both canonical
+    picks side by side, the winning rank, and whether they agree —
+    on symmetric duplicate clusters they usually do; on chain-shaped
+    clusters (A~B~C but A!~C) PageRank picks the chain center.
+
+    The oracle re-derives the full graph AND the three rank rounds
+    in recursive/unrolled CTEs, so a dropped edge, a wrong degree,
+    or one mis-ranked node flips the hash.
+
+    Scale shape: pair generation inherits d07's corpus-linear banded
+    form; each rank round shuffles the EDGE set once (deg and rank
+    co-partition on the join key); component labels come from the
+    pointer-jumped CC (log-diameter rounds, measured flat at 10x).
+    Rank state is edge-proportional, never quadratic; no driver
+    state at all — the loop is fully relational, executed once at
+    the final action."""
+    pairs = tracked_persist(
+        DD.minhash_lsh_pairs(
+            t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+        ).select("doc_a", "doc_b")
+    )
+    edges = tracked_persist(
+        pairs.selectExpr("doc_a AS e_src", "doc_b AS e_dst").union(
+            pairs.selectExpr("doc_b AS e_src", "doc_a AS e_dst")
+        )
+    )
+    deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = (
+        edges.select(F.col("e_src").alias("node"))
+        .distinct()
+        .withColumn("r", F.lit(_PR_SCALE).cast("long"))
+    )
+    for _ in range(_PR_ROUNDS):
+        ranks = (
+            edges.join(ranks, ranks.node == edges.e_src)
+            .join(deg, "e_src")
+            .groupBy("e_dst")
+            .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+            .select(
+                F.col("e_dst").alias("node"),
+                (
+                    F.lit(_PR_BASE) + F.expr("(85 * inflow) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    comps = GR.connected_components(pairs)
+    pick = F.max(F.struct(F.col("r"), (-F.col("node")).alias("i")))
+    return (
+        comps.join(ranks, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("canonical_minid"),
+            (pick["i"] * -1).cast("long").alias("canonical_pagerank"),
+            F.max("r").cast("long").alias("top_rank"),
+            (F.min("node") == pick["i"] * -1).alias("same_pick"),
+        )
+        .orderBy("component")
+    )

@@ -175,3 +175,25 @@ def test_d73_operator_recovers_planted_spike(spark):
     # Rayleigh ingredients must be monotone here too
     seq = [num / vv for num, vv in stats]
     assert seq[0] <= seq[1] <= seq[2]
+
+
+def test_d74_components_match_d65_and_pick_invariants(spark, sf_dir):
+    """d74 runs PageRank over the SAME verified near-dup graph d65
+    clusters, so component ids and sizes must match d65 row-for-row;
+    on symmetric 2-node clusters both rank picks tie and the min-id
+    tiebreak makes the picks agree; every winning rank respects the
+    damped floor (>= the 15% base mass)."""
+    d65 = {
+        r.component: r
+        for r in QUERIES["d65_neardup_doc_clusters"].fn(spark, sf_dir).collect()
+    }
+    d74 = QUERIES["d74_pagerank_canonical_doc"].fn(spark, sf_dir).collect()
+    assert {r.component for r in d74} == set(d65)
+    for r in d74:
+        assert r.cluster_size == d65[r.component].cluster_size
+        assert r.canonical_minid == d65[r.component].canonical_doc
+        assert r.top_rank >= 150_000
+        if r.cluster_size == 2:
+            assert r.same_pick, r
+        if r.same_pick:
+            assert r.canonical_pagerank == r.canonical_minid
