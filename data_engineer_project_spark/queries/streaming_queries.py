@@ -1152,3 +1152,120 @@ def s18_stream_media_integrity_gate(t):
     return run_to_memory_table(tally, "media_gate", "complete").orderBy(
         "lang", "media_format"
     )
+
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _BLOOM_BITS,
+    _BLOOM_K,
+    _bloom_positions_sql,
+    _md5_hex_int,
+)
+
+
+def _s19_bloom_words(t) -> list[int]:
+    """The corpus Bloom bitset as BOUNDED driver state: <= 2048 int64
+    words (16 KB — d70's sketch, the whole point of which is that it
+    ships to executors whole). Built once per call from the static
+    corpus half with the same OR-fold d70 gates."""
+    b = F.expr(_S11_BUCKET)
+    train = t.documents.withColumn("bucket", b).filter(F.col("bucket") < 50)
+    pos_exprs = [
+        F.expr(
+            f"({_md5_hex_int('text', 'string', 4, prefix=f'bl{j}|')})"
+            f" % {_BLOOM_BITS}"
+        )
+        for j in range(_BLOOM_K)
+    ]
+    rows = (
+        train.select(F.explode(F.array(*pos_exprs)).alias("idx"))
+        .groupBy((F.col("idx") / 32).cast("long").alias("word_idx"))
+        .agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), idx % 32))").alias(
+                "bits"
+            )
+        )
+        .collect()
+    )
+    words = [0] * (_BLOOM_BITS // 32)
+    for r in rows:
+        words[r["word_idx"]] = r["bits"]
+    return words
+
+
+@query(
+    "s19_stream_bloom_gate",
+    f"""
+    WITH train AS (
+      SELECT text FROM documents WHERE {_S11_BUCKET_DUCK} < 50
+    ),
+    pos AS (
+      {" UNION ALL ".join(
+        f"SELECT {p} AS idx FROM train" for p in _bloom_positions_sql("text")
+      )}
+    ),
+    bitset AS (
+      SELECT idx // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (idx % 32)) AS bits
+      FROM pos GROUP BY idx // 32
+    ),
+    test AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE {_S11_BUCKET_DUCK} >= 50
+    ),
+    probe AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {p} AS idx FROM test"
+        for p in _bloom_positions_sql("text")
+      )}
+    ),
+    hits AS (
+      SELECT p.doc_id,
+             SUM(CASE WHEN b.bits IS NOT NULL
+                       AND ((b.bits >> (p.idx % 32)) & 1) = 1
+                 THEN 1 ELSE 0 END) AS k_set
+      FROM probe p LEFT JOIN bitset b ON b.word_idx = p.idx // 32
+      GROUP BY p.doc_id
+    )
+    SELECT t.doc_id, t.lang
+    FROM test t JOIN hits h ON h.doc_id = t.doc_id
+    WHERE h.k_set < {_BLOOM_K}
+    """,
+    tags=("streaming", "llm", "dedup", "sketch"),
+)
+def s19_stream_bloom_gate(t):
+    """The Bloom SKETCH at the ingest door — s11's exact anti-join
+    replaced by d70's 16 KB bitset, which is how a 100 TB corpus
+    actually gates a stream (the full fingerprint set doesn't fit
+    next to the stream; the sketch rides along as a literal): each
+    arriving doc probes its k=3 md5 bit positions ROW-LOCALLY against
+    the corpus bitset baked into the plan — no join, no state store,
+    no shuffle, append mode. Bloom's one-sidedness is the gate's
+    safety contract: every true duplicate is blocked (no false
+    negatives — pinned against s11's exact survivor set), and the
+    price is a measured sliver of falsely-blocked novel docs (d70
+    reports that rate).
+
+    Scale shape: the ONLY non-row-local work is building the bitset
+    (one corpus fan-out collapsing map-side to <= 2048 words,
+    refreshed offline like s17's centroids); the streaming side is
+    pure whole-stage-codegen expressions over a 16 KB literal."""
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    words = _s19_bloom_words(t)
+    blm = F.array(*[F.lit(w).cast("long") for w in words])
+    incoming = (
+        read_document_stream(t._spark, t._sf_dir)
+        .withColumn("bucket", F.expr(_S11_BUCKET))
+        .filter(F.col("bucket") >= 50)
+    )
+    probed = incoming.withColumn("blm", blm)
+    cond = None
+    for j in range(_BLOOM_K):
+        bit = F.expr(f"(shiftright(element_at(blm, cast(("
+                     f"{_md5_hex_int('text', 'string', 4, prefix=f'bl{j}|')})"
+                     f" % {_BLOOM_BITS} / 32 as int) + 1),"
+                     f" ({_md5_hex_int('text', 'string', 4, prefix=f'bl{j}|')})"
+                     f" % {_BLOOM_BITS} % 32) & 1) = 1")
+        cond = bit if cond is None else (cond & bit)
+    survivors = probed.filter(~cond).select("doc_id", "lang")
+    return run_to_memory_table(survivors, "stream_bloom_gate", "append")

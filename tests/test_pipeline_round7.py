@@ -197,3 +197,17 @@ def test_d74_components_match_d65_and_pick_invariants(spark, sf_dir):
             assert r.same_pick, r
         if r.same_pick:
             assert r.canonical_pagerank == r.canonical_minid
+
+
+def test_s19_bloom_gate_never_passes_a_true_duplicate(spark, sf_dir):
+    """Bloom one-sidedness at the door: s19's survivor set must be a
+    SUBSET of s11's exact-anti-join survivors (the sketch may only
+    over-block novel docs, never under-block a duplicate), and the
+    falsely-blocked sliver must be small on the fixture."""
+    s11 = {r.doc_id for r in
+           QUERIES["s11_stream_dedup_against_corpus"].fn(spark, sf_dir).collect()}
+    s19 = {r.doc_id for r in
+           QUERIES["s19_stream_bloom_gate"].fn(spark, sf_dir).collect()}
+    assert s19 <= s11, s19 - s11
+    blocked_novel = len(s11) - len(s19)
+    assert blocked_novel <= max(3, len(s11) // 10), (blocked_novel, len(s11))
