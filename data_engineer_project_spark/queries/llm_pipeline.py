@@ -6285,11 +6285,11 @@ def d68_test_doc_bigram_novelty(t):
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
-    """Unrolled-CTE twin of the BPE trainer: per round, adjacency
-    pair counts over the word-frequency table -> deterministic argmax
-    -> greedy left-to-right merge via the same reduce() fold Spark
-    runs (verified bit-identical for overlapping runs like 'aaa')."""
+def _bpe_ctes(rounds: int = _BPE_ROUNDS) -> str:
+    """The unrolled BPE-training CTE prefix (word table -> per-round
+    pair counts -> argmax -> greedy reduce() merge; s{rounds} is the
+    final merged vocab) — shared by the d69 trainer oracle and the
+    d75 encoder oracle."""
     parts = [
         """
     WITH w0 AS (
@@ -6338,8 +6338,13 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
                AS corpus_tokens_after
       FROM b{r} b
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Trainer oracle: the merge table, one row per unrolled round."""
     union = " UNION ALL ".join(f"SELECT * FROM out{r}" for r in range(rounds))
-    return "".join(parts) + f"\n    {union} ORDER BY round"
+    return f"{_bpe_ctes(rounds)}\n    {union} ORDER BY round"
 
 
 @query(
@@ -6371,8 +6376,21 @@ def d69_bpe_merge_trainer(t):
     literal pattern); the per-round vocab table is persisted to cut
     the unrolled lineage. At 100 TB the vocab is millions of rows —
     executor-trivial — and rounds stay corpus-free."""
+    sy, out_rows = _bpe_train(t.documents)
+    return t._spark.createDataFrame(
+        out_rows,
+        "round int, pair_a string, pair_b string, merged string,"
+        " pair_count bigint, corpus_tokens_after bigint",
+    ).orderBy("round")
+
+
+def _bpe_train(documents, rounds: int = _BPE_ROUNDS):
+    """Run the unrolled BPE merge rounds; returns (final vocab frame
+    (w, wc, syms), merge-table rows). The corpus folds ONCE into the
+    word table; each round is vocab-sized with a 1-row argmax driver
+    sync (the k-means literal pattern)."""
     words = (
-        t.documents.select(
+        documents.select(
             F.explode(F.split(F.col("text"), " ")).alias("w")
         )
         .filter(F.col("w") != "")
@@ -6387,7 +6405,7 @@ def d69_bpe_merge_trainer(t):
         )
     )
     out_rows = []
-    for r in range(_BPE_ROUNDS):
+    for r in range(rounds):
         ex = sy.select("w", "wc", F.posexplode("syms").alias("i", "sym"))
         win = Window.partitionBy("w").orderBy("i")
         pr = ex.select(
@@ -6418,11 +6436,7 @@ def d69_bpe_merge_trainer(t):
         out_rows.append(
             (r + 1, pa, pb, pa + pb, int(best["cnt"]), int(toks_after))
         )
-    return t._spark.createDataFrame(
-        out_rows,
-        "round int, pair_a string, pair_b string, merged string,"
-        " pair_count bigint, corpus_tokens_after bigint",
-    ).orderBy("round")
+    return sy, out_rows
 
 
 # ------------------------------------------------ Bloom membership
@@ -7114,3 +7128,87 @@ def d74_pagerank_canonical_doc(t):
         )
         .orderBy("component")
     )
+
+
+@query(
+    "d75_bpe_encode_compression",
+    f"""{_bpe_ctes()},
+    wl AS (
+      SELECT lang, wd AS w, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS wd
+            FROM documents)
+      WHERE wd <> '' GROUP BY lang, wd
+    ),
+    enc AS (
+      SELECT wl.lang,
+             SUM(wl.occ) AS n_words,
+             SUM(wl.occ * length(wl.w)) AS char_tokens,
+             SUM(wl.occ * len(s.syms)) AS bpe_tokens
+      FROM wl JOIN s{_BPE_ROUNDS} s ON s.w = wl.w
+      GROUP BY wl.lang
+    )
+    SELECT lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(char_tokens AS BIGINT) AS char_tokens,
+           CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           CAST(char_tokens - bpe_tokens AS BIGINT) AS tokens_saved,
+           CAST(char_tokens - bpe_tokens AS DOUBLE)
+             / CAST(char_tokens AS DOUBLE) AS compression
+    FROM enc ORDER BY lang
+    """,
+    tags=("llm", "tokenizer"),
+)
+def d75_bpe_encode_compression(t):
+    """BPE tokenizer APPLICATION — the encode half d69's trainer
+    exists for: encode the whole corpus with the trained merge table
+    and account tokens per language. The classical vocab trick makes
+    encoding a JOIN, not a per-document fold: after training, every
+    word's token count is len(syms) in the final vocab, so corpus
+    token mass = sum over (lang, word) occurrences x vocab lookup —
+    the form that encodes 100 TB with one corpus scan plus one
+    vocab-sized broadcast join, never re-running merges per doc.
+
+    Output per lang: word count, char-level token mass (the
+    no-merges baseline), BPE token mass after _BPE_ROUNDS merges,
+    and the realized compression — the tokens-per-byte curve a
+    tokenizer build tracks as merges accumulate (d69's
+    corpus_tokens_after column, here resolved per language).
+
+    Engine-exactness: training inherits d69's bit-identical fold;
+    the encode is integer sums of vocab lookups; compression is one
+    double division.
+
+    Scale shape: one corpus shuffle to the (lang, word) table; the
+    vocab join is broadcast-sized (vocab << corpus); rounds stay
+    vocab-local exactly as in d69."""
+    sy, _ = _bpe_train(t.documents)
+    wl = (
+        t.documents.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    enc = (
+        wl.join(sy.select("w", F.size("syms").alias("n_sym")), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("occ").alias("n_words"),
+            F.sum(F.col("occ") * F.length("w")).alias("char_tokens"),
+            F.sum(F.col("occ") * F.col("n_sym")).alias("bpe_tokens"),
+        )
+    )
+    return enc.select(
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("char_tokens").cast("long").alias("char_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        (F.col("char_tokens") - F.col("bpe_tokens"))
+        .cast("long")
+        .alias("tokens_saved"),
+        (
+            (F.col("char_tokens") - F.col("bpe_tokens")).cast("double")
+            / F.col("char_tokens").cast("double")
+        ).alias("compression"),
+    ).orderBy("lang")

@@ -211,3 +211,17 @@ def test_s19_bloom_gate_never_passes_a_true_duplicate(spark, sf_dir):
     assert s19 <= s11, s19 - s11
     blocked_novel = len(s11) - len(s19)
     assert blocked_novel <= max(3, len(s11) // 10), (blocked_novel, len(s11))
+
+
+def test_d75_token_accounting_closes_against_d69(spark, sf_dir):
+    """The encoder must agree with the trainer's own ledger: summing
+    d75's per-lang BPE token mass reproduces d69's final
+    corpus_tokens_after exactly, tokens_saved is non-negative
+    everywhere (merges never grow a word), and compression < 1."""
+    d69 = QUERIES["d69_bpe_merge_trainer"].fn(spark, sf_dir).collect()
+    d75 = QUERIES["d75_bpe_encode_compression"].fn(spark, sf_dir).collect()
+    final_tokens = max(d69, key=lambda r: r.round).corpus_tokens_after
+    assert sum(r.bpe_tokens for r in d75) == final_tokens
+    for r in d75:
+        assert 0 <= r.tokens_saved <= r.char_tokens
+        assert 0.0 <= r.compression < 1.0
