@@ -102,6 +102,15 @@ BENCH_QUERIES = [
     # union) — times what a nightly job pays BETWEEN full d56 rebuilds;
     # the d56/d64 pair prices full-rebuild vs incremental directly.
     "d64_incremental_curation_rebuild",
+    # r7 addition #2: matrix-free power iteration — three relational
+    # Krylov rounds over the quantized embedding corpus; times the
+    # iterative-linalg shape (per-round broadcast of the direction +
+    # one vector-keyed shuffle) no other slot covers.
+    "d73_power_iteration_top_pc",
+    # r7 addition #3: integer PageRank over the verified near-dup
+    # graph — times the fixed-round edge-propagation shape on top of
+    # the d07 pair machinery + pointer-jumped CC.
+    "d74_pagerank_canonical_doc",
 ]
 
 

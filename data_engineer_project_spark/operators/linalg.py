@@ -224,6 +224,19 @@ def power_iteration(
     import math
 
     dims = [r["pos"] for r in q.select("pos").distinct().collect()]
+    # A-priori y guard: y_j = sum_i q_ij s_i can wrap BEFORE any value
+    # reaches the driver, so bound it from (n, max|q|, d, vscale)
+    # before the first round — refusing is correct at corpus sizes
+    # where this quantization loses exactness (re-quantize coarser).
+    d = len(dims)
+    n = q.count() // max(d, 1)
+    maxq = q.agg(F.max(F.abs("qv"))).collect()[0][0] or 0
+    if float(n) * maxq * d * maxq * vscale >= 2.0 ** 62:
+        raise ValueError(
+            f"power_iteration int64 headroom exhausted a priori"
+            f" (n={n}, max|q|={maxq}, d={d}):"
+            " lower the embedding quantization for this corpus size"
+        )
     v = {p: int(vscale) for p in dims}
     spark = q.sparkSession
     stats: list[tuple[int, int]] = []
@@ -242,6 +255,16 @@ def power_iteration(
             .agg(F.sum(F.col("qv") * F.col("s")).alias("y"))
         )
         rows = {r["pos"]: r["y"] for r in y.collect()}
+        # Realized overflow guard for the Rayleigh ingredient
+        # num = sum(y*v) with |v| <= vscale (both the PREVIOUS v used
+        # this round and the rescaled next one satisfy the bound):
+        # Spark wraps int64 silently outside ANSI mode, so fail loudly
+        # on the collected bounded state (the d51 precedent).
+        if sum(abs(x) for x in rows.values()) * vscale >= 2.0 ** 62:
+            raise ValueError(
+                "power_iteration int64 headroom exhausted on sum(y*v):"
+                " lower the embedding quantization for this corpus size"
+            )
         num = sum(rows[p] * v[p] for p in rows)
         vv = sum(x * x for x in v.values())
         stats.append((num, vv))

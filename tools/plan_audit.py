@@ -108,6 +108,12 @@ EXTRA_QUERIES = [
     "d70_bloom_membership_sketch",
     "d71_countmin_heavy_hitters",
     "e21_activation_latency",
+    # d72 is pure relational (occurrence scan -> 256-register fold);
+    # d73 (power-iteration collects per round), d74 (CC pointer
+    # jumping), and d75 (BPE training syncs) execute at construction
+    # and are skipped via LOOP_EXECUTES_AT_BUILD below; d73/d74 are
+    # bench slots so their wall cost is priced there.
+    "d72_hll_distinct_sketch",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -349,7 +355,12 @@ def main() -> None:
     # DataFrame is built — explaining them would run the whole query and
     # record only the post-localCheckpoint tail, so they are excluded
     # here like d20/d26 always were (m10 is a bench slot regardless).
-    LOOP_EXECUTES_AT_BUILD = {"m10_image_neardup_clusters"}
+    LOOP_EXECUTES_AT_BUILD = {
+        "m10_image_neardup_clusters",
+        "d73_power_iteration_top_pc",
+        "d74_pagerank_canonical_doc",
+        "d75_bpe_encode_compression",
+    }
     for name in dict.fromkeys(BENCH_QUERIES + EXTRA_QUERIES):
         if name.startswith("s") or name in LOOP_EXECUTES_AT_BUILD:
             continue

@@ -81,6 +81,17 @@ def synth(sf_dir: str, out_dir: str, factor: int) -> None:
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), f"{out_dir}/events.parquet")
 
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    v_stride = pc.max(emb["vec_id"]).as_py() + 1
+    i_vid = emb.schema.get_field_index("vec_id")
+    pq.write_table(
+        pa.concat_tables(
+            emb.set_column(i_vid, "vec_id", pc.add(emb["vec_id"], k * v_stride))
+            for k in range(factor)
+        ),
+        f"{out_dir}/embeddings.parquet",
+    )
+
     for t in TABLES:
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):
@@ -202,6 +213,37 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
     sec, extra = timed(s04)
     out.append(
         {"op": "s04_stateful_user_stats", "scale": scale_label, "sec": round(sec, 2), **extra}
+    )
+
+    # Round-7 second wave: the sketches must stay SIZE-INVARIANT under
+    # 10x data (that is their entire value proposition), the iterative
+    # operators must keep their fixed round counts, and d73's int64
+    # headroom guard must hold at the synthesized decade.
+    run_query(
+        "d72_hll_distinct_sketch",
+        lambda rows: {
+            "registers_used": rows[0].registers_used,
+            "exact_distinct": rows[0].exact_distinct,
+            "rel_error": round(rows[0].rel_error, 4),
+        },
+    )
+    run_query(
+        "d73_power_iteration_top_pc",
+        lambda rows: {"rounds": 3, "eigval": round(rows[0].eigval_quantized, 1)},
+    )
+    run_query(
+        "d74_pagerank_canonical_doc",
+        lambda rows: {
+            "cc_rounds": G.LAST_RUN_STATS.get("rounds"),
+            "n_clusters": len(rows),
+            "agree_pct": round(
+                100.0 * sum(r.same_pick for r in rows) / len(rows), 1
+            ),
+        },
+    )
+    run_query(
+        "s19_stream_bloom_gate",
+        lambda rows: {"survivors": len(rows), "bitset_words": 2048},
     )
     return out
 
