@@ -7212,3 +7212,153 @@ def d75_bpe_encode_compression(t):
             / F.col("char_tokens").cast("double")
         ).alias("compression"),
     ).orderBy("lang")
+
+
+# ------------------------------------ histogram quantile sketch
+
+_HQS_W = 4  # bin width (chars); 256 bins cover lengths < 1024
+_HQS_BINS = 256
+
+
+@query(
+    "d76_histogram_quantile_sketch",
+    f"""
+    WITH h AS (
+      SELECT lang, LEAST({_HQS_BINS - 1}, n_chars // {_HQS_W}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, bin
+    ),
+    cum AS (
+      SELECT lang, bin, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM h
+    ),
+    pick AS (
+      SELECT lang, MAX(n) AS n_docs,
+             MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END)
+               AS b50,
+             MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END)
+               AS b90,
+             CAST(COUNT(*) AS BIGINT) AS bins_used
+      FROM cum GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    ex AS (
+      SELECT lang,
+             MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END)
+               AS p50_exact,
+             MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END)
+               AS p90_exact
+      FROM ranked GROUP BY lang
+    )
+    SELECT p.lang, p.n_docs, p.bins_used,
+           CAST(ex.p50_exact AS BIGINT) AS p50_exact,
+           CAST(p.b50 * {_HQS_W} AS BIGINT) AS p50_bin_lo,
+           CAST(p.b50 * {_HQS_W} + {_HQS_W - 1} AS BIGINT) AS p50_bin_hi,
+           CAST(ex.p50_exact BETWEEN p.b50 * {_HQS_W}
+                AND p.b50 * {_HQS_W} + {_HQS_W - 1}
+                OR p.b50 = {_HQS_BINS - 1} AS BOOLEAN) AS p50_in_bin,
+           CAST(ex.p90_exact AS BIGINT) AS p90_exact,
+           CAST(p.b90 * {_HQS_W} AS BIGINT) AS p90_bin_lo,
+           CAST(p.b90 * {_HQS_W} + {_HQS_W - 1} AS BIGINT) AS p90_bin_hi,
+           CAST(ex.p90_exact BETWEEN p.b90 * {_HQS_W}
+                AND p.b90 * {_HQS_W} + {_HQS_W - 1}
+                OR p.b90 = {_HQS_BINS - 1} AS BOOLEAN) AS p90_in_bin
+    FROM pick p JOIN ex ON ex.lang = p.lang
+    ORDER BY p.lang
+    """,
+    tags=("llm", "sketch", "stats"),
+)
+def d76_histogram_quantile_sketch(t):
+    """QUANTILE sketch — the fourth summary next to d70 (membership),
+    d71 (frequency), d72 (cardinality): per-language length quantiles
+    read off a mergeable 256-bin integer histogram (bin = chars // 4,
+    top bin absorbs the tail) instead of d41's global per-language
+    sort. The read rule is the first bin whose cumulative count
+    reaches the ceil-rank; the histogram guarantee — the exact
+    percentile LIVES in that bin, so the error is bounded by the bin
+    width 4, a design constant independent of corpus size — is not
+    assumed but emitted (p50_in_bin / p90_in_bin) next to d41's exact
+    values re-derived in the same query.
+
+    Engine-exactness: bins, cumulative counts, and ceil-ranks are
+    pure integer arithmetic; the BETWEEN containment check is
+    integer comparison; no floats anywhere.
+
+    Scale shape: the corpus scan collapses map-side into <= 5 x 256
+    histogram cells — histograms from every partition MERGE BY
+    ADDITION, which is what replaces d41's per-language global sort
+    at 100 TB; the exact-percentile leg pays that sort here
+    precisely to measure what the sketch trades away."""
+    b = F.least(
+        F.lit(_HQS_BINS - 1), F.expr(f"n_chars div {_HQS_W}")
+    ).alias("bin")
+    h = t.documents.select("lang", b).groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.partitionBy("lang").orderBy("bin")
+    cum = h.select(
+        "lang",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    rank50 = F.expr("(n * 50 + 99) div 100")
+    rank90 = F.expr("(n * 90 + 99) div 100")
+    pick = cum.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.min(F.when(F.col("cum") >= rank50, F.col("bin"))).alias("b50"),
+        F.min(F.when(F.col("cum") >= rank90, F.col("bin"))).alias("b90"),
+        F.count(F.lit(1)).alias("bins_used"),
+    )
+    wr = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = t.documents.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    ex = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == rank50, F.col("n_chars"))).alias(
+            "p50_exact"
+        ),
+        F.max(F.when(F.col("rn") == rank90, F.col("n_chars"))).alias(
+            "p90_exact"
+        ),
+    )
+
+    def edges(bcol, exact):
+        lo = (F.col(bcol) * _HQS_W).cast("long")
+        hi = (F.col(bcol) * _HQS_W + (_HQS_W - 1)).cast("long")
+        inb = (
+            F.col(exact).between(lo, hi)
+            | (F.col(bcol) == _HQS_BINS - 1)
+        )
+        return lo, hi, inb
+
+    lo50, hi50, in50 = edges("b50", "p50_exact")
+    lo90, hi90, in90 = edges("b90", "p90_exact")
+    return (
+        pick.join(ex, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("bins_used").cast("long").alias("bins_used"),
+            F.col("p50_exact").cast("long").alias("p50_exact"),
+            lo50.alias("p50_bin_lo"),
+            hi50.alias("p50_bin_hi"),
+            in50.alias("p50_in_bin"),
+            F.col("p90_exact").cast("long").alias("p90_exact"),
+            lo90.alias("p90_bin_lo"),
+            hi90.alias("p90_bin_hi"),
+            in90.alias("p90_in_bin"),
+        )
+        .orderBy("lang")
+    )

@@ -225,3 +225,27 @@ def test_d75_token_accounting_closes_against_d69(spark, sf_dir):
     for r in d75:
         assert 0 <= r.tokens_saved <= r.char_tokens
         assert 0.0 <= r.compression < 1.0
+
+
+def test_d76_histogram_guarantee_holds_everywhere(spark, sf_dir):
+    """The histogram-quantile guarantee re-derived independently: the
+    exact percentile (recomputed here with d41's ceil-rank rule over
+    collected lengths) must land inside the sketch's picked bin for
+    every language, and the bin edges must be width-4 aligned."""
+    rows = QUERIES["d76_histogram_quantile_sketch"].fn(spark, sf_dir).collect()
+    assert rows, "fixture must produce languages"
+    t = Tables(spark, sf_dir)
+    by_lang = {}
+    for r in t.documents.select("lang", "n_chars", "doc_id").collect():
+        by_lang.setdefault(r.lang, []).append((r.n_chars, r.doc_id))
+    for r in rows:
+        vals = sorted(by_lang[r.lang])
+        n = len(vals)
+        assert r.n_docs == n
+        p50 = vals[(n * 50 + 99) // 100 - 1][0]
+        p90 = vals[(n * 90 + 99) // 100 - 1][0]
+        assert r.p50_exact == p50 and r.p90_exact == p90
+        assert r.p50_bin_lo % 4 == 0 and r.p50_bin_hi == r.p50_bin_lo + 3
+        assert r.p50_in_bin and r.p90_in_bin
+        assert r.p50_bin_lo <= p50 <= r.p50_bin_hi or r.p50_bin_lo == 255 * 4
+        assert 0 < r.bins_used <= 256
