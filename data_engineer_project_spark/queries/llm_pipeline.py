@@ -6772,18 +6772,20 @@ _HLL_REG_SPARK, _HLL_RHO_SPARK = _hll_fields_sql("sh", "string")
       QUALIFY lead(wd, 2) OVER win IS NOT NULL
     ),
     hashed AS (
-      SELECT ({_HLL_REG_SQL}) AS reg, ({_HLL_RHO_SQL}) AS rho FROM occ
+      SELECT sh, ({_HLL_REG_SQL}) AS reg, ({_HLL_RHO_SQL}) AS rho FROM occ
     ),
-    regs AS (SELECT reg, MAX(rho) AS m_r FROM hashed GROUP BY reg),
+    regs AS (SELECT reg, MAX(rho) AS m_r,
+                    COUNT(DISTINCT sh) AS n_distinct
+             FROM hashed GROUP BY reg),
     st AS (
       SELECT CAST(SUM(CAST(1 AS BIGINT) << (41 - m_r)) AS BIGINT)
                AS s_present,
              CAST(COUNT(*) AS BIGINT) AS registers_used,
-             CAST(MAX(m_r) AS BIGINT) AS max_rho
+             CAST(MAX(m_r) AS BIGINT) AS max_rho,
+             CAST(SUM(n_distinct) AS BIGINT) AS exact_distinct
       FROM regs
     ),
-    ex AS (SELECT CAST(COUNT(DISTINCT sh) AS BIGINT) AS exact_distinct
-           FROM occ)
+    ex AS (SELECT exact_distinct FROM st)
     SELECT CAST({_HLL_M} AS BIGINT) AS m_registers,
            ex.exact_distinct,
            st.registers_used,
@@ -6828,18 +6830,30 @@ def d72_hll_distinct_sketch(t):
     floats are one literal-constant multiply chain and one division,
     IEEE-identical cross-engine.
 
-    Scale shape: the occurrence scan collapses map-side into <= 256
-    (reg, max-rho) rows — no distinct shuffle, no word table; the
-    exact count pays the distinct shuffle precisely to measure what
-    the sketch saves. At 100 TB you'd ship only the sketch."""
-    occ = t.documents.select(F.explode(T.shingles("text", 3)).alias("sh"))
+    Scale shape: shingling uses the relational posexplode+lead
+    builder (HOF lambdas are interpreted — dedup.py:53 — and profile
+    ~10x slower here); then ONE register-keyed shuffle for both
+    legs — the rho fold collapses map-side to <= 256 rows, and the
+    exact ground truth rides the same shuffle because each shingle
+    hashes to exactly ONE register, so per-register COUNT(DISTINCT)
+    partitions the global distinct set (10x-swept: the sketch row is
+    bit-identical under corpus duplication — HLL sees the SET, not
+    multiplicity). At 100 TB you'd drop the ground-truth column and
+    ship only the 256-register sketch, merged by MAX."""
+    occ = DD.exploded_shingles(t.documents).select(
+        F.col("shingle").alias("sh")
+    )
     regs = (
         occ.select(
+            "sh",
             F.expr(_HLL_REG_SPARK).alias("reg"),
             F.expr(_HLL_RHO_SPARK).alias("rho"),
         )
         .groupBy("reg")
-        .agg(F.max("rho").alias("m_r"))
+        .agg(
+            F.max("rho").alias("m_r"),
+            F.countDistinct("sh").alias("n_distinct"),
+        )
     )
     st = regs.agg(
         F.sum(F.expr("shiftleft(cast(1 as bigint), 41 - m_r)")).alias(
@@ -6847,15 +6861,15 @@ def d72_hll_distinct_sketch(t):
         ),
         F.count(F.lit(1)).alias("registers_used"),
         F.max("m_r").cast("long").alias("max_rho"),
+        F.sum("n_distinct").cast("long").alias("exact_distinct"),
     )
-    ex = occ.agg(F.countDistinct("sh").alias("exact_distinct"))
     s_total = (
         F.col("s_present")
         + (F.lit(_HLL_M) - F.col("registers_used"))
         * F.expr("shiftleft(cast(1 as bigint), 41)")
     ).cast("long")
     est = F.expr(_HLL_EST_NUM) / s_total.cast("double")
-    return st.crossJoin(ex).select(
+    return st.select(
         F.lit(_HLL_M).cast("long").alias("m_registers"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
         F.col("registers_used").cast("long").alias("registers_used"),
