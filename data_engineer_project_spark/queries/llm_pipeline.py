@@ -7376,3 +7376,101 @@ def d76_histogram_quantile_sketch(t):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "e22_user_burstiness",
+    """
+    WITH s AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS sec,
+             ts, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS d
+      FROM s
+      QUALIFY lag(sec) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) IS NOT NULL
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(d) AS BIGINT) AS total_gap_s,
+             CAST(SUM(d * d) AS BIGINT) AS sumsq
+      FROM g GROUP BY user_id
+    ),
+    c AS (
+      SELECT user_id, n_gaps, total_gap_s,
+             CAST(total_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+               AS mean_gap_s,
+             sqrt(CAST(n_gaps * sumsq - total_gap_s * total_gap_s
+                       AS DOUBLE))
+               / CAST(total_gap_s AS DOUBLE) AS cv
+      FROM m WHERE n_gaps >= 9 AND total_gap_s > 0
+    )
+    SELECT user_id, n_gaps, total_gap_s, mean_gap_s, cv,
+           (cv - 1.0) / (cv + 1.0) AS burstiness
+    FROM c ORDER BY cv DESC, user_id LIMIT 20
+    """,
+    tags=("events", "stats", "window"),
+)
+def e22_user_burstiness(t):
+    """Inter-event BURSTINESS per user — the arrival-regularity index
+    behind bot/fraud triage (Goh & Barabasi 2008): per user, the
+    coefficient of variation of inter-event gaps and the bounded
+    burstiness score (cv-1)/(cv+1) — -1 = metronome, 0 = Poisson,
+    -> 1 = extreme bursts. Top-20 burstiest users with >= 10 events.
+
+    Engine-exactness: gaps are exact integer SECONDS (epoch
+    microseconds floor-divided by 10^6 — positive, so Spark's div and
+    DuckDB's // agree); n, sum(d), sum(d^2) are exact int64 moments
+    (worst case n * T^2 at a year's span and 10^3 events/user stays
+    under 2^59 — at larger spans the gap unit co-scales to minutes);
+    cv = sqrt(n*sumsq - sum^2)/sum is one correctly-rounded sqrt and
+    one division of exact integers — bit-identical cross-engine, and
+    the tie-broken (cv DESC, user_id) top-20 is therefore stable.
+
+    Scale shape: one window pass partitioned by user (co-partitioned
+    with every other per-user analytic), map-side-combined moment
+    aggregation, TakeOrderedAndProject for the top-k — never a global
+    sort; gap multisets are invariant to tie order among equal
+    timestamps, so the moments don't depend on the window's
+    tie-break."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    g = (
+        t.events.select(
+            "user_id",
+            (sec - F.lag(sec).over(w)).alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+    )
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("d").alias("total_gap_s"),
+        F.sum(F.col("d") * F.col("d")).alias("sumsq"),
+    )
+    c = m.filter((F.col("n_gaps") >= 9) & (F.col("total_gap_s") > 0)).select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.col("total_gap_s").cast("long").alias("total_gap_s"),
+        (
+            F.col("total_gap_s").cast("double")
+            / F.col("n_gaps").cast("double")
+        ).alias("mean_gap_s"),
+        (
+            F.sqrt(
+                (
+                    F.col("n_gaps") * F.col("sumsq")
+                    - F.col("total_gap_s") * F.col("total_gap_s")
+                ).cast("double")
+            )
+            / F.col("total_gap_s").cast("double")
+        ).alias("cv"),
+    )
+    return c.select(
+        "*", ((F.col("cv") - 1.0) / (F.col("cv") + 1.0)).alias("burstiness")
+    ).orderBy(F.desc("cv"), "user_id").limit(20)

@@ -249,3 +249,33 @@ def test_d76_histogram_guarantee_holds_everywhere(spark, sf_dir):
         assert r.p50_in_bin and r.p90_in_bin
         assert r.p50_bin_lo <= p50 <= r.p50_bin_hi or r.p50_bin_lo == 255 * 4
         assert 0 < r.bins_used <= 256
+
+
+def test_e22_burstiness_rederives_from_raw_gaps(spark, sf_dir):
+    """Re-derive one user's moments from raw collected timestamps:
+    the exact integer n/sum/sumsq must reproduce the query's cv and
+    the bounded score must sit in (-1, 1); rows come sorted by cv
+    descending with the user_id tiebreak."""
+    import math
+
+    rows = QUERIES["e22_user_burstiness"].fn(spark, sf_dir).collect()
+    assert rows
+    cvs = [(-r.cv, r.user_id) for r in rows]
+    assert cvs == sorted(cvs)
+    t = Tables(spark, sf_dir)
+    uid = rows[0].user_id
+    ts = sorted(
+        x.us
+        for x in t.events.filter(F.col("user_id") == uid)
+        .selectExpr("unix_micros(ts) AS us")
+        .collect()
+    )
+    secs = [u // 1_000_000 for u in ts]
+    d = [b - a for a, b in zip(secs, secs[1:])]
+    n, sd, sq = len(d), sum(d), sum(x * x for x in d)
+    assert rows[0].n_gaps == n and rows[0].total_gap_s == sd
+    cv = math.sqrt(float(n * sq - sd * sd)) / float(sd)
+    assert rows[0].cv == cv
+    for r in rows:
+        assert -1.0 < r.burstiness < 1.0
+        assert r.n_gaps >= 9 and r.total_gap_s > 0
