@@ -59,6 +59,7 @@ _CONTRACT_CHANGED_ROUND = {
 # because their only driver rows predate several rounds of shared-
 # machinery changes (round-6 verdict item 6).
 _REGATE_ROUND = {
+    "d04_fingerprints": 7,  # min-shingle leg moved to the relational builder
     "d14_ann_ivf": 7,
     "d37_ann_ivf_nprobe2": 7,
     "d44_semantic_cluster_profile": 7,
