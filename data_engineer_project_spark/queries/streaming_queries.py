@@ -1269,3 +1269,109 @@ def s19_stream_bloom_gate(t):
         cond = bit if cond is None else (cond & bit)
     survivors = probed.filter(~cond).select("doc_id", "lang")
     return run_to_memory_table(survivors, "stream_bloom_gate", "append")
+
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _HLL_EST_NUM,
+    _HLL_M,
+    _hll_fields_sql,
+)
+
+_S20_REG_DUCK, _S20_RHO_DUCK = _hll_fields_sql("user_id", "varchar")
+_S20_REG_SPARK, _S20_RHO_SPARK = _hll_fields_sql("user_id", "string")
+
+
+@query(
+    "s20_stream_hourly_distinct_hll",
+    f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             ({_S20_REG_DUCK}) AS reg, ({_S20_RHO_DUCK}) AS rho
+      FROM events
+    ),
+    regs AS (
+      SELECT window_start, reg, MAX(rho) AS m_r FROM h GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT window_start,
+             CAST(SUM(CAST(1 AS BIGINT) << (41 - m_r)) AS BIGINT)
+               AS s_present,
+             CAST(COUNT(*) AS BIGINT) AS registers_used
+      FROM regs GROUP BY window_start
+    ),
+    ex AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT st.window_start, ex.exact_users, st.registers_used,
+           {_HLL_EST_NUM}
+             / CAST(st.s_present
+                    + ({_HLL_M} - st.registers_used)
+                      * (CAST(1 AS BIGINT) << 41) AS DOUBLE)
+             AS hll_estimate
+    FROM st JOIN ex ON ex.window_start = st.window_start
+    ORDER BY st.window_start
+    """,
+    tags=("streaming", "sketch", "window", "stats"),
+)
+def s20_stream_hourly_distinct_hll(t):
+    """Streaming DISTINCT-USER cardinality per hour via HLL registers
+    — the state-explosion case exact streaming COUNT(DISTINCT) cannot
+    survive: per-key distinct state grows with the user universe,
+    while the d72 register fold bounds state at windows x 256 rows
+    FOREVER (registers merge by MAX across micro-batches, which is
+    precisely what the streaming agg does). The in-stream part is
+    row-local hashing (reg, rho from the user id) plus one windowed
+    MAX aggregation; the harmonic-mean estimate is read sink-side off
+    the <= 256-row-per-window register table (the s17 convention: the
+    fold after the sink is batch arithmetic over bounded state). The
+    exact per-hour COUNT(DISTINCT) from the static table rides along
+    so every output row states its own realized error.
+
+    Engine-exactness: inherits d72's integer register/rho derivation
+    and single-double-literal estimate; the oracle is the identical
+    batch fold (availableNow == batch replay, the s01 contract).
+
+    Scale shape: streaming state is windows x <= 256 int rows —
+    independent of user cardinality (s04's per-user state is the
+    contrast this query exists to avoid); the sink-side fold touches
+    only register rows. At 100 TB/day the register table IS the
+    checkpoint artifact."""
+    stream = read_event_stream(t._spark, t._sf_dir)
+    regs = (
+        stream.withWatermark("ts", "1 hour")
+        .select(
+            "ts",
+            F.expr(_S20_REG_SPARK).alias("reg"),
+            F.expr(_S20_RHO_SPARK).alias("rho"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "reg")
+        .agg(F.max("rho").alias("m_r"))
+        .select(F.col("w.start").alias("window_start"), "reg", "m_r")
+    )
+    reg_table = run_to_memory_table(regs, "hourly_hll_regs", "complete")
+    st = reg_table.groupBy("window_start").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 41 - m_r)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("registers_used"),
+    )
+    ex = t.events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("registers_used"))
+        * F.expr("shiftleft(cast(1 as bigint), 41)")
+    ).cast("double")
+    return (
+        st.join(ex, "window_start")
+        .select(
+            "window_start",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.col("registers_used").cast("long").alias("registers_used"),
+            (F.expr(_HLL_EST_NUM) / s_total).alias("hll_estimate"),
+        )
+        .orderBy("window_start")
+    )

@@ -279,3 +279,22 @@ def test_e22_burstiness_rederives_from_raw_gaps(spark, sf_dir):
     for r in rows:
         assert -1.0 < r.burstiness < 1.0
         assert r.n_gaps >= 9 and r.total_gap_s > 0
+
+
+def test_s20_register_state_is_bounded_and_errors_small(spark, sf_dir):
+    """The streaming HLL's whole value: per-window register state can
+    never exceed m=256 regardless of user cardinality, small windows
+    (n < m/4, the linear-counting regime) are exact-ish, and the
+    realized error stays within 4 sigma of 1.04/sqrt(256) whenever
+    the raw-estimator regime applies."""
+    rows = QUERIES["s20_stream_hourly_distinct_hll"].fn(spark, sf_dir).collect()
+    assert rows
+    sigma4 = 4 * 1.04 / (256 ** 0.5)
+    for r in rows:
+        assert 0 < r.registers_used <= 256
+        assert r.hll_estimate > 0
+        if r.exact_users >= 640:  # raw-estimator regime (>= 2.5m)
+            assert abs(r.hll_estimate / r.exact_users - 1.0) < sigma4, r
+        # small windows: registers_used ~= distinct users (few collisions)
+        if r.exact_users <= 64:
+            assert r.registers_used <= r.exact_users
