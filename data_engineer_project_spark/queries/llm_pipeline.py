@@ -4655,6 +4655,29 @@ def d58_ivfpq_adc_topk(t):
     aggregate with map-side partials. Nothing all-pairs, nothing
     floating-point per candidate. The oracle composes the identical
     coarse chain, per-subspace PQ chains, LUT, and integer ADC."""
+    adc = _ivfpq_adc(t)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("iscore"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("iscore").cast("double") / F.lit(float(_ADC_SCALE))).alias(
+                "adc_score"
+            ),
+        )
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+def _ivfpq_adc(t):
+    """The shared IVF-PQ ADC scoring frame (query_id, neighbor_id,
+    iscore): coarse cell probe -> PQ-code candidates -> integer LUT
+    sums. d58 ranks it directly; d77 re-ranks its shortlist with
+    exact cosine."""
     from data_engineer_project_spark.operators.similarity import cosine
 
     emb = t.embeddings
@@ -4691,21 +4714,7 @@ def d58_ivfpq_adc_topk(t):
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("ics").alias("iscore"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("iscore"), F.asc("neighbor_id")
-    )
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("iscore").cast("double") / F.lit(float(_ADC_SCALE))).alias(
-                "adc_score"
-            ),
-        )
-        .orderBy("query_id", "neighbor_id")
-    )
+    return adc
 
 
 @query(
@@ -7482,3 +7491,157 @@ def e22_user_burstiness(t):
     return c.select(
         "*", ((F.col("cv") - 1.0) / (F.col("cv") + 1.0)).alias("burstiness")
     ).orderBy(F.desc("cv"), "user_id").limit(20)
+
+
+_D77_SHORTLIST = 10  # ADC shortlist size fed to the exact re-rank
+_D77_K = 3  # final neighbors returned per query
+
+
+def _ivfpq_rerank_oracle() -> str:
+    """d58's full oracle chain + the exact-cosine re-rank: the ADC
+    top-10 shortlist joins back to the RAW embeddings, scores with
+    the d09 exact-cosine fold, and the final top-3 ranks on the
+    exact score."""
+    return f"""
+    WITH {_kmeans_chain(2)},
+    qasg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dotp / (sqrt(vv) * sqrt(cc)) DESC, cid) AS rn
+              FROM apd2) WHERE rn = 1),
+    {_PQ_SUBS},
+    {_PQ_CHAINS},
+    codes AS ({_D58_CODES}),
+    cbook AS ({_D58_CBOOK}),
+    qsub AS ({_D58_QSUB}),
+    lutx AS (SELECT q.query_id, q.m, c.cid AS code,
+                    unnest(q.qv) AS qx, unnest(c.cvec) AS cx
+             FROM qsub q JOIN cbook c ON q.m = c.m),
+    lut AS (SELECT query_id, m, code,
+                   CAST(floor(
+                     (SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE))
+                      / (sqrt(SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)))
+                         * sqrt(SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)))))
+                     * {_ADC_SCALE}) AS BIGINT) AS ics
+            FROM lutx GROUP BY query_id, m, code),
+    cand AS (SELECT qa.vec_id AS query_id, a.vec_id AS neighbor_id
+             FROM qasg qa JOIN asg a ON qa.cid = a.cid
+             WHERE qa.vec_id < 10 AND a.vec_id <> qa.vec_id),
+    adc AS (SELECT c.query_id, c.neighbor_id,
+                   CAST(SUM(l.ics) AS BIGINT) AS iscore
+            FROM cand c
+            JOIN codes k ON k.vec_id = c.neighbor_id
+            JOIN lut l ON l.query_id = c.query_id AND l.m = k.m
+                       AND l.code = k.cid
+            GROUP BY c.query_id, c.neighbor_id),
+    short AS (SELECT query_id, neighbor_id, iscore,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY iscore DESC, neighbor_id)
+                       AS adc_rank
+              FROM adc),
+    sl AS (SELECT * FROM short WHERE adc_rank <= {_D77_SHORTLIST}),
+    prs AS (SELECT s.query_id, s.neighbor_id, s.iscore, s.adc_rank,
+                   eq.embedding AS qv, en.embedding AS cv
+            FROM sl s
+            JOIN embeddings eq ON eq.vec_id = s.query_id
+            JOIN embeddings en ON en.vec_id = s.neighbor_id),
+    ex2 AS (SELECT query_id, neighbor_id, iscore, adc_rank,
+                   unnest(qv) AS qx, unnest(cv) AS cx FROM prs),
+    dots2 AS (SELECT query_id, neighbor_id, iscore, adc_rank,
+                     SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                     SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                     SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+              FROM ex2 GROUP BY query_id, neighbor_id, iscore, adc_rank),
+    rr AS (SELECT query_id, neighbor_id, adc_rank,
+                  CAST(iscore AS DOUBLE) / {_ADC_SCALE} AS adc_score,
+                  dotp / (sqrt(qq) * sqrt(cc)) AS exact_cos
+           FROM dots2)
+    SELECT query_id, neighbor_id,
+           CAST(adc_rank AS BIGINT) AS adc_rank, adc_score, exact_cos,
+           CAST(final_rank AS BIGINT) AS final_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY exact_cos DESC, neighbor_id)
+                      AS final_rank
+          FROM rr)
+    WHERE final_rank <= {_D77_K}
+    ORDER BY query_id, final_rank
+    """
+
+
+@query(
+    "d77_ivfpq_rerank_topk",
+    _ivfpq_rerank_oracle(),
+    tags=("llm", "similarity", "quantization"),
+)
+def d77_ivfpq_rerank_topk(t):
+    """IVF-PQ search with EXACT RE-RANKING — the third stage that
+    completes the d57/d58 serving stack (the standard two-phase ANN
+    recipe): the 4-bit ADC scan is deliberately lossy, so production
+    search keeps an ADC SHORTLIST (top-10 here) and re-scores only
+    those candidates against their RAW vectors, paying full float
+    math for 10 rows per query instead of the whole cell. Output is
+    the final top-3 by exact cosine with the ADC rank alongside — the
+    rank churn between the two columns is the measured PQ
+    quantization distortion, the number that tunes shortlist depth.
+
+    Engine-exactness: the shortlist inherits d58's integer ADC; the
+    re-rank is the d09 exact-cosine fold (norm-hoisted dot /
+    (|q||c|)); final order ties break on neighbor id.
+
+    Scale shape: everything through the shortlist inherits d58's
+    audited form; the re-rank joins 10 rows per query back to the
+    vector table on its key — at billion-vector scale that is the
+    point: full vectors are touched only for queries x 10 rows, so
+    they can live in slow storage while codes + LUT stay hot."""
+    from data_engineer_project_spark.operators.similarity import dot, norm
+
+    adc = _ivfpq_adc(t)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("iscore"), F.asc("neighbor_id")
+    )
+    sl = adc.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= _D77_SHORTLIST
+    )
+    emb = t.embeddings
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qnrm"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("cnrm"),
+    )
+    rr = (
+        sl.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_rank").cast("long").alias("adc_rank"),
+            (F.col("iscore").cast("double") / F.lit(float(_ADC_SCALE))).alias(
+                "adc_score"
+            ),
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("exact_cos"),
+        )
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.desc("exact_cos"), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("final_rank", F.row_number().over(w_fin))
+        .filter(F.col("final_rank") <= _D77_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_rank",
+            "adc_score",
+            "exact_cos",
+            F.col("final_rank").cast("long").alias("final_rank"),
+        )
+        .orderBy("query_id", "final_rank")
+    )

@@ -298,3 +298,28 @@ def test_s20_register_state_is_bounded_and_errors_small(spark, sf_dir):
         # small windows: registers_used ~= distinct users (few collisions)
         if r.exact_users <= 64:
             assert r.registers_used <= r.exact_users
+
+
+def test_d77_rerank_is_exact_over_the_adc_shortlist(spark, sf_dir):
+    """Two-phase search invariants: every final pick came from the
+    ADC top-10 shortlist, final ranks follow exact cosine (dense 1..3
+    per query, descending scores), and the re-ranked top-1 is at
+    least as good (by exact cosine) as the ADC top-1's exact score —
+    the property that justifies paying for the re-rank."""
+    rows = QUERIES["d77_ivfpq_rerank_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append(r)
+        assert 1 <= r.adc_rank <= 10
+        assert -1.0 - 1e-9 <= r.exact_cos <= 1.0 + 1e-9
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.final_rank)
+        assert [r.final_rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.exact_cos for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        adc1 = [r for r in rs if r.adc_rank == 1]
+        if adc1:
+            assert rs[0].exact_cos >= adc1[0].exact_cos - 1e-12
