@@ -785,3 +785,133 @@ def m13_payload_integrity_quarantine(t):
         )
         .orderBy("lang", "media_format")
     )
+
+
+@query(
+    "m14_audio_neardup_pairs",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(ceil(len(b) / {_VAD_WINDOW_BYTES}.0) AS BIGINT) - 1)) AS k,
+             b
+      FROM bl
+    ),
+    fs AS (
+      SELECT doc_id, k,
+             CAST(list_sum(
+               b[k * {_VAD_WINDOW_BYTES} + 1 : (k + 1) * {_VAD_WINDOW_BYTES}])
+               AS BIGINT) AS s
+      FROM k
+    ),
+    cl AS (SELECT doc_id, k, s // 64 AS c FROM fs),
+    gr AS (
+      SELECT doc_id,
+             CAST(c AS VARCHAR) || '|' ||
+             CAST(lead(c, 1) OVER win AS VARCHAR) || '|' ||
+             CAST(lead(c, 2) OVER win AS VARCHAR) || '|' ||
+             CAST(lead(c, 3) OVER win AS VARCHAR) AS gram
+      FROM cl WINDOW win AS (PARTITION BY doc_id ORDER BY k)
+      QUALIFY lead(c, 3) OVER win IS NOT NULL
+    ),
+    gd AS (SELECT DISTINCT doc_id, gram FROM gr),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM gd
+              GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM gd a JOIN gd b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           za.n AS n_grams_a, zb.n AS n_grams_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(za.n + zb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE 2 * i.n_common >= za.n + zb.n - i.n_common
+    ORDER BY i.doc_a, i.doc_b
+    """,
+    tags=("multimodal", "audio", "dedup"),
+)
+def m14_audio_neardup_pairs(t):
+    """Audio NEAR-DUPLICATE pairs by energy-ENVELOPE shingles — the
+    audio sibling of m11's frame-set matching, but ORDER-SENSITIVE:
+    each 64-sample window's exact integer energy folds to its mean-
+    amplitude class (energy div 64 — one class per average byte
+    value, tolerant of sub-class amplitude drift yet discriminative:
+    ~97 classes on the fixture where log2 buckets gave 7 and
+    near-all-pairs),
+    consecutive classes shingle into envelope 4-grams, and two audio
+    payloads are near-dups when their distinct-gram Jaccard clears
+    0.5 (integer cross-multiplied). Envelope n-grams catch re-encoded
+    or trimmed copies whose sample bytes differ but whose loudness
+    CONTOUR survives — the standard cheap audio fingerprint shape
+    (Shazam-style constellations are this plus frequency).
+
+    Scale shape: candidates come from the blocked equi-join on the
+    gram value — only payloads SHARING an envelope 4-gram ever meet,
+    never all-pairs (d12's shape on the audio modality); windowing is
+    one narrow mapInPandas; the class/gram derivation is row-local;
+    the verify is one (doc_a, doc_b)-keyed integer aggregate."""
+    from data_engineer_project_spark.operators.multimodal import (
+        frame_byte_sums,
+        sample_frames,
+    )
+
+    fs = frame_byte_sums(
+        sample_frames(_media(t), frame_bytes=_VAD_WINDOW_BYTES, every=1)
+    )
+    cls = F.expr("cast(frame_sum as bigint) div 64")
+    cl = fs.select("doc_id", "frame_no", cls.alias("c"))
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    gram = F.concat_ws(
+        "|",
+        F.col("c").cast("string"),
+        F.lead("c", 1).over(w).cast("string"),
+        F.lead("c", 2).over(w).cast("string"),
+        F.lead("c", 3).over(w).cast("string"),
+    )
+    gd = tracked_persist(
+        cl.select("doc_id", gram.alias("gram"), F.lead("c", 3).over(w).alias("l3"))
+        .filter(F.col("l3").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    sizes = gd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = gd.alias("a"), gd.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_grams_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_grams_b"))
+    union_n = F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(2 * F.col("n_common") >= union_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_grams_a",
+            "n_grams_b",
+            (F.col("n_common").cast("double") / union_n.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

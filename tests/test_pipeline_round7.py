@@ -323,3 +323,30 @@ def test_d77_rerank_is_exact_over_the_adc_shortlist(spark, sf_dir):
         adc1 = [r for r in rs if r.adc_rank == 1]
         if adc1:
             assert rs[0].exact_cos >= adc1[0].exact_cos - 1e-12
+
+
+def test_m14_exact_audio_copies_score_jaccard_one(spark, sf_dir):
+    """Ground-truth anchor: every pair of docs with IDENTICAL text
+    (identical stub payloads => identical envelopes) must appear with
+    jaccard exactly 1.0, and every reported pair must clear the 0.5
+    threshold with consistent integer sizes."""
+    t = Tables(spark, sf_dir)
+    dup_pairs = {
+        (r.a, r.b)
+        for r in t.documents.alias("x")
+        .join(
+            t.documents.alias("y"),
+            (F.col("x.text") == F.col("y.text"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    }
+    rows = QUERIES["m14_audio_neardup_pairs"].fn(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    for p in dup_pairs:
+        assert p in got and got[p].jaccard == 1.0, p
+    for r in rows:
+        union = r.n_grams_a + r.n_grams_b - r.n_common
+        assert 2 * r.n_common >= union
+        assert r.jaccard == r.n_common / union
