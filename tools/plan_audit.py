@@ -110,10 +110,14 @@ EXTRA_QUERIES = [
     "e21_activation_latency",
     # d72 is pure relational (occurrence scan -> 256-register fold);
     # d73 (power-iteration collects per round), d74 (CC pointer
-    # jumping), and d75 (BPE training syncs) execute at construction
-    # and are skipped via LOOP_EXECUTES_AT_BUILD below; d73/d74 are
-    # bench slots so their wall cost is priced there.
+    # jumping), d75 (BPE training syncs), and d77 (PQ/k-means
+    # training) execute at construction and are skipped via
+    # LOOP_EXECUTES_AT_BUILD below; d73/d74 are bench slots so their
+    # wall cost is priced there. d76/e22/m14 are pure relational.
     "d72_hll_distinct_sketch",
+    "d76_histogram_quantile_sketch",
+    "e22_user_burstiness",
+    "m14_audio_neardup_pairs",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -360,6 +364,7 @@ def main() -> None:
         "d73_power_iteration_top_pc",
         "d74_pagerank_canonical_doc",
         "d75_bpe_encode_compression",
+        "d77_ivfpq_rerank_topk",
     }
     for name in dict.fromkeys(BENCH_QUERIES + EXTRA_QUERIES):
         if name.startswith("s") or name in LOOP_EXECUTES_AT_BUILD:
