@@ -7645,3 +7645,140 @@ def d77_ivfpq_rerank_topk(t):
         )
         .orderBy("query_id", "final_rank")
     )
+
+
+@query(
+    "d78_decontamination_certificate",
+    f"""
+    WITH {_SHINGLE_CTES},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    shf AS (
+      SELECT shd.doc_id, shd.shingle, {_ORACLE_BUCKET} AS bucket
+      FROM shd JOIN informative USING (shingle)
+    ),
+    overlap AS (
+      SELECT tr.doc_id AS train_doc, COUNT(*) AS n_overlap
+      FROM (SELECT doc_id, shingle FROM shf WHERE bucket >= 90) te
+      JOIN (SELECT doc_id, shingle FROM shf WHERE bucket < 80) tr
+        ON te.shingle = tr.shingle
+      GROUP BY tr.doc_id, te.doc_id
+    ),
+    leaky AS (SELECT DISTINCT train_doc FROM overlap WHERE n_overlap >= 2),
+    shd2 AS (
+      SELECT s.doc_id, s.shingle FROM shd s
+      LEFT JOIN leaky l ON l.train_doc = s.doc_id
+      WHERE l.train_doc IS NULL
+    ),
+    informative2 AS (
+      SELECT shingle FROM shd2 GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    shf2 AS (
+      SELECT shd2.doc_id, shd2.shingle, {_ORACLE_BUCKET.replace(
+          "doc_id", "shd2.doc_id")} AS bucket
+      FROM shd2 JOIN informative2 USING (shingle)
+    ),
+    overlap2 AS (
+      SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+             COUNT(*) AS n_overlap
+      FROM (SELECT doc_id, shingle FROM shf2 WHERE bucket >= 90) te
+      JOIN (SELECT doc_id, shingle FROM shf2 WHERE bucket < 80) tr
+        ON te.shingle = tr.shingle
+      GROUP BY 1, 2
+    ),
+    residual AS (
+      SELECT DISTINCT train_doc FROM overlap2 WHERE n_overlap >= 2
+    ),
+    clean AS (
+      SELECT d.doc_id, d.lang FROM documents d
+      LEFT JOIN leaky l ON l.train_doc = d.doc_id
+      WHERE {_ORACLE_BUCKET.replace("doc_id", "d.doc_id")} < 80
+        AND l.train_doc IS NULL
+    )
+    SELECT c.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN r.train_doc IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS residual_leaky,
+           CAST(SUM(CASE WHEN r.train_doc IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS residual_pct
+    FROM clean c LEFT JOIN residual r ON r.train_doc = c.doc_id
+    GROUP BY c.lang ORDER BY c.lang
+    """,
+    tags=("llm", "eval", "split"),
+)
+def d78_decontamination_certificate(t):
+    """The decontamination CERTIFICATE — the audit a pipeline runs on
+    its own d55 output before shipping, and it is NOT vacuous:
+    removing the leaky docs CHANGES document frequencies, so a
+    shingle that was too common to be informative (df > 50) on the
+    dirty corpus can drop into the informative band on the cleaned
+    one and expose overlaps round 1 never tested. The certificate
+    re-derives the informative set and the >= 2-shingle rule over the
+    post-removal corpus and reports, per lang, the clean-train size
+    and the RESIDUAL leaky count — zero means certified; nonzero is
+    the exact iteration signal (run d55's rule again) with its
+    magnitude. This is why production decontamination loops to a
+    fixed point instead of trusting one pass.
+
+    Scale shape: both rounds are the audited d25/d55 inverted-index
+    form (informative-shingle equi-joins, never all-pairs); the
+    leaky/residual sets stay unhinted (data-dependent, the round-6
+    lesson) so AQE picks broadcast vs sort-merge; the rollup is
+    langs-thin."""
+    b = F.expr(_SPARK_BUCKET)
+    sh = tracked_persist(
+        DD.exploded_shingles(t.documents, "doc_id", "text", 3).distinct()
+    )
+
+    def leaky_of(shd):
+        informative = (
+            shd.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") <= 50) & (F.col("df") > 1))
+            .select("shingle")
+        )
+        shf = shd.join(informative, "shingle").withColumn("bucket", b)
+        test_sh = shf.filter(F.col("bucket") >= 90).select(
+            "doc_id", "shingle"
+        )
+        train_sh = shf.filter(F.col("bucket") < 80).select(
+            F.col("doc_id").alias("train_doc"), "shingle"
+        )
+        return (
+            test_sh.join(train_sh, "shingle")
+            .groupBy("train_doc", F.col("doc_id").alias("test_doc"))
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(F.col("n_overlap") >= 2)
+            .select("train_doc")
+            .distinct()
+        )
+
+    leaky = leaky_of(sh)
+    sh2 = tracked_persist(
+        sh.join(leaky, sh.doc_id == leaky.train_doc, "left_anti")
+    )
+    residual = leaky_of(sh2)
+    clean = (
+        t.documents.withColumn("bucket", b)
+        .filter(F.col("bucket") < 80)
+        .join(leaky, F.col("doc_id") == leaky.train_doc, "left_anti")
+        .select("doc_id", "lang")
+    )
+    j = clean.join(residual, clean.doc_id == residual.train_doc, "left")
+    hit = F.col("train_doc").isNotNull()
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            F.sum(hit.cast("long")).alias("residual_leaky"),
+            (
+                F.sum(hit.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("residual_pct"),
+        )
+        .orderBy("lang")
+    )

@@ -350,3 +350,59 @@ def test_m14_exact_audio_copies_score_jaccard_one(spark, sf_dir):
         union = r.n_grams_a + r.n_grams_b - r.n_common
         assert 2 * r.n_common >= union
         assert r.jaccard == r.n_common / union
+
+
+def test_d78_certificate_exposes_df_shift_leaks(spark, tmp_path):
+    """Non-vacuity proof for the certificate: plant a phrase in 1 test
+    doc + 51 train docs (df 52 — just past the informative band, so
+    round 1 cannot see it) and make exactly 2 of those train docs
+    leaky via a separate small-df phrase. Round 1 removes those 2,
+    the planted phrase's df drops to 50 — INSIDE the band — and the
+    certificate must surface the remaining 49 carriers as residual
+    leaks, none of which round 1 reported."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 100
+
+    train = [i for i in range(3000) if bucket(i) < 80]
+    test = [i for i in range(3000) if bucket(i) >= 90]
+    t1, t2 = test[0], test[1]
+    carriers = train[:51]
+    leaky2 = carriers[:2]
+    hidden = "pa pb pc pd"  # 2 shingles, df 52 round 1
+    leakp = "la lb lc ld"  # 2 shingles, df 3 (2 train + t2)
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for i in train[:200] + test[:40]:
+        filler = f"u{i}a u{i}b u{i}c u{i}d u{i}e"
+        parts = []
+        if i == t1 or i in carriers:
+            parts.append(hidden)
+        if i == t2 or i in leaky2:
+            parts.append(leakp)
+        parts.append(filler)
+        text = " ".join(parts)
+        rows["doc_id"].append(i)
+        rows["text"].append(text)
+        rows["lang"].append("en")
+        rows["source"].append("web")
+        rows["n_chars"].append(len(text))
+    d = tmp_path / "cert"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    for tname in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+        import shutil
+
+        shutil.copy(f"/root/testdata/sf0.001/{tname}.parquet",
+                    str(d / f"{tname}.parquet"))
+    out = QUERIES["d78_decontamination_certificate"].fn(spark, str(d)).collect()
+    (row,) = out
+    assert row.residual_leaky == 49, row
+    # and round 1 (d55) reported exactly the 2 planted leaks removed
+    (d55row,) = QUERIES["d55_clean_train_split"].fn(spark, str(d)).collect()
+    assert d55row.n_removed == 2
+    assert row.n_clean == d55row.n_clean
