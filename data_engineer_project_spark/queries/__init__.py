@@ -60,6 +60,8 @@ _CONTRACT_CHANGED_ROUND = {
 # machinery changes (round-6 verdict item 6).
 _REGATE_ROUND = {
     "d04_fingerprints": 7,  # min-shingle leg moved to the relational builder
+    "d57_pq_codebook": 7,  # codebook now a materialized warehouse artifact
+    "d58_ivfpq_adc_topk": 7,
     "d14_ann_ivf": 7,
     "d37_ann_ivf_nprobe2": 7,
     "d44_semantic_cluster_profile": 7,

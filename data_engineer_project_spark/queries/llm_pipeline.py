@@ -4498,11 +4498,44 @@ def d57_pq_codebook(t):
     )
 
 
+def _pq_codebook_store(emb):
+    """Warehouse path for the trained PQ codebook, keyed by the same
+    corpus fingerprint recipe as similarity.materialized_centroids
+    (count + id checksum + quantized first-component checksum) plus
+    the PQ config — training is an OFFLINE job; repeated d57/d58/d77
+    invocations should read the few-KB artifact, not re-run the
+    subspace k-means (the s17 lesson, applied to the PQ layer)."""
+    import pathlib
+
+    fp = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("s"),
+        F.sum(
+            F.floor(
+                F.element_at(F.col("embedding"), 1).cast("double")
+                * F.lit(float(SIM.KMEANS_QUANT))
+            ).cast("long")
+        ).alias("v"),
+    ).collect()[0]
+    key = f"n{fp['n']}_s{fp['s']}_v{fp['v']}_m{_PQ_M}_k{_PQ_K}_i2"
+    return (
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / "pq_codebook_store"
+        / key
+    )
+
+
 def _pq_train(emb):
-    """The fused subspace-tagged PQ trainer behind d57/d58: returns
-    (codebook literal DF (m, cid, cvec), corpus codes DF (m, vec_id,
+    """The fused subspace-tagged PQ trainer behind d57/d58/d77:
+    returns (codebook DF (m, cid, cvec), corpus codes DF (m, vec_id,
     sv, cid), cached subvector table (vec_id, m, sv)). One exploded
-    corpus scan; job count independent of the subspace count."""
+    corpus scan; job count independent of the subspace count. The
+    trained codebook is a MATERIALIZED warehouse table (see
+    _pq_codebook_store) — first call per corpus trains and writes the
+    M*K-row artifact; later calls read a few-KB parquet scan and pay
+    only the encode join. Bit-equal either way: the integer-quantized
+    centroid sums round-trip through parquet doubles losslessly."""
     from data_engineer_project_spark.operators.similarity import cosine
 
     spark = emb.sparkSession
@@ -4552,26 +4585,39 @@ def _pq_train(emb):
             .select("m", "vec_id", "sv", "cid")
         )
 
-    q = float(SIM.KMEANS_QUANT)
-    for _ in range(2):
-        sums = (
-            assign(cents)
-            .select("m", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("m", "cid", "pos")
-            .agg(F.sum(F.floor(F.col("x").cast("double") * F.lit(q)).cast("long")).alias("s"))
-        )
-        upd = sums.groupBy("m", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda st: st["s"].cast("double"),
-            ).alias("cvec")
-        )
-        # materialize the <= M*K-row codebook between iterations (the
-        # kmeans_centroids pattern: bounded driver state, lineage cut)
-        cents = spark.createDataFrame(
-            [(r["m"], r["cid"], list(r["cvec"])) for r in upd.collect()],
-            "m int, cid bigint, cvec array<double>",
-        )
+    store = _pq_codebook_store(emb)
+    if (store / "_SUCCESS").exists():
+        cents = spark.read.parquet(str(store))
+    else:
+        q = float(SIM.KMEANS_QUANT)
+        for _ in range(2):
+            sums = (
+                assign(cents)
+                .select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("m", "cid", "pos")
+                .agg(
+                    F.sum(
+                        F.floor(
+                            F.col("x").cast("double") * F.lit(q)
+                        ).cast("long")
+                    ).alias("s")
+                )
+            )
+            upd = sums.groupBy("m", "cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"].cast("double"),
+                ).alias("cvec")
+            )
+            # materialize the <= M*K-row codebook between iterations
+            # (the kmeans_centroids pattern: bounded driver state,
+            # lineage cut)
+            cents = spark.createDataFrame(
+                [(r["m"], r["cid"], list(r["cvec"])) for r in upd.collect()],
+                "m int, cid bigint, cvec array<double>",
+            )
+        cents.write.mode("overwrite").parquet(str(store))
+        cents = spark.read.parquet(str(store))
     return cents, assign(cents), subs
 
 
