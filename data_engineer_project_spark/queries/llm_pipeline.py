@@ -7828,3 +7828,118 @@ def d78_decontamination_certificate(t):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "d79_robust_mad_outlier_gate",
+    """
+    WITH r1 AS (
+      SELECT lang, n_chars, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    med AS (
+      SELECT lang,
+             MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END)
+               AS med
+      FROM r1 GROUP BY lang
+    ),
+    dev AS (
+      SELECT r1.lang, r1.doc_id, r1.n_chars,
+             abs(r1.n_chars - med.med) AS ad
+      FROM r1 JOIN med ON med.lang = r1.lang
+    ),
+    r2 AS (
+      SELECT lang, doc_id, n_chars, ad,
+             row_number() OVER (PARTITION BY lang ORDER BY ad, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT lang,
+             MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN ad END) AS mad
+      FROM r2 GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(m1.med) AS BIGINT) AS median_chars,
+           CAST(MAX(m2.mad) AS BIGINT) AS mad_chars,
+           CAST(SUM(CASE WHEN d.ad * 10000 > 3 * 14826 * m2.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.ad * 10000 > 3 * 14826 * m2.mad
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS outlier_pct
+    FROM dev d
+    JOIN med m1 ON m1.lang = d.lang
+    JOIN mad m2 ON m2.lang = d.lang
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    tags=("llm", "quality", "stats"),
+)
+def d79_robust_mad_outlier_gate(t):
+    """ROBUST outlier gating by median/MAD — the outlier-resistant
+    alternative to d22's mean/std z-scores (a handful of giant crawl
+    artifacts inflate the std enough to hide themselves; the median
+    absolute deviation does not budge): per language, the exact
+    integer-rank median of doc lengths, the exact MAD, and the count
+    flagged by the standard |x - med| > 3 * 1.4826 * MAD rule — with
+    the consistency constant applied as INTEGER CROSS-MULTIPLICATION
+    (ad * 10000 > 3 * 14826 * MAD), so the gate decision never
+    touches a float; only the final percentage divides.
+
+    Engine-exactness: both medians are d41's ceil-rank PERCENTILE_DISC
+    derivation (value at rank (n*50+99) div 100, ties on doc_id);
+    deviations and the gate are pure int64.
+
+    Scale shape: two per-language rank windows (the honest cost of
+    exact order statistics — the d76 histogram sketch is the
+    replace-this-at-100TB answer, with its error bound measured
+    there); the per-lang medians broadcast back (5 rows); the rollup
+    is map-side-combined."""
+    w1 = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r1 = t.documents.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    rank = F.expr("(n * 50 + 99) div 100")
+    med = r1.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == rank, F.col("n_chars"))).alias("med")
+    )
+    dev = r1.join(F.broadcast(med), "lang").select(
+        "lang",
+        "doc_id",
+        F.abs(F.col("n_chars") - F.col("med")).alias("ad"),
+        "med",
+    )
+    w2 = Window.partitionBy("lang").orderBy("ad", "doc_id")
+    r2 = dev.select(
+        "lang",
+        "ad",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    mad = r2.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == rank, F.col("ad"))).alias("mad")
+    )
+    out = F.col("ad") * 10000 > 3 * 14826 * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med").cast("long").alias("median_chars"),
+            F.max("mad").cast("long").alias("mad_chars"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+            (
+                F.sum(out.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("outlier_pct"),
+        )
+        .orderBy("lang")
+    )

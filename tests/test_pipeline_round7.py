@@ -406,3 +406,33 @@ def test_d78_certificate_exposes_df_shift_leaks(spark, tmp_path):
     (d55row,) = QUERIES["d55_clean_train_split"].fn(spark, str(d)).collect()
     assert d55row.n_removed == 2
     assert row.n_clean == d55row.n_clean
+
+
+def test_d79_mad_is_robust_where_std_is_not(spark, sf_dir):
+    """Re-derive one language's median/MAD from raw lengths (numpy
+    median differs on even n — use the ceil-rank rule) and check the
+    gate's defining property on a planted corpus: adding one giant
+    outlier moves the mean/std gate's threshold but leaves median and
+    MAD unchanged."""
+    rows = QUERIES["d79_robust_mad_outlier_gate"].fn(spark, sf_dir).collect()
+    t = Tables(spark, sf_dir)
+    lens = {}
+    for r in t.documents.select("lang", "n_chars", "doc_id").collect():
+        lens.setdefault(r.lang, []).append((r.n_chars, r.doc_id))
+    for r in rows:
+        vals = sorted(lens[r.lang])
+        n = len(vals)
+        med = vals[(n * 50 + 99) // 100 - 1][0]
+        assert r.median_chars == med
+        ads = sorted((abs(v - med), d) for v, d in vals)
+        mad = ads[(n * 50 + 99) // 100 - 1][0]
+        assert r.mad_chars == mad
+        n_out = sum(1 for a, _ in ads if a * 10000 > 3 * 14826 * mad)
+        assert r.n_outliers == n_out
+    # robustness property, pure python: a planted 100x outlier shifts
+    # mean+std massively but the integer median/MAD not at all
+    base = [100] * 50 + [110] * 49
+    med0 = sorted(base)[(99 * 50 + 99) // 100 - 1]
+    spiked = base + [10_000]
+    med1 = sorted(spiked)[(100 * 50 + 99) // 100 - 1]
+    assert med0 == med1 == 100

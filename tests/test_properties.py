@@ -624,3 +624,39 @@ def test_waterfill_formula_matches_bruteforce(toks):
     lo = sum(min(tv, cap) for tv, _ in srcs)
     hi = sum(min(tv, cap + 1) for tv, _ in srcs)
     assert lo <= budget <= hi
+
+
+def test_hll_rho_register_sql_matches_python_reference():
+    """The d72/s20 register+rho derivation is pure md5/TRIM/CASE string
+    arithmetic — verify the DuckDB evaluation of those SQL fragments
+    against an independent Python big-int reference over random
+    strings (hypothesis would shrink here, but exhaustive-random is
+    clearer for a stateless hash property)."""
+    import hashlib
+    import random
+
+    import duckdb
+
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _hll_fields_sql,
+    )
+
+    reg_sql, rho_sql = _hll_fields_sql("s", "varchar")
+    con = duckdb.connect()
+    rng = random.Random(42)
+    alphabet = "abc xyz079_-:/é中"
+    vals = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+            for _ in range(300)]
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got = con.execute(
+        f"SELECT s, ({reg_sql}) AS reg, ({rho_sql}) AS rho FROM t"
+    ).fetchall()
+    for s, reg, rho in got:
+        h = hashlib.md5(("hl|" + s).encode()).hexdigest()
+        want_reg = int(h[:2], 16)
+        bits = bin(int(h[2:12], 16))[2:].zfill(40)
+        pos = bits.find("1")
+        want_rho = 41 if pos == -1 else pos + 1
+        assert reg == want_reg, (s, reg, want_reg)
+        assert rho == want_rho, (s, rho, want_rho)
