@@ -322,6 +322,8 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/llm_pipeline.py", "cbook"),  # M*K PQ codebook
         ("queries/llm_pipeline.py", "bitset"),  # d70: <= 2048-word Bloom
         ("queries/llm_pipeline.py", "cms"),  # d71: <= d*w = 3072 counters
+        ("queries/llm_pipeline.py", "med"),  # d79: per-lang medians
+        ("queries/llm_pipeline.py", "mad"),  # d79: per-lang MADs
         ("queries/llm_pipeline.py", "cn"),  # M*K codebook + norms
         ("queries/llm_pipeline.py", "cent_df"),  # ~sqrt(N) centroids
         ("queries/llm_pipeline.py", "lut"),  # queries x M x K LUT
