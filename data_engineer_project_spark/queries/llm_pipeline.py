@@ -7943,3 +7943,113 @@ def d79_robust_mad_outlier_gate(t):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "e23_session_type_lift",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ),
+    st AS (SELECT DISTINCT user_id, session_no, event_type FROM sessions),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM
+           (SELECT DISTINCT user_id, session_no FROM st)),
+    ca AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+           FROM st GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_no = b.session_no
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           za.n_t AS n_a, zb.n_t AS n_b, ns.n_sessions,
+           CAST(p.n_both AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE)
+             AS support,
+           CAST(p.n_both * ns.n_sessions AS DOUBLE)
+             / CAST(za.n_t * zb.n_t AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN ca za ON za.event_type = p.type_a
+    JOIN ca zb ON zb.event_type = p.type_b, ns
+    ORDER BY p.type_a, p.type_b
+    """,
+    tags=("events", "sessions", "stats"),
+)
+def e23_session_type_lift(t):
+    """Event-type CO-OCCURRENCE LIFT within sessions — the
+    association-mining step past e12's adjacent-transition matrix:
+    for every unordered type pair, how much more often do the two
+    co-occur in one 5-minute-gap session than independence predicts
+    (lift = P(a AND b) / (P(a) P(b)))? Lift >> 1 pairs are the
+    behavioral bundles (view+click), lift << 1 the substitutes —
+    the session-level signal a recommender or funnel design reads.
+    Sessions come from the e03 machinery (Spark session_window; the
+    oracle's gaps-and-islands twin).
+
+    Engine-exactness: all counts are exact integers over the DISTINCT
+    (session, type) set; support and lift are single divisions of
+    exact integer products.
+
+    Scale shape: the session tag is one user-partitioned window (the
+    e03 shape); the distinct (session, type) frame is <= 5 rows per
+    session; the pair self-join is session-keyed with <= 5 types a
+    side (bounded fan-out 10 pairs/session, never corpus-quadratic);
+    the rollup collapses to <= C(types,2) rows map-side."""
+    sess = (
+        t.events.groupBy(
+            "user_id", F.session_window("ts", "5 minutes").alias("w")
+        )
+        .agg(F.collect_set("event_type").alias("types"))
+        .select(
+            "user_id", F.col("w.start").alias("ss"), F.explode("types").alias("ty")
+        )
+    )
+    st = tracked_persist(sess)
+    ns = st.select("user_id", "ss").distinct().count()
+    ca = st.groupBy("ty").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.ss") == F.col("b.ss"))
+            & (F.col("a.ty") < F.col("b.ty")),
+        )
+        .groupBy(F.col("a.ty").alias("type_a"), F.col("b.ty").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca_a = ca.select(F.col("ty").alias("type_a"), F.col("n_t").alias("n_a"))
+    ca_b = ca.select(F.col("ty").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca_a), "type_a")
+        .join(F.broadcast(ca_b), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.lit(ns).cast("long").alias("n_sessions"),
+            (F.col("n_both").cast("double") / F.lit(float(ns))).alias(
+                "support"
+            ),
+            (
+                (F.col("n_both") * F.lit(ns)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -436,3 +436,21 @@ def test_d79_mad_is_robust_where_std_is_not(spark, sf_dir):
     spiked = base + [10_000]
     med1 = sorted(spiked)[(100 * 50 + 99) // 100 - 1]
     assert med0 == med1 == 100
+
+
+def test_e23_lift_identity_and_bounds(spark, sf_dir):
+    """Re-derive the lift identity from the row's own integers
+    (lift = n_both * n_sessions / (n_a * n_b)), check the pair counts
+    against e03's session count, and the Frechet bounds
+    n_both <= min(n_a, n_b)."""
+    rows = QUERIES["e23_session_type_lift"].fn(spark, sf_dir).collect()
+    assert rows
+    n_sessions = rows[0].n_sessions
+    e03 = QUERIES["e03_sessionization"].fn(spark, sf_dir).collect()
+    assert n_sessions == len(e03)
+    for r in rows:
+        assert r.n_sessions == n_sessions
+        assert 0 < r.n_both <= min(r.n_a, r.n_b) <= n_sessions
+        assert r.lift == (r.n_both * n_sessions) / (r.n_a * r.n_b)
+        assert r.support == r.n_both / n_sessions
+        assert r.type_a < r.type_b

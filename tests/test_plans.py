@@ -324,6 +324,8 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/llm_pipeline.py", "cms"),  # d71: <= d*w = 3072 counters
         ("queries/llm_pipeline.py", "med"),  # d79: per-lang medians
         ("queries/llm_pipeline.py", "mad"),  # d79: per-lang MADs
+        ("queries/llm_pipeline.py", "ca_a"),  # e23: per-type session counts
+        ("queries/llm_pipeline.py", "ca_b"),
         ("queries/llm_pipeline.py", "cn"),  # M*K codebook + norms
         ("queries/llm_pipeline.py", "cent_df"),  # ~sqrt(N) centroids
         ("queries/llm_pipeline.py", "lut"),  # queries x M x K LUT
