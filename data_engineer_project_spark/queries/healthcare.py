@@ -1648,3 +1648,123 @@ def hq33_measure_compliance_rate(t):
         )
         .orderBy("MeasureID")
     )
+
+
+@query(
+    "hq34_member_cost_outliers",
+    _oracle(
+        """
+        , mem AS (SELECT DISTINCT MemberID FROM s1_elig_enrollment),
+        cost AS (
+          SELECT m.MemberID,
+                 CAST(COALESCE(SUM(pay.PaidAmount), 0) * 100 AS BIGINT)
+                   AS cents
+          FROM mem m
+          LEFT JOIN s2_claims_claim_header ch ON ch.MemberID = m.MemberID
+          LEFT JOIN s2_claims_claim_payment pay ON pay.ClaimID = ch.ClaimID
+          GROUP BY m.MemberID
+        ),
+        r1 AS (
+          SELECT MemberID, cents,
+                 row_number() OVER (ORDER BY cents, MemberID) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM cost
+        ),
+        med AS (SELECT MAX(CASE WHEN rn = (n * 50 + 99) // 100
+                                THEN cents END) AS med FROM r1),
+        dev AS (SELECT c.MemberID, c.cents, abs(c.cents - med.med) AS ad
+                FROM cost c, med),
+        r2 AS (
+          SELECT ad,
+                 row_number() OVER (ORDER BY ad, MemberID) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM dev
+        ),
+        mad AS (SELECT MAX(CASE WHEN rn = (n * 50 + 99) // 100
+                                THEN ad END) AS mad FROM r2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(med.med) AS BIGINT) AS median_cents,
+               CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+               CAST(SUM(CASE WHEN d.ad * 10000 > 3 * 14826 * mad.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST((MAX({'c': d.cents, 'i': -d.MemberID})).i * -1
+                    AS BIGINT) AS top_member,
+               CAST(MAX(d.cents) AS BIGINT) AS top_cents
+        FROM dev d, med, mad
+        """,
+        [
+            "s1_elig_enrollment",
+            "s2_claims_claim_header",
+            "s2_claims_claim_payment",
+        ],
+    ),
+    tags=("healthcare", "finance", "stats"),
+)
+def hq34_member_cost_outliers(t):
+    """High-cost MEMBER outliers by robust median/MAD — the
+    case-management triage list hq31's PMPM trend implies (the
+    members a care program actually calls): per member, total paid
+    claims in EXACT integer cents (DECIMAL fold * 100 — members with
+    no claims count at 0, the enrollment universe defines the
+    denominator), then d79's machinery verbatim: exact ceil-rank
+    median, exact MAD, and the 3 * 1.4826 rule applied as integer
+    cross-multiplication. One summary row: population size,
+    median/MAD cents, outlier count, and the top-cost member
+    (struct-argmax, min-id ties).
+
+    Scale note: the rank windows are global because the member
+    population is the fixture's bounded universe; at a real payer's
+    scale the same derivation shards like d79 (partition by plan or
+    region) or swaps in d76's histogram sketch — both documented
+    trade-offs, not silent costs."""
+    s = hc(t)
+    mem = s["s1_elig_enrollment"].select("MemberID").distinct()
+    paid = (
+        s["s2_claims_claim_header"]
+        .join(s["s2_claims_claim_payment"], "ClaimID")
+        .groupBy("MemberID")
+        .agg((F.sum(money("PaidAmount")) * 100).cast("long").alias("cents"))
+    )
+    cost = mem.join(paid, "MemberID", "left").select(
+        "MemberID", F.coalesce("cents", F.lit(0).cast("long")).alias("cents")
+    )
+    w1 = Window.orderBy("cents", "MemberID")
+    wn = Window.partitionBy()
+    r1 = cost.select(
+        "MemberID",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    rank = F.expr("(n * 50 + 99) div 100")
+    med = r1.agg(
+        F.max(F.when(F.col("rn") == rank, F.col("cents"))).alias("med")
+    )
+    dev = cost.crossJoin(F.broadcast(med)).select(
+        "MemberID",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("ad"),
+    )
+    w2 = Window.orderBy("ad", "MemberID")
+    r2 = dev.select(
+        "ad",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.agg(
+        F.max(F.when(F.col("rn") == rank, F.col("ad"))).alias("mad")
+    )
+    out = F.col("ad") * 10000 > 3 * 14826 * F.col("mad")
+    pick = F.max(F.struct(F.col("cents").alias("c"), (-F.col("MemberID")).alias("i")))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("med").cast("long").alias("median_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+            (pick["i"] * -1).cast("long").alias("top_member"),
+            F.max("cents").cast("long").alias("top_cents"),
+        )
+    )

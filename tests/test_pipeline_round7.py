@@ -454,3 +454,37 @@ def test_e23_lift_identity_and_bounds(spark, sf_dir):
         assert r.lift == (r.n_both * n_sessions) / (r.n_a * r.n_b)
         assert r.support == r.n_both / n_sessions
         assert r.type_a < r.type_b
+
+
+def test_hq34_rederives_from_claim_payments(spark, sf_dir):
+    """Re-derive the member cost distribution from the raw fixture
+    frames: totals in exact cents, the ceil-rank median/MAD, the
+    outlier rule, and the top-member argmax must all match."""
+    from data_engineer_project_spark.queries.healthcare import hc
+
+    (row,) = QUERIES["hq34_member_cost_outliers"].fn(spark, sf_dir).collect()
+    t = Tables(spark, sf_dir)
+    s = hc(t)
+    members = {r.MemberID for r in
+               s["s1_elig_enrollment"].select("MemberID").distinct().collect()}
+    paid = {}
+    hdr = {r.ClaimID: r.MemberID
+           for r in s["s2_claims_claim_header"].collect()}
+    for r in s["s2_claims_claim_payment"].collect():
+        m = hdr.get(r.ClaimID)
+        if m is not None:
+            paid[m] = paid.get(m, 0) + round(float(r.PaidAmount) * 100)
+    cents = {m: paid.get(m, 0) for m in members}
+    vals = sorted((c, m) for m, c in cents.items())
+    n = len(vals)
+    med = vals[(n * 50 + 99) // 100 - 1][0]
+    ads = sorted((abs(c - med), m) for m, c in cents.items())
+    mad = ads[(n * 50 + 99) // 100 - 1][0]
+    assert row.n_members == n
+    assert row.median_cents == med
+    assert row.mad_cents == mad
+    assert row.n_outliers == sum(
+        1 for a, _ in ads if a * 10000 > 3 * 14826 * mad
+    )
+    top = max((c, -m) for m, c in cents.items())
+    assert row.top_cents == top[0] and row.top_member == -top[1]

@@ -305,6 +305,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/healthcare.py", "ds"),
         ("queries/healthcare.py", "med"),  # per-group medians
         ("queries/healthcare.py", "n_months"),  # 1-row month count
+        ("queries/healthcare.py", "mad"),  # hq34: 1-row MAD
         ("queries/llm_pipeline.py", "sketch_df"),  # 1-row sketch
         ("queries/llm_pipeline.py", "s"),  # per-lang stats
         ("queries/llm_pipeline.py", "tot"),  # scalar totals
