@@ -8053,3 +8053,146 @@ def e23_session_type_lift(t):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def _e24_lag_sql(lag: int) -> str:
+    """Oracle CTEs for one autocorrelation lag: dense-spine pairs via
+    lead(lag) (the spine has no holes, so lead k IS hidx+k), exact
+    integer moment sums, and the cross-multiplied Pearson ratio with
+    NULLIF-guarded zero-variance denominators."""
+    return f"""
+    p{lag} AS (
+      SELECT event_type, n AS x,
+             lead(n, {lag}) OVER (PARTITION BY event_type
+                                  ORDER BY hidx) AS y
+      FROM grid
+      QUALIFY lead(n, {lag}) OVER (PARTITION BY event_type
+                                   ORDER BY hidx) IS NOT NULL
+    ),
+    m{lag} AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nn,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p{lag} GROUP BY event_type
+    ),
+    r{lag} AS (
+      SELECT event_type,
+             CAST(nn * sxy - sx * sy AS DOUBLE)
+               / NULLIF(sqrt(CAST(nn * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(nn * syy - sy * sy AS DOUBLE)), 0.0)
+               AS r
+      FROM m{lag}
+    )"""
+
+
+@query(
+    "e24_diurnal_autocorrelation",
+    f"""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS hidx
+      FROM events
+    ),
+    span AS (SELECT MIN(hidx) AS lo, MAX(hidx) AS hi FROM b),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS hidx FROM span),
+    types AS (SELECT DISTINCT event_type FROM b),
+    cnt AS (SELECT event_type, hidx, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, h.hidx, COALESCE(c.n, 0) AS n
+      FROM hours h CROSS JOIN types t
+      LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hidx = h.hidx
+    ),
+    {_e24_lag_sql(1)},
+    {_e24_lag_sql(24)},
+    nh AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+           FROM grid GROUP BY event_type)
+    SELECT nh.event_type, nh.n_hours, r1.r AS r_lag1, r24.r AS r_lag24
+    FROM nh
+    JOIN r1 ON r1.event_type = nh.event_type
+    JOIN r24 ON r24.event_type = nh.event_type
+    ORDER BY nh.event_type
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def e24_diurnal_autocorrelation(t):
+    """DIURNAL periodicity detection — the seasonality check behind
+    capacity planning and anomaly baselining (e11 thresholds assume
+    stationarity; this measures how false that is): per event type,
+    the Pearson autocorrelation of the ZERO-FILLED hourly count
+    series at lag 1 (short-term burst persistence) and lag 24 (the
+    day cycle). r_lag24 >> r_lag1 is a strongly diurnal stream —
+    baseline per hour-of-day; r_lag24 ~ 0 means a flat baseline is
+    honest. The spine matters: computing over only OBSERVED hours
+    (e15's lesson) silently deletes the quiet half of the cycle.
+
+    Engine-exactness: hour indexes and the dense spine are exact
+    integers (positive floor division); all five moment sums are
+    exact int64 (720 hours x counts^2 is tiny); the Pearson ratio is
+    the d73/e22 pattern — integer cross-multiplication inside, two
+    correctly-rounded sqrts and one division outside, zero-variance
+    denominators NULLIF-guarded identically on both engines.
+
+    Scale shape: one hour-keyed rollup with map-side partials; the
+    spine is span-sized (bounded by calendar time, not events) and
+    cross-joins only the type dimension; the lag pairing is a dense-
+    spine lead window partitioned by type — at years x thousands of
+    types this is the e15 grid plus two windows, corpus-independent."""
+    b = t.events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("hidx"),
+    )
+    span = b.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi"))
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("hidx")
+    )
+    types = b.select("event_type").distinct()
+    cnt = b.groupBy("event_type", "hidx").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(cnt, ["event_type", "hidx"], "left")
+        .select(
+            "event_type",
+            "hidx",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+    )
+    grid = tracked_persist(grid)
+
+    def corr_at(lag):
+        w = Window.partitionBy("event_type").orderBy("hidx")
+        p = grid.select(
+            "event_type",
+            F.col("n").alias("x"),
+            F.lead("n", lag).over(w).alias("y"),
+        ).filter(F.col("y").isNotNull())
+        m = p.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("nn"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        den = F.sqrt(
+            (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ) * F.sqrt(
+            (F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        )
+        num = (
+            F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).cast("double")
+        return m.select(
+            "event_type",
+            F.when(den != 0.0, num / den).alias(f"r_lag{lag}"),
+        )
+
+    nh = grid.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_hours"))
+    return (
+        nh.join(corr_at(1), "event_type")
+        .join(corr_at(24), "event_type")
+        .orderBy("event_type")
+    )

@@ -488,3 +488,39 @@ def test_hq34_rederives_from_claim_payments(spark, sf_dir):
     )
     top = max((c, -m) for m, c in cents.items())
     assert row.top_cents == top[0] and row.top_member == -top[1]
+
+
+def test_e24_matches_numpy_corrcoef_on_the_dense_series(spark, sf_dir):
+    """Re-derive one type's lag-24 autocorrelation with numpy over an
+    independently zero-filled hourly series — the values must agree to
+    float tolerance, every r must be a valid correlation in [-1, 1],
+    and n_hours must equal the global span for every type."""
+    import numpy as np
+
+    rows = QUERIES["e24_diurnal_autocorrelation"].fn(spark, sf_dir).collect()
+    assert rows
+    spans = {r.n_hours for r in rows}
+    assert len(spans) == 1
+    t = Tables(spark, sf_dir)
+    ty = rows[0].event_type
+    hs = [
+        r.h
+        for r in t.events.filter(F.col("event_type") == ty)
+        .selectExpr("unix_micros(ts) div 1000000 div 3600 AS h")
+        .collect()
+    ]
+    lo = min(
+        r.h for r in t.events.selectExpr(
+            "min(unix_micros(ts) div 1000000 div 3600) AS h"
+        ).collect()
+    )
+    n_hours = rows[0].n_hours
+    series = np.zeros(n_hours)
+    for h in hs:
+        series[h - lo] += 1
+    want = float(np.corrcoef(series[:-24], series[24:])[0, 1])
+    got = rows[0].r_lag24
+    assert abs(got - want) < 1e-9, (got, want)
+    for r in rows:
+        for v in (r.r_lag1, r.r_lag24):
+            assert v is None or -1.0 - 1e-12 <= v <= 1.0 + 1e-12
