@@ -118,6 +118,13 @@ EXTRA_QUERIES = [
     "d76_histogram_quantile_sketch",
     "e22_user_burstiness",
     "m14_audio_neardup_pairs",
+    # r7 fourth wave — all pure relational (d79/hq34's median/MAD
+    # broadcasts and e24's span cross join are bounded 1-row/dim
+    # frames; e23's session tagging is a native session_window agg).
+    "d79_robust_mad_outlier_gate",
+    "e23_session_type_lift",
+    "e24_diurnal_autocorrelation",
+    "hq34_member_cost_outliers",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
