@@ -55,9 +55,13 @@ _CONTRACT_CHANGED_ROUND = {
 # dropped their forced broadcasts of data-dependent sets, e17 moved to
 # exact integer hour division, d51 persists the Gram aggregate, and
 # d14/d37/d44/d58/d60/s17 + the IVF path now read the materialized
-# centroid table instead of training inline. s02–s15 rotate through
+# centroid table instead of training inline. s02–s09 rotate through
 # because their only driver rows predate several rounds of shared-
-# machinery changes (round-6 verdict item 6).
+# machinery changes (round-6 verdict item 6 asked for >= 5 s-family
+# re-gates; the list was trimmed from s02–s15 so the never-driver-
+# gated round-7 additions (s17–s20, m14, d72–d79, e22–e24, hq34) all
+# fit inside the ~50-slot gate — s10–s15 keep their earlier greens and
+# rotate in a later round).
 _REGATE_ROUND = {
     "d04_fingerprints": 7,  # min-shingle leg moved to the relational builder
     "d57_pq_codebook": 7,  # codebook now a materialized warehouse artifact
@@ -80,12 +84,6 @@ _REGATE_ROUND = {
     "s07_stream_dedup": 7,
     "s08_stream_stream_left_outer": 7,
     "s09_incremental_rollup": 7,
-    "s10_stream_quality_gate": 7,
-    "s11_stream_dedup_against_corpus": 7,
-    "s12_stream_append_final_windows": 7,
-    "s13_stream_mixture_gate": 7,
-    "s14_stream_rate_anomaly_gate": 7,
-    "s15_stream_ohlc_bars": 7,
     "s17_stream_ivf_cell_ingestion": 7,
 }
 
