@@ -203,6 +203,17 @@ NOTES = {
         "scalar BNLJs are the 1-row min-token broadcast; the "
         "thr/kept joins are source-cardinality broadcasts."
     ),
+    "e24_diurnal_autocorrelation": (
+        "Note: the three flagged BNLJs are ONE bounded cross join — "
+        "the dense hour spine (calendar-sized, from the 1-row span "
+        "aggregate) x the broadcast distinct-type dimension, the same "
+        "grid e15 pins — printed three times because the persisted "
+        "grid's lineage re-prints per consumer (n_hours + the lag-1 "
+        "and lag-24 correlation branches); at runtime the "
+        "InMemoryTableScan serves all three, so the grid (and the "
+        "events scan beneath it) materializes ONCE. Neither side of "
+        "the cross join scales with event volume."
+    ),
     "q11_important_part_value": (
         "Note: the static plan prints the natline→per_part subtree "
         "twice (probe rows + the scalar cutoff broadcast), but the "
