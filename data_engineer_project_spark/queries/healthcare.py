@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from data_engineer_project_spark import fixtures
 from data_engineer_project_spark.functions.numeric import money
 from data_engineer_project_spark.operators.asof import asof_join
+from data_engineer_project_spark.operators.cache import tracked_persist
 from data_engineer_project_spark.plans.quality import fk_violations
 from data_engineer_project_spark.plans.snowflake import build_snowflake
 from data_engineer_project_spark.plans.star import build_star
@@ -1767,4 +1768,154 @@ def hq34_member_cost_outliers(t):
             (pick["i"] * -1).cast("long").alias("top_member"),
             F.max("cents").cast("long").alias("top_cents"),
         )
+    )
+
+
+@query(
+    "hq35_provider_case_mix_oe",
+    _oracle(
+        """
+        , lt AS (
+          SELECT MemberID, RiskTier FROM (
+            SELECT MemberID, RiskTier,
+                   ROW_NUMBER() OVER (PARTITION BY MemberID
+                                      ORDER BY EffectiveDate DESC,
+                                               RiskID DESC) AS rn
+            FROM s3_cca_risk_score)
+          WHERE rn = 1
+        ),
+        cc AS (
+          SELECT ch.ClaimID, ch.MemberID,
+                 ch.RenderingProviderNPI AS npi,
+                 CAST(COALESCE(SUM(pay.PaidAmount), 0) * 100 AS BIGINT)
+                   AS cents
+          FROM s2_claims_claim_header ch
+          LEFT JOIN s2_claims_claim_payment pay ON pay.ClaimID = ch.ClaimID
+          GROUP BY 1, 2, 3
+        ),
+        tc AS (
+          SELECT c.npi, c.ClaimID, c.cents,
+                 COALESCE(l.RiskTier, 'UNSCORED') AS tier
+          FROM cc c LEFT JOIN lt l ON l.MemberID = c.MemberID
+        ),
+        band AS (
+          SELECT tier, CAST(COUNT(*) AS BIGINT) AS band_n,
+                 CAST(SUM(cents) AS BIGINT) AS band_cents
+          FROM tc GROUP BY tier
+        ),
+        prov AS (
+          SELECT npi, tier, CAST(COUNT(*) AS BIGINT) AS n_claims,
+                 CAST(SUM(cents) AS BIGINT) AS observed_cents
+          FROM tc GROUP BY 1, 2
+        )
+        SELECT p.npi, pr.ProviderName AS provider_name, p.tier,
+               p.n_claims, p.observed_cents, b.band_n, b.band_cents,
+               CASE WHEN b.band_cents = 0 THEN NULL
+                    ELSE CAST(p.observed_cents * b.band_n AS DOUBLE)
+                         / CAST(p.n_claims * b.band_cents AS DOUBLE)
+               END AS oe_ratio
+        FROM prov p
+        JOIN band b ON b.tier = p.tier
+        LEFT JOIN s4_provider_provider pr ON pr.NPI = p.npi
+        ORDER BY p.npi, p.tier
+        """,
+        [
+            "s3_cca_risk_score",
+            "s2_claims_claim_header",
+            "s2_claims_claim_payment",
+            "s4_provider_provider",
+        ],
+    ),
+    tags=("healthcare", "finance", "stats"),
+)
+def hq35_provider_case_mix_oe(t):
+    """Provider cost O/E ratio by CASE MIX — indirect standardization,
+    the fair version of the raw provider-cost ranking hq34's member
+    triage implies: a provider whose panel is sicker SHOULD cost more,
+    so each provider's observed paid is compared to what the overall
+    population spends on claims of the same risk tier. Per claim, the
+    member's LATEST risk tier (hq27's latest-per-group window over
+    s3_cca_risk_score; unscored members form their own 'UNSCORED'
+    band); per (provider, tier): observed cents vs the band mean, with
+    O/E = (observed * band_n) / (n_claims * band_cents) — the per-tier
+    decomposition a network-management team reads (WHICH tier drives a
+    provider's excess), O/E > 1 flagging cost above the case-mix-
+    expected level.
+
+    Engine-exactness: cents are the DECIMAL-fold * 100 exact int64
+    (hq34's rule); O/E is ONE double division of exact integer
+    products (cross-multiplied — band means never materialize as
+    rounded intermediates), zero-cost bands NULL-guarded identically.
+
+    Scale shape: one claims pass folds payments map-side; the tier
+    lookup is a member-keyed window over the (small) risk-score
+    history; band stats collapse to <= tiers rows and broadcast back;
+    the provider dimension joins broadcast. At a real payer's scale
+    every shuffle key here (member, claim, provider x tier) is
+    high-cardinality and unskewed."""
+    s = hc(t)
+    wlt = Window.partitionBy("MemberID").orderBy(
+        F.desc("EffectiveDate"), F.desc("RiskID")
+    )
+    lt = (
+        s["s3_cca_risk_score"]
+        .withColumn("rn", F.row_number().over(wlt))
+        .filter(F.col("rn") == 1)
+        .select("MemberID", "RiskTier")
+    )
+    cc = (
+        s["s2_claims_claim_header"]
+        .join(s["s2_claims_claim_payment"], "ClaimID", "left")
+        .groupBy(
+            "ClaimID",
+            "MemberID",
+            F.col("RenderingProviderNPI").alias("npi"),
+        )
+        .agg(
+            (F.coalesce(F.sum(money("PaidAmount")), F.lit(0)) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    # No broadcast hint on lt: the latest-risk-per-member set is
+    # member-population-proportional (the round-6 lesson) — AQE
+    # broadcasts it when the member universe is actually small.
+    tc = cc.join(lt, "MemberID", "left").select(
+        "npi",
+        "ClaimID",
+        "cents",
+        F.coalesce("RiskTier", F.lit("UNSCORED")).alias("tier"),
+    )
+    tc = tracked_persist(tc)
+    band = tc.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("band_n"),
+        F.sum("cents").alias("band_cents"),
+    )
+    prov = tc.groupBy("npi", "tier").agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.sum("cents").alias("observed_cents"),
+    )
+    pr = s["s4_provider_provider"].select(
+        F.col("NPI").alias("npi"), F.col("ProviderName").alias("provider_name")
+    )
+    oe = F.when(
+        F.col("band_cents") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("observed_cents") * F.col("band_n")).cast("double")
+        / (F.col("n_claims") * F.col("band_cents")).cast("double")
+    )
+    return (
+        prov.join(F.broadcast(band), "tier")
+        .join(F.broadcast(pr), "npi", "left")
+        .select(
+            "npi",
+            "provider_name",
+            "tier",
+            "n_claims",
+            "observed_cents",
+            "band_n",
+            "band_cents",
+            oe.alias("oe_ratio"),
+        )
+        .orderBy("npi", "tier")
     )

@@ -26,6 +26,7 @@ from data_engineer_project_spark.operators import graph as GR
 from data_engineer_project_spark.operators import linalg as LA
 from data_engineer_project_spark.operators import retrieval as RET
 from data_engineer_project_spark.operators import similarity as SIM
+from data_engineer_project_spark.operators import topk as TK
 from data_engineer_project_spark.operators.asof import asof_join
 from data_engineer_project_spark.operators.interval import range_join
 from data_engineer_project_spark.queries.catalog import query
@@ -8055,6 +8056,56 @@ def e23_session_type_lift(t):
     )
 
 
+def _dense_hourly_grid(t):
+    """Zero-filled (event_type, hour-index, count) grid over the full
+    observed span — e15's calendar-spine discipline shared by e24/e25:
+    the dense hour spine (from the 1-row span aggregate) cross-joins
+    the broadcast type dimension, then left-joins the observed hourly
+    counts; missing hours coalesce to 0. Both cross-join sides are
+    corpus-independent (calendar span x distinct types). Persisted:
+    every consumer reads the one materialized grid."""
+    b = t.events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("hidx"),
+    )
+    span = b.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi"))
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("hidx")
+    )
+    types = b.select("event_type").distinct()
+    cnt = b.groupBy("event_type", "hidx").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(cnt, ["event_type", "hidx"], "left")
+        .select(
+            "event_type",
+            "hidx",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+    )
+    return tracked_persist(grid)
+
+
+# Oracle CTE chain for the dense hourly grid (the SQL twin of
+# ``_dense_hourly_grid`` — shared by e24/e25 so the two queries pin
+# the SAME spine semantics).
+_HOUR_GRID_SQL = """
+    b AS (
+      SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS hidx
+      FROM events
+    ),
+    span AS (SELECT MIN(hidx) AS lo, MAX(hidx) AS hi FROM b),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS hidx FROM span),
+    types AS (SELECT DISTINCT event_type FROM b),
+    cnt AS (SELECT event_type, hidx, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, h.hidx, COALESCE(c.n, 0) AS n
+      FROM hours h CROSS JOIN types t
+      LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hidx = h.hidx
+    )"""
+
+
 def _e24_lag_sql(lag: int) -> str:
     """Oracle CTEs for one autocorrelation lag: dense-spine pairs via
     lead(lag) (the spine has no holes, so lead k IS hidx+k), exact
@@ -8088,20 +8139,7 @@ def _e24_lag_sql(lag: int) -> str:
 @query(
     "e24_diurnal_autocorrelation",
     f"""
-    WITH b AS (
-      SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS hidx
-      FROM events
-    ),
-    span AS (SELECT MIN(hidx) AS lo, MAX(hidx) AS hi FROM b),
-    hours AS (SELECT unnest(generate_series(lo, hi)) AS hidx FROM span),
-    types AS (SELECT DISTINCT event_type FROM b),
-    cnt AS (SELECT event_type, hidx, CAST(COUNT(*) AS BIGINT) AS n
-            FROM b GROUP BY 1, 2),
-    grid AS (
-      SELECT t.event_type, h.hidx, COALESCE(c.n, 0) AS n
-      FROM hours h CROSS JOIN types t
-      LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hidx = h.hidx
-    ),
+    WITH {_HOUR_GRID_SQL},
     {_e24_lag_sql(1)},
     {_e24_lag_sql(24)},
     nh AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
@@ -8137,26 +8175,7 @@ def e24_diurnal_autocorrelation(t):
     cross-joins only the type dimension; the lag pairing is a dense-
     spine lead window partitioned by type — at years x thousands of
     types this is the e15 grid plus two windows, corpus-independent."""
-    b = t.events.select(
-        "event_type",
-        F.expr("unix_micros(ts) div 1000000 div 3600").alias("hidx"),
-    )
-    span = b.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi"))
-    hours = span.select(
-        F.explode(F.sequence("lo", "hi")).alias("hidx")
-    )
-    types = b.select("event_type").distinct()
-    cnt = b.groupBy("event_type", "hidx").agg(F.count(F.lit(1)).alias("n"))
-    grid = (
-        hours.crossJoin(F.broadcast(types))
-        .join(cnt, ["event_type", "hidx"], "left")
-        .select(
-            "event_type",
-            "hidx",
-            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
-        )
-    )
-    grid = tracked_persist(grid)
+    grid = _dense_hourly_grid(t)
 
     def corr_at(lag):
         w = Window.partitionBy("event_type").orderBy("hidx")
@@ -8195,4 +8214,212 @@ def e24_diurnal_autocorrelation(t):
         nh.join(corr_at(1), "event_type")
         .join(corr_at(24), "event_type")
         .orderBy("event_type")
+    )
+
+
+@query(
+    "e25_seasonal_rebaseline",
+    f"""
+    WITH {_HOUR_GRID_SQL},
+    g2 AS (SELECT event_type, hidx, n, hidx % 24 AS hod FROM grid),
+    flat AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM grid GROUP BY event_type
+    ),
+    seas AS (
+      SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(n) AS BIGINT) AS sh, CAST(SUM(n * n) AS BIGINT) AS ssh
+      FROM g2 GROUP BY 1, 2
+    ),
+    fl AS (
+      SELECT g.event_type,
+             CASE WHEN g.n * f.n_hours - f.s > 0
+                   AND (g.n * f.n_hours - f.s) * (g.n * f.n_hours - f.s)
+                       > 4 * (f.n_hours * f.ss - f.s * f.s)
+                  THEN 1 ELSE 0 END AS ff,
+             CASE WHEN g.n * se.nh - se.sh > 0
+                   AND (g.n * se.nh - se.sh) * (g.n * se.nh - se.sh)
+                       > 4 * (se.nh * se.ssh - se.sh * se.sh)
+                  THEN 1 ELSE 0 END AS fs
+      FROM g2 g
+      JOIN flat f ON f.event_type = g.event_type
+      JOIN seas se ON se.event_type = g.event_type AND se.hod = g.hod
+    ),
+    agg AS (
+      SELECT event_type, CAST(SUM(ff) AS BIGINT) AS n_flag_flat,
+             CAST(SUM(fs) AS BIGINT) AS n_flag_seasonal
+      FROM fl GROUP BY event_type
+    ),
+    pk AS (
+      SELECT event_type,
+             CAST((MAX({{'c': sh, 'i': -hod}})).i * -1 AS BIGINT) AS peak_hod,
+             CAST(MAX(sh) AS BIGINT) AS peak_hod_events
+      FROM seas GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_hours, a.n_flag_flat, a.n_flag_seasonal,
+           pk.peak_hod, pk.peak_hod_events
+    FROM flat f
+    JOIN agg a ON a.event_type = f.event_type
+    JOIN pk ON pk.event_type = f.event_type
+    ORDER BY f.event_type
+    """,
+    tags=("events", "timeseries", "quality"),
+)
+def e25_seasonal_rebaseline(t):
+    """Hour-of-day SEASONAL re-baselining — e24's conclusion
+    operationalized: e11 flags hours against one flat per-type mean,
+    but a strongly diurnal stream (r_lag24 >> 0) makes every evening
+    peak a false alarm and every overnight outage invisible. Here each
+    zero-filled grid hour is tested one-sided (> 2 sigma, e11's exact
+    cross-multiplied rule) against BOTH baselines — the flat per-type
+    stats and the per-(type, hour-of-day) stats — and the per-type
+    flag counts are reported side by side with the peak hour-of-day.
+    n_flag_seasonal << n_flag_flat is the measured payoff of
+    seasonality-aware alerting; equality means the stream really is
+    flat and e11's cheap baseline is honest.
+
+    Engine-exactness: the grid and both moment sets are exact int64
+    (e24's spine; hidx >= 0 for post-1970 data so Spark % and DuckDB %
+    agree); each flag is an integer cross-multiplied comparison —
+    no division, no sqrt. The peak pick is the hq34 struct-argmax
+    (max events, ties -> lowest hour).
+
+    Scale shape: one persisted calendar-bounded grid (e24's), two
+    map-side-collapsing rollups (types and types x 24 rows), and a
+    grid-sized probe joining two broadcast stat tables — no window,
+    corpus touched once through the shared grid."""
+    grid = _dense_hourly_grid(t)
+    g2 = grid.withColumn("hod", F.col("hidx") % 24)
+    flat = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    seas = g2.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n").alias("sh"),
+        F.sum(F.col("n") * F.col("n")).alias("ssh"),
+    )
+    seas = tracked_persist(seas)
+    dflat = F.col("n") * F.col("n_hours") - F.col("s")
+    dseas = F.col("n") * F.col("nh") - F.col("sh")
+    ff = (dflat > 0) & (
+        dflat * dflat > 4 * (F.col("n_hours") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    fs = (dseas > 0) & (
+        dseas * dseas > 4 * (F.col("nh") * F.col("ssh") - F.col("sh") * F.col("sh"))
+    )
+    agg = (
+        g2.join(F.broadcast(flat), "event_type")
+        .join(F.broadcast(seas), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(ff.cast("long")).alias("n_flag_flat"),
+            F.sum(fs.cast("long")).alias("n_flag_seasonal"),
+        )
+    )
+    pick = F.max(F.struct(F.col("sh").alias("c"), (-F.col("hod")).alias("i")))
+    pk = seas.groupBy("event_type").agg(
+        (pick["i"] * -1).cast("long").alias("peak_hod"),
+        F.max("sh").cast("long").alias("peak_hod_events"),
+    )
+    return (
+        flat.select("event_type", "n_hours")
+        .join(agg, "event_type")
+        .join(pk, "event_type")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "d80_tfidf_doc_keywords",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE doc_id < 20 GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(t.tf * (2 * nd.n_docs - 2 * d.df + 1) AS DOUBLE)
+               / CAST(2 * d.df + 1 AS DOUBLE) AS score
+      FROM tf t JOIN dfreq d ON d.term = t.term, nd
+    )
+    SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, df, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM sc
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, rank
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def d80_tfidf_doc_keywords(t):
+    """Per-document KEYWORD extraction by tf-idf — the labeling /
+    topical-indexing primitive between d27's corpus vocabulary and
+    d30's fixed-term BM25: for each doc in a bounded demo set
+    (doc_id < 20, d09's bounded-query contract), the top-3 terms by
+    tf x rational-idf, where the document frequency is computed over
+    the WHOLE corpus (the distributed part). The rational idf
+    (2N - 2df + 1) / (2df + 1) is d30's ln-free BM25 idf scaled by 2
+    to stay integral — monotone in the real thing, engine-exact.
+
+    Engine-exactness: tf/df/N are exact int64; the score is ONE double
+    division of exact integer products (identical expression both
+    engines), ties broken lexicographically by term.
+
+    Scale shape: the corpus is tokenized once; docfreq collapses
+    map-side to a vocab-sized aggregate; the bounded tf set broadcasts
+    into the vocab join (corpus-side never shuffles to the query); the
+    per-doc top-3 runs through grouped_topk (two-phase, no
+    single-reducer window over the corpus). Output is 3 rows per
+    target doc."""
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    nd = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        tok.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sc = (
+        dfreq.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (
+                    F.col("tf")
+                    * (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+                ).cast("double")
+                / (2 * F.col("df") + 1).cast("double")
+            ).alias("score"),
+        )
+    )
+    top = TK.grouped_topk(
+        sc, ["doc_id"], [F.desc("score"), F.asc("term")], 3
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
     )

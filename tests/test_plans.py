@@ -306,6 +306,8 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/healthcare.py", "med"),  # per-group medians
         ("queries/healthcare.py", "n_months"),  # 1-row month count
         ("queries/healthcare.py", "mad"),  # hq34: 1-row MAD
+        ("queries/healthcare.py", "band"),  # hq35: <= #risk-tiers rows
+        ("queries/healthcare.py", "pr"),  # hq35: provider dimension
         ("queries/llm_pipeline.py", "sketch_df"),  # 1-row sketch
         ("queries/llm_pipeline.py", "s"),  # per-lang stats
         ("queries/llm_pipeline.py", "tot"),  # scalar totals
@@ -327,6 +329,9 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/llm_pipeline.py", "mad"),  # d79: per-lang MADs
         ("queries/llm_pipeline.py", "ca_a"),  # e23: per-type session counts
         ("queries/llm_pipeline.py", "ca_b"),
+        ("queries/llm_pipeline.py", "flat"),  # e25: per-type stat rows
+        ("queries/llm_pipeline.py", "seas"),  # e25: types x 24 stat rows
+        ("queries/llm_pipeline.py", "tf"),  # d80: bounded 20-doc term set
         ("queries/llm_pipeline.py", "cn"),  # M*K codebook + norms
         ("queries/llm_pipeline.py", "cent_df"),  # ~sqrt(N) centroids
         ("queries/llm_pipeline.py", "lut"),  # queries x M x K LUT
