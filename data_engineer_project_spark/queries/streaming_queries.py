@@ -1375,3 +1375,136 @@ def s20_stream_hourly_distinct_hll(t):
         )
         .orderBy("window_start")
     )
+
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _CMS_D,
+    _CMS_W,
+)
+
+
+def _s21_cell_sql(j: int, cast_type: str) -> str:
+    """One CMS cell index for a user id — d71's md5-derived column,
+    seeded 'sc{j}|' so the stream sketch decorrelates from d71's."""
+    return (
+        f"({_md5_hex_int('user_id', cast_type, 4, prefix=f'sc{j}|')})"
+        f" % {_CMS_W}"
+    )
+
+
+@query(
+    "s21_stream_countmin_heavy_users",
+    f"""
+    WITH ue AS (
+      SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS row_j, {_s21_cell_sql(j, 'varchar')} AS idx FROM ue"
+        for j in range(_CMS_D)
+      )}
+    ),
+    cms AS (
+      SELECT row_j, idx, CAST(COUNT(*) AS BIGINT) AS counter
+      FROM cells GROUP BY row_j, idx
+    ),
+    uc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM ue
+      GROUP BY user_id
+    ),
+    top AS (SELECT user_id, cnt FROM uc ORDER BY cnt DESC, user_id LIMIT 10),
+    tprobe AS (
+      {" UNION ALL ".join(
+        f"SELECT user_id, cnt, {j} AS row_j,"
+        f" {_s21_cell_sql(j, 'varchar')} AS idx FROM top"
+        for j in range(_CMS_D)
+      )}
+    ),
+    est AS (
+      SELECT p.user_id, p.cnt, MIN(c.counter) AS estimate
+      FROM tprobe p JOIN cms c ON c.row_j = p.row_j AND c.idx = p.idx
+      GROUP BY p.user_id, p.cnt
+    )
+    SELECT user_id, cnt AS exact_count,
+           CAST(estimate AS BIGINT) AS cms_estimate,
+           CAST(estimate - cnt AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_count DESC, user_id
+    """,
+    tags=("streaming", "sketch", "stats"),
+)
+def s21_stream_countmin_heavy_users(t):
+    """Streaming HEAVY-HITTER users via a Count-Min sketch — d71's
+    frequency sketch run as the stream-side state, completing the
+    sketch pair s20 started: s20 bounds DISTINCT-count state with HLL
+    registers, s21 bounds FREQUENCY state with CMS counters. Exact
+    per-user streaming counts keep one state row per user (s04's
+    shape — state grows with the user universe); here each event
+    row-locally derives its d=3 md5 cell indices and the streaming
+    aggregation folds them into <= d x w = 3072 integer counters —
+    state bounded FOREVER, merged by SUM across micro-batches, which
+    is exactly what CMS grids do across partitions at 100 TB. The
+    sink-side read probes the true top-10 users (exact counts from
+    the static table riding along) and reports each estimate's
+    realized one-sided error.
+
+    Engine-exactness: counters and estimates are integer counts/mins
+    over md5-derived cells (d71's derivation, 'sc|' seed); the oracle
+    is the identical batch fold — availableNow == batch replay, the
+    s01 contract. Overestimate >= 0 always (CMS one-sidedness, the
+    d70/d71 property pin's streaming sibling).
+
+    Scale shape: in-stream work is row-local hashing plus ONE
+    aggregation over 3072 keys (map-side partials collapse each
+    micro-batch to <= 3072 rows before the shuffle); the sink-side
+    probe joins 10 users against the broadcast 3 KB grid. No
+    watermark needed: the key space is bounded by construction, so
+    complete mode never grows."""
+    stream = read_event_stream(t._spark, t._sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    cells = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        F.expr(_s21_cell_sql(j, "string")).alias("idx"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_j", "c.idx")
+    grid = cells.groupBy("row_j", "idx").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    cms = run_to_memory_table(grid, "stream_cms_users", "complete")
+    ue = t.events.filter(F.col("user_id").isNotNull())
+    uc = ue.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    top = uc.orderBy(F.desc("cnt"), "user_id").limit(10)
+    probe = top.select(
+        "user_id",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        F.expr(_s21_cell_sql(j, "string")).alias("idx"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "cnt", "c.row_j", "c.idx")
+    est = (
+        probe.join(F.broadcast(cms), ["row_j", "idx"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("counter").alias("estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("cnt").alias("exact_count"),
+        F.col("estimate").cast("long").alias("cms_estimate"),
+        (F.col("estimate") - F.col("cnt")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "user_id")

@@ -649,3 +649,27 @@ def test_hq35_oe_aggregation_identities(spark, sf_dir):
     assert tiers_in_output <= (
         {v[2] for v in latest.values()} | {"UNSCORED"}
     )
+
+
+def test_s21_cms_is_one_sided_and_rederives_from_event_counts(spark, sf_dir):
+    """CMS one-sidedness (every estimate >= its exact count — a min of
+    counters that each saw all of the key's events), the exact counts
+    re-derived with a Python counter over the raw events, the top-10
+    selection verified, and the expected-error bound N/w respected on
+    average (Markov margin x4)."""
+    rows = QUERIES["s21_stream_countmin_heavy_users"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    t = Tables(spark, sf_dir)
+    counts = {}
+    for r in t.events.select("user_id").collect():
+        if r.user_id is not None:
+            counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    want_top = sorted(((-c, u) for u, c in counts.items()))[:10]
+    got_top = [(-r.exact_count, r.user_id) for r in rows]
+    assert got_top == want_top
+    n_events = sum(counts.values())
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+    mean_over = sum(r.overestimate for r in rows) / len(rows)
+    assert mean_over <= 4 * n_events / 1024

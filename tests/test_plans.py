@@ -339,6 +339,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/practice.py", "p"),
         ("queries/practice.py", "n"),  # 1-row counts
         ("queries/practice.py", "dim"),
+        ("queries/streaming_queries.py", "cms"),  # s21: <= d*w = 3072 grid
         ("queries/streaming_queries.py", "mn"),
         ("queries/streaming_queries.py", "thr"),
         ("queries/streaming_queries.py", "policy"),  # per-type policy
