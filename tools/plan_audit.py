@@ -125,6 +125,14 @@ EXTRA_QUERIES = [
     "e23_session_type_lift",
     "e24_diurnal_autocorrelation",
     "hq34_member_cost_outliers",
+    # r7 fifth wave — e25 rides e24's shared grid (bounded cross join);
+    # d80's broadcast is the bounded 20-doc tf set; hq35's are the
+    # <= #tiers band stats and the provider dimension (the member-
+    # proportional tier set is deliberately NOT hinted). s21 is
+    # streaming (test_streaming/test_pipeline_round7 cover it).
+    "e25_seasonal_rebaseline",
+    "d80_tfidf_doc_keywords",
+    "hq35_provider_case_mix_oe",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -202,6 +210,16 @@ NOTES = {
         "all three consumers, so the corpus is scanned ONCE. The two "
         "scalar BNLJs are the 1-row min-token broadcast; the "
         "thr/kept joins are source-cardinality broadcasts."
+    ),
+    "e25_seasonal_rebaseline": (
+        "Note: the five flagged BNLJs are ONE bounded cross join — "
+        "e24's calendar-spine x broadcast-type-dimension grid "
+        "(shared `_dense_hourly_grid`), re-printed per consumer of "
+        "the persisted grid (the flat stats, the seasonal stats, the "
+        "probe, and the n_hours branch); at runtime the "
+        "InMemoryTableScan serves every consumer, so the grid and "
+        "the events scan beneath it materialize ONCE. Neither cross "
+        "join side scales with event volume."
     ),
     "e24_diurnal_autocorrelation": (
         "Note: the three flagged BNLJs are ONE bounded cross join — "

@@ -245,6 +245,50 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
         "s19_stream_bloom_gate",
         lambda rows: {"survivors": len(rows), "bitset_words": 2048},
     )
+
+    # Round-7 fifth wave. e25's grid is calendar x types — the 10x
+    # synthesis time-shifts replicas so the SPAN grows 10x and the
+    # grid must grow linearly in wall-clock hours (not in events);
+    # d80's cost is the corpus-linear docfreq fold (output fixed at
+    # 3 x 20 rows); s21's counter grid must stay <= d*w = 3072 rows
+    # at ANY event volume (the CMS size-invariance claim), read back
+    # from the memory sink after the run.
+    run_query(
+        "e25_seasonal_rebaseline",
+        lambda rows: {
+            "n_types": len(rows),
+            "n_hours": rows[0].n_hours,
+            "flat_flags": sum(r.n_flag_flat for r in rows),
+            "seasonal_flags": sum(r.n_flag_seasonal for r in rows),
+        },
+    )
+    run_query(
+        "d80_tfidf_doc_keywords",
+        lambda rows: {"out_rows": len(rows)},
+    )
+
+    def s21():
+        def go():
+            rows = QUERIES["s21_stream_countmin_heavy_users"].fn(
+                spark, sf_dir
+            ).collect()
+            grid_rows = spark.table("stream_cms_users").count()
+            return {
+                "counter_rows": grid_rows,
+                "max_overestimate": max(r.overestimate for r in rows),
+            }
+
+        sec, extra = timed(go)
+        out.append(
+            {
+                "op": "s21_stream_countmin_heavy_users",
+                "scale": scale_label,
+                "sec": round(sec, 2),
+                **extra,
+            }
+        )
+
+    s21()
     return out
 
 
