@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     # graph — times the fixed-round edge-propagation shape on top of
     # the d07 pair machinery + pointer-jumped CC.
     "d74_pagerank_canonical_doc",
+    # r7 addition #4: per-doc tf-idf keyword extraction — corpus-wide
+    # docfreq fold + the bounded query-set broadcast INTO the vocab
+    # join + two-phase grouped_topk; times the retrieval-indexing
+    # shape (big-side streams, small side broadcast) no other slot
+    # isolates.
+    "d80_tfidf_doc_keywords",
 ]
 
 

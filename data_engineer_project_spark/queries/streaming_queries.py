@@ -1392,6 +1392,28 @@ def _s21_cell_sql(j: int, cast_type: str) -> str:
     )
 
 
+def s21_cms_grid(events_df):
+    """Fold an events frame (streaming or batch — the logic is
+    identical, which is the multi-batch == batch pin's whole point)
+    into the d x w Count-Min counter grid keyed by (row_j, idx)."""
+    cells = events_df.filter(F.col("user_id").isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        F.expr(_s21_cell_sql(j, "string")).alias("idx"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_j", "c.idx")
+    return cells.groupBy("row_j", "idx").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+
+
 @query(
     "s21_stream_countmin_heavy_users",
     f"""
@@ -1459,25 +1481,7 @@ def s21_stream_countmin_heavy_users(t):
     probe joins 10 users against the broadcast 3 KB grid. No
     watermark needed: the key space is bounded by construction, so
     complete mode never grows."""
-    stream = read_event_stream(t._spark, t._sf_dir).filter(
-        F.col("user_id").isNotNull()
-    )
-    cells = stream.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row_j"),
-                        F.expr(_s21_cell_sql(j, "string")).alias("idx"),
-                    )
-                    for j in range(_CMS_D)
-                ]
-            )
-        ).alias("c")
-    ).select("c.row_j", "c.idx")
-    grid = cells.groupBy("row_j", "idx").agg(
-        F.count(F.lit(1)).alias("counter")
-    )
+    grid = s21_cms_grid(read_event_stream(t._spark, t._sf_dir))
     cms = run_to_memory_table(grid, "stream_cms_users", "complete")
     ue = t.events.filter(F.col("user_id").isNotNull())
     uc = ue.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))

@@ -700,3 +700,34 @@ def test_s14_policy_gate_plan_flat_in_type_count(spark):
     assert len(big) <= len(small) * 1.01, (len(small), len(big))
     # and no per-type branches anywhere
     assert big.count("CASE WHEN") <= 2, big.count("CASE WHEN")
+
+
+def test_s21_cms_grid_multibatch_equals_batch(spark, tmp_path):
+    """CMS counters must merge by SUM across micro-batches exactly: a
+    4-file one-file-per-trigger run (users split across batches, so
+    one user's events land in several batches) must produce the same
+    (row_j, idx, counter) grid as the single-batch streaming run and
+    as the plain batch fold over the same rows."""
+    from data_engineer_project_spark.queries.streaming_queries import (
+        s21_cms_grid,
+    )
+    from data_engineer_project_spark.sources.registry import normalize_event_ts
+
+    d = _write_parts(tmp_path, 4)
+    sliced = run_to_memory_table(
+        s21_cms_grid(
+            read_event_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+        ),
+        "cms_sliced",
+        "complete",
+    )
+    single = run_to_memory_table(
+        s21_cms_grid(read_event_stream(spark, SF)), "cms_single", "complete"
+    )
+    batch = s21_cms_grid(
+        normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    )
+    got = sorted(map(tuple, sliced.collect()))
+    assert got == sorted(map(tuple, single.collect()))
+    assert got == sorted(map(tuple, batch.collect()))
+    assert len(got) <= 3 * 1024
