@@ -1831,7 +1831,12 @@ def hq34_member_cost_outliers(t):
 def hq35_provider_case_mix_oe(t):
     """Provider cost O/E ratio by CASE MIX — indirect standardization,
     the fair version of the raw provider-cost ranking hq34's member
-    triage implies: a provider whose panel is sicker SHOULD cost more,
+    triage implies (reference parity: the RiskTier ladder is
+    CareManagementCCA.sql:89, claims attribute to the rendering NPI
+    exactly as StarSchemaForHealthcare.sql:330's DimProvider join
+    does — the analytics layer those structures exist to feed but the
+    reference never computes): a provider whose panel is sicker SHOULD
+    cost more,
     so each provider's observed paid is compared to what the overall
     population spends on claims of the same risk tier. Per claim, the
     member's LATEST risk tier (hq27's latest-per-group window over

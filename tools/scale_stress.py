@@ -107,6 +107,13 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
 
     out = []
 
+    def emit(rec):
+        # Print as soon as measured: a crash in a later op must not
+        # lose earlier rows (round-7 lesson — the first fifth-wave
+        # sweep died on its LAST extractor with zero rows printed).
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
     def timed(fn):
         best, extra = None, {}
         for _ in range(runs):
@@ -123,7 +130,7 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
             return extract(rows) if extract else {}
 
         sec, extra = timed(go)
-        out.append({"op": name, "scale": scale_label, "sec": round(sec, 2), **extra})
+        emit({"op": name, "scale": scale_label, "sec": round(sec, 2), **extra})
 
     run_query(
         "m10_image_neardup_clusters",
@@ -152,7 +159,7 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
             }
 
         sec, extra = timed(go)
-        out.append(
+        emit(
             {
                 "op": "d56_end_to_end_curation",
                 "scale": scale_label,
@@ -211,7 +218,7 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
         }
 
     sec, extra = timed(s04)
-    out.append(
+    emit(
         {"op": "s04_stateful_user_stats", "scale": scale_label, "sec": round(sec, 2), **extra}
     )
 
@@ -268,18 +275,31 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
     )
 
     def s21():
+        from data_engineer_project_spark.queries.streaming_queries import (
+            s21_cms_grid,
+        )
+        from data_engineer_project_spark.sources.registry import (
+            normalize_event_ts,
+        )
+
         def go():
             rows = QUERIES["s21_stream_countmin_heavy_users"].fn(
                 spark, sf_dir
             ).collect()
-            grid_rows = spark.table("stream_cms_users").count()
+            # Counter-row count via the batch-identical fold (the
+            # multibatch pin proves grid equality with the stream).
+            grid_rows = s21_cms_grid(
+                normalize_event_ts(
+                    spark.read.parquet(f"{sf_dir}/events.parquet")
+                )
+            ).count()
             return {
                 "counter_rows": grid_rows,
                 "max_overestimate": max(r.overestimate for r in rows),
             }
 
         sec, extra = timed(go)
-        out.append(
+        emit(
             {
                 "op": "s21_stream_countmin_heavy_users",
                 "scale": scale_label,
@@ -308,8 +328,8 @@ def main() -> None:
         results += measure(spark, tmp, f"{factor}x")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    for r in results:
-        print(json.dumps(r))
+    # rows were emitted as measured; nothing further to print
+    assert results
 
 
 if __name__ == "__main__":
