@@ -58,11 +58,11 @@ _CONTRACT_CHANGED_ROUND = {
 # centroid table instead of training inline. s02–s09 rotate through
 # because their only driver rows predate several rounds of shared-
 # machinery changes (round-6 verdict item 6 asked for >= 5 s-family
-# re-gates; the list was trimmed from s02–s15 — and then to s02–s07,
-# still six regates — so every never-driver-gated round-7 addition
-# (s17–s20, m14, d72–d80, e22–e25, hq34–hq35) fits inside the exactly-
-# 50-slot gate; s08–s15 keep their earlier greens and rotate in a
-# later round).
+# re-gates; the list was trimmed from s02–s15 — then to s02–s07 —
+# and finally to s02–s05 + s17 (exactly five s-family regates) so
+# every never-driver-gated round-7 addition (s17–s21, m14, d72–d81,
+# e22–e26, hq34–hq35) fits inside the exactly-50-slot gate; s06–s15
+# keep their earlier greens and rotate in a later round).
 _REGATE_ROUND = {
     "d04_fingerprints": 7,  # min-shingle leg moved to the relational builder
     "d57_pq_codebook": 7,  # codebook now a materialized warehouse artifact
@@ -81,8 +81,6 @@ _REGATE_ROUND = {
     "s03_stream_sessionization": 7,
     "s04_stream_stateful_user_stats": 7,
     "s05_stream_static_join": 7,
-    "s06_stream_stream_join": 7,
-    "s07_stream_dedup": 7,
     "s17_stream_ivf_cell_ingestion": 7,
 }
 

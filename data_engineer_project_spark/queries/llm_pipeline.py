@@ -8423,3 +8423,282 @@ def d80_tfidf_doc_keywords(t):
         .select("doc_id", "rank", "term", "tf", "df", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+@query(
+    "d81_dsir_hashed_importance",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             substring(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+      FROM documents
+    ),
+    tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM tok WHERE lang = 'en' GROUP BY 1
+    ),
+    raw AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr
+      FROM tok WHERE lang <> 'en' GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+      FROM tok
+    ),
+    lean AS (
+      SELECT b,
+             CASE
+               WHEN CAST(COALESCE(ct, 0) + 1 AS HUGEINT) * (nr + 256)
+                    > CAST(COALESCE(cr, 0) + 1 AS HUGEINT) * (nt + 256) THEN 1
+               WHEN CAST(COALESCE(ct, 0) + 1 AS HUGEINT) * (nr + 256)
+                    < CAST(COALESCE(cr, 0) + 1 AS HUGEINT) * (nt + 256) THEN -1
+               ELSE 0
+             END AS v
+      FROM tgt FULL JOIN raw USING (b), tot
+    ),
+    doc AS (
+      SELECT t.doc_id, MIN(t.lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(l.v) AS BIGINT) AS vote_sum
+      FROM tok t JOIN lean l ON l.b = t.b
+      WHERE t.lang <> 'en'
+      GROUP BY t.doc_id
+    ),
+    top AS (
+      SELECT doc_id, lang, n_tokens, vote_sum,
+             CAST(vote_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS vote_share
+      FROM doc
+      ORDER BY vote_share DESC, doc_id
+      LIMIT 10
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vote_share DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, lang, n_tokens, vote_sum, vote_share
+    FROM top
+    ORDER BY rank
+    """,
+    tags=("llm", "text", "mixture"),
+)
+def d81_dsir_hashed_importance(t):
+    """Data Selection via Importance Resampling, sign-quantized — the
+    hashed-n-gram importance scorer of DSIR (Xie et al. 2023,
+    arXiv:2302.03169) with the per-feature log-likelihood ratio
+    quantized to its SIGN so the whole score is exact int64: build
+    bag-of-hashed-token distributions for the TARGET domain (lang='en')
+    and the RAW pool (everything else) over 256 md5-prefix buckets,
+    mark each bucket target-leaning (+1), raw-leaning (-1) or neutral
+    by smoothed cross-multiplied rate comparison, then score every raw
+    doc by its token-weighted vote sum. The top-10 raw docs by
+    per-token vote share are the ones DSIR would resample toward the
+    target — here the measurably most-en-like non-en docs.
+
+    Engine-exactness: bucket ids are md5-hex prefixes (portable string
+    hash, functions/text.py convention); the add-one-smoothed rate
+    comparison (ct+1)*(nr+256) vs (cr+1)*(nt+256) cross-multiplies in
+    128-bit integers (Spark decimal(38,0) / DuckDB HUGEINT) so it
+    cannot overflow below ~1e19 tokens per side; votes and vote sums
+    are exact int64; vote_share is ONE double division of exact
+    integers, identical in both engines (ties broken by doc_id).
+
+    Scale shape: the corpus is tokenized ONCE and persisted through
+    both tallies and the doc scorer; the two distributions collapse
+    map-side to <=256-row tables; `lean` is a bounded 256-row frame,
+    so broadcasting it into the per-doc join is the vetted
+    bounded-side hint (the corpus side never shuffles); the global
+    top-10 is TakeOrderedAndProject, and the rank window runs over 10
+    rows. Job count is fixed; everything else is one corpus scan.
+    """
+    tok = t.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("term"),
+    ).withColumn("b", F.substring(F.md5("term"), 1, 2)).drop("term")
+    tok = tracked_persist(tok)
+    is_t = F.col("lang") == "en"
+    tgt = tok.filter(is_t).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw = tok.filter(~is_t).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = tok.agg(
+        F.sum(is_t.cast("long")).alias("nt"),
+        F.sum((~is_t).cast("long")).alias("nr"),
+    )
+    big = "decimal(38,0)"
+    lt = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast(big) * (
+        F.col("nr") + 256
+    ).cast(big)
+    lr = (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast(big) * (
+        F.col("nt") + 256
+    ).cast(big)
+    lean = (
+        tgt.join(raw, "b", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.when(lt > lr, 1).when(lt < lr, -1).otherwise(0).alias("v"),
+        )
+    )
+    doc = (
+        tok.filter(~is_t)
+        .join(F.broadcast(lean), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("v").alias("vote_sum"),
+        )
+        .withColumn(
+            "vote_share",
+            F.col("vote_sum").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+    top = doc.orderBy(F.desc("vote_share"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("vote_share"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "lang", "n_tokens", "vote_sum", "vote_share")
+        .orderBy("rank")
+    )
+
+
+@query(
+    "e26_km_conversion_survival",
+    """
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+      SELECT s.user_id, MIN(e.ts) AS t1
+      FROM su s JOIN events e ON e.user_id = s.user_id
+        AND e.event_type = 'purchase' AND e.value >= 180.0 AND e.ts >= s.t0
+      GROUP BY 1
+    ),
+    study AS (SELECT MAX(ts) AS tend FROM events),
+    durs AS (
+      SELECT CASE WHEN p.t1 IS NOT NULL
+                  THEN date_diff('day', CAST(s.t0 AS DATE), CAST(p.t1 AS DATE))
+                  ELSE date_diff('day', CAST(s.t0 AS DATE), CAST(st.tend AS DATE))
+             END AS day,
+             CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM su s LEFT JOIN pu p USING (user_id), study st
+    ),
+    lt AS (
+      SELECT CAST(day AS BIGINT) AS day,
+             CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored
+      FROM durs GROUP BY 1
+    ),
+    risk AS (
+      SELECT day, n_events, n_censored,
+             CAST(SUM(n_events + n_censored)
+                  OVER (ORDER BY day DESC) AS BIGINT) AS n_risk
+      FROM lt
+    ),
+    ratio AS (
+      SELECT *,
+             CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS r
+      FROM risk
+    )
+    SELECT day, n_risk, n_events, n_censored,
+           list_reduce(
+             list(r) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             (acc, x) -> acc * x) AS survival
+    FROM ratio
+    ORDER BY day
+    """,
+    tags=("events", "funnel", "survival"),
+)
+def e26_km_conversion_survival(t):
+    """Kaplan-Meier survival curve for signup -> first HIGH-VALUE
+    purchase (value >= 180), with administrative censoring at the end
+    of the observed stream — the censored-data estimator e21's latency
+    percentiles cannot provide: users who never convert still
+    contribute exposure to every risk set they survive through, so the
+    curve is unbiased where a converters-only percentile is not
+    (Kaplan & Meier 1958). Emits the classic life table: per distinct
+    duration day, the risk-set size, events, censored exits, and the
+    product-limit survival estimate.
+
+    Engine-exactness: durations are calendar-day differences of exact
+    timestamps; the life table and the reverse-cumulative risk set are
+    exact int64 window sums over a DETERMINISTIC day order; each
+    per-day ratio is ONE double division of exact integers, and the
+    survival product folds those ratios left-to-right in ascending-day
+    order on BOTH engines (Spark F.aggregate over a frame-ordered
+    collect_list vs DuckDB list_reduce over a frame-ordered list) —
+    IEEE multiply/divide are correctly rounded, so identical operand
+    sequences give bit-identical doubles; no transcendentals anywhere
+    (no exp/ln survival trick).
+
+    Scale shape: the cohort build is two equi-joins on user_id (first
+    signup per user, first qualifying purchase after it) — both plain
+    shuffle joins, NO broadcast hint, because the cohort is
+    user-proportional (the forced-broadcast gate's exact rule); the
+    study-end scalar is a 1-row broadcast. Everything after the
+    per-day rollup runs on a CALENDAR-BOUNDED life table (<= stream
+    span in days — e24/e25's grid argument), so the single-partition
+    windows and the O(days^2) frame-ordered fold are bounded by the
+    calendar, not the data."""
+    ev = t.events
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        su.join(
+            ev.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 180.0)
+            ).select("user_id", "ts"),
+            "user_id",
+        )
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    tend = ev.agg(F.max("ts").alias("tend"))
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(tend))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.datediff(F.to_date("t1"), F.to_date("t0")),
+            )
+            .otherwise(F.datediff(F.to_date("tend"), F.to_date("t0")))
+            .cast("long")
+            .alias("day"),
+            F.col("t1").isNotNull().cast("long").alias("ev"),
+        )
+    )
+    lt = durs.groupBy("day").agg(
+        F.sum("ev").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.desc("day")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = lt.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc),
+    )
+    ratio = risk.withColumn(
+        "r",
+        (F.col("n_risk") - F.col("n_events")).cast("double")
+        / F.col("n_risk").cast("double"),
+    )
+    w_asc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = ratio.withColumn(
+        "survival",
+        F.aggregate(
+            F.collect_list("r").over(w_asc),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ),
+    )
+    return surv.select(
+        "day", "n_risk", "n_events", "n_censored", "survival"
+    ).orderBy("day")

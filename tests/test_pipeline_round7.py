@@ -673,3 +673,128 @@ def test_s21_cms_is_one_sided_and_rederives_from_event_counts(spark, sf_dir):
         assert r.overestimate == r.cms_estimate - r.exact_count
     mean_over = sum(r.overestimate for r in rows) / len(rows)
     assert mean_over <= 4 * n_events / 1024
+
+
+def test_d81_votes_rederive_from_python_counts(spark, sf_dir):
+    """d81's sign-quantized DSIR scores must equal a from-scratch
+    Python rebuild: hash every token with hashlib.md5, tally the
+    target/raw bucket distributions, vote each bucket by the smoothed
+    cross-multiplied rate comparison (exact ints — Python ints can't
+    overflow, so this independently checks the 128-bit Spark/DuckDB
+    arithmetic), then score raw docs and take the same top-10."""
+    import hashlib
+
+    from data_engineer_project_spark.sources.registry import Tables
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "text").collect()
+    ct: dict[str, int] = {}
+    cr: dict[str, int] = {}
+    per_doc: dict[int, tuple[str, list[str]]] = {}
+    for r in docs:
+        buckets = [
+            hashlib.md5(w.encode()).hexdigest()[:2] for w in r.text.split(" ")
+        ]
+        tally = ct if r.lang == "en" else cr
+        for b in buckets:
+            tally[b] = tally.get(b, 0) + 1
+        if r.lang != "en":
+            per_doc[r.doc_id] = (r.lang, buckets)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    vote = {}
+    for b in set(ct) | set(cr):
+        lt = (ct.get(b, 0) + 1) * (nr + 256)
+        lr = (cr.get(b, 0) + 1) * (nt + 256)
+        vote[b] = 1 if lt > lr else (-1 if lt < lr else 0)
+    scored = sorted(
+        (
+            (
+                -sum(vote[b] for b in buckets) / len(buckets),
+                doc_id,
+                lang,
+                len(buckets),
+                sum(vote[b] for b in buckets),
+            )
+            for doc_id, (lang, buckets) in per_doc.items()
+        )
+    )[:10]
+    got = QUERIES["d81_dsir_hashed_importance"].fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    for rank0, (neg_share, doc_id, lang, n_tok, vs) in enumerate(scored):
+        row = got[rank0]
+        assert (row.rank, row.doc_id, row.lang, row.n_tokens, row.vote_sum) == (
+            rank0 + 1,
+            doc_id,
+            lang,
+            n_tok,
+            vs,
+        )
+        assert row.vote_share == vs / n_tok  # same IEEE division
+    # the scorer must discriminate: raw docs lean raw ON AVERAGE, and
+    # the selected top-10 sit strictly above the raw-pool mean share
+    shares = [
+        sum(vote[b] for b in bs) / len(bs) for _, (_, bs) in per_doc.items()
+    ]
+    mean_share = sum(shares) / len(shares)
+    assert mean_share < 0
+    assert min(r.vote_share for r in got) > mean_share
+
+
+def test_e26_km_rederives_and_survival_invariants(spark, sf_dir):
+    """e26's life table must equal a from-scratch Python Kaplan-Meier
+    over the raw events (durations, risk sets, and the product-limit
+    fold re-derived independently), and the estimator's structural
+    invariants must hold: survival is non-increasing in (0, 1], flat
+    exactly on event-free days, and risk sets telescope by the exits."""
+    import datetime
+
+    from data_engineer_project_spark.sources.registry import Tables
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts", "value").collect()
+    t0: dict[int, datetime.datetime] = {}
+    for r in ev:
+        if r.event_type == "signup":
+            if r.user_id not in t0 or r.ts < t0[r.user_id]:
+                t0[r.user_id] = r.ts
+    t1: dict[int, datetime.datetime] = {}
+    for r in ev:
+        if (
+            r.event_type == "purchase"
+            and r.value >= 180.0
+            and r.user_id in t0
+            and r.ts >= t0[r.user_id]
+        ):
+            if r.user_id not in t1 or r.ts < t1[r.user_id]:
+                t1[r.user_id] = r.ts
+    tend = max(r.ts for r in ev)
+    table: dict[int, list[int]] = {}
+    for u, start in t0.items():
+        end, is_ev = (t1[u], 1) if u in t1 else (tend, 0)
+        d = (end.date() - start.date()).days
+        table.setdefault(d, [0, 0])[0 if is_ev else 1] += is_ev or 1
+    # table[d] = [n_events, n_censored]
+    got = QUERIES["e26_km_conversion_survival"].fn(spark, sf_dir).collect()
+    assert [r.day for r in got] == sorted(table)
+    at_risk = len(t0)
+    surv = 1.0
+    for row in got:
+        n_ev, n_cen = table[row.day]
+        assert (row.n_events, row.n_censored, row.n_risk) == (
+            n_ev,
+            n_cen,
+            at_risk,
+        )
+        surv = surv * ((at_risk - n_ev) / at_risk)  # same IEEE fold order
+        assert row.survival == surv
+        at_risk -= n_ev + n_cen
+    assert at_risk == 0  # every cohort member exits exactly once
+    # structural invariants
+    assert all(0.0 < r.survival <= 1.0 for r in got)
+    for prev, cur in zip(got, got[1:]):
+        assert cur.survival <= prev.survival
+        if cur.n_events == 0:
+            assert cur.survival == prev.survival
+    assert sum(r.n_events for r in got) == len(t1)
+    assert sum(r.n_censored for r in got) == len(t0) - len(t1)
+    assert got and got[0].n_risk == len(t0)

@@ -133,6 +133,13 @@ EXTRA_QUERIES = [
     "e25_seasonal_rebaseline",
     "d80_tfidf_doc_keywords",
     "hq35_provider_case_mix_oe",
+    # r7 sixth wave — d81's broadcasts are the bounded 256-row lean
+    # table and the 1-row totals (the user-proportional doc side is
+    # NOT hinted); e26's only hint is the 1-row study-end scalar, its
+    # cohort joins are plain shuffle joins, and its windows run over
+    # the calendar-bounded life table.
+    "d81_dsir_hashed_importance",
+    "e26_km_conversion_survival",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

@@ -309,6 +309,32 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> list[dict]:
         )
 
     s21()
+
+    # Round-7 sixth wave. d81's lean table must stay <= 256 rows at
+    # ANY corpus size (the hashed-feature-space bound — DSIR's whole
+    # point is that the model is fixed-size) while wall tracks the
+    # corpus-linear tokenize+tally; e26's life table is CALENDAR-
+    # bounded: the 10x synthesis time-shifts replicas so the span
+    # (and the table) may grow ~10x in days while the per-day work is
+    # a cohort-wide rollup — rows must stay tiny either way, and the
+    # risk-set telescoping invariant (first n_risk == cohort) must hold
+    # at both scales.
+    run_query(
+        "d81_dsir_hashed_importance",
+        lambda rows: {
+            "out_rows": len(rows),
+            "lean_rows_bound": 256,
+            "top_share": round(rows[0].vote_share, 4),
+        },
+    )
+    run_query(
+        "e26_km_conversion_survival",
+        lambda rows: {
+            "table_days": len(rows),
+            "cohort": rows[0].n_risk,
+            "final_survival": round(rows[-1].survival, 4),
+        },
+    )
     return out
 
 
