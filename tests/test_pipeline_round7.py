@@ -798,3 +798,109 @@ def test_e26_km_rederives_and_survival_invariants(spark, sf_dir):
     assert sum(r.n_events for r in got) == len(t1)
     assert sum(r.n_censored for r in got) == len(t0) - len(t1)
     assert got and got[0].n_risk == len(t0)
+
+
+def _sixth_wave_dir(tmp_path, documents=None, events=None):
+    """Materialize a custom corpus dir (d78's pattern): write the
+    overridden tables, copy the rest from sf0.001."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wave6"
+    d.mkdir()
+    for name, rows in (("documents", documents), ("events", events)):
+        if rows is not None:
+            pq.write_table(pa.table(rows), str(d / f"{name}.parquet"))
+    for tname in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+        if not (d / f"{tname}.parquet").exists():
+            shutil.copy(f"/root/testdata/sf0.001/{tname}.parquet",
+                        str(d / f"{tname}.parquet"))
+    return str(d)
+
+
+def test_d81_planted_target_doc_is_selected_first(spark, tmp_path):
+    """Non-vacuity: a raw doc written ENTIRELY in the target domain's
+    vocabulary must come out rank 1 with vote_share exactly 1.0, and
+    raw docs sharing no vocabulary with the target must score exactly
+    -1.0 — the scorer SELECTS target-like content, it doesn't just
+    mirror counts. Tokens are chosen with pairwise-distinct md5
+    bucket prefixes so no hash collision can couple the two
+    vocabularies."""
+    import hashlib
+
+    toks, seen = [], set()
+    i = 0
+    while len(toks) < 12:
+        c = f"w{i}"
+        p = hashlib.md5(c.encode()).hexdigest()[:2]
+        if p not in seen:
+            seen.add(p)
+            toks.append(c)
+        i += 1
+    tgt_vocab, raw_vocab = toks[:6], toks[6:]
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+
+    def add(doc_id, text, lang):
+        rows["doc_id"].append(doc_id)
+        rows["text"].append(text)
+        rows["lang"].append(lang)
+        rows["source"].append("web")
+        rows["n_chars"].append(len(text))
+
+    for j in range(50):  # target corpus: en docs over tgt_vocab
+        add(j, " ".join(tgt_vocab), "en")
+    for j in range(50, 80):  # raw pool: de docs over raw_vocab
+        add(j, " ".join(raw_vocab), "de")
+    add(999, " ".join(tgt_vocab), "de")  # the plant: raw doc, target vocab
+    out = QUERIES["d81_dsir_hashed_importance"].fn(
+        spark, _sixth_wave_dir(tmp_path, documents=rows)
+    ).collect()
+    assert out[0].doc_id == 999 and out[0].rank == 1
+    assert out[0].vote_share == 1.0  # every bucket it touches leans target
+    assert all(r.vote_share == -1.0 for r in out[1:])  # pure-raw docs
+    assert [r.doc_id for r in out[1:]] == list(range(50, 59))  # id tiebreak
+
+
+def test_e26_reduces_to_ecdf_when_nothing_is_censored(spark, tmp_path):
+    """Estimator semantics: with zero censoring the product-limit
+    estimate must telescope to the empirical survival function
+    (N - cum_events) / N at every day — KM generalizes the ECDF, it
+    must not disagree with it on complete data."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
+            "value": [], "props": []}
+
+    def add(eid, ts, uid, etype, value):
+        rows["event_id"].append(eid)
+        rows["ts"].append(ts)
+        rows["user_id"].append(uid)
+        rows["event_type"].append(etype)
+        rows["value"].append(value)
+        rows["props"].append("{}")
+
+    n_users, eid = 40, 0
+    for u in range(n_users):
+        add(eid, base + datetime.timedelta(hours=u), u, "signup", 0.0)
+        eid += 1
+        # conversion after (u % 7) full days — every user converts
+        add(eid, base + datetime.timedelta(hours=u, days=u % 7, minutes=5),
+            u, "purchase", 200.0)
+        eid += 1
+    add(eid, base + datetime.timedelta(days=30), 0, "view", 0.0)  # study end
+    out = QUERIES["e26_km_conversion_survival"].fn(
+        spark, _sixth_wave_dir(tmp_path, events=rows)
+    ).collect()
+    assert sum(r.n_censored for r in out) == 0
+    assert [r.day for r in out] == sorted(set(u % 7 for u in range(n_users)))
+    cum = 0
+    for r in out:
+        cum += r.n_events
+        assert abs(r.survival - (n_users - cum) / n_users) < 1e-12
+    assert out[-1].survival == 0.0 if cum == n_users else True
+    assert cum == n_users
