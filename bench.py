@@ -14,6 +14,19 @@ had to triage fake regressions that were really first-exec codegen
 the reproducible floor. The first-run numbers are still emitted
 ("first_run_queries"/"first_run_total") so cold-path regressions stay
 visible too.
+
+Record robustness (r8): the driver captures a bounded TAIL of stdout
+and parses the LAST JSON line — BENCH_r07.json came back unparseable
+because the single output line outgrew that window and Spark stage-
+progress \r spam shared stdout. Now: console progress is disabled for
+the bench session, the verbose record (first_run detail) prints FIRST,
+and the FINAL stdout line is the compact headline summary (total + sf
++ min-of-3 per-query table + load) sized to survive the tail window.
+Load hygiene (r6/r7 lesson): a slot whose runs saw the 1-min loadavg
+rise by more than ~25% of the core count gets ONE extra run folded
+into its min (bounded total retry budget), and retried slots are named
+in the record — contention shrinks the floor's inflation instead of
+silently passing under the 2x-cores overload flag.
 """
 
 from __future__ import annotations
@@ -132,7 +145,12 @@ def main() -> None:
     except ValueError:
         sf_num = 0.0
     os.environ.setdefault("SPARK_GRAFT_HC_MEMBERS", str(max(12, int(120_000 * sf_num))))
-    spark = get_spark("bench")
+    # Keep stdout machine-clean: the driver tail-captures stdout, and
+    # Spark's console progress bar interleaves \r frames with the JSON
+    # record (the proximate cause of BENCH_r07's unparseable tail).
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: touch the fact table once so JVM + codegen init is excluded.
@@ -176,37 +194,69 @@ def main() -> None:
             ),
             file=sys.stderr,
         )
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name].fn(spark, sf_dir).collect()
+        elapsed = round(time.time() - t0, 3)
+        release_caches()  # drop per-call persist()s between runs
+        return elapsed
+
+    # Load-aware retry: if a slot's runs overlapped a loadavg rise of
+    # more than LOAD_DELTA (25% of cores), its min may still be
+    # contention-inflated — grant ONE extra run, from a bounded global
+    # budget so a persistently-loaded box can't stretch the bench
+    # unboundedly.
+    load_delta_bar = 0.25 * n_cpus
+    retry_budget = 8
+    retried: list[str] = []
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in names:
-        per_run: list[float] = []
-        for _ in range(runs):
-            t0 = time.time()
-            df = QUERIES[name].fn(spark, sf_dir)
-            df.collect()
-            per_run.append(round(time.time() - t0, 3))
-            release_caches()  # drop per-call persist()s between runs
+        slot_load0 = os.getloadavg()[0]
+        per_run = [run_once(name) for _ in range(runs)]
+        if (
+            os.getloadavg()[0] - slot_load0 > load_delta_bar
+            and retry_budget > 0
+        ):
+            retry_budget -= 1
+            retried.append(name)
+            per_run.append(run_once(name))
         timings[name] = min(per_run)
         first_run[name] = per_run[0]
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    load = {
+        "before_1min": load_before,
+        "after_1min": round(os.getloadavg()[0], 2),
+        "cpus": n_cpus,
+        "overloaded": load_before > 2 * n_cpus,
+        "retried_slots": retried,
+    }
+    # Verbose record first (may be clipped by the driver's tail window;
+    # kept for human triage of cold-path regressions) ...
+    print(
+        json.dumps(
+            {
+                "metric": "headline_first_run_detail",
+                "first_run_total": round(sum(first_run.values()), 3),
+                "first_run_queries": first_run,
+                "sf": sf_val,
+            }
+        )
+    )
+    # ... then the headline summary as the FINAL stdout line — this is
+    # the line the driver parses, sized to fit its tail capture.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "runs_per_query": runs,
-                "first_run_total": round(sum(first_run.values()), 3),
-                "first_run_queries": first_run,
-                "load": {
-                    "before_1min": load_before,
-                    "after_1min": round(os.getloadavg()[0], 2),
-                    "cpus": n_cpus,
-                    "overloaded": load_before > 2 * n_cpus,
-                },
+                "queries": timings,
+                "load": load,
             }
         )
     )

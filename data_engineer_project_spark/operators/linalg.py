@@ -229,7 +229,10 @@ def power_iteration(
     # before the first round — refusing is correct at corpus sizes
     # where this quantization loses exactness (re-quantize coarser).
     d = len(dims)
-    n = q.count() // max(d, 1)
+    # n must count VECTORS, not rows/d: ragged or sparse coordinate
+    # tables (missing (vec_id, pos) cells) would understate n and
+    # weaken the headroom guard below.
+    n = q.select(F.countDistinct("vec_id")).collect()[0][0]
     maxq = q.agg(F.max(F.abs("qv"))).collect()[0][0] or 0
     if float(n) * maxq * d * maxq * vscale >= 2.0 ** 62:
         raise ValueError(
@@ -269,6 +272,16 @@ def power_iteration(
         vv = sum(x * x for x in v.values())
         stats.append((num, vv))
         m = float(max(abs(x) for x in rows.values()))
+        if m == 0.0:
+            # All-zero y means every quantized coordinate is zero (or
+            # the direction is exactly in the null space): rescaling
+            # would divide by zero. Degenerate corpus, not a bug here.
+            raise ValueError(
+                "power_iteration: y vanished (all quantized"
+                " coordinates are zero or the direction lies in the"
+                " null space); the corpus has no principal direction"
+                " at this quantization"
+            )
         v = {
             p: math.floor(float(rows[p]) * float(vscale) / m + 0.5)
             for p in rows

@@ -398,6 +398,86 @@ def kmeans_centroids(
     return cents
 
 
+# Version constant folded into every artifact-store key: bump whenever
+# kmeans_centroids / KMEANS_QUANT / the PQ trainer change semantics, so
+# a code change can never silently reuse an artifact trained by the
+# previous algorithm under the same corpus fingerprint.
+STORE_VERSION = 2
+
+
+def corpus_fingerprint(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[int, int, int]:
+    """(row count, id checksum, full-vector value checksum) for keying
+    trained artifacts. The value checksum covers EVERY component,
+    position-weighted — each component quantized to an integer and
+    multiplied by its 1-based position, summed per row and across rows.
+    Integer addition commutes, so the sum is partition-invariant; the
+    position weight distinguishes permuted vectors. Corpora differing
+    in any coordinate (not just the first) now get different keys.
+    Magnitude bound: |comp| ≲ 2^21 after quantization, ×64 positions,
+    ×~10^7 rows ≈ 2^48 — safely inside int64."""
+    fp = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(id_col)).alias("s"),
+        F.sum(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, sequence(1, size({vec_col})),"
+                f" (x, i) -> CAST(floor(CAST(x AS DOUBLE)"
+                f" * {float(KMEANS_QUANT)}) AS BIGINT) * CAST(i AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, e) -> a + e)"
+            )
+        ).alias("v"),
+    ).collect()[0]
+    return int(fp["n"]), int(fp["s"]), int(fp["v"])
+
+
+def write_store_atomic(df: DataFrame, store) -> None:
+    """Write ``df`` as the artifact at directory ``store`` atomically:
+    write to a sibling temp dir, then rename into place. Two
+    concurrent first callers race only on the rename — the loser's
+    os.rename fails (target exists) and its temp dir is discarded, so
+    readers never observe a half-written store."""
+    import os
+    import shutil
+    import uuid
+
+    store = str(store)
+    tmp = f"{store}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, store)
+    except OSError:
+        # Lost the race (or a stale store dir exists): if a complete
+        # artifact is in place, keep it; otherwise replace it.
+        if os.path.exists(os.path.join(store, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(store, ignore_errors=True)
+            os.rename(tmp, store)
+
+
+def prune_store(root, keep: int = 8) -> None:
+    """Keep-latest-N sweep for an artifact store directory: each
+    (corpus, config) fingerprint is one subdirectory; long-lived
+    sessions (bench loops over many synthetic corpora) would otherwise
+    accrete unboundedly. Oldest-mtime entries beyond ``keep`` are
+    removed. Safe with write_store_atomic: a concurrent writer's temp
+    dir is younger than everything it could evict."""
+    import pathlib
+    import shutil
+
+    root = pathlib.Path(root)
+    if not root.is_dir():
+        return
+    entries = sorted(
+        (p for p in root.iterdir() if p.is_dir()),
+        key=lambda p: p.stat().st_mtime,
+    )
+    for p in entries[: max(0, len(entries) - keep)]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def materialized_centroids(
     corpus: DataFrame,
     n_centroids: int | None = None,
@@ -426,34 +506,27 @@ def materialized_centroids(
     import pathlib
 
     spark = corpus.sparkSession
-    # Fingerprint = row count + id checksum + a value checksum over the
-    # vectors' first components (quantized to integers so the sum is
-    # exact and partition-invariant). Two corpora with the same ids but
-    # different embeddings — or the same table regenerated — thus get
-    # different keys instead of silently sharing a stale quantizer.
-    fp = corpus.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(id_col)).alias("s"),
-        F.sum(
-            F.floor(
-                F.element_at(F.col(vec_col), 1).cast("double")
-                * F.lit(float(KMEANS_QUANT))
-            ).cast("long")
-        ).alias("v"),
-    ).collect()[0]
+    # Fingerprint = row count + id checksum + a position-weighted value
+    # checksum over EVERY vector component (corpus_fingerprint) plus
+    # STORE_VERSION. Corpora differing in any coordinate — or an
+    # algorithm change — get a fresh key instead of silently sharing a
+    # stale quantizer.
+    n, s, v = corpus_fingerprint(corpus, id_col, vec_col)
     if n_centroids is None:
-        n_centroids = adaptive_centroids(fp["n"])
-    key = f"n{fp['n']}_s{fp['s']}_v{fp['v']}_c{n_centroids}_i{iters}"
-    store = (
+        n_centroids = adaptive_centroids(n)
+    key = f"a{STORE_VERSION}_n{n}_s{s}_v{v}_c{n_centroids}_i{iters}"
+    root = (
         pathlib.Path(__file__).resolve().parents[2]
         / "spark-warehouse"
         / "centroid_store"
-        / key
     )
+    store = root / key
     if not (store / "_SUCCESS").exists():
-        kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col).write.mode(
-            "overwrite"
-        ).parquet(str(store))
+        write_store_atomic(
+            kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col),
+            store,
+        )
+        prune_store(root)
     return spark.read.parquet(str(store))
 
 

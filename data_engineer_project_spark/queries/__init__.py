@@ -73,7 +73,6 @@ _REGATE_ROUND = {
     "d51_embedding_covariance": 7,
     "d55_clean_train_split": 7,
     "d56_end_to_end_curation": 7,
-    "d58_ivfpq_adc_topk": 7,
     "d60_semdedup": 7,
     "d61_decontamination_span_masking": 7,
     "e17_anomaly_episodes": 7,

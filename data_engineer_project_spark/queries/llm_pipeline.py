@@ -4502,23 +4502,15 @@ def d57_pq_codebook(t):
 def _pq_codebook_store(emb):
     """Warehouse path for the trained PQ codebook, keyed by the same
     corpus fingerprint recipe as similarity.materialized_centroids
-    (count + id checksum + quantized first-component checksum) plus
-    the PQ config — training is an OFFLINE job; repeated d57/d58/d77
-    invocations should read the few-KB artifact, not re-run the
-    subspace k-means (the s17 lesson, applied to the PQ layer)."""
+    (count + id checksum + position-weighted full-vector checksum +
+    STORE_VERSION) plus the PQ config — training is an OFFLINE job;
+    repeated d57/d58/d77 invocations should read the few-KB artifact,
+    not re-run the subspace k-means (the s17 lesson, applied to the PQ
+    layer)."""
     import pathlib
 
-    fp = emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("vec_id").alias("s"),
-        F.sum(
-            F.floor(
-                F.element_at(F.col("embedding"), 1).cast("double")
-                * F.lit(float(SIM.KMEANS_QUANT))
-            ).cast("long")
-        ).alias("v"),
-    ).collect()[0]
-    key = f"n{fp['n']}_s{fp['s']}_v{fp['v']}_m{_PQ_M}_k{_PQ_K}_i2"
+    n, s, v = SIM.corpus_fingerprint(emb)
+    key = f"a{SIM.STORE_VERSION}_n{n}_s{s}_v{v}_m{_PQ_M}_k{_PQ_K}_i2"
     return (
         pathlib.Path(__file__).resolve().parents[2]
         / "spark-warehouse"
@@ -4617,7 +4609,8 @@ def _pq_train(emb):
                 [(r["m"], r["cid"], list(r["cvec"])) for r in upd.collect()],
                 "m int, cid bigint, cvec array<double>",
             )
-        cents.write.mode("overwrite").parquet(str(store))
+        SIM.write_store_atomic(cents, store)
+        SIM.prune_store(store.parent)
         cents = spark.read.parquet(str(store))
     return cents, assign(cents), subs
 
