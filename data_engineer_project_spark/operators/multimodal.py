@@ -313,12 +313,20 @@ def perceptual_hash(media: DataFrame, n_blocks: int = 32) -> DataFrame:
     so the bits — and the hash — are exact on any engine, no float
     means. Empty/NULL payloads emit no row (nothing to hash).
 
+    ``n_blocks`` up to 64 is supported: bit 63 is the int64 sign bit,
+    so the packed hash is emitted as the SIGNED two's-complement value
+    (what both Spark LongType and the SQL twin's BIGINT hold); band
+    extraction via arithmetic-shift-then-mask and Hamming via
+    bit_count(xor) are representation-exact either way.
+
     Scale shape: one narrow mapInPandas (no shuffle); downstream dedup
     groups on the hash value — candidate generation is an equi-shuffle
     on a 2^n_blocks-domain key, never an all-pairs comparison. For
     Hamming-near (not identical) matching, band the bits like SimHash
     (operators/dedup.py) — same machinery, hash split into band keys.
     """
+    if n_blocks > 64:
+        raise ValueError("perceptual_hash packs into int64: n_blocks <= 64")
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -340,8 +348,66 @@ def perceptual_hash(media: DataFrame, n_blocks: int = 32) -> DataFrame:
                 for i in range(n_blocks):
                     if bn[i] > 0 and int(bs[i]) * n > total * int(bn[i]):
                         bits |= 1 << i
+                if bits >= 1 << 63:  # two's-complement into int64
+                    bits -= 1 << 64
                 out_id.append(did)
                 out_n.append(n)
+                out_h.append(bits)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "n_px": out_n, "phash": out_h},
+                columns=["doc_id", "n_px", "phash"],
+            )
+
+    return media.mapInPandas(stage, _PHASH_SCHEMA)
+
+
+def difference_hash(
+    media: DataFrame, block_bytes: int = 8, n_bits: int = 64
+) -> DataFrame:
+    """64-bit difference hash (dHash family) per payload: the leading
+    ``(n_bits+1) * block_bytes`` bytes split into fixed-width blocks
+    (absent tail blocks sum to 0), and bit i is set iff
+    sum(block i) > sum(block i+1). Pure integer comparisons — exact on
+    any engine — and NO global-mean threshold, so the hash is robust
+    to the edits near-dup corpora actually contain: a suffix append or
+    tail edit perturbs only the last block pair (≤ 2 bits), where a
+    length-normalized block-MEAN hash shifts every block boundary and
+    flips ~10+ bits on the same pair. Fixed-width blocks are the
+    "top-left crop" analogy of real dHash's resize-to-grid: identical
+    leading content → near-identical hash, regardless of total length.
+
+    Bit 63 rides the int64 sign bit; the packed hash is emitted as the
+    signed two's-complement value (what Spark LongType and the SQL
+    twin's BIGINT both hold). Empty/NULL payloads emit no row.
+
+    Scale shape: one narrow mapInPandas; downstream near-dup matching
+    bands the 64 bits into r+1 bands (pigeonhole-exact at Hamming
+    radius r) — with 2^16-domain band keys, bucket occupancy and thus
+    candidate volume stay corpus-linear where a 16-bit hash's buckets
+    collapse quadratically."""
+    if n_bits > 64:
+        raise ValueError("difference_hash packs into int64: n_bits <= 64")
+    width = (n_bits + 1) * block_bytes
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_n, out_h = [], [], []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                if m is None or len(m) == 0:
+                    continue
+                a = np.frombuffer(m[:width], dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                padded = np.zeros(width, dtype=np.int64)
+                padded[:n] = a
+                sums = padded.reshape(n_bits + 1, block_bytes).sum(axis=1)
+                bits = 0
+                for i in range(n_bits):
+                    if sums[i] > sums[i + 1]:
+                        bits |= 1 << i
+                if bits >= 1 << 63:  # two's-complement into int64
+                    bits -= 1 << 64
+                out_id.append(did)
+                out_n.append(len(m))
                 out_h.append(bits)
             yield pd.DataFrame(
                 {"doc_id": out_id, "n_px": out_n, "phash": out_h},

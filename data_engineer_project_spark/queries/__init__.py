@@ -45,6 +45,11 @@ _CONTRACT_CHANGED_ROUND = {
     "d32_sequence_packing": 5,
     "d37_ann_ivf_nprobe2": 5,
     "q12_late_shipment_priority": 6,
+    # Round 8: m10 swapped its 16-bit block-mean hash for the 64-bit
+    # difference hash (4×16-bit bands, Hamming ≤ 3) — clusters, hashes
+    # and the oracle all changed, so prior greens verified the
+    # superseded bucket-collapsing contract.
+    "m10_image_neardup_clusters": 8,
 }
 
 # Gate ROTATION (distinct from a contract change): queries whose

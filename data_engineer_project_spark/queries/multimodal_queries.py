@@ -428,22 +428,38 @@ def m09_audio_activity_segments(t):
     bytes AS (
       SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS p FROM bl
     ),
-    s AS (SELECT doc_id, COUNT(*) AS n, SUM(v) AS total FROM bytes GROUP BY doc_id),
     blk AS (
-      SELECT bytes.doc_id, ((bytes.p - 1) * 16) // s.n AS blk,
-             SUM(bytes.v) AS bs, COUNT(*) AS bn
-      FROM bytes JOIN s USING (doc_id) GROUP BY 1, 2
+      SELECT doc_id, (p - 1) // 8 AS blk, SUM(v) AS bs
+      FROM bytes WHERE p <= 520 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, g.b
+      FROM (SELECT DISTINCT doc_id FROM blk) d,
+           (SELECT unnest(range(65)) AS b) g
+    ),
+    bsums AS (
+      SELECT grid.doc_id, grid.b, COALESCE(blk.bs, 0) AS s
+      FROM grid LEFT JOIN blk
+        ON blk.doc_id = grid.doc_id AND blk.blk = grid.b
+    ),
+    bits AS (
+      SELECT doc_id, b AS i,
+             CASE WHEN s > LEAD(s) OVER (PARTITION BY doc_id ORDER BY b)
+                  THEN 1 ELSE 0 END AS bit
+      FROM bsums
     ),
     hashes AS (
-      SELECT blk.doc_id,
-             SUM(CASE WHEN blk.bs * s.n > s.total * blk.bn
-                      THEN (CAST(1 AS BIGINT) << blk.blk) ELSE 0 END) AS phash
-      FROM blk JOIN s USING (doc_id) GROUP BY blk.doc_id
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bit = 0 THEN 0
+                           WHEN i = 63 THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << i) END)
+                  AS BIGINT) AS phash
+      FROM bits WHERE i < 64 GROUP BY doc_id
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM hashes a JOIN hashes b
-        ON a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 1
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3
     ),
     edges AS (
       SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
@@ -467,17 +483,33 @@ def m09_audio_activity_segments(t):
 )
 def m10_image_neardup_clusters(t):
     """Image near-duplicate CLUSTERS — the full modality dedup
-    pipeline m07 only starts: 16-bit block-mean perceptual hash →
-    byte-banded candidate pairs → exact Hamming ≤ 1 verification →
+    pipeline m07 only starts: 64-bit difference hash (dHash) →
+    16-bit-banded candidate pairs → exact Hamming ≤ 3 verification →
     connected components → one canonical image per cluster.
 
-    Recall is EXACT by pigeonhole: a pair within Hamming radius 1 has
-    its single differing bit in one byte-band, so the other band
-    matches — 2 bands of 8 bits cannot miss a radius-1 pair. The
-    oracle exploits that: it verifies against the PLAIN all-pairs
-    Hamming join, so a banding scheme that dropped any qualifying
-    pair would hash-mismatch, not just slow down. (Radius 2 needs 3
-    bands — same machinery, SimHash-style, operators/dedup.py.)
+    Recall is EXACT by pigeonhole: a pair within Hamming radius 3 has
+    its ≤3 differing bits spread over at most 3 of the 4 bands, so at
+    least one band matches — 4 bands of 16 bits cannot miss a
+    radius-3 pair. The oracle exploits that: it verifies against the
+    PLAIN all-pairs Hamming join, so a banding scheme that dropped
+    any qualifying pair would hash-mismatch, not just slow down.
+    (Radius r needs r+1 bands — same machinery, SimHash-style,
+    operators/dedup.py.)
+
+    64 bits (vs the original 16-bit block-mean hash) is the
+    north-star requirement: a 16-bit hash has 65,536 distinct values,
+    so at large corpora every byte-band bucket collapses and
+    within-bucket candidate pairs go quadratic; 2^64 hash values with
+    2^16-domain band keys keep bucket occupancy — and thus candidate
+    volume — corpus-linear. The dHash form (fixed-width blocks,
+    adjacent-block comparisons, operators/multimodal.difference_hash)
+    keeps the wider hash NEAR-DUP-SENSITIVE: tail edits perturb only
+    the last block pair, where the old length-normalized block-mean
+    boundaries shifted under any length change and pushed true
+    near-dups past every usable radius. Bit 63 rides the int64 sign
+    bit (two's complement, exact on both engines); band extraction is
+    arithmetic-shift-then-mask, whose masked low 16 bits equal the
+    logical-shift value for every band.
 
     Scale shape: candidate generation is an equi-join on (band_idx,
     band_value) — never all-pairs over images (the oracle's O(N²)
@@ -485,28 +517,30 @@ def m10_image_neardup_clusters(t):
     verification is two codegen'd integer ops on the candidate set;
     clustering is operators/graph.py min-label propagation WITH
     pointer jumping — Hamming-radius chains make these graphs
-    long-diameter (≈27 at sf0.1), which plain one-hop propagation
-    cannot finish inside its round budget; jumping converges in
-    O(log diameter) rounds."""
+    long-diameter, which plain one-hop propagation cannot finish
+    inside its round budget; jumping converges in O(log diameter)
+    rounds."""
     from data_engineer_project_spark.operators.graph import connected_components
-    from data_engineer_project_spark.operators.multimodal import perceptual_hash
+    from data_engineer_project_spark.operators.multimodal import difference_hash
 
     # reused by both band joins and the final per-cluster hash count
     h = tracked_persist(
-        perceptual_hash(_media(t), n_blocks=16).select("doc_id", "phash")
+        difference_hash(_media(t)).select("doc_id", "phash")
     )
     bands = h.select(
         "doc_id",
         "phash",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("bi"), (F.col("phash") % 256).alias("bk")
-                ),
-                F.struct(
-                    F.lit(1).alias("bi"),
-                    F.shiftright("phash", 8).alias("bk"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(bi).alias("bi"),
+                        F.shiftright("phash", 16 * bi)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bk"),
+                    )
+                    for bi in range(4)
+                ]
             )
         ).alias("band"),
     ).select("doc_id", "phash", "band.bi", "band.bk")
@@ -519,7 +553,7 @@ def m10_image_neardup_clusters(t):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))) <= 1
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))) <= 3
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -201,3 +201,54 @@ def test_m09_islands_match_python_rle(spark, sf_dir):
         assert r["longest_run"] == (max(runs) if runs else 0)
         checked += 1
     assert checked > 0
+
+
+def test_dhash_tail_edit_flips_at_most_two_bits(spark, docs):
+    """The property m10's radius-3 clustering rests on: appending a
+    short suffix (the fixture's planted near-dup edit) perturbs only
+    the final block pair of the difference hash, so Hamming distance
+    is <= 2 — where the old length-normalized block-MEAN hash shifted
+    every boundary and pushed the same pairs to distance ~10."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.operators.multimodal import difference_hash
+
+    media = attach_media(docs).limit(20)
+    edited = media.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "media", F.concat(F.col("media"), F.encode(F.lit(" dup"), "UTF-8"))
+    )
+    rows = difference_hash(media.unionByName(edited)).collect()
+    by_id = {r["doc_id"]: r["phash"] for r in rows}
+    checked = 0
+    for did, h in by_id.items():
+        if did < 100000:
+            d = bin((h ^ by_id[did + 100000]) & ((1 << 64) - 1)).count("1")
+            assert d <= 2, f"doc {did}: tail edit flipped {d} bits"
+            checked += 1
+    assert checked == 20
+
+
+def test_dhash_banding_pigeonhole_recall_is_exact(spark, docs):
+    """Any pair within Hamming radius 3 shares at least one of the 4
+    16-bit bands (pigeonhole) — brute-force check over the corpus
+    hashes that the banded candidate set contains EVERY radius-3
+    pair, the exactness claim m10's oracle verifies end-to-end."""
+    from data_engineer_project_spark.operators.multimodal import difference_hash
+
+    hs = [
+        (r["doc_id"], r["phash"] & ((1 << 64) - 1))
+        for r in difference_hash(attach_media(docs)).collect()
+    ]
+    near = banded = 0
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            if bin(hs[i][1] ^ hs[j][1]).count("1") <= 3:
+                near += 1
+                if any(
+                    (hs[i][1] >> (16 * b)) & 0xFFFF
+                    == (hs[j][1] >> (16 * b)) & 0xFFFF
+                    for b in range(4)
+                ):
+                    banded += 1
+    assert near == banded
+    assert near > 0  # fixture plants near-dups: the check is non-vacuous
