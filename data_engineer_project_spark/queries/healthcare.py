@@ -1924,3 +1924,167 @@ def hq35_provider_case_mix_oe(t):
         )
         .orderBy("npi", "tier")
     )
+
+
+@query(
+    "hq36_denial_adjustment_analysis",
+    _oracle(
+        """
+        SELECT p.PlanName AS plan_name,
+               adj.AdjGroupCode AS group_code,
+               adj.AdjReasonCode AS reason_code,
+               rc.Description AS reason_desc,
+               CAST(COUNT(*) AS BIGINT) AS n_adjustments,
+               CAST(COUNT(DISTINCT CASE WHEN ch.ClaimStatus = 'Denied'
+                                        THEN adj.ClaimID END) AS BIGINT)
+                 AS n_denied_claims,
+               CAST(SUM(CAST(adj.AdjAmount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS adj_amount,
+               CAST(SUM(CAST(cl.BilledAmount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS billed_on_adjusted_lines,
+               CAST(SUM(CAST(adj.AdjAmount AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(cl.BilledAmount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS adj_share_of_billed
+        FROM s2_claims_claim_adjustment adj
+        JOIN s2_claims_claim_header ch ON ch.ClaimID = adj.ClaimID
+        JOIN s2_claims_claim_line cl
+          ON cl.ClaimID = adj.ClaimID AND cl.ClaimLineNo = adj.ClaimLineNo
+        JOIN s1_elig_insurance_plan p ON p.PlanID = ch.PlanID
+        LEFT JOIN s5_ref_ref_adjustment_code rc
+          ON rc.GroupCode = adj.AdjGroupCode
+         AND rc.ReasonCode = adj.AdjReasonCode
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1, 2, 3
+        """,
+        [
+            "s2_claims_claim_adjustment", "s2_claims_claim_header",
+            "s2_claims_claim_line", "s1_elig_insurance_plan",
+            "s5_ref_ref_adjustment_code",
+        ],
+    ),
+    tags=("healthcare", "agg", "denial"),
+)
+def hq36_denial_adjustment_analysis(t):
+    """Claim-adjustment / denial analytics — the day-one query the
+    seeded CARC data exists to answer and the reference never writes
+    (`Claims & Encounters.sql:302-313` seeds ClaimAdjustment,
+    `ReferenceData.sql:188-196` seeds Ref_AdjustmentCode; only a
+    referential quality check touched them before this): per plan and
+    CARC (group, reason) code — adjustment line count, how many of
+    those claims were outright DENIED, the adjustment mass, the billed
+    mass on the adjusted lines, and adjustment share of billed. The
+    LEFT join to the code master keeps unmapped codes visible (a
+    payer-feed reality) instead of silently dropping them.
+
+    Engine-exactness: both money sums fold as DECIMAL(18,2) before the
+    final double cast (functions/numeric.py rule), and the share is
+    one double division of the two exact sums.
+
+    Scale shape: the adjustment fact streams once; the header join is
+    claim-keyed (high-cardinality, unskewed); the plan and CARC-code
+    masters are schema-bounded dims → broadcast; output collapses to
+    plans x codes rows."""
+    s = hc(t)
+    adj = s["s2_claims_claim_adjustment"]
+    ch = s["s2_claims_claim_header"].select("ClaimID", "PlanID", "ClaimStatus")
+    cl = s["s2_claims_claim_line"].select(
+        "ClaimID", "ClaimLineNo", "BilledAmount"
+    )
+    adj_sum = F.sum(money("AdjAmount")).cast("double")
+    billed_sum = F.sum(money("BilledAmount")).cast("double")
+    return (
+        adj.join(ch, "ClaimID")
+        .join(cl, ["ClaimID", "ClaimLineNo"])
+        .join(F.broadcast(s["s1_elig_insurance_plan"]), "PlanID")
+        .join(
+            F.broadcast(
+                s["s5_ref_ref_adjustment_code"].select(
+                    F.col("GroupCode").alias("AdjGroupCode"),
+                    F.col("ReasonCode").alias("AdjReasonCode"),
+                    "Description",
+                )
+            ),
+            ["AdjGroupCode", "AdjReasonCode"],
+            "left",
+        )
+        .groupBy(
+            F.col("PlanName").alias("plan_name"),
+            F.col("AdjGroupCode").alias("group_code"),
+            F.col("AdjReasonCode").alias("reason_code"),
+            F.col("Description").alias("reason_desc"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_adjustments"),
+            F.countDistinct(
+                F.when(F.col("ClaimStatus") == "Denied", F.col("ClaimID"))
+            ).alias("n_denied_claims"),
+            adj_sum.alias("adj_amount"),
+            billed_sum.alias("billed_on_adjusted_lines"),
+            (adj_sum / billed_sum).alias("adj_share_of_billed"),
+        )
+        .orderBy("plan_name", "group_code", "reason_code")
+    )
+
+
+@query(
+    "hq37_plan_benefit_cost_sharing",
+    _oracle(
+        """
+        SELECT p.PlanName AS plan_name, b.BenefitName AS benefit_name,
+               b.BenefitType AS benefit_type, l.Yyyymm AS eff_month,
+               CAST(l.Copay AS DOUBLE) AS copay,
+               CAST(l.CoinsurancePct AS DOUBLE) AS coinsurance_pct,
+               CAST(l.LimitAmount AS DOUBLE) AS limit_amount
+        FROM (
+          SELECT PlanID, BenefitID, Yyyymm, Copay, CoinsurancePct,
+                 LimitAmount,
+                 ROW_NUMBER() OVER (PARTITION BY PlanID, BenefitID
+                                    ORDER BY Yyyymm DESC) AS rn
+          FROM s5_ref_ref_plan_benefit
+        ) l
+        JOIN s1_elig_insurance_plan p ON p.PlanID = l.PlanID
+        JOIN s5_ref_ref_benefit b ON b.BenefitID = l.BenefitID
+        WHERE l.rn = 1
+        ORDER BY 1, 2
+        """,
+        [
+            "s5_ref_ref_plan_benefit", "s1_elig_insurance_plan",
+            "s5_ref_ref_benefit",
+        ],
+    ),
+    tags=("healthcare", "window", "reference"),
+)
+def hq37_plan_benefit_cost_sharing(t):
+    """Plan-benefit cost-sharing design — the second dormant reference
+    family (`ReferenceData.sql:96-209` seeds Ref_Benefit /
+    Ref_PlanBenefit; nothing queried them): for each (plan, benefit),
+    the LATEST effective month's member cost-sharing terms — copay,
+    coinsurance %, benefit limit — via the latest-per-group window
+    (hq27's pattern on a reference dimension). What a benefits team
+    reads to answer "what does plan X charge for benefit Y today".
+
+    Scale shape: everything here is schema-bounded reference data
+    (plans x benefits x months); the window partitions on the
+    composite key and the joins broadcast. Exactness: MONEY/DEC5
+    columns cast straight to double — single values, no folds."""
+    s = hc(t)
+    w = Window.partitionBy("PlanID", "BenefitID").orderBy(F.desc("Yyyymm"))
+    latest = (
+        s["s5_ref_ref_plan_benefit"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        latest.join(F.broadcast(s["s1_elig_insurance_plan"]), "PlanID")
+        .join(F.broadcast(s["s5_ref_ref_benefit"]), "BenefitID")
+        .select(
+            F.col("PlanName").alias("plan_name"),
+            F.col("BenefitName").alias("benefit_name"),
+            F.col("BenefitType").alias("benefit_type"),
+            F.col("Yyyymm").alias("eff_month"),
+            F.col("Copay").cast("double").alias("copay"),
+            F.col("CoinsurancePct").cast("double").alias("coinsurance_pct"),
+            F.col("LimitAmount").cast("double").alias("limit_amount"),
+        )
+        .orderBy("plan_name", "benefit_name")
+    )

@@ -218,6 +218,25 @@ NOTES = {
         "scalar BNLJs are the 1-row min-token broadcast; the "
         "thr/kept joins are source-cardinality broadcasts."
     ),
+    "e15_hourly_gap_fill": (
+        "Note: the flagged BNLJ is the bounded calendar-grid cross "
+        "join — the dense hour spine (calendar-sized, generated from "
+        "the 1-row min/max span aggregate via SEQUENCE) x the "
+        "broadcast distinct-event-type dimension, the same grid "
+        "e24/e25 reuse. Spine rows ∝ elapsed hours and the type "
+        "dimension is enum-small; neither side scales with event "
+        "volume, so the product is calendar x types, not a data "
+        "cartesian."
+    ),
+    "p72_calendar_gap_fill": (
+        "Note: the flagged BNLJ is the bounded calendar-grid cross "
+        "join — the generated month spine (SEQUENCE over the 1-row "
+        "min/max order-date span) x the nation-joined customer "
+        "dimension. Spine rows ∝ elapsed months (dozens); the grid is "
+        "months x customers, then LEFT-joined to the monthly order "
+        "rollup — the standard dense-report-grid shape, not a data "
+        "cartesian (no side scales with order volume)."
+    ),
     "e25_seasonal_rebaseline": (
         "Note: the five flagged BNLJs are ONE bounded cross join — "
         "e24's calendar-spine x broadcast-type-dimension grid "
