@@ -68,24 +68,44 @@ _CONTRACT_CHANGED_ROUND = {
 # every never-driver-gated round-7 addition (s17–s21, m14, d72–d81,
 # e22–e26, hq34–hq35) fits inside the exactly-50-slot gate; s06–s15
 # keep their earlier greens and rotate in a later round).
+# Round 8: the deferred s06–s15 rotation lands (their only driver rows
+# predate the round-5..7 shared-machinery changes — round-7 verdict
+# item 2); the materialized-artifact readers re-gate because the store
+# key changed (full-vector fingerprint + STORE_VERSION → every reader
+# retrains once into a fresh artifact); d73 re-gates for the new
+# countDistinct overflow guard and vanishing-iterate error path.
 _REGATE_ROUND = {
     "d04_fingerprints": 7,  # min-shingle leg moved to the relational builder
-    "d57_pq_codebook": 7,  # codebook now a materialized warehouse artifact
-    "d58_ivfpq_adc_topk": 7,
-    "d14_ann_ivf": 7,
-    "d37_ann_ivf_nprobe2": 7,
-    "d44_semantic_cluster_profile": 7,
     "d51_embedding_covariance": 7,
     "d55_clean_train_split": 7,
     "d56_end_to_end_curation": 7,
-    "d60_semdedup": 7,
     "d61_decontamination_span_masking": 7,
     "e17_anomaly_episodes": 7,
     "s02_stream_sliding": 7,
     "s03_stream_sessionization": 7,
     "s04_stream_stateful_user_stats": 7,
     "s05_stream_static_join": 7,
-    "s17_stream_ivf_cell_ingestion": 7,
+    # -- round 8 --
+    "s06_stream_stream_join": 8,
+    "s07_stream_dedup": 8,
+    "s08_stream_stream_left_outer": 8,
+    "s09_incremental_rollup": 8,
+    "s10_stream_quality_gate": 8,
+    "s11_stream_dedup_against_corpus": 8,
+    "s12_stream_append_final_windows": 8,
+    "s13_stream_mixture_gate": 8,
+    "s14_stream_rate_anomaly_gate": 8,
+    "s15_stream_ohlc_bars": 8,
+    # store-key change (full-vector fingerprint + STORE_VERSION):
+    "d14_ann_ivf": 8,
+    "d37_ann_ivf_nprobe2": 8,
+    "d44_semantic_cluster_profile": 8,
+    "d57_pq_codebook": 8,
+    "d58_ivfpq_adc_topk": 8,
+    "d60_semdedup": 8,
+    "s17_stream_ivf_cell_ingestion": 8,
+    "d77_ivfpq_rerank_topk": 8,
+    "d73_power_iteration_top_pc": 8,  # new overflow-guard + loud zero-iterate path
 }
 
 

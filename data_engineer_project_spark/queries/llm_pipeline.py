@@ -4713,11 +4713,13 @@ def d58_ivfpq_adc_topk(t):
     )
 
 
-def _ivfpq_adc(t):
+def _ivfpq_adc(t, nprobe: int = 1):
     """The shared IVF-PQ ADC scoring frame (query_id, neighbor_id,
     iscore): coarse cell probe -> PQ-code candidates -> integer LUT
     sums. d58 ranks it directly; d77 re-ranks its shortlist with
-    exact cosine."""
+    exact cosine; d82 sweeps ``nprobe`` (the query probes its nearest
+    n cells; the corpus stays in one cell, so each (query, neighbor)
+    candidate still arises at most once)."""
     from data_engineer_project_spark.operators.similarity import cosine
 
     emb = t.embeddings
@@ -4725,7 +4727,7 @@ def _ivfpq_adc(t):
     coarse = SIM.materialized_centroids(emb)
     asg = SIM.ivf_assign(emb, coarse).select("vec_id", "cid")
     qasg = (
-        SIM.ivf_assign(emb.filter(F.col("vec_id") < 10), coarse)
+        SIM.ivf_assign_n(emb.filter(F.col("vec_id") < 10), coarse, nprobe)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
     # PQ codebook + corpus codes (d57 machinery)
@@ -8695,3 +8697,148 @@ def e26_km_conversion_survival(t):
     return surv.select(
         "day", "n_risk", "n_events", "n_censored", "survival"
     ).orderBy("day")
+
+
+# ------------------------------------------------ d82: IVF-PQ recall
+
+_D82_K = 10  # shortlist depth scored for recall (d77's shortlist size)
+
+
+@query(
+    "d82_ivfpq_recall",
+    f"""
+    WITH {_kmeans_chain(2)},
+    qasgp AS (SELECT vec_id, cid, rn FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dotp / (sqrt(vv) * sqrt(cc)) DESC, cid) AS rn
+              FROM apd2 WHERE vec_id < 10) WHERE rn <= 2),
+    {_PQ_SUBS},
+    {_PQ_CHAINS},
+    codes AS ({_D58_CODES}),
+    cbook AS ({_D58_CBOOK}),
+    qsub AS ({_D58_QSUB}),
+    lutx AS (SELECT q.query_id, q.m, c.cid AS code,
+                    unnest(q.qv) AS qx, unnest(c.cvec) AS cx
+             FROM qsub q JOIN cbook c ON q.m = c.m),
+    lut AS (SELECT query_id, m, code,
+                   CAST(floor(
+                     (SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE))
+                      / (sqrt(SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)))
+                         * sqrt(SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)))))
+                     * {_ADC_SCALE}) AS BIGINT) AS ics
+            FROM lutx GROUP BY query_id, m, code),
+    nprobes AS (SELECT 1 AS np UNION ALL SELECT 2),
+    cand AS (SELECT p.np, qa.vec_id AS query_id, a.vec_id AS neighbor_id
+             FROM nprobes p
+             JOIN qasgp qa ON qa.rn <= p.np
+             JOIN asg a ON qa.cid = a.cid
+             WHERE a.vec_id <> qa.vec_id),
+    adcx AS (SELECT c.np, c.query_id, c.neighbor_id,
+                    CAST(SUM(l.ics) AS BIGINT) AS iscore
+             FROM cand c
+             JOIN codes k ON k.vec_id = c.neighbor_id
+             JOIN lut l ON l.query_id = c.query_id AND l.m = k.m
+                        AND l.code = k.cid
+             GROUP BY c.np, c.query_id, c.neighbor_id),
+    sl AS (SELECT np, query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
+                                         ORDER BY iscore DESC, neighbor_id) AS rn
+            FROM adcx) WHERE rn <= {_D82_K}),
+    bfq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 10),
+    bfp AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   q.qv, e.embedding AS cv
+            FROM bfq q, embeddings e WHERE e.vec_id <> q.query_id),
+    bfx AS (SELECT query_id, neighbor_id,
+                   unnest(qv) AS qx, unnest(cv) AS cx FROM bfp),
+    bfd AS (SELECT query_id, neighbor_id,
+                   SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                   SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                   SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+            FROM bfx GROUP BY query_id, neighbor_id),
+    bf AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dotp / (sqrt(qq) * sqrt(cc)) DESC,
+                                               neighbor_id) AS rn
+            FROM bfd) WHERE rn <= {_D82_K}),
+    hits AS (SELECT s.np, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM sl s JOIN bf b USING (query_id, neighbor_id)
+             GROUP BY s.np),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM bfq)
+    SELECT CAST(p.np AS BIGINT) AS nprobe,
+           nq.n_queries,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             / ({_D82_K} * CAST(nq.n_queries AS DOUBLE)) AS recall_at_10
+    FROM nprobes p CROSS JOIN nq LEFT JOIN hits h ON h.np = p.np
+    ORDER BY nprobe
+    """,
+    tags=("llm", "similarity", "eval", "quantization"),
+)
+def d82_ivfpq_recall(t):
+    """Recall evaluation for the IVF-PQ SERVING path — the measured-
+    quality number the ANN family owed (d16 scores LSH only; d77 emits
+    rank churn but never scores the shortlist against ground truth):
+    recall@10 of the ADC shortlist (exactly what d77 re-ranks) versus
+    d09's exact brute-force top-10, swept over nprobe ∈ {1, 2}. This
+    is THE tuning curve for an IVF-PQ deployment — it prices the
+    recall bought by each extra probed cell, next to d58/d77 which
+    price the cost side.
+
+    Engine-exactness: hit counts are integers over bit-matching
+    shortlists (d58's integer ADC, d09's exact cosine fold, ties on
+    neighbor id); recall is one integer/integer double division —
+    IEEE-exact on both engines.
+
+    Scale shape: the brute-force arm is the eval harness, not the
+    serving path — at production scale ground truth is computed once
+    for a FIXED query panel (here: 10 queries), so its cost is
+    queries x corpus with the query side broadcast, corpus scanned
+    once. The ADC arms inherit d58's audited shape; nprobe=2 doubles
+    candidate volume (~2·sqrt(N) per query), never all-pairs."""
+    emb = t.embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    n_q = queries.count()
+    bf = SIM.brute_force_topk(queries, emb, k=_D82_K).select(
+        "query_id", "neighbor_id"
+    )
+    arms = []
+    for np_ in (1, 2):
+        adc = _ivfpq_adc(t, nprobe=np_)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("iscore"), F.asc("neighbor_id")
+        )
+        arms.append(
+            adc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _D82_K)
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+    sl = arms[0].unionByName(arms[1])
+    hits = (
+        sl.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    probes = (
+        emb.sparkSession.range(1, 3)
+        .select(F.col("id").cast("long").alias("nprobe"))
+    )
+    return (
+        probes.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(_D82_K * n_q))
+            ).alias("recall_at_10"),
+        )
+        .orderBy("nprobe")
+    )

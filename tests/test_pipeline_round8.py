@@ -1,0 +1,81 @@
+"""Round-8 semantic pin tests (beyond oracle parity).
+
+d82: the IVF-PQ recall number must be internally consistent AND agree
+with a ground truth derived OUTSIDE both engines (numpy brute force
+over the raw parquet) — the eval harness itself gets evaluated.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from data_engineer_project_spark.queries import QUERIES
+
+
+def _numpy_top10(sf_dir: str) -> set[tuple[int, int]]:
+    """Exact cosine top-10 for queries vec_id<10 via numpy — no Spark,
+    no DuckDB. Ties broken by neighbor id (stable argsort on (-score,
+    id) mirrors both engines' ORDER BY score DESC, neighbor_id)."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(tb["vec_id"], dtype=np.int64)
+    mat = np.asarray([list(v) for v in tb["embedding"]], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    truth: set[tuple[int, int]] = set()
+    for qpos in np.nonzero(ids < 10)[0]:
+        qid = int(ids[qpos])
+        cos = (mat @ mat[qpos]) / (nrm * nrm[qpos])
+        order = sorted(
+            (int(i) for i in range(len(ids)) if int(ids[i]) != qid),
+            key=lambda i: (-cos[i], int(ids[i])),
+        )[:10]
+        truth.update((qid, int(ids[i])) for i in order)
+    return truth
+
+
+def test_d82_recall_is_consistent_and_numpy_grounded(spark, sf_dir):
+    out = {
+        int(r.nprobe): r
+        for r in QUERIES["d82_ivfpq_recall"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(out) == [1, 2]
+    for r in out.values():
+        # the recall column is EXACTLY the integer ratio it claims
+        assert r.recall_at_10 == r.n_hits / (10.0 * r.n_queries)
+        assert 0 <= r.n_hits <= 10 * r.n_queries
+
+    # independent ground truth: n_hits(np) must equal the overlap of
+    # the engine's ADC shortlist with numpy's exact top-10
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _D82_K,
+        _ivfpq_adc,
+    )
+    from data_engineer_project_spark.sources.registry import load_tables
+    from pyspark.sql import Window
+
+    truth = _numpy_top10(sf_dir)
+    t = load_tables(spark, sf_dir)
+    for np_ in (1, 2):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("iscore"), F.asc("neighbor_id")
+        )
+        sl = (
+            _ivfpq_adc(t, nprobe=np_)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _D82_K)
+            .select("query_id", "neighbor_id")
+            .collect()
+        )
+        n_hits = sum(
+            (int(r.query_id), int(r.neighbor_id)) in truth for r in sl
+        )
+        assert out[np_].n_hits == n_hits
+
+    # candidate-superset structure: nprobe=2 probes a superset of
+    # cells, so its shortlist may differ — but the candidate POOL can
+    # only grow, so with a shortlist as deep as the final k the exact
+    # re-rank stage (d77) can never do worse. Here we only pin that
+    # the eval produced a non-vacuous measurement on the small fixture
+    # (the serving path finds at least one true neighbor).
+    assert out[2].n_hits > 0

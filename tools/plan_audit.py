@@ -140,6 +140,14 @@ EXTRA_QUERIES = [
     # the calendar-bounded life table.
     "d81_dsir_hashed_importance",
     "e26_km_conversion_survival",
+    # r8 additions — hq36/hq37 broadcast only dimension tables
+    # (adjustment-code master, plan, benefit); d82's k-means/PQ
+    # training is store-backed (executes once at build, like d58) and
+    # the audited plan is the two ADC arms + the hit join against the
+    # broadcast 10-query brute-force ground truth.
+    "hq36_denial_adjustment_analysis",
+    "hq37_plan_benefit_cost_sharing",
+    "d82_ivfpq_recall",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
