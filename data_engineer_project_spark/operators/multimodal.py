@@ -66,6 +66,7 @@ _DECODE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("lang", StringType()),
         StructField("n_px", LongType()),
+        StructField("sum_px", LongType()),
         StructField("mean_px", DoubleType()),
         StructField("min_px", IntegerType()),
         StructField("max_px", IntegerType()),
@@ -73,16 +74,135 @@ _DECODE_SCHEMA = StructType(
 )
 
 
-def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
-    """Real codec path — requires Pillow, absent in this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no codec libs here
+# --------------------------------------------------------------------
+# Real, dependency-free container codecs. Two genuinely different
+# on-disk layouts that decode to the SAME logical grayscale image:
+#
+# - PNM (P5 grayscale / P6 RGB): ASCII "P5\n<w> <h>\n<maxval>\n"
+#   header with comment lines, then raw samples row-major top-down.
+# - BMP (8-bit uncompressed, BITMAPINFOHEADER): little-endian binary
+#   headers, a 256-entry grayscale palette, rows padded to a 4-byte
+#   stride, stored BOTTOM-UP (or top-down when height is negative).
+#
+# decode_* are real struct/byte parsers — no Pillow, no fakes. The
+# png/jpeg/webp stub below stays honest: those need entropy codecs
+# this container doesn't ship.
+# --------------------------------------------------------------------
+
+
+def encode_pnm(pixels: bytes, width: int) -> bytes:
+    """P5 (grayscale PNM) container for ``pixels`` (len must be a
+    multiple of ``width``)."""
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixel buffer must be height*width bytes")
+    height = len(pixels) // width
+    return b"P5\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Parse a binary PNM (P5 grayscale or P6 RGB) payload into its
+    flat sample array (row-major, top-down — P6 interleaves RGB)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    per_px = 1 if payload[:2] == b"P5" else 3
+    # header tokens: width, height, maxval — whitespace separated,
+    # '#' comment lines allowed; ONE whitespace byte ends the header.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM samples not supported")
+    n = width * height * per_px
+    data = payload[pos : pos + n]
+    if len(data) != n:
+        raise ValueError(f"truncated PNM: want {n} samples, have {len(data)}")
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def encode_bmp8(pixels: bytes, width: int) -> bytes:
+    """8-bit uncompressed BMP (grayscale palette: index i → (i,i,i))
+    for ``pixels`` (len must be a multiple of ``width``): rows padded
+    to a 4-byte stride and written bottom-up, per the format."""
+    import struct
+
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixel buffer must be height*width bytes")
+    height = len(pixels) // width
+    stride = (width + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    offset = 14 + 40 + len(palette)
+    file_size = offset + stride * height
+    file_hdr = b"BM" + struct.pack("<IHHI", file_size, 0, 0, offset)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, stride * height,
+        2835, 2835, 256, 0,
+    )
+    pad = b"\x00" * (stride - width)
+    rows = [
+        pixels[r * width : (r + 1) * width] + pad for r in range(height)
+    ]
+    return file_hdr + info_hdr + palette + b"".join(reversed(rows))
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse an 8-bit uncompressed BMP into its flat pixel-index array
+    in row-major TOP-DOWN order (undoing the stride padding and the
+    bottom-up row layout). With the grayscale palette encode_bmp8
+    writes, index == gray value, so this is the decoded image."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 8 or compression != 0:
         raise NotImplementedError(
-            "real image decode needs Pillow; this environment ships no "
-            "codecs — use fake_decode (deterministic stub)"
-        ) from exc
-    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+            f"only 8-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = (width + 3) & ~3
+    rows = [
+        np.frombuffer(payload, dtype=np.uint8, count=width,
+                      offset=data_offset + r * stride)
+        for r in range(height)
+    ]
+    if not top_down:
+        rows.reverse()
+    return np.concatenate(rows) if rows else np.empty(0, dtype=np.uint8)
+
+
+def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
+    """Real codec path: dispatch on the payload's MAGIC bytes to the
+    dependency-free PNM/BMP parsers above. Formats needing entropy
+    codecs (png/jpeg/webp) remain a documented stub — this container
+    ships none."""
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"no dependency-free decoder for format={fmt!r} (payload lacks "
+        "PNM/BMP magic); png/jpeg/webp need codec libs this "
+        "environment does not ship — use fake_decode for those"
+    )
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
@@ -95,7 +215,13 @@ def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in ("doc_id", "lang", "n_px", "mean_px", "min_px", "max_px")}
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "lang", "n_px", "sum_px", "mean_px",
+                    "min_px", "max_px",
+                )
+            }
             for did, lang, m, f in zip(
                 pdf["doc_id"], pdf["lang"], pdf["media"], pdf["media_format"]
             ):
@@ -104,15 +230,85 @@ def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
                     # row, matching the oracle's per-byte unnest.
                     continue
                 a = _real_decode(m, f) if use_real_codec else fake_decode(m)
+                s = int(a.astype(np.int64).sum())
                 out["doc_id"].append(did)
                 out["lang"].append(lang)
                 out["n_px"].append(len(a))
-                out["mean_px"].append(float(a.astype(np.int64).mean()))
+                out["sum_px"].append(s)
+                # exact-int sum / exact-int count in one double division
+                # — bit-matches the oracle's CAST(SUM(v) AS DOUBLE)/n
+                out["mean_px"].append(s / len(a))
                 out["min_px"].append(int(a.min()))
                 out["max_px"].append(int(a.max()))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stage, _DECODE_SCHEMA)
+
+
+_REAL_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("media", BinaryType()),
+        StructField("media_format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def attach_real_media(documents: DataFrame) -> DataFrame:
+    """Wrap each document's UTF-8 bytes in a REAL image container —
+    even doc_ids get a P5 PNM, odd doc_ids an 8-bit BMP (bottom-up
+    rows, 4-byte stride). The logical image is identical either way:
+    width = 16 + doc_id % 48, the text bytes row-major, the final row
+    zero-padded to the width — so one container-ignorant oracle covers
+    both arms, and parity proves the PARSERS recover exactly the true
+    pixels from two different on-disk layouts. Empty/NULL docs carry a
+    NULL payload (no pixels → no decode row, the m04 convention).
+
+    This is corpus prep (the stand-in for reading real blobs), not the
+    operator under test; it runs as one narrow Arrow stage."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias, fmts, widths, heights, nbytes = [], [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(16 + did % 48)
+                raw = (text or "").encode("utf-8")
+                if not raw:
+                    medias.append(None)
+                    fmts.append("pgm" if did % 2 == 0 else "bmp")
+                    widths.append(w)
+                    heights.append(0)
+                    nbytes.append(0)
+                    continue
+                h = -(-len(raw) // w)
+                px = raw + b"\x00" * (w * h - len(raw))
+                payload = (
+                    encode_pnm(px, w) if did % 2 == 0 else encode_bmp8(px, w)
+                )
+                medias.append(payload)
+                fmts.append("pgm" if did % 2 == 0 else "bmp")
+                widths.append(w)
+                heights.append(h)
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "lang": pdf["lang"].values,
+                    "media": medias,
+                    "media_format": fmts,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id", "lang", "text").mapInPandas(
+        stage, _REAL_MEDIA_SCHEMA
+    )
 
 
 _HIST_SCHEMA = StructType(

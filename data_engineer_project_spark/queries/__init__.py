@@ -50,6 +50,10 @@ _CONTRACT_CHANGED_ROUND = {
     # and the oracle all changed, so prior greens verified the
     # superseded bucket-collapsing contract.
     "m10_image_neardup_clusters": 8,
+    # Round 8: m04 emits sum_px (exact-integer pixel mass) alongside
+    # the stats — the decode contract widened when the real
+    # PNM/BMP decode path landed.
+    "m04_decoded_pixel_stats": 8,
 }
 
 # Gate ROTATION (distinct from a contract change): queries whose

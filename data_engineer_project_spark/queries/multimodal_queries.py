@@ -29,6 +29,7 @@ _UTF8_BYTES = """flatten(list_transform(list_filter(string_split(text, ''), ch -
 
 from data_engineer_project_spark.operators.multimodal import (
     attach_media,
+    attach_real_media,
     byte_histogram,
     decode_media,
     resize_media,
@@ -126,6 +127,7 @@ def m03_frame_sample_stats(t):
       SELECT doc_id, lang, unnest(b) AS v FROM bl
     )
     SELECT doc_id, lang, COUNT(*) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
            CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_px,
            CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
     FROM px GROUP BY doc_id, lang
@@ -136,8 +138,10 @@ def m04_decoded_pixel_stats(t):
     """Stub decode (payload bytes = pixels) → per-doc pixel stats via
     mapInPandas; pixels are UTF-8 BYTES on both engines, and empty/NULL
     payloads emit no row (oracle's unnest of an empty/NULL byte list).
-    The real-codec path is gated behind an import-try and raises
-    NotImplementedError (no codec libs in this environment)."""
+    The REAL decode path (dependency-free PNM + 8-bit BMP parsers,
+    dispatching on magic bytes) is gated by m15 over genuinely
+    container-wrapped payloads; png/jpeg/webp stay a documented
+    NotImplementedError stub (no entropy codecs in this container)."""
     return decode_media(_media(t))
 
 
@@ -948,4 +952,63 @@ def m14_audio_neardup_pairs(t):
             ),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "m15_real_container_decode",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, lang, {_UTF8_BYTES} AS b FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, len(b) AS n,
+             CAST(16 + doc_id % 48 AS BIGINT) AS w,
+             CAST(COALESCE(list_sum(b), 0) AS BIGINT) AS sum_b,
+             list_min(b) AS min_b, list_max(b) AS max_b
+      FROM bl
+    )
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'bmp' END AS container,
+           w * CAST(ceil(n / w) AS BIGINT) AS n_px,
+           sum_b AS sum_px,
+           CAST(sum_b AS DOUBLE) / (w * CAST(ceil(n / w) AS BIGINT)) AS mean_px,
+           CAST(CASE WHEN w * CAST(ceil(n / w) AS BIGINT) > n
+                     THEN 0 ELSE min_b END AS INT) AS min_px,
+           CAST(max_b AS INT) AS max_px
+    FROM m WHERE n > 0
+    """,
+    tags=("multimodal", "decode"),
+)
+def m15_real_container_decode(t):
+    """REAL container decode — the non-vacuous twin of m04's stub:
+    every payload is a genuine image container (even doc_ids a P5 PNM
+    with an ASCII header; odd doc_ids an 8-bit BMP with little-endian
+    struct headers, a 256-entry palette, 4-byte row stride, bottom-up
+    rows), and ``decode_media(use_real_codec=True)`` must PARSE the
+    container — magic sniff, header fields, stride/row-order undo — to
+    recover the pixels. The oracle knows nothing about either
+    container: it recomputes the stats from the raw UTF-8 bytes plus
+    the final-row zero padding, so a parity hash proves the parsers
+    extracted exactly the true pixel matrix from two different on-disk
+    layouts (a BMP stride or row-order bug shifts sum/min/max and
+    turns the row red).
+
+    Scale shape: encode and decode are both narrow Arrow mapInPandas
+    stages (no shuffle); the only exchange is none at all — the result
+    stays per-doc. Payload columns prune away for metadata-only
+    readers as in m01."""
+    media = attach_real_media(t.documents)
+    dec = decode_media(media, use_real_codec=True)
+    return dec.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("pgm"))
+        .otherwise(F.lit("bmp"))
+        .alias("container"),
+        "n_px",
+        "sum_px",
+        "mean_px",
+        "min_px",
+        "max_px",
     )

@@ -148,6 +148,9 @@ EXTRA_QUERIES = [
     "hq36_denial_adjustment_analysis",
     "hq37_plan_benefit_cost_sharing",
     "d82_ivfpq_recall",
+    # m15: two narrow Arrow mapInPandas stages (encode fixture,
+    # decode under test) + a projection — no join, no shuffle.
+    "m15_real_container_decode",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
