@@ -2088,3 +2088,636 @@ def hq37_plan_benefit_cost_sharing(t):
         )
         .orderBy("plan_name", "benefit_name")
     )
+
+
+@query(
+    "hq38_geo_cost_profile",
+    _oracle(
+        """
+        , pay AS (
+          SELECT ch.MemberID, ch.ClaimID,
+                 CAST(cl.BilledAmount AS DECIMAL(18,2)) AS billed,
+                 CAST(cp.PaidAmount AS DECIMAL(18,2)) AS paid
+          FROM s2_claims_claim_header ch
+          JOIN s2_claims_claim_line cl ON cl.ClaimID = ch.ClaimID
+          LEFT JOIN s2_claims_claim_payment cp
+            ON cp.ClaimID = cl.ClaimID AND cp.ClaimLineNo = cl.ClaimLineNo
+        )
+        SELECT COALESCE(g.Region, 'UNMAPPED') AS region,
+               COALESCE(g.CountyName, 'UNMAPPED') AS county,
+               CAST(COUNT(DISTINCT a.MemberID) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT p.ClaimID) AS BIGINT) AS n_claims,
+               CAST(COALESCE(SUM(p.billed), 0) AS DOUBLE) AS billed_amount,
+               CAST(COALESCE(SUM(p.paid), 0) AS DOUBLE) AS paid_amount
+        FROM s1_elig_member_address a
+        LEFT JOIN s5_ref_ref_geo_zipfips g ON g.Zip = a.ZipCode
+        LEFT JOIN pay p ON p.MemberID = a.MemberID
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """,
+        [
+            "s1_elig_member_address", "s5_ref_ref_geo_zipfips",
+            "s2_claims_claim_header", "s2_claims_claim_line",
+            "s2_claims_claim_payment",
+        ],
+    ),
+    tags=("healthcare", "geo", "agg"),
+)
+def hq38_geo_cost_profile(t):
+    """Geographic cost profile — activates the seeded-but-dormant
+    Member_Address + Ref_GeoZipFips pair (`EligibilityEnrollment.sql`
+    seeds addresses, `ReferenceData.sql:96-209` the ZIP→FIPS map; no
+    reference query ever reads either): members, claims, billed and
+    paid mass rolled up to (region, county) through the member's ZIP.
+    LEFT joins keep unmapped ZIPs visible as UNMAPPED and claim-less
+    members counted — the shape a network-adequacy or market team
+    actually runs.
+
+    Scale shape: address and geo are member-/ZIP-bounded dims (geo
+    broadcasts); the claim-line→payment join is line-keyed; one
+    grouped rollup to counties. Money folds as DECIMAL(18,2) before
+    the final double cast."""
+    s = hc(t)
+    pay = (
+        s["s2_claims_claim_header"].select("MemberID", "ClaimID")
+        .join(
+            s["s2_claims_claim_line"].select(
+                "ClaimID", "ClaimLineNo", "BilledAmount"
+            ),
+            "ClaimID",
+        )
+        .join(
+            s["s2_claims_claim_payment"].select(
+                "ClaimID", "ClaimLineNo", "PaidAmount"
+            ),
+            ["ClaimID", "ClaimLineNo"],
+            "left",
+        )
+    )
+    return (
+        s["s1_elig_member_address"].select("MemberID", "ZipCode")
+        .join(
+            F.broadcast(
+                s["s5_ref_ref_geo_zipfips"].select(
+                    F.col("Zip").alias("ZipCode"), "CountyName", "Region"
+                )
+            ),
+            "ZipCode",
+            "left",
+        )
+        .join(pay, "MemberID", "left")
+        .groupBy(
+            F.coalesce(F.col("Region"), F.lit("UNMAPPED")).alias("region"),
+            F.coalesce(F.col("CountyName"), F.lit("UNMAPPED")).alias("county"),
+        )
+        .agg(
+            F.countDistinct("MemberID").alias("n_members"),
+            F.countDistinct("ClaimID").alias("n_claims"),
+            F.coalesce(F.sum(money("BilledAmount")), F.lit(0))
+            .cast("double")
+            .alias("billed_amount"),
+            F.coalesce(F.sum(money("PaidAmount")), F.lit(0))
+            .cast("double")
+            .alias("paid_amount"),
+        )
+        .orderBy("region", "county")
+    )
+
+
+@query(
+    "hq39_encounter_coding_depth",
+    _oracle(
+        """
+        , enc AS (
+          SELECT EncounterType, COUNT(*) AS n_encounters
+          FROM s2_claims_encounter GROUP BY 1
+        ),
+        dx AS (
+          SELECT e.EncounterType, COUNT(*) AS n_dx,
+                 COUNT(DISTINCT r.Chapter) AS n_chapters
+          FROM s2_claims_encounter e
+          JOIN s2_claims_encounter_diagnosis d ON d.EncounterID = e.EncounterID
+          LEFT JOIN s5_ref_ref_icd10 r ON r.ICD10Code = d.ICD10Code
+          GROUP BY 1
+        ),
+        pr AS (
+          SELECT e.EncounterType, COUNT(*) AS n_proc
+          FROM s2_claims_encounter e
+          JOIN s2_claims_encounter_procedure p ON p.EncounterID = e.EncounterID
+          GROUP BY 1
+        )
+        SELECT enc.EncounterType AS encounter_type,
+               CAST(enc.n_encounters AS BIGINT) AS n_encounters,
+               CAST(COALESCE(dx.n_dx, 0) AS BIGINT) AS n_dx,
+               CAST(COALESCE(pr.n_proc, 0) AS BIGINT) AS n_proc,
+               CAST(COALESCE(dx.n_dx, 0) AS DOUBLE) / enc.n_encounters
+                 AS dx_per_encounter,
+               CAST(COALESCE(pr.n_proc, 0) AS DOUBLE) / enc.n_encounters
+                 AS proc_per_encounter,
+               CAST(COALESCE(dx.n_chapters, 0) AS BIGINT) AS n_icd_chapters
+        FROM enc
+        LEFT JOIN dx ON dx.EncounterType = enc.EncounterType
+        LEFT JOIN pr ON pr.EncounterType = enc.EncounterType
+        ORDER BY 1
+        """,
+        [
+            "s2_claims_encounter", "s2_claims_encounter_diagnosis",
+            "s2_claims_encounter_procedure", "s5_ref_ref_icd10",
+        ],
+    ),
+    tags=("healthcare", "agg", "coding"),
+)
+def hq39_encounter_coding_depth(t):
+    """Encounter coding-depth report — activates the dormant
+    Encounter_Diagnosis / Encounter_Procedure children
+    (`Claims & Encounters.sql` seeds them; no reference query joins
+    them): per encounter type, how many diagnosis and procedure codes
+    ride each encounter and how many ICD-10 chapters the dx codes
+    span — the risk-adjustment completeness number a coding team
+    watches. The two children are aggregated SEPARATELY then joined
+    on type (joining both at once would fan out dx x proc per
+    encounter and double-count).
+
+    Scale shape: three grouped aggregates on enum-small keys, ICD
+    master broadcast; no fan-out joins."""
+    s = hc(t)
+    enc = s["s2_claims_encounter"].select("EncounterID", "EncounterType")
+    base = enc.groupBy("EncounterType").agg(
+        F.count(F.lit(1)).alias("n_encounters")
+    )
+    dx = (
+        enc.join(s["s2_claims_encounter_diagnosis"], "EncounterID")
+        .join(
+            F.broadcast(
+                s["s5_ref_ref_icd10"].select("ICD10Code", "Chapter")
+            ),
+            "ICD10Code",
+            "left",
+        )
+        .groupBy("EncounterType")
+        .agg(
+            F.count(F.lit(1)).alias("n_dx"),
+            F.countDistinct("Chapter").alias("n_chapters"),
+        )
+    )
+    pr = (
+        enc.join(s["s2_claims_encounter_procedure"], "EncounterID")
+        .groupBy("EncounterType")
+        .agg(F.count(F.lit(1)).alias("n_proc"))
+    )
+    return (
+        base.join(dx, "EncounterType", "left")
+        .join(pr, "EncounterType", "left")
+        .select(
+            F.col("EncounterType").alias("encounter_type"),
+            F.col("n_encounters").cast("long").alias("n_encounters"),
+            F.coalesce(F.col("n_dx"), F.lit(0)).cast("long").alias("n_dx"),
+            F.coalesce(F.col("n_proc"), F.lit(0)).cast("long").alias("n_proc"),
+            (
+                F.coalesce(F.col("n_dx"), F.lit(0)).cast("double")
+                / F.col("n_encounters")
+            ).alias("dx_per_encounter"),
+            (
+                F.coalesce(F.col("n_proc"), F.lit(0)).cast("double")
+                / F.col("n_encounters")
+            ).alias("proc_per_encounter"),
+            F.coalesce(F.col("n_chapters"), F.lit(0))
+            .cast("long")
+            .alias("n_icd_chapters"),
+        )
+        .orderBy("encounter_type")
+    )
+
+
+@query(
+    "hq40_language_access_report",
+    _oracle(
+        """
+        , latest_pref AS (
+          SELECT MemberID, Language FROM (
+            SELECT MemberID, Language,
+                   row_number() OVER (PARTITION BY MemberID
+                                      ORDER BY EffectiveDate DESC, PrefID DESC)
+                     AS rn
+            FROM s1_elig_member_language_pref
+          ) WHERE rn = 1
+        ),
+        contact AS (
+          SELECT MemberID,
+                 MAX(CASE WHEN Phone IS NOT NULL THEN 1 ELSE 0 END) AS has_phone,
+                 MAX(CASE WHEN Email IS NOT NULL THEN 1 ELSE 0 END) AS has_email
+          FROM s1_elig_member_contact GROUP BY 1
+        ),
+        enc AS (
+          SELECT MemberID, COUNT(*) AS n_enc
+          FROM s2_claims_encounter GROUP BY 1
+        )
+        SELECT p.Language AS language,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(COALESCE(c.has_phone, 0)) AS BIGINT) AS n_with_phone,
+               CAST(SUM(COALESCE(c.has_email, 0)) AS BIGINT) AS n_with_email,
+               CAST(SUM(CASE WHEN COALESCE(c.has_phone, 0) = 0
+                              AND COALESCE(c.has_email, 0) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unreachable,
+               CAST(COALESCE(SUM(e.n_enc), 0) AS BIGINT) AS n_encounters,
+               CAST(COALESCE(SUM(e.n_enc), 0) AS DOUBLE) / COUNT(*)
+                 AS encounters_per_member
+        FROM latest_pref p
+        LEFT JOIN contact c ON c.MemberID = p.MemberID
+        LEFT JOIN enc e ON e.MemberID = p.MemberID
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        [
+            "s1_elig_member_language_pref", "s1_elig_member_contact",
+            "s2_claims_encounter",
+        ],
+    ),
+    tags=("healthcare", "agg", "access"),
+)
+def hq40_language_access_report(t):
+    """Language-access / contactability report — activates the dormant
+    Member_Language_Pref + Member_Contact pair (`EligibilityEnrollment
+    .sql` seeds both; no reference query reads either): per preferred
+    language (latest preference per member), member count, how many
+    have a phone / an email on file, how many are UNREACHABLE by
+    either channel, and encounter volume — what an interpreter-
+    services or outreach team needs before a campaign.
+
+    Scale shape: contact and encounter facts pre-aggregate to one row
+    per member BEFORE the language join (no fan-out); everything
+    collapses to the language enum."""
+    s = hc(t)
+    w = Window.partitionBy("MemberID").orderBy(
+        F.desc("EffectiveDate"), F.desc("PrefID")
+    )
+    pref = (
+        s["s1_elig_member_language_pref"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("MemberID", "Language")
+    )
+    contact = s["s1_elig_member_contact"].groupBy("MemberID").agg(
+        F.max(F.when(F.col("Phone").isNotNull(), 1).otherwise(0)).alias(
+            "has_phone"
+        ),
+        F.max(F.when(F.col("Email").isNotNull(), 1).otherwise(0)).alias(
+            "has_email"
+        ),
+    )
+    enc = s["s2_claims_encounter"].groupBy("MemberID").agg(
+        F.count(F.lit(1)).alias("n_enc")
+    )
+    hp = F.coalesce(F.col("has_phone"), F.lit(0))
+    he = F.coalesce(F.col("has_email"), F.lit(0))
+    return (
+        pref.join(contact, "MemberID", "left")
+        .join(enc, "MemberID", "left")
+        .groupBy(F.col("Language").alias("language"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(hp).cast("long").alias("n_with_phone"),
+            F.sum(he).cast("long").alias("n_with_email"),
+            F.sum(F.when((hp == 0) & (he == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unreachable"),
+            F.coalesce(F.sum("n_enc"), F.lit(0))
+            .cast("long")
+            .alias("n_encounters"),
+            (
+                F.coalesce(F.sum("n_enc"), F.lit(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("encounters_per_member"),
+        )
+        .orderBy("language")
+    )
+
+
+@query(
+    "hq41_coverage_continuity",
+    _oracle(
+        """
+        , cov AS (
+          SELECT MemberID, CoverageID, StartDate,
+                 COALESCE(EndDate, DATE '2025-03-31') AS EndDate
+          FROM s1_elig_coverage_period
+        ),
+        flagged AS (
+          SELECT MemberID, CoverageID, StartDate, EndDate,
+                 CASE WHEN MAX(EndDate) OVER (
+                        PARTITION BY MemberID ORDER BY StartDate, CoverageID
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= StartDate - INTERVAL 1 DAY
+                      THEN 0 ELSE 1 END AS is_new
+          FROM cov
+        ),
+        spans AS (
+          SELECT MemberID, StartDate, EndDate,
+                 SUM(is_new) OVER (PARTITION BY MemberID
+                                   ORDER BY StartDate, CoverageID
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+          FROM flagged
+        ),
+        merged AS (
+          SELECT MemberID, span_id,
+                 MIN(StartDate) AS s, MAX(EndDate) AS e
+          FROM spans GROUP BY 1, 2
+        )
+        SELECT MemberID AS member_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(date_diff('day', s, e) + 1) AS BIGINT) AS covered_days,
+               CAST(MAX(date_diff('day', s, e) + 1) AS BIGINT) AS max_span_days,
+               COUNT(*) > 1 AS has_gap
+        FROM merged
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        ["s1_elig_coverage_period"],
+    ),
+    tags=("healthcare", "window", "intervals"),
+)
+def hq41_coverage_continuity(t):
+    """Coverage-continuity spans — activates the dormant
+    Coverage_Period table (`EligibilityEnrollment.sql` seeds it; no
+    reference query reads it): per member, merge coverage periods
+    into CONTINUOUS spans (gaps-and-islands with a running-max end
+    date, so overlapping and back-to-back periods — end 12/31, next
+    start 1/1 — merge), then report span count, total covered days,
+    longest span, and whether a true gap exists. Continuous-enrollment
+    logic is the denominator rule behind every HEDIS-style measure
+    (hq33 assumes it; this computes it). Open periods close at the
+    2025-03-31 study end.
+
+    Scale shape: one member-keyed window pass + one grouped rollup;
+    no joins. A planted-gap pytest exercises the gap path the default
+    fixture (deliberately contiguous) does not."""
+    return coverage_continuity_rollup(hc(t)["s1_elig_coverage_period"])
+
+
+def coverage_continuity_rollup(coverage_period):
+    """hq41's span-merge on a raw Coverage_Period frame (testable on
+    planted rows, like readmission_rollup)."""
+    cov = coverage_period.select(
+        "MemberID",
+        "CoverageID",
+        "StartDate",
+        F.coalesce(F.col("EndDate"), F.lit("2025-03-31").cast("date")).alias(
+            "EndDate"
+        ),
+    )
+    w_prev = (
+        Window.partitionBy("MemberID")
+        .orderBy("StartDate", "CoverageID")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cov.withColumn(
+        "is_new",
+        F.when(
+            F.max("EndDate").over(w_prev)
+            >= F.date_sub(F.col("StartDate"), 1),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    w_run = (
+        Window.partitionBy("MemberID")
+        .orderBy("StartDate", "CoverageID")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = flagged.withColumn("span_id", F.sum("is_new").over(w_run))
+    merged = spans.groupBy("MemberID", "span_id").agg(
+        F.min("StartDate").alias("s"), F.max("EndDate").alias("e")
+    )
+    days = F.datediff(F.col("e"), F.col("s")) + 1
+    return (
+        merged.groupBy(F.col("MemberID").alias("member_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(days).cast("long").alias("covered_days"),
+            F.max(days).cast("long").alias("max_span_days"),
+            (F.count(F.lit(1)) > 1).alias("has_gap"),
+        )
+        .orderBy("member_id")
+    )
+
+
+@query(
+    "hq42_provider_org_affiliation",
+    _oracle(
+        """
+        SELECT o.OrgName AS org_name,
+               CAST(COUNT(DISTINCT (a.ProviderID, a.StartDate)) AS BIGINT)
+                 AS n_affiliations,
+               CAST(COUNT(DISTINCT CASE WHEN a.EndDate IS NULL
+                     THEN (a.ProviderID, a.StartDate) END) AS BIGINT)
+                 AS n_active_affiliations,
+               CAST(COUNT(DISTINCT CASE WHEN p.IsActive
+                     THEN a.ProviderID END) AS BIGINT)
+                 AS n_active_providers,
+               CAST(COUNT(DISTINCT ps.SpecialtyCode) AS BIGINT)
+                 AS n_specialties
+        FROM s4_provider_affiliation a
+        JOIN s4_provider_provider p ON p.ProviderID = a.ProviderID
+        JOIN s4_provider_organization o ON o.OrgID = a.OrgID
+        LEFT JOIN s4_provider_provider_specialty ps
+          ON ps.ProviderID = a.ProviderID
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        [
+            "s4_provider_affiliation", "s4_provider_provider",
+            "s4_provider_organization", "s4_provider_provider_specialty",
+        ],
+    ),
+    tags=("healthcare", "agg", "network"),
+)
+def hq42_provider_org_affiliation(t):
+    """Provider-organization network profile — activates the dormant
+    Affiliation table (`ProviderNetwork.sql` seeds it; no reference
+    query reads it): per organization, affiliation count, OPEN
+    affiliations (EndDate NULL), credentialed-active provider count,
+    and the distinct specialty mix its providers carry — the
+    network-composition report a contracting team reads. The
+    specialty LEFT join fans out (a provider holds 1-2 specialties),
+    so every affiliation-level count is a COUNT(DISTINCT ...) on the
+    affiliation key (ProviderID, StartDate) / the provider id — never
+    a raw row count over the fanned-out frame.
+
+    Scale shape: provider-bounded dims throughout; org master
+    broadcasts; output is orgs-sized."""
+    s = hc(t)
+    return (
+        s["s4_provider_affiliation"]
+        .join(
+            F.broadcast(
+                s["s4_provider_provider"].select("ProviderID", "IsActive")
+            ),
+            "ProviderID",
+        )
+        .join(
+            F.broadcast(
+                s["s4_provider_organization"].select("OrgID", "OrgName")
+            ),
+            "OrgID",
+        )
+        .join(
+            s["s4_provider_provider_specialty"].select(
+                "ProviderID", "SpecialtyCode"
+            ),
+            "ProviderID",
+            "left",
+        )
+        .groupBy(F.col("OrgName").alias("org_name"))
+        .agg(
+            F.countDistinct("ProviderID", "StartDate").alias("n_affiliations"),
+            F.countDistinct(
+                F.when(
+                    F.col("EndDate").isNull(),
+                    F.struct("ProviderID", "StartDate"),
+                )
+            ).alias("n_active_affiliations"),
+            F.countDistinct(
+                F.when(F.col("IsActive"), F.col("ProviderID"))
+            ).alias("n_active_providers"),
+            F.countDistinct("SpecialtyCode").alias("n_specialties"),
+        )
+        .orderBy("org_name")
+    )
+
+
+@query(
+    "hq43_reference_catalog_profile",
+    _oracle(
+        """
+        , ndc AS (
+          SELECT 'ndc' AS catalog, Route AS dim1, DosageForm AS dim2,
+                 COUNT(*) AS n,
+                 MIN(CAST(regexp_extract(Strength, '[0-9]+') AS BIGINT))
+                   AS min_strength_mg,
+                 MAX(CAST(regexp_extract(Strength, '[0-9]+') AS BIGINT))
+                   AS max_strength_mg
+          FROM s5_ref_ref_ndc GROUP BY 1, 2, 3
+        ),
+        loinc AS (
+          SELECT 'loinc' AS catalog, Property AS dim1, Scale AS dim2,
+                 COUNT(*) AS n,
+                 CAST(NULL AS BIGINT) AS min_strength_mg,
+                 CAST(NULL AS BIGINT) AS max_strength_mg
+          FROM s5_ref_ref_loinc GROUP BY 1, 2, 3
+        )
+        SELECT catalog, dim1, dim2, CAST(n AS BIGINT) AS n,
+               min_strength_mg, max_strength_mg
+        FROM (SELECT * FROM ndc UNION ALL SELECT * FROM loinc)
+        ORDER BY catalog, dim1, dim2
+        """,
+        ["s5_ref_ref_ndc", "s5_ref_ref_loinc"],
+    ),
+    tags=("healthcare", "reference", "profile"),
+)
+def hq43_reference_catalog_profile(t):
+    """Drug / lab reference-catalog profile — activates the dormant
+    Ref_NDC + Ref_LOINC masters (`ReferenceData.sql:96-209` seeds
+    both; the model ships no pharmacy-claim or lab-result fact, so no
+    reference query CAN join them — this is the catalog-stewardship
+    profile a data team runs instead): NDC counts by (route, dosage
+    form) with the numeric strength range parsed out of the '5mg'
+    strings, and LOINC counts by (property, scale). One UNION-ALL
+    dashboard, the hq20 shape over reference data.
+
+    Scale shape: both catalogs are schema-bounded reference tables;
+    two grouped aggregates and a union — no joins, no facts."""
+    s = hc(t)
+    mg = F.regexp_extract(F.col("Strength"), "[0-9]+", 0).cast("long")
+    ndc = (
+        s["s5_ref_ref_ndc"]
+        .groupBy(
+            F.lit("ndc").alias("catalog"),
+            F.col("Route").alias("dim1"),
+            F.col("DosageForm").alias("dim2"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(mg).alias("min_strength_mg"),
+            F.max(mg).alias("max_strength_mg"),
+        )
+    )
+    loinc = (
+        s["s5_ref_ref_loinc"]
+        .groupBy(
+            F.lit("loinc").alias("catalog"),
+            F.col("Property").alias("dim1"),
+            F.col("Scale").alias("dim2"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("min_strength_mg"),
+            F.lit(None).cast("long").alias("max_strength_mg"),
+        )
+    )
+    return ndc.unionByName(loinc).orderBy("catalog", "dim1", "dim2")
+
+
+@query(
+    "hq44_assessment_program_summary",
+    _oracle(
+        """
+        SELECT COALESCE(cp.ProgramName, 'None') AS program_name,
+               a.AssessmentType AS assessment_type,
+               CAST(COUNT(*) AS BIGINT) AS n_assessments,
+               CAST(COUNT(a.Score) AS BIGINT) AS n_scored,
+               CAST(SUM(CAST(a.Score AS DECIMAL(9,2))) AS DOUBLE)
+                 / NULLIF(COUNT(a.Score), 0) AS avg_score,
+               CAST(SUM(CASE WHEN a.Notes IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_notes,
+               CAST(COUNT(DISTINCT a.MemberID) AS BIGINT) AS n_members
+        FROM s3_cca_assessment a
+        LEFT JOIN s3_cca_care_program cp ON cp.ProgramID = a.ProgramID
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """,
+        ["s3_cca_assessment", "s3_cca_care_program"],
+    ),
+    tags=("healthcare", "agg", "care"),
+)
+def hq44_assessment_program_summary(t):
+    """Assessment activity summary — activates the dormant Assessment
+    table (`CareManagementCCA.sql` seeds it; no reference query reads
+    it): per (care program, assessment type) — volume, how many came
+    back scored, the exact-DECIMAL average score, note coverage, and
+    distinct members assessed. Program-less assessments (ProgramID
+    NULL, a real intake pattern) stay visible as 'None'. What a care-
+    management lead reads to see HRA/PHQ9/fall-risk throughput.
+
+    Exactness: scores fold as DECIMAL(9,2) then one double division
+    by the scored count (NULL-safe). Scale shape: assessment fact
+    streams once; the program dim broadcasts; output is programs x
+    types."""
+    s = hc(t)
+    return (
+        s["s3_cca_assessment"]
+        .join(
+            F.broadcast(
+                s["s3_cca_care_program"].select("ProgramID", "ProgramName")
+            ),
+            "ProgramID",
+            "left",
+        )
+        .groupBy(
+            F.coalesce(F.col("ProgramName"), F.lit("None")).alias(
+                "program_name"
+            ),
+            F.col("AssessmentType").alias("assessment_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assessments"),
+            F.count("Score").cast("long").alias("n_scored"),
+            (
+                F.sum(F.col("Score").cast("decimal(9,2)")).cast("double")
+                / F.nullif(F.count("Score"), F.lit(0))
+            ).alias("avg_score"),
+            F.sum(F.when(F.col("Notes").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_notes"),
+            F.countDistinct("MemberID").alias("n_members"),
+        )
+        .orderBy("program_name", "assessment_type")
+    )

@@ -79,3 +79,44 @@ def test_d82_recall_is_consistent_and_numpy_grounded(spark, sf_dir):
     # the eval produced a non-vacuous measurement on the small fixture
     # (the serving path finds at least one true neighbor).
     assert out[2].n_hits > 0
+
+
+def test_hq41_span_merge_on_planted_gaps(spark):
+    """The default fixture is deliberately contiguous (every period
+    either abuts or overlaps), so the oracle gate never exercises a
+    true GAP; plant the cases. Member 1: two periods separated by a
+    10-day hole -> 2 spans, has_gap. Member 2: back-to-back periods
+    (end 1/31, start 2/1) -> merge into one span. Member 3:
+    OVERLAPPING periods -> one span, days not double-counted.
+    Member 4: open EndDate -> closes at the 2025-03-31 study end."""
+    import datetime as dt
+
+    from data_engineer_project_spark.queries.healthcare import (
+        coverage_continuity_rollup,
+    )
+
+    D = dt.date
+    rows = [
+        # (CoverageID, MemberID, PlanID, StartDate, EndDate)
+        (1, 1, 1, D(2025, 1, 1), D(2025, 1, 10)),
+        (2, 1, 1, D(2025, 1, 21), D(2025, 2, 10)),
+        (3, 2, 1, D(2025, 1, 1), D(2025, 1, 31)),
+        (4, 2, 1, D(2025, 2, 1), D(2025, 2, 28)),
+        (5, 3, 1, D(2025, 1, 1), D(2025, 2, 15)),
+        (6, 3, 1, D(2025, 2, 1), D(2025, 2, 20)),
+        (7, 4, 1, D(2025, 3, 1), None),
+    ]
+    cov = spark.createDataFrame(
+        rows,
+        "CoverageID int, MemberID int, PlanID int, "
+        "StartDate date, EndDate date",
+    )
+    got = {r.member_id: r for r in coverage_continuity_rollup(cov).collect()}
+    assert got[1].n_spans == 2 and got[1].has_gap
+    assert got[1].covered_days == 10 + 21  # 1/1-1/10 and 1/21-2/10
+    assert got[1].max_span_days == 21
+    assert got[2].n_spans == 1 and not got[2].has_gap
+    assert got[2].covered_days == 59  # 1/1-2/28 merged
+    assert got[3].n_spans == 1
+    assert got[3].covered_days == 51  # 1/1-2/20, overlap not doubled
+    assert got[4].covered_days == 31  # 3/1-3/31 study end

@@ -151,6 +151,16 @@ EXTRA_QUERIES = [
     # m15: two narrow Arrow mapInPandas stages (encode fixture,
     # decode under test) + a projection — no join, no shuffle.
     "m15_real_container_decode",
+    # hq38–hq44 activate the dormant reference tables: geo/org/code
+    # masters broadcast, facts pre-aggregate to member grain before
+    # dimension joins, hq41 is one member-keyed window pass.
+    "hq38_geo_cost_profile",
+    "hq39_encounter_coding_depth",
+    "hq40_language_access_report",
+    "hq41_coverage_continuity",
+    "hq42_provider_org_affiliation",
+    "hq43_reference_catalog_profile",
+    "hq44_assessment_program_summary",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
