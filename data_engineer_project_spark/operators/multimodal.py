@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub: ``decode_media`` tries Pillow and raises
-NotImplementedError on the real path, falling back to a deterministic
-fake decode (bytes are the pixels). Everything Spark-side — schemas,
-binary columns, UDF signatures, Arrow batch shapes, partitioning — is
-real and oracle-tested.
+The decode path has two tiers. REAL: dependency-free PNM (P5/P6) and
+8-bit BMP parsers (``decode_pnm`` / ``decode_bmp``), dispatched on the
+payload's magic bytes — genuine struct/byte parsing, gated by m15/m16.
+STUB: formats needing entropy codecs this container does not ship
+(png/jpeg/webp) raise a documented NotImplementedError; ``fake_decode``
+(bytes are the pixels) stands in for them. Everything Spark-side —
+schemas, binary columns, UDF signatures, Arrow batch shapes,
+partitioning — is real and oracle-tested in both tiers.
 
 Scale notes (100 TB):
 - Payloads ride in parquet binary columns; scans prune them unless the
@@ -657,3 +659,55 @@ def frame_fingerprints(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
     return media.mapInPandas(stage, _FRAME_FP_SCHEMA)
+
+
+_INTEGRITY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_format", StringType()),
+        StructField("status", StringType()),
+        StructField("n_px", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def container_integrity(media: DataFrame) -> DataFrame:
+    """Decode-level integrity gate over REAL containers (the m13
+    metadata gate's deeper sibling): actually PARSE each payload with
+    the PNM/BMP decoders and verify the pixel matrix matches the
+    declared (width, height) metadata. Verdicts: 'ok' (parsed, dims
+    agree), 'dim_mismatch' (parsed but wrong size), 'corrupt' (parser
+    raised — truncated data, botched header), 'empty' (NULL payload).
+    One narrow Arrow stage; quarantine decisions never shuffle."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "media_format", "status", "n_px", "n_bytes")
+            }
+            for did, m, f, w, h in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_format"],
+                pdf["width"], pdf["height"],
+            ):
+                if m is None or len(m) == 0:
+                    status, n_px, n_bytes = "empty", 0, 0
+                else:
+                    n_bytes = len(m)
+                    try:
+                        a = _real_decode(bytes(m), f)
+                        n_px = len(a)
+                        status = (
+                            "ok" if n_px == int(w) * int(h) else "dim_mismatch"
+                        )
+                    except (ValueError, NotImplementedError):
+                        status, n_px = "corrupt", 0
+                out["doc_id"].append(did)
+                out["media_format"].append(f)
+                out["status"].append(status)
+                out["n_px"].append(n_px)
+                out["n_bytes"].append(n_bytes)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stage, _INTEGRITY_SCHEMA)

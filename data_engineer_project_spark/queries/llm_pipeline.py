@@ -8842,3 +8842,342 @@ def d82_ivfpq_recall(t):
         )
         .orderBy("nprobe")
     )
+
+
+# ------------------------------------------ d83: hard-negative mining
+
+_D83_K = 3  # hard negatives kept per query
+
+
+@query(
+    "d83_hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS clabel
+          FROM embeddings),
+    pairs AS (SELECT q.query_id, q.qlabel, c.neighbor_id, c.clabel,
+                     q.qv, c.cv
+              FROM q JOIN c ON c.clabel <> q.qlabel),
+    pex AS (SELECT query_id, qlabel, neighbor_id, clabel,
+                   unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
+    pd AS (SELECT query_id, qlabel, neighbor_id, clabel,
+                  SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                  SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                  SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+           FROM pex GROUP BY query_id, qlabel, neighbor_id, clabel),
+    scored AS (SELECT query_id, qlabel, neighbor_id, clabel,
+                      dotp / (sqrt(qq) * sqrt(cc)) AS score FROM pd)
+    SELECT query_id, CAST(qlabel AS INT) AS query_label,
+           neighbor_id, CAST(clabel AS INT) AS negative_label,
+           CAST(rn AS BIGINT) AS rank, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_D83_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "training"),
+)
+def d83_hard_negative_mining(t):
+    """HARD-NEGATIVE mining for contrastive training — for each query
+    vector, the most-similar vectors carrying a DIFFERENT class label
+    (the embeddings table's ``label`` column): maximally confusable
+    cross-class pairs, exactly what an InfoNCE/triplet trainer wants
+    in the denominator. Labels ride the candidate generation as a
+    residual predicate, so the mined negatives need no post-filter.
+
+    Exactness: the d09 cosine fold (norm-hoisted, identical op order)
+    with ties on neighbor id; labels are exact ints.
+
+    Scale shape: identical to d09 — the 10-query panel broadcasts,
+    the corpus streams once, grouped_topk bounds per-query state. At
+    production scale the same predicate composes with the IVF cell
+    join (d14) instead of the brute-force scan: nothing here is
+    all-pairs in the corpus."""
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+        SIM.norm(F.col("embedding")).alias("qnrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+        SIM.norm(F.col("embedding")).alias("cnrm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("clabel") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "clabel",
+            (
+                SIM.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("score"),
+        )
+    )
+    top = TK.grouped_topk(
+        scored,
+        ["query_id"],
+        [F.desc("score"), F.asc("neighbor_id")],
+        _D83_K,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "query_id",
+            F.col("qlabel").cast("int").alias("query_label"),
+            "neighbor_id",
+            F.col("clabel").cast("int").alias("negative_label"),
+            "rank",
+            "score",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "d84_cluster_balanced_sampling",
+    f"""
+    WITH {_kmeans_chain(2)},
+    hist AS (
+      SELECT a.cid, {_ORACLE_BUCKET64K} AS bkt, COUNT(*) AS n,
+             SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS tokens
+      FROM documents JOIN asg a ON a.vec_id = doc_id
+      GROUP BY 1, 2
+    ),
+    cell AS (SELECT cid, SUM(n) AS orig_docs, SUM(tokens) AS orig_tokens
+             FROM hist GROUP BY cid),
+    mn AS (SELECT MIN(orig_tokens) AS min_tok FROM cell),
+    thr AS (SELECT cid, orig_docs, orig_tokens,
+                   least(65536, (65536 * min_tok + orig_tokens - 1) // orig_tokens)
+                     AS keep_thr
+            FROM cell, mn),
+    kept AS (SELECT h.cid, SUM(h.n) AS kept_docs, SUM(h.tokens) AS kept_tokens
+             FROM hist h JOIN thr t ON h.cid = t.cid AND h.bkt < t.keep_thr
+             GROUP BY h.cid)
+    SELECT t.cid AS cell_id,
+           CAST(t.orig_docs AS BIGINT) AS orig_docs,
+           CAST(t.orig_tokens AS BIGINT) AS orig_tokens,
+           CAST(t.keep_thr AS BIGINT) AS keep_thr,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM thr t LEFT JOIN kept k ON t.cid = k.cid
+    ORDER BY t.cid
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def d84_cluster_balanced_sampling(t):
+    """SEMANTIC cluster-balanced downsampling — d42's deterministic
+    mixture rule applied to k-means TOPIC cells instead of source
+    labels (the DCLM-style move: balance what the data IS about, not
+    where it came from, so one over-crawled topic cannot dominate the
+    training mix even when its sources look diverse): every cell
+    downsamples toward the smallest cell's token mass via the
+    content-addressed md5-bucket threshold. Cells come from the
+    MATERIALIZED coarse quantizer (d14/d44 machinery), so the topic
+    assignment is the same one the ANN index and the cluster profiles
+    already use.
+
+    Exactness: integer threshold arithmetic end-to-end (the d42 rule);
+    the oracle composes the identical k-means chain.
+
+    Scale shape: one corpus scan folds into a (cell x 65536)-bucket
+    histogram with map-side combine; the doc->cell join is id-keyed
+    against a vec_id-partitioned assignment; thresholds broadcast.
+    Keep decisions remain a pure function of doc_id — re-shardable,
+    engine-portable, backfill-stable."""
+    emb = t.embeddings
+    cents = SIM.materialized_centroids(emb)
+    asg = SIM.ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("doc_id"), "cid"
+    )
+    hist = (
+        t.documents.select(
+            "doc_id",
+            F.expr(_SPARK_BUCKET64K).alias("bkt"),
+            T.bpe_token_estimate("text").alias("tok"),
+        )
+        .join(asg, "doc_id")
+        .groupBy("cid", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tok").alias("tokens"))
+    )
+    hist = tracked_persist(hist)
+    cell = hist.groupBy("cid").agg(
+        F.sum("n").alias("orig_docs"), F.sum("tokens").alias("orig_tokens")
+    )
+    mn = cell.agg(F.min("orig_tokens").alias("min_tok"))
+    thr = cell.crossJoin(F.broadcast(mn)).withColumn(
+        "keep_thr",
+        F.expr(
+            "least(65536, (65536 * min_tok + orig_tokens - 1) div orig_tokens)"
+        ),
+    )
+    kept = (
+        hist.join(F.broadcast(thr.select("cid", "keep_thr")), "cid")
+        .filter(F.col("bkt") < F.col("keep_thr"))
+        .groupBy("cid")
+        .agg(
+            F.sum("n").alias("kept_docs"),
+            F.sum("tokens").alias("kept_tokens"),
+        )
+    )
+    return (
+        thr.join(F.broadcast(kept), "cid", "left")
+        .select(
+            F.col("cid").alias("cell_id"),
+            F.col("orig_docs").cast("long").alias("orig_docs"),
+            F.col("orig_tokens").cast("long").alias("orig_tokens"),
+            F.col("keep_thr").cast("long").alias("keep_thr"),
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+@query(
+    "e27_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    grid AS (
+      SELECT t.event_type, s.day,
+             COALESCE(d.x, 0) AS x
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN spine s
+      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    ),
+    tot AS (
+      SELECT event_type, SUM(x) AS total, COUNT(*) AS n_days
+      FROM grid GROUP BY 1
+    ),
+    dev AS (
+      SELECT g.event_type, g.day,
+             CAST(g.x AS BIGINT) * t.n_days - t.total AS d,
+             t.total, t.n_days
+      FROM grid g JOIN tot t USING (event_type)
+    ),
+    csum AS (
+      SELECT event_type, day, total, n_days,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM dev
+    ),
+    cusum AS (
+      SELECT event_type, day, total, n_days, s,
+             MIN(s) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS lo_s
+      FROM csum
+    ),
+    exc AS (
+      SELECT event_type, day, total, n_days, s - lo_s AS m,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s - lo_s DESC, day) AS rn
+      FROM cusum
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(total AS BIGINT) AS total_events,
+           day AS change_day,
+           CAST(m AS BIGINT) AS max_cusum,
+           CAST(m AS DOUBLE) / n_days AS cusum_per_day
+    FROM exc WHERE rn = 1
+    ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def e27_cusum_changepoint(t):
+    """CUSUM change-point detection per event type — the sustained-
+    LEVEL-SHIFT detector that complements e11's single-hour spikes and
+    e17's episodes: on the zero-filled daily grid, fold the exact
+    integer deviations dev_d = x_d·D − T (scaled by the day count so
+    no fractional mean ever appears; they sum to zero by
+    construction), take the running sum S_d, and report the maximum
+    upward EXCURSION max_d (S_d − min_{s≤d} S_s) with the day it
+    peaks — the classic CUSUM surge-onset statistic, computed entirely
+    relationally (two window folds, one rank).
+
+    Exactness: x·D − T and both window folds are int64; the only
+    double is the final per-day normalization.
+
+    Scale shape: the corpus folds once to (type, day) counts; the
+    spine is calendar-bounded and the type dimension enum-small (the
+    e15/p72 bounded-grid shape), so the windows run over calendar ×
+    types rows, never events."""
+    ev = t.events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    dev = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("x").cast("long") * F.col("n_days") - F.col("total")).alias(
+            "d"
+        ),
+        "total",
+        "n_days",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = dev.withColumn("s", F.sum("d").over(w)).withColumn(
+        "lo_s", F.min("s").over(w)
+    )
+    exc = cusum.withColumn("m", F.col("s") - F.col("lo_s"))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("m"), F.asc("day")
+    )
+    return (
+        exc.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("total_events"),
+            F.col("day").alias("change_day"),
+            F.col("m").cast("long").alias("max_cusum"),
+            (F.col("m").cast("double") / F.col("n_days")).alias(
+                "cusum_per_day"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1012,3 +1012,98 @@ def m15_real_container_decode(t):
         "min_px",
         "max_px",
     )
+
+
+@query(
+    "m16_container_integrity_gate",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(b) AS n,
+             CAST(16 + doc_id % 48 AS BIGINT) AS w
+      FROM bl
+    ),
+    sized AS (
+      SELECT doc_id, n, w,
+             CAST(ceil(n / w) AS BIGINT) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'bmp' END AS fmt
+      FROM m WHERE n > 0
+    ),
+    payload AS (
+      SELECT doc_id, fmt, w, h,
+             CASE WHEN fmt = 'pgm'
+                  THEN 9 + length(CAST(w AS VARCHAR))
+                         + length(CAST(h AS VARCHAR)) + w * h
+                  ELSE 1078 + ((w + 3) // 4) * 4 * h
+             END AS container_bytes
+      FROM sized
+    ),
+    verdict AS (
+      SELECT fmt AS media_format,
+             CASE WHEN doc_id % 13 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+             CASE WHEN doc_id % 13 = 0 THEN 0 ELSE w * h END AS n_px,
+             CASE WHEN doc_id % 13 = 0 THEN container_bytes // 2
+                  ELSE container_bytes END AS n_bytes
+      FROM payload
+    )
+    SELECT media_format, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_px) AS BIGINT) AS decoded_px,
+           CAST(SUM(CASE WHEN status <> 'ok' THEN n_bytes ELSE 0 END)
+                AS BIGINT) AS quarantined_bytes
+    FROM verdict
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("multimodal", "quarantine", "decode"),
+)
+def m16_container_integrity_gate(t):
+    """Decode-level integrity gate over REAL containers — m13 checks
+    blob length against declared metadata; this gate goes a tier
+    deeper and actually PARSES every payload (the m15 PNM/BMP
+    decoders), verifying the pixel matrix matches the declared
+    (width, height). Fault injection is deterministic: every 13th
+    doc's container is truncated to half its bytes JVM-side (binary
+    substring) before the gate — for BOTH formats a half-truncation
+    provably leaves the parser short of pixel data (the header is
+    always under half the container), so the oracle can assert the
+    exact verdict split, per-format doc counts, surviving decoded
+    pixel mass, and the quarantined byte mass (container sizes
+    recomputed arithmetically: PNM header = 9 + digits(w) +
+    digits(h); BMP = 1078 + stride·h).
+
+    Scale shape: encode, corrupt, and gate are narrow stages (the
+    corrupt step is one JVM substring, no Python); only the final
+    formats x statuses rollup shuffles."""
+    from data_engineer_project_spark.operators.multimodal import (
+        container_integrity,
+    )
+
+    media = attach_real_media(t.documents)
+    faulty = media.withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.expr(
+                "substring(media, 1, CAST(octet_length(media) / 2 AS INT))"
+            ),
+        ).otherwise(F.col("media")),
+    )
+    gate = container_integrity(faulty).filter(F.col("status") != "empty")
+    return (
+        gate.groupBy("media_format", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_px").cast("long").alias("decoded_px"),
+            F.sum(
+                F.when(F.col("status") != "ok", F.col("n_bytes")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("quarantined_bytes"),
+        )
+        .orderBy("media_format", "status")
+    )

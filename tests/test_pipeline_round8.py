@@ -120,3 +120,137 @@ def test_hq41_span_merge_on_planted_gaps(spark):
     assert got[3].n_spans == 1
     assert got[3].covered_days == 51  # 1/1-2/20, overlap not doubled
     assert got[4].covered_days == 31  # 3/1-3/31 study end
+
+
+def test_d83_negatives_are_cross_label_and_hardest(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    query's, and per query the top negative's score must equal the
+    best cross-label score a numpy scan finds (the 'hard' in hard
+    negative)."""
+    import pyarrow.parquet as pq
+
+    out = QUERIES["d83_hard_negative_mining"].fn(spark, sf_dir).collect()
+    assert all(r.query_label != r.negative_label for r in out)
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(tb["vec_id"], dtype=np.int64)
+    lab = np.asarray(tb["label"], dtype=np.int64)
+    mat = np.asarray([list(v) for v in tb["embedding"]], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(int(r.query_id), []).append(r)
+    for qid, rows in by_q.items():
+        qpos = int(np.nonzero(ids == qid)[0][0])
+        cos = (mat @ mat[qpos]) / (nrm * nrm[qpos])
+        mask = lab != lab[qpos]
+        best = float(cos[mask].max())
+        top = min(rows, key=lambda r: r.rank)
+        assert abs(top.score - best) < 1e-12
+
+
+def test_d84_balances_toward_min_cell_and_conserves(spark, sf_dir):
+    """Structural invariants of cluster-balanced sampling: keep
+    thresholds are minimal-sufficient (the d42 ceil rule), kept <=
+    orig everywhere, the smallest cell keeps everything (threshold
+    65536), and decisions are content-addressed so kept_docs is
+    reproducible across runs."""
+    rows = QUERIES["d84_cluster_balanced_sampling"].fn(spark, sf_dir).collect()
+    min_tok = min(r.orig_tokens for r in rows)
+    for r in rows:
+        assert 0 <= r.kept_docs <= r.orig_docs
+        assert 0 <= r.kept_tokens <= r.orig_tokens
+        want_thr = min(65536, -(-65536 * min_tok // r.orig_tokens))
+        assert r.keep_thr == want_thr
+        if r.orig_tokens == min_tok:
+            assert r.keep_thr == 65536 and r.kept_docs == r.orig_docs
+    again = QUERIES["d84_cluster_balanced_sampling"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_e27_finds_planted_level_shift(spark, tmp_path):
+    """A planted step change: type A runs at 2 events/day for 10 days
+    then 12/day for 10 days — the CUSUM excursion must peak exactly at
+    the last elevated day and the detector must date the surge; a flat
+    type B must report a small excursion (ties to zero deviations)."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
+            "value": [], "props": []}
+    eid = 0
+
+    def add(day, etype, k):
+        nonlocal eid
+        for i in range(k):
+            rows["event_id"].append(eid)
+            rows["ts"].append(base + datetime.timedelta(days=day, minutes=i))
+            rows["user_id"].append(i)
+            rows["event_type"].append(etype)
+            rows["value"].append(1.0)
+            rows["props"].append("{}")
+            eid += 1
+
+    for d in range(10):
+        add(d, "A", 2)
+        add(d, "B", 5)
+    for d in range(10, 20):
+        add(d, "A", 12)
+        add(d, "B", 5)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = tmp_path / "e27"
+    out_dir.mkdir()
+    pq.write_table(pa.table(rows), str(out_dir / "events.parquet"))
+    for t_name in ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "documents", "embeddings"):
+        import shutil
+
+        shutil.copy(f"/root/testdata/sf0.001/{t_name}.parquet",
+                    str(out_dir / f"{t_name}.parquet"))
+
+    got = {r.event_type: r
+           for r in QUERIES["e27_cusum_changepoint"].fn(
+               spark, str(out_dir)).collect()}
+    # type A: mean 7/day; dev = x*20 - 140: -100/day then +100/day.
+    # S dips to -1000 at day 10 then climbs to 0; excursion peaks at
+    # the LAST day (S=0, min=-1000 -> M=1000*... in scaled units).
+    a = got["A"]
+    assert a.n_days == 20 and a.total_events == 140
+    assert a.change_day == (base + datetime.timedelta(days=19)).date()
+    assert a.max_cusum == 10 * (12 * 20 - 140)  # ten elevated days
+    b = got["B"]
+    assert b.max_cusum == 0  # perfectly flat series never deviates
+
+
+def test_m16_gate_verdicts_rederive_from_the_codecs(spark, sf_dir):
+    """The gate's per-format counts must equal a direct recount of
+    doc_ids (every 13th corrupted), and a hand-truncated container
+    must actually fail the parser — the oracle asserts the counts,
+    this pins the MECHANISM."""
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_pnm,
+        encode_pnm,
+    )
+
+    payload = encode_pnm(bytes(range(32)), 16)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_pnm(payload[: len(payload) // 2])
+
+    out = QUERIES["m16_container_integrity_gate"].fn(spark, sf_dir).collect()
+    got = {(r.media_format, r.status): r.n_docs for r in out}
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    want: dict[tuple, int] = {}
+    for did, text in zip(tb["doc_id"], tb["text"]):
+        if not (text or "").encode("utf-8"):
+            continue
+        fmt = "pgm" if did % 2 == 0 else "bmp"
+        status = "corrupt" if did % 13 == 0 else "ok"
+        want[(fmt, status)] = want.get((fmt, status), 0) + 1
+    assert got == want

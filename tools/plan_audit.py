@@ -161,6 +161,16 @@ EXTRA_QUERIES = [
     "hq42_provider_org_affiliation",
     "hq43_reference_catalog_profile",
     "hq44_assessment_program_summary",
+    # d83 inherits d09's audited broadcast-panel shape (the label
+    # predicate rides the join); d84 reads the materialized centroid
+    # store (k-means trains once at build, like d44) and its
+    # broadcasts are the 1-row min and the cells-sized thresholds;
+    # e27 is the bounded calendar-grid shape (spine x enum types);
+    # m16 is narrow mapInPandas + one enum-keyed rollup.
+    "d83_hard_negative_mining",
+    "d84_cluster_balanced_sampling",
+    "e27_cusum_changepoint",
+    "m16_container_integrity_gate",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
