@@ -527,12 +527,25 @@ def m10_image_neardup_clusters(t):
     from data_engineer_project_spark.operators.graph import connected_components
     from data_engineer_project_spark.operators.multimodal import difference_hash
 
-    # reused by both band joins and the final per-cluster hash count
-    h = tracked_persist(
-        difference_hash(_media(t)).select("doc_id", "phash")
+    # EXACT-DUP COLLAPSE TIER (round 8): group identical hashes to one
+    # representative (min doc) + a member count BEFORE banding. Docs
+    # sharing a hash are Hamming-0 — always one cluster — so pairing
+    # over distinct hashes loses nothing, while pair volume becomes
+    # independent of duplicate MULTIPLICITY: a corpus with every image
+    # replicated 100x previously emitted ~100^2/2 verified pairs per
+    # clique (the 100x stress sweep stalled exactly there — one fused
+    # pair-listing straggler); now those replicas are one node. This
+    # is the d15/d56 tiering (exact dedup before near-dup) applied to
+    # the image family.
+    h = difference_hash(_media(t)).select("doc_id", "phash")
+    hg = tracked_persist(
+        h.groupBy("phash").agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
     )
-    bands = h.select(
-        "doc_id",
+    bands = hg.select(
+        "rep",
         "phash",
         F.explode(
             F.array(
@@ -547,31 +560,36 @@ def m10_image_neardup_clusters(t):
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "phash", "band.bi", "band.bk")
+    ).select("rep", "phash", "band.bi", "band.bk")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.bi") == F.col("b.bi"))
             & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .filter(
             F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))) <= 3
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.rep").alias("doc_a"), F.col("b.rep").alias("doc_b"))
         .distinct()
     )
     comps = connected_components(pairs)
+    labeled = (
+        hg.join(comps, hg.rep == comps.node, "left")
+        .withColumn("component", F.coalesce("component", "rep"))
+        .withColumn("in_graph", F.col("node").isNotNull())
+    )
+    # a doc appeared in the old doc-level graph iff its hash had >= 2
+    # members (intra-hash Hamming-0 pairs) or a neighboring hash
     return (
-        comps.join(h, comps.node == h.doc_id)
+        labeled.filter((F.col("n_docs") >= 2) | F.col("in_graph"))
         .groupBy("component")
         .agg(
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.min("node").alias("canonical_doc"),
-            F.countDistinct("phash").alias("n_hashes"),
+            F.sum("n_docs").alias("cluster_size"),
+            F.min("rep").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_hashes"),
         )
     )
 

@@ -354,3 +354,54 @@ def test_real_decode_agrees_with_stub_on_padded_pixels(spark, sf_dir):
         assert r.n_px == len(px)
         assert r.sum_px == int(px.astype(np.int64).sum())
         assert r.min_px == int(px.min()) and r.max_px == int(px.max())
+
+
+def test_m10_pair_volume_is_multiplicity_invariant(spark, tmp_path):
+    """The round-8 exact-dup collapse tier: replicating every document
+    k times must multiply each cluster_size by k while n_hashes and
+    the candidate-pair graph stay FLAT (pairing runs over distinct
+    hashes — the property that un-stalled the 100x stress sweep).
+    Canonical doc stays the min replica id (= the original doc id
+    here, since replicas get offset ids)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from data_engineer_project_spark.queries import QUERIES
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    base_dir, rep_dir = tmp_path / "base", tmp_path / "rep3"
+    base_dir.mkdir(), rep_dir.mkdir()
+    pq.write_table(src, str(base_dir / "documents.parquet"))
+    stride = pc.max(src["doc_id"]).as_py() + 1
+    i_doc = src.schema.get_field_index("doc_id")
+    pq.write_table(
+        pa.concat_tables(
+            src.set_column(i_doc, "doc_id", pc.add(src["doc_id"], k * stride))
+            for k in range(3)
+        ),
+        str(rep_dir / "documents.parquet"),
+    )
+    for t_name in ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "embeddings"):
+        for d in (base_dir, rep_dir):
+            shutil.copy(f"/root/testdata/sf0.001/{t_name}.parquet",
+                        str(d / f"{t_name}.parquet"))
+
+    fn = QUERIES["m10_image_neardup_clusters"].fn
+    base = {r.component: r for r in fn(spark, str(base_dir)).collect()}
+    rep = {r.component: r for r in fn(spark, str(rep_dir)).collect()}
+    # every base cluster reappears under the same canonical doc with
+    # 3x the members and the SAME hash count
+    for comp, r0 in base.items():
+        r3 = rep[comp]
+        assert r3.cluster_size == 3 * r0.cluster_size
+        assert r3.n_hashes == r0.n_hashes
+        assert r3.canonical_doc == r0.canonical_doc
+    # replication can only ADD clusters whose base form was a
+    # singleton hash (n_docs 1, no neighbors -> invisible at 1x,
+    # a 3-member Hamming-0 clique at 3x)
+    extra = set(rep) - set(base)
+    assert all(rep[c].n_hashes == 1 for c in extra)
