@@ -9181,3 +9181,289 @@ def e27_cusum_changepoint(t):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "d85_embedding_alignment_eval",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS clabel
+          FROM embeddings),
+    pairs AS (SELECT q.query_id, q.qlabel, c.neighbor_id, c.clabel, q.qv, c.cv
+              FROM q JOIN c ON c.neighbor_id <> q.query_id),
+    pex AS (SELECT query_id, qlabel, neighbor_id, clabel,
+                   unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
+    pd AS (SELECT query_id, qlabel, neighbor_id, clabel,
+                  SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                  SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                  SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+           FROM pex GROUP BY query_id, qlabel, neighbor_id, clabel),
+    scored AS (SELECT qlabel, clabel,
+                      CAST(round(dotp / (sqrt(qq) * sqrt(cc)), 9)
+                           AS DECIMAL(18,9)) AS cos9
+               FROM pd),
+    rolled AS (
+      SELECT qlabel,
+             SUM(CASE WHEN qlabel = clabel THEN 1 ELSE 0 END) AS n_same,
+             SUM(CASE WHEN qlabel <> clabel THEN 1 ELSE 0 END) AS n_cross,
+             SUM(CASE WHEN qlabel = clabel THEN cos9 ELSE 0 END) AS s_same,
+             SUM(CASE WHEN qlabel <> clabel THEN cos9 ELSE 0 END) AS s_cross
+      FROM scored GROUP BY qlabel
+    )
+    SELECT CAST(qlabel AS INT) AS query_label,
+           CAST(n_same AS BIGINT) AS n_same_pairs,
+           CAST(n_cross AS BIGINT) AS n_cross_pairs,
+           CAST(s_same AS DOUBLE) / n_same AS mean_same_cos,
+           CAST(s_cross AS DOUBLE) / n_cross AS mean_cross_cos,
+           CAST(s_same AS DOUBLE) / n_same
+             - CAST(s_cross AS DOUBLE) / n_cross AS margin
+    FROM rolled
+    ORDER BY query_label
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def d85_embedding_alignment_eval(t):
+    """Embedding ALIGNMENT/SEPARATION evaluation — the representation-
+    quality number behind d83's mining: over the 10-query panel x the
+    full corpus, the mean cosine to SAME-label vectors (alignment),
+    the mean cosine to CROSS-label vectors (separation), and the
+    margin between them, per label. A healthy embedding space has a
+    positive margin everywhere; a label whose margin collapses is
+    exactly where d83's hard negatives concentrate and where a kNN
+    probe (d86) starts misfiring.
+
+    Exactness: per-pair cosines round to DECIMAL(18,9) before the fold
+    (the d21 move — a double sum is partition-order-dependent, a
+    decimal sum is not); counts are exact ints; the means are one
+    double division each.
+
+    Scale shape: d09's broadcast-panel scan — the corpus streams once
+    past the 10-query panel and collapses map-side to labels x panel
+    rows; nothing all-pairs in the corpus."""
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+        SIM.norm(F.col("embedding")).alias("qnrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+        SIM.norm(F.col("embedding")).alias("cnrm"),
+    )
+    cos9 = F.round(
+        SIM.dot(F.col("qvec"), F.col("cvec"))
+        / (F.col("qnrm") * F.col("cnrm")),
+        9,
+    ).cast("decimal(18,9)")
+    same = F.col("qlabel") == F.col("clabel")
+    zero = F.lit(0).cast("decimal(18,9)")
+    rolled = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("qlabel", same.alias("is_same"), cos9.alias("cos9"))
+        .groupBy("qlabel")
+        .agg(
+            F.sum(F.when(F.col("is_same"), 1).otherwise(0)).alias("n_same"),
+            F.sum(F.when(~F.col("is_same"), 1).otherwise(0)).alias("n_cross"),
+            F.sum(F.when(F.col("is_same"), F.col("cos9")).otherwise(zero)).alias(
+                "s_same"
+            ),
+            F.sum(
+                F.when(~F.col("is_same"), F.col("cos9")).otherwise(zero)
+            ).alias("s_cross"),
+        )
+    )
+    mean_same = F.col("s_same").cast("double") / F.col("n_same")
+    mean_cross = F.col("s_cross").cast("double") / F.col("n_cross")
+    return rolled.select(
+        F.col("qlabel").cast("int").alias("query_label"),
+        F.col("n_same").cast("long").alias("n_same_pairs"),
+        F.col("n_cross").cast("long").alias("n_cross_pairs"),
+        mean_same.alias("mean_same_cos"),
+        mean_cross.alias("mean_cross_cos"),
+        (mean_same - mean_cross).alias("margin"),
+    ).orderBy("query_label")
+
+
+@query(
+    "d86_knn_label_probe",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS clabel
+          FROM embeddings),
+    pairs AS (SELECT q.query_id, q.qlabel, c.neighbor_id, c.clabel, q.qv, c.cv
+              FROM q JOIN c ON c.neighbor_id <> q.query_id),
+    pex AS (SELECT query_id, qlabel, neighbor_id, clabel,
+                   unnest(qv) AS qx, unnest(cv) AS cx FROM pairs),
+    pd AS (SELECT query_id, qlabel, neighbor_id, clabel,
+                  SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dotp,
+                  SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qq,
+                  SUM(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS cc
+           FROM pex GROUP BY query_id, qlabel, neighbor_id, clabel),
+    topk AS (SELECT query_id, qlabel, neighbor_id, clabel FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dotp / (sqrt(qq) * sqrt(cc)) DESC, neighbor_id) AS rn
+               FROM pd) WHERE rn <= 5),
+    votes AS (SELECT query_id, qlabel, clabel, COUNT(*) AS v
+              FROM topk GROUP BY 1, 2, 3),
+    win AS (SELECT query_id, qlabel, clabel, v FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY v DESC, clabel) AS rn
+              FROM votes) WHERE rn = 1)
+    SELECT query_id,
+           CAST(qlabel AS INT) AS true_label,
+           CAST(clabel AS INT) AS predicted_label,
+           CAST(v AS BIGINT) AS winner_votes,
+           qlabel = clabel AS correct
+    FROM win
+    ORDER BY query_id
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def d86_knn_label_probe(t):
+    """kNN LABEL PROBE — the standard no-training embedding-quality
+    eval: predict each panel query's label by majority vote of its 5
+    exact nearest neighbors (ties -> smallest label), report the
+    prediction and whether it matches. Together with d85 (margins)
+    and d82/d16 (index recall), the ANN family now measures both the
+    SPACE and the INDEX.
+
+    Exactness: d09's cosine fold, deterministic rank ties on neighbor
+    id, integer votes with deterministic tie-break.
+
+    Scale shape: d09's broadcast-panel top-k, then two tiny grouped
+    ranks over panel x k rows."""
+    emb = t.embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = SIM.brute_force_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lab = emb.select("vec_id", "label")
+    votes = (
+        top.join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("clabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "qlabel", "clabel")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("clabel"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("qlabel").cast("int").alias("true_label"),
+            F.col("clabel").cast("int").alias("predicted_label"),
+            F.col("v").cast("long").alias("winner_votes"),
+            (F.col("qlabel") == F.col("clabel")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "e28_dau_wau_stickiness",
+    """
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM user_days),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM user_days GROUP BY 1),
+    contrib AS (
+      SELECT DISTINCT user_id,
+             CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM user_days
+    ),
+    wau AS (SELECT day, COUNT(*) AS wau FROM contrib GROUP BY 1)
+    SELECT s.day,
+           CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(w.wau, 0) AS BIGINT) AS wau,
+           CAST(COALESCE(d.dau, 0) AS DOUBLE) / NULLIF(w.wau, 0)
+             AS stickiness
+    FROM spine s
+    LEFT JOIN dau d ON d.day = s.day
+    LEFT JOIN wau w ON w.day = s.day
+    ORDER BY s.day
+    """,
+    tags=("events", "timeseries", "product"),
+)
+def e28_dau_wau_stickiness(t):
+    """DAU / WAU / stickiness — the canonical product-analytics series
+    (how much of the weekly audience shows up daily), computed with
+    EXACT rolling distincts and no distinct-over-window state: each
+    (user, active-day) row fans out to the <= 7 trailing spine days it
+    keeps the user 'weekly active' for, then one DISTINCT collapses
+    multi-day users and one count per day reads WAU off the grid. The
+    fan-out is a fixed x7, so the shuffle is bounded by 7x the
+    user-day grain — never events, never a per-day distinct-users
+    window (whose state is users x days).
+
+    Exactness: everything is integer counts on both engines; the
+    stickiness ratio is one double division.
+
+    Scale shape: events fold once to DISTINCT user-days (map-side);
+    the x7 explode is narrow; the spine is calendar-bounded. At 100 TB
+    the user-day grain is the already-reduced table every growth team
+    materializes."""
+    ev = t.events
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    span = user_days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    "day", F.date_add("day", 6), F.expr("interval 1 day")
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            (
+                F.coalesce("dau", F.lit(0)).cast("double")
+                / F.nullif(F.col("wau"), F.lit(0))
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

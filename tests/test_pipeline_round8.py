@@ -254,3 +254,87 @@ def test_m16_gate_verdicts_rederive_from_the_codecs(spark, sf_dir):
         status = "corrupt" if did % 13 == 0 else "ok"
         want[(fmt, status)] = want.get((fmt, status), 0) + 1
     assert got == want
+
+
+def test_d85_d86_rederive_from_numpy(spark, sf_dir):
+    """The alignment margins and the kNN vote must agree with a pure
+    numpy recomputation over the raw parquet (no Spark, no DuckDB):
+    per-label mean same/cross cosine to 1e-9 (the decimal rounding
+    grain), and the exact per-query majority-vote prediction."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(tb["vec_id"], dtype=np.int64)
+    lab = np.asarray(tb["label"], dtype=np.int64)
+    mat = np.asarray([list(v) for v in tb["embedding"]], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+
+    # d85: per query-label mean same/cross cosine
+    sums: dict[tuple, list] = {}
+    for qpos in np.nonzero(ids < 10)[0]:
+        cos = (mat @ mat[qpos]) / (nrm * nrm[qpos])
+        for i in range(len(ids)):
+            if ids[i] == ids[qpos]:
+                continue
+            key = (int(lab[qpos]), lab[i] == lab[qpos])
+            s = sums.setdefault(key, [0.0, 0])
+            s[0] += round(cos[i], 9)
+            s[1] += 1
+    out = {r.query_label: r
+           for r in QUERIES["d85_embedding_alignment_eval"].fn(
+               spark, sf_dir).collect()}
+    for ql, r in out.items():
+        same, cross = sums[(ql, True)], sums[(ql, False)]
+        assert r.n_same_pairs == same[1] and r.n_cross_pairs == cross[1]
+        assert abs(r.mean_same_cos - same[0] / same[1]) < 1e-9
+        assert abs(r.mean_cross_cos - cross[0] / cross[1]) < 1e-9
+        assert r.margin == r.mean_same_cos - r.mean_cross_cos
+
+    # d86: exact majority vote of the numpy top-5
+    probe = {r.query_id: r
+             for r in QUERIES["d86_knn_label_probe"].fn(
+                 spark, sf_dir).collect()}
+    for qpos in np.nonzero(ids < 10)[0]:
+        qid = int(ids[qpos])
+        cos = (mat @ mat[qpos]) / (nrm * nrm[qpos])
+        order = sorted(
+            (i for i in range(len(ids)) if int(ids[i]) != qid),
+            key=lambda i: (-cos[i], int(ids[i])),
+        )[:5]
+        votes: dict[int, int] = {}
+        for i in order:
+            votes[int(lab[i])] = votes.get(int(lab[i]), 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        r = probe[qid]
+        assert r.predicted_label == pred
+        assert r.winner_votes == votes[pred]
+        assert r.correct == (pred == int(lab[qpos]))
+
+
+def test_e28_wau_is_exact_trailing_distinct(spark, sf_dir):
+    """WAU must equal a brute-force distinct count over the trailing
+    7-day window recomputed in Python from the raw events, and the
+    identities DAU <= WAU, stickiness = dau/wau must hold on every
+    day of the spine."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    user_days = {(u, ts.date()) for u, ts in zip(tb["user_id"], tb["ts"])}
+    days = sorted({d for _, d in user_days})
+    out = QUERIES["e28_dau_wau_stickiness"].fn(spark, sf_dir).collect()
+    got = {r.day: r for r in out}
+    # spine is dense from min to max activity day
+    assert [r.day for r in out] == [
+        days[0] + datetime.timedelta(days=i)
+        for i in range((days[-1] - days[0]).days + 1)
+    ]
+    for r in out:
+        want_dau = sum(1 for _, d in user_days if d == r.day)
+        lo = r.day - datetime.timedelta(days=6)
+        want_wau = len({u for u, d in user_days if lo <= d <= r.day})
+        assert (r.dau, r.wau) == (want_dau, want_wau)
+        assert r.dau <= r.wau
+        if r.wau:
+            assert r.stickiness == r.dau / r.wau

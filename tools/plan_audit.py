@@ -171,6 +171,11 @@ EXTRA_QUERIES = [
     "d84_cluster_balanced_sampling",
     "e27_cusum_changepoint",
     "m16_container_integrity_gate",
+    # d85/d86 inherit d09's broadcast-panel scan; e28's explode is a
+    # fixed x7 fan-out of the user-day grain + calendar-spine joins.
+    "d85_embedding_alignment_eval",
+    "d86_knn_label_probe",
+    "e28_dau_wau_stickiness",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
