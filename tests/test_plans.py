@@ -309,6 +309,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/healthcare.py", "band"),  # hq35: <= #risk-tiers rows
         ("queries/healthcare.py", "pr"),  # hq35: provider dimension
         ("queries/llm_pipeline.py", "q"),  # d83: bounded 10-query panel
+        ("queries/llm_pipeline.py", "queries"),  # d86: bounded 10-query panel
         ("queries/llm_pipeline.py", "spine"),  # e27: calendar-bounded day spine
         ("queries/llm_pipeline.py", "sketch_df"),  # 1-row sketch
         ("queries/llm_pipeline.py", "s"),  # per-lang stats
