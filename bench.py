@@ -130,6 +130,15 @@ BENCH_QUERIES = [
     # shape (big-side streams, small side broadcast) no other slot
     # isolates.
     "d80_tfidf_doc_keywords",
+    # r8 addition: the REAL container decode gate — PNM/BMP header
+    # parsing + pixel verification per payload inside Arrow stages;
+    # times the byte-parsing Python-stage shape (m02/m10 time numpy
+    # folds and JVM joins, nothing times per-row struct parsing).
+    "m16_container_integrity_gate",
+    # r8 addition #2: exact trailing-window distinct users — the
+    # fixed x7 fan-out + DISTINCT + calendar-spine join; times the
+    # bounded-explode rolling-distinct shape no window slot covers.
+    "e28_dau_wau_stickiness",
 ]
 
 
