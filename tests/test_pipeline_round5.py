@@ -640,18 +640,19 @@ def test_e14_segments_tile_the_day_span(spark, sf_dir):
 
 def test_m10_clusters_match_brute_force_union_find(spark, sf_dir):
     """The banded pipeline must reproduce EXACTLY the clusters of a
-    driver-side brute-force: all-pairs Hamming<=1 over the 16-bit
-    hashes, union-find, same (component -> members) partition — the
-    pigeonhole recall guarantee checked end-to-end."""
+    driver-side brute-force: all-pairs Hamming<=3 over the 64-bit
+    difference hashes (the round-8 contract — radius 3, 4 bands),
+    union-find, same (component -> members) partition — the pigeonhole
+    recall guarantee checked end-to-end."""
     from data_engineer_project_spark.operators.multimodal import (
         attach_media,
-        perceptual_hash,
+        difference_hash,
     )
 
     docs = load_tables(spark, sf_dir).documents
     hashes = {
         r["doc_id"]: r["phash"]
-        for r in perceptual_hash(attach_media(docs), n_blocks=16).collect()
+        for r in difference_hash(attach_media(docs)).collect()
     }
     ids = sorted(hashes)
     parent = {i: i for i in ids}
@@ -662,10 +663,11 @@ def test_m10_clusters_match_brute_force_union_find(spark, sf_dir):
             x = parent[x]
         return x
 
+    mask = (1 << 64) - 1
     linked = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            if bin(hashes[a] ^ hashes[b]).count("1") <= 1:
+            if bin((hashes[a] ^ hashes[b]) & mask).count("1") <= 3:
                 linked.update((a, b))
                 ra, rb = find(a), find(b)
                 if ra != rb:
