@@ -200,6 +200,19 @@ BOUNDED_BNLJ_OK = {
     # itself: both sides are <= #sources rows (driver-scale metadata),
     # so the nested loop is sources^2 — bounded by design.
     "d48_source_overlap_matrix": "BroadcastNestedLoopJoin(bounded-source-pair-broadcast <= sources^2, by design)",
+    # r8: d83/d85/d86 are d09's contract — a bounded 10-query panel
+    # broadcast against the streaming corpus (d86 additionally probes
+    # centroid-free exact top-k, so no centroid BNLJ appears).
+    "d83_hard_negative_mining": "BroadcastNestedLoopJoin(bounded-query-broadcast, by design)",
+    "d85_embedding_alignment_eval": "BroadcastNestedLoopJoin(bounded-query-broadcast, by design)",
+    "d86_knn_label_probe": "BroadcastNestedLoopJoin(bounded-query-broadcast, by design)",
+    # d82 runs two ADC arms (centroid assignment per arm) plus the
+    # broadcast ground-truth panel — both bounded by design.
+    "d82_ivfpq_recall": _CENTROID_BNLJ,
+    "d84_cluster_balanced_sampling": _CENTROID_BNLJ,
+    # e27's dense grid: enum-small type dimension x the calendar-
+    # bounded day spine (the e15/p72 shape as a cross join).
+    "e27_cusum_changepoint": "BroadcastNestedLoopJoin(bounded calendar-grid: types x day spine, by design)",
 }
 
 # Hand-pinned notes that must survive regeneration — keyed by query.

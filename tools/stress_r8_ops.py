@@ -1,0 +1,104 @@
+"""Round-8 pressure rows: the new ops with data-dependent state
+(e27 grid, e28 trailing-distinct fan-out, d84 cell histogram, m16
+decode volume, d82 recall arms) at 1x and 10x of sf0.1, reusing
+scale_stress.synth (events time-shifted, docs/embeddings id-shifted).
+One JSON line per measurement, emitted as measured."""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_stress import synth  # noqa: E402
+
+
+def measure(spark, sf_dir: str, label: str, runs: int = 2) -> None:
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    def run_query(name, extract=None):
+        best, extra = None, {}
+        for _ in range(runs):
+            t0 = time.time()
+            rows = QUERIES[name].fn(spark, sf_dir).collect()
+            dt = time.time() - t0
+            extra = extract(rows) if extract else {}
+            best = dt if best is None else min(best, dt)
+            release_all()
+        print(
+            json.dumps(
+                {"op": name, "scale": label, "sec": round(best, 2), **extra}
+            ),
+            flush=True,
+        )
+
+    run_query(
+        "e27_cusum_changepoint",
+        lambda rows: {
+            "n_types": len(rows),
+            "grid_days": rows[0].n_days,
+            "max_excursion_days": max(
+                round(r.max_cusum / (r.n_days * max(r.total_events, 1)), 4)
+                for r in rows
+            ),
+        },
+    )
+    run_query(
+        "e28_dau_wau_stickiness",
+        lambda rows: {
+            "spine_days": len(rows),
+            "peak_wau": max(r.wau for r in rows),
+        },
+    )
+    run_query(
+        "d84_cluster_balanced_sampling",
+        lambda rows: {
+            "n_cells": len(rows),
+            "kept_tokens": sum(r.kept_tokens for r in rows),
+            "orig_tokens": sum(r.orig_tokens for r in rows),
+        },
+    )
+    run_query(
+        "m16_container_integrity_gate",
+        lambda rows: {
+            "verdict_rows": len(rows),
+            "corrupt_docs": sum(
+                r.n_docs for r in rows if r.status == "corrupt"
+            ),
+        },
+    )
+    run_query(
+        "d82_ivfpq_recall",
+        lambda rows: {
+            "recall_np1": round(rows[0].recall_at_10, 3),
+            "recall_np2": round(rows[1].recall_at_10, 3),
+        },
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from data_engineer_project_spark.session import get_spark
+
+    spark = get_spark("stress-r8-ops")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    measure(spark, sf_dir, "1x")
+    tmp = tempfile.mkdtemp(prefix="stress_r8ops_")
+    try:
+        synth(sf_dir, tmp, factor)
+        measure(spark, tmp, f"{factor}x")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
