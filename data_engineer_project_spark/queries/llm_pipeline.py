@@ -9467,3 +9467,345 @@ def e28_dau_wau_stickiness(t):
         )
         .orderBy("day")
     )
+
+
+# --------------------------------- d87: bigram LM surprisal filter
+
+# Tier cuts on the per-doc average surprisal band (integer bits per
+# bigram occurrence): fluent/boilerplate docs land low, unseen-word
+# noise lands high — CCNet keeps the low-perplexity head and drops the
+# tail, so the cut points are the filter's tuning knobs.
+_D87_KEEP_MAX = 6
+_D87_REVIEW_MAX = 8
+
+
+@query(
+    "d87_bigram_surprisal_filter",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    bgx AS (
+      SELECT doc_id, wd AS w1, lead(wd,1) OVER win AS w2
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    bg AS (SELECT doc_id, w1, w2 FROM bgx WHERE w2 IS NOT NULL),
+    b AS (SELECT doc_id, lang, {_ORACLE_BUCKET} AS bucket FROM documents),
+    train AS (
+      SELECT bg.w1, bg.w2 FROM bg JOIN b USING (doc_id)
+      WHERE b.bucket < 80
+    ),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY 1),
+    pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM train GROUP BY 1, 2),
+    voc AS (
+      SELECT COUNT(*) + 1 AS vs FROM (
+        SELECT w1 AS wd FROM train UNION SELECT w2 FROM train)
+    ),
+    test_occ AS (
+      SELECT bg.doc_id, b.lang, bg.w1, bg.w2
+      FROM bg JOIN b USING (doc_id) WHERE b.bucket >= 90
+    ),
+    sc AS (
+      SELECT o.doc_id, o.lang,
+             length(bin(COALESCE(c.c1, 0) + v.vs))
+               - length(bin(COALESCE(p.c2, 0) + 1)) AS bits,
+             CASE WHEN p.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+      FROM test_occ o CROSS JOIN voc v
+      LEFT JOIN ctx c ON c.w1 = o.w1
+      LEFT JOIN pair p ON p.w1 = o.w1 AND p.w2 = o.w2
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, COUNT(*) AS n_bg, SUM(bits) AS sum_bits,
+             SUM(unseen) AS n_unseen
+      FROM sc GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum_bits // n_bg AS BIGINT) AS bits_band,
+           CASE WHEN sum_bits // n_bg <= {_D87_KEEP_MAX} THEN 'keep'
+                WHEN sum_bits // n_bg <= {_D87_REVIEW_MAX} THEN 'review'
+                ELSE 'drop' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bg) AS BIGINT) AS total_bigrams,
+           CAST(SUM(n_unseen) AS BIGINT) AS unseen_pairs,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+    FROM per_doc
+    GROUP BY lang, sum_bits // n_bg
+    ORDER BY lang, bits_band
+    """,
+    tags=("llm", "quality", "filter", "lm"),
+)
+def d87_bigram_surprisal_filter(t):
+    """CCNet-style LM-perplexity FILTERING, engine-exact: train an
+    add-one-smoothed bigram language model on the content-addressed
+    train split (bucket < 80), score every held-out doc (bucket >= 90)
+    by its average per-bigram SURPRISAL, and roll docs into
+    keep/review/drop tiers — the standard perplexity gate every
+    web-scale curation pipeline runs between dedup and mixture.
+
+    The surprisal is discretized to INTEGER BITS so both engines agree
+    bit-for-bit (the d81 move — keep the comparison integer instead of
+    trusting transcendental libm parity): per occurrence,
+    bits = bitlen(C(w1) + V + 1) - bitlen(C(w1,w2) + 1), where
+    bitlen(x) = length(bin(x)) = floor(log2 x) + 1 is exact integer in
+    Spark and DuckDB. That is log2 of the reciprocal add-one
+    probability (C+1)/(C1+V+1) quantized to +-1 bit per factor —
+    decile-grade resolution, exactly what a keep/drop tier needs,
+    with zero float drift. Unseen CONTEXTS score the uniform
+    bitlen(V+1) - 1 floor; unseen PAIRS are counted alongside (the
+    d68 novelty stat falls out as a column).
+
+    Exactness: counts, bit lengths, sums, and the integer band
+    division are int64 end-to-end; tiers are a CASE over the band.
+
+    Scale shape: LM training is two map-side-combined groupBys over
+    the train split (corpus-linear, the d49 word-spectrum shape);
+    vocab size is one scalar; scoring is two equi-joins on word keys
+    (AQE-sized, never all-pairs); the rollup is bounded at
+    langs x ~64 bands. At 100 TB the ctx/pair tables are the
+    materialized LM — bucketable by w1 so both scoring joins co-locate
+    (the d07 shingle-table pattern)."""
+    w = t.documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("i", "wd")
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    bg = tracked_persist(
+        w.select(
+            "doc_id",
+            F.col("wd").alias("w1"),
+            F.lead("wd", 1).over(win).alias("w2"),
+        ).filter(F.col("w2").isNotNull())
+    )
+    docs = t.documents.select("doc_id", "lang").withColumn(
+        "bucket", F.expr(_SPARK_BUCKET)
+    )
+    train = bg.join(
+        docs.filter(F.col("bucket") < 80).select("doc_id"), "doc_id"
+    ).select("w1", "w2")
+    ctx = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pair = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vs = (
+        train.select(F.col("w1").alias("wd"))
+        .unionByName(train.select(F.col("w2").alias("wd")))
+        .distinct()
+        .count()
+        + 1
+    )
+    test_occ = bg.join(
+        docs.filter(F.col("bucket") >= 90).select("doc_id", "lang"), "doc_id"
+    )
+    sc = (
+        test_occ.join(ctx, "w1", "left")
+        .join(pair, ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.length(
+                    F.bin(F.coalesce("c1", F.lit(0)) + F.lit(int(vs)))
+                )
+                - F.length(F.bin(F.coalesce("c2", F.lit(0)) + F.lit(1)))
+            ).cast("long").alias("bits"),
+            F.col("c2").isNull().cast("long").alias("unseen"),
+        )
+    )
+    per_doc = sc.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum("bits").alias("sum_bits"),
+        F.sum("unseen").alias("n_unseen"),
+    )
+    band = F.expr("sum_bits div n_bg")
+    tier = (
+        F.when(F.col("bits_band") <= _D87_KEEP_MAX, F.lit("keep"))
+        .when(F.col("bits_band") <= _D87_REVIEW_MAX, F.lit("review"))
+        .otherwise(F.lit("drop"))
+    )
+    return (
+        per_doc.groupBy("lang", band.alias("bits_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bg").alias("total_bigrams"),
+            F.sum("n_unseen").alias("unseen_pairs"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .select(
+            "lang",
+            F.col("bits_band").cast("long").alias("bits_band"),
+            tier.alias("tier"),
+            "n_docs",
+            "total_bigrams",
+            "unseen_pairs",
+            "sample_doc",
+        )
+        .orderBy("lang", "bits_band")
+    )
+
+
+# ------------------------------------ e29: EWMA baseline anomaly
+
+# Spike rule on the power-of-two EWMA baseline: flag day t when
+# 127*x_t > _E29_SPIKE_NUM * base_scaled AND x_t >= _E29_MIN_X, where
+# base_scaled = sum_{j=1..7} x_{t-j} * 2^(7-j) (weights 64..1, geometric
+# half-life of one day; 127 = sum of the weights normalizes the scale).
+_E29_SPIKE_NUM = 3
+_E29_MIN_X = 5
+
+
+@query(
+    "e29_ewma_baseline_anomaly",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    grid AS (
+      SELECT t.event_type, s.day, COALESCE(d.x, 0) AS x
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN spine s
+      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    ),
+    lagged AS (
+      SELECT event_type, day, CAST(x AS BIGINT) AS x,
+             lag(x, 1) OVER win AS l1, lag(x, 2) OVER win AS l2,
+             lag(x, 3) OVER win AS l3, lag(x, 4) OVER win AS l4,
+             lag(x, 5) OVER win AS l5, lag(x, 6) OVER win AS l6,
+             lag(x, 7) OVER win AS l7
+      FROM grid WINDOW win AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type, day, x,
+             CAST(64*l1 + 32*l2 + 16*l3 + 8*l4 + 4*l5 + 2*l6 + l7
+                  AS BIGINT) AS base_scaled,
+             CAST(127*x - {_E29_SPIKE_NUM}*(64*l1 + 32*l2 + 16*l3 + 8*l4
+                  + 4*l5 + 2*l6 + l7) AS BIGINT) AS margin
+      FROM lagged WHERE l7 IS NOT NULL
+    ),
+    flags AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_scored,
+             CAST(SUM(CASE WHEN margin > 0 AND x >= {_E29_MIN_X}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST(MAX(margin) AS BIGINT) AS max_margin
+      FROM scored GROUP BY 1
+    ),
+    peak AS (
+      SELECT event_type, day AS peak_day, x AS peak_x,
+             base_scaled AS peak_base_scaled
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY margin DESC, day) AS rn FROM scored)
+      WHERE rn = 1
+    )
+    SELECT f.event_type, f.n_scored, f.n_flagged, f.max_margin,
+           p.peak_day, CAST(p.peak_x AS BIGINT) AS peak_x,
+           p.peak_base_scaled
+    FROM flags f JOIN peak p USING (event_type)
+    ORDER BY f.event_type
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def e29_ewma_baseline_anomaly(t):
+    """EWMA-baseline spike detection — the RECENCY-WEIGHTED
+    complement of e11 (global-stats z-scores), e25 (hour-of-day
+    seasonal), and e27 (sustained CUSUM shifts): each day's count is
+    judged against an exponentially-weighted moving average of the
+    trailing week, so the baseline forgets old regimes at a one-day
+    half-life and a step change stops alarming within days instead of
+    skewing a global mean forever.
+
+    The EWMA is computed EXACTLY with integer power-of-two weights
+    (the alpha = 1/2 smoother truncated at depth 7):
+    base_scaled = sum x_(t-j) * 2^(7-j), total weight 127 — no float
+    decay products. The spike test and its margin are the d81
+    cross-multiplication: 127*x > 3*base_scaled, all int64. A day
+    must also clear an absolute floor (x >= 5) so a 1-vs-0 blip on a
+    dormant type never pages anyone.
+
+    Exactness: counts, lags, weights, margins all int64; no doubles
+    anywhere in the output.
+
+    Scale shape: events fold once to (type, day) counts; the
+    zero-filled grid is the e15/p72 calendar x enum-types shape, so
+    the seven lags and both rollups run over calendar-bounded rows,
+    never events. State per partition is seven lag registers."""
+    ev = t.events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    win = Window.partitionBy("event_type").orderBy("day")
+    lagged = grid.select(
+        "event_type",
+        "day",
+        "x",
+        *[F.lag("x", j).over(win).alias(f"l{j}") for j in range(1, 8)],
+    )
+    base = F.expr("64*l1 + 32*l2 + 16*l3 + 8*l4 + 4*l5 + 2*l6 + l7")
+    scored = tracked_persist(
+        lagged.filter(F.col("l7").isNotNull()).select(
+            "event_type",
+            "day",
+            "x",
+            base.cast("long").alias("base_scaled"),
+            (
+                F.lit(127) * F.col("x")
+                - F.lit(_E29_SPIKE_NUM) * base
+            ).cast("long").alias("margin"),
+        )
+    )
+    flags = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            (
+                (F.col("margin") > 0) & (F.col("x") >= _E29_MIN_X)
+            ).cast("long")
+        ).alias("n_flagged"),
+        F.max("margin").alias("max_margin"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("margin"), F.asc("day")
+    )
+    peak = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("peak_day"),
+            F.col("x").alias("peak_x"),
+            F.col("base_scaled").alias("peak_base_scaled"),
+        )
+    )
+    return (
+        flags.join(peak, "event_type")
+        .select(
+            "event_type",
+            "n_scored",
+            "n_flagged",
+            "max_margin",
+            "peak_day",
+            "peak_x",
+            "peak_base_scaled",
+        )
+        .orderBy("event_type")
+    )

@@ -338,3 +338,181 @@ def test_e28_wau_is_exact_trailing_distinct(spark, sf_dir):
         assert r.dau <= r.wau
         if r.wau:
             assert r.stickiness == r.dau / r.wau
+
+
+def _write_tables(tmp_path, name, **overrides):
+    """Write a test sf_dir: overridden tables from pyarrow dicts, the
+    rest copied from sf0.001."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = tmp_path / name
+    out_dir.mkdir()
+    all_tables = ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings")
+    for t_name in all_tables:
+        if t_name in overrides:
+            pq.write_table(pa.table(overrides[t_name]),
+                           str(out_dir / f"{t_name}.parquet"))
+        else:
+            shutil.copy(f"/root/testdata/sf0.001/{t_name}.parquet",
+                        str(out_dir / f"{t_name}.parquet"))
+    return str(out_dir)
+
+
+def test_d87_bands_match_pure_python(spark, tmp_path):
+    """The integer-bit surprisal rollup must equal a from-scratch pure
+    Python reimplementation (hashlib bucket split, collections.Counter
+    LM, int.bit_length surprisal) on a planted corpus — no Spark, no
+    DuckDB, no shared code with the query."""
+    import collections
+    import hashlib
+
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _D87_KEEP_MAX,
+        _D87_REVIEW_MAX,
+    )
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 100
+
+    vocab = [f"w{k}" for k in range(200)]
+    texts = {}
+    for i in range(300):
+        # every doc opens with a common motif, then doc-specific
+        # transitions over a 200-word vocabulary
+        ws = ["w0", "w1", "w0", "w1"] + [
+            vocab[(i * (j + 1) + j * j) % 200] for j in range(8)
+        ]
+        texts[i] = " ".join(ws)
+    # make two held-out docs extreme: one pure boilerplate bigram, one
+    # entirely out-of-vocabulary
+    test_ids = sorted(i for i in texts if bucket(i) >= 90)
+    assert len(test_ids) >= 2
+    texts[test_ids[0]] = " ".join(["w0", "w1"] * 6)
+    texts[test_ids[1]] = " ".join(f"zz{j}" for j in range(12))
+
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[i] for i in texts],
+        "lang": ["en" if i % 3 else "de" for i in texts],
+        "source": ["synth"] * len(texts),
+        "n_chars": [len(texts[i]) for i in texts],
+    }
+    sf = _write_tables(tmp_path, "d87", documents=docs)
+
+    # ---- pure-Python reference ----
+    ctx = collections.Counter()
+    pair = collections.Counter()
+    voc = set()
+    for i, txt in texts.items():
+        if bucket(i) < 80:
+            ws = txt.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                ctx[a] += 1
+                pair[(a, b)] += 1
+                voc.add(a)
+                voc.add(b)
+    vs = len(voc) + 1
+    per_band = {}
+    for i, txt in texts.items():
+        if bucket(i) < 90:
+            continue
+        ws = txt.split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        bits = sum(
+            (ctx.get(a, 0) + vs).bit_length()
+            - (pair.get((a, b), 0) + 1).bit_length()
+            for a, b in bgs
+        )
+        unseen = sum((a, b) not in pair for a, b in bgs)
+        lang = "en" if i % 3 else "de"
+        band = bits // len(bgs)
+        key = (lang, band)
+        agg = per_band.setdefault(key, [0, 0, 0, i])
+        agg[0] += 1
+        agg[1] += len(bgs)
+        agg[2] += unseen
+        agg[3] = min(agg[3], i)
+    want = {
+        key: (
+            n,
+            tot,
+            uns,
+            smp,
+            "keep" if key[1] <= _D87_KEEP_MAX
+            else "review" if key[1] <= _D87_REVIEW_MAX
+            else "drop",
+        )
+        for key, (n, tot, uns, smp) in per_band.items()
+    }
+
+    got = {
+        (r.lang, r.bits_band): (
+            r.n_docs, r.total_bigrams, r.unseen_pairs, r.sample_doc, r.tier
+        )
+        for r in QUERIES["d87_bigram_surprisal_filter"].fn(spark, sf)
+        .collect()
+    }
+    assert got == want
+
+    # the two planted extremes must land with the boilerplate doc's
+    # band strictly below the OOV doc's
+    def band_of(i):
+        ws = texts[i].split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        bits = sum(
+            (ctx.get(a, 0) + vs).bit_length()
+            - (pair.get((a, b), 0) + 1).bit_length()
+            for a, b in bgs
+        )
+        return bits // len(bgs)
+
+    assert band_of(test_ids[0]) < band_of(test_ids[1])
+
+
+def test_e29_flags_planted_spike_exactly(spark, tmp_path):
+    """A planted 10x spike on a flat series: the margin, flag count,
+    and peak day must come out exactly from the integer EWMA
+    arithmetic; a never-spiking type must flag nothing and peak at the
+    first scored day (tie -> earliest)."""
+    import datetime
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
+            "value": [], "props": []}
+    eid = 0
+
+    def add(day, etype, k):
+        nonlocal eid
+        for i in range(k):
+            rows["event_id"].append(eid)
+            rows["ts"].append(base + datetime.timedelta(days=day, minutes=i))
+            rows["user_id"].append(i)
+            rows["event_type"].append(etype)
+            rows["value"].append(1.0)
+            rows["props"].append("{}")
+            eid += 1
+
+    for d in range(21):
+        add(d, "A", 100 if d == 20 else 10)
+        add(d, "B", 10)
+    sf = _write_tables(tmp_path, "e29", events=rows)
+
+    got = {r.event_type: r
+           for r in QUERIES["e29_ewma_baseline_anomaly"].fn(spark, sf)
+           .collect()}
+    # 21 spine days, days 7..20 scored
+    a, b = got["A"], got["B"]
+    assert a.n_scored == 14 and b.n_scored == 14
+    # flat trailing week: base_scaled = 10 * 127 = 1270
+    assert a.max_margin == 127 * 100 - 3 * 1270
+    assert a.n_flagged == 1
+    assert a.peak_day == (base + datetime.timedelta(days=20)).date()
+    assert a.peak_x == 100 and a.peak_base_scaled == 1270
+    assert b.n_flagged == 0
+    assert b.max_margin == 127 * 10 - 3 * 1270
+    assert b.peak_day == (base + datetime.timedelta(days=7)).date()

@@ -176,6 +176,10 @@ EXTRA_QUERIES = [
     "d85_embedding_alignment_eval",
     "d86_knn_label_probe",
     "e28_dau_wau_stickiness",
+    # d87's LM training/scoring is all equi-join + map-side groupBys;
+    # e29 is the bounded calendar-grid shape with seven lag registers.
+    "d87_bigram_surprisal_filter",
+    "e29_ewma_baseline_anomaly",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
