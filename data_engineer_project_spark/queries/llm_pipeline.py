@@ -9809,3 +9809,128 @@ def e29_ewma_baseline_anomaly(t):
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------- d88: Heaps-law vocabulary growth
+
+# Cumulative-vocabulary checkpoints: the scan order is the
+# content-addressed 0..99 md5 bucket (the d45 epoch-shuffle order), so
+# the growth curve is a deterministic property of the corpus, not of
+# file layout, and re-shards identically on any engine.
+_D88_DECILE = "bucket div 10"
+_D88_DECILE_ORACLE = "bucket // 10"
+
+
+@query(
+    "d88_heaps_vocab_growth",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd
+      FROM documents
+    ),
+    b AS (SELECT doc_id, {_ORACLE_BUCKET} AS bucket FROM documents),
+    occ AS (
+      SELECT w.wd, b.bucket // 10 AS decile
+      FROM w JOIN b USING (doc_id)
+    ),
+    first_seen AS (
+      SELECT wd, MIN(decile) AS first_decile FROM occ GROUP BY wd
+    ),
+    new_types AS (
+      SELECT first_decile AS decile, COUNT(*) AS n_new
+      FROM first_seen GROUP BY 1
+    ),
+    tok AS (
+      SELECT decile, COUNT(*) AS n_tok FROM occ GROUP BY 1
+    ),
+    deciles AS (SELECT unnest(generate_series(0, 9)) AS decile),
+    curve AS (
+      SELECT d.decile,
+             COALESCE(t.n_tok, 0) AS n_tok,
+             COALESCE(n.n_new, 0) AS n_new
+      FROM deciles d
+      LEFT JOIN tok t ON t.decile = d.decile
+      LEFT JOIN new_types n ON n.decile = d.decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(n_tok) OVER win AS BIGINT) AS cum_tokens,
+           CAST(SUM(n_new) OVER win AS BIGINT) AS cum_types,
+           CAST(n_new AS BIGINT) AS new_types,
+           CAST((10000 * SUM(n_new) OVER win)
+                // GREATEST(SUM(n_tok) OVER win, 1) AS BIGINT)
+             AS types_per_10k_tokens
+    FROM curve
+    WINDOW win AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+    """,
+    tags=("llm", "corpus", "diagnostics"),
+)
+def d88_heaps_vocab_growth(t):
+    """HEAPS-LAW vocabulary growth curve — the corpus-health
+    diagnostic curation teams plot after every pipeline change: how
+    many DISTINCT word types have appeared after each tenth of the
+    corpus (in the deterministic content-addressed scan order d45
+    uses), next to the token mass seen so far. A healthy raw corpus
+    grows sublinearly (Heaps V ~ n^beta, beta ~ 0.5-0.7: the
+    types-per-10k-tokens column falls steadily); a curve that goes
+    FLAT early means the tail is template/boilerplate mass (dedup
+    missed it), and one that stays LINEAR means tokenizer junk or
+    encoding noise is minting unbounded new types (d35's failure
+    modes) — both visible in one bounded 10-row table.
+
+    The cumulative distinct is computed RELATIONALLY, with no
+    per-checkpoint rescans and no distinct-over-window state: each
+    type's FIRST-occurrence decile is one min-groupBy, new types per
+    decile is a bounded rollup, and the running sums fold a 10-row
+    table. The 'rate' column is integer basis-point style
+    (10000·types div tokens) — engine-exact.
+
+    Exactness: counts, mins, window sums, and the scaled integer
+    division are int64 end-to-end.
+
+    Scale shape: one corpus scan explodes words (the d49 spectrum
+    shape, map-side combined into (word, decile) partials); the
+    min-groupBy shuffles once on the word key; everything after is
+    10-row arithmetic. At 100 TB the word partials are exactly d49's
+    materializable spectrum table keyed by (word, decile)."""
+    w = t.documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("wd")
+    )
+    b = t.documents.select("doc_id").withColumn(
+        "decile", F.expr(f"({_SPARK_BUCKET}) div 10")
+    )
+    occ = w.join(b, "doc_id").select("wd", "decile")
+    first_seen = occ.groupBy("wd").agg(F.min("decile").alias("first_decile"))
+    new_types = first_seen.groupBy(
+        F.col("first_decile").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    tok = occ.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tok"))
+    deciles = t.documents.sparkSession.range(0, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    curve = (
+        deciles.join(tok, "decile", "left")
+        .join(new_types, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    win = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return curve.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.sum("n_tok").over(win).cast("long").alias("cum_tokens"),
+        F.sum("n_new").over(win).cast("long").alias("cum_types"),
+        F.col("n_new").cast("long").alias("new_types"),
+        F.expr(
+            "(10000 * sum(n_new) over (order by decile rows between "
+            "unbounded preceding and current row)) div "
+            "greatest(sum(n_tok) over (order by decile rows between "
+            "unbounded preceding and current row), 1)"
+        ).cast("long").alias("types_per_10k_tokens"),
+    ).orderBy("decile")

@@ -516,3 +516,67 @@ def test_e29_flags_planted_spike_exactly(spark, tmp_path):
     assert b.n_flagged == 0
     assert b.max_margin == 127 * 10 - 3 * 1270
     assert b.peak_day == (base + datetime.timedelta(days=7)).date()
+
+
+def test_d88_curve_matches_pure_python_and_flags_boilerplate(spark, tmp_path):
+    """The growth curve must equal a from-scratch Python recomputation
+    (hashlib deciles, set-based first occurrence), and a corpus whose
+    late deciles are pure repeats of early vocabulary must show ZERO
+    new types there — the boilerplate signature the diagnostic
+    exists to expose."""
+    import hashlib
+
+    def decile(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+                % 100) // 10
+
+    texts = {}
+    for i in range(400):
+        d = decile(i)
+        if d < 3:
+            # early deciles mint fresh vocabulary
+            texts[i] = " ".join(f"v{i}_{j}" for j in range(10))
+        else:
+            # the rest is boilerplate over a tiny shared vocabulary
+            texts[i] = " ".join(f"common{j % 5}" for j in range(10))
+    # ensure the shared vocabulary also occurs early so late deciles
+    # genuinely add nothing
+    first_early = next(i for i in texts if decile(i) == 0)
+    texts[first_early] = " ".join(f"common{j}" for j in range(5)) + " " + \
+        " ".join(f"v{first_early}_{j}" for j in range(5))
+
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[i] for i in texts],
+        "lang": ["en"] * len(texts),
+        "source": ["synth"] * len(texts),
+        "n_chars": [len(texts[i]) for i in texts],
+    }
+    sf = _write_tables(tmp_path, "d88", documents=docs)
+
+    # pure-Python reference
+    n_tok = [0] * 10
+    first = {}
+    for i, txt in texts.items():
+        d = decile(i)
+        for wd in txt.split(" "):
+            n_tok[d] += 1
+            first[wd] = min(first.get(wd, 9), d)
+    n_new = [0] * 10
+    for wd, d in first.items():
+        n_new[d] += 1
+    want = []
+    ct, cn = 0, 0
+    for d in range(10):
+        ct += n_tok[d]
+        cn += n_new[d]
+        want.append((d, ct, cn, n_new[d], (10000 * cn) // max(ct, 1)))
+
+    rows = QUERIES["d88_heaps_vocab_growth"].fn(spark, sf).collect()
+    got = [(r.decile, r.cum_tokens, r.cum_types, r.new_types,
+            r.types_per_10k_tokens) for r in rows]
+    assert got == want
+    # boilerplate signature: every decile past the fresh range adds 0
+    assert all(r.new_types == 0 for r in rows if r.decile >= 3)
+    # and the early range minted plenty
+    assert rows[2].cum_types > 100

@@ -180,6 +180,8 @@ EXTRA_QUERIES = [
     # e29 is the bounded calendar-grid shape with seven lag registers.
     "d87_bigram_surprisal_filter",
     "e29_ewma_baseline_anomaly",
+    # d88 is the d49 word-spectrum shape plus a 10-row window fold.
+    "d88_heaps_vocab_growth",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

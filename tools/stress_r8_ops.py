@@ -18,11 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scale_stress import synth  # noqa: E402
 
 
-def measure(spark, sf_dir: str, label: str, runs: int = 2) -> None:
+def measure(
+    spark, sf_dir: str, label: str, runs: int = 2, only: set | None = None
+) -> None:
     from data_engineer_project_spark.operators.cache import release_all
     from data_engineer_project_spark.queries import QUERIES
 
     def run_query(name, extract=None):
+        if only and name not in only:
+            return
         best, extra = None, {}
         for _ in range(runs):
             t0 = time.time()
@@ -80,22 +84,53 @@ def measure(spark, sf_dir: str, label: str, runs: int = 2) -> None:
             "recall_np2": round(rows[1].recall_at_10, 3),
         },
     )
+    run_query(
+        "d87_bigram_surprisal_filter",
+        lambda rows: {
+            "n_bands": len(rows),
+            "scored_docs": sum(r.n_docs for r in rows),
+            "kept_docs": sum(r.n_docs for r in rows if r.tier == "keep"),
+            "unseen_pairs": sum(r.unseen_pairs for r in rows),
+        },
+    )
+    run_query(
+        "e29_ewma_baseline_anomaly",
+        lambda rows: {
+            "n_types": len(rows),
+            "scored_days": rows[0].n_scored,
+            "flagged": sum(r.n_flagged for r in rows),
+        },
+    )
+    run_query(
+        "d88_heaps_vocab_growth",
+        lambda rows: {
+            "cum_types": rows[-1].cum_types,
+            "cum_tokens": rows[-1].cum_tokens,
+            "final_rate": rows[-1].types_per_10k_tokens,
+        },
+    )
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    factor = int(argv[0]) if argv else 10
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
 
     from data_engineer_project_spark.session import get_spark
 
     spark = get_spark("stress-r8-ops")
     spark.sparkContext.setLogLevel("ERROR")
 
-    measure(spark, sf_dir, "1x")
+    measure(spark, sf_dir, "1x", only=only)
     tmp = tempfile.mkdtemp(prefix="stress_r8ops_")
     try:
         synth(sf_dir, tmp, factor)
-        measure(spark, tmp, f"{factor}x")
+        measure(spark, tmp, f"{factor}x", only=only)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
