@@ -5584,12 +5584,18 @@ def d63_split_drift_ks(t):
 # ------------------------------------------- near-dup doc clusters
 
 def _minhash_graph_ctes(
-    num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    source: str = "documents",
+    prelude: str = "",
 ) -> str:
     """The shared verified-near-dup-graph CTE prefix (shingles ->
     MinHash signatures -> banded candidates -> exact-Jaccard verified
     pairs -> undirected edges -> recursive-walk component labels) —
-    one definition behind the d65 and d74 oracles."""
+    one definition behind the d65, d74, and d89 oracles. ``source``
+    names the (doc_id, text) relation the graph builds over;
+    ``prelude`` injects CTEs ahead of it (d89's exact-dup collapse)."""
     r = num_hashes // bands
     sig_cols = ", ".join(
         f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(num_hashes)
@@ -5602,10 +5608,10 @@ def _minhash_graph_ctes(
         for b in range(bands)
     )
     return f"""
-    WITH RECURSIVE w AS (
+    WITH RECURSIVE {prelude}w AS (
       SELECT doc_id, unnest(string_split(text,' ')) AS wd,
              generate_subscripts(string_split(text,' '),1) AS i
-      FROM documents
+      FROM {source}
     ),
     sh AS (
       SELECT doc_id,
@@ -7095,20 +7101,25 @@ _PR_SCALE = 1_000_000  # initial integer rank per node
 _PR_BASE = 150_000  # (1 - 0.85) * scale, exact integers
 
 
-def _pr_iter_sql(k: int) -> str:
+def _pr_iter_sql(k: int, weighted: bool = False) -> str:
     """One unrolled integer-PageRank round as oracle CTEs: every node
     splits its rank across its out-edges with floor division, and the
     damped update 150000 + (85 * inflow) // 100 stays in exact BIGINT
     arithmetic (all values nonnegative, so DuckDB's flooring // and
-    Spark's truncating div agree)."""
+    Spark's truncating // div agree). ``weighted`` scales the teleport
+    term by the node's duplicate multiplicity (d89: the random surfer
+    restarts proportionally to how many exact copies a representative
+    stands for)."""
+    base = f"MAX(nw.wt) * {_PR_BASE}" if weighted else f"{_PR_BASE}"
+    wt_join = "\n             JOIN nw ON nw.node = e.e_dst" if weighted else ""
     return f"""
     r{k} AS (SELECT e.e_dst AS node,
-                    CAST({_PR_BASE}
+                    CAST({base}
                          + (85 * SUM(r{k - 1}.r // d.deg)) // 100
                          AS BIGINT) AS r
              FROM edges e
              JOIN r{k - 1} ON r{k - 1}.node = e.e_src
-             JOIN deg d ON d.e_src = e.e_src
+             JOIN deg d ON d.e_src = e.e_src{wt_join}
              GROUP BY e.e_dst)"""
 
 
@@ -9934,3 +9945,131 @@ def d88_heaps_vocab_growth(t):
             "unbounded preceding and current row), 1)"
         ).cast("long").alias("types_per_10k_tokens"),
     ).orderBy("decile")
+
+
+# -------------------- d89: weighted PageRank over collapsed dup nodes
+
+_D89_PRELUDE = """reps AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS text,
+             CAST(COUNT(*) AS BIGINT) AS wt
+      FROM documents GROUP BY md5(text)
+    ),
+    """
+
+
+@query(
+    "d89_weighted_pagerank_canonical",
+    f"""{_minhash_graph_ctes(source="reps", prelude=_D89_PRELUDE)},
+    deg AS (SELECT e_src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY e_src),
+    nw AS (SELECT doc_id AS node, wt FROM reps),
+    r0 AS (SELECT nd.node, CAST(n.wt * {_PR_SCALE} AS BIGINT) AS r
+           FROM nodes nd JOIN nw n ON n.node = nd.node),
+    {",".join(_pr_iter_sql(k, weighted=True)
+              for k in range(1, _PR_ROUNDS + 1))}
+    SELECT CAST(lab.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           CAST(SUM(nw.wt) AS BIGINT) AS total_docs,
+           CAST(MIN(lab.node) AS BIGINT) AS canonical_minid,
+           CAST((MAX({{'r': rk.r, 'i': -lab.node}})).i * -1 AS BIGINT)
+             AS canonical_pagerank,
+           CAST(MAX(rk.r) AS BIGINT) AS top_rank,
+           CAST(MIN(lab.node)
+                = (MAX({{'r': rk.r, 'i': -lab.node}})).i * -1
+                AS BOOLEAN) AS same_pick
+    FROM lab
+    JOIN r{_PR_ROUNDS} rk ON rk.node = lab.node
+    JOIN nw ON nw.node = lab.node
+    GROUP BY lab.component ORDER BY component
+    """,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def d89_weighted_pagerank_canonical(t):
+    """d74's PRODUCTION-SCALE form — the weighted-node variant
+    SCALING.md documents as the path past heavy exact duplication:
+    collapse exact copies to ONE representative per md5 fingerprint
+    (d05's tier, weight = multiplicity) BEFORE near-dup pairing, then
+    run the same 3-round integer PageRank with the teleport term
+    scaled by each node's weight (r0 = wt * scale; update =
+    wt * 150000 + 85% of inflow). A k-replica clique that costs d74
+    k(k-1)/2 edges is ONE node here, so the edge set — and every rank
+    shuffle — is sized by DISTINCT content, not duplicate
+    multiplicity, while the weights keep the rank mass faithful to
+    the uncollapsed graph's teleport distribution.
+
+    Per near-dup component of representatives: how many distinct
+    texts it holds, the TOTAL doc count it stands for (the d74
+    cluster size on the uncollapsed corpus), the min-id pick, and the
+    weighted-PageRank pick. The duplication-invariance this buys is
+    pinned by test: replicating the corpus k-fold leaves every
+    representative, edge, rank, and canonical pick bit-identical
+    except the weights (x k).
+
+    Exactness: the collapse, weights, rank recursion, and picks are
+    int64/boolean end-to-end; the oracle re-derives the collapse, the
+    graph, and all three weighted rounds in CTEs.
+
+    Scale shape: the fingerprint collapse is one map-side-combined
+    groupBy on md5(text); pair generation inherits d07's
+    corpus-linear banded form over representatives only; each rank
+    round shuffles the collapsed edge set once. This is the d56
+    tier ordering (exact -> near-dup) applied to d74's contract."""
+    reps = tracked_persist(
+        t.documents.groupBy(F.md5("text").alias("f"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).alias("wt"),
+        )
+        .select("doc_id", "text", "wt")
+    )
+    pairs = tracked_persist(
+        DD.minhash_lsh_pairs(
+            reps, num_hashes=8, bands=4, jaccard_threshold=0.5
+        ).select("doc_a", "doc_b")
+    )
+    edges = tracked_persist(
+        pairs.selectExpr("doc_a AS e_src", "doc_b AS e_dst").union(
+            pairs.selectExpr("doc_b AS e_src", "doc_a AS e_dst")
+        )
+    )
+    deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
+    nw = reps.select(F.col("doc_id").alias("node"), "wt")
+    ranks = (
+        edges.select(F.col("e_src").alias("node"))
+        .distinct()
+        .join(nw, "node")
+        .select(
+            "node", (F.col("wt") * _PR_SCALE).cast("long").alias("r")
+        )
+    )
+    for _ in range(_PR_ROUNDS):
+        inflow = (
+            edges.join(ranks, ranks.node == edges.e_src)
+            .join(deg, "e_src")
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+        )
+        ranks = inflow.join(nw, "node").select(
+            "node",
+            (
+                F.col("wt") * _PR_BASE
+                + F.expr("(85 * inflow) div 100")
+            ).cast("long").alias("r"),
+        )
+    comps = GR.connected_components(pairs)
+    pick = F.max(F.struct(F.col("r"), (-F.col("node")).alias("i")))
+    return (
+        comps.join(ranks, "node")
+        .join(nw, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.sum("wt").cast("long").alias("total_docs"),
+            F.min("node").alias("canonical_minid"),
+            (pick["i"] * -1).cast("long").alias("canonical_pagerank"),
+            F.max("r").cast("long").alias("top_rank"),
+            (F.min("node") == pick["i"] * -1).alias("same_pick"),
+        )
+        .orderBy("component")
+    )

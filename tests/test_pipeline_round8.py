@@ -580,3 +580,40 @@ def test_d88_curve_matches_pure_python_and_flags_boilerplate(spark, tmp_path):
     assert all(r.new_types == 0 for r in rows if r.decile >= 3)
     # and the early range minted plenty
     assert rows[2].cum_types > 100
+
+
+def test_d89_is_duplication_invariant_and_weights_faithful(spark, tmp_path):
+    """Replicating every document 3x (fresh high doc_ids, identical
+    text) must leave d89's components, representative counts, and both
+    canonical picks IDENTICAL — only total_docs scales (x3). This is
+    the property that lets the weighted form run decades past d74's
+    edge-quadratic contract."""
+    import pyarrow.parquet as pq
+
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    d = base.to_pydict()
+    n = len(d["doc_id"])
+    rep = {k: list(v) for k, v in d.items()}
+    for copy in (1, 2):
+        for i in range(n):
+            rep["doc_id"].append(10_000_000 * copy + d["doc_id"][i])
+            rep["text"].append(d["text"][i])
+            rep["lang"].append(d["lang"][i])
+            rep["source"].append(d["source"][i])
+            rep["n_chars"].append(d["n_chars"][i])
+    sf3 = _write_tables(tmp_path, "d89_3x", documents=rep)
+
+    one = QUERIES["d89_weighted_pagerank_canonical"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    three = QUERIES["d89_weighted_pagerank_canonical"].fn(
+        spark, sf3).collect()
+
+    key = lambda r: (r.component, r.n_reps, r.canonical_minid,
+                     r.canonical_pagerank, r.same_pick)
+    assert sorted(key(r) for r in one) == sorted(key(r) for r in three)
+    tot1 = {r.component: r.total_docs for r in one}
+    tot3 = {r.component: r.total_docs for r in three}
+    assert tot3 == {c: 3 * v for c, v in tot1.items()}
+    # and the graph genuinely has multi-doc clusters to make the test
+    # non-vacuous
+    assert any(r.total_docs > r.n_reps for r in three)

@@ -182,6 +182,10 @@ EXTRA_QUERIES = [
     "e29_ewma_baseline_anomaly",
     # d88 is the d49 word-spectrum shape plus a 10-row window fold.
     "d88_heaps_vocab_growth",
+    # d89 = d74's shape over exact-dup-collapsed weighted nodes; like
+    # d74 its CC loop executes at construction, so it lives in
+    # LOOP_EXECUTES_AT_BUILD and its wall cost is priced in
+    # SCALING.md's 100x row instead.
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -482,6 +486,7 @@ def main() -> None:
         "d74_pagerank_canonical_doc",
         "d75_bpe_encode_compression",
         "d77_ivfpq_rerank_topk",
+        "d89_weighted_pagerank_canonical",
     }
     for name in dict.fromkeys(BENCH_QUERIES + EXTRA_QUERIES):
         if name.startswith("s") or name in LOOP_EXECUTES_AT_BUILD:

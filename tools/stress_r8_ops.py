@@ -102,6 +102,17 @@ def measure(
         },
     )
     run_query(
+        "d89_weighted_pagerank_canonical",
+        lambda rows: {
+            "n_components": len(rows),
+            "n_reps": sum(r.n_reps for r in rows),
+            "total_docs": sum(r.total_docs for r in rows),
+            "agree_pct": round(
+                100.0 * sum(r.same_pick for r in rows) / max(len(rows), 1), 1
+            ),
+        },
+    )
+    run_query(
         "d88_heaps_vocab_growth",
         lambda rows: {
             "cum_types": rows[-1].cum_types,
