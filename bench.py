@@ -214,7 +214,12 @@ def main() -> None:
     # more than LOAD_DELTA (25% of cores), its min may still be
     # contention-inflated — grant ONE extra run, from a bounded global
     # budget so a persistently-loaded box can't stretch the bench
-    # unboundedly.
+    # unboundedly. The rise must start from ALREADY-ELEVATED load:
+    # on an idle box the bench's own cold ramp (loadavg climbing from
+    # ~0 toward the executor count over the first minutes) would
+    # otherwise burn the budget on the earliest slots while genuinely
+    # contended slots later get nothing — external contention shows up
+    # as elevated load BEFORE the slot, not just after.
     load_delta_bar = 0.25 * n_cpus
     retry_budget = 8
     retried: list[str] = []
@@ -224,7 +229,8 @@ def main() -> None:
         slot_load0 = os.getloadavg()[0]
         per_run = [run_once(name) for _ in range(runs)]
         if (
-            os.getloadavg()[0] - slot_load0 > load_delta_bar
+            slot_load0 > 0.25 * n_cpus
+            and os.getloadavg()[0] - slot_load0 > load_delta_bar
             and retry_budget > 0
         ):
             retry_budget -= 1

@@ -24,6 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -166,6 +167,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 34:
+        raise ValueError("BMP payload truncated inside the header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     dib_size = struct.unpack_from("<I", payload, 14)[0]
     if dib_size < 40:
@@ -180,7 +183,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         )
     top_down = height < 0
     height = abs(height)
+    # header fields are UNTRUSTED: a corrupt width/height must become a
+    # ValueError (-> quarantine verdict), never a whole-buffer
+    # frombuffer read (numpy count<0) or an unbounded row loop
+    if width <= 0:
+        raise ValueError(f"BMP header declares non-positive width {width}")
     stride = (width + 3) & ~3
+    if data_offset + stride * height > len(payload):
+        raise ValueError(
+            "BMP pixel data extends past the payload "
+            f"(offset {data_offset} + {stride}x{height} > {len(payload)})"
+        )
     rows = [
         np.frombuffer(payload, dtype=np.uint8, count=width,
                       offset=data_offset + r * stride)
@@ -701,7 +714,10 @@ def container_integrity(media: DataFrame) -> DataFrame:
                         status = (
                             "ok" if n_px == int(w) * int(h) else "dim_mismatch"
                         )
-                    except (ValueError, NotImplementedError):
+                    except (ValueError, NotImplementedError, struct.error):
+                        # struct.error: header unpacks on payloads cut
+                        # inside the fixed header region (it is NOT a
+                        # ValueError subclass)
                         status, n_px = "corrupt", 0
                 out["doc_id"].append(did)
                 out["media_format"].append(f)

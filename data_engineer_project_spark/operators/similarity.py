@@ -258,11 +258,14 @@ def ivf_assign_n(
     n_nearest: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Attach each vector's ``n_nearest`` centroids by cosine (ties →
     lowest centroid id); one output row per (vector, probed cell).
     Centroids broadcast; corpus never shuffles until the final
-    per-vector rank window on its own id."""
+    per-vector rank window on its own id. ``keep_rank`` adds the
+    1-based ``probe_rank`` column so an nprobe SWEEP (d82) can derive
+    every narrower probe from one widest assignment."""
     # Hoist the norms out of the pair loop: cosine(a, b) recomputes
     # sqrt(dot(a,a)) and sqrt(dot(b,b)) per PAIR, i.e. 3 array folds ×
     # n_centroids per vector. Computing |q| once per vector (before the
@@ -285,11 +288,14 @@ def ivf_assign_n(
         ).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_nearest)
-        .select(id_col, vec_col, "cid")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= n_nearest
     )
+    if keep_rank:
+        return ranked.select(
+            id_col, vec_col, "cid", F.col("rn").alias("probe_rank")
+        )
+    return ranked.select(id_col, vec_col, "cid")
 
 
 def ivf_assign(
@@ -447,14 +453,33 @@ def write_store_atomic(df: DataFrame, store) -> None:
     df.write.mode("overwrite").parquet(tmp)
     try:
         os.rename(tmp, store)
+        return
     except OSError:
-        # Lost the race (or a stale store dir exists): if a complete
-        # artifact is in place, keep it; otherwise replace it.
-        if os.path.exists(os.path.join(store, "_SUCCESS")):
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            shutil.rmtree(store, ignore_errors=True)
-            os.rename(tmp, store)
+        pass
+    # Lost the race (or a stale store dir exists): if a complete
+    # artifact is in place, keep it.
+    if os.path.exists(os.path.join(store, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    # Stale half-written store. Sweep it aside with an ATOMIC rename —
+    # among concurrent repairers exactly one wins this rename, so no
+    # repairer can rmtree another's just-installed good store (the
+    # failure mode of rmtree(store)-then-rename).
+    trash = f"{store}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(store, trash)
+    except OSError:
+        pass  # another repairer already swept it
+    else:
+        shutil.rmtree(trash, ignore_errors=True)
+    try:
+        os.rename(tmp, store)
+    except OSError:
+        # a concurrent repairer installed first; defer to a complete
+        # artifact, otherwise surface the inconsistency loudly
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(store, "_SUCCESS")):
+            raise
 
 
 def prune_store(root, keep: int = 8) -> None:
@@ -462,19 +487,30 @@ def prune_store(root, keep: int = 8) -> None:
     (corpus, config) fingerprint is one subdirectory; long-lived
     sessions (bench loops over many synthetic corpora) would otherwise
     accrete unboundedly. Oldest-mtime entries beyond ``keep`` are
-    removed. Safe with write_store_atomic: a concurrent writer's temp
-    dir is younger than everything it could evict."""
+    removed — but never entries younger than ``min_age_s``: a reader
+    that just _SUCCESS-checked a store reads it lazily at a later
+    action, so recently-touched artifacts are presumed in flight
+    (concurrent writers' temp dirs are likewise younger than anything
+    they could evict). Ancient stores being read concurrently with a
+    9th new corpus's training remain a documented single-session
+    assumption — the production form is a catalog-managed table with
+    retention, not a directory sweep."""
     import pathlib
     import shutil
+    import time
 
+    min_age_s = 3600.0
     root = pathlib.Path(root)
     if not root.is_dir():
         return
+    now = time.time()
     entries = sorted(
         (p for p in root.iterdir() if p.is_dir()),
         key=lambda p: p.stat().st_mtime,
     )
     for p in entries[: max(0, len(entries) - keep)]:
+        if now - p.stat().st_mtime < min_age_s:
+            continue
         shutil.rmtree(p, ignore_errors=True)
 
 

@@ -2038,8 +2038,11 @@ def hq36_denial_adjustment_analysis(t):
         FROM (
           SELECT PlanID, BenefitID, Yyyymm, Copay, CoinsurancePct,
                  LimitAmount,
-                 ROW_NUMBER() OVER (PARTITION BY PlanID, BenefitID
-                                    ORDER BY Yyyymm DESC) AS rn
+                 ROW_NUMBER() OVER (
+                   PARTITION BY PlanID, BenefitID
+                   ORDER BY Yyyymm DESC, Copay DESC NULLS LAST,
+                            CoinsurancePct DESC NULLS LAST,
+                            LimitAmount DESC NULLS LAST) AS rn
           FROM s5_ref_ref_plan_benefit
         ) l
         JOIN s1_elig_insurance_plan p ON p.PlanID = l.PlanID
@@ -2068,7 +2071,16 @@ def hq37_plan_benefit_cost_sharing(t):
     composite key and the joins broadcast. Exactness: MONEY/DEC5
     columns cast straight to double — single values, no folds."""
     s = hc(t)
-    w = Window.partitionBy("PlanID", "BenefitID").orderBy(F.desc("Yyyymm"))
+    # full tie-break: a (plan, benefit) with two rows for the same
+    # month must pick deterministically on BOTH engines (NULLS LAST
+    # pins the divergent engine defaults); exact duplicates are then
+    # interchangeable by construction
+    w = Window.partitionBy("PlanID", "BenefitID").orderBy(
+        F.desc("Yyyymm"),
+        F.desc_nulls_last("Copay"),
+        F.desc_nulls_last("CoinsurancePct"),
+        F.desc_nulls_last("LimitAmount"),
+    )
     latest = (
         s["s5_ref_ref_plan_benefit"]
         .withColumn("rn", F.row_number().over(w))
@@ -2568,7 +2580,13 @@ def hq42_provider_org_affiliation(t):
         )
         .groupBy(F.col("OrgName").alias("org_name"))
         .agg(
-            F.countDistinct("ProviderID", "StartDate").alias("n_affiliations"),
+            # STRUCT form, not countDistinct(a, b): Spark's multi-arg
+            # count-distinct drops rows where ANY argument is NULL,
+            # while DuckDB's COUNT(DISTINCT (a, b)) counts the tuple —
+            # a NULL StartDate affiliation must count on both engines
+            F.countDistinct(
+                F.struct("ProviderID", "StartDate")
+            ).alias("n_affiliations"),
             F.countDistinct(
                 F.when(
                     F.col("EndDate").isNull(),

@@ -4713,22 +4713,33 @@ def d58_ivfpq_adc_topk(t):
     )
 
 
-def _ivfpq_adc(t, nprobe: int = 1):
+def _ivfpq_adc(t, nprobe: int = 1, with_probe_rank: bool = False):
     """The shared IVF-PQ ADC scoring frame (query_id, neighbor_id,
     iscore): coarse cell probe -> PQ-code candidates -> integer LUT
     sums. d58 ranks it directly; d77 re-ranks its shortlist with
     exact cosine; d82 sweeps ``nprobe`` (the query probes its nearest
     n cells; the corpus stays in one cell, so each (query, neighbor)
-    candidate still arises at most once)."""
+    candidate still arises at most once). ``with_probe_rank`` carries
+    the probed cell's 1-based rank onto every candidate, so a sweep
+    derives each narrower probe by FILTER instead of recomputing the
+    nprobe-independent corpus side (assignment, codes, LUT) per arm —
+    a candidate's cell is unique, so its probe_rank is single-valued
+    and filtering probe_rank <= n is bit-identical to nprobe=n."""
     from data_engineer_project_spark.operators.similarity import cosine
 
     emb = t.embeddings
     # coarse quantizer (d14 machinery)
     coarse = SIM.materialized_centroids(emb)
     asg = SIM.ivf_assign(emb, coarse).select("vec_id", "cid")
-    qasg = (
-        SIM.ivf_assign_n(emb.filter(F.col("vec_id") < 10), coarse, nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cid")
+    qasg = SIM.ivf_assign_n(
+        emb.filter(F.col("vec_id") < 10),
+        coarse,
+        nprobe,
+        keep_rank=with_probe_rank,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cid",
+        *(["probe_rank"] if with_probe_rank else []),
     )
     # PQ codebook + corpus codes (d57 machinery)
     cbook, codes, subs = _pq_train(emb)
@@ -4745,7 +4756,11 @@ def _ivfpq_adc(t, nprobe: int = 1):
     )
     cand = qasg.join(asg, "cid").filter(
         F.col("vec_id") != F.col("query_id")
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        *(["probe_rank"] if with_probe_rank else []),
+    )
     adc = (
         cand.join(
             codes.select(F.col("vec_id").alias("neighbor_id"), "m",
@@ -4754,7 +4769,14 @@ def _ivfpq_adc(t, nprobe: int = 1):
         )
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("ics").alias("iscore"))
+        .agg(
+            F.sum("ics").alias("iscore"),
+            *(
+                [F.min("probe_rank").alias("probe_rank")]
+                if with_probe_rank
+                else []
+            ),
+        )
     )
     return adc
 
@@ -8815,14 +8837,20 @@ def d82_ivfpq_recall(t):
     bf = SIM.brute_force_topk(queries, emb, k=_D82_K).select(
         "query_id", "neighbor_id"
     )
+    # ONE widest-probe ADC frame; each arm is a probe_rank filter of
+    # it (bit-identical to per-arm recomputation — a candidate's cell
+    # is unique, so rank <= np IS the nprobe=np candidate set), so the
+    # nprobe-independent corpus side (assignment, codes, LUT) runs
+    # once, not per arm.
+    adc = tracked_persist(_ivfpq_adc(t, nprobe=2, with_probe_rank=True))
     arms = []
     for np_ in (1, 2):
-        adc = _ivfpq_adc(t, nprobe=np_)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("iscore"), F.asc("neighbor_id")
         )
         arms.append(
-            adc.withColumn("rn", F.row_number().over(w))
+            adc.filter(F.col("probe_rank") <= np_)
+            .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _D82_K)
             .select(
                 F.lit(np_).cast("long").alias("nprobe"),

@@ -617,3 +617,39 @@ def test_d89_is_duplication_invariant_and_weights_faithful(spark, tmp_path):
     # and the graph genuinely has multi-doc clusters to make the test
     # non-vacuous
     assert any(r.total_docs > r.n_reps for r in three)
+
+
+def test_container_integrity_quarantines_header_corruption():
+    """Header-level corruption must become a 'corrupt' VERDICT, never a
+    crashed Arrow stage or a silent mis-decode: a 'BM' blob cut inside
+    the fixed header (struct.error territory), a BMP whose width field
+    went negative, and one whose height field claims more pixel data
+    than the payload holds."""
+    import struct as _struct
+
+    import pytest
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp8,
+    )
+
+    # sliced inside the header: the parser must raise a catchable
+    # classifiable error (ValueError), not escape as struct.error
+    with pytest.raises((ValueError, _struct.error)):
+        decode_bmp(b"BM" + b"\x00" * 10)
+
+    good = encode_bmp8(bytes(range(16)) * 4, width=8)
+    assert decode_bmp(good).size == 64
+
+    # corrupt the width field (offset 18) to a negative value
+    neg_w = bytearray(good)
+    neg_w[18:22] = _struct.pack("<i", -8)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(neg_w))
+
+    # corrupt the height field (offset 22) to claim data past the end
+    big_h = bytearray(good)
+    big_h[22:26] = _struct.pack("<i", 1 << 20)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(big_h))
