@@ -2739,3 +2739,144 @@ def hq44_assessment_program_summary(t):
         )
         .orderBy("program_name", "assessment_type")
     )
+
+
+@query(
+    "hq45_small_cell_suppression",
+    _oracle(
+        """
+        , cells AS (
+          SELECT COALESCE(gz.CountyName, 'UNMAPPED') AS county,
+                 g.MeasureID AS measure_id,
+                 CAST(COUNT(DISTINCT g.MemberID) AS BIGINT) AS n
+          FROM s3_cca_care_gap g
+          JOIN s1_elig_member_address a ON a.MemberID = g.MemberID
+          LEFT JOIN s5_ref_ref_geo_zipfips gz ON gz.Zip = a.ZipCode
+          WHERE g.Status = 'OPEN'
+          GROUP BY 1, 2
+        ),
+        prim AS (SELECT county, measure_id, n, n < 11 AS is_primary
+                 FROM cells),
+        cnt AS (SELECT county,
+                       SUM(CASE WHEN is_primary THEN 1 ELSE 0 END) AS n_prim
+                FROM prim GROUP BY county),
+        comp AS (
+          SELECT p.county, p.measure_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.county
+                                    ORDER BY p.n, p.measure_id) AS rn_small
+          FROM prim p JOIN cnt c ON c.county = p.county
+          WHERE NOT p.is_primary AND c.n_prim = 1
+        )
+        SELECT p.county, p.measure_id,
+               CASE WHEN p.is_primary OR co.rn_small = 1 THEN NULL
+                    ELSE p.n END AS released_n,
+               CAST(p.is_primary OR COALESCE(co.rn_small, 0) = 1
+                    AS BOOLEAN) AS suppressed,
+               CASE WHEN p.is_primary THEN 'primary'
+                    WHEN co.rn_small = 1 THEN 'complementary'
+                    END AS suppression
+        FROM prim p
+        LEFT JOIN comp co
+          ON co.county = p.county AND co.measure_id = p.measure_id
+        ORDER BY 1, 2
+        """,
+        [
+            "s3_cca_care_gap", "s1_elig_member_address",
+            "s5_ref_ref_geo_zipfips",
+        ],
+    ),
+    tags=("healthcare", "governance", "window"),
+)
+def hq45_small_cell_suppression(t):
+    """CMS SMALL-CELL SUPPRESSION — the data-release gate every
+    healthcare reporting pipeline must pass before publishing
+    geographic quality tables: open-care-gap member counts per
+    (county, measure) with cells under 11 members SUPPRESSED (the CMS
+    cell-size rule for beneficiary-level derivatives), plus ONE round
+    of complementary suppression — a county publishing its row total
+    with exactly one primary-suppressed cell would let readers
+    subtract it back, so the smallest unsuppressed cell in that county
+    (ties -> lowest measure id) is suppressed too. Released rows keep
+    their counts; suppressed rows carry NULL and a reason tag, so the
+    downstream publisher never sees a small count at all.
+
+    Exactness: member counts are exact distincts; the rule is pure
+    integer/boolean CASE logic with a deterministic rank; NULLs mark
+    suppression identically on both engines.
+
+    Scale shape: one distinct-member rollup to (county, measure) —
+    bounded geography x measure cells; the suppression logic runs
+    entirely over that bounded cell table (a per-county window and a
+    broadcast-sized join back)."""
+    s = hc(t)
+    cells = (
+        s["s3_cca_care_gap"]
+        .filter(F.col("Status") == "OPEN")
+        .select("MemberID", "MeasureID")
+        .join(
+            s["s1_elig_member_address"].select("MemberID", "ZipCode"),
+            "MemberID",
+        )
+        .join(
+            F.broadcast(
+                s["s5_ref_ref_geo_zipfips"].select(
+                    F.col("Zip").alias("ZipCode"), "CountyName"
+                )
+            ),
+            "ZipCode",
+            "left",
+        )
+        .groupBy(
+            F.coalesce(F.col("CountyName"), F.lit("UNMAPPED")).alias(
+                "county"
+            ),
+            F.col("MeasureID").alias("measure_id"),
+        )
+        .agg(F.countDistinct("MemberID").alias("n"))
+    )
+    return small_cell_suppression(cells).orderBy("county", "measure_id")
+
+
+def small_cell_suppression(cells, k: int = 11):
+    """The suppression rule on a (county, measure_id, n) cell table:
+    primary-suppress n < k; where a county has EXACTLY ONE primary
+    cell, complementary-suppress its smallest unsuppressed cell
+    (ties -> lowest measure id). Extracted so the planted-fixture test
+    can drive every branch (the seeded fixture's cells are all
+    primary)."""
+    prim = cells.withColumn("is_primary", F.col("n") < k)
+    w_cnt = Window.partitionBy("county")
+    marked = (
+        prim.withColumn(
+            "n_prim",
+            F.sum(F.col("is_primary").cast("long")).over(w_cnt),
+        )
+        .withColumn(
+            "rn_small",
+            F.when(
+                ~F.col("is_primary"),
+                F.row_number().over(
+                    Window.partitionBy("county")
+                    .orderBy(
+                        F.when(F.col("is_primary"), F.lit(None))
+                        .otherwise(F.col("n"))
+                        .asc_nulls_last(),
+                        F.when(F.col("is_primary"), F.lit(None))
+                        .otherwise(F.col("measure_id"))
+                        .asc_nulls_last(),
+                    )
+                ),
+            ),
+        )
+    )
+    is_comp = (F.col("n_prim") == 1) & (F.col("rn_small") == 1)
+    suppressed = F.col("is_primary") | is_comp
+    return marked.select(
+        "county",
+        "measure_id",
+        F.when(~suppressed, F.col("n")).cast("long").alias("released_n"),
+        suppressed.alias("suppressed"),
+        F.when(F.col("is_primary"), F.lit("primary"))
+        .when(is_comp, F.lit("complementary"))
+        .alias("suppression"),
+    )

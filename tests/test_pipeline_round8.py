@@ -653,3 +653,48 @@ def test_container_integrity_quarantines_header_corruption():
     big_h[22:26] = _struct.pack("<i", 1 << 20)
     with pytest.raises(ValueError):
         decode_bmp(bytes(big_h))
+
+
+def test_hq45_suppression_rule_on_planted_cells(spark):
+    """Every branch of the CMS small-cell rule on a planted cell
+    table: released cells keep their counts; sub-k cells suppress as
+    'primary'; a county with EXACTLY ONE primary cell also suppresses
+    its smallest released cell ('complementary', ties -> lowest
+    measure id); counties with zero or two+ primary cells get no
+    complementary round; a county that is ALL primary has nothing
+    left to complement."""
+    from data_engineer_project_spark.queries.healthcare import (
+        small_cell_suppression,
+    )
+
+    cells = spark.createDataFrame(
+        [
+            # county A: one primary (n=3) -> smallest released (QM1,
+            # tied with QM2 at 15 -> lowest measure id) complements
+            ("A", "QM1", 15), ("A", "QM2", 15), ("A", "QM3", 40),
+            ("A", "QM4", 3),
+            # county B: two primaries -> NO complementary round
+            ("B", "QM1", 2), ("B", "QM2", 5), ("B", "QM3", 30),
+            # county C: no primaries -> everything released
+            ("C", "QM1", 11), ("C", "QM2", 12),
+            # county D: all primary -> nothing to complement
+            ("D", "QM1", 1),
+        ],
+        "county string, measure_id string, n long",
+    )
+    got = {
+        (r.county, r.measure_id): (r.released_n, r.suppressed, r.suppression)
+        for r in small_cell_suppression(cells).collect()
+    }
+    assert got == {
+        ("A", "QM1"): (None, True, "complementary"),
+        ("A", "QM2"): (15, False, None),
+        ("A", "QM3"): (40, False, None),
+        ("A", "QM4"): (None, True, "primary"),
+        ("B", "QM1"): (None, True, "primary"),
+        ("B", "QM2"): (None, True, "primary"),
+        ("B", "QM3"): (30, False, None),
+        ("C", "QM1"): (11, False, None),
+        ("C", "QM2"): (12, False, None),
+        ("D", "QM1"): (None, True, "primary"),
+    }

@@ -182,6 +182,9 @@ EXTRA_QUERIES = [
     "e29_ewma_baseline_anomaly",
     # d88 is the d49 word-spectrum shape plus a 10-row window fold.
     "d88_heaps_vocab_growth",
+    # hq45 is one distinct rollup + per-county windows over a
+    # bounded cell table (geo dim broadcasts, like hq38).
+    "hq45_small_cell_suppression",
     # d89 = d74's shape over exact-dup-collapsed weighted nodes; like
     # d74 its CC loop executes at construction, so it lives in
     # LOOP_EXECUTES_AT_BUILD and its wall cost is priced in
