@@ -139,6 +139,11 @@ BENCH_QUERIES = [
     # fixed x7 fan-out + DISTINCT + calendar-spine join; times the
     # bounded-explode rolling-distinct shape no window slot covers.
     "e28_dau_wau_stickiness",
+    # r8 addition #3: the hashed NB quality classifier — train fold
+    # (token scan -> 256-row model) + broadcast-model scoring join +
+    # confusion rollup; times the train-then-apply classifier shape
+    # (two corpus token scans, bounded model) no other slot covers.
+    "d90_hashed_nb_classifier",
 ]
 
 

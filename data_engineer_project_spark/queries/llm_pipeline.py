@@ -10101,3 +10101,500 @@ def d89_weighted_pagerank_canonical(t):
         )
         .orderBy("component")
     )
+
+
+# ---------------------------- d90: hashed Naive-Bayes quality gate
+
+# Hashed feature space: first two md5 hex digits of each token -> 256
+# buckets. Add-one smoothing is over the BUCKET universe, so the
+# smoothing constant is the fixed table width, not the corpus vocab.
+_D90_BUCKETS = 256
+
+
+def _bitlen(col):
+    """floor(log2 x) + 1 as exact integer — length(bin(x)) on both
+    engines (the d87 surprisal quantization)."""
+    return F.length(F.bin(col))
+
+
+@query(
+    "d90_hashed_nb_classifier",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {_ORACLE_BUCKET} AS bucket FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             substring(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+      FROM documents
+    ),
+    train_tok AS (
+      SELECT t.b, d.lang FROM tok t JOIN docs d USING (doc_id)
+      WHERE d.bucket < 80
+    ),
+    model AS (
+      SELECT b,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+             SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_ot
+      FROM train_tok GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_en,
+             SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS t_ot
+      FROM train_tok
+    ),
+    nd AS (
+      SELECT COUNT(*) AS n_train,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+      FROM docs WHERE bucket < 80
+    ),
+    sc AS (
+      SELECT t.doc_id, d.lang,
+             length(bin(tt.t_en + {_D90_BUCKETS}))
+               - length(bin(COALESCE(m.c_en, 0) + 1)) AS bits_en,
+             length(bin(tt.t_ot + {_D90_BUCKETS}))
+               - length(bin(COALESCE(m.c_ot, 0) + 1)) AS bits_ot
+      FROM tok t
+      JOIN docs d USING (doc_id)
+      LEFT JOIN model m ON m.b = t.b
+      CROSS JOIN tot tt
+      WHERE d.bucket >= 90
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             SUM(bits_en) AS s_en, SUM(bits_ot) AS s_ot
+      FROM sc GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.doc_id, p.lang,
+             (p.s_ot + length(bin(n.n_train + 2))
+                     - length(bin(n.n_train - n.n_en + 1)))
+           - (p.s_en + length(bin(n.n_train + 2))
+                     - length(bin(n.n_en + 1))) AS margin
+      FROM per_doc p CROSS JOIN nd n
+    )
+    SELECT lang,
+           CASE WHEN margin >= 0 THEN 'en' ELSE 'other' END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(margin) AS BIGINT) AS margin_sum,
+           CAST(MIN(margin) AS BIGINT) AS margin_min,
+           CAST(MAX(margin) AS BIGINT) AS margin_max,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+    FROM scored
+    GROUP BY lang, CASE WHEN margin >= 0 THEN 'en' ELSE 'other' END
+    ORDER BY lang, predicted
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def d90_hashed_nb_classifier(t):
+    """Hashed Naive-Bayes text CLASSIFIER with a train/holdout split
+    and a measured confusion rollup — the fastText/logistic 'quality
+    classifier' stage every web-scale curation stack runs (GPT-3's
+    WebText LR filter, LLaMA's Wikipedia-reference classifier), made
+    engine-exact. The only supervised signal the synthetic corpus
+    carries is ``lang``, so the demo target is en-vs-other; swapping
+    the label column for a curated quality seed set changes nothing
+    structural.
+
+    Mechanics: tokens hash to {_D90_BUCKETS} buckets (two md5 hex
+    digits — engine-portable, the d81 feature map); per class the
+    bucket counts ARE the model. A held-out doc's class score is the
+    add-one-smoothed NB surprisal, quantized to INTEGER BITS per
+    occurrence (bits_c = bitlen(T_c + B) - bitlen(C_c(b) + 1), the d87
+    move), plus an integer-bits class prior; predict 'en' iff
+    margin = score_other - score_en >= 0 (tie -> the positive class,
+    deterministic). The rollup is the confusion matrix
+    (actual lang x predicted) with margin mass — accuracy and
+    per-class precision/recall read straight off it.
+
+    Exactness: counts, bit lengths, sums, and the margin are int64
+    end-to-end on both engines; no transcendental libm calls.
+
+    Scale shape: training is ONE map-side-combined groupBy over train
+    tokens into a <= {_D90_BUCKETS}-row model + two scalar aggregates;
+    scoring joins the broadcast model to held-out tokens (hash-local,
+    never all-pairs) and folds per doc. At 100 TB the model is still
+    {_D90_BUCKETS} rows — the classifier costs two corpus scans total,
+    and the bucket table bucketing co-locates with d81's importance
+    sampler so the two stages share a shuffle."""
+    docs = t.documents.select("doc_id", "lang").withColumn(
+        "bucket", F.expr(_SPARK_BUCKET)
+    )
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("wd")
+    ).select("doc_id", F.substring(F.md5("wd"), 1, 2).alias("b"))
+    train_tok = tok.join(
+        docs.filter(F.col("bucket") < 80).select("doc_id", "lang"), "doc_id"
+    )
+    en = (F.col("lang") == "en").cast("long")
+    model = train_tok.groupBy("b").agg(
+        F.sum(en).alias("c_en"),
+        F.sum(1 - en).alias("c_ot"),
+    )
+    tot = train_tok.agg(
+        F.sum(en).alias("t_en"), F.sum(1 - en).alias("t_ot")
+    )
+    nd = docs.filter(F.col("bucket") < 80).agg(
+        F.count(F.lit(1)).alias("n_train"), F.sum(en).alias("n_en")
+    )
+    test_tok = tok.join(
+        docs.filter(F.col("bucket") >= 90).select("doc_id", "lang"),
+        "doc_id",
+    )
+    b = _D90_BUCKETS
+    sc = (
+        test_tok.join(F.broadcast(model), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                _bitlen(F.col("t_en") + b)
+                - _bitlen(F.coalesce("c_en", F.lit(0)) + 1)
+            ).alias("bits_en"),
+            (
+                _bitlen(F.col("t_ot") + b)
+                - _bitlen(F.coalesce("c_ot", F.lit(0)) + 1)
+            ).alias("bits_ot"),
+        )
+    )
+    per_doc = sc.groupBy("doc_id", "lang").agg(
+        F.sum("bits_en").alias("s_en"), F.sum("bits_ot").alias("s_ot")
+    )
+    prior_en = _bitlen(F.col("n_train") + 2) - _bitlen(F.col("n_en") + 1)
+    prior_ot = _bitlen(F.col("n_train") + 2) - _bitlen(
+        F.col("n_train") - F.col("n_en") + 1
+    )
+    scored = per_doc.crossJoin(F.broadcast(nd)).select(
+        "doc_id",
+        "lang",
+        (
+            (F.col("s_ot") + prior_ot) - (F.col("s_en") + prior_en)
+        ).alias("margin"),
+    )
+    predicted = F.when(F.col("margin") >= 0, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+    return (
+        scored.groupBy("lang", predicted.alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("margin").cast("long").alias("margin_sum"),
+            F.min("margin").cast("long").alias("margin_min"),
+            F.max("margin").cast("long").alias("margin_max"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .orderBy("lang", "predicted")
+    )
+
+
+# ------------------------------- d91: shard manifest with checksums
+
+_D91_SHARDS = 16
+
+# Content-addressed shard key (payload md5, not doc_id) and two
+# order-independent sum-checksums: one over the payload, one binding
+# (doc_id, n_chars) so an id remap or metadata drift is caught even
+# when every payload byte survives.
+_D91_SHARD_S = f"({_md5_hex_int('text', 'string', 2)}) % {_D91_SHARDS}"
+_D91_SHARD_O = f"({_md5_hex_int('text', 'varchar', 2)}) % {_D91_SHARDS}"
+_D91_PAY_S = _md5_hex_int("text", "string", 4)
+_D91_PAY_O = _md5_hex_int("text", "varchar", 4)
+_D91_IDK = "concat(cast(doc_id as string), ':', cast(n_chars as string))"
+_D91_ID_S = _md5_hex_int(_D91_IDK, "string", 4)
+_D91_ID_O = _md5_hex_int(_D91_IDK, "varchar", 4)
+
+
+@query(
+    "d91_shard_manifest",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             {_D91_SHARD_O} AS shard,
+             {_D91_PAY_O} AS pay_ck,
+             {_D91_ID_O} AS id_ck
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(pay_ck) AS BIGINT) AS payload_checksum,
+             CAST(SUM(id_ck) AS BIGINT) AS id_checksum,
+             CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+             CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      FROM assigned GROUP BY 1
+    ),
+    tot AS (SELECT SUM(total_chars) AS grand_chars FROM per_shard)
+    SELECT CAST(s.shard AS BIGINT) AS shard,
+           s.n_docs, s.total_chars, s.n_langs,
+           s.payload_checksum, s.id_checksum, s.min_doc, s.max_doc,
+           CAST(s.total_chars AS DOUBLE) / CAST(t.grand_chars AS DOUBLE)
+             AS chars_share
+    FROM per_shard s CROSS JOIN tot t
+    ORDER BY s.shard
+    """,
+    tags=("llm", "delivery", "integrity"),
+)
+def d91_shard_manifest(t):
+    """Training-data DELIVERY manifest: the per-shard summary a 100 TB
+    pipeline writes next to each output shard so downstream consumers
+    can verify what they read without re-scanning it. Shard assignment
+    is content-addressed (two md5 hex digits of the PAYLOAD, mod
+    {_D91_SHARDS}) so the same document lands in the same shard across
+    engines, re-partitionings, and backfills; two ORDER-INDEPENDENT
+    sum-checksums travel with each row — one over the payload md5, one
+    binding (doc_id, n_chars) — so a consumer detects payload
+    corruption, id remapping, OR metadata drift by recomputing two
+    sums, and shard-level checksums MERGE by addition into a corpus
+    checksum (the mergeability property the sketches family already
+    relies on). chars_share is the balance audit: content-addressed
+    assignment keeps shards within sampling noise of 1/{_D91_SHARDS}.
+
+    Exactness: every checksum is a sum of 16-bit md5-prefix integers
+    (int64 headroom up to ~1.4e14 docs per shard); the share is one
+    double division of exact longs.
+
+    Scale shape: one corpus scan, one {_D91_SHARDS}-group map-side-
+    combined aggregate, one broadcast scalar join — no windows, no
+    all-pairs, nothing keyed finer than the shard id. The checksums'
+    order-independence is what makes the manifest computable
+    incrementally (per input split, then merged) on a real cluster."""
+    assigned = t.documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(_D91_SHARD_S).alias("shard"),
+        F.expr(_D91_PAY_S).alias("pay_ck"),
+        F.expr(_D91_ID_S).alias("id_ck"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("pay_ck").cast("long").alias("payload_checksum"),
+        F.sum("id_ck").cast("long").alias("id_checksum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    tot = per_shard.agg(F.sum("total_chars").alias("grand_chars"))
+    return (
+        per_shard.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "total_chars",
+            "n_langs",
+            "payload_checksum",
+            "id_checksum",
+            "min_doc",
+            "max_doc",
+            (
+                F.col("total_chars").cast("double")
+                / F.col("grand_chars").cast("double")
+            ).alias("chars_share"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ------------------------------ e30: cross-correlation lead-lag scan
+
+# Lag window scanned in hours: negative lag means type_b LEADS type_a
+# (b's count at t correlates with a's at t+|lag|); positive means
+# type_a leads. 13 lags x <= T*(T-1)/2 pairs — output is
+# pair-and-constant bounded, never event-bounded.
+_E30_MAX_LAG = 6
+
+
+@query(
+    "e30_crosscorr_lead_lag",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    ),
+    grid AS (
+      SELECT t.event_type, s.hr, CAST(COALESCE(h.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN spine s
+      LEFT JOIN hourly h
+        ON h.event_type = t.event_type AND h.hr = s.hr
+    ),
+    lags AS (
+      SELECT unnest(generate_series(-{_E30_MAX_LAG}, {_E30_MAX_LAG}, 1))
+               AS lag
+    ),
+    j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             a.x AS xa, b.x AS xb
+      FROM grid a
+      CROSS JOIN lags l
+      JOIN grid b
+        ON b.hr = a.hr + l.lag * INTERVAL 1 HOUR
+       AND b.event_type > a.event_type
+    ),
+    agg AS (
+      SELECT type_a, type_b, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xa) AS BIGINT) AS sa,
+             CAST(SUM(xb) AS BIGINT) AS sb,
+             CAST(SUM(xa * xb) AS BIGINT) AS sab,
+             CAST(SUM(xa * xa) AS BIGINT) AS saa,
+             CAST(SUM(xb * xb) AS BIGINT) AS sbb
+      FROM j GROUP BY 1, 2, 3
+    ),
+    stat AS (
+      SELECT type_a, type_b, lag, n,
+             n * sab - sa * sb AS num,
+             n * saa - sa * sa AS da,
+             n * sbb - sb * sb AS db
+      FROM agg
+    ),
+    corr AS (
+      SELECT type_a, type_b, lag, n, num,
+             CASE WHEN da > 0 AND db > 0
+                  THEN CAST(num AS DOUBLE)
+                       / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE)))
+                  ELSE NULL END AS xcorr
+      FROM stat
+    )
+    SELECT type_a, type_b,
+           CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(num AS BIGINT) AS cov_num,
+           xcorr,
+           (ROW_NUMBER() OVER (
+              PARTITION BY type_a, type_b
+              ORDER BY xcorr DESC NULLS LAST, lag) = 1) AS is_best
+    FROM corr
+    ORDER BY type_a, type_b, lag
+    """,
+    tags=("events", "timeseries", "correlation"),
+)
+def e30_crosscorr_lead_lag(t):
+    """Cross-correlation LEAD-LAG DISCOVERY between event-type series —
+    the ops/product question e24's single-series autocorrelation can't
+    answer: does type A's hourly volume anticipate type B's, and by how
+    many hours? (Classic reads: clicks lead purchases; errors lead
+    support contacts.) For every unordered type pair and every lag in
+    [-{_E30_MAX_LAG}, +{_E30_MAX_LAG}] hours, Pearson correlation of
+    the zero-filled hourly grids with b shifted by the lag; positive
+    lag = type_a leads. is_best marks each pair's argmax lag
+    (ties -> smallest lag, NULLs last — deterministic because every
+    input to the double is exact int64).
+
+    Exactness: the five sufficient statistics (n, Σa, Σb, Σab, Σa²,
+    Σb²) are exact int64 on both engines; the only floats are one
+    IEEE sqrt-and-divide applied to identical integers — bit-stable
+    across engines and partitionings. Degenerate (constant) windows
+    yield NULL, not NaN. int64 headroom: n·Σab tops out ~1e17 even at
+    1e5 grid hours x 1e6-count hours.
+
+    Scale shape: events fold ONCE to the (type, hour) grain (map-side
+    combine); the grid is calendar x type bounded, the x13-lag fan-out
+    is a constant, and the shifted join is an equi-join on the hour
+    key — so the whole scan is grid-linear, independent of event
+    count (the e24/e29 discipline). At 100 TB the hourly grain IS the
+    pre-aggregated table, and the pair x lag output stays tiny."""
+    ev = t.events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    span = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = tracked_persist(
+        types.crossJoin(F.broadcast(spine))
+        .join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    lags = F.explode(
+        F.array(
+            *[F.lit(i) for i in range(-_E30_MAX_LAG, _E30_MAX_LAG + 1)]
+        )
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hr").alias("hr_a"),
+        F.col("x").alias("xa"),
+    ).withColumn("lag", lags)
+    b = grid.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hr").alias("hr_b"),
+        F.col("x").alias("xb"),
+    )
+    j = a.join(
+        b,
+        (F.col("hr_b") == F.expr("timestampadd(HOUR, lag, hr_a)"))
+        & (F.col("type_b") > F.col("type_a")),
+    )
+    agg = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+        F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+    )
+    stat = agg.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n",
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).alias(
+            "num"
+        ),
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).alias(
+            "da"
+        ),
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).alias(
+            "db"
+        ),
+    )
+    corr = stat.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n",
+        "num",
+        F.when(
+            (F.col("da") > 0) & (F.col("db") > 0),
+            F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("da").cast("double"))
+                * F.sqrt(F.col("db").cast("double"))
+            ),
+        ).alias("xcorr"),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.desc_nulls_last("xcorr"), F.asc("lag")
+    )
+    return (
+        corr.select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("num").cast("long").alias("cov_num"),
+            "xcorr",
+            (F.row_number().over(w) == 1).alias("is_best"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )

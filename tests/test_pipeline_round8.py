@@ -698,3 +698,207 @@ def test_hq45_suppression_rule_on_planted_cells(spark):
         ("C", "QM2"): (12, False, None),
         ("D", "QM1"): (None, True, "primary"),
     }
+
+
+def test_d90_confusion_matches_pure_python(spark, tmp_path):
+    """The hashed-NB confusion rollup must equal a from-scratch pure
+    Python reimplementation (hashlib buckets, Counter model,
+    int.bit_length scoring) on a planted corpus — and the classifier
+    must actually separate the planted vocabularies."""
+    import collections
+    import hashlib
+
+    def split_bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 100
+
+    def fb(w):
+        return hashlib.md5(w.encode()).hexdigest()[:2]
+
+    vocab_en = [f"en{k}" for k in range(40)]
+    vocab_ot = [f"xx{k}" for k in range(40)]
+    texts, langs = {}, {}
+    for i in range(400):
+        is_en = i % 2 == 0
+        v = vocab_en if is_en else vocab_ot
+        texts[i] = " ".join(v[(i * (j + 3) + j) % 40] for j in range(10))
+        langs[i] = "en" if is_en else ("de" if i % 4 == 1 else "fr")
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[i] for i in texts],
+        "lang": [langs[i] for i in texts],
+        "source": ["synth"] * len(texts),
+        "n_chars": [len(texts[i]) for i in texts],
+    }
+    sf = _write_tables(tmp_path, "d90", documents=docs)
+
+    # ---- pure-Python reference ----
+    B = 256
+    c_en, c_ot = collections.Counter(), collections.Counter()
+    t_en = t_ot = n_train = n_en = 0
+    for i, txt in texts.items():
+        if split_bucket(i) < 80:
+            n_train += 1
+            if langs[i] == "en":
+                n_en += 1
+            for w in txt.split(" "):
+                if langs[i] == "en":
+                    c_en[fb(w)] += 1
+                    t_en += 1
+                else:
+                    c_ot[fb(w)] += 1
+                    t_ot += 1
+    prior_en = (n_train + 2).bit_length() - (n_en + 1).bit_length()
+    prior_ot = (n_train + 2).bit_length() - (n_train - n_en + 1).bit_length()
+    want = {}
+    for i, txt in texts.items():
+        if split_bucket(i) < 90:
+            continue
+        s_en = sum(
+            (t_en + B).bit_length() - (c_en[fb(w)] + 1).bit_length()
+            for w in txt.split(" ")
+        )
+        s_ot = sum(
+            (t_ot + B).bit_length() - (c_ot[fb(w)] + 1).bit_length()
+            for w in txt.split(" ")
+        )
+        margin = (s_ot + prior_ot) - (s_en + prior_en)
+        pred = "en" if margin >= 0 else "other"
+        key = (langs[i], pred)
+        agg = want.setdefault(key, [0, 0, margin, margin, i])
+        agg[0] += 1
+        agg[1] += margin
+        agg[2] = min(agg[2], margin)
+        agg[3] = max(agg[3], margin)
+        agg[4] = min(agg[4], i)
+    want = {k: tuple(v) for k, v in want.items()}
+
+    got = {
+        (r.lang, r.predicted): (
+            r.n_docs, r.margin_sum, r.margin_min, r.margin_max, r.sample_doc
+        )
+        for r in QUERIES["d90_hashed_nb_classifier"].fn(spark, sf).collect()
+    }
+    assert got == want
+    # disjoint planted vocabularies -> the holdout must be perfectly
+    # separated: every actual-en row predicted en, every other row
+    # predicted other
+    assert all(
+        (lang == "en") == (pred == "en") for (lang, pred) in got
+    )
+    assert ("en", "en") in got  # non-vacuous: both classes held out
+
+
+def test_d91_manifest_is_order_invariant_and_python_exact(spark, tmp_path):
+    """Row order must not move a single manifest byte (the checksums
+    are sums), a pure-Python recompute must match exactly, and an id/
+    metadata remap must flip ONLY the id_checksum of the touched
+    shard."""
+    import hashlib
+
+    texts = [f"doc {i} body " + "tok " * (i % 7) for i in range(120)]
+    base = {
+        "doc_id": list(range(120)),
+        "text": texts,
+        "lang": ["en" if i % 3 else "fr" for i in range(120)],
+        "source": ["synth"] * 120,
+        "n_chars": [len(s) for s in texts],
+    }
+    perm = list(reversed(range(120)))
+    shuffled = {k: [v[i] for i in perm] for k, v in base.items()}
+    sf1 = _write_tables(tmp_path, "d91_a", documents=base)
+    sf2 = _write_tables(tmp_path, "d91_b", documents=shuffled)
+    q = QUERIES["d91_shard_manifest"].fn
+    rows1 = [tuple(r) for r in q(spark, sf1).collect()]
+    rows2 = [tuple(r) for r in q(spark, sf2).collect()]
+    assert rows1 == rows2
+
+    # pure-Python recompute
+    def h(s, d):
+        return int(hashlib.md5(s.encode()).hexdigest()[:d], 16)
+
+    agg = {}
+    for i, txt in enumerate(texts):
+        sh = h(txt, 2) % 16
+        a = agg.setdefault(sh, [0, 0, set(), 0, 0, i, i])
+        a[0] += 1
+        a[1] += len(txt)
+        a[2].add(base["lang"][i])
+        a[3] += h(txt, 4)
+        a[4] += h(f"{i}:{len(txt)}", 4)
+        a[5] = min(a[5], i)
+        a[6] = max(a[6], i)
+    grand = sum(a[1] for a in agg.values())
+    want = [
+        (sh, a[0], a[1], len(a[2]), a[3], a[4], a[5], a[6], a[1] / grand)
+        for sh, a in sorted(agg.items())
+    ]
+    assert rows1 == want
+
+    # metadata drift: bump one doc's n_chars (payload untouched) ->
+    # same shard, same payload_checksum, different id_checksum there
+    drift = dict(base)
+    drift["n_chars"] = list(base["n_chars"])
+    drift["n_chars"][7] += 1
+    sf3 = _write_tables(tmp_path, "d91_c", documents=drift)
+    rows3 = {r.shard: r for r in q(spark, sf3).collect()}
+    touched = h(texts[7], 2) % 16
+    for r1 in q(spark, sf1).collect():
+        r3 = rows3[r1.shard]
+        assert r3.payload_checksum == r1.payload_checksum
+        assert r3.total_chars == r1.total_chars + (
+            1 if r1.shard == touched else 0
+        )
+        if r1.shard == touched:
+            assert r3.id_checksum != r1.id_checksum
+        else:
+            assert r3.id_checksum == r1.id_checksum
+
+
+def test_e30_recovers_planted_lead_lag(spark, tmp_path):
+    """Type 'b' is type 'a' shifted exactly +2 hours -> the best lag
+    for the (a, b) pair must be +2 with correlation 1 (up to one
+    sqrt ulp), and every other lag strictly below it; one off-peak lag
+    is cross-checked against numpy.corrcoef."""
+    import datetime as dt
+
+    import numpy as np
+
+    base = dt.datetime(2024, 3, 1)
+    counts = [1 + (t * 7) % 5 for t in range(48)]
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
+            "value": [], "props": []}
+    eid = 0
+    for t, c in enumerate(counts):
+        for k in range(c):
+            for typ, off in (("a", 0), ("b", 2)):
+                rows["event_id"].append(eid)
+                rows["ts"].append(base + dt.timedelta(hours=t + off,
+                                                      minutes=k % 60))
+                rows["user_id"].append(k)
+                rows["event_type"].append(typ)
+                rows["value"].append(1)
+                rows["props"].append("{}")
+                eid += 1
+    sf = _write_tables(tmp_path, "e30", events=rows)
+    out = {
+        int(r.lag): r
+        for r in QUERIES["e30_crosscorr_lead_lag"].fn(spark, sf).collect()
+    }
+    assert len(out) == 13 and all(
+        (r.type_a, r.type_b) == ("a", "b") for r in out.values()
+    )
+    best = out[2]
+    assert best.is_best
+    assert abs(best.xcorr - 1.0) < 1e-12
+    assert all(
+        r.xcorr is None or r.xcorr < best.xcorr - 1e-9
+        for lag, r in out.items()
+        if lag != 2
+    )
+
+    # numpy cross-check at lag 0: build the zero-filled grids the
+    # query uses (span = min..max hour across both types)
+    xa = np.array(counts + [0, 0], dtype=np.float64)  # hours 0..49
+    xb = np.array([0, 0] + counts, dtype=np.float64)
+    want0 = np.corrcoef(xa, xb)[0, 1]
+    assert abs(out[0].xcorr - want0) < 1e-12

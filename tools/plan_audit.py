@@ -189,6 +189,15 @@ EXTRA_QUERIES = [
     # d74 its CC loop executes at construction, so it lives in
     # LOOP_EXECUTES_AT_BUILD and its wall cost is priced in
     # SCALING.md's 100x row instead.
+    # r8 sixth wave — d90's broadcasts are the <= 256-row NB model and
+    # two scalar-stat frames (train/score are equi-joins + map-side
+    # groupBys, the d81/d87 shape); d91 is one corpus scan into a
+    # 16-group map-side aggregate + a 1-row share join; e30 is the
+    # bounded calendar-grid shape (spine x enum types) with a
+    # constant x13 lag fan-out and an hour-key equi-join.
+    "d90_hashed_nb_classifier",
+    "d91_shard_manifest",
+    "e30_crosscorr_lead_lag",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

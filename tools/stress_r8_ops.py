@@ -120,6 +120,35 @@ def measure(
             "final_rate": rows[-1].types_per_10k_tokens,
         },
     )
+    run_query(
+        "d90_hashed_nb_classifier",
+        lambda rows: {
+            "scored_docs": sum(r.n_docs for r in rows),
+            "correct_docs": sum(
+                r.n_docs
+                for r in rows
+                if (r.lang == "en") == (r.predicted == "en")
+            ),
+        },
+    )
+    run_query(
+        "d91_shard_manifest",
+        lambda rows: {
+            "shards": len(rows),
+            "max_share": round(max(r.chars_share for r in rows), 4),
+            "corpus_checksum": sum(r.payload_checksum for r in rows),
+        },
+    )
+    run_query(
+        "e30_crosscorr_lead_lag",
+        lambda rows: {
+            "pairs": sum(r.is_best for r in rows),
+            "grid_hours": max(r.n_hours for r in rows),
+            "best_lags": sorted(
+                {int(r.lag) for r in rows if r.is_best}
+            ),
+        },
+    )
 
 
 def main() -> None:
