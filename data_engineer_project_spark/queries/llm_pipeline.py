@@ -10598,3 +10598,108 @@ def e30_crosscorr_lead_lag(t):
         )
         .orderBy("type_a", "type_b", "lag")
     )
+
+
+# ----------------------- d92: Good-Turing / Chao1 corpus completeness
+
+
+@query(
+    "d92_good_turing_completeness",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS wd FROM documents
+    ),
+    freq AS (
+      SELECT source, wd, COUNT(*) AS r FROM tok GROUP BY 1, 2
+    ),
+    spec AS (
+      SELECT source,
+             CAST(SUM(r) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+             CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_doubletons
+      FROM freq GROUP BY 1
+    )
+    SELECT source, n_tokens, n_types, n_singletons, n_doubletons,
+           CAST(n_singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS unseen_mass,
+           CASE WHEN n_singletons > 0
+                THEN 2.0 * CAST(n_doubletons AS DOUBLE)
+                     / CAST(n_singletons AS DOUBLE)
+                ELSE NULL END AS r1_star,
+           CAST(n_types AS DOUBLE)
+             + CAST(n_singletons * (n_singletons - 1) AS DOUBLE)
+               / CAST(2 * (n_doubletons + 1) AS DOUBLE) AS chao1_est
+    FROM spec
+    ORDER BY source
+    """,
+    tags=("llm", "text", "completeness"),
+)
+def d92_good_turing_completeness(t):
+    """Vocabulary COMPLETENESS estimation per source — the "have we
+    seen enough of this domain yet" question a mixture planner asks
+    before buying more data, answered with the two classical
+    estimators over the frequency-of-frequencies spectrum:
+
+    - Good-Turing unseen mass P0 = N1/N (the probability the NEXT
+      token is a never-seen type — the Gale/Sampson missing-mass
+      estimate): high P0 = the source is nowhere near exhausted;
+    - adjusted count r1* = 2*N2/N1 for once-seen types (how much a
+      singleton's count overstates its true rate; NULL when the
+      source has no singletons);
+    - bias-corrected Chao1 richness V + N1(N1-1)/(2(N2+1)) — the
+      estimated TOTAL vocabulary size including unseen types, so
+      (chao1_est - n_types) is the predicted undiscovered-type count.
+
+    Complements d88 (Heaps growth CURVE over scan order) with
+    closed-form endpoint estimates, and d49 (global spectrum
+    histogram) with per-source actionables.
+
+    Exactness: N, V, N1, N2 are exact int64 folds; the three
+    estimators are each ONE double expression over exact integers —
+    identical on both engines.
+
+    Scale shape: the d49 word-spectrum discipline — one token
+    explode, one map-side-combined (source, word) count, one
+    source-keyed fold; no windows, no joins, nothing all-pairs. At
+    100 TB the (source, word) table is the already-materialized
+    vocabulary; the spectrum fold reads it once."""
+    freq = (
+        t.documents.select(
+            "source", F.explode(F.split("text", " ")).alias("wd")
+        )
+        .groupBy("source", "wd")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    spec = freq.groupBy("source").agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("r") == 1).cast("long")).alias("n_singletons"),
+        F.sum((F.col("r") == 2).cast("long")).alias("n_doubletons"),
+    )
+    return spec.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_singletons",
+        "n_doubletons",
+        (
+            F.col("n_singletons").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("unseen_mass"),
+        F.when(
+            F.col("n_singletons") > 0,
+            F.lit(2.0)
+            * F.col("n_doubletons").cast("double")
+            / F.col("n_singletons").cast("double"),
+        ).alias("r1_star"),
+        (
+            F.col("n_types").cast("double")
+            + (
+                F.col("n_singletons") * (F.col("n_singletons") - 1)
+            ).cast("double")
+            / (2 * (F.col("n_doubletons") + 1)).cast("double")
+        ).alias("chao1_est"),
+    ).orderBy("source")

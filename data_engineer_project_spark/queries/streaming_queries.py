@@ -1512,3 +1512,96 @@ def s21_stream_countmin_heavy_users(t):
         F.col("estimate").cast("long").alias("cms_estimate"),
         (F.col("estimate") - F.col("cnt")).cast("long").alias("overestimate"),
     ).orderBy(F.desc("exact_count"), "user_id")
+
+
+# --------------------- s22: incremental shard manifest at the door
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _D91_ID_O,
+    _D91_ID_S,
+    _D91_PAY_O,
+    _D91_PAY_S,
+    _D91_SHARD_O,
+    _D91_SHARD_S,
+    _D91_SHARDS,
+)
+
+
+@query(
+    "s22_stream_shard_manifest",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             {_D91_SHARD_O} AS shard,
+             {_D91_PAY_O} AS pay_ck,
+             {_D91_ID_O} AS id_ck
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(pay_ck) AS BIGINT) AS payload_checksum,
+           CAST(SUM(id_ck) AS BIGINT) AS id_checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "llm", "delivery", "integrity"),
+)
+def s22_stream_shard_manifest(t):
+    """d91's delivery manifest maintained INCREMENTALLY at the ingest
+    door — the measured proof of the batch query's central claim that
+    order-independent sum-checksums make the manifest computable one
+    micro-batch at a time. Every arriving doc is assigned its
+    content-addressed shard and its two checksum terms ROW-LOCALLY
+    (pure md5 arithmetic, no lookup state); a complete-mode streaming
+    aggregate folds count / char / checksum sums per shard, so after
+    ANY prefix of batches the memory table holds the exact manifest of
+    everything ingested so far — and after availableNow drains the
+    directory it equals d91's batch manifest row-for-row (minus the
+    derived share/distinct columns, which a consumer computes from the
+    manifest itself).
+
+    Scale shape: state is EXACTLY {_D91_SHARDS} rows of six int64
+    registers at any corpus size — the sketch-family bound (s19/s20/
+    s21) applied to delivery accounting; the only shuffle is the
+    {_D91_SHARDS}-key aggregate. In production the same plan runs
+    unbounded and each trigger publishes the cumulative manifest next
+    to the data files.
+
+    Multi-batch == single-batch convergence is pinned in
+    tests/test_streaming.py with one-file-per-trigger input."""
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    incoming = read_document_stream(t._spark, t._sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.expr(_D91_SHARD_S).alias("shard"),
+        F.expr(_D91_PAY_S).alias("pay_ck"),
+        F.expr(_D91_ID_S).alias("id_ck"),
+    )
+    manifest = (
+        incoming.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("pay_ck").cast("long").alias("payload_checksum"),
+            F.sum("id_ck").cast("long").alias("id_checksum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "total_chars",
+            "payload_checksum",
+            "id_checksum",
+            "min_doc",
+            "max_doc",
+        )
+    )
+    from data_engineer_project_spark.streaming.events import (
+        run_to_memory_table,
+    )
+
+    return run_to_memory_table(manifest, "shard_manifest", "complete")

@@ -902,3 +902,62 @@ def test_e30_recovers_planted_lead_lag(spark, tmp_path):
     xb = np.array([0, 0] + counts, dtype=np.float64)
     want0 = np.corrcoef(xa, xb)[0, 1]
     assert abs(out[0].xcorr - want0) < 1e-12
+
+
+def test_d92_estimators_match_pure_python(spark, tmp_path):
+    """The spectrum folds and all three estimators must equal a
+    Counter-based pure-Python recompute on a planted corpus whose
+    singleton/doubleton structure is known by construction, and the
+    estimators must satisfy their analytic bounds."""
+    import collections
+
+    # source A: words w0..w9 once each (all singletons, N1=10, N2=0)
+    # source B: 5 words twice each (all doubletons, N1=0)
+    # source C: a mixed Zipf-ish spectrum
+    texts = {
+        0: (" ".join(f"w{k}" for k in range(10)), "srcA"),
+        1: ("a a b b c c d d e e", "srcB"),
+        2: ("x x x y y z q r s t", "srcC"),
+        3: ("x y z z q q", "srcC"),
+    }
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[i][0] for i in texts],
+        "lang": ["en"] * len(texts),
+        "source": [texts[i][1] for i in texts],
+        "n_chars": [len(texts[i][0]) for i in texts],
+    }
+    sf = _write_tables(tmp_path, "d92", documents=docs)
+
+    by_source = {}
+    for txt, src in texts.values():
+        by_source.setdefault(src, collections.Counter()).update(
+            txt.split(" ")
+        )
+    want = {}
+    for src, ctr in by_source.items():
+        n = sum(ctr.values())
+        v = len(ctr)
+        n1 = sum(1 for c in ctr.values() if c == 1)
+        n2 = sum(1 for c in ctr.values() if c == 2)
+        want[src] = (
+            n, v, n1, n2,
+            n1 / n,
+            (2.0 * n2 / n1) if n1 > 0 else None,
+            v + n1 * (n1 - 1) / (2.0 * (n2 + 1)),
+        )
+    got = {
+        r.source: (
+            r.n_tokens, r.n_types, r.n_singletons, r.n_doubletons,
+            r.unseen_mass, r.r1_star, r.chao1_est,
+        )
+        for r in QUERIES["d92_good_turing_completeness"].fn(spark, sf)
+        .collect()
+    }
+    assert got == want
+    # analytic sanity on the planted extremes
+    assert got["srcA"][4] == 1.0  # every token a singleton
+    assert got["srcB"][4] == 0.0 and got["srcB"][5] is None
+    for r in got.values():
+        assert 0.0 <= r[4] <= 1.0
+        assert r[6] >= r[1]  # chao1 never below observed richness

@@ -731,3 +731,91 @@ def test_s21_cms_grid_multibatch_equals_batch(spark, tmp_path):
     assert got == sorted(map(tuple, single.collect()))
     assert got == sorted(map(tuple, batch.collect()))
     assert len(got) <= 3 * 1024
+
+
+def test_s22_manifest_multibatch_equals_batch_and_prefix_exact(
+    spark, tmp_path
+):
+    """s22's contract: (a) two part-files processed one per trigger
+    converge to d91's batch manifest (same shards, counts, checksums);
+    (b) the checksums are PREFIX-exact — after the full drain, each
+    shard's sums equal the pure sum of its docs' terms regardless of
+    which batch carried them (order/batching independence is the whole
+    point of sum-checksums)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from data_engineer_project_spark.queries import QUERIES
+    from data_engineer_project_spark.streaming import read_document_stream
+    from data_engineer_project_spark.streaming.events import (
+        run_to_memory_table,
+    )
+    from pyspark.sql import functions as F
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _D91_ID_S,
+        _D91_PAY_S,
+        _D91_SHARD_S,
+    )
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    half = tbl.num_rows // 2
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    pq.write_table(tbl.slice(0, half), d / "documents_a.parquet")
+    pq.write_table(tbl.slice(half), d / "documents_b.parquet")
+
+    stream = read_document_stream(
+        spark, str(d), glob="documents_*.parquet", max_files_per_trigger=1
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr(_D91_SHARD_S).alias("shard"),
+        F.expr(_D91_PAY_S).alias("pay_ck"),
+        F.expr(_D91_ID_S).alias("id_ck"),
+    )
+    manifest = (
+        stream.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("pay_ck").cast("long").alias("payload_checksum"),
+            F.sum("id_ck").cast("long").alias("id_checksum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+    got = {
+        int(r.shard): (
+            r.n_docs, r.total_chars, r.payload_checksum, r.id_checksum,
+            r.min_doc, r.max_doc,
+        )
+        for r in run_to_memory_table(manifest, "s22_mb", "complete")
+        .collect()
+    }
+
+    # (a) equals the batch twin d91 (shared columns)
+    want = {
+        int(r.shard): (
+            r.n_docs, r.total_chars, r.payload_checksum, r.id_checksum,
+            r.min_doc, r.max_doc,
+        )
+        for r in QUERIES["d91_shard_manifest"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
+
+    # (b) pure-Python prefix-exactness from the raw parquet
+    def h(s, dgt):
+        return int(hashlib.md5(s.encode()).hexdigest()[:dgt], 16)
+
+    pp = {}
+    cols = tbl.to_pydict()
+    for i, txt in enumerate(cols["text"]):
+        sh = h(txt, 2) % 16
+        a = pp.setdefault(sh, [0, 0])
+        a[0] += h(txt, 4)
+        a[1] += h(f"{cols['doc_id'][i]}:{cols['n_chars'][i]}", 4)
+    for sh, (pay, idc) in pp.items():
+        assert got[sh][2] == pay and got[sh][3] == idc

@@ -198,6 +198,11 @@ EXTRA_QUERIES = [
     "d90_hashed_nb_classifier",
     "d91_shard_manifest",
     "e30_crosscorr_lead_lag",
+    # d92 is the d49 word-spectrum shape: explode -> (source, word)
+    # count -> source fold; no joins. (s22 is streaming — excluded
+    # like every s*; its multi-batch contract lives in
+    # tests/test_streaming.py.)
+    "d92_good_turing_completeness",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

@@ -140,6 +140,18 @@ def measure(
         },
     )
     run_query(
+        "d92_good_turing_completeness",
+        lambda rows: {
+            "sources": len(rows),
+            "max_unseen_mass": round(
+                max(r.unseen_mass for r in rows), 4
+            ),
+            "undiscovered_types": int(
+                sum(r.chao1_est - r.n_types for r in rows)
+            ),
+        },
+    )
+    run_query(
         "e30_crosscorr_lead_lag",
         lambda rows: {
             "pairs": sum(r.is_best for r in rows),
