@@ -113,13 +113,18 @@ _REGATE_ROUND = {
 }
 
 
-def _green_counts(repo_root=None) -> dict[str, int]:
+def _green_counts(repo_root=None, respect_cutoffs=True) -> dict[str, int]:
     """Count driver-green rows per query across every CORRECTNESS_r*.json
     under ``repo_root`` (default: this repo's root). Pure given a root —
     tests exercise future-round shapes by pointing it at a tmp dir.
     Green rows older than a query's _CONTRACT_CHANGED_ROUND or
     _REGATE_ROUND entry are ignored: they verified a superseded
-    contract or a superseded implementation."""
+    contract or a superseded implementation. With
+    ``respect_cutoffs=False`` those superseded rows COUNT — the
+    "historical" tally rank_names uses as a tertiary key, so when the
+    zero-effective-green pool outgrows the driver's 50-slot gate, the
+    slot that falls off is a regate that at least has a superseded
+    green on record, never a query the driver has NEVER seen."""
     counts: dict[str, int] = {}
     if repo_root is None:
         repo_root = _Path(__file__).resolve().parents[2]
@@ -137,7 +142,7 @@ def _green_counts(repo_root=None) -> dict[str, int]:
         for name, res in recorded.items():
             if not isinstance(res, dict):
                 continue
-            if file_round < max(
+            if respect_cutoffs and file_round < max(
                 _CONTRACT_CHANGED_ROUND.get(name, 0),
                 _REGATE_ROUND.get(name, 0),
             ):
@@ -163,11 +168,15 @@ def _green_counts(repo_root=None) -> dict[str, int]:
     return counts
 
 
-def rank_names(names, greens) -> list[str]:
+def rank_names(names, greens, historical=None) -> list[str]:
     """Gate order for ``names`` given per-name green counts: fewest
-    greens first, family rank breaking ties, registry index last — the
-    same keys whether the counts came from real round files or a test's
+    greens first, family rank breaking ties, then (within a family's
+    equal-green block) fewest HISTORICAL greens — so a never-ever-
+    driver-seen query outranks a regate whose superseded green at
+    least proves the driver ran it — registry index last. The same
+    keys whether the counts came from real round files or a test's
     synthetic ones."""
+    hist = historical or {}
     return [
         n
         for _, n in sorted(
@@ -175,6 +184,7 @@ def rank_names(names, greens) -> list[str]:
             key=lambda item: (
                 greens.get(item[1], 0),
                 _FAMILY_RANK.get(item[1][0], 7),
+                hist.get(item[1], 0),
                 item[0],
             ),
         )
@@ -182,6 +192,10 @@ def rank_names(names, greens) -> list[str]:
 
 
 _GREENS = _green_counts()
-_reordered = {name: QUERIES[name] for name in rank_names(list(QUERIES), _GREENS)}
+_HIST = _green_counts(respect_cutoffs=False)
+_reordered = {
+    name: QUERIES[name]
+    for name in rank_names(list(QUERIES), _GREENS, _HIST)
+}
 QUERIES.clear()
 QUERIES.update(_reordered)

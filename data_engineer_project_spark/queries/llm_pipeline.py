@@ -10703,3 +10703,124 @@ def d92_good_turing_completeness(t):
             / (2 * (F.col("n_doubletons") + 1)).cast("double")
         ).alias("chao1_est"),
     ).orderBy("source")
+
+
+# ---------------------- d93: temperature-scaled mixture weighting
+
+# Temperatures restricted to inverse powers of two (alpha = 1/2, 1/4)
+# so the scaled share is computed with IEEE-correctly-rounded sqrt
+# alone — pow() is NOT correctly rounded and would put engine parity
+# at libm's mercy (the d87/d30 no-transcendentals discipline).
+_D93_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "d93_mixture_temperature",
+    f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(length(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM src),
+    shares AS (
+      SELECT s.source, s.n_tokens,
+             CAST(s.n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+               AS share
+      FROM src s CROSS JOIN tot t
+    ),
+    scaled AS (
+      SELECT source, n_tokens, share,
+             CAST(round(sqrt(share), 9) AS DECIMAL(18,9)) AS u_half,
+             CAST(round(sqrt(sqrt(share)), 9) AS DECIMAL(18,9))
+               AS u_quarter
+      FROM shares
+    ),
+    norm AS (
+      SELECT SUM(u_half) AS z_half, SUM(u_quarter) AS z_quarter
+      FROM scaled
+    )
+    SELECT s.source, s.n_tokens, s.share,
+           CAST(s.u_half AS DOUBLE) / CAST(n.z_half AS DOUBLE) AS w_half,
+           CAST(s.u_quarter AS DOUBLE) / CAST(n.z_quarter AS DOUBLE)
+             AS w_quarter,
+           (CAST(s.u_half AS DOUBLE) / CAST(n.z_half AS DOUBLE))
+             * {_D93_BUDGET_TOKENS} / s.n_tokens AS epochs_half
+    FROM scaled s CROSS JOIN norm n
+    ORDER BY s.source
+    """,
+    tags=("llm", "mixture"),
+)
+def d93_mixture_temperature(t):
+    """Temperature-scaled multinomial MIXTURE weights — the sampling
+    knob multilingual/multi-source training actually turns (T5/mT5's
+    alpha = 0.3, XLM-R's 0.7, the Pile's hand-tuned epochs): raw token
+    share p_s is flattened to p_s^alpha / Z so low-resource sources
+    are upsampled without letting any source dominate. Emitted at
+    alpha = 1/2 and 1/4 — temperatures chosen as inverse POWERS OF TWO
+    so the scaling is one (or two) IEEE-correctly-rounded sqrt calls,
+    never libm pow() (whose last-ulp behavior differs across engines —
+    the module's no-transcendentals parity discipline). epochs_half
+    prices the consequence: how many passes over source s a
+    {_D93_BUDGET_TOKENS:,}-token budget sampled at alpha = 1/2 implies
+    (epochs > 1 = the upsampling repeats data — the overfitting signal
+    mixture planners watch).
+
+    Exactness: token counts fold as int64 (array-native length, no
+    explode); the scaled shares round to DECIMAL(18,9) BEFORE the
+    normalization sum (the d85/d21 move — a double sum is
+    partition-order-dependent, a decimal sum is not), and every
+    remaining double is an identical expression over those exact
+    values on both engines.
+
+    Scale shape: ONE corpus scan into a source-keyed fold (map-side
+    combined), then arithmetic on the <= #sources-row table — the
+    d33/d67 budget-family shape; at 100 TB the per-source token counts
+    are the already-maintained ledger and the weight table broadcasts
+    everywhere downstream."""
+    src = t.documents.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = src.agg(F.sum("n_tokens").alias("total_tokens"))
+    shares = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("share"),
+    )
+    scaled = shares.select(
+        "source",
+        "n_tokens",
+        "share",
+        F.round(F.sqrt("share"), 9).cast("decimal(18,9)").alias("u_half"),
+        F.round(F.sqrt(F.sqrt("share")), 9)
+        .cast("decimal(18,9)")
+        .alias("u_quarter"),
+    )
+    norm = scaled.agg(
+        F.sum("u_half").alias("z_half"),
+        F.sum("u_quarter").alias("z_quarter"),
+    )
+    w_half = F.col("u_half").cast("double") / F.col("z_half").cast(
+        "double"
+    )
+    return (
+        scaled.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            "share",
+            w_half.alias("w_half"),
+            (
+                F.col("u_quarter").cast("double")
+                / F.col("z_quarter").cast("double")
+            ).alias("w_quarter"),
+            (
+                w_half * F.lit(_D93_BUDGET_TOKENS) / F.col("n_tokens")
+            ).alias("epochs_half"),
+        )
+        .orderBy("source")
+    )

@@ -1125,3 +1125,141 @@ def m16_container_integrity_gate(t):
         )
         .orderBy("media_format", "status")
     )
+
+
+# --------------------- m17: bounded-radius query-by-image retrieval
+
+# The dHash derivation CTE chain, byte-identical to m10's oracle
+# prefix (UTF-8 bytes -> 8-byte block sums on a dense 65-block grid ->
+# adjacent-block comparison bits -> packed signed int64). Kept as one
+# constant so retrieval and clustering score the SAME hash.
+_DHASH_CTES = f"""bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS p FROM bl
+    ),
+    blk AS (
+      SELECT doc_id, (p - 1) // 8 AS blk, SUM(v) AS bs
+      FROM bytes WHERE p <= 520 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, g.b
+      FROM (SELECT DISTINCT doc_id FROM blk) d,
+           (SELECT unnest(range(65)) AS b) g
+    ),
+    bsums AS (
+      SELECT grid.doc_id, grid.b, COALESCE(blk.bs, 0) AS s
+      FROM grid LEFT JOIN blk
+        ON blk.doc_id = grid.doc_id AND blk.blk = grid.b
+    ),
+    bits AS (
+      SELECT doc_id, b AS i,
+             CASE WHEN s > LEAD(s) OVER (PARTITION BY doc_id ORDER BY b)
+                  THEN 1 ELSE 0 END AS bit
+      FROM bsums
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bit = 0 THEN 0
+                           WHEN i = 63 THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << i) END)
+                  AS BIGINT) AS phash
+      FROM bits WHERE i < 64 GROUP BY doc_id
+    )"""
+
+_M17_RADIUS = 3  # pigeonhole-exact with m10's 4x16-bit bands
+
+
+@query(
+    "m17_image_query_retrieval",
+    f"""
+    WITH {_DHASH_CTES}
+    SELECT query_doc, neighbor_doc, hamming,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_doc
+             ORDER BY hamming, neighbor_doc) AS BIGINT) AS rank
+    FROM (
+      SELECT q.doc_id AS query_doc, c.doc_id AS neighbor_doc,
+             CAST(bit_count(xor(q.phash, c.phash)) AS BIGINT) AS hamming
+      FROM hashes q JOIN hashes c ON c.doc_id <> q.doc_id
+      WHERE q.doc_id < 10
+        AND bit_count(xor(q.phash, c.phash)) <= {_M17_RADIUS}
+    )
+    ORDER BY query_doc, rank
+    """,
+    tags=("multimodal", "similarity", "retrieval"),
+)
+def m17_image_query_retrieval(t):
+    """Query-by-image SERVING path — the d09/d77 contract for the
+    image modality: given a bounded query panel (doc_id < 10, the
+    module's query-set convention), return every corpus image within
+    Hamming radius {_M17_RADIUS} of the query's 64-bit dHash, ranked
+    by distance (ties by neighbor id). This is bounded-RADIUS
+    retrieval, not top-k: m10's 4x16-bit banding is pigeonhole-EXACT
+    at radius <= 3, so recall is 100% by construction — a top-k
+    contract would silently depend on candidates beyond the banding's
+    guarantee. (The oracle verifies against the plain all-pairs
+    Hamming join, so a banding that dropped any in-radius pair
+    hash-mismatches rather than merely degrading.)
+
+    Scale shape: the corpus side fans out to 4 band keys per DISTINCT
+    image hash and meets the BROADCAST query panel's band keys in an
+    equi-join — candidates are bucket-local (2^16-domain band keys
+    keep occupancy corpus-linear, the m10 argument), the corpus is
+    never all-paired, and the final Hamming check is two codegen'd
+    integer ops per candidate. At 100 TB this is the interactive
+    'find my image's variants' endpoint next to m10's offline
+    clustering — same hash, same bands, same radius guarantee."""
+    from data_engineer_project_spark.operators.multimodal import (
+        difference_hash,
+    )
+
+    h = tracked_persist(
+        difference_hash(_media(t)).select("doc_id", "phash")
+    )
+
+    def banded(df, id_alias, hash_alias):
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("phash").alias(hash_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("bi"),
+                            F.shiftright("phash", 16 * bi)
+                            .bitwiseAND(F.lit(65535))
+                            .alias("bk"),
+                        )
+                        for bi in range(4)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_alias, hash_alias, "band.bi", "band.bk")
+
+    qp = banded(h.filter(F.col("doc_id") < 10), "query_doc", "q_phash")
+    cp = banded(h, "neighbor_doc", "c_phash")
+    cand = (
+        cp.join(
+            F.broadcast(qp),
+            (cp["bi"] == qp["bi"])
+            & (cp["bk"] == qp["bk"])
+            & (F.col("neighbor_doc") != F.col("query_doc")),
+        )
+        .select("query_doc", "neighbor_doc", "q_phash", "c_phash")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_doc",
+        "neighbor_doc",
+        F.bit_count(F.col("q_phash").bitwiseXOR(F.col("c_phash")))
+        .cast("long")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= _M17_RADIUS)
+    w = Window.partitionBy("query_doc").orderBy("hamming", "neighbor_doc")
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).orderBy("query_doc", "rank")
+    )

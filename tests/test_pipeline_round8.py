@@ -961,3 +961,108 @@ def test_d92_estimators_match_pure_python(spark, tmp_path):
     for r in got.values():
         assert 0.0 <= r[4] <= 1.0
         assert r[6] >= r[1]  # chao1 never below observed richness
+
+
+def test_m17_retrieval_matches_pure_python_hamming(spark, tmp_path):
+    """Bounded-radius image retrieval must equal a from-scratch pure
+    Python dHash + all-pairs Hamming scan (no shared code), and a
+    planted tail-edited near-duplicate of a query doc must surface at
+    rank 1."""
+    texts = {
+        i: f"doc {i} "
+        + " ".join(f"w{(i * 7 + j * 13) % 97}" for j in range(30))
+        for i in range(60)
+    }
+    # plant: doc 70 = doc 3's text with a 1-char tail edit (dHash
+    # perturbs only the final block pair -> Hamming <= 2)
+    texts[70] = texts[3][:-1] + "!"
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[i] for i in texts],
+        "lang": ["en"] * len(texts),
+        "source": ["synth"] * len(texts),
+        "n_chars": [len(texts[i]) for i in texts],
+    }
+    sf = _write_tables(tmp_path, "m17", documents=docs)
+
+    def dhash(s):
+        raw = s.encode("utf-8")[:520]
+        blocks = [0] * 65
+        for p, v in enumerate(raw):
+            blocks[p // 8] += v
+        bits = 0
+        for i in range(64):
+            if blocks[i] > blocks[i + 1]:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+    hashes = {i: dhash(txt) for i, txt in texts.items()}
+    want = []
+    for q in sorted(i for i in texts if i < 10):
+        matches = sorted(
+            (bin((hashes[q] ^ hashes[c]) & ((1 << 64) - 1)).count("1"), c)
+            for c in texts if c != q
+        )
+        rank = 0
+        for dist, c in matches:
+            if dist <= 3:
+                rank += 1
+                want.append((q, c, dist, rank))
+    got = [
+        (r.query_doc, r.neighbor_doc, r.hamming, r.rank)
+        for r in QUERIES["m17_image_query_retrieval"].fn(spark, sf)
+        .collect()
+    ]
+    assert got == want
+    # the planted tail-edit variant is doc 3's best match
+    top3 = [g for g in got if g[0] == 3 and g[3] == 1]
+    assert top3 and top3[0][1] == 70 and top3[0][2] <= 2
+
+
+def test_d93_weights_flatten_and_normalize(spark, tmp_path):
+    """Temperature scaling must (a) normalize to 1, (b) flatten the
+    distribution monotonically (order preserved, small sources
+    upsampled, large downsampled, more so at lower alpha), and (c)
+    match the closed-form two-source case."""
+    # two sources, 90% / 10% of tokens: w_half must be 3/4 and 1/4
+    texts, srcs = [], []
+    for i in range(100):
+        texts.append("tok " * (90 if i < 50 else 10))
+        srcs.append("big" if i < 50 else "small")
+    docs = {
+        "doc_id": list(range(100)),
+        "text": [t.strip() for t in texts],
+        "lang": ["en"] * 100,
+        "source": srcs,
+        "n_chars": [len(t) for t in texts],
+    }
+    sf = _write_tables(tmp_path, "d93", documents=docs)
+    rows = {
+        r.source: r
+        for r in QUERIES["d93_mixture_temperature"].fn(spark, sf).collect()
+    }
+    big, small = rows["big"], rows["small"]
+    assert abs(big.share - 0.9) < 1e-12 and abs(small.share - 0.1) < 1e-12
+    # sqrt(0.9):sqrt(0.1) = 3:1
+    assert abs(big.w_half - 0.75) < 1e-9
+    assert abs(small.w_half - 0.25) < 1e-9
+    assert abs(big.w_half + small.w_half - 1.0) < 1e-9
+    assert abs(big.w_quarter + small.w_quarter - 1.0) < 1e-9
+    # flattening: small upsampled, big downsampled; stronger at 1/4
+    assert small.w_half > small.share and big.w_half < big.share
+    assert small.w_quarter > small.w_half
+    assert big.w_quarter < big.w_half
+    # epochs arithmetic is exactly w * B / n
+    assert abs(
+        small.epochs_half - small.w_half * 1_000_000 / small.n_tokens
+    ) < 1e-9
+
+    # real-table sanity: ordering by share is preserved by both scalings
+    real = QUERIES["d93_mixture_temperature"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_share = sorted(real, key=lambda r: r.share)
+    for a, b in zip(by_share, by_share[1:]):
+        assert a.w_half <= b.w_half + 1e-12
+        assert a.w_quarter <= b.w_quarter + 1e-12
+    assert abs(sum(r.w_half for r in real) - 1.0) < 1e-6

@@ -337,6 +337,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/llm_pipeline.py", "tf"),  # d80: bounded 20-doc term set
         ("queries/llm_pipeline.py", "lean"),  # d81: <= 256 hash buckets
         ("queries/llm_pipeline.py", "model"),  # d90: <= 256 hash buckets
+        ("queries/multimodal_queries.py", "qp"),  # m17: 10-query panel x4 bands
         ("queries/llm_pipeline.py", "tend"),  # e26: 1-row study end
         ("queries/llm_pipeline.py", "cn"),  # M*K codebook + norms
         ("queries/llm_pipeline.py", "cent_df"),  # ~sqrt(N) centroids

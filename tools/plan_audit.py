@@ -203,6 +203,12 @@ EXTRA_QUERIES = [
     # like every s*; its multi-batch contract lives in
     # tests/test_streaming.py.)
     "d92_good_turing_completeness",
+    # m17 is one narrow mapInPandas (dHash) + the broadcast 10-query
+    # band panel equi-join + a panel-bounded window (no CC loop, so —
+    # unlike m10 — its plan audits without executing); d93 is one
+    # corpus scan into a source fold + two 1-row broadcast joins.
+    "m17_image_query_retrieval",
+    "d93_mixture_temperature",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

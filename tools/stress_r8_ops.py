@@ -152,6 +152,24 @@ def measure(
         },
     )
     run_query(
+        "m17_image_query_retrieval",
+        lambda rows: {
+            "matches": len(rows),
+            "queries_hit": len({r.query_doc for r in rows}),
+            "max_hamming": max((r.hamming for r in rows), default=None),
+        },
+    )
+    run_query(
+        "d93_mixture_temperature",
+        lambda rows: {
+            "sources": len(rows),
+            "w_half_sum": round(sum(r.w_half for r in rows), 9),
+            "max_epochs_half": round(
+                max(r.epochs_half for r in rows), 3
+            ),
+        },
+    )
+    run_query(
         "e30_crosscorr_lead_lag",
         lambda rows: {
             "pairs": sum(r.is_best for r in rows),
