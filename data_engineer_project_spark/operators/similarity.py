@@ -438,19 +438,24 @@ def corpus_fingerprint(
     return int(fp["n"]), int(fp["s"]), int(fp["v"])
 
 
-def write_store_atomic(df: DataFrame, store) -> None:
+def write_store_atomic(df: DataFrame, store, partition_by=None) -> None:
     """Write ``df`` as the artifact at directory ``store`` atomically:
     write to a sibling temp dir, then rename into place. Two
     concurrent first callers race only on the rename — the loser's
     os.rename fails (target exists) and its temp dir is discarded, so
-    readers never observe a half-written store."""
+    readers never observe a half-written store. ``partition_by``
+    (column list) writes a hive-partitioned layout — the rename is
+    equally atomic because the whole directory tree moves at once."""
     import os
     import shutil
     import uuid
 
     store = str(store)
     tmp = f"{store}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     try:
         os.rename(tmp, store)
         return

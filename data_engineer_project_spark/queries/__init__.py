@@ -170,12 +170,15 @@ def _green_counts(repo_root=None, respect_cutoffs=True) -> dict[str, int]:
 
 def rank_names(names, greens, historical=None) -> list[str]:
     """Gate order for ``names`` given per-name green counts: fewest
-    greens first, family rank breaking ties, then (within a family's
-    equal-green block) fewest HISTORICAL greens — so a never-ever-
-    driver-seen query outranks a regate whose superseded green at
-    least proves the driver ran it — registry index last. The same
-    keys whether the counts came from real round files or a test's
-    synthetic ones."""
+    effective greens first; within the zero-effective block, queries
+    the driver has NEVER seen (zero HISTORICAL greens too) precede
+    regates/contract-changes whose superseded green at least proves
+    the driver ran them — this guarantees that when the zero pool
+    outgrows the driver's 50-slot gate, every slot that falls off has
+    a driver row on record. Family rank orders within each of those
+    blocks, historical count and registry index break remaining ties.
+    The same keys whether the counts came from real round files or a
+    test's synthetic ones."""
     hist = historical or {}
     return [
         n
@@ -183,6 +186,7 @@ def rank_names(names, greens, historical=None) -> list[str]:
             ((i, n) for i, n in enumerate(names)),
             key=lambda item: (
                 greens.get(item[1], 0),
+                1 if hist.get(item[1], 0) > 0 else 0,
                 _FAMILY_RANK.get(item[1][0], 7),
                 hist.get(item[1], 0),
                 item[0],

@@ -10824,3 +10824,309 @@ def d93_mixture_temperature(t):
         )
         .orderBy("source")
     )
+
+
+# ------------------- d94: RAG chunking self-retrieval evaluation
+
+# Chunk geometry: 40-word windows on a 20-word stride (50% overlap,
+# the standard RAG default); query = 4 mid-doc words (positions
+# 12..15, inside chunk 0 only) per panel doc.
+_D94_CHUNK = 40
+_D94_STRIDE = 20
+_D94_Q_OFF = 12  # 1-based slice start of the query terms
+_D94_Q_LEN = 4
+# BM25 constants shared with d30's operator (same saturation shape).
+from data_engineer_project_spark.operators.retrieval import (  # noqa: E402
+    B,
+    K1,
+)
+
+
+@query(
+    "d94_chunk_retrieval_eval",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (len(words) - 1) // {_D94_STRIDE}))
+               AS pos,
+             words
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id, pos,
+             words[pos * {_D94_STRIDE} + 1
+                   : pos * {_D94_STRIDE} + {_D94_CHUNK}] AS cw,
+             least({_D94_CHUNK}, len(words) - pos * {_D94_STRIDE}) AS dl
+      FROM ch
+    ),
+    tok AS (
+      SELECT doc_id, pos, dl, unnest(cw) AS term FROM chunks
+    ),
+    qterms AS (
+      SELECT doc_id AS query_doc,
+             unnest(words[{_D94_Q_OFF} : {_D94_Q_OFF} + {_D94_Q_LEN} - 1])
+               AS term
+      FROM w WHERE doc_id < 10
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM chunks
+    ),
+    dfreq AS (
+      SELECT q.query_doc, q.term,
+             CAST(COUNT(DISTINCT (t.doc_id, t.pos)) AS DOUBLE) AS df
+      FROM qterms q JOIN tok t ON t.term = q.term
+      GROUP BY 1, 2
+    ),
+    tf AS (
+      SELECT q.query_doc, q.term, t.doc_id, t.pos,
+             MIN(t.dl) AS dl,
+             CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM qterms q JOIN tok t ON t.term = q.term
+      GROUP BY 1, 2, 3, 4
+    ),
+    contrib AS (
+      SELECT f.query_doc, f.doc_id, f.pos,
+             CAST(round(
+               ((s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((f.tf * ({K1} + 1.0))
+                  / (f.tf + {K1} * (1.0 - {B}
+                     + ({B} * CAST(f.dl AS DOUBLE)) / s.avgdl))),
+               9) AS DECIMAL(18,9)) AS c9
+      FROM tf f
+      JOIN dfreq d ON d.query_doc = f.query_doc AND d.term = f.term
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT query_doc, doc_id, pos, SUM(c9) AS score9
+      FROM contrib GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT query_doc, doc_id, pos, score9,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_doc
+               ORDER BY score9 DESC, doc_id, pos) AS rn
+      FROM scored
+    )
+    SELECT query_doc, CAST(doc_id AS BIGINT) AS top_doc,
+           CAST(pos AS BIGINT) AS top_pos,
+           CAST(score9 AS DOUBLE) AS top_score,
+           (doc_id = query_doc) AS self_hit
+    FROM ranked WHERE rn = 1
+    ORDER BY query_doc
+    """,
+    tags=("llm", "retrieval", "rag", "eval"),
+)
+def d94_chunk_retrieval_eval(t):
+    """RAG CHUNKING self-retrieval evaluation — the standard sanity
+    eval run before trusting a chunk geometry: split every document
+    into {_D94_CHUNK}-word windows on a {_D94_STRIDE}-word stride (50%
+    overlap), issue each panel doc's own mid-doc words (positions
+    {_D94_Q_OFF}..{_D94_Q_OFF + _D94_Q_LEN - 1}, inside chunk 0) as a
+    query, BM25-rank ALL chunks, and report whether the top-1 chunk
+    belongs to the querying document (self_hit). A geometry whose
+    self-retrieval fails is returning someone else's context; the
+    failure rate is the measurement.
+
+    Fully relational inverted-index form — unlike d30's fixed-literal
+    tf columns, the query terms here are DATA (each doc's own words),
+    so tf/df come from equi-joins of the token table with the exploded
+    query-term table: candidates are exactly the chunks sharing >= 1
+    query term (inverted-index behavior — chunks matching nothing are
+    never scored), never an all-pairs surface.
+
+    Exactness: tf/df/n/dl are exact ints; each term's BM25
+    contribution (d30's rational ln-free idf x the k1/b saturation,
+    identically parenthesized) rounds to DECIMAL(18,9) BEFORE the
+    per-chunk sum (the d85 move — a double sum over a grouped term
+    set is partition-order-dependent), so ranking ties are decided on
+    identical numbers in both engines.
+
+    Scale shape: chunking is array-native (slice arithmetic in
+    codegen); the token explode is corpus-linear with the shuffle
+    keyed by term (AQE-sized); df collapses map-side; the final top-1
+    is a window over the PANEL-bounded candidate set. At 100 TB the
+    token table is the inverted index every retrieval stack already
+    materializes, bucketed by term."""
+    cw, st = _D94_CHUNK, _D94_STRIDE
+    w = t.documents.select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(words)-1) div {st}),"
+                f" p -> struct(slice(words, p*{st}+1, {cw}) AS cw,"
+                f" least({cw}, size(words) - p*{st}) AS dl))"
+            )
+        ).alias("pos", "c"),
+    ).select("doc_id", "pos", "c.cw", "c.dl")
+    tok = chunks.select(
+        "doc_id", "pos", "dl", F.explode("cw").alias("term")
+    )
+    qterms = (
+        w.filter(F.col("doc_id") < 10)
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            F.explode(
+                F.slice("words", _D94_Q_OFF, _D94_Q_LEN)
+            ).alias("term"),
+        )
+    )
+    stats = chunks.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum("dl").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    hits = tok.join(F.broadcast(qterms), "term")
+    dfreq = hits.groupBy("query_doc", "term").agg(
+        F.countDistinct("doc_id", "pos").cast("double").alias("df")
+    )
+    tf = hits.groupBy("query_doc", "term", "doc_id", "pos").agg(
+        F.min("dl").alias("dl"),
+        F.count(F.lit(1)).cast("double").alias("tf"),
+    )
+    # identical parenthesization to the oracle — do not reorder
+    idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    sat = (F.col("tf") * (F.lit(K1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(K1)
+        * (
+            F.lit(1.0)
+            - F.lit(B)
+            + (F.lit(B) * F.col("dl").cast("double")) / F.col("avgdl")
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), ["query_doc", "term"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_doc",
+            "doc_id",
+            "pos",
+            F.round(idf * sat, 9).cast("decimal(18,9)").alias("c9"),
+        )
+    )
+    scored = contrib.groupBy("query_doc", "doc_id", "pos").agg(
+        F.sum("c9").alias("score9")
+    )
+    win = Window.partitionBy("query_doc").orderBy(
+        F.desc("score9"), F.asc("doc_id"), F.asc("pos")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_doc",
+            F.col("doc_id").cast("long").alias("top_doc"),
+            F.col("pos").cast("long").alias("top_pos"),
+            F.col("score9").cast("double").alias("top_score"),
+            (F.col("doc_id") == F.col("query_doc")).alias("self_hit"),
+        )
+        .orderBy("query_doc")
+    )
+
+
+# ---------------- d95: partitioned-sink write/read roundtrip audit
+
+
+@query(
+    "d95_partitioned_roundtrip_audit",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             {_D91_PAY_O} AS pay_ck,
+             {_D91_ID_O} AS id_ck
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(pay_ck) AS BIGINT) AS payload_checksum,
+           CAST(SUM(id_ck) AS BIGINT) AS id_checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "sink", "integrity"),
+)
+def d95_partitioned_roundtrip_audit(t):
+    """Partitioned parquet SINK with a write -> read-back -> verify
+    roundtrip — the one surface d91's manifest doesn't touch: the
+    query WRITES the corpus as a hive-partitioned dataset
+    (partitionBy(lang), the layout a 100 TB delivery actually ships so
+    per-language consumers prune at the directory level), re-reads the
+    artifact from disk, and audits the READ-BACK copy with d91's two
+    order-independent sum-checksums. The oracle computes the same
+    rollup from the SOURCE table, so a hash match proves byte fidelity
+    of every payload and every (doc_id, n_chars) binding through the
+    write/read cycle — the check a delivery pipeline runs before
+    declaring a drop complete.
+
+    The artifact is content-addressed (store key = row count + both
+    corpus checksums + STORE_VERSION) and written via the atomic
+    temp-dir+rename store machinery (one rename moves the whole
+    partitioned tree), so re-runs on the same corpus re-READ, never
+    re-write, and concurrent first callers cannot expose a
+    half-written dataset. A pytest pins partition pruning on the
+    read-back path (PartitionFilters in the plan) and store reuse.
+
+    Exactness: checksums are sums of 16-bit md5-prefix ints (int64);
+    every column is an exact integer fold.
+
+    Scale shape: one write (shuffle-free — partitionBy splits files
+    within each task), one read, one lang-keyed fold. The bounded
+    driver collect is the 1-row fingerprint aggregate."""
+    import pathlib
+
+    from data_engineer_project_spark.operators.similarity import (
+        STORE_VERSION,
+        prune_store,
+        write_store_atomic,
+    )
+
+    docs = t.documents
+    fp = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_D91_PAY_S)).alias("p"),
+        F.sum(F.expr(_D91_ID_S)).alias("i"),
+    ).collect()[0]
+    key = f"rt{STORE_VERSION}_n{fp.n}_p{fp.p}_i{fp.i}"
+    root = (
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / "roundtrip_store"
+    )
+    store = root / key
+    if not (store / "_SUCCESS").exists():
+        write_store_atomic(docs, store, partition_by=["lang"])
+        prune_store(root)
+    back = docs.sparkSession.read.parquet(str(store))
+    return (
+        back.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.expr(_D91_PAY_S).alias("pay_ck"),
+            F.expr(_D91_ID_S).alias("id_ck"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("pay_ck").cast("long").alias("payload_checksum"),
+            F.sum("id_ck").cast("long").alias("id_checksum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -68,13 +68,26 @@ def test_gate_order_puts_unverified_families_first():
         (n, c) for n, c in zip(names, counts)
     ][:10]
 
-    # Secondary invariant: within the 0-green block, family rank is
-    # respected (h < d < e < s < m < p < q < other).
-    from data_engineer_project_spark.queries import _FAMILY_RANK
+    # Secondary invariant: the 0-green block splits into never-driver-
+    # seen (no historical green either) before regates (superseded
+    # green on record) — so a gate-overflow always drops a query the
+    # driver has at least once run — and family rank is respected
+    # (h < d < e < s < m < p < q < other) within EACH sub-block.
+    from data_engineer_project_spark.queries import (
+        _FAMILY_RANK,
+        _green_counts,
+    )
 
+    hist = _green_counts(respect_cutoffs=False)
     zero_block = [n for n in names if greens.get(n, 0) == 0]
-    fam = [_FAMILY_RANK.get(n[0], 7) for n in zero_block]
-    assert fam == sorted(fam), list(zip(zero_block, fam))[:10]
+    seen_flags = [1 if hist.get(n, 0) > 0 else 0 for n in zero_block]
+    assert seen_flags == sorted(seen_flags), list(
+        zip(zero_block, seen_flags)
+    )
+    for flag in (0, 1):
+        sub = [n for n in zero_block if (1 if hist.get(n, 0) > 0 else 0) == flag]
+        fam = [_FAMILY_RANK.get(n[0], 7) for n in sub]
+        assert fam == sorted(fam), list(zip(sub, fam))[:10]
 
 
 def test_gate_ranking_stable_against_future_round_files(tmp_path):

@@ -1066,3 +1066,139 @@ def test_d93_weights_flatten_and_normalize(spark, tmp_path):
         assert a.w_half <= b.w_half + 1e-12
         assert a.w_quarter <= b.w_quarter + 1e-12
     assert abs(sum(r.w_half for r in real) - 1.0) < 1e-6
+
+
+def test_d94_self_retrieval_matches_pure_python_bm25(spark, tmp_path):
+    """On a corpus of disjoint per-doc vocabularies every query must
+    self-hit at chunk 0; a verbatim copy of a query doc ties and the
+    (doc, pos) tie-break keeps the original; and the winning (doc,
+    pos) per query must match a from-scratch pure-Python BM25 over
+    the same 40/20 chunking."""
+    import collections
+
+    texts = {}
+    for i in range(40):
+        texts[i] = " ".join(
+            f"u{i}w{(j * 11 + i) % 50}" for j in range(70)
+        )
+    texts[99] = texts[3]  # verbatim copy of a panel doc
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[i] for i in texts],
+        "lang": ["en"] * len(texts),
+        "source": ["synth"] * len(texts),
+        "n_chars": [len(texts[i]) for i in texts],
+    }
+    sf = _write_tables(tmp_path, "d94", documents=docs)
+
+    # ---- pure-Python BM25 over the same chunk geometry ----
+    K1, B = 1.2, 0.75
+    chunks = {}
+    for i, txt in texts.items():
+        ws = txt.split(" ")
+        for p in range(0, (len(ws) - 1) // 20 + 1):
+            cw = ws[p * 20 : p * 20 + 40]
+            chunks[(i, p)] = cw
+    n = float(len(chunks))
+    avgdl = sum(len(c) for c in chunks.values()) / n
+    want = {}
+    for q in sorted(i for i in texts if i < 10):
+        terms = texts[q].split(" ")[11:15]
+        best = None
+        for (i, p), cw in chunks.items():
+            tfs = collections.Counter(cw)
+            score = 0.0
+            for term in terms:
+                tf = tfs.get(term, 0)
+                if tf == 0:
+                    continue
+                df = sum(1 for c in chunks.values() if term in c)
+                idf = (n - df + 0.5) / (df + 0.5)
+                sat = (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + (B * len(cw)) / avgdl)
+                )
+                score += round(idf * sat, 9)
+            if score > 0:
+                key = (-score, i, p)
+                if best is None or key < best:
+                    best = key
+        want[q] = (best[1], best[2])
+
+    got = {
+        r.query_doc: (r.top_doc, r.top_pos, r.self_hit)
+        for r in QUERIES["d94_chunk_retrieval_eval"].fn(spark, sf)
+        .collect()
+    }
+    assert {q: (d, p) for q, (d, p, _) in got.items()} == want
+    # disjoint vocabularies -> every query self-hits (the winning pos
+    # may be a short trailing chunk: BM25's length normalization
+    # legitimately prefers a 10-word window holding the term over the
+    # 40-word chunk 0 — the pure-Python reference agrees), and doc 3,
+    # whose verbatim copy (doc 99) ties every chunk score, keeps the
+    # win via the (doc, pos) tie-break
+    for q, (d, p, hit) in got.items():
+        assert hit and d == q
+    assert got[3][0] == 3  # not the verbatim copy 99
+
+
+def test_d95_roundtrip_store_reuse_and_partition_pruning(spark):
+    """The partitioned artifact must (a) lay out hive lang= dirs,
+    (b) be REUSED on a second run (no rewrite — _SUCCESS mtime
+    stable), and (c) serve partition-pruned reads (PartitionFilters
+    carries the lang predicate, and only that partition's files are
+    read)."""
+    import os
+    import pathlib
+
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    q = QUERIES["d95_partitioned_roundtrip_audit"].fn
+    rows1 = {r.lang: tuple(r) for r in q(spark, sf).collect()}
+
+    root = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "spark-warehouse"
+        / "roundtrip_store"
+    )
+    # address the store by recomputing its content key from the raw
+    # parquet (other tests/corpora share this store root)
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from data_engineer_project_spark.operators.similarity import (
+        STORE_VERSION,
+    )
+
+    def h(s, dgt):
+        return int(hashlib.md5(s.encode()).hexdigest()[:dgt], 16)
+
+    cols = pq.read_table(f"{sf}/documents.parquet").to_pydict()
+    pay = sum(h(txt, 4) for txt in cols["text"])
+    idc = sum(
+        h(f"{d}:{c}", 4)
+        for d, c in zip(cols["doc_id"], cols["n_chars"])
+    )
+    store = root / f"rt{STORE_VERSION}_n{len(cols['text'])}_p{pay}_i{idc}"
+    assert (store / "_SUCCESS").exists(), "no roundtrip store written"
+    langs = {p.name for p in store.iterdir() if p.name.startswith("lang=")}
+    assert langs == {f"lang={lang}" for lang in rows1}
+
+    mtime = (store / "_SUCCESS").stat().st_mtime
+    rows2 = {r.lang: tuple(r) for r in q(spark, sf).collect()}
+    assert rows2 == rows1
+    assert (store / "_SUCCESS").stat().st_mtime == mtime  # reused
+
+    back = spark.read.parquet(str(store)).filter("lang = 'en'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the lang predicate must land in PartitionFilters (directory-level
+    # pruning), NOT PushedFilters (row-group level) — and the count
+    # must match the partition. (inputFiles() reflects the unfiltered
+    # relation, so the plan string is the pruning evidence.)
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "lang" in pf.group(1) and "en" in pf.group(1)
+    assert back.count() == rows1["en"][1]  # n_docs of the en partition

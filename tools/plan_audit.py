@@ -209,6 +209,13 @@ EXTRA_QUERIES = [
     # corpus scan into a source fold + two 1-row broadcast joins.
     "m17_image_query_retrieval",
     "d93_mixture_temperature",
+    # d94 is the inverted-index shape: array-native chunking, token
+    # explode shuffled on term, broadcast panel term-set joins, one
+    # panel-bounded window; d95 WRITES its partitioned artifact at
+    # build (store-backed like d14/d58) — the audited plan is the
+    # read-back scan + lang fold.
+    "d94_chunk_retrieval_eval",
+    "d95_partitioned_roundtrip_audit",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

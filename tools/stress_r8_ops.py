@@ -170,6 +170,21 @@ def measure(
         },
     )
     run_query(
+        "d94_chunk_retrieval_eval",
+        lambda rows: {
+            "queries": len(rows),
+            "self_hits": sum(r.self_hit for r in rows),
+        },
+    )
+    run_query(
+        "d95_partitioned_roundtrip_audit",
+        lambda rows: {
+            "langs": len(rows),
+            "docs": sum(r.n_docs for r in rows),
+            "corpus_checksum": sum(r.payload_checksum for r in rows),
+        },
+    )
+    run_query(
         "e30_crosscorr_lead_lag",
         lambda rows: {
             "pairs": sum(r.is_best for r in rows),
