@@ -11130,3 +11130,161 @@ def d95_partitioned_roundtrip_audit(t):
         )
         .orderBy("lang")
     )
+
+
+# --------------- d96: dedup threshold calibration (operating curve)
+
+_D96_CUTS = (50, 70, 90)  # Jaccard thresholds, percent
+
+
+@query(
+    "d96_dedup_threshold_calibration",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win
+               AS shingle
+      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shd GROUP BY shingle
+      HAVING COUNT(*) <= 50 AND COUNT(*) > 1
+    ),
+    shf AS (
+      SELECT shd.doc_id, shd.shingle FROM shd
+      JOIN informative USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+    stats AS (
+      SELECT i.doc_a, i.doc_b, i.n_inter,
+             za.n_sh + zb.n_sh - i.n_inter AS n_union
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shf a JOIN shf b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+    ),
+    cuts AS (
+      SELECT unnest(ARRAY{list(_D96_CUTS)}) AS threshold_pct
+    ),
+    hits AS (
+      SELECT c.threshold_pct, s.doc_a, s.doc_b
+      FROM stats s JOIN cuts c
+        ON 100 * s.n_inter >= c.threshold_pct * s.n_union
+    ),
+    toks AS (
+      SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    removed AS (
+      SELECT DISTINCT threshold_pct, doc_b FROM hits
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT c.threshold_pct,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_docs_removed,
+           CAST(COALESCE(r.tokens_removed, 0) AS BIGINT)
+             AS tokens_removed,
+           CAST(COALESCE(r.n_removed, 0) AS DOUBLE)
+             / CAST(nd.n_docs AS DOUBLE) AS frac_docs_removed
+    FROM cuts c
+    LEFT JOIN (
+      SELECT threshold_pct, COUNT(*) AS n_pairs FROM hits GROUP BY 1
+    ) p ON p.threshold_pct = c.threshold_pct
+    LEFT JOIN (
+      SELECT rm.threshold_pct, COUNT(*) AS n_removed,
+             SUM(t.n_tok) AS tokens_removed
+      FROM removed rm JOIN toks t ON t.doc_id = rm.doc_b
+      GROUP BY 1
+    ) r ON r.threshold_pct = c.threshold_pct
+    CROSS JOIN nd
+    ORDER BY c.threshold_pct
+    """,
+    tags=("llm", "dedup", "calibration"),
+)
+def d96_dedup_threshold_calibration(t):
+    """Dedup threshold CALIBRATION CURVE — the operating-point table a
+    dedup rollout is tuned from: for Jaccard cuts at
+    {_D96_CUTS} percent, how many near-dup pairs fire, how many
+    documents the greedy keep-lowest-id rule would remove (a doc is
+    removed iff SOME earlier doc matches it at the cut — d47's
+    keep-first semantics, deliberately transitive-closure-free so the
+    rollup is pure relational), and how many tokens that reclaims.
+    Reading the curve top-down shows the knob's bite: 90% catches only
+    verbatim-grade twins, 50% starts eating topical siblings — the
+    pairs/removal deltas between rows ARE the precision/recall
+    trade-off made visible.
+
+    One pair materialization serves the whole sweep: candidates come
+    from d12's informative-shingle inverted index (document frequency
+    2..50 — any pair with positive Jaccard over those sets shares a
+    shingle, so candidate recall at every cut is EXACT, not
+    probabilistic), and each pair carries INTEGER (n_inter, n_union)
+    so every cut is the rational test 100·n_inter >= pct·n_union —
+    no doubles anywhere near a boundary.
+
+    Exactness: counts int64 end-to-end; the one double is the removed
+    fraction.
+
+    Scale shape: the shingle index + pair stats are d12's
+    corpus-linear machinery, paid ONCE for all {len(_D96_CUTS)} cuts
+    (a x3 constant fan-out on the bounded pair set, never a rescan);
+    removal/token rollups are small keyed folds. At 100 TB this query
+    IS the nightly report next to the persisted shingle table."""
+    stats = DD.ngram_pair_stats(t.documents, max_df=50)
+    cuts = F.explode(
+        F.array(*[F.lit(c) for c in _D96_CUTS])
+    ).alias("threshold_pct")
+    hits = tracked_persist(
+        stats.select("doc_a", "doc_b", "n_inter", "n_union", cuts).filter(
+            100 * F.col("n_inter") >= F.col("threshold_pct") * F.col("n_union")
+        )
+    )
+    toks = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    removed = (
+        hits.select("threshold_pct", "doc_b")
+        .distinct()
+        .join(toks, F.col("doc_b") == F.col("doc_id"))
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_removed"),
+            F.sum("n_tok").alias("tokens_removed"),
+        )
+    )
+    pairs = hits.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    nd = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    grid = t.documents.sparkSession.createDataFrame(
+        [(c,) for c in _D96_CUTS], "threshold_pct int"
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        grid.join(F.broadcast(pairs), "threshold_pct", "left")
+        .join(F.broadcast(removed), "threshold_pct", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("threshold_pct").cast("long").alias("threshold_pct"),
+            F.coalesce("n_pairs", zero).alias("n_pairs"),
+            F.coalesce("n_removed", zero).alias("n_docs_removed"),
+            F.coalesce("tokens_removed", zero).alias("tokens_removed"),
+            (
+                F.coalesce("n_removed", zero).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("frac_docs_removed"),
+        )
+        .orderBy("threshold_pct")
+    )

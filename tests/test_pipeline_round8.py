@@ -1202,3 +1202,86 @@ def test_d95_roundtrip_store_reuse_and_partition_pruning(spark):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "lang" in pf.group(1) and "en" in pf.group(1)
     assert back.count() == rows1["en"][1]  # n_docs of the en partition
+
+
+def test_d96_calibration_matches_pure_python(spark, tmp_path):
+    """The 3-row calibration table must equal a from-scratch pure
+    Python recompute (shingle sets, docfreq filter, rational cuts,
+    keep-lowest-id removal), and planted pairs at engineered Jaccard
+    levels must enter/leave the rows at the right cuts."""
+    base_words = [f"w{k}" for k in range(60)]
+
+    def doc(words):
+        return " ".join(words)
+
+    texts = {}
+    # background docs: disjoint vocab chunks (no cross matches)
+    for i in range(20):
+        texts[i] = doc([f"bg{i}_{j}" for j in range(20)])
+    # planted pair A (ids 30, 31): identical -> J = 1.0 (all cuts)
+    texts[30] = doc(base_words[:20])
+    texts[31] = doc(base_words[:20])
+    # planted pair B (ids 40, 41): 3/4-ish overlap -> passes 50/70 not 90
+    texts[40] = doc(base_words[:16])
+    texts[41] = doc(base_words[:14] + [f"q{j}" for j in range(4)])
+    # planted pair C (ids 50, 51): ~half overlap -> passes only 50
+    texts[50] = doc(base_words[20:36])
+    texts[51] = doc(base_words[20:30] + [f"r{j}" for j in range(8)])
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[i] for i in texts],
+        "lang": ["en"] * len(texts),
+        "source": ["synth"] * len(texts),
+        "n_chars": [len(texts[i]) for i in texts],
+    }
+    sf = _write_tables(tmp_path, "d96", documents=docs)
+
+    # ---- pure-Python reference ----
+    def shingles(txt):
+        ws = txt.split(" ")
+        return {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+
+    shd = {i: shingles(txt) for i, txt in texts.items()}
+    dfreq = {}
+    for s in shd.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    informative = {g for g, c in dfreq.items() if 1 < c <= 50}
+    shf = {i: s & informative for i, s in shd.items()}
+    stats = []
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(shf[a] & shf[b])
+            if inter:
+                stats.append((a, b, inter, len(shf[a]) + len(shf[b]) - inter))
+    n_tok = {i: len(txt.split(" ")) for i, txt in texts.items()}
+    want = {}
+    for cut in (50, 70, 90):
+        hits = [(a, b) for a, b, i_, u in stats if 100 * i_ >= cut * u]
+        removed = {b for _, b in hits}
+        want[cut] = (
+            len(hits),
+            len(removed),
+            sum(n_tok[b] for b in removed),
+            len(removed) / len(texts),
+        )
+
+    got = {
+        r.threshold_pct: (
+            r.n_pairs, r.n_docs_removed, r.tokens_removed,
+            r.frac_docs_removed,
+        )
+        for r in QUERIES["d96_dedup_threshold_calibration"].fn(spark, sf)
+        .collect()
+    }
+    assert got == want
+    # planted structure: the identical pair fires at every cut; the
+    # curve is monotone (pairs and removals shrink as the cut rises)
+    assert got[90][0] >= 1
+    assert got[50][0] >= got[70][0] >= got[90][0]
+    assert got[50][1] >= got[70][1] >= got[90][1]
+    # pair B is in 50/70 but not 90; pair C only in 50
+    assert got[50][0] >= got[70][0] + 1
+    assert got[70][0] >= got[90][0] + 1

@@ -338,6 +338,12 @@ def test_no_forced_broadcast_of_unbounded_frames():
         ("queries/llm_pipeline.py", "lean"),  # d81: <= 256 hash buckets
         ("queries/llm_pipeline.py", "model"),  # d90: <= 256 hash buckets
         ("queries/multimodal_queries.py", "qp"),  # m17: 10-query panel x4 bands
+        ("queries/llm_pipeline.py", "pairs"),  # d96: <= #cuts rollup rows
+        ("queries/llm_pipeline.py", "removed"),  # d96: <= #cuts rollup rows
+        ("queries/llm_pipeline.py", "dfreq"),  # d94: panel-terms-bounded df
+        ("queries/llm_pipeline.py", "stats"),  # d94: 1-row corpus stats
+        ("queries/llm_pipeline.py", "qterms"),  # d94: 10-doc x4-term panel
+        ("queries/llm_pipeline.py", "norm"),  # d93: 1-row normalizer sums
         ("queries/llm_pipeline.py", "tend"),  # e26: 1-row study end
         ("queries/llm_pipeline.py", "cn"),  # M*K codebook + norms
         ("queries/llm_pipeline.py", "cent_df"),  # ~sqrt(N) centroids

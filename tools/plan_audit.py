@@ -216,6 +216,10 @@ EXTRA_QUERIES = [
     # read-back scan + lang fold.
     "d94_chunk_retrieval_eval",
     "d95_partitioned_roundtrip_audit",
+    # d96 = d12's inverted-index pair machinery paid once, then a
+    # constant x3 threshold fan-out over the bounded pair set and
+    # <= #cuts-row broadcast rollup joins.
+    "d96_dedup_threshold_calibration",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

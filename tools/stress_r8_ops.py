@@ -185,6 +185,15 @@ def measure(
         },
     )
     run_query(
+        "d96_dedup_threshold_calibration",
+        lambda rows: {
+            "cuts": {
+                int(r.threshold_pct): [int(r.n_pairs), int(r.n_docs_removed)]
+                for r in rows
+            },
+        },
+    )
+    run_query(
         "e30_crosscorr_lead_lag",
         lambda rows: {
             "pairs": sum(r.is_best for r in rows),
