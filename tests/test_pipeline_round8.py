@@ -1147,7 +1147,6 @@ def test_d95_roundtrip_store_reuse_and_partition_pruning(spark):
     stable), and (c) serve partition-pruned reads (PartitionFilters
     carries the lang predicate, and only that partition's files are
     read)."""
-    import os
     import pathlib
 
     from data_engineer_project_spark.queries import QUERIES
