@@ -10117,10 +10117,11 @@ def _bitlen(col):
     return F.length(F.bin(col))
 
 
-@query(
-    "d90_hashed_nb_classifier",
-    f"""
-    WITH docs AS (
+# The per-doc NB scoring pipeline as a reusable CTE chain (no WITH
+# keyword): ends in scored(doc_id, lang, margin). Shared by d90's
+# confusion rollup, d97's threshold calibration, and s23's streaming
+# gate oracle — one derivation, three consumers, zero drift.
+_D90_SCORED_CTES = f"""docs AS (
       SELECT doc_id, lang, {_ORACLE_BUCKET} AS bucket FROM documents
     ),
     tok AS (
@@ -10172,7 +10173,13 @@ def _bitlen(col):
            - (p.s_en + length(bin(n.n_train + 2))
                      - length(bin(n.n_en + 1))) AS margin
       FROM per_doc p CROSS JOIN nd n
-    )
+    )"""
+
+
+@query(
+    "d90_hashed_nb_classifier",
+    f"""
+    WITH {_D90_SCORED_CTES}
     SELECT lang,
            CASE WHEN margin >= 0 THEN 'en' ELSE 'other' END AS predicted,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -10217,6 +10224,28 @@ def d90_hashed_nb_classifier(t):
     {_D90_BUCKETS} rows — the classifier costs two corpus scans total,
     and the bucket table bucketing co-locates with d81's importance
     sampler so the two stages share a shuffle."""
+    scored = _d90_scored_frame(t)
+    predicted = F.when(F.col("margin") >= 0, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+    return (
+        scored.groupBy("lang", predicted.alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("margin").cast("long").alias("margin_sum"),
+            F.min("margin").cast("long").alias("margin_min"),
+            F.max("margin").cast("long").alias("margin_max"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .orderBy("lang", "predicted")
+    )
+
+
+def _d90_scored_frame(t):
+    """The shared NB scoring pipeline: per held-out doc, the integer
+    margin = score_other - score_en (>= 0 -> predict 'en'). One
+    derivation behind d90's confusion rollup and d97's threshold
+    calibration — the Spark twin of ``_D90_SCORED_CTES``."""
     docs = t.documents.select("doc_id", "lang").withColumn(
         "bucket", F.expr(_SPARK_BUCKET)
     )
@@ -10265,26 +10294,12 @@ def d90_hashed_nb_classifier(t):
     prior_ot = _bitlen(F.col("n_train") + 2) - _bitlen(
         F.col("n_train") - F.col("n_en") + 1
     )
-    scored = per_doc.crossJoin(F.broadcast(nd)).select(
+    return per_doc.crossJoin(F.broadcast(nd)).select(
         "doc_id",
         "lang",
         (
             (F.col("s_ot") + prior_ot) - (F.col("s_en") + prior_en)
         ).alias("margin"),
-    )
-    predicted = F.when(F.col("margin") >= 0, F.lit("en")).otherwise(
-        F.lit("other")
-    )
-    return (
-        scored.groupBy("lang", predicted.alias("predicted"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("margin").cast("long").alias("margin_sum"),
-            F.min("margin").cast("long").alias("margin_min"),
-            F.max("margin").cast("long").alias("margin_max"),
-            F.min("doc_id").alias("sample_doc"),
-        )
-        .orderBy("lang", "predicted")
     )
 
 
@@ -11287,4 +11302,96 @@ def d96_dedup_threshold_calibration(t):
             ).alias("frac_docs_removed"),
         )
         .orderBy("threshold_pct")
+    )
+
+
+# -------------- d97: classifier threshold calibration (P/R curve)
+
+# Margin cuts in integer bits: tau = -8 (permissive: call 'en' unless
+# strongly other-ish), 0 (the d90 default), +8 (strict: demand 8 bits
+# of evidence). Predict 'en' iff margin >= tau.
+_D97_CUTS = (-8, 0, 8)
+
+
+@query(
+    "d97_classifier_threshold_calibration",
+    f"""
+    WITH {_D90_SCORED_CTES},
+    cuts AS (SELECT unnest(ARRAY{list(_D97_CUTS)}) AS tau)
+    SELECT c.tau,
+           CAST(SUM(CASE WHEN s.margin >= c.tau AND s.lang = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s.margin >= c.tau AND s.lang <> 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN s.margin < c.tau AND s.lang = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN s.margin < c.tau AND s.lang <> 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN s.margin >= c.tau AND s.lang = 'en'
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN s.margin >= c.tau
+                               THEN 1 ELSE 0 END), 0) AS precision_en,
+           CAST(SUM(CASE WHEN s.margin >= c.tau AND s.lang = 'en'
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN s.lang = 'en'
+                               THEN 1 ELSE 0 END), 0) AS recall_en
+    FROM scored s CROSS JOIN cuts c
+    GROUP BY c.tau
+    ORDER BY c.tau
+    """,
+    tags=("llm", "quality", "classifier", "calibration"),
+)
+def d97_classifier_threshold_calibration(t):
+    """Decision-threshold CALIBRATION for the d90 classifier — d96's
+    operating-curve idea applied to the model side: sweep the margin
+    cut tau over {_D97_CUTS} bits and report the confusion counts plus
+    precision/recall of the positive class at each cut. This is the
+    table a curation team reads before wiring a classifier into the
+    keep/drop path (a quality filter is usually run PRECISION-first:
+    raise tau until the kept pool is clean, and pay the recall).
+    Margins are integer bits, so the cuts are exact integer
+    comparisons — the curve has no float-boundary ambiguity by
+    construction.
+
+    Exactness: one shared scoring pipeline (``_d90_scored_frame`` /
+    ``_D90_SCORED_CTES``) feeds d90 and this sweep — the margins are
+    identical by construction, not by re-derivation; counts are int64;
+    precision/recall are single double divisions (NULL when a cut
+    empties its denominator).
+
+    Scale shape: the scoring cost is d90's (two token scans + a
+    256-row broadcast model); the sweep itself is a x{len(_D97_CUTS)}
+    constant fan-out over the per-doc margin table folded map-side to
+    {len(_D97_CUTS)} rows."""
+    scored = _d90_scored_frame(t)
+    cuts = F.explode(
+        F.array(*[F.lit(c) for c in _D97_CUTS])
+    ).alias("tau")
+    x = scored.select("lang", "margin", cuts)
+    pos = (F.col("margin") >= F.col("tau")).cast("long")
+    is_en = (F.col("lang") == "en").cast("long")
+    return (
+        x.groupBy("tau")
+        .agg(
+            F.sum(pos * is_en).alias("tp"),
+            F.sum(pos * (1 - is_en)).alias("fp"),
+            F.sum((1 - pos) * is_en).alias("fn"),
+            F.sum((1 - pos) * (1 - is_en)).alias("tn"),
+        )
+        .select(
+            F.col("tau").cast("long").alias("tau"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            (
+                F.col("tp").cast("double")
+                / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0))
+            ).alias("precision_en"),
+            (
+                F.col("tp").cast("double")
+                / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0))
+            ).alias("recall_en"),
+        )
+        .orderBy("tau")
     )

@@ -1605,3 +1605,132 @@ def s22_stream_shard_manifest(t):
     )
 
     return run_to_memory_table(manifest, "shard_manifest", "complete")
+
+
+# ------------------ s23: NB quality-classifier gate at the door
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _D90_BUCKETS,
+    _D90_SCORED_CTES,
+    _SPARK_BUCKET as _S23_SPLIT,
+)
+
+
+def _s23_model_literals(t):
+    """Train d90's hashed-NB model on the STATIC corpus and bake it
+    into two {_D90_BUCKETS}-entry integer-bits arrays + two scalar
+    priors — the broadcast-as-literal form a stream can score with
+    row-locally (the s19 Bloom-bitset move). Bounded driver collect:
+    <= {_D90_BUCKETS} model rows + two 1-row aggregates."""
+    docs = t.documents.select("doc_id", "lang").withColumn(
+        "bucket", F.expr(_S23_SPLIT)
+    )
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("wd")
+    ).select("doc_id", F.substring(F.md5("wd"), 1, 2).alias("b"))
+    train_tok = tok.join(
+        docs.filter(F.col("bucket") < 80).select("doc_id", "lang"),
+        "doc_id",
+    )
+    en = (F.col("lang") == "en").cast("long")
+    model = {
+        r.b: (r.c_en, r.c_ot)
+        for r in train_tok.groupBy("b")
+        .agg(F.sum(en).alias("c_en"), F.sum(1 - en).alias("c_ot"))
+        .collect()
+    }
+    tot = train_tok.agg(
+        F.sum(en).alias("t_en"), F.sum(1 - en).alias("t_ot")
+    ).collect()[0]
+    nd = (
+        docs.filter(F.col("bucket") < 80)
+        .agg(F.count(F.lit(1)).alias("n_train"), F.sum(en).alias("n_en"))
+        .collect()[0]
+    )
+    B = _D90_BUCKETS
+    bits_en, bits_ot = [], []
+    for i in range(B):
+        key = format(i, "02x")
+        c_en, c_ot = model.get(key, (0, 0))
+        bits_en.append(
+            (int(tot.t_en) + B).bit_length() - (int(c_en) + 1).bit_length()
+        )
+        bits_ot.append(
+            (int(tot.t_ot) + B).bit_length() - (int(c_ot) + 1).bit_length()
+        )
+    prior_en = (int(nd.n_train) + 2).bit_length() - (
+        int(nd.n_en) + 1
+    ).bit_length()
+    prior_ot = (int(nd.n_train) + 2).bit_length() - (
+        int(nd.n_train) - int(nd.n_en) + 1
+    ).bit_length()
+    return bits_en, bits_ot, prior_en, prior_ot
+
+
+@query(
+    "s23_stream_nb_quality_gate",
+    f"""
+    WITH {_D90_SCORED_CTES}
+    SELECT doc_id, lang, CAST(margin AS BIGINT) AS margin,
+           CASE WHEN margin >= 0 THEN 'en' ELSE 'other' END AS predicted
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("streaming", "llm", "quality", "classifier"),
+)
+def s23_stream_nb_quality_gate(t):
+    """d90's quality classifier at the INGEST DOOR — the deployment
+    shape a trained filter actually runs in: the model is trained
+    OFFLINE on the static corpus (one batch pass), baked into two
+    {_D90_BUCKETS}-entry integer-bits array LITERALS plus two scalar
+    priors, and every arriving held-out doc is scored ROW-LOCALLY —
+    tokens fold through element_at(<literal array>, md5-bucket + 1)
+    inside whole-stage codegen. No join, no state store, no shuffle;
+    append mode (the s19 Bloom-literal discipline applied to a learned
+    model). The emitted margin is the SAME integer d90 computes with
+    its broadcast-join form — the oracle is the shared scored CTE
+    chain, so batch training + streaming serving are verified
+    equivalent doc-for-doc, the train-offline/serve-online contract
+    made checkable.
+
+    Scale shape: the model is ~4 KB of plan literals at ANY corpus
+    size; streaming work is per-token arithmetic, embarrassingly
+    row-local. Refreshing the model is an offline re-train + plan
+    redeploy, exactly how production quality filters roll."""
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _md5_hex_int,
+    )
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    bits_en, bits_ot, prior_en, prior_ot = _s23_model_literals(t)
+    bidx = _md5_hex_int("w", "string", 2)
+
+    def fold(bits):
+        arr = ", ".join(str(v) + "L" for v in bits)
+        return (
+            f"aggregate(split(text, ' '), 0L,"
+            f" (acc, w) -> acc + element_at(array({arr}),"
+            f" cast(({bidx}) + 1 as int)))"
+        )
+
+    incoming = (
+        read_document_stream(t._spark, t._sf_dir)
+        .withColumn("split_bucket", F.expr(_S23_SPLIT))
+        .filter(F.col("split_bucket") >= 90)
+    )
+    scored = incoming.select(
+        "doc_id",
+        "lang",
+        (
+            (F.expr(fold(bits_ot)) + F.lit(prior_ot))
+            - (F.expr(fold(bits_en)) + F.lit(prior_en))
+        ).cast("long").alias("margin"),
+    )
+    out = scored.select(
+        "doc_id",
+        "lang",
+        "margin",
+        F.when(F.col("margin") >= 0, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("predicted"),
+    )
+    return run_to_memory_table(out, "nb_quality_gate", "append")

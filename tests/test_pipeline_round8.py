@@ -1284,3 +1284,106 @@ def test_d96_calibration_matches_pure_python(spark, tmp_path):
     # pair B is in 50/70 but not 90; pair C only in 50
     assert got[50][0] >= got[70][0] + 1
     assert got[70][0] >= got[90][0] + 1
+
+
+def test_d97_curve_is_consistent_with_d90_and_monotone(spark, sf_dir):
+    """The calibration rows must be mutually consistent (class totals
+    constant across cuts), monotone in tau (raising the cut can only
+    shed positives), and the tau=0 row must equal d90's confusion
+    rollup exactly."""
+    rows = {
+        int(r.tau): r
+        for r in QUERIES["d97_classifier_threshold_calibration"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert sorted(rows) == [-8, 0, 8]
+    en_total = {t: r.tp + r.fn for t, r in rows.items()}
+    ot_total = {t: r.fp + r.tn for t, r in rows.items()}
+    assert len(set(en_total.values())) == 1
+    assert len(set(ot_total.values())) == 1
+    for lo, hi in ((-8, 0), (0, 8)):
+        assert rows[hi].tp <= rows[lo].tp
+        assert rows[hi].fp <= rows[lo].fp
+    for r in rows.values():
+        if r.precision_en is not None:
+            assert r.precision_en == r.tp / (r.tp + r.fp)
+        assert r.recall_en == r.tp / (r.tp + r.fn)
+
+    d90 = QUERIES["d90_hashed_nb_classifier"].fn(spark, sf_dir).collect()
+    tp = sum(r.n_docs for r in d90 if r.lang == "en" and r.predicted == "en")
+    fp = sum(r.n_docs for r in d90 if r.lang != "en" and r.predicted == "en")
+    fn = sum(
+        r.n_docs for r in d90 if r.lang == "en" and r.predicted == "other"
+    )
+    z = rows[0]
+    assert (z.tp, z.fp, z.fn) == (tp, fp, fn)
+
+
+def test_s23_streaming_margins_equal_batch_across_batches(
+    spark, tmp_path
+):
+    """Train-offline/serve-online equivalence under MULTI-BATCH
+    ingestion: the corpus split into two part-files processed one per
+    trigger must emit exactly the batch scorer's (doc_id, margin)
+    pairs — the literal-array fold and the broadcast-join pipeline are
+    the same function."""
+    import pyarrow.parquet as pq
+
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _d90_scored_frame,
+        _md5_hex_int,
+    )
+    from data_engineer_project_spark.queries.streaming_queries import (
+        _s23_model_literals,
+        _S23_SPLIT,
+    )
+    from data_engineer_project_spark.sources.registry import load_tables
+    from data_engineer_project_spark.streaming import read_document_stream
+    from data_engineer_project_spark.streaming.events import (
+        run_to_memory_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/documents.parquet")
+    half = tbl.num_rows // 2
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    pq.write_table(tbl.slice(0, half), d / "documents_a.parquet")
+    pq.write_table(tbl.slice(half), d / "documents_b.parquet")
+
+    t = load_tables(spark, sf)
+    bits_en, bits_ot, prior_en, prior_ot = _s23_model_literals(t)
+    bidx = _md5_hex_int("w", "string", 2)
+
+    def fold(bits):
+        arr = ", ".join(str(v) + "L" for v in bits)
+        return (
+            f"aggregate(split(text, ' '), 0L,"
+            f" (acc, w) -> acc + element_at(array({arr}),"
+            f" cast(({bidx}) + 1 as int)))"
+        )
+
+    stream = (
+        read_document_stream(
+            spark, str(d), glob="documents_*.parquet",
+            max_files_per_trigger=1,
+        )
+        .withColumn("split_bucket", F.expr(_S23_SPLIT))
+        .filter(F.col("split_bucket") >= 90)
+        .select(
+            "doc_id",
+            (
+                (F.expr(fold(bits_ot)) + F.lit(prior_ot))
+                - (F.expr(fold(bits_en)) + F.lit(prior_en))
+            ).cast("long").alias("margin"),
+        )
+    )
+    got = {
+        r.doc_id: r.margin
+        for r in run_to_memory_table(stream, "s23_mb", "append").collect()
+    }
+    want = {
+        r.doc_id: r.margin for r in _d90_scored_frame(t).collect()
+    }
+    assert got == want and len(got) > 0

@@ -220,6 +220,11 @@ EXTRA_QUERIES = [
     # constant x3 threshold fan-out over the bounded pair set and
     # <= #cuts-row broadcast rollup joins.
     "d96_dedup_threshold_calibration",
+    # d97 rides _d90_scored_frame (two token scans + 256-row broadcast
+    # model) plus a x3 constant cut fan-out folded map-side to 3 rows.
+    # (s23 is streaming — excluded like every s*; its multi-batch
+    # equivalence to the batch scorer lives in test_pipeline_round8.)
+    "d97_classifier_threshold_calibration",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

@@ -194,6 +194,17 @@ def measure(
         },
     )
     run_query(
+        "d97_classifier_threshold_calibration",
+        lambda rows: {
+            "cuts": {
+                int(r.tau): [int(r.tp), int(r.fp)] for r in rows
+            },
+            "recall_at_0": round(
+                next(r.recall_en for r in rows if r.tau == 0), 4
+            ),
+        },
+    )
+    run_query(
         "e30_crosscorr_lead_lag",
         lambda rows: {
             "pairs": sum(r.is_best for r in rows),
