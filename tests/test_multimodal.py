@@ -405,3 +405,20 @@ def test_m10_pair_volume_is_multiplicity_invariant(spark, tmp_path):
     # a 3-member Hamming-0 clique at 3x)
     extra = set(rep) - set(base)
     assert all(rep[c].n_hashes == 1 for c in extra)
+
+
+def test_m17_dhash_ctes_stay_in_sync_with_m10_oracle():
+    """m17's _DHASH_CTES constant is documented as byte-identical to
+    m10's oracle prefix (same hash, same bands, same radius guarantee
+    for retrieval and clustering). Pin the sync so an edit to either
+    derivation cannot silently fork the hash semantics."""
+    from data_engineer_project_spark.queries import QUERIES
+    from data_engineer_project_spark.queries.multimodal_queries import (
+        _DHASH_CTES,
+    )
+
+    m10 = QUERIES["m10_image_neardup_clusters"].oracle
+    start = m10.index("bl AS (")
+    end = m10.index("pairs AS")
+    prefix = m10[start:end].rstrip().rstrip(",").rstrip()
+    assert prefix == _DHASH_CTES.strip()
