@@ -113,19 +113,19 @@ _REGATE_ROUND = {
 }
 
 
-def _green_counts(repo_root=None, respect_cutoffs=True) -> dict[str, int]:
-    """Count driver-green rows per query across every CORRECTNESS_r*.json
-    under ``repo_root`` (default: this repo's root). Pure given a root —
-    tests exercise future-round shapes by pointing it at a tmp dir.
-    Green rows older than a query's _CONTRACT_CHANGED_ROUND or
-    _REGATE_ROUND entry are ignored: they verified a superseded
-    contract or a superseded implementation. With
-    ``respect_cutoffs=False`` those superseded rows COUNT — the
-    "historical" tally rank_names uses as a tertiary key, so when the
-    zero-effective-green pool outgrows the driver's 50-slot gate, the
-    slot that falls off is a regate that at least has a superseded
-    green on record, never a query the driver has NEVER seen."""
-    counts: dict[str, int] = {}
+def _green_counts_both(repo_root=None):
+    """One pass over every CORRECTNESS_r*.json under ``repo_root``
+    (default: this repo's root) producing BOTH tallies rank_names
+    needs: (effective, historical). ``effective`` ignores green rows
+    older than a query's _CONTRACT_CHANGED_ROUND / _REGATE_ROUND entry
+    (they verified a superseded contract or implementation);
+    ``historical`` counts every green row — the tertiary key that, when
+    the zero-effective pool outgrows the driver's 50-slot gate, makes
+    the slot that falls off a regate with a superseded green on
+    record, never a query the driver has NEVER seen. Pure given a
+    root — tests exercise future-round shapes via a tmp dir."""
+    effective: dict[str, int] = {}
+    historical: dict[str, int] = {}
     if repo_root is None:
         repo_root = _Path(__file__).resolve().parents[2]
     for f in sorted(_Path(repo_root).glob("CORRECTNESS_r*.json")):
@@ -141,11 +141,6 @@ def _green_counts(repo_root=None, respect_cutoffs=True) -> dict[str, int]:
             continue
         for name, res in recorded.items():
             if not isinstance(res, dict):
-                continue
-            if respect_cutoffs and file_round < max(
-                _CONTRACT_CHANGED_ROUND.get(name, 0),
-                _REGATE_ROUND.get(name, 0),
-            ):
                 continue
             # A declared rows-only query (err == "no_oracle") can never
             # hash-match; the driver ran it and it produced rows, which is
@@ -163,9 +158,22 @@ def _green_counts(repo_root=None, respect_cutoffs=True) -> dict[str, int]:
                 res.get("err") == "no_oracle"
                 and res.get("spark_rows") is not None
             )
-            if ok:
-                counts[name] = counts.get(name, 0) + 1
-    return counts
+            if not ok:
+                continue
+            historical[name] = historical.get(name, 0) + 1
+            if file_round >= max(
+                _CONTRACT_CHANGED_ROUND.get(name, 0),
+                _REGATE_ROUND.get(name, 0),
+            ):
+                effective[name] = effective.get(name, 0) + 1
+    return effective, historical
+
+
+def _green_counts(repo_root=None, respect_cutoffs=True) -> dict[str, int]:
+    """Back-compat single-tally view of ``_green_counts_both`` (kept:
+    tests and tools call it with either cutoff mode)."""
+    eff, hist = _green_counts_both(repo_root)
+    return eff if respect_cutoffs else hist
 
 
 def rank_names(names, greens, historical=None) -> list[str]:
@@ -195,8 +203,7 @@ def rank_names(names, greens, historical=None) -> list[str]:
     ]
 
 
-_GREENS = _green_counts()
-_HIST = _green_counts(respect_cutoffs=False)
+_GREENS, _HIST = _green_counts_both()
 _reordered = {
     name: QUERIES[name]
     for name in rank_names(list(QUERIES), _GREENS, _HIST)

@@ -10249,19 +10249,27 @@ def _d90_scored_frame(t):
     docs = t.documents.select("doc_id", "lang").withColumn(
         "bucket", F.expr(_SPARK_BUCKET)
     )
-    tok = t.documents.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("wd")
-    ).select("doc_id", F.substring(F.md5("wd"), 1, 2).alias("b"))
+    # One persisted token explode feeds both the train fold and the
+    # holdout scoring join (the d87 precedent — unpersisted, the
+    # explode lineage would recompute per consumer); tot is derived
+    # from the 256-row model, not a second corpus pass.
+    tok = tracked_persist(
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("wd")
+        ).select("doc_id", F.substring(F.md5("wd"), 1, 2).alias("b"))
+    )
     train_tok = tok.join(
         docs.filter(F.col("bucket") < 80).select("doc_id", "lang"), "doc_id"
     )
     en = (F.col("lang") == "en").cast("long")
-    model = train_tok.groupBy("b").agg(
-        F.sum(en).alias("c_en"),
-        F.sum(1 - en).alias("c_ot"),
+    model = tracked_persist(
+        train_tok.groupBy("b").agg(
+            F.sum(en).alias("c_en"),
+            F.sum(1 - en).alias("c_ot"),
+        )
     )
-    tot = train_tok.agg(
-        F.sum(en).alias("t_en"), F.sum(1 - en).alias("t_ot")
+    tot = model.agg(
+        F.sum("c_en").alias("t_en"), F.sum("c_ot").alias("t_ot")
     )
     nd = docs.filter(F.col("bucket") < 80).agg(
         F.count(F.lit(1)).alias("n_train"), F.sum(en).alias("n_en")

@@ -423,10 +423,11 @@ def m09_audio_activity_segments(t):
     )
 
 
-@query(
-    "m10_image_neardup_clusters",
-    f"""
-    WITH RECURSIVE bl AS (
+# The dHash derivation CTE chain, byte-identical to m10's oracle
+# prefix (UTF-8 bytes -> 8-byte block sums on a dense 65-block grid ->
+# adjacent-block comparison bits -> packed signed int64). Kept as one
+# constant so retrieval and clustering score the SAME hash.
+_DHASH_CTES = f"""bl AS (
       SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
     ),
     bytes AS (
@@ -459,7 +460,13 @@ def m09_audio_activity_segments(t):
                            ELSE (CAST(1 AS BIGINT) << i) END)
                   AS BIGINT) AS phash
       FROM bits WHERE i < 64 GROUP BY doc_id
-    ),
+    )"""
+
+
+@query(
+    "m10_image_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_DHASH_CTES},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM hashes a JOIN hashes b

@@ -1639,9 +1639,10 @@ def _s23_model_literals(t):
         .agg(F.sum(en).alias("c_en"), F.sum(1 - en).alias("c_ot"))
         .collect()
     }
-    tot = train_tok.agg(
-        F.sum(en).alias("t_en"), F.sum(1 - en).alias("t_ot")
-    ).collect()[0]
+    # class token totals are exactly the model's column sums — no
+    # second corpus pass needed
+    t_en = sum(c for c, _ in model.values())
+    t_ot = sum(c for _, c in model.values())
     nd = (
         docs.filter(F.col("bucket") < 80)
         .agg(F.count(F.lit(1)).alias("n_train"), F.sum(en).alias("n_en"))
@@ -1653,10 +1654,10 @@ def _s23_model_literals(t):
         key = format(i, "02x")
         c_en, c_ot = model.get(key, (0, 0))
         bits_en.append(
-            (int(tot.t_en) + B).bit_length() - (int(c_en) + 1).bit_length()
+            (int(t_en) + B).bit_length() - (int(c_en) + 1).bit_length()
         )
         bits_ot.append(
-            (int(tot.t_ot) + B).bit_length() - (int(c_ot) + 1).bit_length()
+            (int(t_ot) + B).bit_length() - (int(c_ot) + 1).bit_length()
         )
     prior_en = (int(nd.n_train) + 2).bit_length() - (
         int(nd.n_en) + 1

@@ -135,7 +135,9 @@ def measure(
         "d91_shard_manifest",
         lambda rows: {
             "shards": len(rows),
-            "max_share": round(max(r.chars_share for r in rows), 4),
+            "max_share": round(
+                max((r.chars_share for r in rows), default=0.0), 4
+            ),
             "corpus_checksum": sum(r.payload_checksum for r in rows),
         },
     )
@@ -199,8 +201,16 @@ def measure(
             "cuts": {
                 int(r.tau): [int(r.tp), int(r.fp)] for r in rows
             },
-            "recall_at_0": round(
-                next(r.recall_en for r in rows if r.tau == 0), 4
+            # None when the holdout is empty (no tau=0 row) or has no
+            # 'en' docs (recall_en NULL) — record the degenerate slot
+            # instead of aborting the sweep
+            "recall_at_0": next(
+                (
+                    round(r.recall_en, 4)
+                    for r in rows
+                    if r.tau == 0 and r.recall_en is not None
+                ),
+                None,
             ),
         },
     )
@@ -208,7 +218,7 @@ def measure(
         "e30_crosscorr_lead_lag",
         lambda rows: {
             "pairs": sum(r.is_best for r in rows),
-            "grid_hours": max(r.n_hours for r in rows),
+            "grid_hours": max((r.n_hours for r in rows), default=0),
             "best_lags": sorted(
                 {int(r.lag) for r in rows if r.is_best}
             ),
