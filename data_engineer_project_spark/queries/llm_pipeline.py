@@ -11404,3 +11404,92 @@ def d97_classifier_threshold_calibration(t):
         )
         .orderBy("tau")
     )
+
+
+# ------------- d98: duplication profile (cluster-size distribution)
+
+
+@query(
+    "d98_duplication_profile",
+    """
+    WITH cl AS (
+      SELECT md5(text) AS f, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MIN(doc_id) AS BIGINT) AS rep,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1
+    ),
+    hist AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(k) AS BIGINT) AS n_docs,
+             CAST(SUM(k - 1) AS BIGINT) AS removable_docs,
+             CAST(SUM(chars - chars // k) AS BIGINT)
+               AS reclaimable_chars,
+             CAST(MIN(rep) AS BIGINT) AS sample_rep
+      FROM cl GROUP BY k
+    ),
+    tot AS (SELECT SUM(n_docs) AS total_docs FROM hist)
+    SELECT h.k AS cluster_size, h.n_clusters, h.n_docs,
+           h.removable_docs, h.reclaimable_chars, h.sample_rep,
+           CAST(h.n_docs AS DOUBLE) / CAST(t.total_docs AS DOUBLE)
+             AS doc_share
+    FROM hist h CROSS JOIN tot t
+    ORDER BY h.k
+    """,
+    tags=("llm", "dedup", "forensics"),
+)
+def d98_duplication_profile(t):
+    """Corpus DUPLICATION PROFILE — the forensic a dedup rollout runs
+    FIRST, before choosing its tiers: group exact duplicates by
+    payload md5 and histogram the cluster sizes. Each row answers
+    'how many k-fold duplicate cliques exist, how many docs and
+    characters does collapsing them reclaim, and what share of the
+    corpus lives at this multiplicity'. The k = 1 row is the unique
+    mass; a heavy tail is the signal that exact-dup collapse (the
+    d05/d89 tier) must run before any pairwise near-dup machinery —
+    d96's 100x sweep showed WHY (replica cliques emit ~k²/2 candidate
+    pairs, then the df cap zeroes the near-dup surface entirely);
+    this query is the cheap measurement that tells an operator which
+    regime a corpus is in before any pair generation is attempted.
+
+    Exactness: per-cluster char reclaim is chars - chars/k in INTEGER
+    division on both engines (the representative keeps one copy;
+    exact when duplicates are byte-identical, as md5 grouping
+    guarantees); all counts int64; doc_share is the one double.
+
+    Scale shape: ONE map-side-combined groupBy on the md5 fingerprint
+    (the d05 shuffle) followed by a fold keyed by cluster size —
+    output rows are bounded by the number of DISTINCT multiplicities
+    (<= ~log-scale dozens on real corpora), never by corpus size. At
+    100 TB this is strictly cheaper than any dedup it gates."""
+    cl = t.documents.groupBy(F.md5("text").alias("f")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min("doc_id").alias("rep"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    hist = cl.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("k").cast("long").alias("n_docs"),
+        F.sum(F.col("k") - 1).cast("long").alias("removable_docs"),
+        F.sum(F.col("chars") - F.expr("chars div k"))
+        .cast("long")
+        .alias("reclaimable_chars"),
+        F.min("rep").alias("sample_rep"),
+    )
+    tot = hist.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "removable_docs",
+            "reclaimable_chars",
+            "sample_rep",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("total_docs").cast("double")
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )

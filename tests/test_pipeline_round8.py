@@ -1387,3 +1387,44 @@ def test_s23_streaming_margins_equal_batch_across_batches(
         r.doc_id: r.margin for r in _d90_scored_frame(t).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_d98_profile_matches_pure_python_on_planted_cliques(
+    spark, tmp_path
+):
+    """Planted multiplicities (3 unique docs, one 2-clique, one
+    5-clique) must land in exactly the right histogram rows with
+    integer-exact reclaim accounting (this pins the INTEGER-division
+    semantics: k > 1 clusters exercise the chars - chars // k path
+    both engines must truncate identically)."""
+    texts = {}
+    for i in range(3):
+        texts[i] = f"unique doc {i} " + "pad " * i
+    for i in (10, 11):
+        texts[i] = "the two clique body"
+    for i in (20, 21, 22, 23, 24):
+        texts[i] = "the five clique body xyz"
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[i] for i in texts],
+        "lang": ["en"] * len(texts),
+        "source": ["synth"] * len(texts),
+        "n_chars": [len(texts[i]) for i in texts],
+    }
+    sf = _write_tables(tmp_path, "d98", documents=docs)
+    got = {
+        int(r.cluster_size): r
+        for r in QUERIES["d98_duplication_profile"].fn(spark, sf)
+        .collect()
+    }
+    assert sorted(got) == [1, 2, 5]
+    assert got[1].n_clusters == 3 and got[1].n_docs == 3
+    assert got[1].removable_docs == 0 and got[1].reclaimable_chars == 0
+    assert got[2].n_clusters == 1 and got[2].n_docs == 2
+    two = len("the two clique body")
+    assert got[2].removable_docs == 1
+    assert got[2].reclaimable_chars == 2 * two - (2 * two) // 2
+    five = len("the five clique body xyz")
+    assert got[5].n_clusters == 1 and got[5].removable_docs == 4
+    assert got[5].reclaimable_chars == 5 * five - (5 * five) // 5
+    assert abs(sum(r.doc_share for r in got.values()) - 1.0) < 1e-12

@@ -225,6 +225,9 @@ EXTRA_QUERIES = [
     # (s23 is streaming — excluded like every s*; its multi-batch
     # equivalence to the batch scorer lives in test_pipeline_round8.)
     "d97_classifier_threshold_calibration",
+    # d98 = the d05 fingerprint groupBy + a multiplicity-keyed fold
+    # (output bounded by distinct cluster sizes) + a 1-row share join.
+    "d98_duplication_profile",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by

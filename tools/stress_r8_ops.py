@@ -215,6 +215,14 @@ def measure(
         },
     )
     run_query(
+        "d98_duplication_profile",
+        lambda rows: {
+            "multiplicities": sorted(int(r.cluster_size) for r in rows),
+            "removable_docs": sum(r.removable_docs for r in rows),
+            "reclaimable_chars": sum(r.reclaimable_chars for r in rows),
+        },
+    )
+    run_query(
         "e30_crosscorr_lead_lag",
         lambda rows: {
             "pairs": sum(r.is_best for r in rows),
