@@ -54,6 +54,10 @@ _CONTRACT_CHANGED_ROUND = {
     # the stats — the decode contract widened when the real
     # PNM/BMP decode path landed.
     "m04_decoded_pixel_stats": 8,
+    # Round 9: d94 deduplicates query terms (BM25 query-as-set — a
+    # word repeated in the 4-word query slice previously doubled the
+    # joined document tf); scores/hashes changed in both engines.
+    "d94_chunk_retrieval_eval": 9,
 }
 
 # Gate ROTATION (distinct from a contract change): queries whose

@@ -10861,8 +10861,8 @@ _D94_Q_OFF = 12  # 1-based slice start of the query terms
 _D94_Q_LEN = 4
 # BM25 constants shared with d30's operator (same saturation shape).
 from data_engineer_project_spark.operators.retrieval import (  # noqa: E402
-    B,
-    K1,
+    B as BM25_B,
+    K1 as BM25_K1,
 )
 
 
@@ -10889,11 +10889,14 @@ from data_engineer_project_spark.operators.retrieval import (  # noqa: E402
     tok AS (
       SELECT doc_id, pos, dl, unnest(cw) AS term FROM chunks
     ),
-    qterms AS (
+    qraw AS (
       SELECT doc_id AS query_doc,
              unnest(words[{_D94_Q_OFF} : {_D94_Q_OFF} + {_D94_Q_LEN} - 1])
                AS term
       FROM w WHERE doc_id < 10
+    ),
+    qterms AS (
+      SELECT DISTINCT query_doc, term FROM qraw
     ),
     stats AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -10917,9 +10920,9 @@ from data_engineer_project_spark.operators.retrieval import (  # noqa: E402
       SELECT f.query_doc, f.doc_id, f.pos,
              CAST(round(
                ((s.n - d.df + 0.5) / (d.df + 0.5))
-               * ((f.tf * ({K1} + 1.0))
-                  / (f.tf + {K1} * (1.0 - {B}
-                     + ({B} * CAST(f.dl AS DOUBLE)) / s.avgdl))),
+               * ((f.tf * ({BM25_K1} + 1.0))
+                  / (f.tf + {BM25_K1} * (1.0 - {BM25_B}
+                     + ({BM25_B} * CAST(f.dl AS DOUBLE)) / s.avgdl))),
                9) AS DECIMAL(18,9)) AS c9
       FROM tf f
       JOIN dfreq d ON d.query_doc = f.query_doc AND d.term = f.term
@@ -10993,6 +10996,8 @@ def d94_chunk_retrieval_eval(t):
     tok = chunks.select(
         "doc_id", "pos", "dl", F.explode("cw").alias("term")
     )
+    # distinct: BM25 treats the query as a term SET — a word repeated
+    # inside the query slice must not double the document-tf join fan-out
     qterms = (
         w.filter(F.col("doc_id") < 10)
         .select(
@@ -11001,6 +11006,7 @@ def d94_chunk_retrieval_eval(t):
                 F.slice("words", _D94_Q_OFF, _D94_Q_LEN)
             ).alias("term"),
         )
+        .distinct()
     )
     stats = chunks.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -11021,13 +11027,13 @@ def d94_chunk_retrieval_eval(t):
     idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (
         F.col("df") + F.lit(0.5)
     )
-    sat = (F.col("tf") * (F.lit(K1) + F.lit(1.0))) / (
+    sat = (F.col("tf") * (F.lit(BM25_K1) + F.lit(1.0))) / (
         F.col("tf")
-        + F.lit(K1)
+        + F.lit(BM25_K1)
         * (
             F.lit(1.0)
-            - F.lit(B)
-            + (F.lit(B) * F.col("dl").cast("double")) / F.col("avgdl")
+            - F.lit(BM25_B)
+            + (F.lit(BM25_B) * F.col("dl").cast("double")) / F.col("avgdl")
         )
     )
     contrib = (

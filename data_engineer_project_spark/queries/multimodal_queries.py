@@ -1135,45 +1135,8 @@ def m16_container_integrity_gate(t):
 
 
 # --------------------- m17: bounded-radius query-by-image retrieval
-
-# The dHash derivation CTE chain, byte-identical to m10's oracle
-# prefix (UTF-8 bytes -> 8-byte block sums on a dense 65-block grid ->
-# adjacent-block comparison bits -> packed signed int64). Kept as one
-# constant so retrieval and clustering score the SAME hash.
-_DHASH_CTES = f"""bl AS (
-      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
-    ),
-    bytes AS (
-      SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS p FROM bl
-    ),
-    blk AS (
-      SELECT doc_id, (p - 1) // 8 AS blk, SUM(v) AS bs
-      FROM bytes WHERE p <= 520 GROUP BY 1, 2
-    ),
-    grid AS (
-      SELECT d.doc_id, g.b
-      FROM (SELECT DISTINCT doc_id FROM blk) d,
-           (SELECT unnest(range(65)) AS b) g
-    ),
-    bsums AS (
-      SELECT grid.doc_id, grid.b, COALESCE(blk.bs, 0) AS s
-      FROM grid LEFT JOIN blk
-        ON blk.doc_id = grid.doc_id AND blk.blk = grid.b
-    ),
-    bits AS (
-      SELECT doc_id, b AS i,
-             CASE WHEN s > LEAD(s) OVER (PARTITION BY doc_id ORDER BY b)
-                  THEN 1 ELSE 0 END AS bit
-      FROM bsums
-    ),
-    hashes AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN bit = 0 THEN 0
-                           WHEN i = 63 THEN -9223372036854775808
-                           ELSE (CAST(1 AS BIGINT) << i) END)
-                  AS BIGINT) AS phash
-      FROM bits WHERE i < 64 GROUP BY doc_id
-    )"""
+# (scores the module-level _DHASH_CTES defined above m10 — one
+# constant so retrieval and clustering derive the SAME hash)
 
 _M17_RADIUS = 3  # pigeonhole-exact with m10's 4x16-bit bands
 

@@ -1600,10 +1600,6 @@ def s22_stream_shard_manifest(t):
             "max_doc",
         )
     )
-    from data_engineer_project_spark.streaming.events import (
-        run_to_memory_table,
-    )
-
     return run_to_memory_table(manifest, "shard_manifest", "complete")
 
 
