@@ -11499,3 +11499,113 @@ def d98_duplication_profile(t):
         )
         .orderBy("cluster_size")
     )
+
+
+# ------- d99: weighted near-dup clusters (d65's production-scale twin)
+
+
+@query(
+    "d99_weighted_neardup_clusters",
+    f"""{_minhash_graph_ctes(source="reps", prelude=_D89_PRELUDE)},
+    tk AS (SELECT doc_id AS node, wt,
+                  length(string_split(text, ' ')) AS n_tok
+           FROM reps),
+    singles AS (
+      SELECT doc_id AS node, doc_id AS component FROM reps
+      WHERE wt > 1 AND doc_id NOT IN (SELECT node FROM nodes)
+    ),
+    allc AS (
+      SELECT node, component FROM lab
+      UNION ALL SELECT node, component FROM singles
+    )
+    SELECT CAST(c.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           CAST(SUM(tk.wt) AS BIGINT) AS total_docs,
+           CAST(MIN(c.node) AS BIGINT) AS canonical_doc,
+           CAST(SUM(tk.wt * tk.n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(tk.wt * tk.n_tok)
+                - (MIN({{'i': c.node, 't': tk.n_tok}})).t
+                AS BIGINT) AS dup_tokens
+    FROM allc c JOIN tk ON tk.node = c.node
+    GROUP BY c.component ORDER BY component
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def d99_weighted_neardup_clusters(t):
+    """d65's PRODUCTION-SCALE form — the d89 treatment applied to the
+    text near-dup CLUSTER contract, retiring the last
+    multiplicity-quadratic default in the dedup family: collapse exact
+    copies to ONE representative per md5 fingerprint (weight =
+    multiplicity) BEFORE MinHash banding, pair/verify/cluster the
+    REPRESENTATIVES only, then report every cluster in UNCOLLAPSED
+    units via the weights. A k-replica group that costs d65 k(k-1)/2
+    verified pairs (the shape whose 100x stress OOMed d74,
+    SCALING.md) is ONE node here — the edge set is sized by DISTINCT
+    content, never duplicate multiplicity.
+
+    Cluster-for-cluster parity with d65 is structural, not
+    approximate: copies share signatures, so the rep graph's
+    components expand to exactly d65's doc partition; the canonical
+    (min doc_id) is preserved because each rep already carries its
+    copy-group's min id. Exact-dup-only groups (wt > 1, no near-dup
+    neighbor) surface as singleton components so the weighted form
+    never loses a cluster d65 reports — it strictly gains the
+    short-doc (< 3 tokens, hence shingle-less) exact-dup groups d65's
+    shingle pipeline structurally misses. Both properties are pinned
+    by pytest; the oracle re-derives collapse, banding, verification,
+    the recursive component walk, and the weighted rollup in SQL.
+
+    Columns mirror d65 in uncollapsed units: total_docs is d65's
+    cluster_size, total_tokens the cluster's token mass SUM(wt *
+    n_tok), dup_tokens what deleting all non-canonical DOCS saves
+    (total minus ONE copy of the canonical text — the min-struct
+    pick, exact int64 in both engines).
+
+    Scale shape: the collapse is one map-side-combined groupBy on
+    md5(text); banding/verification inherit d07's corpus-linear form
+    over reps; CC shuffles the collapsed edge set for O(log diameter)
+    rounds; singletons are a broadcast-free left-anti join. Measured
+    at 100x duplication in SCALING.md alongside d89."""
+    reps = tracked_persist(
+        t.documents.groupBy(F.md5("text").alias("f"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).alias("wt"),
+        )
+        .select("doc_id", "text", "wt")
+    )
+    pairs = DD.minhash_lsh_pairs(
+        reps, num_hashes=8, bands=4, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b")
+    comps = GR.connected_components(pairs)
+    singles = (
+        reps.filter(F.col("wt") > 1)
+        .join(comps.select(F.col("node")), reps.doc_id == F.col("node"), "left_anti")
+        .select(
+            F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
+        )
+    )
+    allc = comps.select("node", "component").union(singles)
+    tk = reps.select(
+        F.col("doc_id").alias("node"),
+        "wt",
+        T.token_count("text").alias("n_tok"),
+    )
+    canon_tok = F.min(
+        F.struct(F.col("node").alias("i"), F.col("n_tok").alias("t"))
+    )["t"]
+    return (
+        allc.join(tk, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.sum("wt").cast("long").alias("total_docs"),
+            F.min("node").alias("canonical_doc"),
+            F.sum(F.col("wt") * F.col("n_tok")).cast("long").alias("total_tokens"),
+            (F.sum(F.col("wt") * F.col("n_tok")) - canon_tok)
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .orderBy("component")
+    )

@@ -1,0 +1,97 @@
+"""Round-9 semantic pin tests (beyond oracle parity).
+
+d99: the weighted near-dup cluster twin must (a) agree with d65
+cluster-for-cluster in uncollapsed units, and (b) be duplication-
+invariant — the property that lets it run decades past d65's
+multiplicity-quadratic pair set.
+"""
+from __future__ import annotations
+
+from data_engineer_project_spark.queries import QUERIES
+from tests.test_pipeline_round8 import _write_tables
+
+
+def test_d99_matches_d65_cluster_for_cluster(spark):
+    """Every cluster d65 reports must appear in d99 keyed by the same
+    canonical doc with identical uncollapsed stats; d99's only extras
+    are short-doc (< 3 token, shingle-less) exact-dup groups that
+    d65's shingle pipeline structurally cannot see."""
+    sf = "/root/testdata/sf0.001"
+    d65 = {
+        r.canonical_doc: (r.cluster_size, r.total_tokens, r.dup_tokens)
+        for r in QUERIES["d65_neardup_doc_clusters"].fn(spark, sf).collect()
+    }
+    d99 = {
+        r.canonical_doc: (r.total_docs, r.total_tokens, r.dup_tokens)
+        for r in QUERIES["d99_weighted_neardup_clusters"].fn(spark, sf).collect()
+    }
+    assert d65, "vacuous: corpus has no near-dup clusters"
+    for canon, stats in d65.items():
+        assert d99.get(canon) == stats, f"cluster {canon}: {d99.get(canon)} != {stats}"
+    # extras must all be shingle-less exact-dup groups
+    extras = set(d99) - set(d65)
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{sf}/documents.parquet").to_pydict()
+    tok = {i: len(t.split(" ")) for i, t in zip(tb["doc_id"], tb["text"])}
+    for canon in extras:
+        assert tok[canon] < 3, (
+            f"extra d99 cluster {canon} has {tok[canon]} tokens — "
+            "should have been visible to d65"
+        )
+
+
+def test_d99_is_duplication_invariant(spark, tmp_path):
+    """Replicating every document 3x (fresh high doc_ids, identical
+    text) must leave d99's near-dup components, rep counts, canonical
+    picks, and PER-COPY token numbers identical — only total_docs /
+    total_tokens / dup_tokens scale with multiplicity, and previously
+    unique texts surface as exact-dup singletons of total_docs=3."""
+    import pyarrow.parquet as pq
+
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    d = base.to_pydict()
+    n = len(d["doc_id"])
+    rep = {k: list(v) for k, v in d.items()}
+    for copy in (1, 2):
+        for i in range(n):
+            rep["doc_id"].append(10_000_000 * copy + d["doc_id"][i])
+            rep["text"].append(d["text"][i])
+            rep["lang"].append(d["lang"][i])
+            rep["source"].append(d["source"][i])
+            rep["n_chars"].append(d["n_chars"][i])
+    sf3 = _write_tables(tmp_path, "d99_3x", documents=rep)
+
+    one = {
+        r.component: r
+        for r in QUERIES["d99_weighted_neardup_clusters"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    three = {
+        r.component: r
+        for r in QUERIES["d99_weighted_neardup_clusters"].fn(spark, sf3).collect()
+    }
+    # every 1x cluster persists with the same reps/canonical and
+    # exactly tripled doc mass; per-copy token arithmetic is fixed:
+    # at 3x, total'=3*total and dup'=3*total - canon_tok
+    #               = 3*(total - canon_tok) + 2*canon_tok
+    for comp, r1 in one.items():
+        r3 = three[comp]
+        assert (r3.n_reps, r3.canonical_doc) == (r1.n_reps, r1.canonical_doc)
+        assert r3.total_docs == 3 * r1.total_docs
+        assert r3.total_tokens == 3 * r1.total_tokens
+        canon_tok = r1.total_tokens - r1.dup_tokens
+        assert r3.dup_tokens == 3 * r1.total_tokens - canon_tok
+    # the 3x corpus mints a singleton cluster (n_reps=1, total_docs=3)
+    # for every previously-unique text — count them exactly
+    extras = set(three) - set(one)
+    assert all(
+        three[c].n_reps == 1 and three[c].total_docs == 3 for c in extras
+    )
+    # reps in 1x clusters + extras = total distinct texts
+    n_distinct = len(set(d["text"]))
+    n_in_old = sum(r.n_reps for r in one.values())
+    assert n_in_old + len(extras) == n_distinct
+    # non-vacuity: the graph genuinely collapsed multiplicity
+    assert any(r.total_docs > r.n_reps for r in three.values())
