@@ -114,6 +114,18 @@ _REGATE_ROUND = {
     "s17_stream_ivf_cell_ingestion": 8,
     "d77_ivfpq_rerank_topk": 8,
     "d73_power_iteration_top_pc": 8,  # new overflow-guard + loud zero-iterate path
+    # -- round 9 --
+    # Every banded-LSH consumer now routes its candidate self-join
+    # through the hot-band skew guard (operators/dedup.py
+    # skew_guarded_self_pairs): same pair set, new executing plan.
+    "d07_dedup_minhash_lsh": 9,
+    "d20_dedup_clusters": 9,
+    "d26_quality_survivor": 9,
+    "d29_minhash_estimator_quality": 9,
+    "d65_neardup_doc_clusters": 9,
+    "d74_pagerank_canonical_doc": 9,
+    "d89_weighted_pagerank_canonical": 9,
+    "m10_image_neardup_clusters": 9,
 }
 
 

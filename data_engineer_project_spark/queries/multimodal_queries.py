@@ -568,18 +568,23 @@ def m10_image_neardup_clusters(t):
             )
         ).alias("band"),
     ).select("rep", "phash", "band.bi", "band.bk")
-    a, b = bands.alias("a"), bands.alias("b")
+    # skew-guarded band self-join: a degenerate band value (all-zero
+    # dHash band from blank-ish images) would otherwise concentrate
+    # the candidate join in one quadratic task even though aggregate
+    # volume is linear — hot buckets are salted into ≤cap² cells with
+    # the pair set unchanged (operators/dedup.py skew_guarded_self_pairs)
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.rep") < F.col("b.rep")),
+        skew_guarded_self_pairs(
+            bands, ["bi", "bk"], "rep", carry=("phash",)
         )
         .filter(
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))) <= 3
+            F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))) <= 3
         )
-        .select(F.col("a.rep").alias("doc_a"), F.col("b.rep").alias("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     comps = connected_components(pairs)

@@ -95,3 +95,73 @@ def test_d99_is_duplication_invariant(spark, tmp_path):
     assert n_in_old + len(extras) == n_distinct
     # non-vacuity: the graph genuinely collapsed multiplicity
     assert any(r.total_docs > r.n_reps for r in three.values())
+
+
+def test_skew_guard_pairs_identical_and_bounded(spark):
+    """The hot-band skew guard must leave the pair set bit-identical
+    to the naive self-join while bounding every grid cell to ~cap²
+    pairs — the planted-hot-key contract from the round-8 verdict."""
+    import pyspark.sql.functions as F
+
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+
+    # one hot key (300 members), two cold keys
+    rows = [(i, "hot") for i in range(300)]
+    rows += [(1000 + i, "cold_a") for i in range(10)]
+    rows += [(2000 + i, "cold_b") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, key string")
+
+    cap = 50
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in skew_guarded_self_pairs(df, ["key"], "id", cap=cap).collect()
+    )
+    naive = sorted(
+        (a, b)
+        for ids in ([i for i in range(300)],
+                    [1000 + i for i in range(10)],
+                    [2000 + i for i in range(5)])
+        for a in ids for b in ids if a < b
+    )
+    assert got == naive  # pair set unchanged, no dup, no loss
+
+    # grid bound: recompute the deterministic salts the guard uses and
+    # check no (i, j) cell of the hot key exceeds ~cap² pairs — i.e.
+    # no single join task owns the quadratic bucket
+    nsplit = -(-300 // cap)  # ceil
+    salts = {
+        r.id: r.s
+        for r in df.filter(F.col("key") == "hot")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(nsplit)).alias("s"))
+        .collect()
+    }
+    from collections import Counter
+
+    cells = Counter(
+        (salts[a], salts[b]) for a, b in naive if a < 300 and b < 300
+    )
+    assert len(cells) > 1, "hot key was not split"
+    assert max(cells.values()) <= cap * cap
+    # and the dominant cell holds a small fraction of the bucket's pairs
+    assert max(cells.values()) < 0.25 * (300 * 299 / 2)
+
+
+def test_skew_guard_planted_blank_band_has_no_dominant_task(spark):
+    """End-shape check at the verdict's scale: thousands of DISTINCT
+    ids sharing ONE band key (the blank-payload band) still produce
+    exactly C(n,2) candidate pairs, generated across a salted grid
+    rather than one task."""
+    import pyspark.sql.functions as F
+
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+
+    n = 3000
+    df = spark.range(n).select(
+        F.col("id"), F.lit("blank").alias("key")
+    )
+    pairs = skew_guarded_self_pairs(df, ["key"], "id", cap=250)
+    assert pairs.count() == n * (n - 1) // 2
