@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode path has two tiers. REAL: dependency-free PNM (P5/P6) and
-8-bit BMP parsers (``decode_pnm`` / ``decode_bmp``), dispatched on the
-payload's magic bytes — genuine struct/byte parsing, gated by m15/m16.
-STUB: formats needing entropy codecs this container does not ship
-(png/jpeg/webp) raise a documented NotImplementedError; ``fake_decode``
+The decode path has two tiers. REAL: dependency-free PNM (P5/P6),
+8-bit BMP, and 8-bit PNG parsers (``decode_pnm`` / ``decode_bmp`` /
+``decode_png`` — the PNG path is stdlib zlib + the five scanline
+filters), dispatched on the payload's magic bytes — genuine
+struct/byte parsing, gated by m15/m16. STUB: formats needing entropy
+codecs the stdlib lacks (jpeg/webp) raise a documented
+NotImplementedError; ``fake_decode``
 (bytes are the pixels) stands in for them. Everything Spark-side —
 schemas, binary columns, UDF signatures, Arrow batch shapes,
 partitioning — is real and oracle-tested in both tiers.
@@ -204,18 +206,189 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.concatenate(rows) if rows else np.empty(0, dtype=np.uint8)
 
 
+# --------------------------------------------------------------------
+# PNG (8-bit grayscale / RGB, non-interlaced) — stdlib zlib + the five
+# scanline filter types, no Pillow. The one web-dominant format that
+# IS reachable dependency-free (its only entropy codec is DEFLATE,
+# which the stdlib ships); jpeg/webp stay honest stubs.
+# --------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Stored-block size we frame OURSELVES (zlib.compress(level=0)'s
+# internal segmentation is zlib-version-dependent; fixed framing keeps
+# the container size arithmetically predictable for oracle SQL:
+# idat = 2 + 5*ceil(raw/32768) + raw + 4).
+_PNG_STORE_BLOCK = 32768
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A valid zlib stream of uncompressed DEFLATE stored blocks with
+    fixed ``_PNG_STORE_BLOCK`` framing — byte-deterministic across
+    zlib versions (zlib.decompress reads it; we never rely on
+    zlib.compress's internal block segmentation)."""
+    import zlib
+
+    out = [b"\x78\x01"]
+    n = len(data)
+    nb = max(1, -(-n // _PNG_STORE_BLOCK))
+    for k in range(nb):
+        chunk = data[k * _PNG_STORE_BLOCK : (k + 1) * _PNG_STORE_BLOCK]
+        final = b"\x01" if k == nb - 1 else b"\x00"
+        ln = len(chunk)
+        out.append(final + struct.pack("<HH", ln, ln ^ 0xFFFF) + chunk)
+    out.append(struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def encode_png(pixels: bytes, width: int) -> bytes:
+    """8-bit grayscale PNG (color type 0, filter 0 scanlines,
+    stored-block zlib) for ``pixels`` (len must be a multiple of
+    ``width``). Container size is exactly
+    ``8 + 25 + (12 + 2 + 5*ceil(raw/32768) + raw + 4) + 12`` with
+    ``raw = height*(width+1)`` — the m16 oracle recomputes it."""
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixel buffer must be height*width bytes")
+    height = len(pixels) // width
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_stored(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced PNG (grayscale or RGB) into its
+    flat sample array (row-major, top-down; RGB interleaves). Real
+    decode: chunk walk with CRC verification, zlib inflate, and all
+    five scanline filters (None/Sub/Up/Average/Paeth) reversed.
+    Untrusted input raises ValueError (truncation anywhere — chunk
+    table, IDAT stream, pixel mass — or CRC/length lies), never a
+    numpy/zlib internal error."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    color = interlace = None
+    idat: list[bytes] = []
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = payload[pos + 8 + ln : pos + 12 + ln]
+        if len(data) != ln or len(crc) != 4:
+            raise ValueError("truncated PNG: chunk cut mid-stream")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError("PNG IHDR must be 13 bytes")
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2):
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB PNG supported (depth={depth}, "
+                    f"color={color})"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            if w == 0:
+                raise ValueError("PNG header declares zero width")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("truncated PNG: no IHDR")
+    if not seen_iend:
+        raise ValueError("truncated PNG: missing IEND")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length mismatch: want {h * (stride + 1)}, "
+            f"have {len(raw)}"
+        )
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        rec = bytearray(stride)
+        if ft == 0:
+            rec[:] = line
+        elif ft == 1:  # Sub
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + left) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                rec[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG scanline filter {ft}")
+        out[r * stride : (r + 1) * stride] = rec
+        prev = bytes(rec)
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
 def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
     """Real codec path: dispatch on the payload's MAGIC bytes to the
-    dependency-free PNM/BMP parsers above. Formats needing entropy
-    codecs (png/jpeg/webp) remain a documented stub — this container
-    ships none."""
+    dependency-free PNM/BMP/PNG parsers above. Formats needing
+    entropy codecs the stdlib lacks (jpeg/webp) remain a documented
+    stub — this container ships none."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_pnm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for format={fmt!r} (payload lacks "
-        "PNM/BMP magic); png/jpeg/webp need codec libs this "
+        "PNM/BMP/PNG magic); jpeg/webp need codec libs this "
         "environment does not ship — use fake_decode for those"
     )
 
@@ -273,15 +446,21 @@ _REAL_MEDIA_SCHEMA = StructType(
 )
 
 
+_CONTAINER_ARMS = ("pgm", "bmp", "png")
+_ENCODERS = {"pgm": encode_pnm, "bmp": encode_bmp8, "png": encode_png}
+
+
 def attach_real_media(documents: DataFrame) -> DataFrame:
     """Wrap each document's UTF-8 bytes in a REAL image container —
-    even doc_ids get a P5 PNM, odd doc_ids an 8-bit BMP (bottom-up
-    rows, 4-byte stride). The logical image is identical either way:
-    width = 16 + doc_id % 48, the text bytes row-major, the final row
-    zero-padded to the width — so one container-ignorant oracle covers
-    both arms, and parity proves the PARSERS recover exactly the true
-    pixels from two different on-disk layouts. Empty/NULL docs carry a
-    NULL payload (no pixels → no decode row, the m04 convention).
+    doc_id % 3 rotates through a P5 PNM (ASCII header), an 8-bit BMP
+    (bottom-up rows, 4-byte stride), and an 8-bit grayscale PNG
+    (chunked, CRC'd, zlib stored-block IDAT). The logical image is
+    identical in all three arms: width = 16 + doc_id % 48, the text
+    bytes row-major, the final row zero-padded to the width — so one
+    container-ignorant oracle covers every arm, and parity proves the
+    PARSERS recover exactly the true pixels from three different
+    on-disk layouts. Empty/NULL docs carry a NULL payload (no pixels →
+    no decode row, the m04 convention).
 
     This is corpus prep (the stand-in for reading real blobs), not the
     operator under test; it runs as one narrow Arrow stage."""
@@ -291,21 +470,20 @@ def attach_real_media(documents: DataFrame) -> DataFrame:
             medias, fmts, widths, heights, nbytes = [], [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 w = int(16 + did % 48)
+                fmt = _CONTAINER_ARMS[int(did) % 3]
                 raw = (text or "").encode("utf-8")
                 if not raw:
                     medias.append(None)
-                    fmts.append("pgm" if did % 2 == 0 else "bmp")
+                    fmts.append(fmt)
                     widths.append(w)
                     heights.append(0)
                     nbytes.append(0)
                     continue
                 h = -(-len(raw) // w)
                 px = raw + b"\x00" * (w * h - len(raw))
-                payload = (
-                    encode_pnm(px, w) if did % 2 == 0 else encode_bmp8(px, w)
-                )
+                payload = _ENCODERS[fmt](px, w)
                 medias.append(payload)
-                fmts.append("pgm" if did % 2 == 0 else "bmp")
+                fmts.append(fmt)
                 widths.append(w)
                 heights.append(h)
                 nbytes.append(len(payload))

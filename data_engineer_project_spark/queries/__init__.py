@@ -58,6 +58,12 @@ _CONTRACT_CHANGED_ROUND = {
     # word repeated in the 4-word query slice previously doubled the
     # joined document tf); scores/hashes changed in both engines.
     "d94_chunk_retrieval_eval": 9,
+    # Round 9: the real PNG decoder landed — attach_real_media rotates
+    # doc_id % 3 through pgm/bmp/png (was % 2 pgm/bmp), so m15's
+    # container labels/arm assignment and m16's per-format rollup +
+    # container-size arithmetic all changed in both engines.
+    "m15_real_container_decode": 9,
+    "m16_container_integrity_gate": 9,
 }
 
 # Gate ROTATION (distinct from a contract change): queries whose

@@ -999,7 +999,8 @@ def m14_audio_neardup_pairs(t):
       FROM bl
     )
     SELECT doc_id, lang,
-           CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'bmp' END AS container,
+           CASE doc_id % 3 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
+                ELSE 'png' END AS container,
            w * CAST(ceil(n / w) AS BIGINT) AS n_px,
            sum_b AS sum_px,
            CAST(sum_b AS DOUBLE) / (w * CAST(ceil(n / w) AS BIGINT)) AS mean_px,
@@ -1012,17 +1013,19 @@ def m14_audio_neardup_pairs(t):
 )
 def m15_real_container_decode(t):
     """REAL container decode — the non-vacuous twin of m04's stub:
-    every payload is a genuine image container (even doc_ids a P5 PNM
-    with an ASCII header; odd doc_ids an 8-bit BMP with little-endian
-    struct headers, a 256-entry palette, 4-byte row stride, bottom-up
-    rows), and ``decode_media(use_real_codec=True)`` must PARSE the
-    container — magic sniff, header fields, stride/row-order undo — to
-    recover the pixels. The oracle knows nothing about either
-    container: it recomputes the stats from the raw UTF-8 bytes plus
-    the final-row zero padding, so a parity hash proves the parsers
-    extracted exactly the true pixel matrix from two different on-disk
-    layouts (a BMP stride or row-order bug shifts sum/min/max and
-    turns the row red).
+    every payload is a genuine image container (doc_id % 3 rotates
+    P5 PNM with an ASCII header; 8-bit BMP with little-endian struct
+    headers, a 256-entry palette, 4-byte row stride, bottom-up rows;
+    and 8-bit grayscale PNG with CRC'd chunks and a zlib IDAT — round
+    9, the dominant web format made real via stdlib zlib + scanline
+    unfiltering), and ``decode_media(use_real_codec=True)`` must PARSE
+    the container — magic sniff, header fields, stride/row-order/
+    inflate-unfilter undo — to recover the pixels. The oracle knows
+    nothing about any container: it recomputes the stats from the raw
+    UTF-8 bytes plus the final-row zero padding, so a parity hash
+    proves the parsers extracted exactly the true pixel matrix from
+    three different on-disk layouts (a BMP stride bug or a PNG filter
+    bug shifts sum/min/max and turns the row red).
 
     Scale shape: encode and decode are both narrow Arrow mapInPandas
     stages (no shuffle); the only exchange is none at all — the result
@@ -1033,8 +1036,9 @@ def m15_real_container_decode(t):
     return dec.select(
         "doc_id",
         "lang",
-        F.when(F.col("doc_id") % 2 == 0, F.lit("pgm"))
-        .otherwise(F.lit("bmp"))
+        F.when(F.col("doc_id") % 3 == 0, F.lit("pgm"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("bmp"))
+        .otherwise(F.lit("png"))
         .alias("container"),
         "n_px",
         "sum_px",
@@ -1058,15 +1062,23 @@ def m15_real_container_decode(t):
     sized AS (
       SELECT doc_id, n, w,
              CAST(ceil(n / w) AS BIGINT) AS h,
-             CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'bmp' END AS fmt
+             CASE doc_id % 3 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
+                  ELSE 'png' END AS fmt
       FROM m WHERE n > 0
     ),
     payload AS (
       SELECT doc_id, fmt, w, h,
-             CASE WHEN fmt = 'pgm'
+             CASE fmt
+                  WHEN 'pgm'
                   THEN 9 + length(CAST(w AS VARCHAR))
                          + length(CAST(h AS VARCHAR)) + w * h
-                  ELSE 1078 + ((w + 3) // 4) * 4 * h
+                  WHEN 'bmp'
+                  THEN 1078 + ((w + 3) // 4) * 4 * h
+                  -- png: sig 8 + IHDR 25 + IDAT (12 + zlib of
+                  -- h*(w+1) raw bytes in fixed 32768 stored blocks)
+                  -- + IEND 12  =  63 + 5*ceil(raw/32768) + raw
+                  ELSE 63 + 5 * CAST(ceil(h * (w + 1) / 32768.0) AS BIGINT)
+                         + h * (w + 1)
              END AS container_bytes
       FROM sized
     ),
@@ -1092,17 +1104,20 @@ def m15_real_container_decode(t):
 def m16_container_integrity_gate(t):
     """Decode-level integrity gate over REAL containers — m13 checks
     blob length against declared metadata; this gate goes a tier
-    deeper and actually PARSES every payload (the m15 PNM/BMP
+    deeper and actually PARSES every payload (the m15 PNM/BMP/PNG
     decoders), verifying the pixel matrix matches the declared
     (width, height). Fault injection is deterministic: every 13th
     doc's container is truncated to half its bytes JVM-side (binary
-    substring) before the gate — for BOTH formats a half-truncation
-    provably leaves the parser short of pixel data (the header is
-    always under half the container), so the oracle can assert the
+    substring) before the gate — for ALL THREE formats a
+    half-truncation provably leaves the parser short of pixel data
+    (each header is always under half the container; the PNG chunk
+    walk hits a cut IDAT and raises), so the oracle can assert the
     exact verdict split, per-format doc counts, surviving decoded
     pixel mass, and the quarantined byte mass (container sizes
     recomputed arithmetically: PNM header = 9 + digits(w) +
-    digits(h); BMP = 1078 + stride·h).
+    digits(h); BMP = 1078 + stride·h; PNG = 63 + 5·ceil(raw/32768)
+    + raw with raw = h·(w+1), exact because encode_png frames its
+    own zlib stored blocks).
 
     Scale shape: encode, corrupt, and gate are narrow stages (the
     corrupt step is one JVM substring, no Python); only the final

@@ -165,3 +165,89 @@ def test_skew_guard_planted_blank_band_has_no_dominant_task(spark):
     )
     pairs = skew_guarded_self_pairs(df, ["key"], "id", cap=250)
     assert pairs.count() == n * (n - 1) // 2
+
+
+def test_png_codec_roundtrip_filters_and_quarantine():
+    """The dependency-free PNG decoder must (a) roundtrip encode_png,
+    (b) reverse all five scanline filters against an independent naive
+    reference built in this test, (c) match the m16 oracle's container
+    size arithmetic exactly, and (d) raise ValueError (quarantine),
+    never a zlib/struct internal, on truncation or CRC lies."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from data_engineer_project_spark.operators.multimodal import (
+        _PNG_STORE_BLOCK,
+        _real_decode,
+        _zlib_stored,
+        decode_png,
+        encode_png,
+    )
+
+    px = bytes(range(256)) * 10
+    assert decode_png(encode_png(px, 32)).tobytes() == px
+
+    # container size formula (what the m16 oracle recomputes in SQL)
+    for w, n in ((16, 17), (63, 5000), (20, 70000)):
+        h = -(-n // w)
+        p = encode_png(bytes(i % 251 for i in range(w * h)), w)
+        raw = h * (w + 1)
+        assert len(p) == 63 + 5 * (-(-raw // _PNG_STORE_BLOCK)) + raw
+
+    big = bytes(i % 256 for i in range(100_000))
+    assert zlib.decompress(_zlib_stored(big)) == big
+
+    p = encode_png(bytes(340), 17)
+    for cut in (len(p) // 2, 10, 33, 40, len(p) - 1):
+        with pytest.raises(ValueError):
+            decode_png(p[:cut])
+    bad = bytearray(p)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+    # all five filter types vs an independent naive filterer
+    rng = np.random.RandomState(7)
+    w, h = 9, 5
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    out, prev = b"", np.zeros(w, np.int32)
+    for r, ft in zip(range(h), (0, 1, 2, 3, 4)):
+        line = img[r].astype(np.int32)
+        f = np.zeros(w, np.int32)
+        for i in range(w):
+            a = int(line[i - 1]) if i >= 1 else 0
+            b = int(prev[i])
+            c = int(prev[i - 1]) if i >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                pth = a + b - c
+                pa, pb, pc = abs(pth - a), abs(pth - b), abs(pth - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            f[i] = (line[i] - pred) % 256
+        out += bytes([ft]) + bytes(f.astype(np.uint8))
+        prev = line
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(out))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(payload).tobytes() == img.tobytes()
+    assert _real_decode(p, "png").tobytes() == bytes(340)
