@@ -2838,45 +2838,236 @@ def hq45_small_cell_suppression(t):
 
 
 def small_cell_suppression(cells, k: int = 11):
-    """The suppression rule on a (county, measure_id, n) cell table:
-    primary-suppress n < k; where a county has EXACTLY ONE primary
-    cell, complementary-suppress its smallest unsuppressed cell
-    (ties -> lowest measure id). Extracted so the planted-fixture test
-    can drive every branch (the seeded fixture's cells are all
-    primary)."""
-    prim = cells.withColumn("is_primary", F.col("n") < k)
-    w_cnt = Window.partitionBy("county")
-    marked = (
-        prim.withColumn(
-            "n_prim",
-            F.sum(F.col("is_primary").cast("long")).over(w_cnt),
+    """hq45's (county, measure_id, n) binding of the REUSABLE release
+    gate (operators/governance.py small_cell_suppress — round 9
+    extracted it so any member-grain query composes the same rule;
+    hq46/hq47 are further bindings). Kept as the planted-fixture
+    test's entry point (the seeded fixture's cells are all primary)."""
+    from data_engineer_project_spark.operators.governance import (
+        small_cell_suppress,
+    )
+
+    return small_cell_suppress(
+        cells, k=k, stratum_cols=("county",), cell_cols=("measure_id",)
+    )
+
+
+@query(
+    "hq46_special_status_release",
+    _oracle(
+        """
+        , cells AS (
+          SELECT 'DUAL' AS status_type, d.StatusCode AS code,
+                 CAST(COUNT(DISTINCT d.MemberID) AS BIGINT) AS n
+          FROM s1_elig_dual_status d GROUP BY 2
+          UNION ALL
+          SELECT 'LIS', l.SubsidyLevel,
+                 CAST(COUNT(DISTINCT l.MemberID) AS BIGINT)
+          FROM s1_elig_subsidy_lis l GROUP BY 2
+        ),
+        prim AS (SELECT status_type, code, n, n < 11 AS is_primary
+                 FROM cells),
+        cnt AS (SELECT status_type,
+                       SUM(CASE WHEN is_primary THEN 1 ELSE 0 END) AS n_prim
+                FROM prim GROUP BY 1),
+        comp AS (
+          SELECT p.status_type, p.code,
+                 ROW_NUMBER() OVER (PARTITION BY p.status_type
+                                    ORDER BY p.n, p.code) AS rn_small
+          FROM prim p JOIN cnt c ON c.status_type = p.status_type
+          WHERE NOT p.is_primary AND c.n_prim = 1
         )
-        .withColumn(
-            "rn_small",
-            F.when(
-                ~F.col("is_primary"),
-                F.row_number().over(
-                    Window.partitionBy("county")
-                    .orderBy(
-                        F.when(F.col("is_primary"), F.lit(None))
-                        .otherwise(F.col("n"))
-                        .asc_nulls_last(),
-                        F.when(F.col("is_primary"), F.lit(None))
-                        .otherwise(F.col("measure_id"))
-                        .asc_nulls_last(),
-                    )
-                ),
+        SELECT p.status_type, p.code,
+               CASE WHEN p.is_primary OR co.rn_small = 1 THEN NULL
+                    ELSE p.n END AS released_n,
+               CAST(p.is_primary OR COALESCE(co.rn_small, 0) = 1
+                    AS BOOLEAN) AS suppressed,
+               CASE WHEN p.is_primary THEN 'primary'
+                    WHEN co.rn_small = 1 THEN 'complementary'
+                    END AS suppression
+        FROM prim p
+        LEFT JOIN comp co
+          ON co.status_type = p.status_type AND co.code = p.code
+        ORDER BY 1, 2
+        """,
+        ["s1_elig_dual_status", "s1_elig_subsidy_lis"],
+    ),
+    tags=("healthcare", "governance"),
+)
+def hq46_special_status_release(t):
+    """hq03's roster made PUBLISHABLE — the dual-status / LIS member
+    lists are the most sensitive member-grain output the reference
+    seeds (dual eligibility and low-income-subsidy level are both
+    financial-status facts), so the releasable form is the CELL TABLE:
+    member counts per (status_type, code) with the reusable CMS
+    small-cell gate (operators/governance.py small_cell_suppress,
+    k=11) applied per status family — counts under 11 release NULL
+    with a reason tag, and a family with exactly one primary cell also
+    suppresses its smallest unsuppressed cell so the family total
+    can't be subtracted back.
+
+    Scale shape: one distinct-member rollup per source to a bounded
+    code x status cell table; the gate adds only bounded-table
+    windows."""
+    from data_engineer_project_spark.operators.governance import (
+        small_cell_suppress,
+    )
+
+    s = hc(t)
+    dual = (
+        s["s1_elig_dual_status"]
+        .groupBy(F.col("StatusCode").alias("code"))
+        .agg(F.countDistinct("MemberID").alias("n"))
+        .select(F.lit("DUAL").alias("status_type"), "code", "n")
+    )
+    lis = (
+        s["s1_elig_subsidy_lis"]
+        .groupBy(F.col("SubsidyLevel").alias("code"))
+        .agg(F.countDistinct("MemberID").alias("n"))
+        .select(F.lit("LIS").alias("status_type"), "code", "n")
+    )
+    return small_cell_suppress(
+        dual.union(lis),
+        k=11,
+        stratum_cols=("status_type",),
+        cell_cols=("code",),
+    ).orderBy("status_type", "code")
+
+
+@query(
+    "hq47_geo_cost_release",
+    _oracle(
+        """
+        , mp AS (SELECT DISTINCT e.MemberID, e.PlanID
+                 FROM s1_elig_enrollment e),
+        geo AS (
+          SELECT a.MemberID,
+                 MIN(COALESCE(gz.CountyName, 'UNMAPPED')) AS county
+          FROM s1_elig_member_address a
+          LEFT JOIN s5_ref_ref_geo_zipfips gz ON gz.Zip = a.ZipCode
+          GROUP BY a.MemberID
+        ),
+        paid AS (
+          SELECT ch.MemberID,
+                 CAST(SUM(pay.PaidAmount) * 100 AS BIGINT) AS cents
+          FROM s2_claims_claim_header ch
+          JOIN s2_claims_claim_payment pay ON pay.ClaimID = ch.ClaimID
+          GROUP BY 1
+        ),
+        cells AS (
+          SELECT pl.PlanName AS plan_name, g.county,
+                 CAST(COUNT(DISTINCT mp.MemberID) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(paid.cents), 0) AS BIGINT) AS paid_cents
+          FROM mp
+          JOIN s1_elig_insurance_plan pl ON pl.PlanID = mp.PlanID
+          JOIN geo g ON g.MemberID = mp.MemberID
+          LEFT JOIN paid ON paid.MemberID = mp.MemberID
+          GROUP BY 1, 2
+        ),
+        prim AS (SELECT plan_name, county, n, paid_cents,
+                        n < 11 AS is_primary
+                 FROM cells),
+        cnt AS (SELECT plan_name,
+                       SUM(CASE WHEN is_primary THEN 1 ELSE 0 END) AS n_prim
+                FROM prim GROUP BY 1),
+        comp AS (
+          SELECT p.plan_name, p.county,
+                 ROW_NUMBER() OVER (PARTITION BY p.plan_name
+                                    ORDER BY p.n, p.county) AS rn_small
+          FROM prim p JOIN cnt c ON c.plan_name = p.plan_name
+          WHERE NOT p.is_primary AND c.n_prim = 1
+        )
+        SELECT p.plan_name, p.county,
+               CASE WHEN p.is_primary OR co.rn_small = 1 THEN NULL
+                    ELSE p.n END AS released_n,
+               CASE WHEN p.is_primary OR co.rn_small = 1 THEN NULL
+                    ELSE p.paid_cents END AS released_paid_cents,
+               CAST(p.is_primary OR COALESCE(co.rn_small, 0) = 1
+                    AS BOOLEAN) AS suppressed,
+               CASE WHEN p.is_primary THEN 'primary'
+                    WHEN co.rn_small = 1 THEN 'complementary'
+                    END AS suppression
+        FROM prim p
+        LEFT JOIN comp co
+          ON co.plan_name = p.plan_name AND co.county = p.county
+        ORDER BY 1, 2
+        """,
+        [
+            "s1_elig_enrollment", "s1_elig_insurance_plan",
+            "s1_elig_member_address", "s5_ref_ref_geo_zipfips",
+            "s2_claims_claim_header", "s2_claims_claim_payment",
+        ],
+    ),
+    tags=("healthcare", "governance", "finance"),
+)
+def hq47_geo_cost_release(t):
+    """hq34/hq38's member-cost surface made PUBLISHABLE: paid-claims
+    mass and member counts per (plan, county) cell — each member
+    mapped to ONE county (min county over their addresses,
+    deterministic), per-member exact integer cents (the hq34 fold) —
+    with the reusable small-cell gate applied per plan: cells under
+    11 members release NULL for BOTH the count and the dollar mass
+    (the mask_cols path — releasing a suppressed cell's cost with a
+    NULL count still identifies small groups), plus the complementary
+    round per plan. This is the second composition of
+    operators/governance.py small_cell_suppress (hq46 is the first),
+    closing the round-8 verdict's reusability ask.
+
+    Scale shape: member->county and member->cents are member-grain
+    rollups (shuffle on MemberID); cells are bounded plan x county;
+    the gate is bounded-table windows only."""
+    from data_engineer_project_spark.operators.governance import (
+        small_cell_suppress,
+    )
+
+    s = hc(t)
+    mp = s["s1_elig_enrollment"].select("MemberID", "PlanID").distinct()
+    geo = (
+        s["s1_elig_member_address"]
+        .select("MemberID", "ZipCode")
+        .join(
+            F.broadcast(
+                s["s5_ref_ref_geo_zipfips"].select(
+                    F.col("Zip").alias("ZipCode"), "CountyName"
+                )
             ),
+            "ZipCode",
+            "left",
+        )
+        .groupBy("MemberID")
+        .agg(
+            F.min(
+                F.coalesce(F.col("CountyName"), F.lit("UNMAPPED"))
+            ).alias("county")
         )
     )
-    is_comp = (F.col("n_prim") == 1) & (F.col("rn_small") == 1)
-    suppressed = F.col("is_primary") | is_comp
-    return marked.select(
-        "county",
-        "measure_id",
-        F.when(~suppressed, F.col("n")).cast("long").alias("released_n"),
-        suppressed.alias("suppressed"),
-        F.when(F.col("is_primary"), F.lit("primary"))
-        .when(is_comp, F.lit("complementary"))
-        .alias("suppression"),
+    paid = (
+        s["s2_claims_claim_header"]
+        .join(s["s2_claims_claim_payment"], "ClaimID")
+        .groupBy("MemberID")
+        .agg((F.sum(money("PaidAmount")) * 100).cast("long").alias("cents"))
     )
+    cells = (
+        mp.join(
+            F.broadcast(
+                s["s1_elig_insurance_plan"].select("PlanID", "PlanName")
+            ),
+            "PlanID",
+        )
+        .join(geo, "MemberID")
+        .join(paid, "MemberID", "left")
+        .groupBy(F.col("PlanName").alias("plan_name"), "county")
+        .agg(
+            F.countDistinct("MemberID").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("paid_cents"),
+        )
+    )
+    return small_cell_suppress(
+        cells,
+        k=11,
+        stratum_cols=("plan_name",),
+        cell_cols=("county",),
+        mask_cols=("paid_cents",),
+    ).orderBy("plan_name", "county")

@@ -251,3 +251,50 @@ def test_png_codec_roundtrip_filters_and_quarantine():
     )
     assert decode_png(payload).tobytes() == img.tobytes()
     assert _real_decode(p, "png").tobytes() == bytes(340)
+
+
+def test_small_cell_suppress_generic_masks_and_complements(spark):
+    """The reusable release gate must (a) NULL mask_cols alongside the
+    count on suppressed cells, (b) run complementary suppression only
+    in strata with EXACTLY ONE primary cell, and (c) pass released
+    cells through unchanged — planted cells drive every branch."""
+    from data_engineer_project_spark.operators.governance import (
+        small_cell_suppress,
+    )
+
+    cells = spark.createDataFrame(
+        [
+            # stratum A: one primary (n=3) -> complementary kicks in on
+            # the smallest unsuppressed cell (n=12, cell 'a1')
+            ("A", "a1", 12, 1200),
+            ("A", "a2", 20, 2000),
+            ("A", "a3", 3, 300),
+            # stratum B: two primaries -> NO complementary round
+            ("B", "b1", 2, 200),
+            ("B", "b2", 4, 400),
+            ("B", "b3", 30, 3000),
+            # stratum C: nothing suppressed
+            ("C", "c1", 15, 1500),
+        ],
+        "stratum string, cell string, n long, cents long",
+    )
+    out = {
+        (r.stratum, r.cell): r
+        for r in small_cell_suppress(
+            cells,
+            k=11,
+            stratum_cols=("stratum",),
+            cell_cols=("cell",),
+            mask_cols=("cents",),
+        ).collect()
+    }
+    def trip(r):
+        return (r.released_n, r.released_cents, r.suppressed, r.suppression)
+
+    assert trip(out[("A", "a3")]) == (None, None, True, "primary")
+    assert trip(out[("A", "a1")]) == (None, None, True, "complementary")
+    assert trip(out[("A", "a2")]) == (20, 2000, False, None)
+    assert trip(out[("B", "b1")]) == (None, None, True, "primary")
+    assert trip(out[("B", "b2")]) == (None, None, True, "primary")
+    assert trip(out[("B", "b3")]) == (30, 3000, False, None)
+    assert trip(out[("C", "c1")]) == (15, 1500, False, None)
