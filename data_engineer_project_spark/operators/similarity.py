@@ -487,6 +487,70 @@ def write_store_atomic(df: DataFrame, store, partition_by=None) -> None:
             raise
 
 
+# Entries younger than this are never swept: a reader that just
+# _SUCCESS-checked a store reads it lazily at a later action, so
+# recently-touched artifacts are presumed in flight. Shared by
+# prune_store and sweep_stores so every artifact family ages on the
+# same clock.
+PRUNE_MIN_AGE_S = 3600.0
+
+# Managed shingle tables (operators/dedup.py shingle_table) must be
+# named with this prefix to be covered by sweep_stores' keep-latest
+# contract.
+SHINGLE_TABLE_PREFIX = "shingle"
+
+
+def sweep_stores(spark=None, warehouse=None, keep: int = 8) -> None:
+    """THE warehouse lifecycle contract (round-9 verdict item): one
+    keep-latest-``keep`` sweep covering every on-disk artifact family
+    a long-lived session accretes —
+
+    1. ``*_store`` directories (centroid_store, pq_codebook_store,
+       roundtrip_store, and any future family following the naming
+       convention): each holds one subdirectory per (corpus, config)
+       fingerprint; each is pruned to the ``keep`` newest
+       (prune_store's rules, including the in-flight min-age guard).
+    2. ``shingle*`` managed tables (dedup.py shingle_table): whole
+       tables keep-latest-``keep`` by directory mtime. When ``spark``
+       is provided they are dropped through the catalog (metastore and
+       disk stay consistent); otherwise the directories are removed
+       and the catalog lazily notices on next overwrite.
+
+    Writers still prune their own root at write time (ivf trainers,
+    d95) — this sweep is the harness-level backstop bench.py runs at
+    session start so artifact growth is bounded per FAMILY, not per
+    process lifetime. At cluster scale the same contract is a
+    catalog-managed retention policy, not a directory walk."""
+    import pathlib
+    import shutil
+    import time
+
+    root = (
+        pathlib.Path(warehouse)
+        if warehouse
+        else pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
+    )
+    if not root.is_dir():
+        return
+    shingle_dirs = []
+    for child in sorted(root.iterdir()):
+        if not child.is_dir():
+            continue
+        if child.name.endswith("_store"):
+            prune_store(child, keep)
+        elif child.name.startswith(SHINGLE_TABLE_PREFIX):
+            shingle_dirs.append(child)
+    shingle_dirs.sort(key=lambda p: p.stat().st_mtime)
+    now = time.time()
+    for p in shingle_dirs[: max(0, len(shingle_dirs) - keep)]:
+        if now - p.stat().st_mtime < PRUNE_MIN_AGE_S:
+            continue
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS `{p.name}`")
+        if p.exists():
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def prune_store(root, keep: int = 8) -> None:
     """Keep-latest-N sweep for an artifact store directory: each
     (corpus, config) fingerprint is one subdirectory; long-lived
@@ -504,7 +568,7 @@ def prune_store(root, keep: int = 8) -> None:
     import shutil
     import time
 
-    min_age_s = 3600.0
+    min_age_s = PRUNE_MIN_AGE_S
     root = pathlib.Path(root)
     if not root.is_dir():
         return

@@ -298,3 +298,50 @@ def test_small_cell_suppress_generic_masks_and_complements(spark):
     assert trip(out[("B", "b2")]) == (None, None, True, "primary")
     assert trip(out[("B", "b3")]) == (30, 3000, False, None)
     assert trip(out[("C", "c1")]) == (15, 1500, False, None)
+
+
+def test_sweep_stores_keep_latest_across_all_families(tmp_path, spark):
+    """sweep_stores must apply ONE keep-latest contract to every
+    artifact family: *_store fingerprint subdirs pruned per family,
+    shingle* table dirs pruned whole, in-flight (young) entries and
+    non-artifact dirs untouched."""
+    import os
+    import time
+
+    from data_engineer_project_spark.operators.similarity import (
+        sweep_stores,
+    )
+
+    wh = tmp_path / "warehouse"
+    old = time.time() - 7200  # past the in-flight min-age guard
+    # family 1: a *_store with 10 fingerprint entries (aged), keep=3
+    store = wh / "centroid_store"
+    for i in range(10):
+        d = store / f"a2_n{i}"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+        os.utime(d, (old + i, old + i))
+    # a young (in-flight) entry beyond keep must survive
+    young = store / "a2_young"
+    young.mkdir()
+    # family 2: shingle tables, 5 aged
+    for i in range(5):
+        d = wh / f"shingle_corpus_{i}"
+        d.mkdir(parents=True)
+        os.utime(d, (old + i, old + i))
+    # a non-artifact dir must never be touched
+    keepme = wh / "some_table"
+    keepme.mkdir()
+    os.utime(keepme, (old, old))
+
+    sweep_stores(spark=None, warehouse=str(wh), keep=3)
+
+    left = sorted(p.name for p in store.iterdir())
+    # 10 aged entries + 1 young: keep-3 sweeps the 8 oldest aged ones,
+    # but the young entry always survives regardless of rank
+    assert "a2_young" in left
+    assert set(left) >= {"a2_n8", "a2_n9"}
+    assert "a2_n0" not in left and "a2_n5" not in left
+    shingles = sorted(p.name for p in wh.iterdir() if p.name.startswith("shingle"))
+    assert shingles == ["shingle_corpus_2", "shingle_corpus_3", "shingle_corpus_4"]
+    assert keepme.exists()
