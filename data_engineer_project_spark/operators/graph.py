@@ -61,14 +61,27 @@ def connected_components(
                 f"connected_components requires integral node ids, got "
                 f"{id_type} for {col!r}"
             )
-    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    # The undirected union scans ``pairs`` TWICE in one materialization
+    # — persist it through the union so expensive upstream pair plans
+    # (banded LSH with the skew-guard grid, Jaccard verification)
+    # compute once, then release the handle: ``und`` is the persisted
+    # edge set every round actually reads.
+    lvl = pairs.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    pairs_c = pairs if caller_cached else pairs.persist()
+    fwd = pairs_c.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     und = fwd.union(
-        pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+        pairs_c.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
     ).distinct().persist()
 
     labels = und.select(F.col("e_src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     ).localCheckpoint()
+    # labels' eager checkpoint materialized und (and filled its cache);
+    # the raw pair set is no longer needed (callers who persisted it
+    # themselves keep their own handle)
+    if not caller_cached:
+        pairs_c.unpersist()
 
     def _checksum(df: DataFrame) -> int:
         # exact decimal sum: labels only ever decrease, so the total is
