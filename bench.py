@@ -144,6 +144,12 @@ BENCH_QUERIES = [
     # confusion rollup; times the train-then-apply classifier shape
     # (two corpus token scans, bounded model) no other slot covers.
     "d90_hashed_nb_classifier",
+    # r9 addition: the PRODUCTION near-dup cluster default — exact
+    # md5 collapse to weighted reps, adaptive skew-guarded banding,
+    # CC, weighted rollup; times the tier-ordered dedup shape whose
+    # cost is invariant to duplicate multiplicity (d65 times the raw
+    # doc-granular diagnostic form).
+    "d99_weighted_neardup_clusters",
 ]
 
 

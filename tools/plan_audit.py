@@ -269,6 +269,36 @@ BOUNDED_BNLJ_OK = {
 
 # Hand-pinned notes that must survive regeneration — keyed by query.
 NOTES = {
+    "d07_dedup_minhash_lsh": (
+        "Note (round 9): the scan/exchange jump vs r8 (6→24 static "
+        "scans, 16→33 printed exchanges) is the skew-guard's "
+        "persisted banded set re-printing its upstream chain per "
+        "consumer — a printer artifact, same class as d56's. At "
+        "runtime the adaptive guard's hot-key probe is one map-side "
+        "aggregate over the cached banded rows, and with no bucket "
+        "over HOT_BAND_CAP (the case here) the pair join is the same "
+        "plain two-exchange self-join as before the guard; measured "
+        "idle-box steady state is 1.80 s vs the 1.55 s pin. The same "
+        "artifact explains d12/d29's printed-count jumps."
+    ),
+    "d99_weighted_neardup_clusters": (
+        "Note: the production near-dup cluster default — exact "
+        "collapse sizes every downstream structure by DISTINCT "
+        "content; the SMJ is the rep-collapse groupBy feeding the "
+        "banding, the BHJ the token join back. Duplication-invariance "
+        "and d65 parity are pytest-pinned; 100× duplication measured "
+        "FLAT (6.5→6.8 s, SCALING.md)."
+    ),
+    "m10_image_neardup_clusters": (
+        "Note (round 9, accepted trade): m10's dHash band (3, 0) — "
+        "the top-16-bits-zero band short texts produce — holds 3161 "
+        "members at sf0.1, OVER the hot-band cap, so the skew guard "
+        "fires on stock data and splits it into a salted 2×2 grid: "
+        "~1.4× the r8 pin at bench scale buys the task-size bound "
+        "that survives the decade (the band grows linearly with the "
+        "corpus; unguarded, its single task goes quadratic). Pair "
+        "set bit-identical either way (pytest-pinned)."
+    ),
     "d56_end_to_end_curation": (
         "Note: the static scan count is an InMemoryRelation-printing "
         "artifact — the five-stage DAG persists two intermediates "
