@@ -324,16 +324,36 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("truncated PNG: no IHDR")
     if not seen_iend:
         raise ValueError("truncated PNG: missing IEND")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     bpp = 1 if color == 0 else 3
     stride = w * bpp
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # header fields are UNTRUSTED: bound the allocation BEFORE
+    # inflating — a header declaring a giant geometry, or a tiny IDAT
+    # inflating 1000x (a zip bomb), must become a quarantine verdict,
+    # never an executor OOM. 2^28 filtered bytes ≈ a 16k x 16k gray
+    # image — far above any fixture, far below executor memory.
+    if expected > (1 << 28):
         raise ValueError(
-            f"PNG pixel data length mismatch: want {h * (stride + 1)}, "
-            f"have {len(raw)}"
+            f"PNG header declares {w}x{h}x{bpp} "
+            f"({expected} filtered bytes) — over the decode bound"
+        )
+    try:
+        do = zlib.decompressobj()
+        raw = do.decompress(b"".join(idat), expected)
+        # feed back the unconsumed input asking for ONE more byte: a
+        # conforming stream of exactly `expected` bytes yields nothing
+        # (only the adler trailer remains); any surplus output is a bomb
+        bomb = (
+            do.decompress(do.unconsumed_tail, 1) != b""
+            if not do.eof
+            else False
+        )
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if bomb or len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel data length mismatch: want {expected}, "
+            f"have {len(raw)}{' plus surplus (inflate bomb)' if bomb else ''}"
         )
     out = bytearray(h * stride)
     prev = bytes(stride)

@@ -345,3 +345,40 @@ def test_sweep_stores_keep_latest_across_all_families(tmp_path, spark):
     shingles = sorted(p.name for p in wh.iterdir() if p.name.startswith("shingle"))
     assert shingles == ["shingle_corpus_2", "shingle_corpus_3", "shingle_corpus_4"]
     assert keepme.exists()
+
+
+def test_png_decoder_bounds_hostile_inflate():
+    """Untrusted PNG input must quarantine, never OOM an executor:
+    a zip bomb (tiny IDAT inflating past the declared geometry), a
+    giant declared geometry with a tiny payload (allocation bounded
+    BEFORE inflating), and a short stream all raise ValueError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_engineer_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    # multi-block roundtrip stays exact under the bounded inflate
+    big = bytes(i % 251 for i in range(120_000))
+    assert decode_png(encode_png(big, 60)).tobytes() == big
+
+    def png(w, h, payload):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(payload))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="bomb"):
+        decode_png(png(16, 4, b"\x00" * 1_000_000))
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_png(png(60000, 60000, b"\x00" * 10))
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(png(16, 4, b"\x00" * 20))
