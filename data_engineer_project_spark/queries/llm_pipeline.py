@@ -5720,9 +5720,12 @@ def d65_neardup_doc_clusters(t):
 
     Scale shape: pair generation inherits d07's corpus-linear form;
     CC shuffles only the EDGE set per round for ≤ 2·log₂(diameter)+4
-    rounds; the rollup is one shuffle on component ids. Nothing
-    quadratic, nothing driver-bound beyond the CC convergence
-    checksum."""
+    rounds; the rollup is one shuffle on component ids. CAVEAT: the
+    verified pair set is quadratic in duplicate MULTIPLICITY (a
+    k-replica clique emits k(k−1)/2 pairs) — this doc-granular form
+    is the diagnostic tier; the PRODUCTION default is
+    d99_weighted_neardup_clusters (exact-dup collapse first, measured
+    flat at 100× duplication)."""
     pairs = DD.minhash_lsh_pairs(
         t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
     ).select("doc_a", "doc_b")
@@ -7188,9 +7191,13 @@ def d74_pagerank_canonical_doc(t):
     form; each rank round shuffles the EDGE set once (deg and rank
     co-partition on the join key); component labels come from the
     pointer-jumped CC (log-diameter rounds, measured flat at 10x).
-    Rank state is edge-proportional, never quadratic; no driver
-    state at all — the loop is fully relational, executed once at
-    the final action."""
+    Rank state is edge-proportional — but the EDGE SET ITSELF is
+    quadratic in duplicate multiplicity (the 100x stress OOMed here,
+    SCALING.md): this doc-granular form is the diagnostic tier; the
+    PRODUCTION default is d89_weighted_pagerank_canonical
+    (exact-dup collapse first, measured at 100x). No driver state at
+    all — the loop is fully relational, executed once at the final
+    action."""
     pairs = tracked_persist(
         DD.minhash_lsh_pairs(
             t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
