@@ -660,3 +660,184 @@ def test_hll_rho_register_sql_matches_python_reference():
         want_rho = 41 if pos == -1 else pos + 1
         assert reg == want_reg, (s, reg, want_reg)
         assert rho == want_rho, (s, rho, want_rho)
+
+
+# ------------------------- round-9 operators: property invariants
+
+
+@st.composite
+def keyed_rows(draw):
+    """(id, key) multiset with a tunable hot key and a cap that can
+    force the salted-grid branch or leave the plain branch."""
+    n_hot = draw(st.integers(min_value=0, max_value=30))
+    n_cold_keys = draw(st.integers(min_value=0, max_value=4))
+    rows = [(i, "hot") for i in range(n_hot)]
+    nid = 1000
+    for k in range(n_cold_keys):
+        sz = draw(st.integers(min_value=1, max_value=6))
+        rows += [(nid + i, f"cold{k}") for i in range(sz)]
+        nid += 100
+    cap = draw(st.integers(min_value=2, max_value=40))
+    return rows, cap
+
+
+@given(data=keyed_rows())
+@_SETTINGS
+def test_skew_guard_pair_set_invariant(spark, data):
+    """For ANY (id, key) multiset and ANY cap, the skew-guarded
+    self-join's pair set equals the naive intra-key pairing — both
+    the plain branch (no hot keys) and the salted grid hit here."""
+    rows, cap = data
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in DD.skew_guarded_self_pairs(df, ["key"], "id", cap=cap).collect()
+    )
+    by_key: dict[str, list[int]] = {}
+    for i, k in rows:
+        by_key.setdefault(k, []).append(i)
+    want = sorted(
+        (a, b)
+        for ids in by_key.values()
+        for x, a in enumerate(ids)
+        for b in ids[x + 1 :]
+    )
+    assert got == want
+
+
+@st.composite
+def cell_tables(draw):
+    n_strata = draw(st.integers(min_value=1, max_value=3))
+    k = draw(st.integers(min_value=2, max_value=12))
+    cells = []
+    for s in range(n_strata):
+        n_cells = draw(st.integers(min_value=1, max_value=5))
+        for c in range(n_cells):
+            n = draw(st.integers(min_value=0, max_value=20))
+            cells.append((f"s{s}", f"c{c}", n, n * 10))
+    return cells, k
+
+
+@given(data=cell_tables())
+@_SETTINGS
+def test_small_cell_suppress_rule_invariants(spark, data):
+    """For ANY cell table and k: (1) every n<k cell is suppressed as
+    'primary'; (2) a stratum gets a complementary suppression iff it
+    has EXACTLY ONE primary and >= 1 non-primary cell, and then it is
+    the smallest (n, cell) non-primary; (3) released rows carry their
+    exact count and masked value; suppressed rows carry NULLs."""
+    from data_engineer_project_spark.operators.governance import (
+        small_cell_suppress,
+    )
+
+    cells, k = data
+    df = spark.createDataFrame(
+        cells, "stratum string, cell string, n long, cents long"
+    )
+    out = small_cell_suppress(
+        df, k=k, stratum_cols=("stratum",), cell_cols=("cell",),
+        mask_cols=("cents",),
+    ).collect()
+    byrow = {(r.stratum, r.cell): r for r in out}
+    assert len(byrow) == len(cells)
+    strata: dict[str, list] = {}
+    for s, c, n, cents in cells:
+        strata.setdefault(s, []).append((c, n, cents))
+    for s, members in strata.items():
+        prim = [(c, n) for c, n, _ in members if n < k]
+        nonprim = sorted(
+            (n, c) for c, n, _ in members if n >= k
+        )
+        comp_expected = (
+            {(nonprim[0][1])} if len(prim) == 1 and nonprim else set()
+        )
+        for c, n, cents in members:
+            r = byrow[(s, c)]
+            if n < k:
+                assert (r.suppressed, r.suppression) == (True, "primary")
+                assert r.released_n is None and r.released_cents is None
+            elif c in comp_expected:
+                assert (r.suppressed, r.suppression) == (True, "complementary")
+                assert r.released_n is None and r.released_cents is None
+            else:
+                assert (r.suppressed, r.suppression) == (False, None)
+                assert (r.released_n, r.released_cents) == (n, cents)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_any_geometry(w, h, seed):
+    """encode_png → decode_png is the identity for ANY geometry and
+    pixel content (pure Python property, no Spark)."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, w * h).astype(
+        np.uint8
+    ).tobytes()
+    assert decode_png(encode_png(px, w)).tobytes() == px
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    fts=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=8
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_unfilter_matches_reference_for_random_filters(seed, fts):
+    """decode_png must reverse ANY per-row filter-type sequence —
+    checked against an independent naive filterer (pure Python)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    w, h = 11, len(fts)
+    img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    out, prev = b"", np.zeros(w, np.int32)
+    for r, ft in enumerate(fts):
+        line = img[r].astype(np.int32)
+        f = np.zeros(w, np.int32)
+        for i in range(w):
+            a = int(line[i - 1]) if i >= 1 else 0
+            b = int(prev[i])
+            c = int(prev[i - 1]) if i >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            f[i] = (line[i] - pred) % 256
+        out += bytes([ft]) + bytes(f.astype(np.uint8))
+        prev = line
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(out))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(payload).tobytes() == img.tobytes()
