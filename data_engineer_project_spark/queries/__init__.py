@@ -125,6 +125,7 @@ _REGATE_ROUND = {
     # through the hot-band skew guard (operators/dedup.py
     # skew_guarded_self_pairs): same pair set, new executing plan.
     "d07_dedup_minhash_lsh": 9,
+    "d08_dedup_simhash": 9,  # simhash bucket join now skew-guarded too
     "d20_dedup_clusters": 9,
     "d26_quality_survivor": 9,
     "d29_minhash_estimator_quality": 9,
