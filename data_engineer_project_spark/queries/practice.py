@@ -1806,3 +1806,97 @@ def p74_catalog_bootstrap_audit(t):
     return spark.createDataFrame(
         rows, "step int, action string, ok boolean, observed bigint"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------- §2.1
+# Transaction test-mode (BEGIN TRAN ... ROLLBACK), Spark-idiomatically
+
+
+@query(
+    "p75_tran_rollback_audit",
+    """
+    WITH base AS (
+      SELECT COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_value
+      FROM lineitem
+    ),
+    cand AS (
+      SELECT COUNT(*) AS n_lines,
+             CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 0)
+                  AS DOUBLE) AS total_value
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey
+                          AND o.o_orderstatus = 'F')
+    )
+    SELECT 'base' AS phase, CAST(n_lines AS BIGINT) AS n_lines,
+           total_value FROM base
+    UNION ALL SELECT 'candidate_commit', CAST(n_lines AS BIGINT),
+           total_value FROM cand
+    UNION ALL SELECT 'after_rollback', CAST(n_lines AS BIGINT),
+           total_value FROM base
+    ORDER BY phase
+    """,
+    tags=("dml", "governance"),
+)
+def p75_tran_rollback_audit(t):
+    """The reference's one transactional block — `BEGIN TRAN; DELETE
+    cl ... JOIN ... WHERE ClaimStatus='Denied'; -- ROLLBACK`
+    (`SQLQueryiesPractice.sql:167-174`, test-mode delete) — expressed
+    in Spark's execution model, where mutation-in-place does not
+    exist and the equivalent contract is SNAPSHOT DERIVATION +
+    ATOMIC PUBLISH OR DISCARD:
+
+    - BEGIN TRAN  -> derive the candidate post-delete snapshot (p26's
+      anti-join) WITHOUT touching the base — Spark DataFrames are
+      immutable, so the "open transaction" is just a second lineage.
+    - audit       -> this query: row/value totals of base vs
+      candidate side by side (what a COMMIT would delete).
+    - ROLLBACK    -> discard the candidate and RE-DERIVE from the
+      base source; the after_rollback phase is recomputed from a
+      fresh scan, and the oracle pins it hash-equal to base — the
+      rollback-restores-everything proof the reference runs by
+      SELECTing the table after ROLLBACK.
+    - COMMIT      -> out of scope here but already built: the atomic
+      temp-dir+rename publish (`similarity.write_store_atomic`,
+      audited end-to-end by d95) is how a validated candidate
+      snapshot replaces the base without readers ever seeing a
+      half-state.
+
+    Scale shape: two scans + one anti-join, all aggregates map-side;
+    the 'transaction' costs nothing until publish, and publish is one
+    rename — the snapshot-isolation shape every lakehouse table
+    format (public Delta/Iceberg designs) builds on."""
+    base = t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(money("l_extendedprice")).cast("double").alias("total_value"),
+    )
+    denied = t.orders.filter(F.col("o_orderstatus") == "F")
+    cand = (
+        t.lineitem.join(
+            denied, t.lineitem.l_orderkey == denied.o_orderkey, "left_anti"
+        ).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.coalesce(F.sum(money("l_extendedprice")), F.lit(0))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    # ROLLBACK: recompute from the immutable base source — a fresh
+    # lineage, not a cached copy of `base`, so equality is evidence
+    rolled = t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(money("l_extendedprice")).cast("double").alias("total_value"),
+    )
+    tag = lambda df, p: df.select(
+        F.lit(p).alias("phase"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "total_value",
+    )
+    return (
+        tag(base, "base")
+        .union(tag(cand, "candidate_commit"))
+        .union(tag(rolled, "after_rollback"))
+        .orderBy("phase")
+    )
