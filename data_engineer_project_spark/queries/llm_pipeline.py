@@ -11616,3 +11616,198 @@ def d99_weighted_neardup_clusters(t):
         )
         .orderBy("component")
     )
+
+
+# --------- d100: incremental near-dup ingest (new batch vs corpus)
+
+_D100_NH, _D100_NB = 8, 4  # the d07 operating point
+
+
+def _d100_side_ctes(p: str, source: str) -> str:
+    """One side's shingle->signature->band-key CTE chain, suffixed
+    ``p`` — the d65 oracle chain parameterized so the incremental
+    oracle can build it for the incoming batch AND the corpus."""
+    r = _D100_NH // _D100_NB
+    sig_cols = ", ".join(
+        f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(_D100_NH)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig{p}".format(
+            b=b,
+            p=p,
+            key=" || '|' || ".join(f"mh{b * r + i}" for i in range(r)),
+        )
+        for b in range(_D100_NB)
+    )
+    return f"""w{p} AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM {source}
+    ),
+    sh{p} AS (
+      SELECT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win
+               AS shingle
+      FROM w{p} WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    shd{p} AS (SELECT DISTINCT doc_id, shingle FROM sh{p}),
+    sig{p} AS (SELECT doc_id, {sig_cols} FROM sh{p} GROUP BY doc_id),
+    bands{p} AS ({band_selects}),
+    sz{p} AS (SELECT doc_id, COUNT(*) AS n FROM shd{p} GROUP BY 1)"""
+
+
+@query(
+    "d100_incremental_neardup_ingest",
+    f"""
+    WITH inc AS (
+      SELECT doc_id, text FROM documents WHERE {_ORACLE_BUCKET} >= 90
+    ),
+    corp AS (
+      SELECT doc_id, text FROM documents WHERE {_ORACLE_BUCKET} < 90
+    ),
+    cfp AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS mdoc FROM corp GROUP BY 1
+    ),
+    exact AS (
+      SELECT i.doc_id, c.mdoc FROM inc i JOIN cfp c ON c.fp = md5(i.text)
+    ),
+    rem AS (
+      SELECT doc_id, text FROM inc
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+    ),
+    {_d100_side_ctes("i", "rem")},
+    {_d100_side_ctes("c", "corp")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+      FROM bandsi a JOIN bandsc b ON a.band = b.band AND a.key = b.key
+    ),
+    inter AS (
+      SELECT c.new_doc, c.corpus_doc, COUNT(*) AS ni
+      FROM cand c
+      JOIN shdi sa ON sa.doc_id = c.new_doc
+      JOIN shdc sb ON sb.doc_id = c.corpus_doc AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT i.new_doc, i.corpus_doc,
+             CAST(i.ni AS DOUBLE)
+               / CAST(za.n + zb.n - i.ni AS DOUBLE) AS j
+      FROM inter i
+      JOIN szi za ON za.doc_id = i.new_doc
+      JOIN szc zb ON zb.doc_id = i.corpus_doc
+      WHERE CAST(i.ni AS DOUBLE)
+              / CAST(za.n + zb.n - i.ni AS DOUBLE) >= 0.5
+    ),
+    best AS (
+      SELECT new_doc,
+             (MAX({{'j': j, 'i': -corpus_doc}})).i * -1 AS match_doc,
+             (MAX({{'j': j, 'i': -corpus_doc}})).j AS jaccard
+      FROM ver GROUP BY 1
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.mdoc IS NOT NULL THEN 'exact_dup'
+                WHEN b.match_doc IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS verdict,
+           CAST(COALESCE(e.mdoc, b.match_doc) AS BIGINT) AS match_doc,
+           CAST(CASE WHEN e.mdoc IS NOT NULL THEN 1.0
+                     ELSE b.jaccard END AS DOUBLE) AS jaccard
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN best b ON b.new_doc = i.doc_id
+    ORDER BY i.doc_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def d100_incremental_neardup_ingest(t):
+    """INCREMENTAL near-dup ingest — the missing tier between s11's
+    exact-fingerprint door and d99's full-corpus clustering: a newly
+    arriving batch (the content-addressed top decile, standing in for
+    today's crawl delta) is deduplicated AGAINST the indexed corpus
+    (the other 90%) without ever re-pairing the corpus with itself.
+    Tier 1: exact md5 lookup (s11's door, min-id corpus match).
+    Tier 2: survivors go through d07's MinHash machinery, but the
+    band join is ONE-SIDED — incoming band keys against corpus band
+    keys — so candidate volume is new x matching-corpus, never
+    corpus², which is what makes nightly ingest affordable when the
+    index dwarfs the delta. Verified exact-Jaccard >= 0.5; best match
+    per incoming doc by (jaccard, min corpus id) struct-argmax.
+    Verdicts: exact_dup (jaccard pinned 1.0) / near_dup / novel.
+
+    Exactness: both engines compute jaccard as one double division of
+    exact int shingle counts (the d65 convention) and the argmax
+    struct compares (double, -int) identically.
+
+    Scale shape: the corpus side's shingles/signatures/band keys are
+    exactly what `shingle_table` + a persisted band-key table hold at
+    100 TB — the nightly job computes them for the DELTA only and
+    probes the indexed band table (AQE handles one-sided band-key
+    skew by splitting the probe side; the corpus build path keeps the
+    skew_guarded grid). Here both sides derive from one scan split by
+    the md5 bucket."""
+    bucket = F.expr(_SPARK_BUCKET)
+    docs = t.documents
+    inc = docs.filter(bucket >= 90).select("doc_id", "text")
+    corp = docs.filter(bucket < 90).select("doc_id", "text")
+    cfp = corp.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("mdoc")
+    )
+    exact = (
+        inc.select("doc_id", F.md5("text").alias("fp"))
+        .join(cfp, "fp")
+        .select("doc_id", "mdoc")
+    )
+    rem = inc.join(exact.select("doc_id"), "doc_id", "left_anti")
+    shi = tracked_persist(DD.exploded_shingles(rem).distinct())
+    shc = tracked_persist(DD.exploded_shingles(corp).distinct())
+    sigi = DD.minhash_signatures(shi, num_hashes=_D100_NH)
+    sigc = DD.minhash_signatures(shc, num_hashes=_D100_NH)
+    bi = DD.band_key_rows(sigi, num_hashes=_D100_NH, bands=_D100_NB).select(
+        F.col("doc_id").alias("new_doc"), "band", "key"
+    )
+    bc = DD.band_key_rows(sigc, num_hashes=_D100_NH, bands=_D100_NB).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "key"
+    )
+    cand = bi.join(bc, ["band", "key"]).select("new_doc", "corpus_doc").distinct()
+    szi = shi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    szc = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    sa = shi.select(F.col("doc_id").alias("new_doc"), "shingle")
+    sb = shc.select(F.col("doc_id").alias("corpus_doc"), "shingle")
+    inter = (
+        cand.join(sa, "new_doc")
+        .join(sb, ["corpus_doc", "shingle"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    j = F.col("ni").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    ).cast("double")
+    ver = (
+        inter.join(szi.withColumnRenamed("doc_id", "new_doc"), "new_doc")
+        .join(szc.withColumnRenamed("doc_id", "corpus_doc"), "corpus_doc")
+        .select("new_doc", "corpus_doc", j.alias("j"))
+        .filter(F.col("j") >= 0.5)
+    )
+    pick = F.max(
+        F.struct(F.col("j").alias("j"), (-F.col("corpus_doc")).alias("i"))
+    )
+    best = ver.groupBy("new_doc").agg(
+        (pick["i"] * -1).alias("match_doc"), pick["j"].alias("jaccard")
+    )
+    return (
+        inc.join(exact, "doc_id", "left")
+        .join(best.withColumnRenamed("new_doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("mdoc").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("match_doc").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("mdoc", "match_doc").cast("long").alias("match_doc"),
+            F.when(F.col("mdoc").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("jaccard"))
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )

@@ -382,3 +382,70 @@ def test_png_decoder_bounds_hostile_inflate():
         decode_png(png(60000, 60000, b"\x00" * 10))
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(png(16, 4, b"\x00" * 20))
+
+
+def test_d100_verdicts_match_python_bruteforce(spark):
+    """The incremental ingest verdicts must agree with a from-scratch
+    Python recomputation (exact md5 lookup + brute-force 3-shingle
+    Jaccard vs EVERY corpus doc) on sf0.001 — independent of both
+    engines' shared banding scheme, so a pair the bands MISS (recall
+    bug invisible to the oracle) fails here."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    tb = pq.read_table(f"{sf}/documents.parquet").to_pydict()
+    bucket = lambda i: int(
+        hashlib.md5(str(i).encode()).hexdigest()[:2], 16
+    ) % 100
+    docs = dict(zip(tb["doc_id"], tb["text"]))
+    inc = {i: t for i, t in docs.items() if bucket(i) >= 90}
+    corp = {i: t for i, t in docs.items() if bucket(i) < 90}
+
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[k : k + 3]) for k in range(len(w) - 2)}
+
+    corp_fp: dict[str, int] = {}
+    for i, t in sorted(corp.items()):
+        corp_fp.setdefault(hashlib.md5(t.encode()).hexdigest(), i)
+    corp_sh = {i: sh(t) for i, t in corp.items()}
+
+    want = {}
+    for i, t in sorted(inc.items()):
+        fp = hashlib.md5(t.encode()).hexdigest()
+        if fp in corp_fp:
+            want[i] = ("exact_dup", corp_fp[fp], 1.0)
+            continue
+        s = sh(t)
+        best = None
+        for ci, cs in corp_sh.items():
+            if not s or not cs:
+                continue
+            inter = len(s & cs)
+            j = inter / (len(s) + len(cs) - inter)
+            if j >= 0.5 and (best is None or (j, -ci) > (best[1], -best[0])):
+                best = (ci, j)
+        want[i] = (
+            ("near_dup", best[0], best[1]) if best else ("novel", None, None)
+        )
+
+    got = {
+        r.doc_id: (r.verdict, r.match_doc, r.jaccard)
+        for r in QUERIES["d100_incremental_neardup_ingest"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for i, (v, m, j) in want.items():
+        gv, gm, gj = got[i]
+        assert gv == v and gm == m, (i, got[i], want[i])
+        if j is None:
+            assert gj is None
+        else:
+            assert abs(gj - j) < 1e-12
+    # non-vacuity: the fixture batch exercises more than one verdict
+    assert len({v for v, _, _ in want.values()}) >= 2
