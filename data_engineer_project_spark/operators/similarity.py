@@ -232,19 +232,31 @@ def cosine_near_dup_pairs(
     cosine ≥ ``threshold``. Returns (vec_a, vec_b, score), a < b.
     The cross-band dedup aggregates MAX(score) over identical values,
     so only scalars shuffle (never the vectors)."""
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+
     sigs = banded_lsh_sigs(corpus, corpus, num_bands, dim, id_col, vec_col)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    # skew-guarded bucket self-join: a degenerate embedding mass (many
+    # near-identical vectors sharing every sign bit) concentrates one
+    # (band, bucket) key; the guard grids it with the pair set
+    # unchanged (hot buckets replicate their vectors S ways — hot-only)
+    pairs = skew_guarded_self_pairs(
+        sigs, ["band", "bucket"], "vid", carry=("vec", "nrm")
+    )
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        (
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
+        ).alias("score"),
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            (
-                dot(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("score"),
+        scored.select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "score",
         )
         .groupBy("vec_a", "vec_b")
         .agg(F.max("score").alias("score"))

@@ -126,6 +126,12 @@ _REGATE_ROUND = {
     # skew_guarded_self_pairs): same pair set, new executing plan.
     "d07_dedup_minhash_lsh": 9,
     "d08_dedup_simhash": 9,  # simhash bucket join now skew-guarded too
+    # ... and the remaining bucket self-joins (embedding sign-LSH,
+    # video frame fingerprints, audio grams) routed through the same
+    # guard — every intra-bucket pairing in the engine now shares it.
+    "d13_embedding_near_dup": 9,
+    "m11_video_neardup_pairs": 9,
+    "m14_audio_neardup_pairs": 9,
     "d20_dedup_clusters": 9,
     "d26_quality_survivor": 9,
     "d29_minhash_estimator_quality": 9,

@@ -661,18 +661,18 @@ def m11_video_neardup_pairs(t):
         frame_fingerprints,
     )
 
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+
     fp = tracked_persist(frame_fingerprints(_media(t), frame_bytes=64))
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = fp.alias("a"), fp.alias("b")
+    # skew-guarded frame-fingerprint self-join: one ubiquitous frame
+    # (a black/blank frame shared by thousands of videos) is a hot key
+    # at crawl scale — grid it, pair set unchanged
     inter = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        skew_guarded_self_pairs(fp, ["fp"], "doc_id")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(
@@ -952,16 +952,15 @@ def m14_audio_neardup_pairs(t):
         .distinct()
     )
     sizes = gd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = gd.alias("a"), gd.alias("b")
+    # skew-guarded gram self-join (the m11 rationale: a ubiquitous
+    # audio gram — silence — is the hot key at crawl scale)
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+
     inter = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        skew_guarded_self_pairs(gd, ["gram"], "doc_id")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_grams_a"))
