@@ -449,3 +449,35 @@ def test_d100_verdicts_match_python_bruteforce(spark):
             assert abs(gj - j) < 1e-12
     # non-vacuity: the fixture batch exercises more than one verdict
     assert len({v for v, _, _ in want.values()}) >= 2
+
+
+def test_skew_guard_carry_columns_through_grid(spark):
+    """carry columns must ride through the salted GRID path unchanged
+    and pair-complete (m11/m14/d13/m10 consume them for verification
+    predicates) — a hot key forces the grid, payloads compared against
+    the naive join."""
+    import pyspark.sql.functions as F
+
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+
+    rows = [(i, "hot", i * 7 % 13) for i in range(120)]
+    rows += [(500 + i, "cold", i) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, key string, payload long")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.payload_a, r.payload_b)
+        for r in skew_guarded_self_pairs(
+            df, ["key"], "id", carry=("payload",), cap=25
+        ).collect()
+    )
+    pay = {i: p for i, k, p in rows}
+    groups = {"hot": [i for i, k, _ in rows if k == "hot"],
+              "cold": [i for i, k, _ in rows if k == "cold"]}
+    want = sorted(
+        (a, b, pay[a], pay[b])
+        for ids in groups.values()
+        for x, a in enumerate(ids)
+        for b in ids[x + 1 :]
+    )
+    assert got == want
