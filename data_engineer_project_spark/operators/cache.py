@@ -23,11 +23,27 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+# Accretion bound (round-10 advice): a long session that constructs
+# many plans (skew_guarded_self_pairs persists + probes per call)
+# would otherwise hold every handle until release_all. Handles are
+# soft caches by contract — unpersisting one merely loses the cache
+# benefit if its plan re-executes — so keep-latest-N is safe: any
+# plan still being built uses the newest handles.
+MAX_TRACKED = 32
+
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() ``df`` (default MEMORY_AND_DISK) and remember the
-    handle so ``release_all`` can drop it later. Returns ``df``."""
+    handle so ``release_all`` can drop it later. Returns ``df``.
+    Keeps at most ``MAX_TRACKED`` live handles — the oldest are
+    unpersisted (non-blocking) when the bound is exceeded."""
     _TRACKED.append(df.persist())
+    while len(_TRACKED) > MAX_TRACKED:
+        old = _TRACKED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return df
 
 

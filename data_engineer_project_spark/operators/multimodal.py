@@ -257,8 +257,11 @@ def encode_png(pixels: bytes, width: int) -> bytes:
     ``width``). Container size is exactly
     ``8 + 25 + (12 + 2 + 5*ceil(raw/32768) + raw + 4) + 12`` with
     ``raw = height*(width+1)`` — the m16 oracle recomputes it."""
-    if width <= 0 or len(pixels) % width:
-        raise ValueError("pixel buffer must be height*width bytes")
+    if width <= 0 or not pixels or len(pixels) % width:
+        # empty buffers are rejected: _zlib_stored would emit one stored
+        # block for raw=0 while the advertised 5*ceil(raw/32768) formula
+        # gives 0, and decode_png rejects zero-dimension headers anyway.
+        raise ValueError("pixel buffer must be non-empty height*width bytes")
     height = len(pixels) // width
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     raw = b"".join(
@@ -312,8 +315,12 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError("invalid PNG compression/filter method")
             if interlace != 0:
                 raise NotImplementedError("interlaced PNG not supported")
-            if w == 0:
-                raise ValueError("PNG header declares zero width")
+            if w == 0 or h == 0:
+                # h == 0 matters as much as w == 0: expected becomes 0
+                # and zlib treats max_length=0 as UNBOUNDED, so a
+                # zero-height header would let a DEFLATE bomb inflate
+                # fully before the length check.
+                raise ValueError("PNG header declares zero dimension")
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":

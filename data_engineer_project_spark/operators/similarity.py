@@ -558,7 +558,10 @@ def sweep_stores(spark=None, warehouse=None, keep: int = 8) -> None:
         if now - p.stat().st_mtime < PRUNE_MIN_AGE_S:
             continue
         if spark is not None:
-            spark.sql(f"DROP TABLE IF EXISTS `{p.name}`")
+            # backtick-escape the identifier: a directory name carrying
+            # a backtick must not break (or inject into) the statement.
+            ident = p.name.replace("`", "``")
+            spark.sql(f"DROP TABLE IF EXISTS `{ident}`")
         if p.exists():
             shutil.rmtree(p, ignore_errors=True)
 

@@ -1,0 +1,104 @@
+"""Round-10 additions: advice-item hardening (PNG zero-height bomb,
+encode_png empty buffer, sweep_stores identifier escaping, bounded
+soft-cache accretion) and the new round-10 operators."""
+
+import struct
+import zlib
+
+import pytest
+
+
+def test_png_zero_height_header_is_rejected_before_inflate():
+    """A zero-height IHDR makes expected=0 and zlib's max_length=0 means
+    UNBOUNDED — a crafted 0-height PNG carrying a DEFLATE bomb must be
+    rejected at the header, before any inflate happens."""
+    from data_engineer_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    def png(w, h, payload):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(payload))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 64 MiB of zeros compresses to ~64 KiB: with the old h==0 hole
+    # this inflated fully before the length check.
+    bomb = b"\x00" * (64 * 1024 * 1024)
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_png(png(16, 0, bomb))
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_png(png(0, 16, b"\x00" * 17))
+
+
+def test_encode_png_rejects_empty_pixel_buffer():
+    """The advertised container-size formula (5*ceil(raw/32768)) gives 0
+    for raw=0 while _zlib_stored would emit one block; the encoder now
+    refuses the input instead of contradicting its own arithmetic."""
+    from data_engineer_project_spark.operators.multimodal import encode_png
+
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_png(b"", 4)
+
+
+def test_sweep_stores_escapes_backtick_table_names(tmp_path, spark):
+    """A shingle directory name containing a backtick must not break or
+    inject into the DROP statement — the sweep either drops it cleanly
+    or (no catalog entry) just removes the directory."""
+    import os
+    import time
+
+    from data_engineer_project_spark.operators.similarity import (
+        PRUNE_MIN_AGE_S,
+        sweep_stores,
+    )
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    old = time.time() - PRUNE_MIN_AGE_S - 60
+    names = [f"shingle_x{i}" for i in range(3)] + ["shingle_evil`--"]
+    for n in names:
+        d = wh / n
+        d.mkdir()
+        os.utime(d, (old, old))
+    # newest 1 kept → the 3 oldest-mtime dirs (incl. the backtick one,
+    # same mtime, sorted stable) are candidates; must not raise.
+    sweep_stores(spark=spark, warehouse=wh, keep=1)
+    assert len([p for p in wh.iterdir()]) == 1
+
+
+def test_tracked_persist_bounds_accretion():
+    """Long sessions constructing many guarded plans must not accrete
+    persist handles without bound: the registry unpersists the oldest
+    beyond MAX_TRACKED."""
+    import data_engineer_project_spark.operators.cache as cache
+
+    class FakeDF:
+        def __init__(self):
+            self.persisted = False
+
+        def persist(self):
+            self.persisted = True
+            return self
+
+        def unpersist(self):
+            self.persisted = False
+            return self
+
+    before = list(cache._TRACKED)
+    cache._TRACKED.clear()
+    try:
+        dfs = [FakeDF() for _ in range(cache.MAX_TRACKED + 5)]
+        for d in dfs:
+            cache.tracked_persist(d)
+        assert len(cache._TRACKED) == cache.MAX_TRACKED
+        assert all(not d.persisted for d in dfs[:5])
+        assert all(d.persisted for d in dfs[5:])
+    finally:
+        cache._TRACKED.clear()
+        cache._TRACKED.extend(before)
