@@ -193,6 +193,13 @@ def main() -> None:
     ).count()
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # Triage/re-pin mode: run only the named slots (comma-separated
+    # prefixes), e.g. SPARK_GRAFT_BENCH_ONLY=hq06,p62 — used for
+    # idle-box min-of-N pins without paying the full suite.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        prefixes = tuple(p.strip() for p in only.split(",") if p.strip())
+        names = [n for n in names if n.startswith(prefixes)]
     if any(n.startswith("hq") for n in names):
         # Pre-build fixture DataFrames so hq slots time ETL + query,
         # not the one-off driver-side row conversion (a parquet read in
@@ -210,6 +217,20 @@ def main() -> None:
     # the grader can discount noisy runs; flag when load exceeds 2x the
     # core count at start.
     n_cpus = os.cpu_count() or 1
+    # Pre-flight settle (round-9 verdict item 6): the r9 record started
+    # at loadavg 10/32 and still counted, which cost three slots a clean
+    # comparison. Wait (bounded) for the 1-min loadavg to drop under
+    # LOAD_TAINT_BAR = 0.35x cores; if it never does, the record is
+    # marked "load_tainted" so pins and cross-round comparisons can
+    # discount it mechanically instead of re-deriving load from logs.
+    load_taint_bar = 0.35 * n_cpus
+    try:
+        settle_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "90"))
+    except ValueError:
+        settle_s = 90.0
+    settle_deadline = time.time() + settle_s
+    while os.getloadavg()[0] > load_taint_bar and time.time() < settle_deadline:
+        time.sleep(5)
     load_before = round(os.getloadavg()[0], 2)
     if load_before > 2 * n_cpus:
         print(
@@ -265,6 +286,8 @@ def main() -> None:
         "after_1min": round(os.getloadavg()[0], 2),
         "cpus": n_cpus,
         "overloaded": load_before > 2 * n_cpus,
+        "load_tainted": load_before > load_taint_bar,
+        "taint_bar_1min": round(load_taint_bar, 2),
         "retried_slots": retried,
     }
     # Verbose record first (may be clipped by the driver's tail window;

@@ -31,17 +31,34 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL twin; None → rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Scale tier (round-10, machine-readable form of the adjudicated
+    # docstring caveats): "production" contracts are corpus-linear /
+    # bounded-output and safe to run at 100 TB; "diagnostic" contracts
+    # are output-quadratic in duplicate multiplicity BY CONTRACT (raw
+    # pair/cluster enumerations kept for auditability) and must name
+    # the production twin a user should run instead at scale.
+    tier: str = "production"
+    production_twin: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):  # decorator
+def query(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    tier: str = "production",
+    production_twin: str | None = None,
+):  # decorator
     """Register ``fn(t) -> DataFrame`` under ``name`` with its SQL twin.
 
     The wrapped function receives a ``Tables`` accessor; session
     normalization (UTC timezone etc.) is applied here so behavior does
     not depend on who constructed the SparkSession.
+
+    ``tier="diagnostic"`` marks an output-quadratic audit contract and
+    requires ``production_twin`` to name the scale-safe default.
     """
 
     def deco(fn):
@@ -53,7 +70,13 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):  # decorat
         runner.__doc__ = fn.__doc__
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(name, runner, oracle, fn.__doc__ or "", tuple(tags))
+        if tier not in ("production", "diagnostic"):
+            raise ValueError(f"unknown tier {tier!r} for {name!r}")
+        if tier == "diagnostic" and not production_twin:
+            raise ValueError(f"diagnostic query {name!r} must name its production twin")
+        QUERIES[name] = QuerySpec(
+            name, runner, oracle, fn.__doc__ or "", tuple(tags), tier, production_twin
+        )
         return fn
 
     return deco

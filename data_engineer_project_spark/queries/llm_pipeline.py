@@ -305,7 +305,13 @@ def _simhash_oracle(max_hamming: int = 3, bucket_bits: int = 8) -> str:
     """
 
 
-@query("d08_dedup_simhash", _simhash_oracle(), tags=("llm", "dedup"))
+@query(
+    "d08_dedup_simhash",
+    _simhash_oracle(),
+    tags=("llm", "dedup"),
+    tier="diagnostic",
+    production_twin="d99_weighted_neardup_clusters",
+)
 def d08_dedup_simhash(t):
     """SimHash near-dup pairs: 16-bit signed-projection signature,
     bucketed by high bits so hamming comparison never goes quadratic."""
@@ -5699,6 +5705,8 @@ def _minhash_cluster_oracle(
     "d65_neardup_doc_clusters",
     _minhash_cluster_oracle(),
     tags=("llm", "dedup", "graph"),
+    tier="diagnostic",
+    production_twin="d99_weighted_neardup_clusters",
 )
 def d65_neardup_doc_clusters(t):
     """Near-duplicate document CLUSTERS — the step every pairwise
@@ -7168,6 +7176,8 @@ def _pr_iter_sql(k: int, weighted: bool = False) -> str:
     GROUP BY lab.component ORDER BY component
     """,
     tags=("llm", "dedup", "graph", "iterative"),
+    tier="diagnostic",
+    production_twin="d89_weighted_pagerank_canonical",
 )
 def d74_pagerank_canonical_doc(t):
     """PAGERANK over the verified near-dup graph — the canonical-pick

@@ -72,6 +72,27 @@ def test_sweep_stores_escapes_backtick_table_names(tmp_path, spark):
     assert len([p for p in wh.iterdir()]) == 1
 
 
+def test_diagnostic_tier_queries_name_production_twins():
+    """The registry itself distinguishes output-quadratic audit
+    contracts from scale-safe defaults: every tier='diagnostic' query
+    must name a REGISTERED production twin, and the adjudicated trio
+    (d08/d65/d74) must carry the tag."""
+    from data_engineer_project_spark.queries import QUERIES
+
+    diag = {n: s for n, s in QUERIES.items() if s.tier == "diagnostic"}
+    assert set(diag) == {
+        "d08_dedup_simhash",
+        "d65_neardup_doc_clusters",
+        "d74_pagerank_canonical_doc",
+    }
+    for name, spec in diag.items():
+        assert spec.production_twin in QUERIES, (name, spec.production_twin)
+        assert QUERIES[spec.production_twin].tier == "production"
+    assert all(
+        s.tier == "production" for n, s in QUERIES.items() if n not in diag
+    )
+
+
 def test_tracked_persist_bounds_accretion():
     """Long sessions constructing many guarded plans must not accrete
     persist handles without bound: the registry unpersists the oldest

@@ -185,7 +185,24 @@ def main():
                 else:
                     print(f"    spark sample: {sfp['sample'][:1]}")
                     print(f"    duck  sample: {dfp['sample'][:1]}")
-    print(json.dumps({"pass": n_pass, "fail": n_fail, "rows_only": n_rowsonly}))
+    # Surface the tier tags in the sweep record: diagnostic queries are
+    # output-quadratic audit contracts whose scale-safe defaults are
+    # their production twins (QuerySpec.tier, round-10 verdict item 5).
+    diag = {
+        n: QUERIES[n].production_twin
+        for n in names
+        if QUERIES[n].tier == "diagnostic"
+    }
+    print(
+        json.dumps(
+            {
+                "pass": n_pass,
+                "fail": n_fail,
+                "rows_only": n_rowsonly,
+                "diagnostic_tier": diag,
+            }
+        )
+    )
     sys.exit(1 if n_fail else 0)
 
 
