@@ -242,7 +242,8 @@ def cosine_near_dup_pairs(
     # (band, bucket) key; the guard grids it with the pair set
     # unchanged (hot buckets replicate their vectors S ways — hot-only)
     pairs = skew_guarded_self_pairs(
-        sigs, ["band", "bucket"], "vid", carry=("vec", "nrm")
+        sigs, ["band", "bucket"], "vid", carry=("vec", "nrm"),
+        consumer="sign_lsh_pairs",
     )
     scored = pairs.select(
         "doc_a",

@@ -579,7 +579,8 @@ def m10_image_neardup_clusters(t):
 
     pairs = (
         skew_guarded_self_pairs(
-            bands, ["bi", "bk"], "rep", carry=("phash",)
+            bands, ["bi", "bk"], "rep", carry=("phash",),
+            consumer="m10_dhash_bands",
         )
         .filter(
             F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))) <= 3
@@ -671,7 +672,7 @@ def m11_video_neardup_pairs(t):
     # (a black/blank frame shared by thousands of videos) is a hot key
     # at crawl scale — grid it, pair set unchanged
     inter = (
-        skew_guarded_self_pairs(fp, ["fp"], "doc_id")
+        skew_guarded_self_pairs(fp, ["fp"], "doc_id", consumer="video_frames")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -959,7 +960,7 @@ def m14_audio_neardup_pairs(t):
     )
 
     inter = (
-        skew_guarded_self_pairs(gd, ["gram"], "doc_id")
+        skew_guarded_self_pairs(gd, ["gram"], "doc_id", consumer="audio_grams")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -72,6 +72,35 @@ def test_sweep_stores_escapes_backtick_table_names(tmp_path, spark):
     assert len([p for p in wh.iterdir()]) == 1
 
 
+def test_skew_guard_records_probe_stats(spark):
+    """Guard observability: every probe appends a record naming the
+    consumer, the chosen path, and (grid path) hot-bucket count + worst
+    split factor — so bench deltas on guard consumers are attributable
+    without re-deriving band populations."""
+    from pyspark.sql import functions as F
+
+    import data_engineer_project_spark.operators.dedup as DD
+
+    df = spark.range(600).select(
+        F.col("id").alias("id"),
+        F.when(F.col("id") < 500, F.lit("hot")).otherwise(
+            (F.col("id") % 7).cast("string")
+        ).alias("key"),
+    )
+    start = len(DD.GUARD_STATS_LOG)
+    DD.skew_guarded_self_pairs(df, ["key"], "id", cap=100, consumer="t10")
+    rec = DD.GUARD_STATS_LOG[start]
+    assert rec["consumer"] == "t10"
+    assert rec["path"] == "grid"
+    assert rec["hot_buckets"] == 1
+    assert rec["max_nsplit"] == 5  # ceil(500/100)
+    assert DD.LAST_GUARD_STATS == rec
+
+    DD.skew_guarded_self_pairs(df, ["key"], "id", cap=2048, consumer="t10b")
+    rec2 = DD.GUARD_STATS_LOG[start + 1]
+    assert rec2["path"] == "plain" and rec2["hot_buckets"] == 0
+
+
 def test_diagnostic_tier_queries_name_production_twins():
     """The registry itself distinguishes output-quadratic audit
     contracts from scale-safe defaults: every tier='diagnostic' query

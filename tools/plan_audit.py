@@ -475,7 +475,31 @@ def classify_bnlj(plan: str) -> dict[str, int]:
     return out
 
 
+def _guard_lines(log_start: int) -> list[str]:
+    """Render skew-guard probe records appended since ``log_start``
+    (guard observability, round-10): which consumers probed, whether
+    the hot-bucket grid fired, and how hard."""
+    from data_engineer_project_spark.operators.dedup import GUARD_STATS_LOG
+
+    recs = GUARD_STATS_LOG[log_start:]
+    if not recs:
+        return []
+    rendered = ", ".join(
+        f"{r['consumer'] or 'anon'}: {r['path']}"
+        + (
+            f" (hot_buckets={r['hot_buckets']}, max_nsplit={r['max_nsplit']})"
+            if r["path"] == "grid"
+            else ""
+        )
+        for r in recs
+    )
+    return [f"- skew guard: {rendered}"]
+
+
 def audit_one(spark, name: str, sf_dir: str) -> list[str]:
+    from data_engineer_project_spark.operators.dedup import GUARD_STATS_LOG
+
+    log_start = len(GUARD_STATS_LOG)
     df = QUERIES[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines: list[str] = [f"## {name}", ""]
@@ -521,6 +545,7 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
     lines.append(f"- adaptive: {'yes' if 'AdaptiveSparkPlan' in plan else 'no'}")
     if "partial_" in plan:
         lines.append("- map-side partial aggregation: yes")
+    lines += _guard_lines(log_start)
     lines.append("")
     return lines
 
@@ -564,6 +589,29 @@ def main() -> None:
         if name.startswith("s") or name in LOOP_EXECUTES_AT_BUILD:
             continue
         body += audit_one(spark, name, sf_dir)
+
+    # Guard observability for the loop-at-build consumers (m10/d74/...):
+    # their plans aren't printable above (building executes the query),
+    # but the guard's probe runs at build time, so build each and render
+    # just the probe records.
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.operators.dedup import GUARD_STATS_LOG
+
+    body += ["## Skew-guard probes in loop-at-build queries", ""]
+    for name in sorted(LOOP_EXECUTES_AT_BUILD):
+        if name not in QUERIES:
+            continue
+        log_start = len(GUARD_STATS_LOG)
+        try:
+            QUERIES[name].fn(spark, sf_dir)
+        except Exception as e:  # keep the audit best-effort
+            body += [f"- {name}: build failed ({type(e).__name__})"]
+            release_all()
+            continue
+        release_all()
+        glines = _guard_lines(log_start)
+        body += [f"- {name}: {glines[0][14:]}" if glines else f"- {name}: no guard probe"]
+    body.append("")
 
     with open(out, "w") as f:
         f.write("\n".join(body))
