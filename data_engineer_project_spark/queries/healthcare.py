@@ -3071,3 +3071,182 @@ def hq47_geo_cost_release(t):
         cell_cols=("county",),
         mask_cols=("paid_cents",),
     ).orderBy("plan_name", "county")
+
+
+@query(
+    "hq48_outlier_release",
+    _oracle(
+        """
+        , mem AS (SELECT DISTINCT MemberID FROM s1_elig_enrollment),
+        cost AS (
+          SELECT m.MemberID,
+                 CAST(COALESCE(SUM(pay.PaidAmount), 0) * 100 AS BIGINT)
+                   AS cents
+          FROM mem m
+          LEFT JOIN s2_claims_claim_header ch ON ch.MemberID = m.MemberID
+          LEFT JOIN s2_claims_claim_payment pay ON pay.ClaimID = ch.ClaimID
+          GROUP BY m.MemberID
+        ),
+        r1 AS (
+          SELECT MemberID, cents,
+                 row_number() OVER (ORDER BY cents, MemberID) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM cost
+        ),
+        med AS (SELECT MAX(CASE WHEN rn = (n * 50 + 99) // 100
+                                THEN cents END) AS med FROM r1),
+        dev AS (SELECT c.MemberID, c.cents, abs(c.cents - med.med) AS ad
+                FROM cost c, med),
+        r2 AS (
+          SELECT ad,
+                 row_number() OVER (ORDER BY ad, MemberID) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM dev
+        ),
+        mad AS (SELECT MAX(CASE WHEN rn = (n * 50 + 99) // 100
+                                THEN ad END) AS mad FROM r2),
+        flagged AS (
+          SELECT d.MemberID, d.cents,
+                 d.ad * 10000 > 3 * 14826 * mad.mad AS is_out
+          FROM dev d, mad
+        ),
+        mp AS (SELECT DISTINCT e.MemberID, e.PlanID
+               FROM s1_elig_enrollment e),
+        cells AS (
+          SELECT pl.PlanName AS plan_name,
+                 CAST(COUNT(DISTINCT CASE WHEN o.is_out THEN o.MemberID
+                                     END) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(CASE WHEN o.is_out THEN o.cents END),
+                               0) AS BIGINT) AS outlier_cents
+          FROM mp
+          JOIN s1_elig_insurance_plan pl ON pl.PlanID = mp.PlanID
+          JOIN flagged o ON o.MemberID = mp.MemberID
+          GROUP BY 1
+        ),
+        prim AS (SELECT plan_name, n, outlier_cents, n < 11 AS is_primary
+                 FROM cells),
+        cnt AS (SELECT SUM(CASE WHEN is_primary THEN 1 ELSE 0 END)
+                  AS n_prim FROM prim),
+        comp AS (
+          SELECT p.plan_name,
+                 ROW_NUMBER() OVER (ORDER BY p.n, p.plan_name) AS rn_small
+          FROM prim p, cnt c
+          WHERE NOT p.is_primary AND c.n_prim = 1
+        )
+        SELECT p.plan_name,
+               CASE WHEN p.is_primary OR co.rn_small = 1 THEN NULL
+                    ELSE p.n END AS released_n,
+               CASE WHEN p.is_primary OR co.rn_small = 1 THEN NULL
+                    ELSE p.outlier_cents END AS released_outlier_cents,
+               CAST(p.is_primary OR COALESCE(co.rn_small, 0) = 1
+                    AS BOOLEAN) AS suppressed,
+               CASE WHEN p.is_primary THEN 'primary'
+                    WHEN co.rn_small = 1 THEN 'complementary'
+                    END AS suppression
+        FROM prim p
+        LEFT JOIN comp co ON co.plan_name = p.plan_name
+        ORDER BY 1
+        """,
+        [
+            "s1_elig_enrollment", "s1_elig_insurance_plan",
+            "s2_claims_claim_header", "s2_claims_claim_payment",
+        ],
+    ),
+    tags=("healthcare", "governance", "finance", "stats"),
+)
+def hq48_outlier_release(t):
+    """hq34's member-cost OUTLIER surface made PUBLISHABLE — hq34's
+    summary row names the top-cost member outright (top_member), and
+    the implied triage list is member-grain; the releasable form is
+    the cell table: outlier-member counts and their paid-cents mass
+    per PLAN, through the reusable CMS small-cell gate
+    (operators/governance.py small_cell_suppress, k=11) with a GLOBAL
+    stratum — a plan under 11 outlier members releases NULL for both
+    the count and the dollar mass (mask_cols: a suppressed cell's
+    cost with a NULL count still sizes small groups), and a lone
+    primary cell triggers the complementary round so the overall
+    total can't be subtracted back. Third composition of the gate
+    (hq46: rosters, hq47: geo cost, hq48: outlier triage).
+
+    The outlier flag is hq34's machinery verbatim: per-member exact
+    integer cents over the enrollment universe, exact ceil-rank
+    median, exact MAD, 3 * 1.4826 rule as integer cross-
+    multiplication.
+
+    Scale shape: member-grain rollups shuffle on MemberID; the rank
+    windows shard like d79 at a real payer's scale (documented in
+    hq34); cells are bounded (one per plan); the gate adds only
+    bounded-table windows."""
+    from data_engineer_project_spark.operators.governance import (
+        small_cell_suppress,
+    )
+
+    s = hc(t)
+    mem = s["s1_elig_enrollment"].select("MemberID").distinct()
+    paid = (
+        s["s2_claims_claim_header"]
+        .join(s["s2_claims_claim_payment"], "ClaimID")
+        .groupBy("MemberID")
+        .agg((F.sum(money("PaidAmount")) * 100).cast("long").alias("cents"))
+    )
+    cost = mem.join(paid, "MemberID", "left").select(
+        "MemberID", F.coalesce("cents", F.lit(0).cast("long")).alias("cents")
+    )
+    w1 = Window.orderBy("cents", "MemberID")
+    wn = Window.partitionBy()
+    rank = F.expr("(n * 50 + 99) div 100")
+    med = (
+        cost.select(
+            "cents",
+            F.row_number().over(w1).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .agg(F.max(F.when(F.col("rn") == rank, F.col("cents"))).alias("med"))
+    )
+    dev = cost.crossJoin(F.broadcast(med)).select(
+        "MemberID",
+        "cents",
+        F.abs(F.col("cents") - F.col("med")).alias("ad"),
+    )
+    w2 = Window.orderBy("ad", "MemberID")
+    mad = (
+        dev.select(
+            "ad",
+            F.row_number().over(w2).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .agg(F.max(F.when(F.col("rn") == rank, F.col("ad"))).alias("mad"))
+    )
+    flagged = dev.crossJoin(F.broadcast(mad)).select(
+        "MemberID",
+        "cents",
+        (F.col("ad") * 10000 > 3 * 14826 * F.col("mad")).alias("is_out"),
+    )
+    mp = s["s1_elig_enrollment"].select("MemberID", "PlanID").distinct()
+    cells = (
+        mp.join(
+            F.broadcast(
+                s["s1_elig_insurance_plan"].select("PlanID", "PlanName")
+            ),
+            "PlanID",
+        )
+        .join(flagged, "MemberID")
+        .groupBy(F.col("PlanName").alias("plan_name"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("is_out"), F.col("MemberID"))
+            ).alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_out"), F.col("cents"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("outlier_cents"),
+        )
+    )
+    return small_cell_suppress(
+        cells,
+        k=11,
+        stratum_cols=(),
+        cell_cols=("plan_name",),
+        mask_cols=("outlier_cents",),
+    ).orderBy("plan_name")

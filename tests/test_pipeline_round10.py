@@ -72,6 +72,36 @@ def test_sweep_stores_escapes_backtick_table_names(tmp_path, spark):
     assert len([p for p in wh.iterdir()]) == 1
 
 
+def test_small_cell_suppress_global_stratum(spark):
+    """hq48's binding uses an EMPTY stratum (one global complementary
+    round): with exactly one primary cell, the smallest unsuppressed
+    cell must also suppress, and mask columns must NULL out with it."""
+    from data_engineer_project_spark.operators.governance import (
+        small_cell_suppress,
+    )
+
+    cells = spark.createDataFrame(
+        [("a", 5, 100), ("b", 20, 200), ("c", 30, 300)],
+        "plan string, n long, cents long",
+    )
+    out = {
+        r["plan"]: r
+        for r in small_cell_suppress(
+            cells,
+            k=11,
+            stratum_cols=(),
+            cell_cols=("plan",),
+            mask_cols=("cents",),
+        ).collect()
+    }
+    assert out["a"]["suppression"] == "primary"
+    assert out["a"]["released_n"] is None and out["a"]["released_cents"] is None
+    assert out["b"]["suppression"] == "complementary"
+    assert out["b"]["released_n"] is None and out["b"]["released_cents"] is None
+    assert out["c"]["suppression"] is None
+    assert out["c"]["released_n"] == 30 and out["c"]["released_cents"] == 300
+
+
 def test_skew_guard_records_probe_stats(spark):
     """Guard observability: every probe appends a record naming the
     consumer, the chosen path, and (grid path) hot-bucket count + worst
