@@ -11821,3 +11821,256 @@ def d100_incremental_neardup_ingest(t):
         )
         .orderBy("doc_id")
     )
+
+
+# --------- d101: incremental cluster maintenance (d99 ∘ d100)
+
+
+def _docs_fingerprint(docs) -> tuple[int, int, int]:
+    """(row count, id checksum, text checksum) for keying the standing
+    cluster store — the corpus_fingerprint recipe adapted to documents:
+    the text checksum sums the first 8 md5 hex digits of every text as
+    int (order-free integer addition, partition-invariant; 2^32 x 10^7
+    rows stays far inside int64)."""
+    fp = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("s"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        ).alias("v"),
+    ).collect()[0]
+    return int(fp["n"]), int(fp["s"]), int(fp["v"])
+
+
+def _neardup_cluster_store(corpus):
+    """Warehouse path for the standing near-dup cluster state (reps +
+    components), keyed by corpus fingerprint — covered by
+    sweep_stores' keep-latest-N via the *_store naming contract."""
+    import pathlib
+
+    n, s, v = _docs_fingerprint(corpus)
+    key = f"a{SIM.STORE_VERSION}_n{n}_s{s}_v{v}_h{_D100_NH}_b{_D100_NB}"
+    return (
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / "neardup_cluster_store"
+        / key
+    )
+
+
+def _collapse_reps(docs):
+    """d99's exact tier: one rep per md5 fingerprint, weight =
+    multiplicity, rep id = min doc_id."""
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("node"),
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).alias("wt"),
+        )
+    )
+
+
+def _merge_delta_into_clusters(corpus, delta, stored_reps, stored_comps):
+    """The incremental d99: merge a crawl delta into the STANDING
+    weighted cluster state without ever re-pairing the corpus with
+    itself — hash-equal to d99 run from scratch on corpus+delta.
+
+    Inputs: ``stored_reps`` (fp, node, wt, n_tok) and ``stored_comps``
+    (node, component) are the standing state (d99's exact collapse +
+    components over the corpus alone); ``corpus`` is re-scanned only
+    LINEARLY (shingles/signatures/band keys — the artifacts
+    shingle_table materializes at 100 TB), never self-joined.
+
+    Why this is exact, case by case (all pinned by the d99-parity
+    pytest):
+    - exact dups: a delta fingerprint matching a corpus rep bumps the
+      rep's weight; identical text means identical signatures, so the
+      rep's connectivity is already encoded in the standing
+      components. If the delta brings a SMALLER doc_id, the rep (and
+      every component label it may have anchored) is relabeled via a
+      broadcast rename map — from-scratch reps take min(doc_id) over
+      the full set.
+    - near dups: only NOVEL delta fingerprints are paired — one-sided
+      band probe (delta x corpus, the d100 shape) plus a delta x delta
+      guarded self-join. ALL verified pairs are kept (not d100's best
+      match): a delta doc near TWO standing components is a BRIDGE
+      whose edges must merge them, exactly as from-scratch would.
+    - connectivity: connected components re-runs over (standing
+      membership star edges) ∪ (delta edges) — star edges are
+      already-converged pointer trees, so rounds stay at the log
+      diameter of the NEW merges; no corpus^2 candidate work exists
+      anywhere in the plan.
+    - rollup: d99's weighted rollup verbatim over the merged rep set
+      (bumped weights, relabeled nodes, novel singletons with wt > 1
+      surfacing as components)."""
+    dfp = _collapse_reps(delta).select(
+        "fp",
+        F.col("node").alias("d_doc"),
+        "text",
+        F.col("wt").alias("wt_d"),
+    )
+    matched = stored_reps.join(dfp.select("fp", "d_doc", "wt_d"), "fp")
+    rename = F.broadcast(
+        matched.filter(F.col("d_doc") < F.col("node")).select(
+            F.col("node").alias("_old"), F.col("d_doc").alias("_new")
+        )
+    )
+    novel = dfp.join(stored_reps.select("fp"), "fp", "left_anti").select(
+        F.col("d_doc").alias("node"),
+        "text",
+        F.col("wt_d").alias("wt"),
+        T.token_count("text").alias("n_tok"),
+    )
+    merged_reps = (
+        stored_reps.join(dfp.select("fp", "d_doc", "wt_d"), "fp", "left")
+        .select(
+            F.least(F.col("node"), F.coalesce("d_doc", "node")).alias("node"),
+            (F.col("wt") + F.coalesce("wt_d", F.lit(0))).alias("wt"),
+            "n_tok",
+        )
+        .union(novel.select("node", "wt", "n_tok"))
+    )
+
+    def ren(df, col):
+        return (
+            df.join(rename, df[col] == rename["_old"], "left")
+            .withColumn(col, F.coalesce("_new", col))
+            .drop("_old", "_new")
+        )
+
+    # corpus shingles: LINEAR recompute (no self-join) standing in for
+    # the materialized shingle_table; delta shingles over novels only.
+    corp_reps = _collapse_reps(corpus).select("node", "text")
+    shc = tracked_persist(
+        DD.exploded_shingles(corp_reps, id_col="node").distinct()
+    )
+    shn = tracked_persist(
+        DD.exploded_shingles(novel, id_col="node").distinct()
+    )
+    sigc = DD.minhash_signatures(shc, id_col="node", num_hashes=_D100_NH)
+    sign = DD.minhash_signatures(shn, id_col="node", num_hashes=_D100_NH)
+    bc = DD.band_key_rows(sigc, id_col="node", num_hashes=_D100_NH, bands=_D100_NB)
+    bn = DD.band_key_rows(sign, id_col="node", num_hashes=_D100_NH, bands=_D100_NB)
+    cand_dc = (
+        bn.select(F.col("node").alias("doc_a"), "band", "key")
+        .join(bc.select(F.col("node").alias("doc_b"), "band", "key"), ["band", "key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_all = shn.union(shc)
+    e_dc = (
+        DD.exact_jaccard(cand_dc, sh_all, id_col="node")
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    e_dd = DD.minhash_lsh_pairs_from_shingles(
+        shn, id_col="node", num_hashes=_D100_NH, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b")
+    star = stored_comps.select(
+        F.col("node").alias("doc_a"), F.col("component").alias("doc_b")
+    )
+    all_edges = (
+        ren(ren(star, "doc_a"), "doc_b")
+        .union(ren(e_dc, "doc_b"))
+        .union(e_dd)
+    )
+    comps = GR.connected_components(all_edges)
+    singles = (
+        merged_reps.filter(F.col("wt") > 1)
+        .join(comps.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    allc = comps.select("node", "component").union(singles)
+    canon_tok = F.min(
+        F.struct(F.col("node").alias("i"), F.col("n_tok").alias("t"))
+    )["t"]
+    return (
+        allc.join(merged_reps, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.sum("wt").cast("long").alias("total_docs"),
+            F.min("node").alias("canonical_doc"),
+            F.sum(F.col("wt") * F.col("n_tok")).cast("long").alias("total_tokens"),
+            (F.sum(F.col("wt") * F.col("n_tok")) - canon_tok)
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .orderBy("component")
+    )
+
+
+from data_engineer_project_spark.queries.catalog import QUERIES as _REGISTRY
+
+# d101's contract IS "hash-equal to d99 from scratch on the full
+# table", so its oracle is d99's oracle verbatim.
+_D101_ORACLE = _REGISTRY["d99_weighted_neardup_clusters"].oracle
+
+
+@query(
+    "d101_incremental_cluster_merge",
+    _D101_ORACLE,
+    tags=("llm", "dedup", "graph", "incremental"),
+)
+def d101_incremental_cluster_merge(t):
+    """INCREMENTAL cluster maintenance — the d99 ∘ d100 composition
+    the round-9 verdict named as the missing piece: d100 classifies a
+    crawl delta against the indexed corpus but nothing merged those
+    verdicts into d99's standing clusters without a full rebuild.
+    This query maintains the STANDING weighted cluster table: the
+    corpus partition's exact-collapse reps and components live in a
+    fingerprint-keyed warehouse store (neardup_cluster_store — built
+    once per corpus by d99's machinery, swept by sweep_stores); each
+    run merges the delta partition in via _merge_delta_into_clusters
+    (exact dups bump weights, near dups attach/bridge through
+    one-sided band probes, novels open singletons) and returns the
+    full merged cluster table, HASH-EQUAL to d99 run from scratch on
+    all documents — the oracle is d99's oracle verbatim, and the
+    parity pytest pins Spark-vs-Spark equality too.
+
+    Corpus/delta split: md5(doc_id) buckets (d100's convention),
+    delta = top decile by default; SPARK_GRAFT_D101_SPLIT overrides
+    the threshold so the delta-decade stress can vary delta size
+    against a near-constant corpus.
+
+    Scale shape: the store skips the corpus^2 work (banding +
+    verification + CC over the full graph) that dominates a rebuild;
+    the in-query corpus work is LINEAR (shingles/signatures/band keys
+    — standing tables at 100 TB: shingle_table + a band-key table);
+    delta work is delta x matching-corpus + delta^2-guarded. CC runs
+    over already-converged star edges plus delta attachments, so its
+    rounds track the log diameter of NEW merges only."""
+    import os
+
+    try:
+        split = int(os.environ.get("SPARK_GRAFT_D101_SPLIT", "90"))
+    except ValueError:
+        split = 90
+    bucket = F.expr(_SPARK_BUCKET)
+    docs = t.documents
+    corpus = docs.filter(bucket < split).select("doc_id", "text")
+    delta = docs.filter(bucket >= split).select("doc_id", "text")
+    store = _neardup_cluster_store(corpus)
+    reps_path, comps_path = store / "reps", store / "comps"
+    spark = docs.sparkSession
+    if not (
+        (reps_path / "_SUCCESS").exists() and (comps_path / "_SUCCESS").exists()
+    ):
+        reps = tracked_persist(_collapse_reps(corpus))
+        pairs = DD.minhash_lsh_pairs(
+            reps.select(F.col("node").alias("doc_id"), "text"),
+            num_hashes=_D100_NH,
+            bands=_D100_NB,
+            jaccard_threshold=0.5,
+        ).select("doc_a", "doc_b")
+        comps = GR.connected_components(pairs)
+        SIM.write_store_atomic(
+            reps.select("fp", "node", "wt", T.token_count("text").alias("n_tok")),
+            reps_path,
+        )
+        SIM.write_store_atomic(comps.select("node", "component"), comps_path)
+        SIM.prune_store(store.parent)
+    stored_reps = spark.read.parquet(str(reps_path))
+    stored_comps = spark.read.parquet(str(comps_path))
+    return _merge_delta_into_clusters(corpus, delta, stored_reps, stored_comps)

@@ -182,3 +182,74 @@ def test_tracked_persist_bounds_accretion():
     finally:
         cache._TRACKED.clear()
         cache._TRACKED.extend(before)
+
+
+def test_d101_hash_equals_d99_from_scratch(spark):
+    """The incremental merge's whole contract: d101 (standing corpus
+    clusters + delta merge) must equal d99 run from scratch over ALL
+    documents — same rows, same values, bit-for-bit."""
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in QUERIES["d99_weighted_neardup_clusters"].fn(spark, sf).collect()]
+    release_all()
+    b = [tuple(r) for r in QUERIES["d101_incremental_cluster_merge"].fn(spark, sf).collect()]
+    release_all()
+    assert sorted(a) == sorted(b)
+    assert len(a) > 0
+
+
+def test_d101_merge_bridges_and_relabels(spark):
+    """Planted scenario for the two hard incremental cases:
+    (1) BRIDGE — a delta doc near two standing components must merge
+    them (requires ALL verified pairs, not a best-match); (2) RELABEL
+    — a delta exact-dup with a smaller doc_id becomes the rep and the
+    component label, exactly as from-scratch min-id would."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_spark.operators import dedup as DD
+    from data_engineer_project_spark.operators import graph as GR
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _collapse_reps,
+        _merge_delta_into_clusters,
+    )
+
+    w = [f"w{i}" for i in range(1, 46)]
+    A1 = " ".join(w[0:30])                      # w1..w30
+    A2 = " ".join(w[0:29] + ["zz"])             # near-dup of A1
+    B1 = " ".join(w[15:45])                     # w16..w45 (J(A,B) < 0.5)
+    B2 = " ".join(w[15:44] + ["qq"])            # near-dup of B1
+    D = " ".join(w[7:37])                       # w8..w37 bridges A and B
+    corpus = spark.createDataFrame(
+        [(100, A1), (200, A2), (300, B1), (400, B2)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(500, D), (50, A2)], "doc_id long, text string"
+    )
+    reps = _collapse_reps(corpus)
+    pairs = DD.minhash_lsh_pairs(
+        reps.select(F.col("node").alias("doc_id"), "text"),
+        num_hashes=8, bands=4, jaccard_threshold=0.5,
+    ).select("doc_a", "doc_b")
+    comps = GR.connected_components(pairs)
+    # precondition: two standing components {100,200} and {300,400}
+    standing = {r["node"]: r["component"] for r in comps.collect()}
+    assert standing == {100: 100, 200: 100, 300: 300, 400: 300}
+    stored_reps = reps.select(
+        "fp", "node", "wt", T.token_count("text").alias("n_tok")
+    )
+    out = _merge_delta_into_clusters(
+        corpus, delta, stored_reps, comps.select("node", "component")
+    ).collect()
+    release_all()
+    assert len(out) == 1  # bridged into ONE cluster
+    row = out[0]
+    assert row["component"] == 50      # relabeled by the smaller exact dup
+    assert row["canonical_doc"] == 50
+    assert row["n_reps"] == 5          # 50(=A2 text), 100, 300, 400, 500
+    assert row["total_docs"] == 6      # incl. wt-2 rep for the A2 text
+    assert row["total_tokens"] == 6 * 30
+    assert row["dup_tokens"] == 6 * 30 - 30
