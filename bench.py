@@ -150,6 +150,12 @@ BENCH_QUERIES = [
     # cost is invariant to duplicate multiplicity (d65 times the raw
     # doc-granular diagnostic form).
     "d99_weighted_neardup_clusters",
+    # r10 addition: the incremental cluster merge — warm-path standing-
+    # store maintenance (delta-sized pairing + star-edge CC); the d99/
+    # d101 pair prices full-rebuild vs incremental for the cluster
+    # family the way d56/d64 does for curation. First bench run per
+    # corpus builds the store; min-of-3 captures the warm path.
+    "d101_incremental_cluster_merge",
 ]
 
 

@@ -241,8 +241,17 @@ def test_d101_merge_bridges_and_relabels(spark):
     stored_reps = reps.select(
         "fp", "node", "wt", T.token_count("text").alias("n_tok")
     )
+    shc = DD.exploded_shingles(
+        reps.select("node", "text"), id_col="node"
+    ).distinct()
+    bc = DD.band_key_rows(
+        DD.minhash_signatures(shc, id_col="node", num_hashes=8),
+        id_col="node",
+        num_hashes=8,
+        bands=4,
+    )
     out = _merge_delta_into_clusters(
-        corpus, delta, stored_reps, comps.select("node", "component")
+        delta, stored_reps, comps.select("node", "component"), shc, bc
     ).collect()
     release_all()
     assert len(out) == 1  # bridged into ONE cluster
