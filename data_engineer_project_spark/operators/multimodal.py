@@ -402,21 +402,598 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
+# --------------------------------------------------------------------
+# JPEG (ITU T.81), dependency-free. Two processes:
+#
+# - decode_jpeg: marker walk + DHT Huffman build + entropy bit reader
+#   (0xFF00 unstuffing) covering BOTH baseline sequential DCT (SOF0:
+#   dequant -> dezigzag -> exact float64 IDCT -> level shift -> clamp,
+#   with H/V chroma replication upsample and JFIF YCbCr->RGB for
+#   3-component scans) AND lossless sequential (SOF3: T.81 Annex H
+#   predictors 1-7, point transform Al). Progressive (SOF2), arithmetic
+#   coding, and hierarchical remain NotImplementedError; hostile input
+#   (truncation anywhere, oversubscribed or overflowing Huffman tables,
+#   dimension bombs) raises ValueError BEFORE any unbounded work — the
+#   decode_png contract (quarantine verdict, never an executor OOM).
+#
+# - encode_jpeg_lossless: the fixture arm. SOF3 grayscale, predictor 1,
+#   a canonical 4-bit/9-symbol DC table — BIT-EXACT lossless (unlike
+#   any quantized DCT path), which is what lets m15/m04's container-
+#   ignorant oracles keep verifying true pixel recovery. COM filler
+#   segments pad every container to EXACTLY 81 + 3*w*h bytes (worst-
+#   case stuffed entropy is 2*(1.5*w*h + 1) = 3wh+2 <= the budget), so
+#   m16's container-size arithmetic stays SQL-computable even though
+#   Huffman output length is content-dependent.
+#
+# - encode_jpeg_baseline: SOF0 test encoder (all-ones quant, canonical
+#   fixed-length tables) so the DCT decode path has a pytest roundtrip
+#   partner; quantized DCT is lossy by nature, so it never joins the
+#   parity fixture rotation.
+# --------------------------------------------------------------------
+
+_JPG_SIZE_BASE = 81  # fixed segments 75 + minimum COM filler slack
+
+
+def _zigzag_order() -> list[int]:
+    """The 64-entry zigzag scan as (row*8+col) indices, generated by
+    the diagonal walk instead of a typo-prone literal table."""
+    order = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        for i in (rng if d % 2 else reversed(rng)):
+            order.append(i * 8 + (d - i))
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+# Orthonormal 8x8 DCT basis: A[x, u]; block = A @ coef @ A.T inverts
+# coef = A.T @ block @ A exactly (float64 matmul, deterministic).
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8) if u == 0 else np.sqrt(2.0 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+)
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                b = self.acc
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00
+    unstuffing; any read past the end raises ValueError."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG: cut at a 0xFF byte")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                # a real marker inside the scan (EOI reached early,
+                # or an unexpected segment): the scan is short
+                raise ValueError(
+                    f"truncated JPEG: marker 0xFF{nxt:02X} inside scan"
+                )
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+class _Huff:
+    """Canonical Huffman decoder per T.81 F.2.2.3 (MINCODE/MAXCODE/
+    VALPTR); construction validates the table (Kraft overflow or a
+    count/value mismatch is hostile input -> ValueError)."""
+
+    def __init__(self, counts: list[int], values: bytes):
+        if sum(counts) != len(values) or sum(counts) > 256:
+            raise ValueError("bad JPEG Huffman table: count/value mismatch")
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.values = values
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += counts[ln - 1]
+            k += counts[ln - 1]
+            self.maxcode[ln] = code - 1 if counts[ln - 1] else -1
+            if code > (1 << ln):
+                raise ValueError("bad JPEG Huffman table: code overflow")
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.bit()
+        for ln in range(1, 17):
+            if self.maxcode[ln] >= 0 and code <= self.maxcode[ln]:
+                return self.values[self.valptr[ln] + code - self.mincode[ln]]
+            code = (code << 1) | br.bit()
+        raise ValueError("bad JPEG Huffman stream: no code matched")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``s`` magnitude bits to a signed
+    difference."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_segments(payload: bytes):
+    """Marker walk: yields (marker, segment bytes, position AFTER the
+    segment); stops before the first SOS (entropy data follows) or at
+    EOI. Truncation anywhere raises ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: no EOI/SOS reached")
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected a marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            yield marker, b"", pos
+            return
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM / RSTn: bare
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: marker length cut")
+        ln = int.from_bytes(payload[pos : pos + 2], "big")
+        if ln < 2 or pos + ln > len(payload):
+            raise ValueError("truncated JPEG: segment exceeds payload")
+        seg = payload[pos + 2 : pos + ln]
+        pos += ln
+        yield marker, seg, pos
+        if marker == 0xDA:  # SOS: entropy data follows
+            return
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Parse a JPEG into its flat sample array (row-major top-down;
+    RGB interleaved for 3-component frames) — baseline sequential DCT
+    (SOF0) and lossless sequential (SOF3, 8-bit) both supported. See
+    the section comment for the hostile-input contract."""
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _Huff] = {}
+    frame = None
+    mode = None
+    scan = None
+    data_pos = None
+    restart_interval = 0
+    for marker, seg, pos in _jpeg_segments(payload):
+        if marker in (0xC0, 0xC1, 0xC3):
+            mode = "dct" if marker in (0xC0, 0xC1) else "lossless"
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG: SOF too short")
+            prec, h, w, nf = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"only 8-bit JPEG supported (P={prec})")
+            if len(seg) < 6 + 3 * nf:
+                raise ValueError("truncated JPEG: SOF component table cut")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            if any(c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4) for c in comps):
+                raise ValueError("invalid JPEG sampling factors")
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG process (SOF marker 0xFF{marker:02X}): "
+                "only baseline sequential and lossless sequential"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("truncated JPEG: DHT cut")
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                if i + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG: DHT values cut")
+                huff[(tc, th)] = _Huff(counts, seg[i + 17 : i + 17 + n])
+                i += 17 + n
+        elif marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                step = 128 if pq else 64
+                if i + 1 + step > len(seg):
+                    raise ValueError("truncated JPEG: DQT cut")
+                raw = seg[i + 1 : i + 1 + step]
+                qt[tq] = (
+                    [int.from_bytes(raw[j : j + 2], "big") for j in range(0, 128, 2)]
+                    if pq
+                    else list(raw)
+                )
+                i += 1 + step
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG: SOS too short")
+            sel = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            scan = {"sel": sel, "ss": ss, "se": se, "al": ahal & 15}
+            data_pos = pos
+        elif marker == 0xD9 and scan is None:
+            raise ValueError("JPEG reached EOI without a scan")
+    if frame is None or scan is None or data_pos is None:
+        raise ValueError("truncated JPEG: missing SOF or SOS")
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("JPEG header declares zero dimension")
+    if w * h * len(comps) > (1 << 28):
+        raise ValueError(
+            f"JPEG header declares {w}x{h}x{len(comps)} — over the decode bound"
+        )
+    br = _BitReader(payload, data_pos)
+    if mode == "lossless":
+        return _decode_jpeg_lossless(br, frame, scan, huff)
+    return _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval)
+
+
+def _decode_jpeg_lossless(br, frame, scan, huff) -> np.ndarray:
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if len(comps) != 1 or len(scan["sel"]) != 1:
+        raise NotImplementedError("lossless JPEG: single component only")
+    pred_sel, al = scan["ss"], scan["al"]
+    if pred_sel not in range(1, 8):
+        raise ValueError(f"invalid lossless predictor {pred_sel}")
+    table = huff.get((0, scan["sel"][0]["td"]))
+    if table is None:
+        raise ValueError("JPEG scan references a missing Huffman table")
+    out = np.zeros((h, w), dtype=np.int32)
+    default = 1 << (7 - al)
+    for y in range(h):
+        for x in range(w):
+            s = table.decode(br)
+            if s > 16:
+                raise ValueError(f"bad lossless JPEG: category {s}")
+            diff = _extend(br.bits(s), s) if s else 0
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = out[0, x - 1]
+            elif x == 0:
+                pred = out[y - 1, 0]
+            else:
+                ra, rb, rc = out[y, x - 1], out[y - 1, x], out[y - 1, x - 1]
+                pred = [
+                    ra,
+                    rb,
+                    rc,
+                    ra + rb - rc,
+                    ra + ((rb - rc) >> 1),
+                    rb + ((ra - rc) >> 1),
+                    (ra + rb) >> 1,
+                ][pred_sel - 1]
+            out[y, x] = (pred + diff) % 256
+    return out.astype(np.uint8).reshape(-1)
+
+
+def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.ndarray:
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if len(scan["sel"]) != len(comps):
+        raise NotImplementedError("baseline JPEG: interleaved scan only")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    sel_by_id = {s["cs"]: s for s in scan["sel"]}
+    planes = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG frame references a missing quant table")
+        if c["id"] not in sel_by_id:
+            raise ValueError("JPEG scan/frame component mismatch")
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
+    q = [np.array(qt[c["tq"]], dtype=np.float64) for c in comps]
+    tables = []
+    for c in comps:
+        s = sel_by_id[c["id"]]
+        dc, ac = huff.get((0, s["td"])), huff.get((1, s["ta"]))
+        if dc is None or ac is None:
+            raise ValueError("JPEG scan references a missing Huffman table")
+        tables.append((dc, ac))
+    preds = [0] * len(comps)
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                # RSTn sits on a byte boundary between MCU groups
+                br.nbits = 0
+                if (
+                    br.pos + 2 > len(br.data)
+                    or br.data[br.pos] != 0xFF
+                    or not 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("truncated JPEG: missing restart marker")
+                br.pos += 2
+                preds = [0] * len(comps)
+            nmcu += 1
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = tables[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = dc_t.decode(br)
+                        if s > 15:
+                            raise ValueError("bad JPEG DC category")
+                        preds[ci] += _extend(br.bits(s), s) if s else 0
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = ac_t.decode(br)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("bad JPEG AC run past block end")
+                            zz[k] = _extend(br.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * q[ci]
+                        block = _DCT_A @ coef.reshape(8, 8) @ _DCT_A.T
+                        py, px = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block + 128.0
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8).reshape(-1)
+    if len(comps) != 3:
+        raise NotImplementedError("baseline JPEG: 1 or 3 components only")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8).reshape(-1)
+
+
+def _jfif_app0() -> bytes:
+    return b"\xff\xe0" + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )
+
+
+def _dht_segment(tc: int, th: int, counts: list[int], values: bytes) -> bytes:
+    body = bytes([tc << 4 | th]) + bytes(counts) + values
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _com_fillers(total: int) -> bytes:
+    """COM segments summing to EXACTLY ``total`` bytes (each segment
+    is marker 2 + length 2 + payload, so >= 4; the caller guarantees
+    total >= 4)."""
+    out = bytearray()
+    while total > 60004:
+        out += b"\xff\xfe" + struct.pack(">H", 59998) + b"\x00" * 59996
+        total -= 60000
+    out += b"\xff\xfe" + struct.pack(">H", total - 2) + b"\x00" * (total - 4)
+    return bytes(out)
+
+
+def encode_jpeg_lossless(pixels: bytes, width: int) -> bytes:
+    """BIT-EXACT lossless JPEG (T.81 SOF3, predictor 1, 8-bit
+    grayscale) for ``pixels`` (len a non-empty multiple of ``width``).
+    Container size is EXACTLY ``_JPG_SIZE_BASE + 3*width*height`` —
+    COM filler segments absorb the content-dependence of the Huffman
+    stream (see the section comment) so the m16 oracle can recompute
+    the size arithmetically."""
+    if width <= 0 or not pixels or len(pixels) % width:
+        raise ValueError("pixel buffer must be non-empty height*width bytes")
+    height = len(pixels) // width
+    bw = _BitWriter()
+    prev_row = None
+    for yy in range(height):
+        row = pixels[yy * width : (yy + 1) * width]
+        for xx in range(width):
+            if yy == 0 and xx == 0:
+                pred = 128
+            elif yy == 0:
+                pred = row[xx - 1]
+            elif xx == 0:
+                pred = prev_row[0]
+            else:
+                pred = row[xx - 1]
+            diff = row[xx] - pred
+            # T.81 H.1.2.1: differences are modulo 2^16; for 8-bit
+            # samples mapping into [-128, 127] keeps every category
+            # <= 8 while the decoder's mod-256 reconstruction agrees
+            if diff < -128:
+                diff += 256
+            elif diff > 127:
+                diff -= 256
+            s = abs(diff).bit_length()
+            bw.write(s, 4)  # canonical 4-bit codes: category == code
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        prev_row = row
+    entropy = bw.flush()
+    dht = _dht_segment(0, 0, [0, 0, 0, 9] + [0] * 12, bytes(range(9)))
+    sof = b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" + bytes([1, 0, 0])
+    fixed = 2 + 18 + len(dht) + len(sof) + len(sos) + 2
+    target = _JPG_SIZE_BASE + 3 * width * height
+    filler = target - fixed - len(entropy)
+    if filler < 4:
+        raise ValueError(
+            f"jpeg entropy stream exceeded the size budget ({filler})"
+        )
+    return (
+        b"\xff\xd8"
+        + _jfif_app0()
+        + _com_fillers(filler)
+        + dht
+        + sof
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_baseline(pixels: bytes, width: int) -> bytes:
+    """Baseline sequential DCT (SOF0) grayscale encoder with all-ones
+    quant and canonical fixed-length tables — the pytest roundtrip
+    partner for the DCT decode path. Quantized DCT rounds
+    coefficients, so decode(encode(px)) approximates px (|err| <= a
+    few levels); it therefore never joins the lossless parity
+    rotation."""
+    if width <= 0 or not pixels or len(pixels) % width:
+        raise ValueError("pixel buffer must be non-empty height*width bytes")
+    height = len(pixels) // width
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bw8, bh8 = -(-width // 8) * 8, -(-height // 8) * 8
+    padded = np.zeros((bh8, bw8), dtype=np.float64)
+    padded[:height, :width] = img
+    # replicate edges into the pad so block DCTs stay tame
+    if bh8 > height:
+        padded[height:, :width] = img[-1:, :]
+    if bw8 > width:
+        padded[:, width:] = padded[:, width - 1 : width]
+    ac_vals = bytes(
+        r << 4 | sz
+        for r in range(16)
+        for sz in range(11)
+        if not (sz == 0 and r not in (0, 15))
+    )
+    # canonical codes: every AC symbol is length 8, so symbol ->
+    # code is just its index in the DHT value order (DC tables list
+    # values 0..N in order, so there code == symbol)
+    ac_code = {v: i for i, v in enumerate(ac_vals)}
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, bh8, 8):
+        for bx in range(0, bw8, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = np.rint(_DCT_A.T @ block @ _DCT_A).astype(np.int64)
+            zz = coef.reshape(-1)[_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = abs(diff).bit_length()
+            bw.write(s, 4)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            k = 1
+            while k < 64:
+                if zz[k] == 0:
+                    nz = np.nonzero(zz[k:])[0]
+                    if len(nz) == 0:
+                        bw.write(ac_code[0x00], 8)  # EOB
+                        break
+                    run = int(nz[0])
+                    k += run
+                else:
+                    run = 0
+                while run > 15:
+                    bw.write(ac_code[0xF0], 8)  # ZRL
+                    run -= 16
+                v = int(zz[k])
+                s = abs(v).bit_length()
+                bw.write(ac_code[run << 4 | s], 8)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                k += 1
+    entropy = bw.flush()
+    dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0) + b"\x01" * 64
+    dht_dc = _dht_segment(0, 0, [0, 0, 0, 12] + [0] * 12, bytes(range(12)))
+    dht_ac = _dht_segment(1, 0, [0, 0, 0, 0, 0, 0, 0, len(ac_vals)] + [0] * 8, ac_vals)
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8" + _jfif_app0() + dqt + dht_dc + dht_ac + sof + sos + entropy + b"\xff\xd9"
+    )
+
+
 def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
     """Real codec path: dispatch on the payload's MAGIC bytes to the
-    dependency-free PNM/BMP/PNG parsers above. Formats needing
-    entropy codecs the stdlib lacks (jpeg/webp) remain a documented
-    stub — this container ships none."""
+    dependency-free PNM/BMP/PNG/JPEG parsers above. webp (VP8) remains
+    a documented stub — its entropy codec is out of scope."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_pnm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for format={fmt!r} (payload lacks "
-        "PNM/BMP/PNG magic); jpeg/webp need codec libs this "
-        "environment does not ship — use fake_decode for those"
+        "PNM/BMP/PNG/JPEG magic); webp needs a VP8 codec this "
+        "environment does not ship — use fake_decode for it"
     )
 
 
@@ -473,19 +1050,26 @@ _REAL_MEDIA_SCHEMA = StructType(
 )
 
 
-_CONTAINER_ARMS = ("pgm", "bmp", "png")
-_ENCODERS = {"pgm": encode_pnm, "bmp": encode_bmp8, "png": encode_png}
+_CONTAINER_ARMS = ("pgm", "bmp", "png", "jpg")
+_ENCODERS = {
+    "pgm": encode_pnm,
+    "bmp": encode_bmp8,
+    "png": encode_png,
+    "jpg": encode_jpeg_lossless,
+}
 
 
 def attach_real_media(documents: DataFrame) -> DataFrame:
     """Wrap each document's UTF-8 bytes in a REAL image container —
-    doc_id % 3 rotates through a P5 PNM (ASCII header), an 8-bit BMP
-    (bottom-up rows, 4-byte stride), and an 8-bit grayscale PNG
-    (chunked, CRC'd, zlib stored-block IDAT). The logical image is
-    identical in all three arms: width = 16 + doc_id % 48, the text
+    doc_id % 4 rotates through a P5 PNM (ASCII header), an 8-bit BMP
+    (bottom-up rows, 4-byte stride), an 8-bit grayscale PNG (chunked,
+    CRC'd, zlib stored-block IDAT), and a LOSSLESS JPEG (T.81 SOF3,
+    predictor 1, Huffman-coded differences — round 10, the dominant
+    crawl format made real and bit-exact). The logical image is
+    identical in all four arms: width = 16 + doc_id % 48, the text
     bytes row-major, the final row zero-padded to the width — so one
     container-ignorant oracle covers every arm, and parity proves the
-    PARSERS recover exactly the true pixels from three different
+    PARSERS recover exactly the true pixels from four different
     on-disk layouts. Empty/NULL docs carry a NULL payload (no pixels →
     no decode row, the m04 convention).
 
@@ -497,7 +1081,7 @@ def attach_real_media(documents: DataFrame) -> DataFrame:
             medias, fmts, widths, heights, nbytes = [], [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 w = int(16 + did % 48)
-                fmt = _CONTAINER_ARMS[int(did) % 3]
+                fmt = _CONTAINER_ARMS[int(did) % len(_CONTAINER_ARMS)]
                 raw = (text or "").encode("utf-8")
                 if not raw:
                     medias.append(None)

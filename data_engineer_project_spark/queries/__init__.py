@@ -54,6 +54,11 @@ _CONTRACT_CHANGED_ROUND = {
     # the stats — the decode contract widened when the real
     # PNM/BMP decode path landed.
     "m04_decoded_pixel_stats": 8,
+    # Round 10: the container rotation gained a fourth arm (lossless
+    # JPEG, doc_id % 4) — every m15/m16 row's container labels,
+    # verdict splits and size arithmetic changed.
+    "m15_real_container_decode": 10,
+    "m16_container_integrity_gate": 10,
     # Round 9: d94 deduplicates query terms (BM25 query-as-set — a
     # word repeated in the 4-word query slice previously doubled the
     # joined document tf); scores/hashes changed in both engines.

@@ -999,8 +999,8 @@ def m14_audio_neardup_pairs(t):
       FROM bl
     )
     SELECT doc_id, lang,
-           CASE doc_id % 3 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
-                ELSE 'png' END AS container,
+           CASE doc_id % 4 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
+                WHEN 2 THEN 'png' ELSE 'jpg' END AS container,
            w * CAST(ceil(n / w) AS BIGINT) AS n_px,
            sum_b AS sum_px,
            CAST(sum_b AS DOUBLE) / (w * CAST(ceil(n / w) AS BIGINT)) AS mean_px,
@@ -1013,19 +1013,22 @@ def m14_audio_neardup_pairs(t):
 )
 def m15_real_container_decode(t):
     """REAL container decode — the non-vacuous twin of m04's stub:
-    every payload is a genuine image container (doc_id % 3 rotates
+    every payload is a genuine image container (doc_id % 4 rotates
     P5 PNM with an ASCII header; 8-bit BMP with little-endian struct
     headers, a 256-entry palette, 4-byte row stride, bottom-up rows;
-    and 8-bit grayscale PNG with CRC'd chunks and a zlib IDAT — round
-    9, the dominant web format made real via stdlib zlib + scanline
-    unfiltering), and ``decode_media(use_real_codec=True)`` must PARSE
+    8-bit grayscale PNG with CRC'd chunks and a zlib IDAT — round 9;
+    and LOSSLESS JPEG, T.81 SOF3 predictor-1 with Huffman-coded
+    differences — round 10, bit-exact by construction so the
+    container-ignorant oracle still verifies true pixel recovery),
+    and ``decode_media(use_real_codec=True)`` must PARSE
     the container — magic sniff, header fields, stride/row-order/
     inflate-unfilter undo — to recover the pixels. The oracle knows
     nothing about any container: it recomputes the stats from the raw
     UTF-8 bytes plus the final-row zero padding, so a parity hash
     proves the parsers extracted exactly the true pixel matrix from
-    three different on-disk layouts (a BMP stride bug or a PNG filter
-    bug shifts sum/min/max and turns the row red).
+    four different on-disk layouts (a BMP stride bug, a PNG filter
+    bug, or a JPEG predictor/EXTEND bug shifts sum/min/max and turns
+    the row red).
 
     Scale shape: encode and decode are both narrow Arrow mapInPandas
     stages (no shuffle); the only exchange is none at all — the result
@@ -1036,9 +1039,10 @@ def m15_real_container_decode(t):
     return dec.select(
         "doc_id",
         "lang",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("pgm"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("bmp"))
-        .otherwise(F.lit("png"))
+        F.when(F.col("doc_id") % 4 == 0, F.lit("pgm"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("bmp"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("png"))
+        .otherwise(F.lit("jpg"))
         .alias("container"),
         "n_px",
         "sum_px",
@@ -1062,8 +1066,8 @@ def m15_real_container_decode(t):
     sized AS (
       SELECT doc_id, n, w,
              CAST(ceil(n / w) AS BIGINT) AS h,
-             CASE doc_id % 3 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
-                  ELSE 'png' END AS fmt
+             CASE doc_id % 4 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
+                  WHEN 2 THEN 'png' ELSE 'jpg' END AS fmt
       FROM m WHERE n > 0
     ),
     payload AS (
@@ -1077,8 +1081,12 @@ def m15_real_container_decode(t):
                   -- png: sig 8 + IHDR 25 + IDAT (12 + zlib of
                   -- h*(w+1) raw bytes in fixed 32768 stored blocks)
                   -- + IEND 12  =  63 + 5*ceil(raw/32768) + raw
-                  ELSE 63 + 5 * CAST(ceil(h * (w + 1) / 32768.0) AS BIGINT)
+                  WHEN 'png'
+                  THEN 63 + 5 * CAST(ceil(h * (w + 1) / 32768.0) AS BIGINT)
                          + h * (w + 1)
+                  -- jpg: COM filler segments pad the container to
+                  -- EXACTLY 81 + 3*w*h (encode_jpeg_lossless)
+                  ELSE 81 + 3 * w * h
              END AS container_bytes
       FROM sized
     ),

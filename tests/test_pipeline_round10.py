@@ -262,3 +262,106 @@ def test_d101_merge_bridges_and_relabels(spark):
     assert row["total_docs"] == 6      # incl. wt-2 rep for the A2 text
     assert row["total_tokens"] == 6 * 30
     assert row["dup_tokens"] == 6 * 30 - 30
+
+
+def test_jpeg_lossless_roundtrip_and_size_formula():
+    """encode_jpeg_lossless -> decode_jpeg is the identity for
+    arbitrary byte content at any geometry, and the container is
+    EXACTLY _JPG_SIZE_BASE + 3*w*h bytes (the m16 oracle arithmetic)."""
+    import random
+
+    from data_engineer_project_spark.operators.multimodal import (
+        _JPG_SIZE_BASE,
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(11)
+    for w, h in ((16, 1), (17, 9), (63, 20), (1, 300)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        p = encode_jpeg_lossless(px, w)
+        assert len(p) == _JPG_SIZE_BASE + 3 * w * h
+        assert decode_jpeg(p).tobytes() == px
+    # extreme content: all-0xFF pixels maximize byte stuffing; the
+    # COM budget must still absorb the entropy stream
+    px = b"\xff" * (40 * 12)
+    p = encode_jpeg_lossless(px, 40)
+    assert len(p) == _JPG_SIZE_BASE + 3 * 40 * 12
+    assert decode_jpeg(p).tobytes() == px
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_jpeg_lossless(b"", 8)
+
+
+def test_jpeg_baseline_dct_roundtrip():
+    """The SOF0 path: decode(encode_baseline(px)) approximates px
+    within the quant=1 coefficient-rounding bound (a few levels), and
+    block geometry / DC prediction / AC run-length all exercise."""
+    import random
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = random.Random(13)
+    for w, h in ((40, 24), (17, 5), (8, 8)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        out = decode_jpeg(encode_jpeg_baseline(px, w))
+        assert out.shape == (w * h,)
+        err = np.abs(
+            out.astype(int) - np.frombuffer(px, dtype=np.uint8).astype(int)
+        )
+        assert err.max() <= 3, err.max()
+    # a constant image is DC-only: EXACT through quantized DCT
+    px = bytes([77]) * (32 * 16)
+    assert decode_jpeg(encode_jpeg_baseline(px, 32)).tobytes() == px
+
+
+def test_jpeg_decoder_quarantines_hostile_input():
+    """Untrusted JPEG input must raise ValueError (quarantine), never
+    OOM or crash: truncation at every prefix, bad Huffman tables,
+    dimension bombs, progressive frames, junk markers."""
+    import struct as st
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    good = encode_jpeg_lossless(bytes(range(200)) * 2, 20)
+    # every truncation point quarantines (ValueError), never crashes
+    for cut in range(2, len(good), 7):
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:cut])
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00" * 32)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + st.pack(">H", 2 + len(body)) + body
+
+    sof3 = seg(0xC3, st.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00")
+    sos = seg(0xDA, b"\x01\x01\x00" + bytes([1, 0, 0]))
+    # Huffman table oversubscribed: 3 codes of length 1 overflow Kraft
+    bad_dht = seg(0xC4, b"\x00" + bytes([3] + [0] * 15) + bytes(range(3)))
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_jpeg(b"\xff\xd8" + bad_dht + sof3 + sos + b"\x00\xff\xd9")
+    # dimension bomb: header declares 30000x30000 with 10 data bytes -
+    # rejected BEFORE allocation
+    bomb_sof = seg(0xC3, st.pack(">BHHB", 8, 30000, 30000, 1) + b"\x01\x11\x00")
+    dht = seg(0xC4, b"\x00" + bytes([0, 0, 0, 9] + [0] * 12) + bytes(range(9)))
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_jpeg(b"\xff\xd8" + dht + bomb_sof + sos + b"\x00" * 10 + b"\xff\xd9")
+    # zero dimension
+    zero_sof = seg(0xC3, st.pack(">BHHB", 8, 0, 4, 1) + b"\x01\x11\x00")
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_jpeg(b"\xff\xd8" + dht + zero_sof + sos + b"\x00" * 4 + b"\xff\xd9")
+    # progressive is a documented stub, not a crash
+    prog_sof = seg(0xC2, st.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00")
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(b"\xff\xd8" + dht + prog_sof + sos + b"\x00" * 4 + b"\xff\xd9")
+    # entropy stream that exhausts before the pixel count is met
+    short = seg(0xC3, st.pack(">BHHB", 8, 64, 64, 1) + b"\x01\x11\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8" + dht + short + sos + b"\x11" * 8 + b"\xff\xd9")

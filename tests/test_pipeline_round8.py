@@ -250,8 +250,8 @@ def test_m16_gate_verdicts_rederive_from_the_codecs(spark, sf_dir):
     for did, text in zip(tb["doc_id"], tb["text"]):
         if not (text or "").encode("utf-8"):
             continue
-        # round 9: the real PNG codec joined the rotation (doc_id % 3)
-        fmt = ("pgm", "bmp", "png")[did % 3]
+        # round 9 added PNG, round 10 lossless JPEG (doc_id % 4)
+        fmt = ("pgm", "bmp", "png", "jpg")[did % 4]
         status = "corrupt" if did % 13 == 0 else "ok"
         want[(fmt, status)] = want.get((fmt, status), 0) + 1
     assert got == want
