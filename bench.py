@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     # family the way d56/d64 does for curation. First bench run per
     # corpus builds the store; min-of-3 captures the warm path.
     "d101_incremental_cluster_merge",
+    # r10 addition #2: the content-VERIFIED image near-dup default —
+    # md5 collapse + guarded banded dHash + byte-histogram L1 verify;
+    # prices the verify stage the breadth decade showed is required at
+    # scale (m10 stays as the hash-only diagnostic slot).
+    "m18_image_neardup_verified",
 ]
 
 

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -1415,6 +1416,44 @@ def difference_hash(
             )
 
     return media.mapInPandas(stage, _PHASH_SCHEMA)
+
+
+_HIST16_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("hist", ArrayType(LongType())),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def byte_histogram_16(media: DataFrame) -> DataFrame:
+    """Per-payload 16-bin byte histogram (bin = value >> 4) + total
+    byte count — the cheap pixel-content statistic the VERIFIED image
+    near-dup path (m18) compares after the dHash Hamming gate: a
+    64-bit perceptual hash's accidental collisions grow ~quadratically
+    in corpus size for fixed hash entropy (measured in SCALING.md's
+    breadth decade), and a content-level verify is the production
+    answer. One narrow vectorized Arrow stage (np.bincount per
+    payload); empty/NULL payloads emit no row (no pixels — the m04
+    convention)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_h, out_n = [], [], []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                if m is None or len(m) == 0:
+                    continue
+                v = np.frombuffer(m, dtype=np.uint8)
+                out_id.append(did)
+                out_h.append(np.bincount(v >> 4, minlength=16).astype(np.int64))
+                out_n.append(len(v))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "hist": out_h, "n_bytes": out_n},
+                columns=["doc_id", "hist", "n_bytes"],
+            )
+
+    return media.mapInPandas(stage, _HIST16_SCHEMA)
 
 
 _FRAME_FP_SCHEMA = StructType(

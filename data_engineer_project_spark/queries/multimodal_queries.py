@@ -491,6 +491,8 @@ _DHASH_CTES = f"""bl AS (
     GROUP BY lab.component
     """,
     tags=("multimodal", "dedup", "graph"),
+    tier="diagnostic",
+    production_twin="m18_image_neardup_verified",
 )
 def m10_image_neardup_clusters(t):
     """Image near-duplicate CLUSTERS — the full modality dedup
@@ -1260,4 +1262,202 @@ def m17_image_query_retrieval(t):
         scored.withColumn(
             "rank", F.row_number().over(w).cast("long")
         ).orderBy("query_doc", "rank")
+    )
+
+
+# ------------- m18: content-VERIFIED image near-dup clusters (r10)
+
+# rep-level dHash chain: the m10 CTE constant re-pointed at the
+# exact-content reps (md5 collapse) instead of raw documents, so both
+# engines hash the SAME node set.
+_M18_CTES = (
+    """reps AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS text,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY md5(text)
+    ),
+    """
+    + _DHASH_CTES.replace("FROM documents", "FROM reps")
+)
+
+
+@query(
+    "m18_image_neardup_verified",
+    f"""
+    WITH RECURSIVE {_M18_CTES},
+    hist AS (
+      SELECT doc_id, v >> 4 AS bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bytes GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, CAST(len(b) AS BIGINT) AS n FROM bl),
+    hgrid AS (
+      SELECT d.doc_id, g.bin
+      FROM (SELECT DISTINCT doc_id FROM bytes) d,
+           (SELECT unnest(range(16)) AS bin) g
+    ),
+    hd AS (
+      SELECT hgrid.doc_id, hgrid.bin, COALESCE(hist.c, 0) AS c
+      FROM hgrid LEFT JOIN hist
+        ON hist.doc_id = hgrid.doc_id AND hist.bin = hgrid.bin
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hashes a JOIN hashes b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    l1 AS (
+      SELECT p.doc_a, p.doc_b, SUM(ABS(ha.c - hb.c)) AS d
+      FROM cand p
+      JOIN hd ha ON ha.doc_id = p.doc_a
+      JOIN hd hb ON hb.doc_id = p.doc_b AND hb.bin = ha.bin
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT l1.doc_a, l1.doc_b
+      FROM l1
+      JOIN sz sa ON sa.doc_id = l1.doc_a
+      JOIN sz sb ON sb.doc_id = l1.doc_b
+      WHERE 4 * l1.d <= sa.n + sb.n
+    ),
+    edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.e_dst, w.comp FROM walk w JOIN edges e ON e.e_src = w.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+    singles AS (
+      SELECT doc_id AS node, doc_id AS component FROM reps
+      WHERE n_docs > 1 AND doc_id NOT IN (SELECT node FROM nodes)
+    ),
+    allc AS (
+      SELECT node, component FROM lab
+      UNION ALL SELECT node, component FROM singles
+    )
+    SELECT CAST(c.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           CAST(SUM(r.n_docs) AS BIGINT) AS cluster_size,
+           CAST(MIN(c.node) AS BIGINT) AS canonical_doc
+    FROM allc c JOIN reps r ON r.doc_id = c.node
+    GROUP BY c.component ORDER BY component
+    """,
+    tags=("multimodal", "dedup", "graph", "verified"),
+)
+def m18_image_neardup_verified(t):
+    """m10 with a CONTENT verify stage — the production answer to the
+    scale finding SCALING.md's breadth decade recorded: a 64-bit
+    dHash's accidental collisions grow ~quadratically in corpus size
+    for fixed hash entropy, so at crawl scale the Hamming gate alone
+    over-merges (at the tiny sf0.001 x3 smoke the collision mass
+    DOMINATED: 116 clusters where ~75 are real). Tiering:
+
+    1. exact-content collapse (md5 of the payload text — the d99
+       tier): identical images are one rep with a member count;
+    2. banded dHash candidates over reps (the skew-guarded m10 path)
+       + exact Hamming <= 3;
+    3. NEW: a cheap pixel-content verify per surviving pair — 16-bin
+       byte histograms, normalized L1 <= 0.25 checked as the integer
+       cross-multiplication 4*|ha-hb|_1 <= n_a + n_b (exact on both
+       engines). Accidental hash collisions between unrelated images
+       fail this; true near-dups (small edits) pass;
+    4. connected components over VERIFIED pairs; exact-dup groups
+       (n_docs > 1) surface as singleton components.
+
+    Output mirrors m10 in uncollapsed units (cluster_size sums member
+    counts). m10 remains the hash-contract diagnostic twin; this is
+    what an image dedup pass should run at 100 TB.
+
+    Scale shape: collapse is one map-side groupBy; candidates are the
+    guarded band equi-join (consumer m18_dhash_bands); the verify is
+    a JVM zip_with/aggregate over two 16-long arrays carried through
+    the pair join — no Python in the pair path (histograms come from
+    one narrow Arrow stage per rep, corpus-linear); CC is the
+    pointer-jumped operator."""
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+    from data_engineer_project_spark.operators.graph import connected_components
+    from data_engineer_project_spark.operators.multimodal import (
+        byte_histogram_16,
+        difference_hash,
+    )
+
+    reps = tracked_persist(
+        t.documents.groupBy(F.md5("text").alias("f"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("doc_id", "text", "n_docs")
+    )
+    media = reps.select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    h = difference_hash(media).select("doc_id", "phash")
+    hist = byte_histogram_16(media)
+    hh = tracked_persist(
+        h.join(hist, "doc_id").select("doc_id", "phash", "hist", "n_bytes")
+    )
+    bands = hh.select(
+        "doc_id",
+        "phash",
+        "hist",
+        "n_bytes",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("bi"),
+                        F.shiftright("phash", 16 * bi)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bk"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "phash", "hist", "n_bytes", "band.bi", "band.bk")
+    l1 = F.aggregate(
+        F.zip_with("hist_a", "hist_b", lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        skew_guarded_self_pairs(
+            bands,
+            ["bi", "bk"],
+            "doc_id",
+            carry=("phash", "hist", "n_bytes"),
+            consumer="m18_dhash_bands",
+        )
+        .filter(
+            F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))) <= 3
+        )
+        .filter(l1 * 4 <= F.col("n_bytes_a") + F.col("n_bytes_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    comps = connected_components(pairs)
+    singles = (
+        reps.filter(F.col("n_docs") > 1)
+        .join(comps.select("node"), reps.doc_id == F.col("node"), "left_anti")
+        .select(
+            F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
+        )
+    )
+    allc = comps.select("node", "component").union(singles)
+    return (
+        allc.join(reps.withColumnRenamed("doc_id", "node"), "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.sum("n_docs").cast("long").alias("cluster_size"),
+            F.min("node").alias("canonical_doc"),
+        )
+        .orderBy("component")
     )

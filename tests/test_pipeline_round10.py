@@ -143,6 +143,10 @@ def test_diagnostic_tier_queries_name_production_twins():
         "d08_dedup_simhash",
         "d65_neardup_doc_clusters",
         "d74_pagerank_canonical_doc",
+        # round 10: the breadth decade showed the hash-only image
+        # contract over-merges via accidental dHash collisions; the
+        # content-verified m18 is the scale default
+        "m10_image_neardup_clusters",
     }
     for name, spec in diag.items():
         assert spec.production_twin in QUERIES, (name, spec.production_twin)
@@ -365,3 +369,39 @@ def test_jpeg_decoder_quarantines_hostile_input():
     short = seg(0xC3, st.pack(">BHHB", 8, 64, 64, 1) + b"\x01\x11\x00")
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(b"\xff\xd8" + dht + short + sos + b"\x11" * 8 + b"\xff\xd9")
+
+
+def test_m18_verify_restores_breadth_linearity(spark):
+    """The SCALING.md breadth finding, pinned: on a 3x-breadth corpus
+    (affine char bijections — distinct content, preserved within-
+    replica structure) m10's hash-only gate over-merges via accidental
+    dHash collisions while m18's histogram verify restores EXACT
+    cluster linearity; on the base corpus (no collisions) the two
+    contracts agree."""
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, "/root/repo/tools")
+    from breadth_stress import synth_breadth
+
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    base_m10 = len(QUERIES["m10_image_neardup_clusters"].fn(spark, sf).collect())
+    release_all()
+    base_m18 = len(QUERIES["m18_image_neardup_verified"].fn(spark, sf).collect())
+    release_all()
+    assert base_m18 == base_m10  # no collision mass at base size
+    tmp = tempfile.mkdtemp(prefix="m18t_")
+    try:
+        synth_breadth(sf, tmp, 3)
+        b_m10 = len(QUERIES["m10_image_neardup_clusters"].fn(spark, tmp).collect())
+        release_all()
+        b_m18 = len(QUERIES["m18_image_neardup_verified"].fn(spark, tmp).collect())
+        release_all()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert b_m18 == 3 * base_m18  # verified contract is exactly linear
+    assert b_m10 > b_m18  # the hash-only contract over-merges here
