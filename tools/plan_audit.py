@@ -228,6 +228,16 @@ EXTRA_QUERIES = [
     # d98 = the d05 fingerprint groupBy + a multiplicity-keyed fold
     # (output bounded by distinct cluster sizes) + a 1-row share join.
     "d98_duplication_profile",
+    # r9/r10 governance releases: bounded cell tables through
+    # small_cell_suppress windows; hq48 adds the global-stratum form
+    # over hq34's member-grain fold.
+    "hq46_special_status_release",
+    "hq47_geo_cost_release",
+    "hq48_outlier_release",
+    # d100: the one-sided incremental band probe (delta x corpus);
+    # audits fine (no loop at build). d99/d101 run CC at build and are
+    # covered by LOOP_EXECUTES_AT_BUILD.
+    "d100_incremental_neardup_ingest",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -579,6 +589,9 @@ def main() -> None:
     # here like d20/d26 always were (m10 is a bench slot regardless).
     LOOP_EXECUTES_AT_BUILD = {
         "m10_image_neardup_clusters",
+        # r10: both run CC (and d101 builds/reads its store) at build
+        "m18_image_neardup_verified",
+        "d101_incremental_cluster_merge",
         "d73_power_iteration_top_pc",
         "d74_pagerank_canonical_doc",
         "d75_bpe_encode_compression",
