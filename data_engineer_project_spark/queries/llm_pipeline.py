@@ -11915,10 +11915,11 @@ def _merge_delta_into_clusters(delta, stored_reps, stored_comps, shc, bc):
         F.col("wt").alias("wt_d"),
     )
     matched = stored_reps.join(dfp.select("fp", "d_doc", "wt_d"), "fp")
-    rename = F.broadcast(
-        matched.filter(F.col("d_doc") < F.col("node")).select(
-            F.col("node").alias("_old"), F.col("d_doc").alias("_new")
-        )
+    # no broadcast hint: the rename map is sized by the DELTA's
+    # exact-dup fingerprints — delta-proportional, not query-bounded —
+    # so AQE picks the strategy (it broadcasts when genuinely small).
+    rename = matched.filter(F.col("d_doc") < F.col("node")).select(
+        F.col("node").alias("_old"), F.col("d_doc").alias("_new")
     )
     novel = dfp.join(stored_reps.select("fp"), "fp", "left_anti").select(
         F.col("d_doc").alias("node"),
