@@ -463,7 +463,10 @@ _DCT_A = np.array(
 
 
 class _BitWriter:
-    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing.
+    Shift-based (whole values, not per-bit loops): the fixture encode
+    runs per payload inside Arrow stages, so constant factors here are
+    a measured bench cost (m16)."""
 
     def __init__(self):
         self.out = bytearray()
@@ -471,16 +474,17 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                b = self.acc
-                self.out.append(b)
-                if b == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.nbits = 0
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        n = self.nbits + nbits
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (self.acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self.acc &= (1 << n) - 1
+        self.nbits = n
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -491,7 +495,8 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first reader over entropy-coded data with 0xFF00
-    unstuffing; any read past the end raises ValueError."""
+    unstuffing; any read past the end raises ValueError. Shift-based
+    multi-bit reads + a peek window for the Huffman lookahead table."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -526,10 +531,30 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
+
+    def peek8(self) -> int:
+        """Next 8 bits without consuming (0-padded near a hard end);
+        returns -1 when the stream cannot supply ANY bit."""
+        while self.nbits < 8:
+            try:
+                self._fill()
+            except ValueError:
+                if self.nbits == 0:
+                    return -1
+                return (self.acc << (8 - self.nbits)) & 0xFF
+        return (self.acc >> (self.nbits - 8)) & 0xFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
 
 class _Huff:
@@ -555,8 +580,31 @@ class _Huff:
             if code > (1 << ln):
                 raise ValueError("bad JPEG Huffman table: code overflow")
             code <<= 1
+        # 8-bit lookahead: lut[p] = (codelen, symbol) for every 8-bit
+        # prefix whose leading bits form a code of length <= 8
+        self.lut: list = [None] * 256
+        for ln in range(1, 9):
+            lo, hi = self.mincode[ln], self.maxcode[ln]
+            if hi < 0:
+                continue
+            for c in range(lo, hi + 1):
+                sym = self.values[self.valptr[ln] + c - lo]
+                base = c << (8 - ln)
+                for tail in range(1 << (8 - ln)):
+                    self.lut[base | tail] = (ln, sym)
 
     def decode(self, br: _BitReader) -> int:
+        # fast path: an 8-bit lookahead table resolves every code of
+        # length <= 8 in one peek (our fixture tables are 4-bit; the
+        # typical baseline tables are mostly <= 8 too)
+        p = br.peek8()
+        if p >= 0:
+            hit = self.lut[p]
+            # the hit is real only if the buffer truly holds all its
+            # bits (peek8 zero-pads at a hard stream end)
+            if hit is not None and hit[0] <= br.nbits:
+                br.skip(hit[0])
+                return hit[1]
         code = br.bit()
         for ln in range(1, 17):
             if self.maxcode[ln] >= 0 and code <= self.maxcode[ln]:
@@ -704,33 +752,44 @@ def _decode_jpeg_lossless(br, frame, scan, huff) -> np.ndarray:
     table = huff.get((0, scan["sel"][0]["td"]))
     if table is None:
         raise ValueError("JPEG scan references a missing Huffman table")
-    out = np.zeros((h, w), dtype=np.int32)
+    # plain-Python row buffers: this loop runs once per PIXEL inside
+    # an Arrow stage, so numpy scalar indexing (boxing per access)
+    # would triple its cost — lists + local bindings keep the fixture
+    # decode a bench-visible but honest constant (m16)
     default = 1 << (7 - al)
+    decode, bits = table.decode, br.bits
+    rows: list[list[int]] = []
+    prev: list[int] | None = None
     for y in range(h):
+        row = [0] * w
         for x in range(w):
-            s = table.decode(br)
+            s = decode(br)
             if s > 16:
                 raise ValueError(f"bad lossless JPEG: category {s}")
-            diff = _extend(br.bits(s), s) if s else 0
-            if y == 0 and x == 0:
-                pred = default
-            elif y == 0:
-                pred = out[0, x - 1]
+            diff = _extend(bits(s), s) if s else 0
+            if y == 0:
+                pred = default if x == 0 else row[x - 1]
             elif x == 0:
-                pred = out[y - 1, 0]
+                pred = prev[0]
+            elif pred_sel == 1:
+                pred = row[x - 1]
             else:
-                ra, rb, rc = out[y, x - 1], out[y - 1, x], out[y - 1, x - 1]
-                pred = [
-                    ra,
+                ra, rb, rc = row[x - 1], prev[x], prev[x - 1]
+                pred = (
                     rb,
                     rc,
                     ra + rb - rc,
                     ra + ((rb - rc) >> 1),
                     rb + ((ra - rc) >> 1),
                     (ra + rb) >> 1,
-                ][pred_sel - 1]
-            out[y, x] = (pred + diff) % 256
-    return out.astype(np.uint8).reshape(-1)
+                )[pred_sel - 2]
+            row[x] = (pred + diff) % 256
+        rows.append(row)
+        prev = row
+    flat = bytearray(h * w)
+    for y, row in enumerate(rows):
+        flat[y * w : (y + 1) * w] = bytes(row)
+    return np.frombuffer(bytes(flat), dtype=np.uint8)
 
 
 def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.ndarray:
