@@ -1731,3 +1731,210 @@ def s23_stream_nb_quality_gate(t):
         .alias("predicted"),
     )
     return run_to_memory_table(out, "nb_quality_gate", "append")
+
+
+from data_engineer_project_spark.queries.llm_pipeline import (  # noqa: E402
+    _ORACLE_BUCKET as _D100_ORACLE_BUCKET,
+    _SPARK_BUCKET as _D100_SPARK_BUCKET,
+)
+
+
+@query(
+    "s24_stream_neardup_probe",
+    f"""
+    WITH inc AS (
+      SELECT doc_id, text FROM documents WHERE {_D100_ORACLE_BUCKET} >= 90
+    ),
+    corp AS (
+      SELECT doc_id, text FROM documents WHERE {_D100_ORACLE_BUCKET} < 90
+    ),
+    cfp AS (SELECT DISTINCT md5(text) AS fp FROM corp),
+    rem AS (
+      SELECT doc_id, text FROM inc
+      WHERE md5(text) NOT IN (SELECT fp FROM cfp)
+    ),
+    wi AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM rem
+    ),
+    shi AS (
+      SELECT DISTINCT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win
+               AS shingle
+      FROM wi WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    wc AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+             generate_subscripts(string_split(text,' '),1) AS i
+      FROM corp
+    ),
+    shc AS (
+      SELECT DISTINCT doc_id,
+             wd || ' ' || lead(wd,1) OVER win || ' ' || lead(wd,2) OVER win
+               AS shingle
+      FROM wc WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(wd,2) OVER win IS NOT NULL
+    ),
+    sigi AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(8))}
+      FROM shi GROUP BY doc_id
+    ),
+    sigc AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(8))}
+      FROM shc GROUP BY doc_id
+    ),
+    bi AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS key FROM sigi"
+        for b in range(4))}),
+    bc AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS key FROM sigc"
+        for b in range(4))}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+      FROM bi a JOIN bc b ON a.band = b.band AND a.key = b.key
+    ),
+    szi AS (SELECT doc_id, COUNT(*) AS n FROM shi GROUP BY 1),
+    szc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+    inter AS (
+      SELECT c.new_doc, c.corpus_doc, COUNT(*) AS ni
+      FROM cand c
+      JOIN shi sa ON sa.doc_id = c.new_doc
+      JOIN shc sb ON sb.doc_id = c.corpus_doc AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.new_doc, i.corpus_doc,
+           CAST(i.ni AS DOUBLE) / CAST(za.n + zb.n - i.ni AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN szi za ON za.doc_id = i.new_doc
+    JOIN szc zb ON zb.doc_id = i.corpus_doc
+    WHERE CAST(i.ni AS DOUBLE) / CAST(za.n + zb.n - i.ni AS DOUBLE) >= 0.5
+    ORDER BY i.new_doc, i.corpus_doc
+    """,
+    tags=("streaming", "llm", "dedup", "incremental"),
+)
+def s24_stream_neardup_probe(t):
+    """d100's NEAR-DUP tier as a continuously-ingesting stream — the
+    missing streaming sibling between s11 (exact-fingerprint door) and
+    the nightly d101 cluster merge: newly-arriving documents are
+    probed against the indexed corpus's band-key table and every
+    VERIFIED near-dup hit (exact Jaccard >= 0.5) is emitted as an
+    append-mode row (new_doc, corpus_doc, jaccard) for the downstream
+    merge job (d101 consumes exactly these verdicts).
+
+    The whole stream is STATELESS — the trick is doing d100's
+    machinery in the stream-legal subset:
+    - shingles/MinHash/band keys are computed ROW-LOCALLY with array
+      higher-order functions (T.shingles -> array_distinct ->
+      array_min(transform(...)) per salt) instead of the batch
+      explode+window+groupBy chain — same values, no shuffle, no
+      state;
+    - the corpus side is a STATIC batch table (band keys + each rep's
+      distinct-shingle array), built once per corpus — at 100 TB this
+      is shingle_table + the band-key table d101's store already
+      holds;
+    - the Jaccard verify is ROW-LOCAL too: the incoming doc's shingle
+      array meets the corpus doc's array in the band join and
+      size(array_intersect(...)) / union computes per row — no
+      per-pair aggregation, hence no streaming-state store and no
+      watermark.
+    A pair colliding in k bands surfaces k times in the raw sink (the
+    stream stays stateless); the returned table dedups — in
+    production the sink is a keyed MERGE. The oracle is d100's ver
+    CTE verbatim (ALL verified pairs).
+
+    Scale shape: incoming band keys hash-partition into the static
+    band table exactly like d100's one-sided probe; candidate volume
+    is new x matching-corpus, never corpus^2; the static side carries
+    each corpus rep's shingle array through the join (the verify
+    payload), which is the same row the verify join would fetch in
+    batch — fetched once per candidate either way."""
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    def sig_cols(sh_col):
+        # NOTE: the per-salt binding must come from a closure, not a
+        # defaulted lambda parameter — Spark's transform() inspects
+        # lambda arity, and a 2-parameter lambda receives (element,
+        # array_index), silently shadowing the salt
+        def mh(k):
+            return F.array_min(
+                F.transform(
+                    sh_col, lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+                )
+            ).alias(f"mh{k}")
+
+        return [mh(k) for k in range(8)]
+
+    def band_structs():
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk")
+
+    bucket = F.expr(_D100_SPARK_BUCKET)
+    corp = t.documents.filter(bucket < 90).select("doc_id", "text")
+    cfp = corp.select(F.md5("text").alias("fp")).distinct()
+    csh = corp.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.array_distinct(T.shingles("text")).alias("csh"),
+    ).filter(F.size("csh") > 0)
+    cbands = (
+        csh.select("corpus_doc", "csh", *sig_cols(F.col("csh")))
+        .select("corpus_doc", "csh", band_structs())
+        .select(
+            "corpus_doc",
+            "csh",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+    incoming = (
+        read_document_stream(t._spark, t._sf_dir)
+        .filter(bucket >= 90)
+        .withColumn("fp", F.md5("text"))
+        .join(cfp, "fp", "left_anti")  # exact tier: s11's door
+        .select(
+            F.col("doc_id").alias("new_doc"),
+            F.array_distinct(T.shingles("text")).alias("ish"),
+        )
+        .filter(F.size("ish") > 0)
+    )
+    ibands = (
+        incoming.select("new_doc", "ish", *sig_cols(F.col("ish")))
+        .select("new_doc", "ish", band_structs())
+        .select(
+            "new_doc",
+            "ish",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+    ni = F.size(F.array_intersect(F.col("ish"), F.col("csh")))
+    j = ni.cast("double") / (
+        F.size("ish") + F.size("csh") - ni
+    ).cast("double")
+    hits = (
+        ibands.join(cbands, ["band", "key"])
+        .select("new_doc", "corpus_doc", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    sunk = run_to_memory_table(hits, "neardup_probe", "append")
+    # band-multiplicity dedup happens at the sink (keyed MERGE in
+    # production); the verdict table is the distinct pair set
+    return sunk.distinct().orderBy("new_doc", "corpus_doc")

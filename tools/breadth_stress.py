@@ -70,8 +70,11 @@ def synth_breadth(sf_dir: str, out_dir: str, factor: int) -> None:
     i_nch = docs.schema.get_field_index("n_chars")
     base_text = docs["text"].to_pylist()
     parts = [docs]
-    # multipliers must be units mod 94 (= 2 x 47): odd, not 47
-    units = [m for m in range(3, 200, 2) if m % 47 and m % 2][: factor]
+    # multipliers must be units mod 94 (= 2 x 47): odd, not a multiple
+    # of 47. Pool sized to the factor; (m_k, shift_k) pairs stay
+    # pairwise distinct (shifts cycle mod 94 but the multiplier pool
+    # never repeats in the same position).
+    units = [m for m in range(3, 9 + 4 * factor, 2) if m % 47][: factor]
     for k in range(1, factor):
         mult, shift = units[k - 1], (k * 7) % 94
         table = str.maketrans(
