@@ -405,3 +405,44 @@ def test_m18_verify_restores_breadth_linearity(spark):
         shutil.rmtree(tmp, ignore_errors=True)
     assert b_m18 == 3 * base_m18  # verified contract is exactly linear
     assert b_m10 > b_m18  # the hash-only contract over-merges here
+
+
+def test_no_defaulted_multiparam_hof_lambdas():
+    """Source-level guard for the Spark HOF arity pitfall found in
+    round 10: `F.transform(arr, lambda s, k=k: ...)` silently receives
+    (element, array_index) — the defaulted closure binding is SHADOWED
+    by the index column and the expression computes garbage (s24's
+    salts hashed a Column repr until this was caught). Any lambda
+    passed to an array HOF with >= 2 params AND defaults is banned;
+    bind per-iteration values with a closure helper instead."""
+    import ast
+    import pathlib
+
+    hof = {
+        "transform", "filter", "exists", "forall", "aggregate",
+        "zip_with", "reduce", "map_filter", "transform_keys",
+        "transform_values",
+    }
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "data_engineer_project_spark"
+    )
+    offenders = []
+    for p in root.rglob("*.py"):
+        for node in ast.walk(ast.parse(p.read_text())):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            name = fn.attr if isinstance(fn, ast.Attribute) else getattr(fn, "id", "")
+            if name not in hof:
+                continue
+            for arg in list(node.args) + [k.value for k in node.keywords]:
+                if (
+                    isinstance(arg, ast.Lambda)
+                    and arg.args.defaults
+                    and len(arg.args.args) >= 2
+                ):
+                    offenders.append((str(p), node.lineno))
+    assert not offenders, (
+        "defaulted multi-param lambdas passed to Spark HOFs (the second "
+        f"param is the ARRAY INDEX, not your binding): {offenders}"
+    )
