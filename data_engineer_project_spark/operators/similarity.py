@@ -565,6 +565,24 @@ def sweep_stores(spark=None, warehouse=None, keep: int = 8) -> None:
             spark.sql(f"DROP TABLE IF EXISTS `{ident}`")
         if p.exists():
             shutil.rmtree(p, ignore_errors=True)
+    if spark is not None and warehouse is None:
+        # reconcile dangling catalog entries (round-10 advice): a
+        # PREVIOUS no-spark sweep removes directories but cannot touch
+        # the metastore, leaving entries whose reads fail confusingly
+        # until the next overwrite. With a session in hand, drop any
+        # shingle-prefixed catalog entry whose directory is gone. Only
+        # on the DEFAULT root — a caller-supplied warehouse (tests)
+        # need not be the session's, and absence there proves nothing.
+        try:
+            for tbl in spark.catalog.listTables():
+                name = tbl.name
+                if name.startswith(SHINGLE_TABLE_PREFIX) and not (
+                    root / name
+                ).exists():
+                    ident = name.replace("`", "``")
+                    spark.sql(f"DROP TABLE IF EXISTS `{ident}`")
+        except Exception:
+            pass  # reconciliation is best-effort session hygiene
 
 
 def prune_store(root, keep: int = 8) -> None:

@@ -446,3 +446,32 @@ def test_no_defaulted_multiparam_hof_lambdas():
         "defaulted multi-param lambdas passed to Spark HOFs (the second "
         f"param is the ARRAY INDEX, not your binding): {offenders}"
     )
+
+
+def test_sweep_reconciles_dangling_shingle_catalog_entries(spark):
+    """A no-spark sweep removes shingle directories but can't touch the
+    metastore; the next session-backed sweep (default root) must drop
+    catalog entries whose directories are gone — and leave entries
+    with live directories alone."""
+    import pathlib
+
+    from data_engineer_project_spark.operators.similarity import sweep_stores
+
+    root = pathlib.Path(
+        "data_engineer_project_spark"
+    ).resolve().parents[0] / "spark-warehouse"
+    spark.sql("DROP TABLE IF EXISTS shingle_t10_live")
+    spark.sql("DROP TABLE IF EXISTS shingle_t10_dangling")
+    spark.range(3).write.saveAsTable("shingle_t10_live")
+    spark.range(3).write.saveAsTable("shingle_t10_dangling")
+    import shutil
+
+    shutil.rmtree(root / "shingle_t10_dangling", ignore_errors=True)
+    try:
+        sweep_stores(spark)  # default root -> reconciliation runs
+        names = {t.name for t in spark.catalog.listTables()}
+        assert "shingle_t10_dangling" not in names
+        assert "shingle_t10_live" in names
+    finally:
+        spark.sql("DROP TABLE IF EXISTS shingle_t10_live")
+        spark.sql("DROP TABLE IF EXISTS shingle_t10_dangling")
