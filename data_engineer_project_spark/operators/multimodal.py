@@ -407,15 +407,21 @@ def decode_png(payload: bytes) -> np.ndarray:
 # JPEG (ITU T.81), dependency-free. Two processes:
 #
 # - decode_jpeg: marker walk + DHT Huffman build + entropy bit reader
-#   (0xFF00 unstuffing) covering BOTH baseline sequential DCT (SOF0:
+#   (0xFF00 unstuffing) covering baseline sequential DCT (SOF0:
 #   dequant -> dezigzag -> exact float64 IDCT -> level shift -> clamp,
 #   with H/V chroma replication upsample and JFIF YCbCr->RGB for
-#   3-component scans) AND lossless sequential (SOF3: T.81 Annex H
-#   predictors 1-7, point transform Al). Progressive (SOF2), arithmetic
-#   coding, and hierarchical remain NotImplementedError; hostile input
-#   (truncation anywhere, oversubscribed or overflowing Huffman tables,
-#   dimension bombs) raises ValueError BEFORE any unbounded work — the
-#   decode_png contract (quarantine verdict, never an executor OOM).
+#   3-component scans), PROGRESSIVE DCT (SOF2: multi-scan spectral
+#   selection + successive approximation per T.81 G.2 — interleaved or
+#   single-component DC scans, per-component AC scans with EOB runs
+#   and refinement correction bits, accumulated in a SPARSE per-block
+#   coefficient state so hostile dimension headers cost entropy-
+#   bounded memory), AND lossless sequential (SOF3: T.81 Annex H
+#   predictors 1-7, point transform Al). Arithmetic coding and
+#   hierarchical remain NotImplementedError; hostile input (truncation
+#   anywhere, oversubscribed or overflowing Huffman tables, dimension
+#   bombs, >128 scans) raises ValueError BEFORE any unbounded work —
+#   the decode_png contract (quarantine verdict, never an executor
+#   OOM).
 #
 # - encode_jpeg_lossless: the fixture arm. SOF3 grayscale, predictor 1,
 #   a canonical 4-bit/9-symbol DC table — BIT-EXACT lossless (unlike
@@ -508,19 +514,21 @@ class _BitReader:
         if self.pos >= len(self.data):
             raise ValueError("truncated JPEG: entropy stream exhausted")
         b = self.data[self.pos]
-        self.pos += 1
         if b == 0xFF:
-            if self.pos >= len(self.data):
+            if self.pos + 1 >= len(self.data):
                 raise ValueError("truncated JPEG: cut at a 0xFF byte")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed
-            else:
-                # a real marker inside the scan (EOI reached early,
-                # or an unexpected segment): the scan is short
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                # a real marker inside the scan (EOI reached early, or
+                # the next progressive SOS): the scan ends here. Leave
+                # pos ON the 0xFF so a multi-scan caller can resume
+                # the marker walk at the segment boundary.
                 raise ValueError(
                     f"truncated JPEG: marker 0xFF{nxt:02X} inside scan"
                 )
+            self.pos += 2  # stuffed
+        else:
+            self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
@@ -621,13 +629,10 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _jpeg_segments(payload: bytes):
-    """Marker walk: yields (marker, segment bytes, position AFTER the
-    segment); stops before the first SOS (entropy data follows) or at
-    EOI. Truncation anywhere raises ValueError."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (no SOI)")
-    pos = 2
+def _next_jpeg_segment(payload: bytes, pos: int):
+    """Parse ONE marker segment at ``pos``: returns (marker, segment
+    bytes, position AFTER the segment), skipping bare TEM/RSTn
+    markers. Truncation anywhere raises ValueError."""
     while True:
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG: no EOI/SOS reached")
@@ -636,8 +641,7 @@ def _jpeg_segments(payload: bytes):
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            yield marker, b"", pos
-            return
+            return marker, b"", pos
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM / RSTn: bare
             continue
         if pos + 2 > len(payload):
@@ -645,28 +649,65 @@ def _jpeg_segments(payload: bytes):
         ln = int.from_bytes(payload[pos : pos + 2], "big")
         if ln < 2 or pos + ln > len(payload):
             raise ValueError("truncated JPEG: segment exceeds payload")
-        seg = payload[pos + 2 : pos + ln]
-        pos += ln
+        return marker, payload[pos + 2 : pos + ln], pos + ln
+
+
+def _skip_jpeg_entropy(payload: bytes, pos: int) -> int:
+    """Advance past entropy-coded data: returns the position of the
+    next real marker (0xFF followed by anything but a stuff byte or
+    RSTn). The scan decoder has already consumed the meaningful bits;
+    whatever sits between its final byte and the marker is padding."""
+    n = len(payload)
+    while pos < n:
+        if payload[pos] == 0xFF and pos + 1 < n:
+            nxt = payload[pos + 1]
+            if nxt != 0x00 and not 0xD0 <= nxt <= 0xD7:
+                return pos
+            pos += 2
+        else:
+            pos += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _jpeg_segments(payload: bytes):
+    """Marker walk: yields (marker, segment bytes, position AFTER the
+    segment); stops before the first SOS (entropy data follows) or at
+    EOI. Truncation anywhere raises ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    while True:
+        marker, seg, pos = _next_jpeg_segment(payload, pos)
         yield marker, seg, pos
-        if marker == 0xDA:  # SOS: entropy data follows
+        if marker in (0xD9, 0xDA):  # EOI / SOS: stop
             return
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Parse a JPEG into its flat sample array (row-major top-down;
     RGB interleaved for 3-component frames) — baseline sequential DCT
-    (SOF0) and lossless sequential (SOF3, 8-bit) both supported. See
-    the section comment for the hostile-input contract."""
+    (SOF0), progressive DCT (SOF2: spectral selection + successive
+    approximation, multi-scan), and lossless sequential (SOF3, 8-bit)
+    all supported. See the section comment for the hostile-input
+    contract."""
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], _Huff] = {}
     frame = None
     mode = None
-    scan = None
-    data_pos = None
     restart_interval = 0
-    for marker, seg, pos in _jpeg_segments(payload):
-        if marker in (0xC0, 0xC1, 0xC3):
-            mode = "dct" if marker in (0xC0, 0xC1) else "lossless"
+    coef = None  # progressive coefficient state: per-comp sparse block dict
+    nscans = 0
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    while True:
+        marker, seg, pos = _next_jpeg_segment(payload, pos)
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            mode = (
+                "dct"
+                if marker in (0xC0, 0xC1)
+                else ("progressive" if marker == 0xC2 else "lossless")
+            )
             if len(seg) < 6:
                 raise ValueError("truncated JPEG: SOF too short")
             prec, h, w, nf = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
@@ -681,10 +722,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if any(c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4) for c in comps):
                 raise ValueError("invalid JPEG sampling factors")
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG process (SOF marker 0xFF{marker:02X}): "
-                "only baseline sequential and lossless sequential"
+                "only baseline sequential, progressive, and lossless sequential"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -723,23 +764,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-            scan = {"sel": sel, "ss": ss, "se": se, "al": ahal & 15}
-            data_pos = pos
-        elif marker == 0xD9 and scan is None:
+            scan = {"sel": sel, "ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 15}
+            if frame is None:
+                raise ValueError("JPEG scan before any frame header")
+            w, h, comps = frame["w"], frame["h"], frame["comps"]
+            if w == 0 or h == 0:
+                raise ValueError("JPEG header declares zero dimension")
+            if w * h * len(comps) > (1 << 28):
+                raise ValueError(
+                    f"JPEG header declares {w}x{h}x{len(comps)} — over the decode bound"
+                )
+            br = _BitReader(payload, pos)
+            if mode == "lossless":
+                return _decode_jpeg_lossless(br, frame, scan, huff)
+            if mode == "dct":
+                return _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval)
+            # progressive: accumulate this scan's coefficients, then
+            # resume the marker walk after its entropy data
+            nscans += 1
+            if nscans > 128:
+                raise ValueError("JPEG declares too many progressive scans")
+            if coef is None:
+                coef = [{} for _ in comps]
+            _decode_progressive_scan(br, frame, scan, huff, coef, restart_interval)
+            pos = _skip_jpeg_entropy(payload, br.pos)
+        elif marker == 0xD9:  # EOI
+            if coef is not None:
+                return _finish_progressive(frame, coef, qt)
             raise ValueError("JPEG reached EOI without a scan")
-    if frame is None or scan is None or data_pos is None:
-        raise ValueError("truncated JPEG: missing SOF or SOS")
-    w, h, comps = frame["w"], frame["h"], frame["comps"]
-    if w == 0 or h == 0:
-        raise ValueError("JPEG header declares zero dimension")
-    if w * h * len(comps) > (1 << 28):
-        raise ValueError(
-            f"JPEG header declares {w}x{h}x{len(comps)} — over the decode bound"
-        )
-    br = _BitReader(payload, data_pos)
-    if mode == "lossless":
-        return _decode_jpeg_lossless(br, frame, scan, huff)
-    return _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval)
 
 
 def _decode_jpeg_lossless(br, frame, scan, huff) -> np.ndarray:
@@ -862,6 +914,16 @@ def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.nda
                         block = _DCT_A @ coef.reshape(8, 8) @ _DCT_A.T
                         py, px = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
                         planes[ci][py : py + 8, px : px + 8] = block + 128.0
+    return _jpeg_assemble(planes, frame)
+
+
+def _jpeg_assemble(planes, frame) -> np.ndarray:
+    """Shared DCT-frame tail: replication-upsample subsampled chroma
+    planes, crop to the declared dimensions, and (for 3-component
+    frames) apply the JFIF YCbCr->RGB transform."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -871,7 +933,7 @@ def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.nda
     if len(comps) == 1:
         return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8).reshape(-1)
     if len(comps) != 3:
-        raise NotImplementedError("baseline JPEG: 1 or 3 components only")
+        raise NotImplementedError("JPEG DCT frame: 1 or 3 components only")
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack(
         [
@@ -882,6 +944,254 @@ def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.nda
         axis=-1,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8).reshape(-1)
+
+
+def _prog_geometry(frame):
+    """Per-component block geometry for a progressive frame: returns
+    (mcux, mcuy, dims) where dims[ci] = (nbx, nby, pbx) — the
+    component's NON-interleaved block counts (T.81 A.2.2: over
+    ceil(w*h_i/hmax) x ceil(h*v_i/vmax) samples) plus its MCU-padded
+    row stride in blocks (interleaved DC scans address the padded
+    grid; both index the same sparse dict through ``pbx``)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dims = []
+    for c in comps:
+        nbx = -(-(-(-w * c["h"] // hmax)) // 8)
+        nby = -(-(-(-h * c["v"] // vmax)) // 8)
+        dims.append((nbx, nby, mcux * c["h"]))
+    return mcux, mcuy, dims
+
+
+def _decode_progressive_scan(br, frame, scan, huff, coef, ri) -> None:
+    """Decode ONE progressive scan (T.81 G.2) into the per-component
+    sparse coefficient state ``coef`` (dict block-index -> 64-entry
+    list in ZIGZAG order; absent block == all-zero). DC scans may be
+    interleaved; AC scans are single-component per the standard.
+    ``Ah == 0`` scans establish coefficients at precision ``Al``;
+    ``Ah > 0`` scans refine one bit. Blocks are only materialized when
+    a nonzero value lands in them, so hostile dimension headers cost
+    entropy-bounded memory, not declared-size memory."""
+    comps = frame["comps"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    sel = scan["sel"]
+    if se > 63 or ss > se or al > 13:
+        raise ValueError("invalid JPEG progressive spectral band")
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    for s in sel:
+        if s["cs"] not in by_id:
+            raise ValueError("JPEG scan/frame component mismatch")
+    mcux, mcuy, dims = _prog_geometry(frame)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive JPEG: DC scan must have Se=0")
+        _prog_dc_scan(br, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dims)
+    else:
+        if len(sel) != 1:
+            raise ValueError("progressive JPEG: AC scan must be single-component")
+        _prog_ac_scan(br, sel[0], by_id, ss, se, ah, al, huff, coef, ri, dims)
+
+
+def _prog_restart(br) -> None:
+    """Byte-align and consume the RSTn marker between restart
+    intervals; absence is hostile input."""
+    br.nbits = 0
+    if (
+        br.pos + 2 > len(br.data)
+        or br.data[br.pos] != 0xFF
+        or not 0xD0 <= br.data[br.pos + 1] <= 0xD7
+    ):
+        raise ValueError("truncated JPEG: missing restart marker")
+    br.pos += 2
+
+
+def _prog_dc_scan(br, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dims):
+    tabs = []
+    for s in sel:
+        if ah == 0:
+            t = huff.get((0, s["td"]))
+            if t is None:
+                raise ValueError("JPEG scan references a missing Huffman table")
+            tabs.append(t)
+        else:
+            tabs.append(None)  # refinement reads raw bits, no table
+    preds = [0] * len(sel)
+    refine_bit = 1 << al
+
+    def dc_block(ci, bi, si):
+        blk = coef[ci].get(bi)
+        if ah == 0:
+            t = tabs[si]
+            s = t.decode(br)
+            if s > 15:
+                raise ValueError("bad JPEG DC category")
+            preds[si] += _extend(br.bits(s), s) if s else 0
+            v = preds[si] << al
+            if blk is None:
+                if v == 0:
+                    return
+                blk = coef[ci][bi] = [0] * 64
+            blk[0] = v
+        else:
+            if br.bit():
+                if blk is None:
+                    blk = coef[ci][bi] = [0] * 64
+                blk[0] |= refine_bit
+
+    if len(sel) == 1:
+        # non-interleaved: raster over the component's own block grid
+        ci = by_id[sel[0]["cs"]]
+        nbx, nby, pbx = dims[ci]
+        n = 0
+        for by in range(nby):
+            base = by * pbx
+            for bx in range(nbx):
+                if ri and n and n % ri == 0:
+                    _prog_restart(br)
+                    preds = [0]
+                n += 1
+                dc_block(ci, base + bx, 0)
+        return
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and nmcu and nmcu % ri == 0:
+                _prog_restart(br)
+                preds = [0] * len(sel)
+            nmcu += 1
+            for si, s in enumerate(sel):
+                ci = by_id[s["cs"]]
+                c = comps[ci]
+                pbx = dims[ci][2]
+                for by in range(c["v"]):
+                    base = (my * c["v"] + by) * pbx + mx * c["h"]
+                    for bx in range(c["h"]):
+                        dc_block(ci, base + bx, si)
+
+
+def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
+    tab = huff.get((1, s["ta"]))
+    if tab is None:
+        raise ValueError("JPEG scan references a missing Huffman table")
+    ci = by_id[s["cs"]]
+    nbx, nby, pbx = dims[ci]
+    blocks = coef[ci]
+    decode, bits, bit = tab.decode, br.bits, br.bit
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    n = nbx * nby
+    bi = 0  # raster index over the scan's block grid
+    while bi < n:
+        if ri and bi and bi % ri == 0:
+            _prog_restart(br)
+            eobrun = 0
+        key = (bi // nbx) * pbx + (bi % nbx)
+        if ah == 0:
+            if eobrun:
+                # bulk-skip: a run of all-zero blocks reads no bits
+                take = min(eobrun, n - bi)
+                if ri:
+                    take = min(take, ri - bi % ri)
+                eobrun -= take
+                bi += take
+                continue
+            blk = blocks.get(key)
+            k = ss
+            while k <= se:
+                rs = decode(br)
+                r, sz = rs >> 4, rs & 15
+                if sz == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits(r)
+                        break
+                    k += 16
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("bad JPEG AC run past band end")
+                    if blk is None:
+                        blk = blocks[key] = [0] * 64
+                    blk[k] = _extend(bits(sz), sz) << al
+                    k += 1
+        else:
+            blk = blocks.get(key)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = decode(br)
+                    r, sz = rs >> 4, rs & 15
+                    newval = 0
+                    if sz == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits(r)
+                            break
+                        # r == 15: pass 16 zero-history coefficients
+                    else:
+                        if sz != 1:
+                            raise ValueError("bad JPEG AC refinement magnitude")
+                        newval = p1 if bit() else m1
+                    while k <= se:
+                        v = blk[k] if blk is not None else 0
+                        if v != 0:
+                            if bit() and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        if blk is None:
+                            blk = blocks[key] = [0] * 64
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                if blk is not None:
+                    while k <= se:
+                        v = blk[k]
+                        if v != 0 and bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                eobrun -= 1
+        bi += 1
+
+
+def _finish_progressive(frame, coef, qt) -> np.ndarray:
+    """Dequantize, de-zigzag, and IDCT the accumulated progressive
+    coefficient state into pixel planes (vectorized einsum over the
+    materialized blocks only), then run the shared DCT tail."""
+    comps = frame["comps"]
+    mcux, mcuy, dims = _prog_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError("JPEG frame references a missing quant table")
+        qv = np.array(qt[c["tq"]], dtype=np.float64)
+        pbx, pby = mcux * c["h"], mcuy * c["v"]
+        plane = np.full((pby * 8, pbx * 8), 128.0)
+        blocks = coef[ci]
+        if blocks:
+            keys = sorted(blocks)
+            zz = np.array([blocks[k] for k in keys], dtype=np.float64) * qv
+            nat = np.zeros_like(zz)
+            nat[:, _ZIGZAG] = zz
+            spatial = np.einsum(
+                "xu,nuv,yv->nxy", _DCT_A, nat.reshape(-1, 8, 8), _DCT_A
+            )
+            for i, key in enumerate(keys):
+                by, bx = key // pbx, key % pbx
+                if by >= pby:
+                    continue  # hostile scan geometry beyond the frame
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += spatial[i]
+        planes.append(plane)
+    return _jpeg_assemble(planes, frame)
 
 
 def _jfif_app0() -> bytes:
@@ -1036,6 +1346,199 @@ def encode_jpeg_baseline(pixels: bytes, width: int) -> bytes:
     return (
         b"\xff\xd8" + _jfif_app0() + dqt + dht_dc + dht_ac + sof + sos + entropy + b"\xff\xd9"
     )
+
+
+# Default progressive script: DC first/refine, two AC bands first at
+# different Al, then the refinement chain down to full precision —
+# exercises every scan shape the decoder implements (EOB runs,
+# correction bits, newly-nonzero placement, ZRL-in-refinement).
+_PROG_DEFAULT_SCRIPT = (
+    (0, 0, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 0, 2),
+    (6, 63, 0, 1),
+    (1, 5, 2, 1),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _dct_zigzag_blocks(pixels: bytes, width: int) -> list[list[int]]:
+    """All-ones-quant DCT coefficients for every 8x8 block (edge-
+    replicated padding, raster order) as int lists in ZIGZAG order —
+    the same transform encode_jpeg_baseline applies, so a progressive
+    stream built from these blocks must decode to the identical
+    pixels."""
+    if width <= 0 or not pixels or len(pixels) % width:
+        raise ValueError("pixel buffer must be non-empty height*width bytes")
+    height = len(pixels) // width
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bw8, bh8 = -(-width // 8) * 8, -(-height // 8) * 8
+    padded = np.zeros((bh8, bw8), dtype=np.float64)
+    padded[:height, :width] = img
+    if bh8 > height:
+        padded[height:, :width] = img[-1:, :]
+    if bw8 > width:
+        padded[:, width:] = padded[:, width - 1 : width]
+    blocks = []
+    for by in range(0, bh8, 8):
+        for bx in range(0, bw8, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coefn = np.rint(_DCT_A.T @ block @ _DCT_A).astype(np.int64)
+            zz = coefn.reshape(-1)[_ZIGZAG]
+            blocks.append([int(v) for v in zz])
+    return blocks
+
+
+def encode_jpeg_progressive(
+    pixels: bytes, width: int, script=_PROG_DEFAULT_SCRIPT
+) -> bytes:
+    """Progressive DCT (SOF2) grayscale test encoder with all-ones
+    quant — the pytest roundtrip partner for the progressive decode
+    path. Encodes the SAME coefficients as encode_jpeg_baseline split
+    across a spectral-selection + successive-approximation scan
+    ``script`` of (Ss, Se, Ah, Al) rows (T.81 G.1.2: DC point
+    transform is an arithmetic shift, AC a magnitude shift; AC
+    refinement buffers correction bits across EOB runs exactly as the
+    decoder consumes them). decode_jpeg(progressive) must therefore
+    equal decode_jpeg(baseline) bit-for-bit on any input."""
+    blocks = _dct_zigzag_blocks(pixels, width)
+    height = len(pixels) // width
+    for ss, se, ah, al in script:
+        if not (0 <= ss <= se <= 63) or (ss == 0) != (se == 0):
+            raise ValueError(f"invalid progressive scan band ({ss},{se})")
+        if ah != 0 and ah != al + 1:
+            raise ValueError(f"invalid successive approximation ({ah},{al})")
+    # canonical tables: DC 12 values at 4 bits (code == symbol); AC
+    # all 176 (r<<4|s, s<=10) symbols at 8 bits (code == index) —
+    # unlike the baseline table this includes every EOBn symbol
+    ac_vals = bytes(r << 4 | s for r in range(16) for s in range(11))
+    ac_code = {v: i for i, v in enumerate(ac_vals)}
+    out = bytearray(b"\xff\xd8" + _jfif_app0())
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + b"\x01" * 64
+    out += _dht_segment(0, 0, [0, 0, 0, 12] + [0] * 12, bytes(range(12)))
+    out += _dht_segment(1, 0, [0] * 7 + [len(ac_vals)] + [0] * 8, ac_vals)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    for ss, se, ah, al in script:
+        bw = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _emit_dc_first(bw, blocks, al)
+            else:
+                for blk in blocks:
+                    bw.write((blk[0] >> al) & 1, 1)
+        elif ah == 0:
+            _emit_ac_first(bw, blocks, ss, se, al, ac_code)
+        else:
+            _emit_ac_refine(bw, blocks, ss, se, al, ac_code)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00"
+        out += bytes([ss, se, ah << 4 | al])
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_dc_first(bw, blocks, al):
+    pred = 0
+    for blk in blocks:
+        t = blk[0] >> al  # arithmetic shift per T.81 G.1.2.1
+        diff = t - pred
+        pred = t
+        s = abs(diff).bit_length()
+        bw.write(s, 4)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_eobn(bw, eobrun, ac_code):
+    r = eobrun.bit_length() - 1
+    bw.write(ac_code[r << 4], 8)
+    if r:
+        bw.write(eobrun - (1 << r), r)
+
+
+def _emit_ac_first(bw, blocks, ss, se, al, ac_code):
+    eobrun = 0
+    for blk in blocks:
+        band = [
+            (abs(v) >> al) * (1 if v >= 0 else -1)  # magnitude shift
+            for v in blk[ss : se + 1]
+        ]
+        if not any(band):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobn(bw, eobrun, ac_code)
+                eobrun = 0
+            continue
+        if eobrun:
+            _emit_eobn(bw, eobrun, ac_code)
+            eobrun = 0
+        r = 0
+        for v in band:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                bw.write(ac_code[0xF0], 8)  # ZRL
+                r -= 16
+            s = abs(v).bit_length()
+            bw.write(ac_code[r << 4 | s], 8)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+    if eobrun:
+        _emit_eobn(bw, eobrun, ac_code)
+
+
+def _emit_ac_refine(bw, blocks, ss, se, al, ac_code):
+    eobrun = 0
+    pend: list[int] = []  # correction bits buffered with the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            _emit_eobn(bw, eobrun, ac_code)
+            eobrun = 0
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+
+    for blk in blocks:
+        absv = [abs(v) >> al for v in blk[ss : se + 1]]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i  # last newly-nonzero coefficient
+        r = 0
+        cur: list[int] = []  # this block's correction bits
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                flush_eob()
+                bw.write(ac_code[0xF0], 8)
+                r -= 16
+                for b in cur:
+                    bw.write(b, 1)
+                cur = []
+            if t > 1:
+                cur.append(t & 1)
+                continue
+            flush_eob()
+            bw.write(ac_code[r << 4 | 1], 8)
+            bw.write(1 if blk[ss + i] >= 0 else 0, 1)
+            for b in cur:
+                bw.write(b, 1)
+            cur = []
+            r = 0
+        if r > 0 or cur:
+            eobrun += 1
+            pend.extend(cur)
+            if eobrun == 0x7FFF or len(pend) > 900:
+                flush_eob()
+    flush_eob()
 
 
 def _real_decode(payload: bytes, fmt: str) -> np.ndarray:

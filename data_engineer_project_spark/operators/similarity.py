@@ -465,10 +465,23 @@ def write_store_atomic(df: DataFrame, store, partition_by=None) -> None:
 
     store = str(store)
     tmp = f"{store}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    writer = df.write.mode("overwrite")
+    # Pin static overwrite for the temp write: the session may carry
+    # partitionOverwriteMode=dynamic (streaming sinks set it), and a
+    # dynamic partitioned overwrite commits through a staging dir
+    # WITHOUT the _SUCCESS marker every store reader keys on. The
+    # per-write option overrides the session conf; tmp is fresh, so
+    # static semantics are identical here.
+    writer = df.write.mode("overwrite").option("partitionOverwriteMode", "static")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    # Belt and braces: the marker IS the store machinery's commit
+    # record — if a committer variant skipped it, install it now,
+    # before the publish rename.
+    marker = os.path.join(tmp, "_SUCCESS")
+    if not os.path.exists(marker):
+        with open(marker, "w"):
+            pass
     try:
         os.rename(tmp, store)
         return

@@ -361,10 +361,15 @@ def test_jpeg_decoder_quarantines_hostile_input():
     zero_sof = seg(0xC3, st.pack(">BHHB", 8, 0, 4, 1) + b"\x01\x11\x00")
     with pytest.raises(ValueError, match="zero dimension"):
         decode_jpeg(b"\xff\xd8" + dht + zero_sof + sos + b"\x00" * 4 + b"\xff\xd9")
-    # progressive is a documented stub, not a crash
+    # progressive with a hostile band spec (Ss=1 > Se=0 from the
+    # lossless-style SOS) quarantines, not a crash; arithmetic-coded
+    # frames stay a documented stub
     prog_sof = seg(0xC2, st.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00")
-    with pytest.raises(NotImplementedError, match="SOF"):
+    with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg(b"\xff\xd8" + dht + prog_sof + sos + b"\x00" * 4 + b"\xff\xd9")
+    arith_sof = seg(0xC9, st.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00")
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(b"\xff\xd8" + dht + arith_sof + sos + b"\x00" * 4 + b"\xff\xd9")
     # entropy stream that exhausts before the pixel count is met
     short = seg(0xC3, st.pack(">BHHB", 8, 64, 64, 1) + b"\x01\x11\x00")
     with pytest.raises(ValueError, match="truncated"):
@@ -475,3 +480,256 @@ def test_sweep_reconciles_dangling_shingle_catalog_entries(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS shingle_t10_live")
         spark.sql("DROP TABLE IF EXISTS shingle_t10_dangling")
+
+
+# ---------------- round-10 third wave: progressive JPEG (SOF2) -----
+
+
+_PROG_SCRIPTS = [
+    None,  # default script: DC + AC bands, 2-level successive approx
+    ((0, 0, 0, 0), (1, 63, 0, 0)),  # spectral selection only
+    (  # deep successive approximation (3 refinement levels)
+        (0, 0, 0, 3), (0, 0, 3, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+        (1, 63, 0, 3), (1, 63, 3, 2), (1, 63, 2, 1), (1, 63, 1, 0),
+    ),
+    # 63 one-coefficient bands (maximal EOB-run traffic)
+    tuple([(0, 0, 0, 0)] + [(k, k, 0, 0) for k in range(1, 64)]),
+]
+
+
+def test_jpeg_progressive_equals_baseline_all_scripts():
+    """decode(progressive) must equal decode(baseline) BIT-FOR-BIT on
+    the same pixels: both encoders emit the same all-ones-quant DCT
+    coefficients, so any divergence is a scan-machinery bug (EOB runs,
+    refinement correction bits, point-transform shifts). Covers every
+    script shape the decoder implements."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(42)
+    pats = [
+        (rng.randint(0, 256, 40 * 25).astype(np.uint8).tobytes(), 40),
+        (bytes([128]) * 1600, 40),  # constant: all-EOB AC scans
+        ((bytes([0] * 100 + [255] * 100)) * 8, 40),  # hard edges
+        (bytes(range(200)) * 8, 40),  # ramp
+        (rng.randint(0, 256, 7 * 3).astype(np.uint8).tobytes(), 7),
+        (rng.randint(0, 256, 1).astype(np.uint8).tobytes(), 1),
+    ]
+    for px, w in pats:
+        base = decode_jpeg(encode_jpeg_baseline(px, w))
+        for script in _PROG_SCRIPTS:
+            p = (
+                encode_jpeg_progressive(px, w)
+                if script is None
+                else encode_jpeg_progressive(px, w, script=script)
+            )
+            assert np.array_equal(base, decode_jpeg(p)), (w, script)
+
+
+def test_jpeg_progressive_three_component_subsampled():
+    """Interleaved-DC + per-component-AC progressive color frames
+    (including 4:2:0/4:2:2 subsampling and non-MCU-aligned edges)
+    must match the independent baseline MCU decoder on the same
+    coefficients — the two paths share only the assemble tail."""
+    import struct as st
+
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + st.pack(">H", 2 + len(body)) + body
+
+    def build_pair(w, h, sub, seed):
+        rng = np.random.default_rng(seed)
+        hY, vY = sub
+        cw, ch = -(-w // hY), -(-h // vY)
+        bufs = [
+            (rng.integers(0, 256, size=h * w, dtype=np.uint8).tobytes(), w),
+            (rng.integers(0, 256, size=ch * cw, dtype=np.uint8).tobytes(), cw),
+            (rng.integers(0, 256, size=ch * cw, dtype=np.uint8).tobytes(), cw),
+        ]
+        comps = []
+        for i, (buf, bw_) in enumerate(bufs):
+            blks = mm._dct_zigzag_blocks(buf, bw_)
+            comps.append((i + 1, (hY, vY) if i == 0 else (1, 1), blks, -(-bw_ // 8)))
+        mcux, mcuy = -(-w // (8 * hY)), -(-h // (8 * vY))
+        ac_vals = bytes(r << 4 | s for r in range(16) for s in range(11))
+        ac_code = {v: i for i, v in enumerate(ac_vals)}
+        dqt = seg(0xDB, b"\x00" + b"\x01" * 64)
+        dht_dc = seg(0xC4, b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+        dht_ac = seg(0xC4, b"\x10" + bytes([0] * 7 + [len(ac_vals)] + [0] * 8) + ac_vals)
+        sof_body = st.pack(">BHHB", 8, h, w, 3) + bytes(
+            [1, hY << 4 | vY, 0, 2, 0x11, 0, 3, 0x11, 0]
+        )
+        head = lambda m: b"\xff\xd8" + dqt + dht_dc + dht_ac + seg(m, sof_body)
+
+        def mcu_block(ci, my, mx, by, bx):
+            _, (hh, vv), blks, nbx = comps[ci]
+            row, col = my * vv + by, mx * hh + bx
+            if row >= len(blks) // nbx or col >= nbx:
+                return [0] * 64  # MCU padding beyond the comp raster
+            return blks[row * nbx + col]
+
+        def emit_dc(bw, zz0, pred):
+            d = zz0 - pred
+            s = abs(d).bit_length()
+            bw.write(s, 4)
+            if s:
+                bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+            return zz0
+
+        # baseline: fully interleaved sequential MCUs
+        bw = mm._BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, (hh, vv), _b, _n) in enumerate(comps):
+                    for by in range(vv):
+                        for bx in range(hh):
+                            zz = mcu_block(ci, my, mx, by, bx)
+                            preds[ci] = emit_dc(bw, zz[0], preds[ci])
+                            k = 1
+                            while k < 64:
+                                if zz[k] == 0:
+                                    nxt = [j for j in range(k, 64) if zz[j]]
+                                    if not nxt:
+                                        bw.write(ac_code[0], 8)
+                                        break
+                                    run, k = nxt[0] - k, nxt[0]
+                                else:
+                                    run = 0
+                                while run > 15:
+                                    bw.write(ac_code[0xF0], 8)
+                                    run -= 16
+                                v = zz[k]
+                                s = abs(v).bit_length()
+                                bw.write(ac_code[run << 4 | s], 8)
+                                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                                k += 1
+        sos_b = seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + bytes([0, 63, 0]))
+        baseline = head(0xC0) + sos_b + bw.flush() + b"\xff\xd9"
+
+        # progressive: one interleaved DC scan + one AC scan per comp
+        bw = mm._BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, (hh, vv), _b, _n) in enumerate(comps):
+                    for by in range(vv):
+                        for bx in range(hh):
+                            preds[ci] = emit_dc(
+                                bw, mcu_block(ci, my, mx, by, bx)[0], preds[ci]
+                            )
+        prog = head(0xC2)
+        prog += seg(
+            0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + bytes([0, 0, 0])
+        ) + bw.flush()
+        for cid, _sub, blks, _nbx in comps:
+            bw = mm._BitWriter()
+            mm._emit_ac_first(bw, blks, 1, 63, 0, ac_code)
+            prog += seg(0xDA, b"\x01" + bytes([cid, 0]) + bytes([1, 63, 0]))
+            prog += bw.flush()
+        prog += b"\xff\xd9"
+        return baseline, prog
+
+    for w, h, sub, seed in [
+        (16, 16, (1, 1), 0),
+        (16, 16, (2, 2), 1),
+        (24, 18, (2, 2), 2),
+        (20, 12, (2, 1), 3),
+    ]:
+        b, p = build_pair(w, h, sub, seed)
+        assert np.array_equal(mm.decode_jpeg(b), mm.decode_jpeg(p)), (w, h, sub)
+
+
+def test_jpeg_progressive_hostile_quarantine():
+    """Progressive-specific hostile shapes quarantine as ValueError
+    before unbounded work: dimension bombs (checked at SOS, before
+    the sparse state allocates), invalid spectral bands, interleaved
+    AC scans, scan-count bombs, and truncation at every prefix of a
+    real progressive payload."""
+    import struct as st
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + st.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(0xDB, b"\x00" + b"\x01" * 64)
+    dht_dc = seg(0xC4, b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+    sof2 = seg(0xC2, st.pack(">BHHB", 8, 16, 16, 1) + b"\x01\x11\x00")
+    sos_dc = seg(0xDA, b"\x01\x01\x00" + bytes([0, 0, 0]))
+
+    bomb = seg(0xC2, st.pack(">BHHB", 8, 30000, 30000, 1) + b"\x01\x11\x00")
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_jpeg(b"\xff\xd8" + dqt + dht_dc + bomb + sos_dc + b"\x00" * 8 + b"\xff\xd9")
+
+    bad_dc = seg(0xDA, b"\x01\x01\x00" + bytes([0, 5, 0]))  # DC with Se=5
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(b"\xff\xd8" + dqt + dht_dc + sof2 + bad_dc + b"\x00" * 4 + b"\xff\xd9")
+
+    sof2c = seg(
+        0xC2,
+        st.pack(">BHHB", 8, 16, 16, 3) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+    )
+    multi_ac = seg(
+        0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + bytes([1, 63, 0])
+    )
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg(
+            b"\xff\xd8" + dqt + dht_dc + sof2c + multi_ac + b"\x00" * 4 + b"\xff\xd9"
+        )
+
+    # scan-count bomb: hundreds of 1-byte DC refinement scans
+    body = b"\xff\xd8" + dqt + dht_dc + sof2
+    body += seg(0xDA, b"\x01\x01\x00" + bytes([0, 0, 1])) + b"\x00\x00"
+    body += (seg(0xDA, b"\x01\x01\x00" + bytes([0, 0, 1 << 4 | 0])) + b"\x00") * 200
+    with pytest.raises(ValueError, match="too many progressive scans"):
+        decode_jpeg(body + b"\xff\xd9")
+
+    px = np.random.RandomState(9).randint(0, 256, 30 * 20).astype(np.uint8).tobytes()
+    payload = encode_jpeg_progressive(px, 30)
+    for cut in range(2, len(payload), 5):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:cut])
+
+
+def test_write_store_atomic_immune_to_dynamic_overwrite_mode(spark, tmp_path):
+    """Regression (round-10 d95 flake): with the session carrying
+    partitionOverwriteMode=dynamic (streaming sinks and
+    write_partitioned_parquet set it and it leaks session-wide), a
+    dynamic partitioned overwrite commits WITHOUT the _SUCCESS marker
+    that every store reader keys on. write_store_atomic must publish
+    a marker-complete store regardless of session conf."""
+    from data_engineer_project_spark.operators.similarity import write_store_atomic
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df = spark.createDataFrame([(1, "en"), (2, "de")], "id int, lang string")
+        store = tmp_path / "probe_store" / "k1"
+        store.parent.mkdir()
+        write_store_atomic(df, store, partition_by=["lang"])
+        assert (store / "_SUCCESS").exists()
+        parts = {p.name for p in store.iterdir() if p.name.startswith("lang=")}
+        assert parts == {"lang=en", "lang=de"}
+        # unpartitioned path too
+        store2 = tmp_path / "probe_store" / "k2"
+        write_store_atomic(df, store2)
+        assert (store2 / "_SUCCESS").exists()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -898,3 +898,63 @@ def test_jpeg_decoder_controlled_failure_under_byte_corruption(seed, pos, val):
         assert out.dtype == np.uint8  # decoded (same or altered pixels)
     except (ValueError, NotImplementedError):
         pass  # quarantine verdict — the allowed failure mode
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_equals_baseline_any_geometry(w, h, seed):
+    """Progressive (SOF2) and baseline (SOF0) streams built from the
+    SAME all-ones-quant DCT coefficients must decode to IDENTICAL
+    pixels for any geometry and content — any divergence is a bug in
+    the multi-scan machinery (spectral bands, successive-approximation
+    shifts, EOB runs, refinement correction bits)."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, w * h).astype(
+        np.uint8
+    ).tobytes()
+    base = decode_jpeg(encode_jpeg_baseline(px, w))
+    prog = decode_jpeg(encode_jpeg_progressive(px, w))
+    assert np.array_equal(base, prog)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    pos=st.integers(min_value=2, max_value=10_000),
+    val=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_progressive_controlled_failure_under_byte_corruption(
+    seed, pos, val
+):
+    """The quarantine contract holds for multi-scan payloads too: ANY
+    single-byte corruption of a progressive JPEG either decodes or
+    raises ValueError/NotImplementedError — never an uncontrolled
+    error, hang, or unbounded allocation."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, 30 * 10).astype(
+        np.uint8
+    ).tobytes()
+    payload = bytearray(encode_jpeg_progressive(px, 30))
+    payload[pos % len(payload)] = val
+    try:
+        out = decode_jpeg(bytes(payload))
+        assert out.dtype == np.uint8
+    except (ValueError, NotImplementedError):
+        pass
