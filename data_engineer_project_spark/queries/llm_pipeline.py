@@ -11908,6 +11908,30 @@ def _merge_delta_into_clusters(delta, stored_reps, stored_comps, shc, bc):
     - rollup: d99's weighted rollup verbatim over the merged rep set
       (bumped weights, relabeled nodes, novel singletons with wt > 1
       surfacing as components)."""
+    st = _merge_delta_state(
+        delta,
+        {"reps": stored_reps, "comps": stored_comps, "sh": shc, "bands": bc},
+    )
+    return _cluster_rollup(st["reps"], st["comps"])
+
+
+def _merge_delta_state(delta, st):
+    """One merge step of the incremental d99, returning the UPDATED
+    standing state (the d101 docstring's case analysis applies
+    verbatim). ``st`` is the four-artifact dict — reps (fp, node, wt,
+    n_tok), comps (node, component), sh (node, shingle), bands (node,
+    band, key). The returned dict has the same shape with renames
+    applied to the shingle/band node keys, so merges CHAIN: state
+    merged batch-by-batch equals one merge of the concatenated delta
+    (the s25 streaming sibling relies on exactly this — each
+    micro-batch's novels join the band/shingle tables the next batch
+    probes, and weight bumps/renames land on reps keyed by fp)."""
+    stored_reps, stored_comps, shc, bc = (
+        st["reps"],
+        st["comps"],
+        st["sh"],
+        st["bands"],
+    )
     dfp = _collapse_reps(delta).select(
         "fp",
         F.col("node").alias("d_doc"),
@@ -11922,6 +11946,7 @@ def _merge_delta_into_clusters(delta, stored_reps, stored_comps, shc, bc):
         F.col("node").alias("_old"), F.col("d_doc").alias("_new")
     )
     novel = dfp.join(stored_reps.select("fp"), "fp", "left_anti").select(
+        "fp",
         F.col("d_doc").alias("node"),
         "text",
         F.col("wt_d").alias("wt"),
@@ -11930,11 +11955,12 @@ def _merge_delta_into_clusters(delta, stored_reps, stored_comps, shc, bc):
     merged_reps = (
         stored_reps.join(dfp.select("fp", "d_doc", "wt_d"), "fp", "left")
         .select(
+            "fp",
             F.least(F.col("node"), F.coalesce("d_doc", "node")).alias("node"),
             (F.col("wt") + F.coalesce("wt_d", F.lit(0))).alias("wt"),
             "n_tok",
         )
-        .union(novel.select("node", "wt", "n_tok"))
+        .union(novel.select("fp", "node", "wt", "n_tok"))
     )
 
     def ren(df, col):
@@ -11975,6 +12001,17 @@ def _merge_delta_into_clusters(delta, stored_reps, stored_comps, shc, bc):
         .union(e_dd)
     )
     comps = GR.connected_components(all_edges)
+    return {
+        "reps": merged_reps,
+        "comps": comps.select("node", "component"),
+        "sh": ren(shn.union(shc), "node"),
+        "bands": ren(bn.union(bc), "node"),
+    }
+
+
+def _cluster_rollup(merged_reps, comps):
+    """d99's weighted rollup verbatim over a merged rep set: exact-dup
+    groups (wt > 1) not in any component surface as singletons."""
     singles = (
         merged_reps.filter(F.col("wt") > 1)
         .join(comps.select("node"), "node", "left_anti")

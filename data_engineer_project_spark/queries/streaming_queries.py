@@ -1938,3 +1938,132 @@ def s24_stream_neardup_probe(t):
     # band-multiplicity dedup happens at the sink (keyed MERGE in
     # production); the verdict table is the distinct pair set
     return sunk.distinct().orderBy("new_doc", "corpus_doc")
+
+
+from data_engineer_project_spark.queries.catalog import (  # noqa: E402
+    QUERIES as _REGISTRY_S25,
+)
+
+# s25's contract IS d101's: the streamed merge must be hash-equal to
+# d99 run from scratch on the full table, so the oracle is d99's
+# oracle verbatim (llm_pipeline is imported before this module, so the
+# spec is already registered).
+_S25_ORACLE = _REGISTRY_S25["d99_weighted_neardup_clusters"].oracle
+
+
+@query(
+    "s25_stream_cluster_maintenance",
+    _S25_ORACLE,
+    tags=("streaming", "llm", "dedup", "graph", "incremental"),
+)
+def s25_stream_cluster_maintenance(t):
+    """d101's incremental cluster merge as a CONTINUOUS ingest: the
+    standing weighted near-dup cluster state (reps, components, corpus
+    shingle + band-key tables) is maintained across micro-batches of
+    newly-landed documents — each foreachBatch merges one batch via
+    _merge_delta_state (exact dups bump weights, novels attach through
+    one-sided band probes, bridges merge standing components) and the
+    UPDATED state becomes the corpus side the NEXT batch probes. This
+    is the end of the streaming dedup arc: s11 gates exact dups at the
+    door, s24 emits near-dup verdicts, s25 folds them into the
+    standing cluster table a training-data pipeline actually serves.
+
+    Exactness: _merge_delta_state chains — novels join the band and
+    shingle tables later batches probe, weight bumps/renames land on
+    reps keyed by content fingerprint — so state merged batch-by-batch
+    equals one merge of the whole delta, which the d101 parity pytest
+    pins hash-equal to d99 from scratch. The oracle is therefore d99's
+    oracle verbatim, and a pytest asserts the run really processed
+    multiple batches (maxFilesPerTrigger=1 over a multi-file spill).
+
+    Scale shape: per-batch work is batch x matching-corpus (band
+    equi-join) plus batch^2 through the skew guard; the CC pass runs
+    over already-converged star edges plus the batch's attachments, so
+    rounds track the log diameter of NEW merges only. State lives in
+    localCheckpoint here (test scale); at 100 TB it is d101's
+    fingerprint-keyed warehouse store updated per batch — same
+    artifacts, durable sink."""
+    import shutil
+    import tempfile
+
+    import data_engineer_project_spark.operators.dedup as DD
+    import data_engineer_project_spark.operators.graph as GR
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.operators.cache import tracked_persist
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _cluster_rollup,
+        _collapse_reps,
+        _D100_NB,
+        _D100_NH,
+        _merge_delta_state,
+    )
+
+    bucket = F.expr(_D100_SPARK_BUCKET)
+    docs = t.documents
+    corpus = docs.filter(bucket < 90).select("doc_id", "text")
+    delta = docs.filter(bucket >= 90).select("doc_id", "text")
+
+    # standing state from the corpus partition (d101's cold path,
+    # hermetic in-session here; the production form is its store)
+    reps = tracked_persist(_collapse_reps(corpus))
+    shc = tracked_persist(
+        DD.exploded_shingles(reps.select("node", "text"), id_col="node").distinct()
+    )
+    pairs = DD.minhash_lsh_pairs_from_shingles(
+        shc,
+        id_col="node",
+        num_hashes=_D100_NH,
+        bands=_D100_NB,
+        jaccard_threshold=0.5,
+    ).select("doc_a", "doc_b")
+    sigc = DD.minhash_signatures(shc, id_col="node", num_hashes=_D100_NH)
+    state = {
+        "reps": reps.select(
+            "fp", "node", "wt", T.token_count("text").alias("n_tok")
+        ),
+        "comps": GR.connected_components(pairs).select("node", "component"),
+        "sh": shc,
+        "bands": DD.band_key_rows(
+            sigc, id_col="node", num_hashes=_D100_NH, bands=_D100_NB
+        ),
+    }
+
+    tmp = tempfile.mkdtemp(prefix="s25_delta_")
+    try:
+        # the intake layout: delta docs land as multiple part files;
+        # maxFilesPerTrigger=1 makes each file one micro-batch
+        delta.repartition(3).write.mode("overwrite").parquet(f"{tmp}/landing")
+        incoming = (
+            t._spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/landing")
+        )
+        holder = {"st": state, "batches": 0}
+
+        def sink(batch_df, _batch_id):
+            if batch_df.isEmpty():
+                return
+            new = _merge_delta_state(
+                batch_df.select("doc_id", "text"), holder["st"]
+            )
+            # materialize before the batch context closes (and cut
+            # the per-batch lineage growth)
+            holder["st"] = {
+                k: v.localCheckpoint(eager=True) for k, v in new.items()
+            }
+            holder["batches"] += 1
+
+        q = (
+            incoming.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        st = holder["st"]
+        out = _cluster_rollup(st["reps"], st["comps"])
+        # surface the batch count for the multi-batch pytest without
+        # changing the driver-facing schema
+        out._s25_batches = holder["batches"]
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

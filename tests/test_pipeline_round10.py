@@ -733,3 +733,24 @@ def test_write_store_atomic_immune_to_dynamic_overwrite_mode(spark, tmp_path):
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_s25_streamed_merge_is_multi_batch_and_equals_d99(spark):
+    """The streamed cluster maintenance must (a) actually process
+    multiple micro-batches (state chaining is the point — one batch
+    would degenerate to d101) and (b) produce the same table as d99
+    run from scratch on the full corpus."""
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["s25_stream_cluster_maintenance"].fn(spark, sf)
+    rows_s = [tuple(r) for r in out.collect()]
+    assert out._s25_batches >= 2, "spill did not split into micro-batches"
+    release_all()
+    rows_d = [
+        tuple(r)
+        for r in QUERIES["d99_weighted_neardup_clusters"].fn(spark, sf).collect()
+    ]
+    release_all()
+    assert rows_s == rows_d
