@@ -127,9 +127,20 @@ def decode_pnm(payload: bytes) -> np.ndarray:
         tokens.append(int(payload[start:pos]))
     pos += 1  # the single whitespace byte after maxval
     width, height, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM samples not supported")
+    if maxval <= 0 or maxval > 65535:
+        raise ValueError(f"invalid PNM maxval {maxval}")
     n = width * height * per_px
+    if maxval > 255:
+        # 16-bit samples: big-endian u16 per the format, scaled to the
+        # 8-bit sample space every downstream stat/fingerprint uses
+        # (round-half-up of v*255/maxval; 65535 -> 255, 0 -> 0)
+        data = payload[pos : pos + 2 * n]
+        if len(data) != 2 * n:
+            raise ValueError(
+                f"truncated PNM: want {n} 16-bit samples, have {len(data) // 2}"
+            )
+        v = np.frombuffer(data, dtype=">u2").astype(np.uint32)
+        return ((v * 255 + maxval // 2) // maxval).astype(np.uint8)
     data = payload[pos : pos + n]
     if len(data) != n:
         raise ValueError(f"truncated PNM: want {n} samples, have {len(data)}")
@@ -174,18 +185,26 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("BMP payload truncated inside the header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     dib_size = struct.unpack_from("<I", payload, 14)[0]
-    if dib_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
-    width, height = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    compression = struct.unpack_from("<I", payload, 30)[0]
+    if dib_size == 12:
+        # BITMAPCOREHEADER (OS/2 1.x): u16 dims, no compression field,
+        # always bottom-up, 3-byte palette entries (data_offset already
+        # accounts for the palette, so rows read identically)
+        width, height, _planes, bpp = struct.unpack_from("<HHHH", payload, 18)
+        compression, top_down = 0, False
+        width, height = int(width), int(height)
+    elif dib_size >= 40:
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        top_down = height < 0
+        height = abs(height)
+    else:
+        raise ValueError(f"invalid BMP DIB header size {dib_size}")
     if bpp != 8 or compression != 0:
         raise NotImplementedError(
             f"only 8-bit uncompressed BMP supported (bpp={bpp}, "
             f"compression={compression})"
         )
-    top_down = height < 0
-    height = abs(height)
     # header fields are UNTRUSTED: a corrupt width/height must become a
     # ValueError (-> quarantine verdict), never a whole-buffer
     # frombuffer read (numpy count<0) or an unbounded row loop
@@ -208,10 +227,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------
-# PNG (8-bit grayscale / RGB, non-interlaced) — stdlib zlib + the five
-# scanline filter types, no Pillow. The one web-dominant format that
-# IS reachable dependency-free (its only entropy codec is DEFLATE,
-# which the stdlib ships); jpeg/webp stay honest stubs.
+# PNG (8-bit grayscale / RGB, non-interlaced + Adam7) — stdlib zlib +
+# the five scanline filter types, no Pillow. Reachable dependency-free
+# because its only entropy codec is DEFLATE, which the stdlib ships;
+# webp stays an honest stub (JPEG has its own codec below).
 # --------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -277,13 +296,14 @@ def encode_png(pixels: bytes, width: int) -> bytes:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Parse an 8-bit non-interlaced PNG (grayscale or RGB) into its
-    flat sample array (row-major, top-down; RGB interleaves). Real
-    decode: chunk walk with CRC verification, zlib inflate, and all
-    five scanline filters (None/Sub/Up/Average/Paeth) reversed.
-    Untrusted input raises ValueError (truncation anywhere — chunk
-    table, IDAT stream, pixel mass — or CRC/length lies), never a
-    numpy/zlib internal error."""
+    """Parse an 8-bit PNG (grayscale or RGB, non-interlaced OR Adam7
+    interlaced) into its flat sample array (row-major, top-down; RGB
+    interleaves). Real decode: chunk walk with CRC verification, zlib
+    inflate, all five scanline filters (None/Sub/Up/Average/Paeth)
+    reversed — per Adam7 pass when interlaced, then scattered onto the
+    full grid. Untrusted input raises ValueError (truncation anywhere
+    — chunk table, IDAT stream, pixel mass — or CRC/length lies),
+    never a numpy/zlib internal error."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -314,8 +334,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
             if w == 0 or h == 0:
                 # h == 0 matters as much as w == 0: expected becomes 0
                 # and zlib treats max_length=0 as UNBOUNDED, so a
@@ -334,7 +354,19 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("truncated PNG: missing IEND")
     bpp = 1 if color == 0 else 3
     stride = w * bpp
-    expected = h * (stride + 1)
+    if interlace:
+        # Adam7: seven sub-images, each with its own filter bytes
+        passes = []
+        expected = 0
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            passes.append((x0, dx, y0, dy, pw, ph))
+            expected += ph * (pw * bpp + 1)
+    else:
+        expected = h * (stride + 1)
     # header fields are UNTRUSTED: bound the allocation BEFORE
     # inflating — a header declaring a giant geometry, or a tiny IDAT
     # inflating 1000x (a zip bomb), must become a quarantine verdict,
@@ -363,11 +395,47 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"PNG pixel data length mismatch: want {expected}, "
             f"have {len(raw)}{' plus surplus (inflate bomb)' if bomb else ''}"
         )
+    if not interlace:
+        return np.frombuffer(
+            bytes(_png_unfilter(raw, 0, h, stride, bpp)), dtype=np.uint8
+        )
+    # Adam7: unfilter each pass as its own sub-image (its scanlines
+    # chain within the pass only), then scatter onto the full grid
+    img = np.zeros((h, w, bpp), dtype=np.uint8)
+    off = 0
+    for x0, dx, y0, dy, pw, ph in passes:
+        pstride = pw * bpp
+        rec = _png_unfilter(raw, off, ph, pstride, bpp)
+        off += ph * (pstride + 1)
+        img[y0::dy, x0::dx, :] = np.frombuffer(
+            bytes(rec), dtype=np.uint8
+        ).reshape(ph, pw, bpp)
+    return img.reshape(-1)
+
+
+# Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass.
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, offset: int, h: int, stride: int, bpp: int) -> bytearray:
+    """Reverse the five PNG scanline filters over ``h`` rows of
+    ``stride`` bytes starting at ``offset`` in the inflated stream
+    (each row is prefixed by its filter byte); rows chain within this
+    span only — an Adam7 pass unfilters independently."""
     out = bytearray(h * stride)
     prev = bytes(stride)
     for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        base = offset + r * (stride + 1)
+        ft = raw[base]
+        line = raw[base + 1 : base + 1 + stride]
         rec = bytearray(stride)
         if ft == 0:
             rec[:] = line
@@ -400,7 +468,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG scanline filter {ft}")
         out[r * stride : (r + 1) * stride] = rec
         prev = bytes(rec)
-    return np.frombuffer(bytes(out), dtype=np.uint8)
+    return out
 
 
 # --------------------------------------------------------------------

@@ -754,3 +754,106 @@ def test_s25_streamed_merge_is_multi_batch_and_equals_d99(spark):
     ]
     release_all()
     assert rows_s == rows_d
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 deinterlacing: a PNG whose seven passes are filtered
+    independently (filters 0/1/2 chain prev-row WITHIN a pass — the
+    new machinery; all five filters are covered by the shared
+    unfilter's property test) must decode to the original pixels for
+    gray and RGB, including geometries with EMPTY passes (w or h <= 4
+    skips some of the seven)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    def interlace_png(img, bpp):
+        h, w = img.shape[:2]
+        raw = bytearray()
+        rng = np.random.default_rng(1)
+        for x0, dx, y0, dy in mm._ADAM7:
+            sub = img[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            prev = np.zeros(pw * bpp, np.int32)
+            for r in range(ph):
+                row = sub[r].reshape(-1).astype(np.int32)
+                ft = int(rng.integers(0, 3))
+                if ft == 0:
+                    enc = row.copy()
+                elif ft == 1:
+                    enc = (
+                        row
+                        - np.concatenate(
+                            [np.zeros(bpp, np.int32), row[:-bpp]]
+                        )[: len(row)]
+                    ) & 0xFF
+                else:
+                    enc = (row - prev) & 0xFF
+                raw.append(ft)
+                raw.extend(int(v) & 0xFF for v in enc)
+                prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if bpp == 1 else 2, 0, 0, 1)
+        return (
+            mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(0)
+    for w, h, bpp in [(16, 16, 1), (7, 5, 1), (1, 1, 1), (2, 3, 3), (13, 9, 3), (8, 1, 1), (1, 9, 3), (33, 17, 1)]:
+        img = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+        out = mm.decode_png(interlace_png(img, bpp))
+        assert np.array_equal(out, img.reshape(-1)), (w, h, bpp)
+    # truncated interlaced payload still quarantines
+    good = interlace_png(rng.integers(0, 256, size=(9, 9, 1), dtype=np.uint8), 1)
+    with pytest.raises(ValueError):
+        mm.decode_png(good[:-13])  # cut IEND/IDAT tail
+
+
+def test_pnm_16bit_and_core_bmp_decode():
+    """16-bit PNM samples (big-endian u16, scaled round-half-up into
+    the 8-bit sample space) and BITMAPCOREHEADER BMPs (u16 dims,
+    3-byte palette, bottom-up) decode instead of raising — the two
+    remaining cheap container stubs."""
+    import struct
+
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    rng = np.random.default_rng(3)
+    w, h = 10, 4
+    v16 = rng.integers(0, 65536, size=w * h, dtype=np.uint16)
+    payload = b"P5\n%d %d\n65535\n" % (w, h) + v16.astype(">u2").tobytes()
+    want = ((v16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(mm.decode_pnm(payload), want)
+    v = np.array([0, 500, 1000], dtype=np.uint16)
+    assert list(
+        mm.decode_pnm(b"P5\n3 1\n1000\n" + v.astype(">u2").tobytes())
+    ) == [0, 128, 255]
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_pnm(payload[:-3])
+    with pytest.raises(ValueError, match="maxval"):
+        mm.decode_pnm(b"P5\n2 1\n70000\n\x00\x00\x00\x00")
+
+    px = rng.integers(0, 256, size=20 * 6, dtype=np.uint8).tobytes()
+    width, height = 20, 6
+    stride = (width + 3) & ~3
+    palette = b"".join(bytes((i, i, i)) for i in range(256))
+    offset = 14 + 12 + len(palette)
+    rows = [
+        px[r * width : (r + 1) * width] + b"\x00" * (stride - width)
+        for r in range(height)
+    ]
+    data = b"".join(reversed(rows))
+    fh = b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+    core = struct.pack("<IHHHH", 12, width, height, 1, 8)
+    assert mm.decode_bmp(fh + core + palette + data).tobytes() == px
+    with pytest.raises(ValueError, match="DIB"):
+        mm.decode_bmp(fh + struct.pack("<IHHHH", 16, width, height, 1, 8) + palette + data)
