@@ -566,6 +566,10 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
         return bytes(self.out)
 
+    def block_boundary(self, flush=None) -> bool:
+        """Restart hook (no-op here; _RestartWriter overrides)."""
+        return False
+
 
 class _BitReader:
     """MSB-first reader over entropy-coded data with 0xFF00
@@ -1458,8 +1462,40 @@ def _dct_zigzag_blocks(pixels: bytes, width: int) -> list[list[int]]:
     return blocks
 
 
+class _RestartWriter(_BitWriter):
+    """_BitWriter that injects RSTn markers every ``interval`` blocks:
+    byte-align (1-fill), emit the cycling marker, and signal the
+    caller to reset its DC/EOB state. interval=0 disables."""
+
+    def __init__(self, interval: int):
+        super().__init__()
+        self.interval = interval
+        self.nblocks = 0
+        self.marker = 0
+
+    def block_boundary(self, flush=None) -> bool:
+        """Call AFTER each block; returns True when the caller must
+        reset predictors/EOB state (a restart was just emitted).
+        ``flush`` (e.g. the pending-EOB-run emitter) runs BEFORE the
+        byte-align + marker, matching the decoder's reset order."""
+        self.nblocks += 1
+        if not self.interval or self.nblocks % self.interval:
+            return False
+        if flush is not None:
+            flush()
+        pad = (8 - self.nbits % 8) % 8
+        if pad:
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + self.marker])
+        self.marker = (self.marker + 1) % 8
+        return True
+
+
 def encode_jpeg_progressive(
-    pixels: bytes, width: int, script=_PROG_DEFAULT_SCRIPT
+    pixels: bytes,
+    width: int,
+    script=_PROG_DEFAULT_SCRIPT,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive DCT (SOF2) grayscale test encoder with all-ones
     quant — the pytest roundtrip partner for the progressive decode
@@ -1486,15 +1522,18 @@ def encode_jpeg_progressive(
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + b"\x01" * 64
     out += _dht_segment(0, 0, [0, 0, 0, 12] + [0] * 12, bytes(range(12)))
     out += _dht_segment(1, 0, [0] * 7 + [len(ac_vals)] + [0] * 8, ac_vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
     for ss, se, ah, al in script:
-        bw = _BitWriter()
+        bw = _RestartWriter(restart_interval)
         if ss == 0:
             if ah == 0:
                 _emit_dc_first(bw, blocks, al)
             else:
                 for blk in blocks:
                     bw.write((blk[0] >> al) & 1, 1)
+                    bw.block_boundary()
         elif ah == 0:
             _emit_ac_first(bw, blocks, ss, se, al, ac_code)
         else:
@@ -1516,6 +1555,8 @@ def _emit_dc_first(bw, blocks, al):
         bw.write(s, 4)
         if s:
             bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        if bw.block_boundary():
+            pred = 0
 
 
 def _emit_eobn(bw, eobrun, ac_code):
@@ -1527,6 +1568,13 @@ def _emit_eobn(bw, eobrun, ac_code):
 
 def _emit_ac_first(bw, blocks, ss, se, al, ac_code):
     eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            _emit_eobn(bw, eobrun, ac_code)
+            eobrun = 0
+
     for blk in blocks:
         band = [
             (abs(v) >> al) * (1 if v >= 0 else -1)  # magnitude shift
@@ -1535,12 +1583,10 @@ def _emit_ac_first(bw, blocks, ss, se, al, ac_code):
         if not any(band):
             eobrun += 1
             if eobrun == 0x7FFF:
-                _emit_eobn(bw, eobrun, ac_code)
-                eobrun = 0
+                flush()
+            bw.block_boundary(flush)
             continue
-        if eobrun:
-            _emit_eobn(bw, eobrun, ac_code)
-            eobrun = 0
+        flush()
         r = 0
         for v in band:
             if v == 0:
@@ -1555,8 +1601,8 @@ def _emit_ac_first(bw, blocks, ss, se, al, ac_code):
             r = 0
         if r:
             eobrun += 1
-    if eobrun:
-        _emit_eobn(bw, eobrun, ac_code)
+        bw.block_boundary(flush)
+    flush()
 
 
 def _emit_ac_refine(bw, blocks, ss, se, al, ac_code):
@@ -1606,6 +1652,7 @@ def _emit_ac_refine(bw, blocks, ss, se, al, ac_code):
             pend.extend(cur)
             if eobrun == 0x7FFF or len(pend) > 900:
                 flush_eob()
+        bw.block_boundary(flush_eob)
     flush_eob()
 
 
@@ -2084,6 +2131,65 @@ def byte_histogram_16(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stage, _HIST16_SCHEMA)
+
+
+_PHASH_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("hist", ArrayType(LongType())),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def dhash_with_histogram(
+    media: DataFrame, block_bytes: int = 8, n_bits: int = 64
+) -> DataFrame:
+    """difference_hash + byte_histogram_16 FUSED into one Arrow pass:
+    the verified image near-dup path (m18) needs both per payload, and
+    computing them separately costs a second full scan of the media
+    column plus a join to zip the results back together. Values are
+    bit-identical to the two single-purpose operators (their SQL twins
+    verify both)."""
+    if n_bits > 64:
+        raise ValueError("difference_hash packs into int64: n_bits <= 64")
+    width = (n_bits + 1) * block_bytes
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_h, out_hist, out_n = [], [], [], []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                if m is None or len(m) == 0:
+                    continue
+                v = np.frombuffer(m, dtype=np.uint8)
+                padded = np.zeros(width, dtype=np.int64)
+                head = v[:width]
+                padded[: len(head)] = head
+                sums = padded.reshape(n_bits + 1, block_bytes).sum(axis=1)
+                bits = 0
+                for i in range(n_bits):
+                    if sums[i] > sums[i + 1]:
+                        bits |= 1 << i
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out_id.append(did)
+                out_h.append(bits)
+                out_hist.append(
+                    np.bincount(v >> 4, minlength=16).astype(np.int64)
+                )
+                out_n.append(len(v))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "phash": out_h,
+                    "hist": out_hist,
+                    "n_bytes": out_n,
+                },
+                columns=["doc_id", "phash", "hist", "n_bytes"],
+            )
+
+    return media.mapInPandas(stage, _PHASH_HIST_SCHEMA)
 
 
 _FRAME_FP_SCHEMA = StructType(

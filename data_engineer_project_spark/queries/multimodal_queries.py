@@ -1382,8 +1382,7 @@ def m18_image_neardup_verified(t):
     )
     from data_engineer_project_spark.operators.graph import connected_components
     from data_engineer_project_spark.operators.multimodal import (
-        byte_histogram_16,
-        difference_hash,
+        dhash_with_histogram,
     )
 
     reps = tracked_persist(
@@ -1398,10 +1397,13 @@ def m18_image_neardup_verified(t):
     media = reps.select(
         "doc_id", F.encode("text", "UTF-8").alias("media")
     )
-    h = difference_hash(media).select("doc_id", "phash")
-    hist = byte_histogram_16(media)
+    # one fused Arrow pass: hash + histogram + byte count per rep
+    # (values bit-identical to difference_hash ∘ byte_histogram_16,
+    # minus a second media scan and the zip-back join)
     hh = tracked_persist(
-        h.join(hist, "doc_id").select("doc_id", "phash", "hist", "n_bytes")
+        dhash_with_histogram(media).select(
+            "doc_id", "phash", "hist", "n_bytes"
+        )
     )
     bands = hh.select(
         "doc_id",

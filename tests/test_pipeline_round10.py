@@ -857,3 +857,44 @@ def test_pnm_16bit_and_core_bmp_decode():
     assert mm.decode_bmp(fh + core + palette + data).tobytes() == px
     with pytest.raises(ValueError, match="DIB"):
         mm.decode_bmp(fh + struct.pack("<IHHHH", 16, width, height, 1, 8) + palette + data)
+
+
+def test_jpeg_progressive_restart_intervals():
+    """DRI/RSTn in progressive scans: byte-aligned restart markers
+    between MCUs with DC-predictor and EOB-run resets — including
+    intervals that force an EOB run to flush at every boundary — must
+    not change the decoded pixels."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(17)
+    for w, h in [(40, 25), (7, 3), (16, 16)]:
+        px = rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg_baseline(px, w))
+        for ri in (1, 2, 7):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(px, w, restart_interval=ri)
+            )
+            assert np.array_equal(base, prog), (w, h, ri)
+    # all-EOB scans with runs crossing every restart boundary
+    px = bytes([128]) * 1600
+    base = decode_jpeg(encode_jpeg_baseline(px, 40))
+    for ri in (1, 2, 5):
+        assert np.array_equal(
+            base,
+            decode_jpeg(encode_jpeg_progressive(px, 40, restart_interval=ri)),
+        )
+    # a missing restart marker is hostile input
+    payload = bytearray(encode_jpeg_progressive(px, 40, restart_interval=2))
+    import re
+
+    m = re.search(rb"\xff[\xd0-\xd7]", bytes(payload))
+    assert m is not None
+    payload[m.start() + 1] = 0x3F  # clobber the marker id
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
