@@ -309,7 +309,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = 8, None
-    color = interlace = None
+    color = interlace = depth = None
+    palette = None
     idat: list[bytes] = []
     seen_iend = False
     while pos + 8 <= len(payload):
@@ -327,10 +328,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in (0, 2):
+            if color not in (0, 2, 3, 4, 6):
+                raise ValueError(f"invalid PNG color type {color}")
+            if depth not in ((1, 2, 4, 8) if color in (0, 3) else (8,)):
                 raise NotImplementedError(
-                    f"only 8-bit gray/RGB PNG supported (depth={depth}, "
-                    f"color={color})"
+                    f"unsupported PNG depth/color (depth={depth}, "
+                    f"color={color}) — 16-bit channels not supported"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
@@ -342,6 +345,10 @@ def decode_png(payload: bytes) -> np.ndarray:
                 # zero-height header would let a DEFLATE bomb inflate
                 # fully before the length check.
                 raise ValueError("PNG header declares zero dimension")
+        elif typ == b"PLTE":
+            if ln % 3 or ln == 0 or ln > 768:
+                raise ValueError("invalid PNG PLTE length")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -352,8 +359,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("truncated PNG: no IHDR")
     if not seen_iend:
         raise ValueError("truncated PNG: missing IEND")
-    bpp = 1 if color == 0 else 3
-    stride = w * bpp
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bits_px = depth * channels
+    bpp = max(1, bits_px // 8)  # filter byte-unit per the spec
+
+    def row_bytes(npx):
+        return (npx * bits_px + 7) // 8
+
+    stride = row_bytes(w)
     if interlace:
         # Adam7: seven sub-images, each with its own filter bytes
         passes = []
@@ -364,7 +379,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             if pw <= 0 or ph <= 0:
                 continue
             passes.append((x0, dx, y0, dy, pw, ph))
-            expected += ph * (pw * bpp + 1)
+            expected += ph * (row_bytes(pw) + 1)
     else:
         expected = h * (stride + 1)
     # header fields are UNTRUSTED: bound the allocation BEFORE
@@ -396,21 +411,52 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"have {len(raw)}{' plus surplus (inflate bomb)' if bomb else ''}"
         )
     if not interlace:
-        return np.frombuffer(
-            bytes(_png_unfilter(raw, 0, h, stride, bpp)), dtype=np.uint8
-        )
+        rec = _png_unfilter(raw, 0, h, stride, bpp)
+        return _png_samples(rec, h, w, depth, color, palette).reshape(-1)
     # Adam7: unfilter each pass as its own sub-image (its scanlines
     # chain within the pass only), then scatter onto the full grid
-    img = np.zeros((h, w, bpp), dtype=np.uint8)
+    out_ch = 3 if color in (2, 3, 6) else 1
+    img = np.zeros((h, w, out_ch), dtype=np.uint8)
     off = 0
     for x0, dx, y0, dy, pw, ph in passes:
-        pstride = pw * bpp
+        pstride = row_bytes(pw)
         rec = _png_unfilter(raw, off, ph, pstride, bpp)
         off += ph * (pstride + 1)
-        img[y0::dy, x0::dx, :] = np.frombuffer(
-            bytes(rec), dtype=np.uint8
-        ).reshape(ph, pw, bpp)
+        img[y0::dy, x0::dx, :] = _png_samples(rec, ph, pw, depth, color, palette)
     return img.reshape(-1)
+
+
+def _png_samples(rec, h, w, depth, color, palette) -> np.ndarray:
+    """Unfiltered scanline bytes -> (h, w, out_ch) uint8 samples:
+    unpack sub-byte depths (MSB-first), scale gray to the 8-bit
+    space, expand palette indices to RGB, drop alpha (the dedup
+    feature extractors downstream consume 1- or 3-channel pixels)."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = (w * depth * channels + 7) // 8
+    a = np.frombuffer(bytes(rec), dtype=np.uint8).reshape(h, stride)
+    if depth < 8:
+        bits = np.unpackbits(a, axis=1)[:, : w * depth]
+        vals = np.zeros((h, w), dtype=np.uint8)
+        for b in range(depth):
+            vals = (vals << 1) | bits[:, b::depth]
+    else:
+        vals = a.reshape(h, w, channels) if channels > 1 else a[:, :w]
+    if color == 0:
+        if depth < 8:
+            vals = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8
+            )
+        return vals.reshape(h, w, 1)
+    if color == 3:
+        idx = vals.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]
+    if color == 2:
+        return vals
+    if color == 4:  # gray + alpha: drop alpha
+        return vals[:, :, :1]
+    return vals[:, :, :3]  # RGBA: drop alpha
 
 
 # Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass.

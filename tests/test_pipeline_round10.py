@@ -898,3 +898,166 @@ def test_jpeg_progressive_restart_intervals():
     payload[m.start() + 1] = 0x3F  # clobber the marker id
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+def test_jpeg_decode_agrees_with_jvm_imageio_on_real_files(spark):
+    """Spec conformance against an INDEPENDENT decoder: the JVM's
+    javax.imageio, fed real-world files shipped in the environment —
+    including a genuine progressive (SOF2) 4:2:2 photo. Luma must
+    agree within IDCT rounding (the spec's tolerance); full-RGB
+    agreement is only pinned on the 4:4:4 file because chroma
+    UPSAMPLING method (our box replication vs ImageIO's) is a
+    legitimate decoder choice on subsampled files. Skips when the
+    sample files aren't present."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import decode_jpeg
+
+    candidates = {
+        "progressive_422": glob.glob(
+            "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/f3.jpg"
+        ),
+        "baseline_444": glob.glob(
+            "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/verify.jpeg"
+        ),
+    }
+    if not all(candidates.values()):
+        pytest.skip("reference sample files not present in this environment")
+
+    jvm = spark._jvm
+
+    def imageio_rgb(path):
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        w, h = img.getWidth(), img.getHeight()
+        out = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            a = np.array(img.getRGB(0, y, w, 1, None, 0, w), dtype=np.int64)
+            out[y, :, 0] = (a >> 16) & 0xFF
+            out[y, :, 1] = (a >> 8) & 0xFF
+            out[y, :, 2] = a & 0xFF
+        return out
+
+    def luma(x):
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    for kind, paths in candidates.items():
+        path = sorted(paths)[0]
+        if not os.path.exists(path):
+            continue
+        ref = imageio_rgb(path)
+        h, w = ref.shape[:2]
+        mine = decode_jpeg(open(path, "rb").read()).reshape(h, w, 3)
+        dl = np.abs(luma(ref.astype(float)) - luma(mine.astype(float)))
+        assert dl.mean() < 1.0, (kind, dl.mean())
+        assert dl.max() <= 4.0, (kind, dl.max())
+        if kind == "baseline_444":  # no chroma upsampling in play
+            dd = np.abs(ref.astype(int) - mine.astype(int))
+            assert dd.max() <= 4, (kind, dd.max())
+
+
+def test_png_palette_alpha_and_subbyte_depths():
+    """PNG color types 3 (palette, depths 1/2/4/8), 4 (gray+alpha),
+    6 (RGBA) and sub-byte grayscale decode: palette expands to RGB,
+    alpha drops (downstream feature extractors consume 1- or
+    3-channel pixels), sub-byte samples unpack MSB-first and gray
+    scales into the 8-bit space. Covers interlaced palette too (pass
+    rows pack independently). Hostile shapes (missing PLTE,
+    out-of-range index, bad PLTE length) quarantine."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    def chunked(w, h, depth, color, rows, palette=None, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += mm._png_chunk(b"PLTE", palette)
+        out += mm._png_chunk(b"IDAT", zlib.compress(rows))
+        return out + mm._png_chunk(b"IEND", b"")
+
+    # palette depth 8: indices map through PLTE to RGB
+    pal = bytes(range(30))  # 10 entries
+    rows = b"\x00" + bytes([0, 3, 9, 2]) + b"\x00" + bytes([1, 1, 0, 5])
+    out = mm.decode_png(chunked(4, 2, 8, 3, rows, pal)).reshape(2, 4, 3)
+    assert list(out[0, 1]) == [9, 10, 11]  # entry 3
+    assert list(out[1, 3]) == [15, 16, 17]  # entry 5
+
+    # palette depth 2: packed 4 px/byte, MSB-first
+    rows = b"\x00" + bytes([0b00011011])  # indices 0,1,2,3
+    out = mm.decode_png(chunked(4, 1, 2, 3, rows, pal)).reshape(4, 3)
+    assert [list(r) for r in out] == [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]]
+
+    # depth-1 grayscale scales to 0/255
+    rows = b"\x00" + bytes([0b10100000])
+    assert list(mm.decode_png(chunked(3, 1, 1, 0, rows))) == [255, 0, 255]
+
+    # RGBA and gray+alpha drop alpha
+    rows = b"\x00" + bytes([10, 20, 30, 99, 40, 50, 60, 7])
+    assert list(mm.decode_png(chunked(2, 1, 8, 6, rows))) == [10, 20, 30, 40, 50, 60]
+    rows = b"\x00" + bytes([77, 200, 88, 0])
+    assert list(mm.decode_png(chunked(2, 1, 8, 4, rows))) == [77, 88]
+
+    # interlaced palette (Adam7, sub-byte rows pack per pass)
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) % 10
+    raw = bytearray()
+    for x0, dx, y0, dy in mm._ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape
+        if ph == 0 or pw == 0:
+            continue
+        for r in range(ph):
+            raw.append(0)
+            raw.extend(int(v) for v in sub[r])
+    out = mm.decode_png(chunked(4, 4, 8, 3, bytes(raw), pal, interlace=1))
+    want = np.array([list(pal[3 * i : 3 * i + 3]) for i in img.reshape(-1)])
+    assert np.array_equal(out.reshape(-1, 3), want)
+
+    # hostile: missing PLTE / OOB index / bad PLTE length
+    rows = b"\x00" + bytes([0, 3, 9, 2]) + b"\x00" + bytes([1, 1, 0, 5])
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_png(chunked(4, 2, 8, 3, rows))
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_png(chunked(4, 2, 8, 3, b"\x00" + bytes([200, 0, 0, 0]) + b"\x00" + bytes(4), pal))
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_png(chunked(4, 2, 8, 3, rows, palette=b"\x01\x02"))
+
+
+def test_png_decode_agrees_with_jvm_imageio_on_real_files(spark):
+    """PNG is lossless, so against the JVM's independent ImageIO
+    decoder the agreement bar is BIT-EXACT — covering real palette
+    (depths 8 and 2) and RGBA files shipped in the environment.
+    Skips when the sample files aren't present."""
+    import os
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import decode_png
+
+    files = [
+        "/usr/share/gitweb/static/git-logo.png",
+        "/usr/share/gitweb/static/git-favicon.png",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/BGRA.png",
+    ]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        pytest.skip("reference sample files not present in this environment")
+    jvm = spark._jvm
+    for f in files:
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(f))
+        w, h = img.getWidth(), img.getHeight()
+        ref = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            a = np.array(img.getRGB(0, y, w, 1, None, 0, w), dtype=np.int64)
+            ref[y, :, 0] = (a >> 16) & 0xFF
+            ref[y, :, 1] = (a >> 8) & 0xFF
+            ref[y, :, 2] = a & 0xFF
+        mine = decode_png(open(f, "rb").read()).reshape(h, w, -1)
+        if mine.shape[2] == 1:
+            mine = np.repeat(mine, 3, axis=2)
+        assert np.array_equal(ref, mine), f
