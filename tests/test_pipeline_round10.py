@@ -1061,3 +1061,55 @@ def test_png_decode_agrees_with_jvm_imageio_on_real_files(spark):
         if mine.shape[2] == 1:
             mine = np.repeat(mine, 3, axis=2)
         assert np.array_equal(ref, mine), f
+
+
+def test_encoders_readable_by_jvm_imageio(spark):
+    """Interoperability of the ENCODERS: containers this engine writes
+    must be readable by an independent decoder (the JVM's ImageIO),
+    not just by our own. PNG and BMP round through bit-exact; the
+    all-ones-quant JPEG variants (baseline, progressive, progressive
+    with restart markers) decode within ±1 — pure IDCT rounding.
+    Raster samples are compared directly (getRGB would route gray
+    through Java's gray->sRGB gamma transform). SOF3 lossless is the
+    one arm ImageIO cannot read — a documented trade for bit-exact
+    pixel parity in the fixture rotation."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+
+    def imageio_gray(payload, suffix):
+        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+            f.write(payload)
+            path = f.name
+        try:
+            img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+            assert img is not None
+            w, h = img.getWidth(), img.getHeight()
+            raster = img.getRaster()
+            out = np.zeros((h, w), np.int32)
+            buf = gw.new_array(gw.jvm.int, w)
+            for y in range(h):
+                out[y] = list(raster.getSamples(0, y, w, 1, 0, buf))
+            return out
+        finally:
+            os.unlink(path)
+
+    rng = np.random.RandomState(2)
+    w = 40
+    px = rng.randint(0, 256, w * 25).astype(np.uint8).tobytes()
+    gray = np.frombuffer(px, np.uint8).reshape(25, w).astype(np.int32)
+    assert (imageio_gray(mm.encode_png(px, w), ".png") == gray).all()
+    assert (imageio_gray(mm.encode_bmp8(px, w), ".bmp") == gray).all()
+    for payload in (
+        mm.encode_jpeg_baseline(px, w),
+        mm.encode_jpeg_progressive(px, w),
+        mm.encode_jpeg_progressive(px, w, restart_interval=3),
+    ):
+        d = np.abs(imageio_gray(payload, ".jpg") - gray)
+        assert d.max() <= 1, d.max()
