@@ -1702,10 +1702,241 @@ def _emit_ac_refine(bw, blocks, ss, se, al, ac_code):
     flush_eob()
 
 
+# --------------------------------------------------------------------
+# GIF (87a/89a): logical screen + color tables + LZW-compressed index
+# streams (LSB-first variable-width codes, clear/EOI, deferred-clear
+# tolerated), 4-pass interlace, first-frame composite onto the
+# background canvas. encode_gif is the test/fixture partner: an
+# UNCOMPRESSED-style LZW stream (a clear code every 254 literals keeps
+# every code 9 bits) over a grayscale global color table, so
+# decode(encode(px)) is the identity and any conforming decoder —
+# the JVM's ImageIO in tests — reads the container.
+# --------------------------------------------------------------------
+
+
+def _gif_subblocks(payload: bytes, pos: int):
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0 terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: sub-block chain cut")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            return bytes(out), pos
+        if pos + ln > len(payload):
+            raise ValueError("truncated GIF: sub-block cut")
+        out += payload[pos : pos + ln]
+        pos += ln
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, max_px: int) -> bytes:
+    """GIF-flavor LZW: LSB-first variable-width codes, initial width
+    min_code+1, table reset on CLEAR, stop on EOI; output is bounded
+    by ``max_px`` BEFORE any append so a hostile stream cannot inflate
+    past the declared frame size."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+    i, n = 0, len(data)
+    prev = None
+    while True:
+        while nbits < width:
+            if i >= n:
+                if len(out) >= max_px:
+                    return bytes(out)  # missing EOI but frame complete
+                raise ValueError("truncated GIF: LZW stream exhausted")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("bad GIF LZW stream: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad GIF LZW code")
+        if len(out) + len(entry) > max_px:
+            raise ValueError("GIF LZW output exceeds the declared frame size")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Parse a GIF into the FIRST frame's flat RGB sample array over
+    the full logical-screen canvas (background-filled where the frame
+    rectangle doesn't cover; interlaced frames de-interlaced; local
+    color table preferred over global). Later frames of an animation
+    are ignored — the engine treats animated GIFs like videos: frame
+    features come from the frame-fingerprint operators, not the still
+    decode. Hostile input (truncation anywhere, LZW overflow, palette
+    index out of range, frame outside the canvas, dimension bombs)
+    raises ValueError before unbounded work."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: header cut")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed, bg = payload[10], payload[11]
+    if w == 0 or h == 0:
+        raise ValueError("GIF header declares zero dimension")
+    if w * h * 3 > (1 << 28):
+        raise ValueError(f"GIF header declares {w}x{h} — over the decode bound")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        raw = payload[pos : pos + 3 * n]
+        if len(raw) != 3 * n:
+            raise ValueError("truncated GIF: global color table cut")
+        gct = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: no image block before end")
+        blk = payload[pos]
+        pos += 1
+        if blk == 0x3B:
+            raise ValueError("GIF reached trailer without an image block")
+        if blk == 0x21:  # extension: label + sub-block chain
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: extension label cut")
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{blk:02X}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF: image descriptor cut")
+        left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
+        fpacked = payload[pos + 8]
+        pos += 9
+        if fw == 0 or fh == 0:
+            raise ValueError("GIF frame declares zero dimension")
+        if left + fw > w or top + fh > h:
+            raise ValueError("GIF frame extends outside the canvas")
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 7)
+            raw = payload[pos : pos + 3 * n]
+            if len(raw) != 3 * n:
+                raise ValueError("truncated GIF: local color table cut")
+            pal = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without any color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: LZW minimum code size cut")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
+        data, pos = _gif_subblocks(payload, pos)
+        idx = _gif_lzw_decode(data, min_code, fw * fh)
+        if len(idx) < fw * fh:
+            raise ValueError(
+                f"GIF frame pixel shortfall: want {fw * fh}, have {len(idx)}"
+            )
+        frame = np.frombuffer(idx[: fw * fh], dtype=np.uint8).reshape(fh, fw)
+        if fpacked & 0x40:  # 4-pass interlace
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            de = np.empty_like(frame)
+            de[order] = frame
+            frame = de
+        canvas = np.full((h, w), bg if gct is not None and bg < len(gct) else 0, np.uint8)
+        canvas[top : top + fh, left : left + fw] = frame
+        if int(canvas.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        return pal[canvas].reshape(-1)
+
+
+def encode_gif(pixels: bytes, width: int, interlace: bool = False) -> bytes:
+    """Grayscale GIF89a (256-entry gray global color table: index i ->
+    (i,i,i)) with an uncompressed-style LZW stream — a CLEAR code
+    every 254 literals keeps every code 9 bits wide, so
+    decode(encode(px)) is the identity and the container stays
+    arithmetically sized. ``interlace`` writes the 4-pass row order
+    (the decoder's de-interlace partner)."""
+    if width <= 0 or not pixels or len(pixels) % width:
+        raise ValueError("pixel buffer must be non-empty height*width bytes")
+    height = len(pixels) // width
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries; bg 0
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlace else 0x00, 8])  # packed, min code size
+    rows = range(height)
+    if interlace:
+        rows = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+    acc = nbits = 0
+    data = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(256)  # initial CLEAR
+    lit = 0
+    for r in rows:
+        for v in pixels[r * width : (r + 1) * width]:
+            put(v)
+            lit += 1
+            if lit == 254:  # keep the decoder's table under 512 codes
+                put(256)
+                lit = 0
+    put(257)  # EOI
+    if nbits:
+        data.append(acc & 0xFF)
+    for k in range(0, len(data), 255):
+        chunk = data[k : k + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
     """Real codec path: dispatch on the payload's MAGIC bytes to the
-    dependency-free PNM/BMP/PNG/JPEG parsers above. webp (VP8) remains
-    a documented stub — its entropy codec is out of scope."""
+    dependency-free PNM/BMP/PNG/JPEG/GIF parsers above. webp (VP8)
+    remains a documented stub — its entropy codec is out of scope."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -1714,9 +1945,11 @@ def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for format={fmt!r} (payload lacks "
-        "PNM/BMP/PNG/JPEG magic); webp needs a VP8 codec this "
+        "PNM/BMP/PNG/JPEG/GIF magic); webp needs a VP8 codec this "
         "environment does not ship — use fake_decode for it"
     )
 

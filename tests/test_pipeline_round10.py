@@ -1113,3 +1113,124 @@ def test_encoders_readable_by_jvm_imageio(spark):
     ):
         d = np.abs(imageio_gray(payload, ".jpg") - gray)
         assert d.max() <= 1, d.max()
+
+
+def test_gif_roundtrip_interlace_and_hostile():
+    """GIF decode: encode_gif -> decode_gif is the identity (gray
+    palette: index == value) for plain AND 4-pass interlaced frames;
+    truncation at every prefix and single-byte corruption quarantine
+    as ValueError; dimension bombs, canvas-escaping frames, and
+    palette-range violations are rejected before unbounded work."""
+    import struct
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(4)
+    for w, h in [(40, 25), (1, 1), (7, 3), (255, 2), (256, 1)]:
+        px = rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+        want = np.repeat(np.frombuffer(px, np.uint8), 3)
+        for il in (False, True):
+            assert np.array_equal(decode_gif(encode_gif(px, w, interlace=il)), want)
+
+    px30 = rng.randint(0, 256, 30 * 20).astype(np.uint8).tobytes()
+    payload = bytearray(encode_gif(px30, 30))
+    want30 = np.repeat(np.frombuffer(px30, np.uint8), 3)
+    for cut in range(1, len(payload), 7):
+        # a prefix either still contains the complete first frame
+        # (decode_gif stops there — trailer bytes are not required)
+        # and must decode IDENTICALLY, or it must quarantine
+        try:
+            out = decode_gif(bytes(payload[:cut]))
+        except ValueError:
+            continue
+        assert np.array_equal(out, want30), cut
+    for pos in range(0, len(payload), 11):
+        for val in (0x00, 0xFF, payload[pos] ^ 0x55):
+            orig = payload[pos]
+            payload[pos] = val
+            try:
+                decode_gif(bytes(payload))
+            except ValueError:
+                pass
+            payload[pos] = orig
+
+    # dimension bomb rejected at the header
+    bomb = bytearray(encode_gif(b"\x00\x01\x02\x03", 2))
+    struct.pack_into("<HH", bomb, 6, 30000, 30000)
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_gif(bytes(bomb))
+    # frame rectangle escaping the canvas (descriptor sits at a fixed
+    # offset: 13-byte header + 768-byte gray global color table)
+    esc = bytearray(encode_gif(b"\x00\x01\x02\x03", 2))
+    assert esc[781] == 0x2C
+    struct.pack_into("<HH", esc, 782, 1, 0)  # left=1 -> 1+2 > 2
+    with pytest.raises(ValueError, match="outside the canvas"):
+        decode_gif(bytes(esc))
+
+
+def test_gif_cross_validated_against_jvm_imageio(spark):
+    """Two-directional conformance through the JVM's independent GIF
+    codec: (a) encode_gif output (plain and interlaced) reads back
+    bit-exact through ImageIO's reader; (b) a GIF written by ImageIO's
+    OWN writer — true variable-width LZW with growing code sizes, not
+    our fixed-width stream — decodes bit-exact through decode_gif."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    rng = np.random.RandomState(5)
+    w, h = 40, 25
+    gray = rng.randint(0, 256, (h, w)).astype(np.uint8)
+
+    for il in (False, True):
+        with tempfile.NamedTemporaryFile(suffix=".gif", delete=False) as f:
+            f.write(encode_gif(gray.tobytes(), w, interlace=il))
+            path = f.name
+        try:
+            img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+            assert img is not None
+            raster = img.getRaster()
+            buf = gw.new_array(gw.jvm.int, w)
+            out = np.zeros((h, w), np.int32)
+            for y in range(h):
+                out[y] = list(raster.getSamples(0, y, w, 1, 0, buf))
+            assert (out == gray).all(), f"interlace={il}"
+        finally:
+            os.unlink(path)
+
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            v = int(gray[y, x])
+            bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    with tempfile.NamedTemporaryFile(suffix=".gif", delete=False) as f:
+        path = f.name
+    try:
+        jvm.javax.imageio.ImageIO.write(bi, "gif", jvm.java.io.File(path))
+        payload = open(path, "rb").read()
+        mine = decode_gif(payload).reshape(h, w, 3)
+        img2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        ref = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            a = np.array(img2.getRGB(0, y, w, 1, None, 0, w), dtype=np.int64)
+            ref[y, :, 0] = (a >> 16) & 0xFF
+            ref[y, :, 1] = (a >> 8) & 0xFF
+            ref[y, :, 2] = a & 0xFF
+        assert np.array_equal(ref, mine)
+    finally:
+        os.unlink(path)
