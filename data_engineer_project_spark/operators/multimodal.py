@@ -1875,6 +1875,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
         canvas[top : top + fh, left : left + fw] = frame
         if int(canvas.max(initial=0)) >= len(pal):
             raise ValueError("GIF palette index out of range")
+        if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+            # gray palette: collapse to one sample per pixel (the
+            # grayscale convention every other gray container shares)
+            return pal[canvas, 0].reshape(-1)
         return pal[canvas].reshape(-1)
 
 
@@ -2007,26 +2011,29 @@ _REAL_MEDIA_SCHEMA = StructType(
 )
 
 
-_CONTAINER_ARMS = ("pgm", "bmp", "png", "jpg")
+_CONTAINER_ARMS = ("pgm", "bmp", "png", "jpg", "gif")
 _ENCODERS = {
     "pgm": encode_pnm,
     "bmp": encode_bmp8,
     "png": encode_png,
     "jpg": encode_jpeg_lossless,
+    "gif": encode_gif,
 }
 
 
 def attach_real_media(documents: DataFrame) -> DataFrame:
     """Wrap each document's UTF-8 bytes in a REAL image container —
-    doc_id % 4 rotates through a P5 PNM (ASCII header), an 8-bit BMP
+    doc_id % 5 rotates through a P5 PNM (ASCII header), an 8-bit BMP
     (bottom-up rows, 4-byte stride), an 8-bit grayscale PNG (chunked,
-    CRC'd, zlib stored-block IDAT), and a LOSSLESS JPEG (T.81 SOF3,
+    CRC'd, zlib stored-block IDAT), a LOSSLESS JPEG (T.81 SOF3,
     predictor 1, Huffman-coded differences — round 10, the dominant
-    crawl format made real and bit-exact). The logical image is
-    identical in all four arms: width = 16 + doc_id % 48, the text
-    bytes row-major, the final row zero-padded to the width — so one
+    crawl format made real and bit-exact), and a GIF89a (gray global
+    color table, uncompressed-style LZW — bit-exact, with an exact
+    closed-form container size). The logical image is identical in
+    all five arms: width = 16 + doc_id % 48, the text bytes
+    row-major, the final row zero-padded to the width — so one
     container-ignorant oracle covers every arm, and parity proves the
-    PARSERS recover exactly the true pixels from four different
+    PARSERS recover exactly the true pixels from five different
     on-disk layouts. Empty/NULL docs carry a NULL payload (no pixels →
     no decode row, the m04 convention).
 

@@ -54,21 +54,18 @@ _CONTRACT_CHANGED_ROUND = {
     # the stats — the decode contract widened when the real
     # PNM/BMP decode path landed.
     "m04_decoded_pixel_stats": 8,
-    # Round 10: the container rotation gained a fourth arm (lossless
-    # JPEG, doc_id % 4) — every m15/m16 row's container labels,
-    # verdict splits and size arithmetic changed.
-    "m15_real_container_decode": 10,
-    "m16_container_integrity_gate": 10,
     # Round 9: d94 deduplicates query terms (BM25 query-as-set — a
     # word repeated in the 4-word query slice previously doubled the
     # joined document tf); scores/hashes changed in both engines.
     "d94_chunk_retrieval_eval": 9,
-    # Round 9: the real PNG decoder landed — attach_real_media rotates
-    # doc_id % 3 through pgm/bmp/png (was % 2 pgm/bmp), so m15's
-    # container labels/arm assignment and m16's per-format rollup +
-    # container-size arithmetic all changed in both engines.
-    "m15_real_container_decode": 9,
-    "m16_container_integrity_gate": 9,
+    # Round 10: the container rotation gained a fourth arm (lossless
+    # JPEG) and then a FIFTH (gray-palette GIF, doc_id % 5) — every
+    # m15/m16 row's container labels, verdict splits and size
+    # arithmetic changed. (Round 9's pgm/bmp/png %3 rotation note is
+    # subsumed; a duplicate-key literal here used to silently reset
+    # these markers back to 9 — last key wins in a dict literal.)
+    "m15_real_container_decode": 10,
+    "m16_container_integrity_gate": 10,
 }
 
 # Gate ROTATION (distinct from a contract change): queries whose
