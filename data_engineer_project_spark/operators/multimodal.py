@@ -1785,16 +1785,13 @@ def _gif_lzw_decode(data: bytes, min_code: int, max_px: int) -> bytes:
             width += 1
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Parse a GIF into the FIRST frame's flat RGB sample array over
-    the full logical-screen canvas (background-filled where the frame
-    rectangle doesn't cover; interlaced frames de-interlaced; local
-    color table preferred over global). Later frames of an animation
-    are ignored — the engine treats animated GIFs like videos: frame
-    features come from the frame-fingerprint operators, not the still
-    decode. Hostile input (truncation anywhere, LZW overflow, palette
-    index out of range, frame outside the canvas, dimension bombs)
-    raises ValueError before unbounded work."""
+def _gif_walk(payload: bytes):
+    """Block walk over a GIF: yields (canvas_indices, palette) after
+    each image block, compositing frames onto the RUNNING canvas
+    (disposal methods and transparency are ignored — the
+    "do-not-dispose" common case; our fixture animations are
+    full-canvas frames where disposal is moot). The walk is bounded
+    by the payload length: every yielded frame consumed bytes."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
@@ -1814,12 +1811,18 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("truncated GIF: global color table cut")
         gct = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    canvas = np.full((h, w), bg if gct is not None and bg < len(gct) else 0, np.uint8)
+    yielded = False
     while True:
         if pos >= len(payload):
+            if yielded:
+                return  # missing trailer but frames complete
             raise ValueError("truncated GIF: no image block before end")
         blk = payload[pos]
         pos += 1
         if blk == 0x3B:
+            if yielded:
+                return
             raise ValueError("GIF reached trailer without an image block")
         if blk == 0x21:  # extension: label + sub-block chain
             if pos >= len(payload):
@@ -1871,15 +1874,35 @@ def decode_gif(payload: bytes) -> np.ndarray:
             de = np.empty_like(frame)
             de[order] = frame
             frame = de
-        canvas = np.full((h, w), bg if gct is not None and bg < len(gct) else 0, np.uint8)
         canvas[top : top + fh, left : left + fw] = frame
         if int(canvas.max(initial=0)) >= len(pal):
             raise ValueError("GIF palette index out of range")
-        if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
-            # gray palette: collapse to one sample per pixel (the
-            # grayscale convention every other gray container shares)
-            return pal[canvas, 0].reshape(-1)
-        return pal[canvas].reshape(-1)
+        yielded = True
+        yield canvas.copy(), pal
+
+
+def _gif_expand(canvas: np.ndarray, pal: np.ndarray) -> np.ndarray:
+    """Palette-expand one composited canvas: gray palettes collapse to
+    one sample per pixel (the grayscale convention every other gray
+    container shares); anything else expands to RGB."""
+    if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+        return pal[canvas, 0].reshape(-1)
+    return pal[canvas].reshape(-1)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Parse a GIF into the FIRST frame's flat sample array over the
+    full logical-screen canvas (background-filled where the frame
+    rectangle doesn't cover; interlaced frames de-interlaced; local
+    color table preferred over global; gray palettes collapse to one
+    sample per pixel). Later frames of an animation are ignored here —
+    the video family consumes them via gif_frame_fingerprints.
+    Hostile input (truncation anywhere, LZW overflow, palette index
+    out of range, frame outside the canvas, dimension bombs) raises
+    ValueError before unbounded work."""
+    for canvas, pal in _gif_walk(payload):
+        return _gif_expand(canvas, pal)
+    raise ValueError("GIF reached trailer without an image block")
 
 
 def encode_gif(pixels: bytes, width: int, interlace: bool = False) -> bytes:
@@ -1906,6 +1929,17 @@ def encode_gif(pixels: bytes, width: int, interlace: bool = False) -> bytes:
             + list(range(2, height, 4))
             + list(range(1, height, 2))
         )
+    seq = b"".join(pixels[r * width : (r + 1) * width] for r in rows)
+    out += _gif_lzw_pack(seq)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_pack(seq: bytes) -> bytes:
+    """Uncompressed-style 9-bit LZW stream for an index sequence,
+    framed into GIF sub-blocks with the chain terminator: initial
+    CLEAR, a CLEAR every 254 literals (the decoder's table never
+    reaches 512, so codes stay 9 bits), EOI."""
     acc = nbits = 0
     data = bytearray()
 
@@ -1920,20 +1954,46 @@ def encode_gif(pixels: bytes, width: int, interlace: bool = False) -> bytes:
 
     put(256)  # initial CLEAR
     lit = 0
-    for r in rows:
-        for v in pixels[r * width : (r + 1) * width]:
-            put(v)
-            lit += 1
-            if lit == 254:  # keep the decoder's table under 512 codes
-                put(256)
-                lit = 0
+    for v in seq:
+        put(v)
+        lit += 1
+        if lit == 254:
+            put(256)
+            lit = 0
     put(257)  # EOI
     if nbits:
         data.append(acc & 0xFF)
+    out = bytearray()
     for k in range(0, len(data), 255):
         chunk = data[k : k + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    out += b"\x00"
+    return bytes(out)
+
+
+def encode_gif_animated(frames: list, width: int) -> bytes:
+    """ANIMATED grayscale GIF89a: one full-canvas image block per
+    frame (each ``frames[i]`` is exactly width*height bytes, all the
+    same geometry), gray global color table, the same
+    uncompressed-style LZW as encode_gif. Full-canvas frames make
+    disposal semantics moot, so gif_frame_fingerprints' running-
+    canvas composite recovers each frame exactly."""
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    if width <= 0 or len(frames[0]) == 0 or len(frames[0]) % width:
+        raise ValueError("frames must be non-empty height*width bytes")
+    height = len(frames[0]) // width
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("all frames must share the same geometry")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    for f in frames:
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x00, 8])
+        out += _gif_lzw_pack(bytes(f))
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -2417,6 +2477,85 @@ def byte_histogram_16(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stage, _HIST16_SCHEMA)
+
+
+def gif_frame_fingerprints(media: DataFrame) -> DataFrame:
+    """DISTINCT per-frame fingerprints of ANIMATED GIF payloads: every
+    frame of the animation is decoded (running-canvas composite,
+    palette-expanded to gray) and folds to the same position-weighted
+    checksum frame_fingerprints uses — (Σ byteᵥ·(pos+1))·(npx+1)+npx —
+    so the video near-dup machinery (m11's Jaccard over fingerprint
+    SETS) consumes real multi-frame containers identically to raw
+    byte-frame payloads. Undecodable payloads emit no row (quarantine
+    is m16's job); empty/NULL payloads emit nothing.
+
+    Scale shape: one narrow mapInPandas; output bounded by distinct
+    frames per doc."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                if m is None or len(m) == 0:
+                    continue
+                seen = set()
+                try:
+                    for canvas, pal in _gif_walk(bytes(m)):
+                        a = _gif_expand(canvas, pal).astype(np.int64)
+                        npx = len(a)
+                        pos = np.arange(npx, dtype=np.int64)
+                        ws = int((a * (pos + 1)).sum())
+                        seen.add(ws * (npx + 1) + npx)
+                except ValueError:
+                    continue  # hostile/corrupt payload: no frames
+                ids.extend([did] * len(seen))
+                fps.extend(sorted(seen))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return media.mapInPandas(stage, _FRAME_FP_SCHEMA)
+
+
+def attach_animated_gif(
+    documents: DataFrame, width: int = 8, frame_px: int = 64
+) -> DataFrame:
+    """Wrap each document's UTF-8 bytes in an ANIMATED GIF: the text
+    splits into ``frame_px``-byte frames (the tail zero-padded), each
+    a full-canvas width x (frame_px/width) image block. The m11
+    byte-frame fixture made real: the same logical frame content now
+    travels through an actual multi-frame container, so frame-set
+    dedup exercises the GIF walk end-to-end. Empty/NULL docs carry a
+    NULL payload. One narrow Arrow stage (corpus prep, like
+    attach_real_media)."""
+    if frame_px % width:
+        raise ValueError("frame_px must be a multiple of width")
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")
+                if not raw:
+                    medias.append(None)
+                    continue
+                frames = [
+                    raw[k : k + frame_px].ljust(frame_px, b"\x00")
+                    for k in range(0, len(raw), frame_px)
+                ]
+                medias.append(encode_gif_animated(frames, width))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "media": medias}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        stage,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("media", BinaryType()),
+            ]
+        ),
+    )
 
 
 _PHASH_HIST_SCHEMA = StructType(

@@ -1475,3 +1475,103 @@ def m18_image_neardup_verified(t):
         )
         .orderBy("component")
     )
+
+
+# ------------- m19: animated-GIF frame-set near-dup (r10 third wave)
+
+
+@query(
+    "m19_gif_animation_neardup",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_UTF8_BYTES} AS b FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, unnest(b) AS v, generate_subscripts(b, 1) AS p FROM bl
+    ),
+    fr AS (
+      SELECT doc_id, (p - 1) // 64 AS fno,
+             SUM(v * ((p - 1) % 64 + 1)) AS ws
+      FROM bytes GROUP BY 1, 2
+    ),
+    -- frames are zero-PADDED to 64 bytes inside the container, so the
+    -- position-weighted sum is unchanged (zeros add nothing) and every
+    -- frame folds with npx = 64: fp = ws*65 + 64
+    fp AS (SELECT DISTINCT doc_id, ws * 65 + 64 AS fp FROM fr),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_frames_a,
+           CAST(sb.n AS BIGINT) AS n_frames_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE 2 * i.n_common >= sa.n + sb.n - i.n_common
+    ORDER BY i.doc_a, i.doc_b
+    """,
+    tags=("multimodal", "dedup", "video", "gif"),
+)
+def m19_gif_animation_neardup(t):
+    """m11's frame-set video dedup driven through a REAL multi-frame
+    container: each document's bytes travel as an ANIMATED GIF (one
+    full-canvas 8x8 image block per 64-byte frame, gray palette,
+    LZW-coded — operators/multimodal.attach_animated_gif), the
+    engine-side fingerprints come from DECODING every frame of the
+    animation (gif_frame_fingerprints: running-canvas composite,
+    palette expansion, then the m11 position-weighted fold), and two
+    animations are near-dups when their distinct-frame-fingerprint
+    Jaccard is >= 0.5. The oracle recomputes the fold from raw text
+    bytes with the container's zero-padding convention (padding is
+    additive-identity under the position-weighted sum), so a hash
+    match proves the GIF walk recovered every frame of every
+    animation exactly — a multi-frame LZW bug, a lost frame, or a
+    mis-composited canvas changes fingerprint sets and turns the row
+    red.
+
+    Scale shape: identical to m11 — candidates come from the skew-
+    guarded equi-join on the fingerprint value (only animations
+    SHARING a frame ever meet); decode + fold is one narrow Arrow
+    stage; per-fingerprint multiplicity is the guard's problem at
+    crawl scale (a ubiquitous black frame is a hot key)."""
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_animated_gif,
+        gif_frame_fingerprints,
+    )
+
+    fp = tracked_persist(
+        gif_frame_fingerprints(attach_animated_gif(t.documents))
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        skew_guarded_self_pairs(fp, ["fp"], "doc_id", consumer="m19_gif_frames")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_frames_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_frames_b"))
+    union_n = F.col("n_frames_a") + F.col("n_frames_b") - F.col("n_common")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(2 * F.col("n_common") >= union_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_frames_a",
+            "n_frames_b",
+            (F.col("n_common").cast("double") / union_n.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

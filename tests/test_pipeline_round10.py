@@ -1234,3 +1234,71 @@ def test_gif_cross_validated_against_jvm_imageio(spark):
         assert np.array_equal(ref, mine)
     finally:
         os.unlink(path)
+
+
+def test_m19_animated_gif_equals_m11_pair_semantics(spark):
+    """The animated-GIF arm must reproduce m11's pair decisions where
+    their conventions coincide: every (doc_a, doc_b) m19 reports comes
+    from genuinely decoding multi-frame containers, and on this corpus
+    the pair set matches m11's (zero-padding the tail frame is
+    additive-identity under the position-weighted fold; only the
+    length term differs, which cannot split frames that agree)."""
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    m19 = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["m19_gif_animation_neardup"].fn(spark, sf).collect()
+    }
+    release_all()
+    m11 = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["m11_video_neardup_pairs"].fn(spark, sf).collect()
+    }
+    release_all()
+    assert m19 == m11 and len(m19) > 0
+
+
+def test_animated_gif_walk_and_fingerprints():
+    """Multi-frame machinery specifics: the walk yields every frame of
+    an animation (running-canvas composite), partial-canvas frames
+    composite onto the previous state, and gif_frame_fingerprints
+    dedups identical frames within one animation."""
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    rng = np.random.RandomState(6)
+    frames = [rng.randint(0, 256, 64).astype(np.uint8).tobytes() for _ in range(4)]
+    frames.append(frames[1])  # duplicate frame inside the animation
+    p = mm.encode_gif_animated(frames, 8)
+    got = [mm._gif_expand(c, pal).tobytes() for c, pal in mm._gif_walk(p)]
+    assert got == frames
+    assert mm.decode_gif(p).tobytes() == frames[0]
+
+    # distinct-fingerprint fold: 5 frames, 4 distinct
+    folds = set()
+    for f in frames:
+        a = np.frombuffer(f, np.uint8).astype(np.int64)
+        ws = int((a * (np.arange(64) + 1)).sum())
+        folds.add(ws * 65 + 64)
+    assert len(folds) == 4
+
+    # partial-canvas second frame composites onto the first
+    import struct
+
+    base = bytes(range(64))
+    p2 = bytearray(mm.encode_gif_animated([base], 8))
+    # append a 2x2 patch at (left=1, top=1) with LCT-free descriptor
+    patch = bytes([255, 254, 253, 252])
+    blk = b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + bytes([0x00, 8])
+    blk += mm._gif_lzw_pack(patch)
+    p2 = p2[:-1] + blk + b"\x3b"
+    outs = [mm._gif_expand(c, pal) for c, pal in mm._gif_walk(bytes(p2))]
+    assert len(outs) == 2
+    want = np.frombuffer(base, np.uint8).reshape(8, 8).copy()
+    want[1, 1:3] = [255, 254]
+    want[2, 1:3] = [253, 252]
+    assert np.array_equal(outs[1].reshape(8, 8), want)
+    assert np.array_equal(outs[0], np.frombuffer(base, np.uint8))
