@@ -1997,6 +1997,224 @@ def encode_gif_animated(frames: list, width: int) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------
+# TIFF (baseline 6.0): II/MM byte order, IFD tag walk, strip assembly,
+# uncompressed or PackBits, gray (both photometric polarities) / RGB /
+# palette (16-bit ColorMap scaled >>8). The scanned-document corpus
+# format; encode_tiff_gray is the roundtrip/interop test partner.
+# --------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_read_values(payload, ent_off, bo):
+    """One 12-byte IFD entry -> (tag, list of int values). RATIONALs
+    come back as floor(num/den); ASCII and unknown types yield []."""
+    tag = int.from_bytes(payload[ent_off : ent_off + 2], bo)
+    typ = int.from_bytes(payload[ent_off + 2 : ent_off + 4], bo)
+    cnt = int.from_bytes(payload[ent_off + 4 : ent_off + 8], bo)
+    size = _TIFF_TYPE_SIZE.get(typ)
+    if size is None or typ == 2:
+        return tag, []
+    total = size * cnt
+    if cnt > (1 << 20):
+        raise ValueError("TIFF entry count over the decode bound")
+    if total <= 4:
+        raw = payload[ent_off + 8 : ent_off + 8 + total]
+    else:
+        off = int.from_bytes(payload[ent_off + 8 : ent_off + 12], bo)
+        raw = payload[off : off + total]
+    if len(raw) != total:
+        raise ValueError("truncated TIFF: entry values cut")
+    if typ == 5:  # RATIONAL
+        vals = []
+        for k in range(cnt):
+            num = int.from_bytes(raw[8 * k : 8 * k + 4], bo)
+            den = int.from_bytes(raw[8 * k + 4 : 8 * k + 8], bo)
+            vals.append(num // den if den else 0)
+        return tag, vals
+    return tag, [
+        int.from_bytes(raw[size * k : size * k + size], bo) for k in range(cnt)
+    ]
+
+
+def _packbits_decode(data: bytes, want: int) -> bytes:
+    """PackBits (TIFF 6.0 §9): n in 0..127 copies n+1 literals, n in
+    -127..-1 repeats the next byte 1-n times, -128 is a no-op. Output
+    is bounded by ``want`` before any append."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < want:
+        c = data[i]
+        i += 1
+        if c == 128:
+            continue
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("truncated TIFF: PackBits literal cut")
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:
+            if i >= n:
+                raise ValueError("truncated TIFF: PackBits repeat cut")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        if len(out) > want:
+            raise ValueError("TIFF PackBits output exceeds the strip size")
+    if len(out) < want:
+        raise ValueError("truncated TIFF: PackBits strip shortfall")
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Parse a baseline TIFF (first IFD) into its flat sample array:
+    8-bit grayscale (both WhiteIsZero and BlackIsZero polarities),
+    8-bit RGB, and palette images (ColorMap 16-bit entries scaled to
+    8), strips assembled in order, uncompressed or PackBits. Hostile
+    input (truncation, strip overflow, dimension bombs, palette range
+    lies) raises ValueError before unbounded work."""
+    if payload[:4] == b"II\x2a\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00\x2a":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF: header cut")
+    ifd = int.from_bytes(payload[4:8], bo)
+    if ifd + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset out of range")
+    nent = int.from_bytes(payload[ifd : ifd + 2], bo)
+    if ifd + 2 + 12 * nent > len(payload):
+        raise ValueError("truncated TIFF: IFD entries cut")
+    tags: dict[int, list[int]] = {}
+    for k in range(nent):
+        tag, vals = _tiff_read_values(payload, ifd + 2 + 12 * k, bo)
+        tags[tag] = vals
+    def first(tag, default=None):
+        vals = tags.get(tag)
+        if not vals:  # absent OR present with a corrupt/empty type
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return vals[0]
+
+    w = first(256)
+    h = first(257)
+    offsets = tags.get(273) or []
+    counts = tags.get(279) or []
+    if w == 0 or h == 0:
+        raise ValueError("TIFF header declares zero dimension")
+    spp = first(277, 1)
+    bps = tags.get(258) or [8]
+    comp = first(259, 1)
+    photo = first(262, 1)
+    rps = first(278, h) or h
+    if spp not in (1, 3) or any(b != 8 for b in bps):
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/palette TIFF supported (spp={spp}, bps={bps})"
+        )
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"unsupported TIFF compression {comp}: only none and PackBits"
+        )
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"unsupported TIFF photometric {photo}")
+    if (photo == 2) != (spp == 3):
+        raise ValueError("TIFF photometric/samples mismatch")
+    if w * h * spp > (1 << 28):
+        raise ValueError(f"TIFF declares {w}x{h}x{spp} — over the decode bound")
+    if len(offsets) != len(counts) or not offsets:
+        raise ValueError("TIFF strip offset/count tables disagree")
+    stride = w * spp
+    out = bytearray()
+    total = stride * h
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = payload[off : off + cnt]
+        if len(raw) != cnt:
+            raise ValueError("truncated TIFF: strip data cut")
+        rows_here = min(rps, h - si * rps)
+        if rows_here <= 0:
+            raise ValueError("TIFF declares more strips than rows")
+        want = rows_here * stride
+        out += raw[:want] if comp == 1 else _packbits_decode(raw, want)
+        if comp == 1 and len(raw) < want:
+            raise ValueError("truncated TIFF: strip shorter than its rows")
+    if len(out) != total:
+        raise ValueError(f"TIFF pixel shortfall: want {total}, have {len(out)}")
+    a = np.frombuffer(bytes(out), dtype=np.uint8)
+    if photo == 0:  # WhiteIsZero: invert into the BlackIsZero space
+        return (255 - a.astype(np.int16)).astype(np.uint8)
+    if photo == 3:  # palette: ColorMap is 3 contiguous 16-bit planes
+        cmap = tags.get(320, [])
+        n = len(cmap) // 3
+        if n == 0 or int(a.max(initial=0)) >= n:
+            raise ValueError("TIFF palette missing or index out of range")
+        pal = (np.array(cmap, dtype=np.uint32).reshape(3, n).T >> 8).astype(
+            np.uint8
+        )
+        return pal[a].reshape(-1)
+    return a
+
+
+def encode_tiff_gray(pixels: bytes, width: int, packbits: bool = False) -> bytes:
+    """Minimal 8-bit grayscale TIFF (II, single strip, BlackIsZero)
+    for ``pixels`` — the decode_tiff test partner; ``packbits`` runs
+    the strip through a simple PackBits compressor (repeat runs >= 3
+    folded, literals chunked at 128)."""
+    if width <= 0 or not pixels or len(pixels) % width:
+        raise ValueError("pixel buffer must be non-empty height*width bytes")
+    height = len(pixels) // width
+    if packbits:
+        data = bytearray()
+        i, n = 0, len(pixels)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and pixels[i + run] == pixels[i]:
+                run += 1
+            if run >= 3:
+                data += bytes([257 - run, pixels[i]])
+                i += run
+                continue
+            j = i
+            while (
+                j < n
+                and j - i < 128
+                and not (
+                    j + 2 < n and pixels[j] == pixels[j + 1] == pixels[j + 2]
+                )
+            ):
+                j += 1
+            data += bytes([j - i - 1]) + pixels[i:j]
+            i = j
+        strip = bytes(data)
+    else:
+        strip = pixels
+    # layout: header 8 | strip | IFD
+    strip_off = 8
+    strip_len = len(strip)
+    ifd_off = strip_off + strip_len
+    if ifd_off % 2:  # IFD must sit on a word boundary
+        strip = strip + b"\x00"
+        ifd_off += 1
+    entries = [
+        (256, 4, 1, width),
+        (257, 4, 1, height),
+        (258, 3, 1, 8),
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, 1),
+        (273, 4, 1, strip_off),
+        (277, 3, 1, 1),
+        (278, 4, 1, height),
+        (279, 4, 1, strip_len),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    return b"II\x2a\x00" + struct.pack("<I", ifd_off) + strip + ifd
+
+
 def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
     """Real codec path: dispatch on the payload's MAGIC bytes to the
     dependency-free PNM/BMP/PNG/JPEG/GIF parsers above. webp (VP8)
@@ -2011,9 +2229,11 @@ def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return decode_tiff(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for format={fmt!r} (payload lacks "
-        "PNM/BMP/PNG/JPEG/GIF magic); webp needs a VP8 codec this "
+        "PNM/BMP/PNG/JPEG/GIF/TIFF magic); webp needs a VP8 codec this "
         "environment does not ship — use fake_decode for it"
     )
 

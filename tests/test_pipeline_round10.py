@@ -1302,3 +1302,120 @@ def test_animated_gif_walk_and_fingerprints():
     want[2, 1:3] = [253, 252]
     assert np.array_equal(outs[1].reshape(8, 8), want)
     assert np.array_equal(outs[0], np.frombuffer(base, np.uint8))
+
+
+def test_tiff_roundtrip_packbits_and_hostile():
+    """Baseline TIFF decode: encode_tiff_gray -> decode_tiff is the
+    identity for uncompressed AND PackBits strips (runs folded,
+    literals chunked); truncation and single-byte corruption
+    quarantine as ValueError/NotImplementedError; dimension bombs and
+    strip lies are rejected before unbounded work."""
+    import struct
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_gray,
+    )
+
+    rng = np.random.RandomState(8)
+    for w, h in [(40, 25), (1, 1), (7, 3), (128, 2)]:
+        px = rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+        for pb in (False, True):
+            assert decode_tiff(encode_tiff_gray(px, w, packbits=pb)).tobytes() == px
+    runs = (bytes([7]) * 300 + bytes(range(100)) + bytes([0]) * 200) * 4
+    assert decode_tiff(encode_tiff_gray(runs, 40, packbits=True)).tobytes() == runs
+
+    px30 = rng.randint(0, 256, 30 * 20).astype(np.uint8).tobytes()
+    payload = bytearray(encode_tiff_gray(px30, 30, packbits=True))
+    for cut in range(1, len(payload), 5):
+        # a prefix either still contains the whole strip + IFD entry
+        # table (the trailing next-IFD pointer is not required) and
+        # must decode IDENTICALLY, or it must quarantine
+        try:
+            out = decode_tiff(bytes(payload[:cut]))
+        except (ValueError, NotImplementedError):
+            continue
+        assert out.tobytes() == px30, cut
+    for pos in range(0, len(payload), 7):
+        for val in (0x00, 0xFF, payload[pos] ^ 0x55):
+            orig = payload[pos]
+            payload[pos] = val
+            try:
+                decode_tiff(bytes(payload))
+            except (ValueError, NotImplementedError):
+                pass
+            payload[pos] = orig
+
+    # dimension bomb: rewrite ImageWidth/ImageLength to 30000 each
+    bomb = bytearray(encode_tiff_gray(b"\x01\x02\x03\x04", 2))
+    ifd = struct.unpack_from("<I", bomb, 4)[0]
+    for k in range(struct.unpack_from("<H", bomb, ifd)[0]):
+        tag = struct.unpack_from("<H", bomb, ifd + 2 + 12 * k)[0]
+        if tag in (256, 257):
+            struct.pack_into("<I", bomb, ifd + 2 + 12 * k + 8, 30000)
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_tiff(bytes(bomb))
+
+
+def test_tiff_cross_validated_against_jvm_imageio(spark):
+    """Two-directional TIFF conformance through the JVM: our
+    uncompressed and PackBits containers read back bit-exact through
+    ImageIO, and a TIFF written by ImageIO's OWN writer (big-endian
+    MM, its choice of strip layout) decodes bit-exact through
+    decode_tiff — covering the byte-order and strip-assembly paths our
+    encoder never emits."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_gray,
+    )
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    rng = np.random.RandomState(9)
+    w, h = 40, 25
+    gray = rng.randint(0, 256, (h, w)).astype(np.uint8)
+
+    def imageio_gray(payload):
+        with tempfile.NamedTemporaryFile(suffix=".tiff", delete=False) as f:
+            f.write(payload)
+            path = f.name
+        try:
+            img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+            assert img is not None
+            raster = img.getRaster()
+            buf = gw.new_array(gw.jvm.int, w)
+            out = np.zeros((h, w), np.int32)
+            for y in range(h):
+                out[y] = list(raster.getSamples(0, y, w, 1, 0, buf))
+            return out
+        finally:
+            os.unlink(path)
+
+    for pb in (False, True):
+        assert (imageio_gray(encode_tiff_gray(gray.tobytes(), w, packbits=pb)) == gray).all()
+
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    wr = bi.getRaster()
+    buf = gw.new_array(gw.jvm.int, w)
+    for y in range(h):
+        for x in range(w):
+            buf[x] = int(gray[y, x])
+        wr.setSamples(0, y, w, 1, 0, buf)
+    with tempfile.NamedTemporaryFile(suffix=".tiff", delete=False) as f:
+        path = f.name
+    try:
+        assert jvm.javax.imageio.ImageIO.write(bi, "tiff", jvm.java.io.File(path))
+        payload = open(path, "rb").read()
+        assert payload[:4] == b"MM\x00\x2a"  # the byte order we never emit
+        assert (decode_tiff(payload).reshape(h, w) == gray).all()
+    finally:
+        os.unlink(path)
