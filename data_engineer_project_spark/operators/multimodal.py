@@ -2291,30 +2291,31 @@ _REAL_MEDIA_SCHEMA = StructType(
 )
 
 
-_CONTAINER_ARMS = ("pgm", "bmp", "png", "jpg", "gif")
+_CONTAINER_ARMS = ("pgm", "bmp", "png", "jpg", "gif", "tif")
 _ENCODERS = {
     "pgm": encode_pnm,
     "bmp": encode_bmp8,
     "png": encode_png,
     "jpg": encode_jpeg_lossless,
     "gif": encode_gif,
+    "tif": encode_tiff_gray,
 }
 
 
 def attach_real_media(documents: DataFrame) -> DataFrame:
     """Wrap each document's UTF-8 bytes in a REAL image container —
-    doc_id % 5 rotates through a P5 PNM (ASCII header), an 8-bit BMP
+    doc_id % 6 rotates through a P5 PNM (ASCII header), an 8-bit BMP
     (bottom-up rows, 4-byte stride), an 8-bit grayscale PNG (chunked,
     CRC'd, zlib stored-block IDAT), a LOSSLESS JPEG (T.81 SOF3,
     predictor 1, Huffman-coded differences — round 10, the dominant
-    crawl format made real and bit-exact), and a GIF89a (gray global
-    color table, uncompressed-style LZW — bit-exact, with an exact
-    closed-form container size). The logical image is identical in
-    all five arms: width = 16 + doc_id % 48, the text bytes
-    row-major, the final row zero-padded to the width — so one
-    container-ignorant oracle covers every arm, and parity proves the
-    PARSERS recover exactly the true pixels from five different
-    on-disk layouts. Empty/NULL docs carry a NULL payload (no pixels →
+    crawl format made real and bit-exact), a GIF89a (gray global
+    color table, uncompressed-style LZW), and a single-strip TIFF —
+    every arm bit-exact, every arm's container size in closed form.
+    The logical image is identical in all six arms: width = 16 +
+    doc_id % 48, the text bytes row-major, the final row zero-padded
+    to the width — so one container-ignorant oracle covers every arm,
+    and parity proves the PARSERS recover exactly the true pixels
+    from six different on-disk layouts. Empty/NULL docs carry a NULL payload (no pixels →
     no decode row, the m04 convention).
 
     This is corpus prep (the stand-in for reading real blobs), not the

@@ -1001,8 +1001,9 @@ def m14_audio_neardup_pairs(t):
       FROM bl
     )
     SELECT doc_id, lang,
-           CASE doc_id % 5 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
-                WHEN 2 THEN 'png' WHEN 3 THEN 'jpg' ELSE 'gif'
+           CASE doc_id % 6 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
+                WHEN 2 THEN 'png' WHEN 3 THEN 'jpg' WHEN 4 THEN 'gif'
+                ELSE 'tif'
            END AS container,
            w * CAST(ceil(n / w) AS BIGINT) AS n_px,
            sum_b AS sum_px,
@@ -1016,23 +1017,24 @@ def m14_audio_neardup_pairs(t):
 )
 def m15_real_container_decode(t):
     """REAL container decode — the non-vacuous twin of m04's stub:
-    every payload is a genuine image container (doc_id % 5 rotates
+    every payload is a genuine image container (doc_id % 6 rotates
     P5 PNM with an ASCII header; 8-bit BMP with little-endian struct
     headers, a 256-entry palette, 4-byte row stride, bottom-up rows;
     8-bit grayscale PNG with CRC'd chunks and a zlib IDAT — round 9;
     LOSSLESS JPEG, T.81 SOF3 predictor-1 with Huffman-coded
-    differences — round 10, bit-exact by construction; and GIF89a
-    with a gray color table and LZW-coded indices — round 10 third
-    wave, also bit-exact), and ``decode_media(use_real_codec=True)``
+    differences — round 10, bit-exact by construction; GIF89a with a
+    gray color table and LZW-coded indices; and a single-strip TIFF —
+    round 10 third wave, both bit-exact), and
+    ``decode_media(use_real_codec=True)``
     must PARSE the container — magic sniff, header fields,
     stride/row-order/inflate-unfilter/LZW undo — to recover the
     pixels. The oracle knows nothing about any container: it
     recomputes the stats from the raw UTF-8 bytes plus the final-row
     zero padding, so a parity hash proves the parsers extracted
-    exactly the true pixel matrix from five different on-disk layouts
+    exactly the true pixel matrix from six different on-disk layouts
     (a BMP stride bug, a PNG filter bug, a JPEG predictor/EXTEND bug,
-    or a GIF code-width bug shifts sum/min/max and turns the row
-    red).
+    a GIF code-width bug, or a TIFF strip bug shifts sum/min/max and
+    turns the row red).
 
     Scale shape: encode and decode are both narrow Arrow mapInPandas
     stages (no shuffle); the only exchange is none at all — the result
@@ -1043,11 +1045,12 @@ def m15_real_container_decode(t):
     return dec.select(
         "doc_id",
         "lang",
-        F.when(F.col("doc_id") % 5 == 0, F.lit("pgm"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("bmp"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("png"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("jpg"))
-        .otherwise(F.lit("gif"))
+        F.when(F.col("doc_id") % 6 == 0, F.lit("pgm"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("bmp"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("png"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("jpg"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("gif"))
+        .otherwise(F.lit("tif"))
         .alias("container"),
         "n_px",
         "sum_px",
@@ -1071,8 +1074,9 @@ def m15_real_container_decode(t):
     sized AS (
       SELECT doc_id, n, w,
              CAST(ceil(n / w) AS BIGINT) AS h,
-             CASE doc_id % 5 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
-                  WHEN 2 THEN 'png' WHEN 3 THEN 'jpg' ELSE 'gif'
+             CASE doc_id % 6 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp'
+                  WHEN 2 THEN 'png' WHEN 3 THEN 'jpg' WHEN 4 THEN 'gif'
+                  ELSE 'tif'
              END AS fmt
       FROM m WHERE n > 0
     ),
@@ -1097,10 +1101,14 @@ def m15_real_container_decode(t):
                   -- (npx literals + initial clear + a clear every
                   -- 254 literals + EOI) + 1 length byte per 255-byte
                   -- sub-block (encode_gif)
-                  ELSE 794
+                  WHEN 'gif'
+                  THEN 794
                        + (9 * (w * h + 2 + (w * h) // 254) + 7) // 8
                        + CAST(ceil(((9 * (w * h + 2 + (w * h) // 254) + 7) // 8)
                                    / 255.0) AS BIGINT)
+                  -- tif: header 8 + single strip (w*h, word-padded)
+                  -- + IFD (2 + 9 entries x 12 + next ptr 4 = 114)
+                  ELSE 8 + w * h + (w * h) % 2 + 114
              END AS container_bytes
       FROM sized
     ),
