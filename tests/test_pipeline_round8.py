@@ -250,8 +250,9 @@ def test_m16_gate_verdicts_rederive_from_the_codecs(spark, sf_dir):
     for did, text in zip(tb["doc_id"], tb["text"]):
         if not (text or "").encode("utf-8"):
             continue
-        # round 9 added PNG, round 10 lossless JPEG (doc_id % 4)
-        fmt = ("pgm", "bmp", "png", "jpg")[did % 4]
+        # round 9 added PNG; round 10 lossless JPEG, then GIF and
+        # TIFF (doc_id % 6)
+        fmt = ("pgm", "bmp", "png", "jpg", "gif", "tif")[did % 6]
         status = "corrupt" if did % 13 == 0 else "ok"
         want[(fmt, status)] = want.get((fmt, status), 0) + 1
     assert got == want

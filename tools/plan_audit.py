@@ -43,6 +43,8 @@ EXTRA_QUERIES = [
     "p58_rollup",
     # r4 additions
     "d14_ann_ivf",
+    # r10 third wave: animated-GIF frame-set dedup (guarded pair join)
+    "m19_gif_animation_neardup",
     "d33_source_token_budget",
     "d34_containment_dedup",
     "d35_char_class_profile",
