@@ -1424,3 +1424,75 @@ def test_tiff_cross_validated_against_jvm_imageio(spark):
         assert (decode_tiff(payload).reshape(h, w) == gray).all()
     finally:
         os.unlink(path)
+
+
+def test_merge_state_chain_is_partition_invariant(spark):
+    """The s25 exactness argument, stressed directly: folding
+    _merge_delta_state over ANY partition of the delta, in ANY batch
+    order, must produce the same rollup as d99 run from scratch on
+    corpus+delta — exact-dup weight bumps, rename chains across
+    batches, novel-vs-novel near-dup bridges, and band-table growth
+    all have to commute for this to hold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import data_engineer_project_spark.operators.dedup as DD
+    import data_engineer_project_spark.operators.graph as GR
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.operators.cache import release_all, tracked_persist
+    from data_engineer_project_spark.queries import QUERIES
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _cluster_rollup,
+        _collapse_reps,
+        _D100_NB,
+        _D100_NH,
+        _merge_delta_state,
+        _SPARK_BUCKET,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    bucket = F.expr(_SPARK_BUCKET)
+    corpus = docs.filter(bucket < 90)
+    delta = docs.filter(bucket >= 90).collect()
+
+    reps = tracked_persist(_collapse_reps(corpus))
+    shc = tracked_persist(
+        DD.exploded_shingles(reps.select("node", "text"), id_col="node").distinct()
+    )
+    pairs = DD.minhash_lsh_pairs_from_shingles(
+        shc, id_col="node", num_hashes=_D100_NH, bands=_D100_NB,
+        jaccard_threshold=0.5,
+    ).select("doc_a", "doc_b")
+    sigc = DD.minhash_signatures(shc, id_col="node", num_hashes=_D100_NH)
+    base_state = {
+        "reps": reps.select("fp", "node", "wt", T.token_count("text").alias("n_tok")),
+        "comps": GR.connected_components(pairs).select("node", "component"),
+        "sh": shc,
+        "bands": DD.band_key_rows(sigc, id_col="node", num_hashes=_D100_NH, bands=_D100_NB),
+    }
+    base_state = {k: v.localCheckpoint(eager=True) for k, v in base_state.items()}
+
+    want = [
+        tuple(r)
+        for r in QUERIES["d99_weighted_neardup_clusters"].fn(spark, sf).collect()
+    ]
+    release_all()
+
+    schema = "doc_id long, text string"
+    for seed, ngroups in [(0, 2), (1, 4)]:
+        rng = np.random.RandomState(seed)
+        assign = rng.randint(0, ngroups, len(delta))
+        st = base_state
+        for g in rng.permutation(ngroups):
+            rows = [r for r, a in zip(delta, assign) if a == g]
+            if not rows:
+                continue
+            batch = spark.createDataFrame(rows, schema)
+            st = {
+                k: v.localCheckpoint(eager=True)
+                for k, v in _merge_delta_state(batch, st).items()
+            }
+        got = [tuple(r) for r in _cluster_rollup(st["reps"], st["comps"]).collect()]
+        release_all()
+        assert got == want, (seed, ngroups)
