@@ -1998,6 +1998,134 @@ def encode_gif_animated(frames: list, width: int) -> bytes:
 
 
 # --------------------------------------------------------------------
+# WAV (RIFF PCM): the audio container. decode_wav walks RIFF chunks
+# and returns the sample stream in the engine's unsigned-8-bit sample
+# space (8-bit PCM is already unsigned — bit-exact; 16-bit signed LE
+# scales via (v + 32768) >> 8; channels stay interleaved).
+# encode_wav_pcm8 is the fixture arm: 8-bit mono, samples == payload
+# bytes, 44-byte header + data (+ RIFF pad), exact closed-form size.
+# --------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Parse a RIFF/WAVE PCM payload into its flat sample array
+    (uint8 sample space; multi-channel stays interleaved). Hostile
+    input (truncation, chunk lies, dimension bombs, non-PCM or odd
+    bit depths) raises ValueError/NotImplementedError before
+    unbounded work."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated WAV: chunk cut")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("truncated WAV: fmt chunk too short")
+            tag, _ch, _rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if tag != 1:
+                raise NotImplementedError(
+                    f"only PCM WAV supported (format tag {tag})"
+                )
+            if bits not in (8, 16):
+                raise NotImplementedError(
+                    f"only 8/16-bit PCM WAV supported (bits={bits})"
+                )
+            fmt = bits
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt")
+            if ln > (1 << 28):
+                raise ValueError("WAV data over the decode bound")
+            if fmt == 8:
+                return np.frombuffer(body, dtype=np.uint8)
+            if ln % 2:
+                raise ValueError("WAV 16-bit data length is odd")
+            v = np.frombuffer(body, dtype="<i2").astype(np.int32)
+            return ((v + 32768) >> 8).astype(np.uint8)
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    raise ValueError("truncated WAV: no data chunk")
+
+
+def encode_wav_pcm8(samples: bytes, rate: int = 8000) -> bytes:
+    """8-bit unsigned mono PCM WAV for ``samples`` — bit-exact
+    (decode returns exactly these bytes). Container size is exactly
+    44 + n + (n % 2) (the RIFF pad byte)."""
+    if not samples:
+        raise ValueError("sample buffer must be non-empty")
+    n = len(samples)
+    pad = n & 1
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n + pad)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+        + b"\x00" * pad
+    )
+
+
+_WAV_SAMPLES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+    ]
+)
+
+
+def decode_wav_samples(media: DataFrame) -> DataFrame:
+    """Container -> raw sample stream as a ``media`` column, so the
+    existing frame operators (sample_frames, frame_byte_sums) consume
+    DECODED audio exactly as they consume raw byte payloads.
+    Undecodable payloads emit no row (quarantine is the integrity
+    gate's job); one narrow Arrow stage."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                if m is None or len(m) == 0:
+                    continue
+                try:
+                    s = decode_wav(bytes(m))
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(did)
+                outs.append(s.tobytes())
+            yield pd.DataFrame({"doc_id": ids, "media": outs})
+
+    return media.mapInPandas(stage, _WAV_SAMPLES_SCHEMA)
+
+
+def attach_wav(documents: DataFrame) -> DataFrame:
+    """Wrap each document's UTF-8 bytes in a REAL 8-bit PCM WAV (the
+    audio twin of attach_real_media; samples == text bytes, so audio
+    oracles stay container-ignorant). Empty/NULL docs carry a NULL
+    payload. One narrow Arrow stage."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")
+                medias.append(encode_wav_pcm8(raw) if raw else None)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "media": medias}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        stage, _WAV_SAMPLES_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------
 # TIFF (baseline 6.0): II/MM byte order, IFD tag walk, strip assembly,
 # uncompressed or PackBits, gray (both photometric polarities) / RGB /
 # palette (16-bit ColorMap scaled >>8). The scanned-document corpus

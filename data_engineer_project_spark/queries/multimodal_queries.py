@@ -1583,3 +1583,91 @@ def m19_gif_animation_neardup(t):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------- m20: WAV audio near-dup through a real container
+
+
+from data_engineer_project_spark.queries.catalog import (  # noqa: E402
+    QUERIES as _REGISTRY_M20,
+)
+
+# m20's contract IS m14's: 8-bit PCM samples are the text bytes
+# bit-exact, so the envelope-gram oracle applies verbatim.
+_M20_ORACLE = _REGISTRY_M20["m14_audio_neardup_pairs"].oracle
+
+
+@query(
+    "m20_wav_audio_neardup",
+    _M20_ORACLE,
+    tags=("multimodal", "audio", "dedup", "wav"),
+)
+def m20_wav_audio_neardup(t):
+    """m14's envelope-gram audio dedup driven through a REAL
+    container: each document's bytes travel as an 8-bit PCM WAV
+    (operators/multimodal.attach_wav), decode_wav_samples PARSES the
+    RIFF chunks back into the raw sample stream, and the identical
+    m14 machinery (64-sample window energies → amplitude classes →
+    envelope 4-grams → skew-guarded gram join → Jaccard ≥ 0.5) runs
+    over the DECODED samples. The oracle is m14's verbatim — 8-bit
+    PCM is bit-exact — so a hash match proves the WAV walk recovered
+    every sample of every payload; a chunk-alignment or fmt-parse bug
+    shifts window energies and turns the row red.
+
+    Scale shape: identical to m14 plus one narrow Arrow decode
+    stage."""
+    from data_engineer_project_spark.operators.dedup import (
+        skew_guarded_self_pairs,
+    )
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_wav,
+        decode_wav_samples,
+        frame_byte_sums,
+        sample_frames,
+    )
+
+    samples = decode_wav_samples(attach_wav(t.documents))
+    fs = frame_byte_sums(
+        sample_frames(samples, frame_bytes=_VAD_WINDOW_BYTES, every=1)
+    )
+    cls = F.expr("cast(frame_sum as bigint) div 64")
+    cl = fs.select("doc_id", "frame_no", cls.alias("c"))
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    gram = F.concat_ws(
+        "|",
+        F.col("c").cast("string"),
+        F.lead("c", 1).over(w).cast("string"),
+        F.lead("c", 2).over(w).cast("string"),
+        F.lead("c", 3).over(w).cast("string"),
+    )
+    gd = tracked_persist(
+        cl.select("doc_id", gram.alias("gram"), F.lead("c", 3).over(w).alias("l3"))
+        .filter(F.col("l3").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    sizes = gd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        skew_guarded_self_pairs(gd, ["gram"], "doc_id", consumer="m20_wav_grams")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_grams_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_grams_b"))
+    union_n = F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(2 * F.col("n_common") >= union_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_grams_a",
+            "n_grams_b",
+            (F.col("n_common").cast("double") / union_n.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1496,3 +1496,125 @@ def test_merge_state_chain_is_partition_invariant(spark):
         got = [tuple(r) for r in _cluster_rollup(st["reps"], st["comps"]).collect()]
         release_all()
         assert got == want, (seed, ngroups)
+
+
+def test_wav_roundtrip_hostile_and_16bit():
+    """WAV codec: 8-bit PCM roundtrips bit-exact with an exact
+    44 + n + pad container size; 16-bit signed LE scales into the
+    unsigned-8 sample space; truncation/corruption quarantine; the
+    data-chunk bound rejects declared-size bombs."""
+    import struct
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm8,
+    )
+
+    rng = np.random.RandomState(10)
+    for n in (1, 2, 255, 1024, 333):
+        s = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        p = encode_wav_pcm8(s)
+        assert len(p) == 44 + n + (n % 2)
+        assert decode_wav(p).tobytes() == s
+
+    payload = bytearray(encode_wav_pcm8(rng.randint(0, 256, 600).astype(np.uint8).tobytes()))
+    for cut in range(1, len(payload), 5):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_wav(bytes(payload[:cut]))
+    for pos in range(0, len(payload), 3):
+        for val in (0x00, 0xFF, payload[pos] ^ 0x55):
+            orig = payload[pos]
+            payload[pos] = val
+            try:
+                decode_wav(bytes(payload))
+            except (ValueError, NotImplementedError):
+                pass
+            payload[pos] = orig
+
+    v = np.array([-32768, -1, 0, 255, 32767], dtype="<i2")
+    p16 = (
+        b"RIFF" + struct.pack("<I", 46) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 10) + v.tobytes()
+    )
+    assert list(decode_wav(p16)) == [0, 127, 128, 128, 255]
+
+
+def test_m20_wav_equals_m14_pair_semantics(spark):
+    """Every pair m20 reports comes from PARSING real WAV containers;
+    8-bit PCM is bit-exact so the pair set must equal m14's."""
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    m20 = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["m20_wav_audio_neardup"].fn(spark, sf).collect()
+    }
+    release_all()
+    m14 = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["m14_audio_neardup_pairs"].fn(spark, sf).collect()
+    }
+    release_all()
+    assert m20 == m14 and len(m20) > 0
+
+
+def test_wav_cross_validated_against_jvm_javax_sound(spark):
+    """Two-directional WAV conformance through the JVM's independent
+    audio stack: our 8-bit PCM containers stream back bit-exact
+    through javax.sound.sampled, and a WAV written by the JVM's OWN
+    writer decodes bit-exact through decode_wav."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm8,
+    )
+
+    jvm = spark._jvm
+    rng = np.random.RandomState(11)
+    samples = rng.randint(0, 256, 600).astype(np.uint8).tobytes()
+
+    # direction 1: our encode -> javax.sound read
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        f.write(encode_wav_pcm8(samples))
+        path = f.name
+    try:
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.File(path)
+        )
+        fmt = ais.getFormat()
+        assert fmt.getSampleSizeInBits() == 8 and fmt.getChannels() == 1
+        # py4j passes arrays by value, so read(buf) mutations never
+        # come back — readAllBytes returns the data directly
+        out = bytes(ais.readAllBytes())
+        assert out == samples
+    finally:
+        os.unlink(path)
+
+    # direction 2: JVM-written WAV -> our decode (py4j converts a
+    # Python bytearray to byte[] directly)
+    afmt = jvm.javax.sound.sampled.AudioFormat(
+        jvm.javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        8000.0, 8, 1, 1, 8000.0, False,
+    )
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(samples))
+    ais = jvm.javax.sound.sampled.AudioInputStream(bais, afmt, len(samples))
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    try:
+        jvm.javax.sound.sampled.AudioSystem.write(
+            ais,
+            jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE,
+            jvm.java.io.File(path),
+        )
+        payload = open(path, "rb").read()
+        assert decode_wav(payload).tobytes() == samples
+    finally:
+        os.unlink(path)
