@@ -2359,9 +2359,12 @@ def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
         return decode_gif(payload)
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for format={fmt!r} (payload lacks "
-        "PNM/BMP/PNG/JPEG/GIF/TIFF magic); webp needs a VP8 codec this "
+        "PNM/BMP/PNG/JPEG/GIF/TIFF/WAV magic); webp needs a VP8 codec "
+        "this "
         "environment does not ship — use fake_decode for it"
     )
 

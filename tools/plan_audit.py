@@ -45,6 +45,7 @@ EXTRA_QUERIES = [
     "d14_ann_ivf",
     # r10 third wave: animated-GIF frame-set dedup (guarded pair join)
     "m19_gif_animation_neardup",
+    "m20_wav_audio_neardup",
     "d33_source_token_budget",
     "d34_containment_dedup",
     "d35_char_class_profile",
