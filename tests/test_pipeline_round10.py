@@ -943,6 +943,29 @@ def test_jpeg_decode_agrees_with_jvm_imageio_on_real_files(spark):
     def luma(x):
         return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
 
+    # the progressive sample must exercise BOTH successive-
+    # approximation refinement kinds (DC Ah>0 and AC Ah>0), not just
+    # spectral selection — otherwise this test would silently validate
+    # only part of the multi-scan machinery
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    d = open(sorted(candidates["progressive_422"])[0], "rb").read()
+    pos, dc_refine, ac_refine = 2, False, False
+    while True:
+        marker, seg, pos = mm._next_jpeg_segment(d, pos)
+        if marker == 0xD9:
+            break
+        if marker == 0xDA:
+            ns = seg[0]
+            ss, _se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if ahal >> 4:
+                if ss == 0:
+                    dc_refine = True
+                else:
+                    ac_refine = True
+            pos = mm._skip_jpeg_entropy(d, pos)
+    assert dc_refine and ac_refine
+
     for kind, paths in candidates.items():
         path = sorted(paths)[0]
         if not os.path.exists(path):
