@@ -958,3 +958,119 @@ def test_jpeg_progressive_controlled_failure_under_byte_corruption(
         assert out.dtype == np.uint8
     except (ValueError, NotImplementedError):
         pass
+
+
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interlace=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_any_geometry(w, h, seed, interlace):
+    """encode_gif → decode_gif is the identity (gray palette collapses
+    to one sample per pixel) for ANY geometry, plain or 4-pass
+    interlaced — interlace pass boundaries are where off-by-ones
+    live."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, w * h).astype(
+        np.uint8
+    ).tobytes()
+    assert decode_gif(encode_gif(px, w, interlace=interlace)).tobytes() == px
+
+
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    packbits=st.booleans(),
+    runs=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_tiff_roundtrip_any_geometry(w, h, seed, packbits, runs):
+    """encode_tiff_gray → decode_tiff is the identity for ANY geometry
+    and content, uncompressed or PackBits — ``runs`` biases the pixels
+    toward long repeats so the run-folding encoder branch is hit."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_gray,
+    )
+
+    rng = np.random.RandomState(seed)
+    if runs:
+        vals = rng.randint(0, 4, max(1, w * h // 7)).astype(np.uint8)
+        px = np.repeat(vals, 7)[: w * h]
+        px = np.pad(px, (0, w * h - len(px)), constant_values=3).tobytes()
+    else:
+        px = rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+    assert decode_tiff(encode_tiff_gray(px, w, packbits=packbits)).tobytes() == px
+
+
+@given(
+    n=st.integers(min_value=1, max_value=4096),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_any_length(n, seed):
+    """encode_wav_pcm8 → decode_wav is the identity for any sample
+    count, and the container size is exactly 44 + n + (n % 2)."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm8,
+    )
+
+    s = np.random.RandomState(seed).randint(0, 256, n).astype(np.uint8).tobytes()
+    p = encode_wav_pcm8(s)
+    assert len(p) == 44 + n + (n % 2)
+    assert decode_wav(p).tobytes() == s
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    pos=st.integers(min_value=0, max_value=10_000),
+    val=st.integers(min_value=0, max_value=255),
+    arm=st.sampled_from(["gif", "tif", "wav"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_new_codecs_controlled_failure_under_byte_corruption(seed, pos, val, arm):
+    """The quarantine contract for the round-10 third-wave codecs: ANY
+    single-byte corruption of a valid GIF/TIFF/WAV either decodes
+    (same or altered samples) or raises ValueError /
+    NotImplementedError — never an uncontrolled error."""
+    import numpy as np
+
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_gif,
+        decode_tiff,
+        decode_wav,
+        encode_gif,
+        encode_tiff_gray,
+        encode_wav_pcm8,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, 30 * 10).astype(
+        np.uint8
+    ).tobytes()
+    enc = {
+        "gif": lambda: encode_gif(px, 30),
+        "tif": lambda: encode_tiff_gray(px, 30, packbits=True),
+        "wav": lambda: encode_wav_pcm8(px),
+    }[arm]
+    dec = {"gif": decode_gif, "tif": decode_tiff, "wav": decode_wav}[arm]
+    payload = bytearray(enc())
+    payload[pos % len(payload)] = val
+    try:
+        out = dec(bytes(payload))
+        assert out.dtype == np.uint8
+    except (ValueError, NotImplementedError):
+        pass
