@@ -27,6 +27,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import struct
+from bisect import bisect_left
 from typing import Iterator
 
 import numpy as np
@@ -1202,11 +1203,37 @@ def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
     eobrun = 0
     n = nbx * nby
     bi = 0  # raster index over the scan's block grid
+    # Refinement EOB runs read correction bits only for blocks with
+    # nonzero history; absent blocks consume an eobrun unit for free.
+    # A sorted key view lets us bulk-advance over absent spans instead
+    # of walking them block-by-block (a crafted near-bound SOF2 would
+    # otherwise cost hundreds of millions of no-op iterations). Keys
+    # created DURING this scan land at the current bi, always behind
+    # the forward bisect, so the snapshot stays valid.
+    skeys = None
+    if ah != 0:
+        skeys = sorted(
+            k for k in blocks if k % pbx < nbx and k // pbx < nby
+        )
     while bi < n:
         if ri and bi and bi % ri == 0:
             _prog_restart(br)
             eobrun = 0
         key = (bi // nbx) * pbx + (bi % nbx)
+        if ah != 0 and eobrun:
+            j = bisect_left(skeys, key)
+            if j == len(skeys):
+                nxt = n
+            else:
+                nk = skeys[j]
+                nxt = (nk // pbx) * nbx + nk % pbx
+            if nxt > bi:
+                take = min(eobrun, nxt - bi)
+                if ri:
+                    take = min(take, ri - bi % ri)
+                eobrun -= take
+                bi += take
+                continue
         if ah == 0:
             if eobrun:
                 # bulk-skip: a run of all-zero blocks reads no bits
@@ -1786,12 +1813,17 @@ def _gif_lzw_decode(data: bytes, min_code: int, max_px: int) -> bytes:
 
 
 def _gif_walk(payload: bytes):
-    """Block walk over a GIF: yields (canvas_indices, palette) after
-    each image block, compositing frames onto the RUNNING canvas
+    """Block walk over a GIF: yields the RGB canvas (h, w, 3 uint8)
+    after each image block, compositing frames onto the RUNNING canvas
     (disposal methods and transparency are ignored — the
     "do-not-dispose" common case; our fixture animations are
-    full-canvas frames where disposal is moot). The walk is bounded
-    by the payload length: every yielded frame consumed bytes."""
+    full-canvas frames where disposal is moot). Each frame's indices
+    are range-checked against ITS OWN color table and palette-expanded
+    at composite time, so an animation whose later frame carries a
+    smaller local color table than indices composited earlier is
+    valid — earlier regions keep the palette that was active when they
+    were written. The walk is bounded by the payload length: every
+    yielded frame consumed bytes."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
@@ -1811,7 +1843,11 @@ def _gif_walk(payload: bytes):
             raise ValueError("truncated GIF: global color table cut")
         gct = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
-    canvas = np.full((h, w), bg if gct is not None and bg < len(gct) else 0, np.uint8)
+    if gct is not None and bg < len(gct):
+        bg_rgb = gct[bg]
+    else:
+        bg_rgb = np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
     yielded = False
     while True:
         if pos >= len(payload):
@@ -1874,20 +1910,22 @@ def _gif_walk(payload: bytes):
             de = np.empty_like(frame)
             de[order] = frame
             frame = de
-        canvas[top : top + fh, left : left + fw] = frame
-        if int(canvas.max(initial=0)) >= len(pal):
+        if int(frame.max(initial=0)) >= len(pal):
             raise ValueError("GIF palette index out of range")
+        canvas[top : top + fh, left : left + fw] = pal[frame]
         yielded = True
-        yield canvas.copy(), pal
+        yield canvas.copy()
 
 
-def _gif_expand(canvas: np.ndarray, pal: np.ndarray) -> np.ndarray:
-    """Palette-expand one composited canvas: gray palettes collapse to
-    one sample per pixel (the grayscale convention every other gray
-    container shares); anything else expands to RGB."""
-    if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
-        return pal[canvas, 0].reshape(-1)
-    return pal[canvas].reshape(-1)
+def _gif_expand(canvas: np.ndarray) -> np.ndarray:
+    """Flatten one composited RGB canvas: an all-gray canvas collapses
+    to one sample per pixel (the grayscale convention every other gray
+    container shares); anything else stays RGB."""
+    if (canvas[..., 0] == canvas[..., 1]).all() and (
+        canvas[..., 1] == canvas[..., 2]
+    ).all():
+        return np.ascontiguousarray(canvas[..., 0]).reshape(-1)
+    return canvas.reshape(-1)
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
@@ -1900,8 +1938,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     Hostile input (truncation anywhere, LZW overflow, palette index
     out of range, frame outside the canvas, dimension bombs) raises
     ValueError before unbounded work."""
-    for canvas, pal in _gif_walk(payload):
-        return _gif_expand(canvas, pal)
+    for canvas in _gif_walk(payload):
+        return _gif_expand(canvas)
     raise ValueError("GIF reached trailer without an image block")
 
 
@@ -2133,17 +2171,35 @@ def attach_wav(documents: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TIFF_TYPE_DTYPE = {1: "u1", 3: "u2", 4: "u4"}
+
+# The only tags decode_tiff consumes; every other entry is skipped
+# WITHOUT materializing its values, so a hostile IFD stuffed with
+# large unrelated arrays costs 12 bytes of header read per entry.
+_TIFF_WANTED_TAGS = frozenset(
+    {256, 257, 258, 259, 262, 273, 277, 278, 279, 320}
+)
+
+# Cumulative value budget per IFD (bytes across the consumed tags).
+# Legit baseline files stay far under this — the dominant arrays are
+# the strip offset/count tables (4 bytes/strip) and the 16-bit
+# ColorMap (1536 bytes) — while a crafted payload declaring huge
+# LONG/RATIONAL arrays on every entry trips it before any O(cnt) work.
+_TIFF_IFD_VALUE_BUDGET = 1 << 20
 
 
 def _tiff_read_values(payload, ent_off, bo):
-    """One 12-byte IFD entry -> (tag, list of int values). RATIONALs
-    come back as floor(num/den); ASCII and unknown types yield []."""
+    """One 12-byte IFD entry -> (tag, int values as a list). RATIONALs
+    come back as floor(num/den); ASCII and unknown types yield [].
+    Value parsing is a single np.frombuffer per entry — no per-value
+    Python loop — so cost is O(bytes consumed), bounded by the caller's
+    cumulative budget."""
     tag = int.from_bytes(payload[ent_off : ent_off + 2], bo)
     typ = int.from_bytes(payload[ent_off + 2 : ent_off + 4], bo)
     cnt = int.from_bytes(payload[ent_off + 4 : ent_off + 8], bo)
     size = _TIFF_TYPE_SIZE.get(typ)
     if size is None or typ == 2:
-        return tag, []
+        return tag, [], 0
     total = size * cnt
     if cnt > (1 << 20):
         raise ValueError("TIFF entry count over the decode bound")
@@ -2154,16 +2210,15 @@ def _tiff_read_values(payload, ent_off, bo):
         raw = payload[off : off + total]
     if len(raw) != total:
         raise ValueError("truncated TIFF: entry values cut")
-    if typ == 5:  # RATIONAL
-        vals = []
-        for k in range(cnt):
-            num = int.from_bytes(raw[8 * k : 8 * k + 4], bo)
-            den = int.from_bytes(raw[8 * k + 4 : 8 * k + 8], bo)
-            vals.append(num // den if den else 0)
-        return tag, vals
-    return tag, [
-        int.from_bytes(raw[size * k : size * k + size], bo) for k in range(cnt)
-    ]
+    endian = "<" if bo == "little" else ">"
+    if typ == 5:  # RATIONAL: (num, den) u4 pairs, floored
+        pairs = np.frombuffer(raw, dtype=endian + "u4").reshape(cnt, 2)
+        num = pairs[:, 0].astype(np.uint64)
+        den = pairs[:, 1].astype(np.uint64)
+        vals = np.where(den != 0, num // np.maximum(den, 1), 0)
+        return tag, vals.tolist(), total
+    vals = np.frombuffer(raw, dtype=endian + _TIFF_TYPE_DTYPE[typ])
+    return tag, vals.tolist(), total
 
 
 def _packbits_decode(data: bytes, want: int) -> bytes:
@@ -2216,8 +2271,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if ifd + 2 + 12 * nent > len(payload):
         raise ValueError("truncated TIFF: IFD entries cut")
     tags: dict[int, list[int]] = {}
+    spent = 0
     for k in range(nent):
-        tag, vals = _tiff_read_values(payload, ifd + 2 + 12 * k, bo)
+        ent_off = ifd + 2 + 12 * k
+        tag_peek = int.from_bytes(payload[ent_off : ent_off + 2], bo)
+        if tag_peek not in _TIFF_WANTED_TAGS:
+            continue  # unconsumed entry: never materialize its values
+        tag, vals, nbytes = _tiff_read_values(payload, ent_off, bo)
+        spent += nbytes
+        if spent > _TIFF_IFD_VALUE_BUDGET:
+            raise ValueError("TIFF IFD value tables over the decode budget")
         tags[tag] = vals
     def first(tag, default=None):
         vals = tags.get(tag)
@@ -2853,8 +2916,8 @@ def gif_frame_fingerprints(media: DataFrame) -> DataFrame:
                     continue
                 seen = set()
                 try:
-                    for canvas, pal in _gif_walk(bytes(m)):
-                        a = _gif_expand(canvas, pal).astype(np.int64)
+                    for canvas in _gif_walk(bytes(m)):
+                        a = _gif_expand(canvas).astype(np.int64)
                         npx = len(a)
                         pos = np.arange(npx, dtype=np.int64)
                         ws = int((a * (pos + 1)).sum())

@@ -58,9 +58,9 @@ _CONTRACT_CHANGED_ROUND = {
     # word repeated in the 4-word query slice previously doubled the
     # joined document tf); scores/hashes changed in both engines.
     "d94_chunk_retrieval_eval": 9,
-    # Round 10: the container rotation gained a fourth arm (lossless
-    # JPEG) and then a FIFTH (gray-palette GIF, doc_id % 5) — every
-    # m15/m16 row's container labels, verdict splits and size
+    # Round 10: the container rotation grew to SIX arms over doc_id %
+    # 6 — pgm, bmp, png, lossless JPEG, gray-palette GIF, and TIFF —
+    # so every m15/m16 row's container labels, verdict splits and size
     # arithmetic changed. (Round 9's pgm/bmp/png %3 rotation note is
     # subsumed; a duplicate-key literal here used to silently reset
     # these markers back to 9 — last key wins in a dict literal.)

@@ -1,0 +1,226 @@
+"""Round-11 regressions: hostile-input cost bounds for the container
+codecs (TIFF IFD value tables, progressive-JPEG EOB refinement walks)
+and mixed-palette GIF animation support.
+
+Each test pins a failure mode found by round-10 review:
+- decode_tiff used to materialize EVERY IFD entry's value array
+  (per-value int.from_bytes), so a ~1 MB crafted payload declaring
+  many large LONG arrays stalled decode for minutes.
+- the progressive AC-refinement path walked EOB runs block-by-block
+  even over absent blocks, so a near-bound SOF2 with dozens of
+  refinement scans cost tens of millions of no-op Python iterations.
+- _gif_walk validated the whole running canvas against the CURRENT
+  frame's palette, rejecting valid animations whose later frames
+  carry a smaller local color table than earlier composited indices.
+"""
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+
+def _tiff_entry(tag, typ, cnt, val_or_off, bo="little"):
+    return (
+        tag.to_bytes(2, bo)
+        + typ.to_bytes(2, bo)
+        + cnt.to_bytes(4, bo)
+        + val_or_off.to_bytes(4, bo)
+    )
+
+
+def test_tiff_hostile_ifd_value_tables_rejected_fast():
+    """A crafted TIFF stuffing the IFD with large value arrays must be
+    rejected in bounded time: unconsumed tags are skipped without
+    materializing values, and consumed tags trip a cumulative per-IFD
+    byte budget before any O(cnt) work."""
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_gray,
+    )
+
+    # 65k entries, every one an UNCONSUMED tag declaring a ~760 KB
+    # LONG array overlapping the payload body (the round-10 shape that
+    # stalled >120 s): now skipped entirely, failing fast on the
+    # missing width tag.
+    nent = 65_000
+    body = bytearray(b"II\x2a\x00" + (8).to_bytes(4, "little"))
+    body += nent.to_bytes(2, "little")
+    body += _tiff_entry(0xBEEF, 4, 190_000, 0) * nent
+    body += b"\x00" * 4
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="missing required tag"):
+        decode_tiff(bytes(body))
+    assert time.monotonic() - t0 < 2.0
+
+    # CONSUMED tags (strip offsets) declaring 1 MB arrays each: the
+    # cumulative budget trips on the second entry, before the decoder
+    # does count-proportional work on the rest.
+    body2 = bytearray(b"II\x2a\x00" + (8).to_bytes(4, "little"))
+    body2 += (100).to_bytes(2, "little")
+    body2 += _tiff_entry(273, 4, 250_000, 0) * 100
+    body2 += b"\x00" * 1_000_000
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="over the decode budget"):
+        decode_tiff(bytes(body2))
+    assert time.monotonic() - t0 < 2.0
+
+    # The budget admits every legitimate shape we emit: many-strip
+    # images (4 bytes/strip) and palette ColorMaps (1536 bytes) stay
+    # orders of magnitude under 1 MB of value bytes.
+    px = bytes(range(250)) * 4
+    assert decode_tiff(encode_tiff_gray(px, 50)).tobytes() == px
+    assert decode_tiff(encode_tiff_gray(px, 50, packbits=True)).tobytes() == px
+
+
+def _canonical_ac_table():
+    """The progressive test encoder's AC table: all 176 (r<<4|s,
+    s<=10) symbols at 8 bits, code == index."""
+    vals = bytes(r << 4 | s for r in range(16) for s in range(11))
+    return vals, {v: i for i, v in enumerate(vals)}
+
+
+def test_jpeg_progressive_eob_refinement_bulk_skip():
+    """An AC-refinement scan whose EOB runs span absent blocks must
+    bulk-advance, not walk block-by-block: a 8192x4096 SOF2 (512k
+    blocks) with 40 refinement scans of pure EOB runs decodes in
+    seconds (it previously cost ~21M no-op Python iterations)."""
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    w, h = 8192, 4096
+    nblocks = (w // 8) * (h // 8)
+    ac_vals, ac_code = _canonical_ac_table()
+    out = bytearray(b"\xff\xd8" + mm._jfif_app0())
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + b"\x01" * 64
+    out += mm._dht_segment(1, 0, [0] * 7 + [len(ac_vals)] + [0] * 8, ac_vals)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+
+    # one scan's entropy: EOBn(r=14, extra=all-ones) covers 32767
+    # blocks each; EOBn(r=4) covers the 16-block tail. 16*32767+16 ==
+    # nblocks exactly.
+    bw = mm._BitWriter()
+    for _ in range(16):
+        bw.write(ac_code[14 << 4], 8)
+        bw.write(0x3FFF, 14)
+    bw.write(ac_code[4 << 4], 8)
+    bw.write(0, 4)
+    entropy = bw.flush()
+    assert 16 * 32767 + 16 == nblocks
+
+    for _ in range(40):
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00"
+        out += bytes([1, 63, (2 << 4) | 1])  # Ss=1 Se=63 Ah=2 Al=1
+        out += entropy
+    out += b"\xff\xd9"
+
+    t0 = time.monotonic()
+    got = mm.decode_jpeg(bytes(out))
+    elapsed = time.monotonic() - t0
+    # no DC scan and no AC coefficients: the frame is flat mid-gray
+    assert got.shape == (w * h,)
+    assert int(got.min()) == int(got.max()) == 128
+    assert elapsed < 10.0, f"refinement EOB walk took {elapsed:.1f}s"
+
+
+def test_jpeg_progressive_refinement_still_bit_exact():
+    """The bulk-skip must not change WHAT is decoded: a content-rich
+    progressive payload with AC refinement scans and restart markers
+    still equals its baseline twin bit-for-bit."""
+    from data_engineer_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    # sparse content: most blocks zero-AC so refinement scans carry
+    # real EOB runs over a mix of materialized and absent blocks
+    img = np.full((40, 48), 96, np.uint8)
+    img[5:8, 9:14] = rng.randint(0, 256, (3, 5))
+    img[30:34, 40:44] = rng.randint(0, 256, (4, 4))
+    px = img.tobytes()
+    script = [(0, 0, 0, 1), (1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0), (0, 0, 1, 0)]
+    base = decode_jpeg(encode_jpeg_baseline(px, 48))
+    for ri in (0, 3):
+        prog = decode_jpeg(encode_jpeg_progressive(px, 48, script=script, restart_interval=ri))
+        assert np.array_equal(prog, base)
+
+
+def _gif_image_block(left, top, fw, fh, indices, lct=None):
+    """One GIF image block; ``lct`` is an optional local color table
+    (n,3) list whose size must be a power of two."""
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    packed = 0
+    out = bytearray(b"\x2c" + struct.pack("<HHHH", left, top, fw, fh))
+    if lct is not None:
+        n = len(lct)
+        assert n & (n - 1) == 0 and n >= 2
+        packed = 0x80 | (n.bit_length() - 2)
+        out += bytes([packed])
+        out += bytes(v for rgb in lct for v in rgb)
+    else:
+        out += bytes([0x00])
+    out += bytes([8])  # LZW minimum code size (after the LCT)
+    out += mm._gif_lzw_pack(bytes(indices))
+    return bytes(out)
+
+
+def test_gif_mixed_palette_animation_decodes():
+    """A later frame with a SMALLER local color table than indices
+    already composited from earlier frames is a VALID animation:
+    each frame is range-checked against ITS OWN palette, and earlier
+    regions keep the palette active when they were written."""
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    # frame 1: full canvas through the 256-gray GCT, high indices
+    base = bytes(range(192, 256)) * 1  # 8x8, indices 192..255
+    p = bytearray(mm.encode_gif_animated([base], 8))
+    # frame 2: 2x2 patch through a 4-entry LOCAL table (indices 0..3)
+    lct = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    p = p[:-1] + _gif_image_block(1, 1, 2, 2, [0, 1, 2, 3], lct) + b"\x3b"
+
+    frames = list(mm._gif_walk(bytes(p)))
+    assert len(frames) == 2
+    # frame 1 survives: gray canvas of the original indices
+    f1 = mm._gif_expand(frames[0])
+    assert np.array_equal(f1, np.frombuffer(base, np.uint8))
+    # frame 2 composites the color patch; untouched pixels keep the
+    # GRAY values written under the global table (index 193 etc.),
+    # which the 4-entry local table could never express
+    f2 = frames[1]
+    assert tuple(f2[1, 1]) == (255, 0, 0)
+    assert tuple(f2[1, 2]) == (0, 255, 0)
+    assert tuple(f2[2, 1]) == (0, 0, 255)
+    assert tuple(f2[2, 2]) == (9, 9, 9)
+    assert tuple(f2[0, 0]) == (192, 192, 192)
+    assert tuple(f2[7, 7]) == (255, 255, 255)
+    # decode_gif (first frame) is unaffected by the later frame
+    assert np.array_equal(mm.decode_gif(bytes(p)), np.frombuffer(base, np.uint8))
+
+    # a frame whose indices exceed ITS OWN table still fails
+    bad = bytearray(mm.encode_gif_animated([base], 8))
+    bad = bad[:-1] + _gif_image_block(0, 0, 2, 2, [0, 1, 2, 3], lct[:2]) + b"\x3b"
+    with pytest.raises(ValueError, match="palette index out of range"):
+        list(mm._gif_walk(bytes(bad)))
+
+
+def test_gif_frame_fingerprints_mixed_palette(spark):
+    """gif_frame_fingerprints keeps every frame of a mixed-palette
+    animation (the round-10 walk rejected the whole doc)."""
+    import pandas as pd
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    base = bytes(range(192, 256))
+    p = bytearray(mm.encode_gif_animated([base], 8))
+    lct = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    p = bytes(p[:-1] + _gif_image_block(1, 1, 2, 2, [0, 1, 2, 3], lct) + b"\x3b")
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "media": [bytearray(p)]})
+    )
+    rows = mm.gif_frame_fingerprints(df).collect()
+    assert len(rows) == 2  # both frames fingerprinted, distinct
+    assert len({r.fp for r in rows}) == 2
