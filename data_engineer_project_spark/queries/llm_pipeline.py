@@ -11827,11 +11827,15 @@ def d100_incremental_neardup_ingest(t):
 
 
 def _docs_fingerprint(docs) -> tuple[int, int, int]:
-    """(row count, id checksum, text checksum) for keying the standing
-    cluster store — the corpus_fingerprint recipe adapted to documents:
-    the text checksum sums the first 8 md5 hex digits of every text as
-    int (order-free integer addition, partition-invariant; 2^32 x 10^7
-    rows stays far inside int64)."""
+    """(row count, id checksum, text checksum) — the corpus_fingerprint
+    recipe adapted to documents: the text checksum sums the first 8 md5
+    hex digits of every text as int (order-free integer addition,
+    partition-invariant; 2^32 x 10^7 rows stays far inside int64).
+
+    This is the FALLBACK corpus identity for frames not backed by
+    files (unit-test fixtures): it full-scans the text column, which
+    at 100 TB would dominate the delta-sized merge it keys — the
+    production path is _corpus_manifest_key's metadata-only manifest."""
     fp = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("s"),
@@ -11842,14 +11846,49 @@ def _docs_fingerprint(docs) -> tuple[int, int, int]:
     return int(fp["n"]), int(fp["s"]), int(fp["v"])
 
 
-def _neardup_cluster_store(corpus):
+def _corpus_manifest_key(docs) -> str:
+    """Identity of a file-backed corpus WITHOUT scanning its data: an
+    md5 over the backing files' sorted (uri, size, mtime_ns) manifest.
+    Costs one driver-side listing (no Spark job, no text bytes) — at
+    100 TB this is catalog metadata, so the warm merge path never
+    touches the corpus just to find its store. A rewritten file (new
+    size or mtime) changes the key and forces a clean rebuild, the
+    standard manifest-cache contract. Falls back to the content
+    fingerprint for frames with no backing files."""
+    import hashlib
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = sorted(docs.inputFiles())
+    if not files:
+        n, s, v = _docs_fingerprint(docs)
+        return f"n{n}_s{s}_v{v}"
+    h = hashlib.md5()
+    for uri in files:
+        parsed = urlparse(uri)
+        path = unquote(parsed.path) if parsed.scheme else uri
+        try:
+            st = os.stat(path)
+            h.update(f"{uri}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+        except OSError:
+            # remote/unstattable store: the URI itself still names the
+            # immutable object in every warehouse layout we target
+            h.update(f"{uri}|?\n".encode())
+    return "f" + h.hexdigest()[:20]
+
+
+def _neardup_cluster_store(corpus, split: int):
     """Warehouse path for the standing near-dup cluster state (reps +
-    components), keyed by corpus fingerprint — covered by
-    sweep_stores' keep-latest-N via the *_store naming contract."""
+    components + shingle/band tables), keyed by the corpus MANIFEST
+    (metadata-only — no corpus scan) plus the corpus/delta split
+    threshold and the signature geometry — covered by sweep_stores'
+    keep-latest-N via the *_store naming contract."""
     import pathlib
 
-    n, s, v = _docs_fingerprint(corpus)
-    key = f"a{SIM.STORE_VERSION}_n{n}_s{s}_v{v}_h{_D100_NH}_b{_D100_NB}"
+    key = (
+        f"a{SIM.STORE_VERSION}_{_corpus_manifest_key(corpus)}"
+        f"_p{split}_h{_D100_NH}_b{_D100_NB}"
+    )
     return (
         pathlib.Path(__file__).resolve().parents[2]
         / "spark-warehouse"
@@ -12071,9 +12110,12 @@ def d101_incremental_cluster_merge(t):
     against a near-constant corpus.
 
     Scale shape: the store holds reps + components + the corpus
-    shingle and band-key tables (shingle_table's 100 TB form), so the
-    warm path touches NOTHING corpus-scale except the star-edge CC
-    pass and the rollup scan: delta work is delta x matching-corpus +
+    shingle and band-key tables (shingle_table's 100 TB form), and the
+    store KEY is a metadata-only file manifest (_corpus_manifest_key:
+    driver-side listing, zero Spark jobs — the round-10 version paid a
+    full corpus-text checksum scan here every warm run), so the warm
+    path touches NOTHING corpus-scale except the star-edge CC pass
+    and the rollup scan: delta work is delta x matching-corpus +
     delta^2-guarded. CC runs over already-converged star edges plus
     delta attachments, so its rounds track the log diameter of NEW
     merges only. Measured in SCALING.md: warm runtime is FLAT as the
@@ -12089,7 +12131,7 @@ def d101_incremental_cluster_merge(t):
     docs = t.documents
     corpus = docs.filter(bucket < split).select("doc_id", "text")
     delta = docs.filter(bucket >= split).select("doc_id", "text")
-    store = _neardup_cluster_store(corpus)
+    store = _neardup_cluster_store(corpus, split)
     reps_path, comps_path = store / "reps", store / "comps"
     spark = docs.sparkSession
     sh_path, bands_path = store / "shingles", store / "bands"

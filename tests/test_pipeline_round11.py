@@ -206,6 +206,61 @@ def test_gif_mixed_palette_animation_decodes():
         list(mm._gif_walk(bytes(bad)))
 
 
+def test_d101_warm_path_never_scans_corpus_text(spark, monkeypatch):
+    """The standing cluster store is keyed by a METADATA-ONLY file
+    manifest: once the store exists, a warm d101 run must not compute
+    the content fingerprint (a full corpus-text checksum scan — the
+    round-10 warm path paid it every run just to FIND its store).
+    Pinned by poisoning _docs_fingerprint after a priming run."""
+    import data_engineer_project_spark.queries.llm_pipeline as LP
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    fn = QUERIES["d101_incremental_cluster_merge"].fn
+    a = [tuple(r) for r in fn(spark, sf).collect()]  # primes the store
+    release_all()
+
+    def _poisoned(docs):
+        raise AssertionError("warm d101 path computed the content fingerprint")
+
+    monkeypatch.setattr(LP, "_docs_fingerprint", _poisoned)
+    b = [tuple(r) for r in fn(spark, sf).collect()]
+    release_all()
+    assert sorted(a) == sorted(b) and len(a) > 0
+
+    # the key itself is manifest-based (file-backed corpus -> "f" +
+    # md5 prefix), and computing it launches no corpus scan at all
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    key = LP._corpus_manifest_key(docs.select("doc_id", "text"))
+    assert key.startswith("f") and len(key) == 21
+
+
+def test_corpus_manifest_key_tracks_file_changes(spark, tmp_path):
+    """Manifest-cache contract: same files -> same key; a rewritten
+    file (content/size change) -> different key; a frame with no
+    backing files falls back to the content fingerprint."""
+    import pandas as pd
+
+    import data_engineer_project_spark.queries.llm_pipeline as LP
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["aa", "bb"]}).to_parquet(p)
+    k1 = LP._corpus_manifest_key(spark.read.parquet(p))
+    k2 = LP._corpus_manifest_key(spark.read.parquet(p))
+    assert k1 == k2 and k1.startswith("f")
+
+    pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "cc"]}).to_parquet(p)
+    k3 = LP._corpus_manifest_key(spark.read.parquet(p))
+    assert k3 != k1
+
+    mem = spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "doc_id long, text string"
+    )
+    kf = LP._corpus_manifest_key(mem)
+    assert kf.startswith("n") and "_s" in kf  # content-fingerprint form
+
+
 def test_gif_frame_fingerprints_mixed_palette(spark):
     """gif_frame_fingerprints keeps every frame of a mixed-palette
     animation (the round-10 walk rejected the whole doc)."""
