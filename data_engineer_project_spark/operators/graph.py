@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_engineer_project_spark.operators import plancap
+
 # Diagnostics of the most recent connected_components call (rounds
 # taken, converged flag). The loop's cost model is O(log diameter)
 # rounds — scale tooling (tools/scale_stress.py, tests) reads this to
@@ -68,6 +70,10 @@ def connected_components(
     # edge set every round actually reads.
     lvl = pairs.storageLevel
     caller_cached = lvl.useMemory or lvl.useDisk
+    # plan-audit hook: the pair-generation pipeline (banded LSH,
+    # verify joins, skew-guard grid) is consumed HERE, inside the
+    # loop-at-build operator, so this is where its plan is visible
+    plancap.grab("cc input pair join", pairs)
     pairs_c = pairs if caller_cached else pairs.persist()
     fwd = pairs_c.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     und = fwd.union(
@@ -114,14 +120,18 @@ def connected_components(
         lut = hop.select(
             F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
         )
-        labels = (
-            hop.join(lut, hop.comp == lut.p_node, "left")
-            .select(
-                "node",
-                F.coalesce("p_comp", "comp").alias("comp"),
-            )
-            .localCheckpoint()
+        nxt_labels = hop.join(lut, hop.comp == lut.p_node, "left").select(
+            "node",
+            F.coalesce("p_comp", "comp").alias("comp"),
         )
+        if rounds == 2:
+            # plan-audit hook: one representative STEADY-STATE round
+            # (edge propagation + min fold + pointer jump) — round 2,
+            # where the previous checkpoint has truncated the lineage,
+            # so the captured plan is what every subsequent round pays
+            # (round 1's plan would re-print the whole pair pipeline)
+            plancap.grab("cc pointer-jump round", nxt_labels)
+        labels = nxt_labels.localCheckpoint()
         cur = _checksum(labels)
         if cur == prev:
             converged = True

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_engineer_project_spark.operators import plancap
+
 from data_engineer_project_spark.operators.cache import tracked_persist
 
 # one row per upper-triangle Gram cell (j >= i) plus, per batch, the
@@ -257,6 +259,10 @@ def power_iteration(
             .groupBy("pos")
             .agg(F.sum(F.col("qv") * F.col("s")).alias("y"))
         )
+        if not stats:
+            # plan-audit hook: one representative iteration (broadcast
+            # direction dot-product + coordinate-keyed refold)
+            plancap.grab("power-iteration round", y)
         rows = {r["pos"]: r["y"] for r in y.collect()}
         # Realized overflow guard for the Rayleigh ingredient
         # num = sum(y*v) with |v| <= vscale (both the PREVIOUS v used

@@ -692,6 +692,9 @@ class _Huff:
     def __init__(self, counts: list[int], values: bytes):
         if sum(counts) != len(values) or sum(counts) > 256:
             raise ValueError("bad JPEG Huffman table: count/value mismatch")
+        # content key for the module-level fast-path LUT cache (tables
+        # repeat across payloads; _Huff itself is rebuilt per parse)
+        self.key = (bytes(counts), bytes(values))
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
@@ -708,8 +711,11 @@ class _Huff:
                 raise ValueError("bad JPEG Huffman table: code overflow")
             code <<= 1
         # 8-bit lookahead: lut[p] = (codelen, symbol) for every 8-bit
-        # prefix whose leading bits form a code of length <= 8
+        # prefix whose leading bits form a code of length <= 8;
+        # lut_packed is the same table as (codelen << 8 | symbol) ints
+        # (0 = no hit) for the window-based fast readers
         self.lut: list = [None] * 256
+        self.lut_packed: list = [0] * 256
         for ln in range(1, 9):
             lo, hi = self.mincode[ln], self.maxcode[ln]
             if hi < 0:
@@ -719,6 +725,7 @@ class _Huff:
                 base = c << (8 - ln)
                 for tail in range(1 << (8 - ln)):
                     self.lut[base | tail] = (ln, sym)
+                    self.lut_packed[base | tail] = (ln << 8) | sym
 
     def decode(self, br: _BitReader) -> int:
         # fast path: an 8-bit lookahead table resolves every code of
@@ -738,6 +745,62 @@ class _Huff:
                 return self.values[self.valptr[ln] + code - self.mincode[ln]]
             code = (code << 1) | br.bit()
         raise ValueError("bad JPEG Huffman stream: no code matched")
+
+
+def _unstuff_entropy(data: bytes, pos: int):
+    """Pre-unstuff ONE entropy-coded segment starting at ``pos`` for
+    the window-based fast decoders: the segment runs to the first real
+    marker (0xFF followed by anything but the 0x00 stuff byte — RSTn
+    included — or a lone trailing 0xFF), with each 0xFF's stuff byte
+    dropped. Returns (clean, seg_end): the unstuffed bytes as a numpy
+    uint8 array, and the payload offset of the terminating marker (or
+    end of data)."""
+    arr = np.frombuffer(data, np.uint8)[pos:]
+    if arr.size:
+        nxt = np.empty_like(arr)
+        nxt[:-1] = arr[1:]
+        nxt[-1] = 0xFF  # a lone trailing 0xFF ends the segment too
+        midx = np.nonzero((arr == 0xFF) & (nxt != 0x00))[0]
+        end = int(midx[0]) if midx.size else int(arr.size)
+    else:
+        end = 0
+    seg = arr[:end]
+    keep = np.ones(end, bool)
+    drop = np.nonzero(seg == 0xFF)[0] + 1
+    keep[drop[drop < end]] = False
+    return seg[keep], pos + end
+
+
+def _win64_list(clean: np.ndarray) -> list:
+    """Python list of 64-bit big-endian bit windows, one per byte
+    offset of ``clean`` and zero-padded well past the end: a scalar
+    decoder reads any <= 26 bits at bit position p as
+    ``(v[p >> 3] >> (64 - (p & 7) - n)) & ((1 << n) - 1)``. Reads
+    straying into the padding are caught by the caller's
+    ``pos > total_bits`` check."""
+    n = int(clean.size)
+    pad = np.zeros(n + 16, np.uint64)
+    pad[:n] = clean
+    v = np.zeros(n + 8, np.uint64)
+    for k in range(8):
+        v |= pad[k : k + n + 8] << np.uint64(56 - 8 * k)
+    return v.tolist()
+
+
+# _Huff instances are immutable after construction and tables repeat
+# across payloads (every fixture shares one pair), so construction —
+# including the 256-entry lookahead build — is cached by content.
+_HUFF_CACHE: dict = {}
+
+
+def _huff_cached(counts: list[int], values: bytes) -> "_Huff":
+    key = (bytes(counts), bytes(values))
+    hit = _HUFF_CACHE.get(key)
+    if hit is None:
+        if len(_HUFF_CACHE) >= 512:  # hostile many-table churn bound
+            _HUFF_CACHE.clear()
+        hit = _HUFF_CACHE[key] = _Huff(counts, values)
+    return hit
 
 
 def _extend(v: int, s: int) -> int:
@@ -856,7 +919,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 n = sum(counts)
                 if i + 17 + n > len(seg):
                     raise ValueError("truncated JPEG: DHT values cut")
-                huff[(tc, th)] = _Huff(counts, seg[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_cached(
+                    counts, seg[i + 17 : i + 17 + n]
+                )
                 i += 17 + n
         elif marker == 0xDB:  # DQT
             i = 0
@@ -913,6 +978,98 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("JPEG reached EOI without a scan")
 
 
+# (table content, ac?) -> (cons16, diff16, sym16): for every 16-bit
+# window, the bits one whole Huffman UNIT consumes (code + appended
+# value bits; 0 = not resolvable in 16 bits -> scalar fallback), the
+# EXTENDed signed value, and the raw symbol. Units are `category +
+# category bits` (DC/lossless, ac=False) or `run/size + size bits`
+# (AC, ac=True). Built once per distinct table with vectorized numpy
+# and cached for the life of the process.
+_FAST16_CACHE: dict = {}
+
+
+def _huff_fast16(table, ac: bool):
+    key = (table.key, ac)
+    hit = _FAST16_CACHE.get(key)
+    if hit is not None:
+        return hit
+    w = np.arange(65536, dtype=np.int64)
+    lutp = np.array(table.lut_packed, dtype=np.int64)[w >> 8]
+    ln = lutp >> 8
+    sym = lutp & 0xFF
+    s = sym & 15 if ac else sym
+    ok = (ln > 0) & (ln + s <= 16)
+    s = np.minimum(s, 16)  # arithmetic clamp for the excluded rows
+    shift = np.maximum(16 - ln - s, 0)
+    val = (w >> shift) & ((1 << s) - 1)
+    half = 1 << np.maximum(s - 1, 0)
+    diff = np.where(
+        s == 0, 0, np.where(val >= half, val, val - (1 << s) + 1)
+    )
+    out = (
+        np.where(ok, ln + s, 0).astype(np.int64),
+        np.where(ok, diff, 0).astype(np.int64),
+        np.where(ok, sym, 0).astype(np.int64),
+    )
+    if len(_FAST16_CACHE) >= 64:  # ~0.5 MB/entry: bound hostile churn
+        _FAST16_CACHE.clear()
+    _FAST16_CACHE[key] = out
+    return out
+
+
+def _huff_fastpacked(table, ac: bool) -> list:
+    """The 16-bit unit LUT as ONE Python list of packed ints for the
+    hot decode loops: entry w resolves the whole unit whose bits lead
+    the 16-bit window w as
+    ``(consumed << 27) | (symbol << 18) | (value + 65536)``
+    (0 = unresolvable in 16 bits -> scalar fallback). Cached per
+    table content for the life of the process."""
+    key = (table.key, ac, "packed")
+    hit = _FAST16_CACHE.get(key)
+    if hit is None:
+        cons, diff, sym = _huff_fast16(table, ac)
+        hit = np.where(
+            cons > 0, (cons << 27) | (sym << 18) | (diff + 65536), 0
+        ).tolist()
+        _FAST16_CACHE[key] = hit
+    return hit
+
+
+def _unit_scalar(v, p: int, table, ac: bool, cap=16, cap_msg="bad JPEG category"):
+    """Scalar decode of one Huffman unit at bit position ``p`` from
+    the 64-bit window list ``v`` — the fallback for units the 16-bit
+    chain cannot resolve (codes over 8 bits, or code + value bits
+    over 16). Returns (symbol, EXTENDed value, next position)."""
+    win = (v[p >> 3] >> (48 - (p & 7))) & 0xFFFF
+    e = table.lut_packed[win >> 8]
+    if e:
+        sym = e & 0xFF
+        p += e >> 8
+    else:
+        maxcode, mincode = table.maxcode, table.mincode
+        code = win >> 15
+        ln = 1
+        while not (maxcode[ln] >= 0 and code <= maxcode[ln]):
+            ln += 1
+            if ln > 16:
+                raise ValueError("bad JPEG Huffman stream: no code matched")
+            code = (win >> (16 - ln)) & ((1 << ln) - 1)
+        sym = table.values[table.valptr[ln] + code - mincode[ln]]
+        p += ln
+    s = sym & 15 if ac else sym
+    if s == 0:
+        return sym, 0, p
+    if s > cap:
+        raise ValueError(f"{cap_msg} {s}")
+    val = (v[p >> 3] >> (64 - (p & 7) - s)) & ((1 << s) - 1)
+    p += s
+    return (
+        sym,
+        val if val >= (1 << (s - 1)) else val - (1 << s) + 1,
+        p,
+    )
+
+
 def _decode_jpeg_lossless(br, frame, scan, huff) -> np.ndarray:
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if len(comps) != 1 or len(scan["sel"]) != 1:
@@ -923,47 +1080,84 @@ def _decode_jpeg_lossless(br, frame, scan, huff) -> np.ndarray:
     table = huff.get((0, scan["sel"][0]["td"]))
     if table is None:
         raise ValueError("JPEG scan references a missing Huffman table")
-    # plain-Python row buffers: this loop runs once per PIXEL inside
-    # an Arrow stage, so numpy scalar indexing (boxing per access)
-    # would triple its cost — lists + local bindings keep the fixture
-    # decode a bench-visible but honest constant (m16)
     default = 1 << (7 - al)
-    decode, bits = table.decode, br.bits
-    rows: list[list[int]] = []
-    prev: list[int] | None = None
-    for y in range(h):
-        row = [0] * w
-        for x in range(w):
-            s = decode(br)
-            if s > 16:
-                raise ValueError(f"bad lossless JPEG: category {s}")
-            diff = _extend(bits(s), s) if s else 0
-            if y == 0:
-                pred = default if x == 0 else row[x - 1]
-            elif x == 0:
-                pred = prev[0]
-            elif pred_sel == 1:
-                pred = row[x - 1]
-            else:
-                ra, rb, rc = row[x - 1], prev[x], prev[x - 1]
+    # fast symbol pass (jump-chain when the segment is small enough to
+    # precompute per-bit-position tables, scalar windows otherwise),
+    # then a row-vectorized predictor reconstruction: predictors 1-5
+    # are LINEAR in the current row's left neighbor, so each row is
+    # one cumsum/add over int64 with a single final mod-256 (mod and
+    # the linear predictor algebra commute); predictors 6/7 shift the
+    # left neighbor (nonlinear) and keep a per-pixel fallback row.
+    clean, _ = _unstuff_entropy(br.data, br.pos)
+    total_bits = 8 * int(clean.size)
+    npix = h * w
+    v = _win64_list(clean)
+    lutF = _huff_fastpacked(table, ac=False)
+    diffs = [0] * npix
+    p = 0
+    for i in range(npix):
+        if p >= total_bits:
+            raise ValueError("truncated JPEG: entropy stream exhausted")
+        e = lutF[(v[p >> 3] >> (48 - (p & 7))) & 0xFFFF]
+        if e:
+            diffs[i] = (e & 0x3FFFF) - 65536
+            p += e >> 27
+        else:
+            _, diffs[i], p = _unit_scalar(
+                v, p, table, False, 16, "bad lossless JPEG: category"
+            )
+    if p > total_bits:
+        raise ValueError("truncated JPEG: entropy stream exhausted")
+    d = np.array(diffs, dtype=np.int64).reshape(h, w)
+    out = np.empty((h, w), dtype=np.int64)
+    # first row: default-predicted start, then left-neighbor chain
+    out[0] = (default + np.cumsum(d[0])) % 256
+    for y in range(1, h):
+        prev = out[y - 1]
+        dy = d[y]
+        if pred_sel == 1:
+            out[y] = (prev[0] + np.cumsum(dy)) % 256
+        elif pred_sel == 2:
+            row = prev + dy
+            row[0] = prev[0] + dy[0]
+            out[y] = row % 256
+        elif pred_sel == 3:
+            rc = np.empty(w, np.int64)
+            rc[0] = prev[0]
+            rc[1:] = prev[:-1]
+            out[y] = (rc + dy) % 256
+        elif pred_sel in (4, 5):
+            e = np.empty(w, np.int64)
+            e[0] = prev[0] + dy[0]
+            if pred_sel == 4:  # ra + rb - rc
+                e[1:] = prev[1:] - prev[:-1] + dy[1:]
+            else:  # ra + ((rb - rc) >> 1)
+                e[1:] = ((prev[1:] - prev[:-1]) >> 1) + dy[1:]
+            out[y] = np.cumsum(e) % 256
+        else:  # 6/7: nonlinear in the left neighbor — scalar row
+            pl = prev.tolist()
+            dl = dy.tolist()
+            row = [0] * w
+            row[0] = (pl[0] + dl[0]) % 256
+            for x in range(1, w):
+                ra, rb, rc = row[x - 1], pl[x], pl[x - 1]
                 pred = (
-                    rb,
-                    rc,
-                    ra + rb - rc,
-                    ra + ((rb - rc) >> 1),
-                    rb + ((ra - rc) >> 1),
-                    (ra + rb) >> 1,
-                )[pred_sel - 2]
-            row[x] = (pred + diff) % 256
-        rows.append(row)
-        prev = row
-    flat = bytearray(h * w)
-    for y, row in enumerate(rows):
-        flat[y * w : (y + 1) * w] = bytes(row)
-    return np.frombuffer(bytes(flat), dtype=np.uint8)
+                    rb + ((ra - rc) >> 1)
+                    if pred_sel == 6
+                    else (ra + rb) >> 1
+                )
+                row[x] = (pred + dl[x]) % 256
+            out[y] = row
+    return out.astype(np.uint8).reshape(-1)
 
 
 def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.ndarray:
+    """Sequential baseline scan decode with the round-11 fast reader:
+    one packed-LUT lookup per Huffman unit over pre-unstuffed 64-bit
+    windows (restart intervals re-segment the window list at each RSTn
+    marker), coefficients accumulated into flat per-component lists,
+    then ONE batched dequantize/de-zigzag/IDCT einsum per component
+    and a reshape-transpose block assembly — no per-block numpy."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if len(scan["sel"]) != len(comps):
         raise NotImplementedError("baseline JPEG: interleaved scan only")
@@ -972,15 +1166,12 @@ def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.nda
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     sel_by_id = {s["cs"]: s for s in scan["sel"]}
-    planes = []
     for c in comps:
         if c["tq"] not in qt:
             raise ValueError("JPEG frame references a missing quant table")
         if c["id"] not in sel_by_id:
             raise ValueError("JPEG scan/frame component mismatch")
-        bw, bh = mcux * c["h"], mcuy * c["v"]
-        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
-    q = [np.array(qt[c["tq"]], dtype=np.float64) for c in comps]
+    luts = []
     tables = []
     for c in comps:
         s = sel_by_id[c["id"]]
@@ -988,51 +1179,102 @@ def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.nda
         if dc is None or ac is None:
             raise ValueError("JPEG scan references a missing Huffman table")
         tables.append((dc, ac))
+        luts.append((_huff_fastpacked(dc, False), _huff_fastpacked(ac, True)))
+    # flat zigzag coefficient store per component, filled sparsely
+    zzs = [
+        [0] * (mcux * mcuy * c["h"] * c["v"] * 64) for c in comps
+    ]
+    bidx = [0] * len(comps)
+    data = br.data
+    clean, seg_end = _unstuff_entropy(data, br.pos)
+    v = _win64_list(clean)
+    tb = 8 * int(clean.size)
+    p = 0
     preds = [0] * len(comps)
     nmcu = 0
+    exhausted = "truncated JPEG: entropy stream exhausted"
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and nmcu and nmcu % restart_interval == 0:
-                # RSTn sits on a byte boundary between MCU groups
-                br.nbits = 0
+                # RSTn sits on a byte boundary between MCU groups:
+                # this segment's windows end at the marker, so verify
+                # it and open the next segment
                 if (
-                    br.pos + 2 > len(br.data)
-                    or br.data[br.pos] != 0xFF
-                    or not 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                    seg_end + 2 > len(data)
+                    or data[seg_end] != 0xFF
+                    or not 0xD0 <= data[seg_end + 1] <= 0xD7
                 ):
                     raise ValueError("truncated JPEG: missing restart marker")
-                br.pos += 2
+                clean, seg_end = _unstuff_entropy(data, seg_end + 2)
+                v = _win64_list(clean)
+                tb = 8 * int(clean.size)
+                p = 0
                 preds = [0] * len(comps)
             nmcu += 1
             for ci, c in enumerate(comps):
+                lutdc, lutac = luts[ci]
                 dc_t, ac_t = tables[ci]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        s = dc_t.decode(br)
-                        if s > 15:
-                            raise ValueError("bad JPEG DC category")
-                        preds[ci] += _extend(br.bits(s), s) if s else 0
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = ac_t.decode(br)
-                            r, sz = rs >> 4, rs & 15
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("bad JPEG AC run past block end")
-                            zz[k] = _extend(br.bits(sz), sz)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * q[ci]
-                        block = _DCT_A @ coef.reshape(8, 8) @ _DCT_A.T
-                        py, px = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = block + 128.0
+                pred = preds[ci]
+                for _ in range(c["v"] * c["h"]):
+                    base = bidx[ci] * 64
+                    bidx[ci] += 1
+                    zz = zzs[ci]
+                    if p >= tb:
+                        raise ValueError(exhausted)
+                    e = lutdc[(v[p >> 3] >> (48 - (p & 7))) & 0xFFFF]
+                    if e:
+                        pred += (e & 0x3FFFF) - 65536
+                        p += e >> 27
+                    else:
+                        _, dv, p = _unit_scalar(
+                            v, p, dc_t, False, 15, "bad JPEG DC category"
+                        )
+                        pred += dv
+                    zz[base] = pred
+                    k = 1
+                    while k < 64:
+                        if p >= tb:
+                            raise ValueError(exhausted)
+                        e = lutac[(v[p >> 3] >> (48 - (p & 7))) & 0xFFFF]
+                        if e:
+                            sym = (e >> 18) & 0xFF
+                            p += e >> 27
+                        else:
+                            sym, dv, p = _unit_scalar(v, p, ac_t, True)
+                        sz = sym & 15
+                        if sz == 0:
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("bad JPEG AC run past block end")
+                        if e:
+                            zz[base + k] = (e & 0x3FFFF) - 65536
+                        else:
+                            zz[base + k] = dv
+                        k += 1
+                preds[ci] = pred
+    if p > tb:
+        raise ValueError(exhausted)
+    # batched dequantize + de-zigzag + IDCT + block assembly
+    planes = []
+    for ci, c in enumerate(comps):
+        nbx, nby = mcux * c["h"], mcuy * c["v"]
+        qv = np.array(qt[c["tq"]], dtype=np.float64)
+        zq = np.array(zzs[ci], dtype=np.float64).reshape(-1, 64) * qv
+        nat = np.zeros_like(zq)
+        nat[:, _ZIGZAG] = zq
+        spatial = np.einsum(
+            "xu,nuv,yv->nxy", _DCT_A, nat.reshape(-1, 8, 8), _DCT_A
+        )
+        plane = (
+            spatial.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(nby * 8, nbx * 8)
+        )
+        planes.append(plane + 128.0)
     return _jpeg_assemble(planes, frame)
 
 
@@ -1220,20 +1462,6 @@ def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
             _prog_restart(br)
             eobrun = 0
         key = (bi // nbx) * pbx + (bi % nbx)
-        if ah != 0 and eobrun:
-            j = bisect_left(skeys, key)
-            if j == len(skeys):
-                nxt = n
-            else:
-                nk = skeys[j]
-                nxt = (nk // pbx) * nbx + nk % pbx
-            if nxt > bi:
-                take = min(eobrun, nxt - bi)
-                if ri:
-                    take = min(take, ri - bi % ri)
-                eobrun -= take
-                bi += take
-                continue
         if ah == 0:
             if eobrun:
                 # bulk-skip: a run of all-zero blocks reads no bits
@@ -1304,7 +1532,26 @@ def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
                         if v != 0 and bit() and (v & p1) == 0:
                             blk[k] = v + (p1 if v >= 0 else m1)
                         k += 1
-                eobrun -= 1
+                    eobrun -= 1
+                else:
+                    # absent blocks consume an eobrun unit each with NO
+                    # bits read: bulk-advance to the next materialized
+                    # block (or restart boundary) instead of walking
+                    # the span block-by-block — a crafted near-bound
+                    # SOF2 would otherwise cost hundreds of millions
+                    # of no-op iterations
+                    j = bisect_left(skeys, key + 1)
+                    if j == len(skeys):
+                        nxt = n
+                    else:
+                        nk = skeys[j]
+                        nxt = (nk // pbx) * nbx + nk % pbx
+                    take = min(eobrun, max(nxt - bi, 1))
+                    if ri:
+                        take = min(take, ri - bi % ri)
+                    eobrun -= take
+                    bi += take
+                    continue
         bi += 1
 
 
@@ -1758,58 +2005,182 @@ def _gif_subblocks(payload: bytes, pos: int):
         pos += ln
 
 
+# per-width LSB-first bit weights for the batched code extraction
+_GIF_LZW_W = {w: (1 << np.arange(w, dtype=np.int64)) for w in range(3, 13)}
+
+
 def _gif_lzw_decode(data: bytes, min_code: int, max_px: int) -> bytes:
     """GIF-flavor LZW: LSB-first variable-width codes, initial width
     min_code+1, table reset on CLEAR, stop on EOI; output is bounded
     by ``max_px`` BEFORE any append so a hostile stream cannot inflate
-    past the declared frame size."""
+    past the declared frame size.
+
+    BATCHED decode (round 11, the SCALING.md codec-table uplift): the
+    code width only changes at known table sizes, so codes bulk-
+    extract with one numpy reshape-matmul per constant-width run; the
+    table holds (offset, length, first-char) references into the
+    output instead of materialized byte strings (every entry's bytes
+    are a contiguous slice of prior output — the LZ77 view of LZW);
+    an all-literal run emits in ONE vectorized append (our fixture
+    encoder's uncompressed-style streams are entirely such runs), and
+    mixed runs fall back to a per-code loop whose emission is a bulk
+    slice copy, never a per-byte walk."""
     clear = 1 << min_code
     eoi = clear + 1
-    base = [bytes([i]) for i in range(clear)] + [b"", b""]
-    table = list(base)
-    width = min_code + 1
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    total_bits = len(bits)
+
+    # Whole-stream fast path: a stream of ONLY literals and specials
+    # whose inter-CLEAR runs never reach the width-bump boundary keeps
+    # one constant code width end to end, the table is never
+    # referenced, and decode collapses to one masked gather — our
+    # fixture encoder's streams (254 literals per CLEAR at width 9)
+    # are exactly this shape.
+    width0 = min_code + 1
+    k0 = total_bits // width0
+    if k0:
+        codes0 = bits[: k0 * width0].reshape(k0, width0) @ _GIF_LZW_W[width0]
+        e_idx = np.nonzero(codes0 == eoi)[0]
+        end = int(e_idx[0]) if e_idx.size else k0
+        head = codes0[:end]
+        if bool((head <= eoi).all()):
+            cl = np.nonzero(head == clear)[0]
+            runs = np.diff(np.concatenate(([-1], cl, [end]))) - 1
+            if bool((runs <= clear - 2).all()):
+                lits = head[head < clear]
+                if len(lits) > max_px:
+                    raise ValueError(
+                        "GIF LZW output exceeds the declared frame size"
+                    )
+                if e_idx.size == 0 and len(lits) < max_px:
+                    raise ValueError("truncated GIF: LZW stream exhausted")
+                return lits.astype(np.uint8).tobytes()
+
     out = bytearray()
-    acc = nbits = 0
-    i, n = 0, len(data)
-    prev = None
+
+    def fresh_table():
+        # parallel lists indexed by code: literals are length-1 with
+        # first char = themselves; the clear/eoi slots are placeholders
+        return (
+            [0] * (clear + 2),
+            [1] * clear + [0, 0],
+            list(range(clear)) + [0, 0],
+        )
+
+    offs, lns, fcs = fresh_table()
+    width = min_code + 1
+    pos = 0
+    # state of the previous emission: (start offset, length, first
+    # char); length -1 means no previous code (start / after CLEAR)
+    prev_off = prev_fc = 0
+    prev_len = -1
+    BATCH_CAP = 4096
     while True:
-        while nbits < width:
-            if i >= n:
-                if len(out) >= max_px:
-                    return bytes(out)  # missing EOI but frame complete
-                raise ValueError("truncated GIF: LZW stream exhausted")
-            acc |= data[i] << nbits
-            nbits += 8
-            i += 1
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        if code == clear:
-            table = list(base)
-            width = min_code + 1
-            prev = None
-            continue
-        if code == eoi:
-            return bytes(out)
-        if prev is None:
+        if pos + width > total_bits:
+            if len(out) >= max_px:
+                return bytes(out)  # missing EOI but frame complete
+            raise ValueError("truncated GIF: LZW stream exhausted")
+        if prev_len < 0:
+            # first code after start/CLEAR adds no table entry: scalar
+            code = int(bits[pos : pos + width] @ _GIF_LZW_W[width])
+            pos += width
+            if code == clear:
+                offs, lns, fcs = fresh_table()
+                width = min_code + 1
+                continue
+            if code == eoi:
+                return bytes(out)
             if code >= clear:
                 raise ValueError("bad GIF LZW stream: first code not a literal")
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            if len(table) < 4096:
-                table.append(prev + entry[:1])
-        elif code == len(table) and len(table) < 4096:
-            entry = prev + prev[:1]
-            table.append(entry)
-        else:
-            raise ValueError("bad GIF LZW code")
-        if len(out) + len(entry) > max_px:
-            raise ValueError("GIF LZW output exceeds the declared frame size")
-        out += entry
-        prev = entry
-        if len(table) == (1 << width) and width < 12:
-            width += 1
+            if len(out) + 1 > max_px:
+                raise ValueError("GIF LZW output exceeds the declared frame size")
+            prev_off = len(out)
+            out.append(code)
+            prev_len, prev_fc = 1, code
+            continue
+        # batch size: stop exactly at the width-bump boundary (below
+        # the 4096 cap every code adds one table entry)
+        ntab = len(lns)
+        room = (1 << width) - ntab if ntab < (1 << width) else BATCH_CAP
+        k = min(room, BATCH_CAP, (total_bits - pos) // width)
+        codes = bits[pos : pos + k * width].reshape(k, width) @ _GIF_LZW_W[width]
+        special = np.nonzero((codes == clear) | (codes == eoi))[0]
+        stop = int(special[0]) if special.size else k
+        if stop:
+            batch = codes[:stop]
+            # at step j the table holds ntab+j entries; a code may be
+            # at most that index (the KwKwK self-reference)
+            if bool(
+                (batch > ntab + np.arange(stop, dtype=np.int64)).any()
+            ):
+                raise ValueError("bad GIF LZW code")
+            if bool((batch < clear).all()):
+                # all-literal run: one vectorized emit + bulk entries
+                if len(out) + stop > max_px:
+                    raise ValueError(
+                        "GIF LZW output exceeds the declared frame size"
+                    )
+                base_off = len(out)
+                out += batch.astype(np.uint8).tobytes()
+                add = min(stop, 4096 - ntab) if ntab < 4096 else 0
+                if add:
+                    # entry j is string(prev at step j) + 1 char: for
+                    # j=0 that extends the pre-batch emission; for j>=1
+                    # prev is the literal emitted at base_off + j - 1
+                    offs.append(prev_off)
+                    lns.append(prev_len + 1)
+                    fcs.append(prev_fc)
+                    if add > 1:
+                        offs.extend(range(base_off, base_off + add - 1))
+                        lns.extend([2] * (add - 1))
+                        fcs.extend(batch[: add - 1].tolist())
+                prev_off = base_off + stop - 1
+                prev_len, prev_fc = 1, int(batch[-1])
+            else:
+                # mixed run: per-code loop, emissions are slice copies
+                out_len = len(out)
+                for c in batch.tolist():
+                    ntab2 = len(lns)
+                    kwk = False
+                    if c < ntab2:
+                        if c < clear:
+                            src, L, f = -1, 1, c
+                        else:
+                            src, L, f = offs[c], lns[c], fcs[c]
+                    else:  # c == ntab2 (validated above): KwKwK
+                        if ntab2 >= 4096:
+                            raise ValueError("bad GIF LZW code")
+                        src, L, f = prev_off, prev_len + 1, prev_fc
+                        kwk = True
+                    if out_len + L > max_px:
+                        raise ValueError(
+                            "GIF LZW output exceeds the declared frame size"
+                        )
+                    if ntab2 < 4096:
+                        offs.append(prev_off)
+                        lns.append(prev_len + 1)
+                        fcs.append(prev_fc)
+                    emit_off = out_len
+                    if src < 0:
+                        out.append(c)
+                    elif kwk:
+                        out += out[src : src + prev_len]
+                        out.append(f)
+                    else:
+                        out += out[src : src + L]
+                    out_len += L
+                    prev_off, prev_len, prev_fc = emit_off, L, f
+            pos += stop * width
+            if len(lns) >= (1 << width) and width < 12:
+                width += 1
+        if stop < k:
+            code = int(codes[stop])
+            pos += width
+            if code == eoi:
+                return bytes(out)
+            offs, lns, fcs = fresh_table()
+            width = min_code + 1
+            prev_len = -1
 
 
 def _gif_walk(payload: bytes):

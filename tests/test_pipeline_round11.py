@@ -84,8 +84,9 @@ def _canonical_ac_table():
 def test_jpeg_progressive_eob_refinement_bulk_skip():
     """An AC-refinement scan whose EOB runs span absent blocks must
     bulk-advance, not walk block-by-block: a 8192x4096 SOF2 (512k
-    blocks) with 40 refinement scans of pure EOB runs decodes in
-    seconds (it previously cost ~21M no-op Python iterations)."""
+    blocks) with 60 refinement scans of pure EOB runs decodes in
+    seconds (it previously cost ~31M no-op Python iterations —
+    tens of seconds at best; the bound leaves load headroom)."""
     import data_engineer_project_spark.operators.multimodal as mm
 
     w, h = 8192, 4096
@@ -108,19 +109,19 @@ def test_jpeg_progressive_eob_refinement_bulk_skip():
     entropy = bw.flush()
     assert 16 * 32767 + 16 == nblocks
 
-    for _ in range(40):
+    for _ in range(60):
         out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00"
         out += bytes([1, 63, (2 << 4) | 1])  # Ss=1 Se=63 Ah=2 Al=1
         out += entropy
     out += b"\xff\xd9"
 
-    t0 = time.monotonic()
+    t0 = time.process_time()  # CPU time: immune to box load
     got = mm.decode_jpeg(bytes(out))
-    elapsed = time.monotonic() - t0
+    elapsed = time.process_time() - t0
     # no DC scan and no AC coefficients: the frame is flat mid-gray
     assert got.shape == (w * h,)
     assert int(got.min()) == int(got.max()) == 128
-    assert elapsed < 10.0, f"refinement EOB walk took {elapsed:.1f}s"
+    assert elapsed < 10.0, f"refinement EOB walk took {elapsed:.1f}s CPU"
 
 
 def test_jpeg_progressive_refinement_still_bit_exact():

@@ -241,6 +241,9 @@ EXTRA_QUERIES = [
     # audits fine (no loop at build). d99/d101 run CC at build and are
     # covered by LOOP_EXECUTES_AT_BUILD.
     "d100_incremental_neardup_ingest",
+    # r11: the batch twin of bench slot s01 — audited so the streaming
+    # slot's per-batch plan note below has a concrete section to cite.
+    "e01_tumbling_window",
 ]
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
@@ -509,21 +512,12 @@ def _guard_lines(log_start: int) -> list[str]:
     return [f"- skew guard: {rendered}"]
 
 
-def audit_one(spark, name: str, sf_dir: str) -> list[str]:
-    from data_engineer_project_spark.operators.dedup import GUARD_STATS_LOG
-
-    log_start = len(GUARD_STATS_LOG)
-    df = QUERIES[name].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    lines: list[str] = [f"## {name}", ""]
-    doc = (QUERIES[name].doc or "").strip().splitlines()
-    if doc:
-        lines += [f"> {doc[0].strip()}", ""]
-    if name in NOTES:
-        lines += [NOTES[name], ""]
-
+def summarize_plan(plan: str, name: str, indent: str = "") -> list[str]:
+    """The scale-relevant plan facts as markdown bullets — shared by
+    the lazy-query audit and the captured per-iteration plans."""
+    lines: list[str] = []
     scans = [ln.strip() for ln in plan.splitlines() if "FileScan parquet" in ln]
-    lines.append(f"- scans: {len(scans)}")
+    lines.append(f"{indent}- scans: {len(scans)}")
     # Identical scan lines collapse to one entry with a multiplicity:
     # the static printer re-prints a cached branch's scan once per
     # consumer (tracked_persist lineage inside InMemoryRelation), so a
@@ -538,7 +532,7 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
         pushed_txt = (
             pushed.group(1).split(", ReadSchema")[0][:120] if pushed else ""
         )
-        key = f"  - cols read: {ncols}; pushed: [{pushed_txt}]"
+        key = f"{indent}  - cols read: {ncols}; pushed: [{pushed_txt}]"
         scan_counts[key] = scan_counts.get(key, 0) + 1
     for key, n in scan_counts.items():
         lines.append(key if n == 1 else f"{key} ×{n} static prints")
@@ -551,13 +545,89 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
             name, "BroadcastNestedLoopJoin(NON-SCALAR — cartesian risk!)"
         )
         joins[label] = bnlj["non_scalar"]
-    lines.append(f"- joins: {joins if joins else 'none'}")
-    lines.append(f"- exchanges (shuffles): {plan.count('Exchange ')}")
+    lines.append(f"{indent}- joins: {joins if joins else 'none'}")
+    lines.append(f"{indent}- exchanges (shuffles): {plan.count('Exchange ')}")
     py = [k for k in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas") if k in plan]
-    lines.append(f"- python stages: {py if py else 'none (fully JVM/codegen)'}")
-    lines.append(f"- adaptive: {'yes' if 'AdaptiveSparkPlan' in plan else 'no'}")
+    lines.append(f"{indent}- python stages: {py if py else 'none (fully JVM/codegen)'}")
+    lines.append(f"{indent}- adaptive: {'yes' if 'AdaptiveSparkPlan' in plan else 'no'}")
     if "partial_" in plan:
-        lines.append("- map-side partial aggregation: yes")
+        lines.append(f"{indent}- map-side partial aggregation: yes")
+    return lines
+
+
+def audit_one(spark, name: str, sf_dir: str) -> list[str]:
+    from data_engineer_project_spark.operators.dedup import GUARD_STATS_LOG
+
+    log_start = len(GUARD_STATS_LOG)
+    df = QUERIES[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines: list[str] = [f"## {name}", ""]
+    doc = (QUERIES[name].doc or "").strip().splitlines()
+    if doc:
+        lines += [f"> {doc[0].strip()}", ""]
+    if name in NOTES:
+        lines += [NOTES[name], ""]
+    lines += summarize_plan(plan, name)
+    lines += _guard_lines(log_start)
+    lines.append("")
+    return lines
+
+
+def audit_loop_at_build(spark, name: str, sf_dir: str) -> list[str]:
+    """Audit a query whose iterative loop executes while the DataFrame
+    is BUILT: enable the plancap hook, build the query (this runs the
+    loop), then render every captured per-iteration stage plan through
+    the same summarizer — the pair join feeding CC, one pointer-jump
+    round, one power-iteration round — plus the final (post-loop)
+    plan and the guard probes."""
+    from data_engineer_project_spark.operators import plancap
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.operators.dedup import GUARD_STATS_LOG
+
+    log_start = len(GUARD_STATS_LOG)
+    plancap.enable()
+    try:
+        df = QUERIES[name].fn(spark, sf_dir)
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        captures = list(plancap.CAPTURES)
+    except Exception as e:  # keep the audit best-effort
+        release_all()
+        return [f"## {name}", "", f"- build failed ({type(e).__name__})", ""]
+    finally:
+        plancap.disable()
+    release_all()
+
+    lines: list[str] = [f"## {name}", ""]
+    doc = (QUERIES[name].doc or "").strip().splitlines()
+    if doc:
+        lines += [f"> {doc[0].strip()}", ""]
+    if name in NOTES:
+        lines += [NOTES[name], ""]
+    lines += [
+        "Loop-at-build query: the iteration executes during DataFrame",
+        "construction, so each captured stage below is one",
+        "representative iteration's plan (frozen by the plancap hook),",
+        "followed by the post-loop tail the lazy audit would show.",
+        "Scan counts inside iteration captures are the usual static-",
+        "printer artifact: the persisted edge/input set's lineage",
+        "re-prints once per consumer (at runtime every consumer reads",
+        "the one InMemoryTableScan / checkpointed block).",
+        "",
+    ]
+    totals: dict[str, int] = {}
+    for label, _ in captures:
+        totals[label] = totals.get(label, 0) + 1
+    seen: dict[str, int] = {}
+    for label, plan in captures:
+        seen[label] = seen.get(label, 0) + 1
+        suffix = f" #{seen[label]}" if totals[label] > 1 else ""
+        lines.append(f"### captured: {label}{suffix}")
+        lines.append("")
+        lines += summarize_plan(plan, name)
+        lines.append("")
+    lines.append("### post-loop tail (returned frame)")
+    lines.append("")
+    lines += summarize_plan(final_plan, name)
     lines += _guard_lines(log_start)
     lines.append("")
     return lines
@@ -586,10 +656,11 @@ def main() -> None:
     ]
     # dict.fromkeys: a query promoted into the bench list stays listed
     # in EXTRA_QUERIES history without being audited (and printed) twice.
-    # Iterative-loop queries (connected components) EXECUTE while their
-    # DataFrame is built — explaining them would run the whole query and
-    # record only the post-localCheckpoint tail, so they are excluded
-    # here like d20/d26 always were (m10 is a bench slot regardless).
+    # Iterative-loop queries (connected components, power iteration)
+    # EXECUTE while their DataFrame is built — explaining the returned
+    # frame would run the whole query and record only the
+    # post-localCheckpoint tail, so they go through audit_loop_at_build
+    # below (plancap hook: one representative iteration's plan each).
     LOOP_EXECUTES_AT_BUILD = {
         "m10_image_neardup_clusters",
         # r10: both run CC (and d101 builds/reads its store) at build
@@ -606,28 +677,26 @@ def main() -> None:
             continue
         body += audit_one(spark, name, sf_dir)
 
-    # Guard observability for the loop-at-build consumers (m10/d74/...):
-    # their plans aren't printable above (building executes the query),
-    # but the guard's probe runs at build time, so build each and render
-    # just the probe records.
-    from data_engineer_project_spark.operators.cache import release_all
-    from data_engineer_project_spark.operators.dedup import GUARD_STATS_LOG
-
-    body += ["## Skew-guard probes in loop-at-build queries", ""]
+    # Loop-at-build queries (CC / power iteration / training loops):
+    # full sections via the plancap hook — one representative
+    # iteration's plan each, plus the post-loop tail and guard probes
+    # (round 11; previously only the guard probe line was recordable).
     for name in sorted(LOOP_EXECUTES_AT_BUILD):
         if name not in QUERIES:
             continue
-        log_start = len(GUARD_STATS_LOG)
-        try:
-            QUERIES[name].fn(spark, sf_dir)
-        except Exception as e:  # keep the audit best-effort
-            body += [f"- {name}: build failed ({type(e).__name__})"]
-            release_all()
-            continue
-        release_all()
-        glines = _guard_lines(log_start)
-        body += [f"- {name}: {glines[0][14:]}" if glines else f"- {name}: no guard probe"]
-    body.append("")
+        body += audit_loop_at_build(spark, name, sf_dir)
+
+    body += [
+        "## s01_stream_tumbling_hour (streaming bench slot)",
+        "",
+        "Streaming plans are micro-batch and not printable here; s01's",
+        "per-batch plan is its batch twin e01_tumbling_window's audited",
+        "plan above (same tumbling-hour aggregate over the same events",
+        "schema — the pairing the streaming suite pins), executed once",
+        "per micro-batch with state-store-backed window accumulation",
+        "instead of a final sort.",
+        "",
+    ]
 
     with open(out, "w") as f:
         f.write("\n".join(body))
