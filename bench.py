@@ -161,6 +161,14 @@ BENCH_QUERIES = [
     # prices the verify stage the breadth decade showed is required at
     # scale (m10 stays as the hash-only diagnostic slot).
     "m18_image_neardup_verified",
+    # r11 addition: ROTATION of the headline toward production tiers
+    # (VERDICT r10 #6) — d89 is d74's exact-collapse production twin
+    # (weighted PageRank over reps; duplication-FLAT by measurement).
+    # This is the OVERLAP round: d74 and m10 keep their slots one more
+    # round for like-for-like comparability, then move to the
+    # diagnostic spot-check lane (r12 removes them from the headline;
+    # their contracts stay driver-gated in the correctness sweep).
+    "d89_weighted_pagerank_canonical",
 ]
 
 

@@ -12048,6 +12048,112 @@ def _merge_delta_state(delta, st):
     }
 
 
+_STATE_ARTIFACTS = ("reps", "comps", "sh", "bands")
+
+
+def _state_batch_complete(root, batch_id: int) -> bool:
+    """A published batch state is complete iff all four artifacts carry
+    their _SUCCESS marker (write_store_atomic's commit record)."""
+    import pathlib
+
+    b = pathlib.Path(root) / f"batch={batch_id}"
+    return all((b / a / "_SUCCESS").exists() for a in _STATE_ARTIFACTS)
+
+
+def _state_latest_batch(root) -> int | None:
+    """Highest COMPLETE batch id under ``root`` (None if no complete
+    publish exists — cold start)."""
+    import pathlib
+
+    best = None
+    for d in pathlib.Path(root).glob("batch=*"):
+        try:
+            bid = int(d.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if _state_batch_complete(root, bid) and (best is None or bid > best):
+            best = bid
+    return best
+
+
+def _state_read(spark, root, batch_id: int) -> dict:
+    import pathlib
+
+    b = pathlib.Path(root) / f"batch={batch_id}"
+    return {
+        a: spark.read.parquet(str(b / a)) for a in _STATE_ARTIFACTS
+    }
+
+
+def _state_publish(state: dict, root, batch_id: int, keep: int = 3) -> None:
+    """Publish the four-artifact cluster state for ``batch_id``
+    atomically (each artifact via write_store_atomic's temp-write +
+    rename + _SUCCESS marker; the batch is COMPLETE only when all four
+    markers exist, which _state_latest_batch requires before resume),
+    then prune to the newest ``keep`` complete batches."""
+    import pathlib
+    import shutil
+
+    b = pathlib.Path(root) / f"batch={batch_id}"
+    for a in _STATE_ARTIFACTS:
+        SIM.write_store_atomic(state[a], b / a)
+    done = sorted(
+        bid
+        for d in pathlib.Path(root).glob("batch=*")
+        for bid in [int(d.name.split("=", 1)[1])]
+        if _state_batch_complete(root, bid)
+    )
+    for bid in done[:-keep]:
+        shutil.rmtree(pathlib.Path(root) / f"batch={bid}", ignore_errors=True)
+
+
+def durable_cluster_merge_sink(store_root):
+    """foreachBatch sink maintaining the standing near-dup cluster
+    state DURABLY — the 100 TB form of s25's localCheckpoint chain
+    (the round-10 scale note's named open item): every micro-batch
+    merges via _merge_delta_state and publishes the four artifacts
+    under ``store_root``/batch=<id>/ through write_store_atomic, so a
+    crash at any point leaves the last COMPLETE batch state readable.
+
+    Exactly-once across restarts is the standard foreachBatch
+    idempotent-write recipe: the stream checkpoint replays any batch
+    whose commit did not land, and the sink SKIPS a replayed batch
+    whose state directory is already complete (its merge is already in
+    the store) — publish-then-crash and crash-then-publish both
+    converge. On restart the sink reloads the latest complete state,
+    so driver memory holds nothing the store does not.
+
+    Here each publish is a full snapshot of the four artifacts
+    (keep-latest-3 pruned); at 100 TB the shingle/band tables are
+    append-dominant (novel rows only) and reps compact periodically —
+    the same artifacts, written incrementally, behind this exact sink
+    signature.
+
+    The initial (corpus) state must already be published by the caller
+    as batch id -1 (``_state_publish(state, root, -1)``) before the
+    stream starts."""
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if _state_batch_complete(store_root, batch_id):
+            return  # replay of a published batch: already merged
+        spark = batch_df.sparkSession
+        prev = _state_latest_batch(store_root)
+        if prev is None:
+            raise ValueError(
+                "durable_cluster_merge_sink: no complete initial state "
+                f"under {store_root} (publish init_state first)"
+            )
+        st = _state_read(spark, store_root, prev)
+        new = _merge_delta_state(batch_df.select("doc_id", "text"), st)
+        # materialize through the durable publish (replaces the
+        # localCheckpoint: the store IS the lineage cut)
+        _state_publish(new, store_root, batch_id)
+
+    return sink
+
+
 def _cluster_rollup(merged_reps, comps):
     """d99's weighted rollup verbatim over a merged rep set: exact-dup
     groups (wt > 1) not in any component surface as singletons."""

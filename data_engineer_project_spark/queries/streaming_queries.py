@@ -1980,9 +1980,13 @@ def s25_stream_cluster_maintenance(t):
     equi-join) plus batch^2 through the skew guard; the CC pass runs
     over already-converged star edges plus the batch's attachments, so
     rounds track the log diameter of NEW merges only. State lives in
-    localCheckpoint here (test scale); at 100 TB it is d101's
-    fingerprint-keyed warehouse store updated per batch — same
-    artifacts, durable sink."""
+    localCheckpoint here (test scale); the 100 TB form is
+    ``durable_cluster_merge_sink`` (llm_pipeline.py) — the same four
+    artifacts published per batch through write_store_atomic into a
+    batch-versioned store, replay-idempotent and restart-resumable,
+    pinned by test_durable_cluster_merge_survives_midstream_crash
+    (crash between publish and checkpoint commit, restart, final
+    table tuple-equal to d99 from scratch)."""
     import shutil
     import tempfile
 

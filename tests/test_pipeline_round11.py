@@ -262,6 +262,115 @@ def test_corpus_manifest_key_tracks_file_changes(spark, tmp_path):
     assert kf.startswith("n") and "_s" in kf  # content-fingerprint form
 
 
+def test_durable_cluster_merge_survives_midstream_crash(spark, tmp_path):
+    """s25's 100 TB form (the round-10 scale note's open item): the
+    per-batch cluster state goes through write_store_atomic into a
+    batch-versioned durable store instead of a localCheckpoint chain.
+    Crash AFTER batch 0's publish but BEFORE its stream-checkpoint
+    commit, restart, and the final rollup must still tuple-equal d99
+    run from scratch over all documents — the replayed batch detects
+    its already-complete state directory and skips (the foreachBatch
+    idempotent-write recipe)."""
+    from pyspark.sql import functions as F
+
+    import data_engineer_project_spark.operators.dedup as DD
+    import data_engineer_project_spark.operators.graph as GR
+    from data_engineer_project_spark.functions import text as T
+    from data_engineer_project_spark.operators.cache import release_all, tracked_persist
+    from data_engineer_project_spark.queries import QUERIES
+    from data_engineer_project_spark.queries.llm_pipeline import (
+        _cluster_rollup,
+        _collapse_reps,
+        _D100_NB,
+        _D100_NH,
+        _SPARK_BUCKET,
+        _state_latest_batch,
+        _state_publish,
+        _state_read,
+        durable_cluster_merge_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    bucket = F.expr(_SPARK_BUCKET)
+    corpus = docs.filter(bucket < 90)
+    delta = docs.filter(bucket >= 90)
+
+    # corpus state (d101's cold path), published as batch -1
+    reps = tracked_persist(_collapse_reps(corpus))
+    shc = tracked_persist(
+        DD.exploded_shingles(reps.select("node", "text"), id_col="node").distinct()
+    )
+    pairs = DD.minhash_lsh_pairs_from_shingles(
+        shc, id_col="node", num_hashes=_D100_NH, bands=_D100_NB,
+        jaccard_threshold=0.5,
+    ).select("doc_a", "doc_b")
+    sigc = DD.minhash_signatures(shc, id_col="node", num_hashes=_D100_NH)
+    state0 = {
+        "reps": reps.select("fp", "node", "wt", T.token_count("text").alias("n_tok")),
+        "comps": GR.connected_components(pairs).select("node", "component"),
+        "sh": shc,
+        "bands": DD.band_key_rows(sigc, id_col="node", num_hashes=_D100_NH, bands=_D100_NB),
+    }
+    store = str(tmp_path / "cluster_store")
+    _state_publish(state0, store, -1)
+    assert _state_latest_batch(store) == -1
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    delta.repartition(3).write.parquet(landing)
+
+    sink = durable_cluster_merge_sink(store)
+    crashed = {"flag": False}
+
+    def crashing_sink(batch_df, batch_id):
+        sink(batch_df, batch_id)
+        # publish landed; die before Spark commits the batch to the
+        # stream checkpoint — the worst-timed crash
+        crashed["flag"] = True
+        raise RuntimeError("simulated crash after publish")
+
+    q = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert crashed["flag"] and _state_latest_batch(store) == 0
+
+    # restart from the same checkpoint: batch 0 replays (and is
+    # skipped — its state dir is complete), batches 1..2 merge fresh
+    q2 = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    last = _state_latest_batch(store)
+    assert last == 2  # three landing files -> batches 0, 1, 2
+
+    st = _state_read(spark, store, last)
+    got = sorted(
+        tuple(r) for r in _cluster_rollup(st["reps"], st["comps"]).collect()
+    )
+    release_all()
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["d99_weighted_neardup_clusters"].fn(spark, sf).collect()
+    )
+    release_all()
+    assert got == want and len(got) > 0
+
+
 def test_gif_frame_fingerprints_mixed_palette(spark):
     """gif_frame_fingerprints keeps every frame of a mixed-palette
     animation (the round-10 walk rejected the whole doc)."""
