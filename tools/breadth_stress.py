@@ -119,6 +119,106 @@ def synth_breadth(sf_dir: str, out_dir: str, factor: int) -> None:
             os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"), dst)
 
 
+def synth_breadth_media(sf_dir: str, out_dir: str, factor: int) -> None:
+    """MEDIA-axis replica transform (round 11, closes the m18 breadth
+    caveat): replica k maps every character's HIGH NIBBLE cyclically —
+    h -> (h + k) mod 8, low nibble kept — so the byte map respects the
+    verify's 16 histogram bins exactly.
+
+    Why this shape (and why the round-10 affine bijection could not
+    pin m18): the verify compares 16-bin byte histograms, so
+
+    - WITHIN a replica, the map relabels bins injectively: every
+      pair's histogram L1 distance and byte counts are BIT-IDENTICAL
+      to the base pair's — verify decisions cannot flip (the affine
+      map scattered byte values ACROSS bins, which perturbed
+      borderline decisions — the round-10 footnote);
+    - ACROSS replicas, the cyclic shifts pairwise agree on NO nibble,
+      so a cross-replica pair of the same doc has fully disjoint bins
+      (L1 = 2n, maximally far from the 0.25 threshold) — the verify
+      rejects every cross pair, which position-only transforms
+      (byte rotations) fundamentally cannot achieve: they keep the
+      multiset, so same-doc cross pairs sit at distance 0 and any
+      dHash coincidence merges replicas (measured: 35 clusters where
+      75 are real on the first cut of this harness);
+    - the dHash stage stays within its design bound: a pair differing
+      in j block adjacencies has transformed Hamming <= j just like
+      the base pair (the differing positions are the same bytes).
+
+    The cyclic family caps at EIGHT pairwise-nowhere-agreeing maps
+    (printable ASCII occupies 6 of 8 sub-0x80 high nibbles; at each
+    nibble the family's images must be pairwise distinct), so factor
+    <= 8 — the price of exactness at the verify, stated rather than
+    silently degraded.
+
+    For factor <= 3 an even STRONGER family exists and is used: the
+    affine byte shifts c -> c - 16k (valid while printable ASCII stays
+    >= 0, i.e. k <= 2). A uniform shift preserves every block-sum
+    COMPARISON, so the dHash is bit-identical across replicas too —
+    BOTH stages are exact within a replica, and the measured m10/m18
+    contrast becomes the whole point: cross-replica copies of a doc
+    share the hash (Hamming 0), so the hash-only diagnostic m10
+    cross-merges every replica while m18's bin-shifted histograms
+    reject the cross pairs."""
+    if factor > 8:
+        raise ValueError(
+            "media breadth factor caps at 8: the bin-respecting cyclic "
+            "family has exactly 8 pairwise-nowhere-agreeing members"
+        )
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    stride = pc.max(docs["doc_id"]).as_py() + 1
+    i_doc = docs.schema.get_field_index("doc_id")
+    i_txt = docs.schema.get_field_index("text")
+    base_text = docs["text"].to_pylist()
+    parts = [docs]
+    for k in range(1, factor):
+        if factor <= 3:
+            table = str.maketrans(
+                {chr(c): chr(c - 16 * k) for c in range(16 * k, 128)}
+            )
+        else:
+            table = str.maketrans(
+                {
+                    chr(c): chr(((((c >> 4) + k) % 8) << 4) | (c & 15))
+                    for c in range(128)
+                }
+            )
+        texts = [t.translate(table) if t is not None else None for t in base_text]
+        t = docs.set_column(i_doc, "doc_id", pc.add(docs["doc_id"], k * stride))
+        t = t.set_column(i_txt, "text", pa.array(texts, type=pa.string()))
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/documents.parquet")
+    for t in TABLES:
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"), dst)
+
+
+def measure_media(spark, sf_dir: str, scale_label: str, runs: int = 2) -> None:
+    from data_engineer_project_spark.operators import graph as G
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    for name in ("m10_image_neardup_clusters", "m18_image_neardup_verified"):
+        best, extra = None, {}
+        for _ in range(runs):
+            t0 = time.time()
+            rows = QUERIES[name].fn(spark, sf_dir).collect()
+            dt = time.time() - t0
+            extra = {
+                "n_clusters": len(rows),
+                "cc_rounds": G.LAST_RUN_STATS.get("rounds"),
+            }
+            best = dt if best is None else min(best, dt)
+            release_all()
+        print(
+            json.dumps(
+                {"op": name, "scale": scale_label, "sec": round(best, 2), **extra}
+            ),
+            flush=True,
+        )
+
+
 def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> None:
     from data_engineer_project_spark.operators import dedup as DD
     from data_engineer_project_spark.operators import graph as G
@@ -207,25 +307,30 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> None:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    args = [a for a in sys.argv[1:] if a != "--media"]
+    media = "--media" in sys.argv[1:]
+    factor = int(args[0]) if len(args) > 0 else 10
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    runs = int(args[2]) if len(args) > 2 else 2
 
     from data_engineer_project_spark.session import get_spark
 
     spark = get_spark("breadth-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
-    print(json.dumps({"harness": "breadth", "factor": factor, "base": sf_dir,
+    print(json.dumps({"harness": "breadth-media" if media else "breadth",
+                      "factor": factor, "base": sf_dir,
                       "runs": runs, "loadavg": round(os.getloadavg()[0], 2)}),
           flush=True)
-    measure(spark, sf_dir, "base")
+    meas = measure_media if media else measure
+    synth = synth_breadth_media if media else synth_breadth
+    meas(spark, sf_dir, "base", runs)
     tmp = tempfile.mkdtemp(prefix="breadth_")
     try:
         t0 = time.time()
-        synth_breadth(sf_dir, tmp, factor)
+        synth(sf_dir, tmp, factor)
         print(json.dumps({"synth_sec": round(time.time() - t0, 1)}), flush=True)
-        measure(spark, tmp, f"breadth{factor}")
+        meas(spark, tmp, f"breadth{factor}", runs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
