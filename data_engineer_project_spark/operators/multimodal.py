@@ -978,17 +978,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("JPEG reached EOI without a scan")
 
 
-# (table content, ac?) -> (cons16, diff16, sym16): for every 16-bit
+# (table content, mode) -> (cons16, diff16, sym16): for every 16-bit
 # window, the bits one whole Huffman UNIT consumes (code + appended
 # value bits; 0 = not resolvable in 16 bits -> scalar fallback), the
-# EXTENDed signed value, and the raw symbol. Units are `category +
-# category bits` (DC/lossless, ac=False) or `run/size + size bits`
-# (AC, ac=True). Built once per distinct table with vectorized numpy
-# and cached for the life of the process.
+# EXTENDed signed value, and the raw symbol. Unit modes:
+#   False  — `category + category bits` (DC / lossless)
+#   True   — `run/size + size bits` (baseline AC)
+#   "prog" — progressive AC-first: coefficient units as in True, but
+#            an EOBn symbol (size 0, run < 15) appends ``run`` RAW
+#            bits whose value is the eobrun extension (NOT extended)
+# Built once per distinct table with vectorized numpy and cached for
+# the life of the process.
 _FAST16_CACHE: dict = {}
 
 
-def _huff_fast16(table, ac: bool):
+def _huff_fast16(table, ac):
     key = (table.key, ac)
     hit = _FAST16_CACHE.get(key)
     if hit is not None:
@@ -997,7 +1001,17 @@ def _huff_fast16(table, ac: bool):
     lutp = np.array(table.lut_packed, dtype=np.int64)[w >> 8]
     ln = lutp >> 8
     sym = lutp & 0xFF
-    s = sym & 15 if ac else sym
+    if ac is False:
+        s = sym
+        raw_eob = np.zeros_like(sym, dtype=bool)
+    else:
+        s = sym & 15
+        if ac == "prog":
+            r = sym >> 4
+            raw_eob = (s == 0) & (r < 15)
+            s = np.where(raw_eob, r, s)
+        else:
+            raw_eob = np.zeros_like(sym, dtype=bool)
     ok = (ln > 0) & (ln + s <= 16)
     s = np.minimum(s, 16)  # arithmetic clamp for the excluded rows
     shift = np.maximum(16 - ln - s, 0)
@@ -1006,6 +1020,7 @@ def _huff_fast16(table, ac: bool):
     diff = np.where(
         s == 0, 0, np.where(val >= half, val, val - (1 << s) + 1)
     )
+    diff = np.where(raw_eob, val, diff)  # EOBn extension bits are raw
     out = (
         np.where(ok, ln + s, 0).astype(np.int64),
         np.where(ok, diff, 0).astype(np.int64),
@@ -1017,7 +1032,7 @@ def _huff_fast16(table, ac: bool):
     return out
 
 
-def _huff_fastpacked(table, ac: bool) -> list:
+def _huff_fastpacked(table, ac) -> list:
     """The 16-bit unit LUT as ONE Python list of packed ints for the
     hot decode loops: entry w resolves the whole unit whose bits lead
     the 16-bit window w as
@@ -1058,6 +1073,13 @@ def _unit_scalar(v, p: int, table, ac: bool, cap=16, cap_msg="bad JPEG category"
         p += ln
     s = sym & 15 if ac else sym
     if s == 0:
+        if ac == "prog" and (sym >> 4) < 15:
+            # progressive EOBn: the run length appends RAW extension bits
+            r = sym >> 4
+            if r == 0:
+                return sym, 0, p
+            val = (v[p >> 3] >> (64 - (p & 7) - r)) & ((1 << r) - 1)
+            return sym, val, p + r
         return sym, 0, p
     if s > cap:
         raise ValueError(f"{cap_msg} {s}")
@@ -1346,61 +1368,94 @@ def _decode_progressive_scan(br, frame, scan, huff, coef, ri) -> None:
         if s["cs"] not in by_id:
             raise ValueError("JPEG scan/frame component mismatch")
     mcux, mcuy, dims = _prog_geometry(frame)
+    sr = _SegReader(br.data, br.pos)
     if ss == 0:
         if se != 0:
             raise ValueError("progressive JPEG: DC scan must have Se=0")
-        _prog_dc_scan(br, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dims)
+        _prog_dc_scan(sr, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dims)
     else:
         if len(sel) != 1:
             raise ValueError("progressive JPEG: AC scan must be single-component")
-        _prog_ac_scan(br, sel[0], by_id, ss, se, ah, al, huff, coef, ri, dims)
+        _prog_ac_scan(sr, sel[0], by_id, ss, se, ah, al, huff, coef, ri, dims)
+    # resume the marker walk at the final segment's end (any residual
+    # padding/RST tails are _skip_jpeg_entropy's job)
+    br.pos = sr.seg_end
 
 
-def _prog_restart(br) -> None:
-    """Byte-align and consume the RSTn marker between restart
-    intervals; absence is hostile input."""
-    br.nbits = 0
-    if (
-        br.pos + 2 > len(br.data)
-        or br.data[br.pos] != 0xFF
-        or not 0xD0 <= br.data[br.pos + 1] <= 0xD7
-    ):
-        raise ValueError("truncated JPEG: missing restart marker")
-    br.pos += 2
+class _SegReader:
+    """Window-backed entropy-segment reader for the progressive scans
+    (round 11: the same pre-unstuffed 64-bit-window machinery the
+    lossless/baseline paths use). Holds the current restart segment's
+    windows and bit position; ``restart()`` verifies the RSTn marker
+    and opens the next segment; after the scan, ``seg_end`` is where
+    the marker walk resumes. Hot loops pull (v, tb, p) into locals and
+    write ``p`` back at segment boundaries."""
+
+    __slots__ = ("data", "v", "tb", "p", "seg_end")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self._open(pos)
+
+    def _open(self, pos: int) -> None:
+        clean, self.seg_end = _unstuff_entropy(self.data, pos)
+        self.v = _win64_list(clean)
+        self.tb = 8 * int(clean.size)
+        self.p = 0
+
+    def restart(self) -> None:
+        d, e = self.data, self.seg_end
+        if e + 2 > len(d) or d[e] != 0xFF or not 0xD0 <= d[e + 1] <= 0xD7:
+            raise ValueError("truncated JPEG: missing restart marker")
+        self._open(e + 2)
 
 
-def _prog_dc_scan(br, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dims):
+def _prog_dc_scan(sr, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dims):
     tabs = []
+    luts = []
     for s in sel:
         if ah == 0:
             t = huff.get((0, s["td"]))
             if t is None:
                 raise ValueError("JPEG scan references a missing Huffman table")
             tabs.append(t)
+            luts.append(_huff_fastpacked(t, False))
         else:
             tabs.append(None)  # refinement reads raw bits, no table
+            luts.append(None)
     preds = [0] * len(sel)
     refine_bit = 1 << al
+    v, tb, p = sr.v, sr.tb, sr.p
+    exhausted = "truncated JPEG: entropy stream exhausted"
 
-    def dc_block(ci, bi, si):
+    def dc_block(ci, bi, si, p):
         blk = coef[ci].get(bi)
+        if p >= tb:
+            raise ValueError(exhausted)
         if ah == 0:
-            t = tabs[si]
-            s = t.decode(br)
-            if s > 15:
-                raise ValueError("bad JPEG DC category")
-            preds[si] += _extend(br.bits(s), s) if s else 0
-            v = preds[si] << al
+            e = luts[si][(v[p >> 3] >> (48 - (p & 7))) & 0xFFFF]
+            if e:
+                preds[si] += (e & 0x3FFFF) - 65536
+                p += e >> 27
+            else:
+                _, dv, p = _unit_scalar(
+                    v, p, tabs[si], False, 15, "bad JPEG DC category"
+                )
+                preds[si] += dv
+            vv = preds[si] << al
             if blk is None:
-                if v == 0:
-                    return
+                if vv == 0:
+                    return p
                 blk = coef[ci][bi] = [0] * 64
-            blk[0] = v
+            blk[0] = vv
         else:
-            if br.bit():
+            b = (v[p >> 3] >> (63 - (p & 7))) & 1
+            p += 1
+            if b:
                 if blk is None:
                     blk = coef[ci][bi] = [0] * 64
                 blk[0] |= refine_bit
+        return p
 
     if len(sel) == 1:
         # non-interleaved: raster over the component's own block grid
@@ -1411,16 +1466,19 @@ def _prog_dc_scan(br, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dim
             base = by * pbx
             for bx in range(nbx):
                 if ri and n and n % ri == 0:
-                    _prog_restart(br)
+                    sr.restart()
+                    v, tb, p = sr.v, sr.tb, sr.p
                     preds = [0]
                 n += 1
-                dc_block(ci, base + bx, 0)
+                p = dc_block(ci, base + bx, 0, p)
+        sr.p = p
         return
     nmcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if ri and nmcu and nmcu % ri == 0:
-                _prog_restart(br)
+                sr.restart()
+                v, tb, p = sr.v, sr.tb, sr.p
                 preds = [0] * len(sel)
             nmcu += 1
             for si, s in enumerate(sel):
@@ -1430,21 +1488,48 @@ def _prog_dc_scan(br, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dim
                 for by in range(c["v"]):
                     base = (my * c["v"] + by) * pbx + mx * c["h"]
                     for bx in range(c["h"]):
-                        dc_block(ci, base + bx, si)
+                        p = dc_block(ci, base + bx, si, p)
+    sr.p = p
 
 
-def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
+def _prog_ac_scan(sr, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
     tab = huff.get((1, s["ta"]))
     if tab is None:
         raise ValueError("JPEG scan references a missing Huffman table")
     ci = by_id[s["cs"]]
     nbx, nby, pbx = dims[ci]
     blocks = coef[ci]
-    decode, bits, bit = tab.decode, br.bits, br.bit
+    # window-reader locals (round 11): first scans consume whole
+    # (symbol + value/extension bits) units via the packed "prog" LUT;
+    # refinement scans resolve the SYMBOL via the 8-bit lookahead and
+    # read their interleaved sign/correction bits inline
+    lutF = _huff_fastpacked(tab, "prog")
+    lut8 = tab.lut_packed
+    maxcode, mincode = tab.maxcode, tab.mincode
+    valptr, values = tab.valptr, tab.values
+    v, tb, p = sr.v, sr.tb, sr.p
+    exhausted = "truncated JPEG: entropy stream exhausted"
     p1, m1 = 1 << al, -1 << al
     eobrun = 0
     n = nbx * nby
     bi = 0  # raster index over the scan's block grid
+
+    def sym_at(p):
+        # Huffman SYMBOL only (refinement path): 8-bit lookahead with
+        # the canonical walk fallback; returns (symbol, new position)
+        win = (v[p >> 3] >> (48 - (p & 7))) & 0xFFFF
+        e8 = lut8[win >> 8]
+        if e8:
+            return e8 & 0xFF, p + (e8 >> 8)
+        code = win >> 15
+        ln = 1
+        while not (maxcode[ln] >= 0 and code <= maxcode[ln]):
+            ln += 1
+            if ln > 16:
+                raise ValueError("bad JPEG Huffman stream: no code matched")
+            code = (win >> (16 - ln)) & ((1 << ln) - 1)
+        return values[valptr[ln] + code - mincode[ln]], p + ln
+
     # Refinement EOB runs read correction bits only for blocks with
     # nonzero history; absent blocks consume an eobrun unit for free.
     # A sorted key view lets us bulk-advance over absent spans instead
@@ -1459,7 +1544,8 @@ def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
         )
     while bi < n:
         if ri and bi and bi % ri == 0:
-            _prog_restart(br)
+            sr.restart()
+            v, tb, p = sr.v, sr.tb, sr.p
             eobrun = 0
         key = (bi // nbx) * pbx + (bi % nbx)
         if ah == 0:
@@ -1474,13 +1560,20 @@ def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
             blk = blocks.get(key)
             k = ss
             while k <= se:
-                rs = decode(br)
+                if p >= tb:
+                    raise ValueError(exhausted)
+                e = lutF[(v[p >> 3] >> (48 - (p & 7))) & 0xFFFF]
+                if e:
+                    rs = (e >> 18) & 0xFF
+                    val = (e & 0x3FFFF) - 65536
+                    p += e >> 27
+                else:
+                    rs, val, p = _unit_scalar(v, p, tab, "prog")
                 r, sz = rs >> 4, rs & 15
                 if sz == 0:
                     if r != 15:
-                        eobrun = (1 << r) - 1
-                        if r:
-                            eobrun += bits(r)
+                        # val carries the RAW eobrun extension bits
+                        eobrun = (1 << r) - 1 + val
                         break
                     k += 16
                 else:
@@ -1489,32 +1582,48 @@ def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
                         raise ValueError("bad JPEG AC run past band end")
                     if blk is None:
                         blk = blocks[key] = [0] * 64
-                    blk[k] = _extend(bits(sz), sz) << al
+                    blk[k] = val << al
                     k += 1
         else:
             blk = blocks.get(key)
             k = ss
             if eobrun == 0:
                 while k <= se:
-                    rs = decode(br)
+                    if p >= tb:
+                        raise ValueError(exhausted)
+                    rs, p = sym_at(p)
                     r, sz = rs >> 4, rs & 15
                     newval = 0
                     if sz == 0:
                         if r != 15:
+                            if p + r > tb:
+                                raise ValueError(exhausted)
                             eobrun = 1 << r
                             if r:
-                                eobrun += bits(r)
+                                eobrun += (
+                                    v[p >> 3] >> (64 - (p & 7) - r)
+                                ) & ((1 << r) - 1)
+                                p += r
                             break
                         # r == 15: pass 16 zero-history coefficients
                     else:
                         if sz != 1:
                             raise ValueError("bad JPEG AC refinement magnitude")
-                        newval = p1 if bit() else m1
+                        if p >= tb:
+                            raise ValueError(exhausted)
+                        newval = (
+                            p1 if (v[p >> 3] >> (63 - (p & 7))) & 1 else m1
+                        )
+                        p += 1
                     while k <= se:
-                        v = blk[k] if blk is not None else 0
-                        if v != 0:
-                            if bit() and (v & p1) == 0:
-                                blk[k] = v + (p1 if v >= 0 else m1)
+                        c = blk[k] if blk is not None else 0
+                        if c != 0:
+                            if p >= tb:
+                                raise ValueError(exhausted)
+                            b = (v[p >> 3] >> (63 - (p & 7))) & 1
+                            p += 1
+                            if b and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
                         else:
                             if r == 0:
                                 break
@@ -1528,9 +1637,14 @@ def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
             if eobrun > 0:
                 if blk is not None:
                     while k <= se:
-                        v = blk[k]
-                        if v != 0 and bit() and (v & p1) == 0:
-                            blk[k] = v + (p1 if v >= 0 else m1)
+                        c = blk[k]
+                        if c != 0:
+                            if p >= tb:
+                                raise ValueError(exhausted)
+                            b = (v[p >> 3] >> (63 - (p & 7))) & 1
+                            p += 1
+                            if b and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
                         k += 1
                     eobrun -= 1
                 else:
@@ -1553,6 +1667,7 @@ def _prog_ac_scan(br, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
                     bi += take
                     continue
         bi += 1
+    sr.p = p
 
 
 def _finish_progressive(frame, coef, qt) -> np.ndarray:
