@@ -619,69 +619,19 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00
-    unstuffing; any read past the end raises ValueError. Shift-based
-    multi-bit reads + a peek window for the Huffman lookahead table."""
+    """Entropy-stream cursor handed to the JPEG scan decoders: the
+    payload plus a byte position. Since round 11 every decode path
+    (lossless, baseline, progressive) does its own unstuffing through
+    the pre-computed 64-bit-window machinery (_unstuff_entropy /
+    _win64_list), so this carries only WHERE the scan starts; the
+    progressive path advances ``pos`` past each scan's final segment
+    so the marker walk resumes correctly."""
+
+    __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG: entropy stream exhausted")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(self.data):
-                raise ValueError("truncated JPEG: cut at a 0xFF byte")
-            nxt = self.data[self.pos + 1]
-            if nxt != 0x00:
-                # a real marker inside the scan (EOI reached early, or
-                # the next progressive SOS): the scan ends here. Leave
-                # pos ON the 0xFF so a multi-scan caller can resume
-                # the marker walk at the segment boundary.
-                raise ValueError(
-                    f"truncated JPEG: marker 0xFF{nxt:02X} inside scan"
-                )
-            self.pos += 2  # stuffed
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        while self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def peek8(self) -> int:
-        """Next 8 bits without consuming (0-padded near a hard end);
-        returns -1 when the stream cannot supply ANY bit."""
-        while self.nbits < 8:
-            try:
-                self._fill()
-            except ValueError:
-                if self.nbits == 0:
-                    return -1
-                return (self.acc << (8 - self.nbits)) & 0xFF
-        return (self.acc >> (self.nbits - 8)) & 0xFF
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
 
 
 class _Huff:
@@ -710,11 +660,10 @@ class _Huff:
             if code > (1 << ln):
                 raise ValueError("bad JPEG Huffman table: code overflow")
             code <<= 1
-        # 8-bit lookahead: lut[p] = (codelen, symbol) for every 8-bit
-        # prefix whose leading bits form a code of length <= 8;
-        # lut_packed is the same table as (codelen << 8 | symbol) ints
-        # (0 = no hit) for the window-based fast readers
-        self.lut: list = [None] * 256
+        # 8-bit lookahead for the window-based readers: lut_packed[p]
+        # = (codelen << 8 | symbol) for every 8-bit prefix whose
+        # leading bits form a code of length <= 8 (0 = no hit — the
+        # scalar canonical walk resolves longer codes)
         self.lut_packed: list = [0] * 256
         for ln in range(1, 9):
             lo, hi = self.mincode[ln], self.maxcode[ln]
@@ -724,27 +673,7 @@ class _Huff:
                 sym = self.values[self.valptr[ln] + c - lo]
                 base = c << (8 - ln)
                 for tail in range(1 << (8 - ln)):
-                    self.lut[base | tail] = (ln, sym)
                     self.lut_packed[base | tail] = (ln << 8) | sym
-
-    def decode(self, br: _BitReader) -> int:
-        # fast path: an 8-bit lookahead table resolves every code of
-        # length <= 8 in one peek (our fixture tables are 4-bit; the
-        # typical baseline tables are mostly <= 8 too)
-        p = br.peek8()
-        if p >= 0:
-            hit = self.lut[p]
-            # the hit is real only if the buffer truly holds all its
-            # bits (peek8 zero-pads at a hard stream end)
-            if hit is not None and hit[0] <= br.nbits:
-                br.skip(hit[0])
-                return hit[1]
-        code = br.bit()
-        for ln in range(1, 17):
-            if self.maxcode[ln] >= 0 and code <= self.maxcode[ln]:
-                return self.values[self.valptr[ln] + code - self.mincode[ln]]
-            code = (code << 1) | br.bit()
-        raise ValueError("bad JPEG Huffman stream: no code matched")
 
 
 def _unstuff_entropy(data: bytes, pos: int):
@@ -801,14 +730,6 @@ def _huff_cached(counts: list[int], values: bytes) -> "_Huff":
             _HUFF_CACHE.clear()
         hit = _HUFF_CACHE[key] = _Huff(counts, values)
     return hit
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map ``s`` magnitude bits to a signed
-    difference."""
-    if s == 0:
-        return 0
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
 def _next_jpeg_segment(payload: bytes, pos: int):
