@@ -451,6 +451,43 @@ def corpus_fingerprint(
     return int(fp["n"]), int(fp["s"]), int(fp["v"])
 
 
+def source_manifest_key(df: DataFrame) -> str | None:
+    """Identity of a file-backed frame WITHOUT scanning its data: an
+    md5 over (a) the backing files' sorted (uri, size, mtime_ns)
+    manifest and (b) the analyzed plan's semantic hash — (b) keeps two
+    DIFFERENT derivations over the same files (another filter, another
+    projection) from colliding, which a files-only key would allow and
+    which, for a trained-artifact store, would be a correctness bug
+    rather than a perf one. Costs one driver-side listing, zero Spark
+    jobs. Returns None for frames with no backing files (callers fall
+    back to their content fingerprint). A rewritten file (new size or
+    mtime) changes the key and forces a clean retrain — the standard
+    manifest-cache contract."""
+    import hashlib
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = sorted(df.inputFiles())
+        if not files:
+            return None
+        h = hashlib.md5()
+        for uri in files:
+            parsed = urlparse(uri)
+            path = unquote(parsed.path) if parsed.scheme else uri
+            try:
+                st = os.stat(path)
+                h.update(f"{uri}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+            except OSError:
+                h.update(f"{uri}|?\n".encode())
+        h.update(
+            str(df._jdf.queryExecution().analyzed().semanticHash()).encode()
+        )
+        return "f" + h.hexdigest()[:20]
+    except Exception:
+        return None
+
+
 def write_store_atomic(df: DataFrame, store, partition_by=None) -> None:
     """Write ``df`` as the artifact at directory ``store`` atomically:
     write to a sibling temp dir, then rename into place. Two
@@ -658,15 +695,25 @@ def materialized_centroids(
     import pathlib
 
     spark = corpus.sparkSession
-    # Fingerprint = row count + id checksum + a position-weighted value
-    # checksum over EVERY vector component (corpus_fingerprint) plus
-    # STORE_VERSION. Corpora differing in any coordinate — or an
-    # algorithm change — get a fresh key instead of silently sharing a
-    # stale quantizer.
-    n, s, v = corpus_fingerprint(corpus, id_col, vec_col)
+    # Store identity (round 11, the d101 store-keying fix applied to
+    # the centroid store): prefer the METADATA-ONLY manifest + plan
+    # key (source_manifest_key — no corpus scan at all; at 100 TB the
+    # old full-vector checksum scan dominated the FileScan this helper
+    # exists to enable). Frames with no file lineage keep the content
+    # fingerprint: row count + id checksum + a position-weighted value
+    # checksum over EVERY component, so corpora differing in any
+    # coordinate — or an algorithm change — get a fresh key instead of
+    # silently sharing a stale quantizer.
+    mk = source_manifest_key(corpus)
+    if mk is not None:
+        n = corpus.count()  # parquet-footer metadata, not a data scan
+        ident = f"{mk}_n{n}"
+    else:
+        n, s, v = corpus_fingerprint(corpus, id_col, vec_col)
+        ident = f"n{n}_s{s}_v{v}"
     if n_centroids is None:
         n_centroids = adaptive_centroids(n)
-    key = f"a{STORE_VERSION}_n{n}_s{s}_v{v}_c{n_centroids}_i{iters}"
+    key = f"a{STORE_VERSION}_{ident}_c{n_centroids}_i{iters}"
     root = (
         pathlib.Path(__file__).resolve().parents[2]
         / "spark-warehouse"

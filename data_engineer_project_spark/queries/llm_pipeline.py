@@ -4506,17 +4506,23 @@ def d57_pq_codebook(t):
 
 
 def _pq_codebook_store(emb):
-    """Warehouse path for the trained PQ codebook, keyed by the same
-    corpus fingerprint recipe as similarity.materialized_centroids
-    (count + id checksum + position-weighted full-vector checksum +
-    STORE_VERSION) plus the PQ config — training is an OFFLINE job;
-    repeated d57/d58/d77 invocations should read the few-KB artifact,
-    not re-run the subspace k-means (the s17 lesson, applied to the PQ
-    layer)."""
+    """Warehouse path for the trained PQ codebook, keyed like
+    similarity.materialized_centroids (round 11: the metadata-only
+    manifest + plan key when the corpus is file-backed — no vector
+    scan just to FIND the artifact; the count + id checksum +
+    position-weighted full-vector checksum fallback otherwise) plus
+    the PQ config — training is an OFFLINE job; repeated d57/d58/d77
+    invocations should read the few-KB artifact, not re-run the
+    subspace k-means (the s17 lesson, applied to the PQ layer)."""
     import pathlib
 
-    n, s, v = SIM.corpus_fingerprint(emb)
-    key = f"a{SIM.STORE_VERSION}_n{n}_s{s}_v{v}_m{_PQ_M}_k{_PQ_K}_i2"
+    mk = SIM.source_manifest_key(emb)
+    if mk is not None:
+        ident = mk
+    else:
+        n, s, v = SIM.corpus_fingerprint(emb)
+        ident = f"n{n}_s{s}_v{v}"
+    key = f"a{SIM.STORE_VERSION}_{ident}_m{_PQ_M}_k{_PQ_K}_i2"
     return (
         pathlib.Path(__file__).resolve().parents[2]
         / "spark-warehouse"

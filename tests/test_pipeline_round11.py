@@ -455,3 +455,40 @@ def test_skew_guard_plain_verdict_cache(spark, tmp_path):
     finally:
         DD._PROBE_VERDICT_CACHE.clear()
         DD._PROBE_VERDICT_CACHE.update(before)
+
+
+def test_centroid_store_keying_never_scans_vectors(spark, monkeypatch):
+    """The d101 store-keying fix applied to the trained-artifact
+    stores: for a file-backed embeddings corpus, finding the centroid
+    store (and the PQ codebook store) must not compute the full-vector
+    content fingerprint — the key is the metadata-only manifest + plan
+    identity. Pinned by poisoning corpus_fingerprint after a priming
+    run."""
+    import data_engineer_project_spark.operators.similarity as SIM
+    from data_engineer_project_spark.operators.cache import release_all
+    from data_engineer_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("d14_ann_ivf", "d57_pq_codebook"):
+        a = [tuple(r) for r in QUERIES[name].fn(spark, sf).collect()]
+        release_all()
+
+        def _poisoned(*args, **kwargs):
+            raise AssertionError(
+                "store keying computed the full-vector content fingerprint"
+            )
+
+        monkeypatch.setattr(SIM, "corpus_fingerprint", _poisoned)
+        try:
+            b = [tuple(r) for r in QUERIES[name].fn(spark, sf).collect()]
+        finally:
+            monkeypatch.undo()
+        release_all()
+        assert sorted(a) == sorted(b) and len(a) > 0
+
+    # in-memory frames (no file lineage) still fall back cleanly
+    mem = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    assert SIM.source_manifest_key(mem) is None
