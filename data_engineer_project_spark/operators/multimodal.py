@@ -3190,10 +3190,10 @@ def perceptual_hash(media: DataFrame, n_blocks: int = 32) -> DataFrame:
                 blk = (np.arange(n, dtype=np.int64) * n_blocks) // n
                 bs = np.bincount(blk, weights=a, minlength=n_blocks).astype(np.int64)
                 bn = np.bincount(blk, minlength=n_blocks).astype(np.int64)
-                bits = 0
-                for i in range(n_blocks):
-                    if bn[i] > 0 and int(bs[i]) * n > total * int(bn[i]):
-                        bits |= 1 << i
+                bits = int(
+                    ((bn > 0) & (bs * n > total * bn)).astype(np.uint64)
+                    @ _DHASH_BIT_W[:n_blocks]
+                )
                 if bits >= 1 << 63:  # two's-complement into int64
                     bits -= 1 << 64
                 out_id.append(did)
@@ -3205,6 +3205,9 @@ def perceptual_hash(media: DataFrame, n_blocks: int = 32) -> DataFrame:
             )
 
     return media.mapInPandas(stage, _PHASH_SCHEMA)
+
+
+_DHASH_BIT_W = 1 << np.arange(64, dtype=np.uint64)  # bit i weight
 
 
 def difference_hash(
@@ -3246,10 +3249,13 @@ def difference_hash(
                 padded = np.zeros(width, dtype=np.int64)
                 padded[:n] = a
                 sums = padded.reshape(n_bits + 1, block_bytes).sum(axis=1)
-                bits = 0
-                for i in range(n_bits):
-                    if sums[i] > sums[i + 1]:
-                        bits |= 1 << i
+                # one vectorized bit pack (was a 64-step Python loop
+                # per payload): compare adjacent block sums, dot with
+                # the bit weights, fold into two's-complement int64
+                bits = int(
+                    (sums[:-1] > sums[1:]).astype(np.uint64)
+                    @ _DHASH_BIT_W[:n_bits]
+                )
                 if bits >= 1 << 63:  # two's-complement into int64
                     bits -= 1 << 64
                 out_id.append(did)
@@ -3414,10 +3420,10 @@ def dhash_with_histogram(
                 head = v[:width]
                 padded[: len(head)] = head
                 sums = padded.reshape(n_bits + 1, block_bytes).sum(axis=1)
-                bits = 0
-                for i in range(n_bits):
-                    if sums[i] > sums[i + 1]:
-                        bits |= 1 << i
+                bits = int(
+                    (sums[:-1] > sums[1:]).astype(np.uint64)
+                    @ _DHASH_BIT_W[:n_bits]
+                )
                 if bits >= 1 << 63:
                     bits -= 1 << 64
                 out_id.append(did)
