@@ -96,10 +96,6 @@ BENCH_QUERIES = [
     # rollup (no window sort, map-side-combined composite-key
     # selection); times the algebraic-selection aggregate path.
     "e13_ohlc_bars",
-    # r5 addition #6: image near-dup clustering — banded equi-join
-    # candidates + Hamming verify + iterative connected components;
-    # times the multimodal graph path end-to-end.
-    "m10_image_neardup_clusters",
     # r5 addition #7: the partial-Gram covariance — one integer matmul
     # per Arrow batch, d^2-key aggregate; times the mapInPandas
     # numeric-fold shape (shuffle independent of corpus size).
@@ -120,10 +116,6 @@ BENCH_QUERIES = [
     # iterative-linalg shape (per-round broadcast of the direction +
     # one vector-keyed shuffle) no other slot covers.
     "d73_power_iteration_top_pc",
-    # r7 addition #3: integer PageRank over the verified near-dup
-    # graph — times the fixed-round edge-propagation shape on top of
-    # the d07 pair machinery + pointer-jumped CC.
-    "d74_pagerank_canonical_doc",
     # r7 addition #4: per-doc tf-idf keyword extraction — corpus-wide
     # docfreq fold + the bounded query-set broadcast INTO the vocab
     # join + two-phase grouped_topk; times the retrieval-indexing
@@ -171,6 +163,17 @@ BENCH_QUERIES = [
     "d89_weighted_pagerank_canonical",
 ]
 
+# Diagnostic spot-check lane (round-12 rotation, declared in the r11
+# BASELINE.md note): the doc-granular diagnostic tiers whose production
+# twins (d89/m18) hold the sf0.1 headline slots. They stay driver-gated
+# at sf0.01 in the correctness sweep (registered queries) and keep
+# their pins for this lane; run them at sf0.1 on demand with
+#   SPARK_GRAFT_BENCH_ONLY=d74,m10 SPARK_GRAFT_BENCH_INCLUDE_SPOT=1
+SPOT_CHECK_QUERIES = [
+    "d74_pagerank_canonical_doc",  # pin 6.955 s (sf0.1 lane)
+    "m10_image_neardup_clusters",  # pin 5.114 s (sf0.1 lane)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -211,7 +214,10 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    pool = list(BENCH_QUERIES)
+    if os.environ.get("SPARK_GRAFT_BENCH_INCLUDE_SPOT", "").strip():
+        pool += SPOT_CHECK_QUERIES
+    names = [n for n in pool if n in QUERIES]
     # Triage/re-pin mode: run only the named slots (comma-separated
     # prefixes), e.g. SPARK_GRAFT_BENCH_ONLY=hq06,p62 — used for
     # idle-box min-of-N pins without paying the full suite.
@@ -219,6 +225,44 @@ def main() -> None:
     if only:
         prefixes = tuple(p.strip() for p in only.split(",") if p.strip())
         names = [n for n in names if n.startswith(prefixes)]
+    if any(n.startswith("s") for n in names):
+        # Streaming-engine warmup (round-12 s01 triage): the FIRST
+        # streaming queries in a session pay engine + state-store +
+        # micro-batch-thread-pool init and JIT that decays over ~2-3
+        # query starts (idle-box s01: 5.9 → 2.9 → 1.9 → 1.7 s). Under
+        # background load that decay stretches past run 3, so a loaded
+        # driver box records min-of-3 ≈ the COLD time (the r11 "5.417 s
+        # vs 1.178 s pin" breach — idle min-of-6 reproduced 1.54 s).
+        # Two tiny availableNow stateful runs amortize the one-time
+        # cost out of the timed slots, same rationale as the Python
+        # worker-pool warmup above.
+        import tempfile
+
+        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.types import TimestampType
+
+        _wdir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+        spark.range(8).selectExpr(
+            "id",
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts",
+        ).write.mode("overwrite").parquet(_wdir + "/in")
+        _wsch = StructType(
+            [StructField("id", LongType()), StructField("ts", TimestampType())]
+        )
+        for _wi in range(2):
+            _wq = (
+                spark.readStream.schema(_wsch)
+                .parquet(_wdir + "/in")
+                .withWatermark("ts", "1 minute")
+                .groupBy("id")
+                .count()
+                .writeStream.format("memory")
+                .queryName(f"bench_stream_warm_{_wi}")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _wq.awaitTermination()
     if any(n.startswith("hq") for n in names):
         # Pre-build fixture DataFrames so hq slots time ETL + query,
         # not the one-off driver-side row conversion (a parquet read in
