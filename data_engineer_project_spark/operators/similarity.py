@@ -451,18 +451,46 @@ def corpus_fingerprint(
     return int(fp["n"]), int(fp["s"]), int(fp["v"])
 
 
+def plan_identity(df: DataFrame) -> str | None:
+    """Cross-session-stable identity of a frame's DERIVATION: md5 over
+    the analyzed plan's CANONICALIZED string (expression ids
+    normalized to positional ``none#N``, so the same filter/projection
+    structure prints identically in every session) plus the schema
+    JSON (full column names + types — canonicalized ``toString``
+    truncates long field lists under ``spark.debug.maxToStringFields``,
+    and the schema term keeps two wide projections differing only in
+    the truncated tail from colliding).
+
+    Round 12 replaces ``semanticHash()`` here: that hash is NOT stable
+    across JVMs (measured: the same plan hashed 215146996 in one
+    process and -1484412745 in the next), so a store keyed by it was
+    silently session-local — every new session retrained the standing
+    artifact. The canonicalized string is measured byte-identical
+    across processes. Driver-side only, zero Spark jobs."""
+    import hashlib
+
+    try:
+        canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        return hashlib.md5(
+            canon.encode() + b"\x00" + df.schema.json().encode()
+        ).hexdigest()[:20]
+    except Exception:
+        return None
+
+
 def source_manifest_key(df: DataFrame) -> str | None:
     """Identity of a file-backed frame WITHOUT scanning its data: an
     md5 over (a) the backing files' sorted (uri, size, mtime_ns)
-    manifest and (b) the analyzed plan's semantic hash — (b) keeps two
-    DIFFERENT derivations over the same files (another filter, another
-    projection) from colliding, which a files-only key would allow and
-    which, for a trained-artifact store, would be a correctness bug
-    rather than a perf one. Costs one driver-side listing, zero Spark
-    jobs. Returns None for frames with no backing files (callers fall
-    back to their content fingerprint). A rewritten file (new size or
-    mtime) changes the key and forces a clean retrain — the standard
-    manifest-cache contract."""
+    manifest and (b) the plan identity (``plan_identity`` — the
+    canonicalized-plan hash) — (b) keeps two DIFFERENT derivations
+    over the same files (another filter, another projection) from
+    colliding, which a files-only key would allow and which, for a
+    trained-artifact store, would be a correctness bug rather than a
+    perf one. Costs one driver-side listing, zero Spark jobs. Returns
+    None for frames with no backing files (callers fall back to their
+    content fingerprint). A rewritten file (new size or mtime) changes
+    the key and forces a clean retrain — the standard manifest-cache
+    contract."""
     import hashlib
     import os
     from urllib.parse import unquote, urlparse
@@ -480,9 +508,10 @@ def source_manifest_key(df: DataFrame) -> str | None:
                 h.update(f"{uri}|{st.st_size}|{st.st_mtime_ns}\n".encode())
             except OSError:
                 h.update(f"{uri}|?\n".encode())
-        h.update(
-            str(df._jdf.queryExecution().analyzed().semanticHash()).encode()
-        )
+        pid = plan_identity(df)
+        if pid is None:
+            return None
+        h.update(pid.encode())
         return "f" + h.hexdigest()[:20]
     except Exception:
         return None
