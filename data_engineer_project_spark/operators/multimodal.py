@@ -1141,7 +1141,12 @@ def _decode_jpeg_baseline(br, frame, scan, huff, qt, restart_interval) -> np.nda
             if restart_interval and nmcu and nmcu % restart_interval == 0:
                 # RSTn sits on a byte boundary between MCU groups:
                 # this segment's windows end at the marker, so verify
-                # it and open the next segment
+                # it and open the next segment. First check the last
+                # unit didn't overrun this segment (a truncated final
+                # Huffman unit decodes zero-padding bits and leaves
+                # p past tb — silently wrong coefficients otherwise)
+                if p > tb:
+                    raise ValueError(exhausted)
                 if (
                     seg_end + 2 > len(data)
                     or data[seg_end] != 0xFF
@@ -1387,17 +1392,23 @@ def _prog_dc_scan(sr, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dim
             base = by * pbx
             for bx in range(nbx):
                 if ri and n and n % ri == 0:
+                    if p > tb:
+                        raise ValueError(exhausted)
                     sr.restart()
                     v, tb, p = sr.v, sr.tb, sr.p
                     preds = [0]
                 n += 1
                 p = dc_block(ci, base + bx, 0, p)
+        if p > tb:
+            raise ValueError(exhausted)
         sr.p = p
         return
     nmcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if ri and nmcu and nmcu % ri == 0:
+                if p > tb:
+                    raise ValueError(exhausted)
                 sr.restart()
                 v, tb, p = sr.v, sr.tb, sr.p
                 preds = [0] * len(sel)
@@ -1410,6 +1421,8 @@ def _prog_dc_scan(sr, comps, sel, by_id, ah, al, huff, coef, ri, mcux, mcuy, dim
                     base = (my * c["v"] + by) * pbx + mx * c["h"]
                     for bx in range(c["h"]):
                         p = dc_block(ci, base + bx, si, p)
+    if p > tb:
+        raise ValueError(exhausted)
     sr.p = p
 
 
@@ -1465,6 +1478,8 @@ def _prog_ac_scan(sr, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
         )
     while bi < n:
         if ri and bi and bi % ri == 0:
+            if p > tb:
+                raise ValueError(exhausted)
             sr.restart()
             v, tb, p = sr.v, sr.tb, sr.p
             eobrun = 0
@@ -1588,6 +1603,8 @@ def _prog_ac_scan(sr, s, by_id, ss, se, ah, al, huff, coef, ri, dims):
                     bi += take
                     continue
         bi += 1
+    if p > tb:
+        raise ValueError(exhausted)
     sr.p = p
 
 
@@ -2220,13 +2237,18 @@ def _gif_lzw_decode(data: bytes, min_code: int, max_px: int) -> bytes:
 
 
 def _gif_walk(payload: bytes):
-    """Block walk over a GIF: yields the RGB canvas (h, w, 3 uint8)
-    after each image block, compositing frames onto the RUNNING canvas
-    (disposal methods and transparency are ignored — the
-    "do-not-dispose" common case; our fixture animations are
-    full-canvas frames where disposal is moot). Each frame's indices
-    are range-checked against ITS OWN color table and palette-expanded
-    at composite time, so an animation whose later frame carries a
+    """Block walk over a GIF: yields ``(canvas, gray)`` after each
+    image block — the RGB canvas (h, w, 3 uint8), compositing frames
+    onto the RUNNING canvas (disposal methods and transparency are
+    ignored — the "do-not-dispose" common case; our fixture animations
+    are full-canvas frames where disposal is moot), and a PALETTE-gray
+    flag: True iff the background fill color and EVERY composited
+    frame's color table so far are gray. Grayness is a property of the
+    declared palettes, not the used pixel values (round 12, restoring
+    the round-10 contract): a color-palette GIF whose referenced
+    entries happen to be gray stays RGB. Each frame's indices are
+    range-checked against ITS OWN color table and palette-expanded at
+    composite time, so an animation whose later frame carries a
     smaller local color table than indices composited earlier is
     valid — earlier regions keep the palette that was active when they
     were written. The walk is bounded by the payload length: every
@@ -2255,6 +2277,7 @@ def _gif_walk(payload: bytes):
     else:
         bg_rgb = np.zeros(3, np.uint8)
     canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    gray = bool(bg_rgb[0] == bg_rgb[1] == bg_rgb[2])
     yielded = False
     while True:
         if pos >= len(payload):
@@ -2320,17 +2343,22 @@ def _gif_walk(payload: bytes):
         if int(frame.max(initial=0)) >= len(pal):
             raise ValueError("GIF palette index out of range")
         canvas[top : top + fh, left : left + fw] = pal[frame]
+        gray = gray and bool(
+            (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all()
+        )
         yielded = True
-        yield canvas.copy()
+        yield canvas.copy(), gray
 
 
-def _gif_expand(canvas: np.ndarray) -> np.ndarray:
-    """Flatten one composited RGB canvas: an all-gray canvas collapses
-    to one sample per pixel (the grayscale convention every other gray
-    container shares); anything else stays RGB."""
-    if (canvas[..., 0] == canvas[..., 1]).all() and (
-        canvas[..., 1] == canvas[..., 2]
-    ).all():
+def _gif_expand(canvas: np.ndarray, gray: bool) -> np.ndarray:
+    """Flatten one composited RGB canvas: when the walk's accumulated
+    palette-gray flag holds, collapse to one sample per pixel (the
+    grayscale convention every other gray container shares); anything
+    else stays RGB. Keyed on the DECLARED palettes, not the used pixel
+    values, so a color GIF whose referenced entries happen to be gray
+    keeps its RGB shape (stable decode shape per container, round-10
+    contract)."""
+    if gray:
         return np.ascontiguousarray(canvas[..., 0]).reshape(-1)
     return canvas.reshape(-1)
 
@@ -2345,8 +2373,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     Hostile input (truncation anywhere, LZW overflow, palette index
     out of range, frame outside the canvas, dimension bombs) raises
     ValueError before unbounded work."""
-    for canvas in _gif_walk(payload):
-        return _gif_expand(canvas)
+    for canvas, gray in _gif_walk(payload):
+        return _gif_expand(canvas, gray)
     raise ValueError("GIF reached trailer without an image block")
 
 
@@ -3329,8 +3357,8 @@ def gif_frame_fingerprints(media: DataFrame) -> DataFrame:
                     continue
                 seen = set()
                 try:
-                    for canvas in _gif_walk(bytes(m)):
-                        a = _gif_expand(canvas).astype(np.int64)
+                    for canvas, gray in _gif_walk(bytes(m)):
+                        a = _gif_expand(canvas, gray).astype(np.int64)
                         npx = len(a)
                         pos = np.arange(npx, dtype=np.int64)
                         ws = int((a * (pos + 1)).sum())

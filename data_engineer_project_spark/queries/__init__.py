@@ -141,22 +141,62 @@ _REGATE_ROUND = {
     "d74_pagerank_canonical_doc": 9,
     "d89_weighted_pagerank_canonical": 9,
     "m10_image_neardup_clusters": 9,
+    # -- rounds 11+12 (latest round wins; one entry per query) --
+    # Round 11 rekeyed the trained-artifact stores (corpus fingerprint
+    # -> file manifest + plan), keyed d101's cluster store by manifest
+    # + split geometry, and rewrote the JPEG/GIF/TIFF entropy decode
+    # paths behind the m-family container slots. Round 12 rebuilt the
+    # store keys again on plan_identity (semanticHash was not
+    # cross-JVM-stable, so r11 keys were session-local), restored
+    # palette-keyed GIF grayscale collapse (the round-10 contract),
+    # and added progressive-JPEG end-of-scan truncation checks — so
+    # the store readers and container-decode consumers regate at 12,
+    # and the r11-only changes (WAV decode rework) at 11.
+    "m20_wav_audio_neardup": 11,
+    "d100_incremental_neardup_ingest": 12,
+    "d101_incremental_cluster_merge": 12,
+    "s25_stream_cluster_maintenance": 12,
+    "m04_decoded_pixel_stats": 12,
+    "m05_resize_metadata": 12,
+    "m15_real_container_decode": 12,
+    "m16_container_integrity_gate": 12,
+    "m19_gif_animation_neardup": 12,
 }
+# store readers whose r8/r9 entries above are superseded by the r12
+# plan_identity rekeying
+_REGATE_ROUND.update(
+    {
+        "d14_ann_ivf": 12,
+        "d37_ann_ivf_nprobe2": 12,
+        "d44_semantic_cluster_profile": 12,
+        "d57_pq_codebook": 12,
+        "d58_ivfpq_adc_topk": 12,
+        "d60_semdedup": 12,
+        "d77_ivfpq_rerank_topk": 12,
+        "s17_stream_ivf_cell_ingestion": 12,
+    }
+)
 
 
 def _green_counts_both(repo_root=None):
     """One pass over every CORRECTNESS_r*.json under ``repo_root``
     (default: this repo's root) producing BOTH tallies rank_names
-    needs: (effective, historical). ``effective`` ignores green rows
-    older than a query's _CONTRACT_CHANGED_ROUND / _REGATE_ROUND entry
-    (they verified a superseded contract or implementation);
-    ``historical`` counts every green row — the tertiary key that, when
-    the zero-effective pool outgrows the driver's 50-slot gate, makes
-    the slot that falls off a regate with a superseded green on
-    record, never a query the driver has NEVER seen. Pure given a
+    needs: (effective, historical, last_green). ``effective`` ignores
+    green rows older than a query's _CONTRACT_CHANGED_ROUND /
+    _REGATE_ROUND entry (they verified a superseded contract or
+    implementation); ``historical`` counts every green row — the key
+    that, when the zero-effective pool outgrows the driver's 50-slot
+    gate, makes the slot that falls off a regate with a superseded
+    green on record, never a query the driver has NEVER seen;
+    ``last_green`` is the most recent round with an EFFECTIVE green —
+    the staleness key (round 12): among equal effective counts, the
+    row the driver has not re-proved for the longest ranks first, so
+    a query green only in round 1 outranks one re-greened last round
+    instead of losing the tie on family rank forever. Pure given a
     root — tests exercise future-round shapes via a tmp dir."""
     effective: dict[str, int] = {}
     historical: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     if repo_root is None:
         repo_root = _Path(__file__).resolve().parents[2]
     for f in sorted(_Path(repo_root).glob("CORRECTNESS_r*.json")):
@@ -197,28 +237,35 @@ def _green_counts_both(repo_root=None):
                 _REGATE_ROUND.get(name, 0),
             ):
                 effective[name] = effective.get(name, 0) + 1
-    return effective, historical
+                if file_round > last_green.get(name, 0):
+                    last_green[name] = file_round
+    return effective, historical, last_green
 
 
 def _green_counts(repo_root=None, respect_cutoffs=True) -> dict[str, int]:
     """Back-compat single-tally view of ``_green_counts_both`` (kept:
     tests and tools call it with either cutoff mode)."""
-    eff, hist = _green_counts_both(repo_root)
+    eff, hist, _ = _green_counts_both(repo_root)
     return eff if respect_cutoffs else hist
 
 
-def rank_names(names, greens, historical=None) -> list[str]:
+def rank_names(names, greens, historical=None, last_green=None) -> list[str]:
     """Gate order for ``names`` given per-name green counts: fewest
     effective greens first; within the zero-effective block, queries
     the driver has NEVER seen (zero HISTORICAL greens too) precede
     regates/contract-changes whose superseded green at least proves
     the driver ran them — this guarantees that when the zero pool
     outgrows the driver's 50-slot gate, every slot that falls off has
-    a driver row on record. Family rank orders within each of those
-    blocks, historical count and registry index break remaining ties.
-    The same keys whether the counts came from real round files or a
-    test's synthetic ones."""
+    a driver row on record. STALENESS breaks count ties (round 12):
+    the query whose latest effective green is OLDEST ranks first, so
+    rows last proved in round 1 surface ahead of rows re-greened last
+    round instead of losing on family rank forever (the r11 sample
+    drew only recently-touched families while 34 p-rows sat at a
+    round-1 green). Family rank, historical count, and registry index
+    break remaining ties. The same keys whether the counts came from
+    real round files or a test's synthetic ones."""
     hist = historical or {}
+    last = last_green or {}
     return [
         n
         for _, n in sorted(
@@ -226,6 +273,7 @@ def rank_names(names, greens, historical=None) -> list[str]:
             key=lambda item: (
                 greens.get(item[1], 0),
                 1 if hist.get(item[1], 0) > 0 else 0,
+                last.get(item[1], 0),
                 _FAMILY_RANK.get(item[1][0], 7),
                 hist.get(item[1], 0),
                 item[0],
@@ -234,10 +282,10 @@ def rank_names(names, greens, historical=None) -> list[str]:
     ]
 
 
-_GREENS, _HIST = _green_counts_both()
+_GREENS, _HIST, _LAST_GREEN = _green_counts_both()
 _reordered = {
     name: QUERIES[name]
-    for name in rank_names(list(QUERIES), _GREENS, _HIST)
+    for name in rank_names(list(QUERIES), _GREENS, _HIST, _LAST_GREEN)
 }
 QUERIES.clear()
 QUERIES.update(_reordered)

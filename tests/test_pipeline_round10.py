@@ -1301,7 +1301,7 @@ def test_animated_gif_walk_and_fingerprints():
     frames = [rng.randint(0, 256, 64).astype(np.uint8).tobytes() for _ in range(4)]
     frames.append(frames[1])  # duplicate frame inside the animation
     p = mm.encode_gif_animated(frames, 8)
-    got = [mm._gif_expand(c).tobytes() for c in mm._gif_walk(p)]
+    got = [mm._gif_expand(c, g).tobytes() for c, g in mm._gif_walk(p)]
     assert got == frames
     assert mm.decode_gif(p).tobytes() == frames[0]
 
@@ -1323,7 +1323,7 @@ def test_animated_gif_walk_and_fingerprints():
     blk = b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + bytes([0x00, 8])
     blk += mm._gif_lzw_pack(patch)
     p2 = p2[:-1] + blk + b"\x3b"
-    outs = [mm._gif_expand(c) for c in mm._gif_walk(bytes(p2))]
+    outs = [mm._gif_expand(c, g) for c, g in mm._gif_walk(bytes(p2))]
     assert len(outs) == 2
     want = np.frombuffer(base, np.uint8).reshape(8, 8).copy()
     want[1, 1:3] = [255, 254]

@@ -185,12 +185,12 @@ def test_gif_mixed_palette_animation_decodes():
     frames = list(mm._gif_walk(bytes(p)))
     assert len(frames) == 2
     # frame 1 survives: gray canvas of the original indices
-    f1 = mm._gif_expand(frames[0])
+    f1 = mm._gif_expand(*frames[0])
     assert np.array_equal(f1, np.frombuffer(base, np.uint8))
     # frame 2 composites the color patch; untouched pixels keep the
     # GRAY values written under the global table (index 193 etc.),
     # which the 4-entry local table could never express
-    f2 = frames[1]
+    f2 = frames[1][0]
     assert tuple(f2[1, 1]) == (255, 0, 0)
     assert tuple(f2[1, 2]) == (0, 255, 0)
     assert tuple(f2[2, 1]) == (0, 0, 255)

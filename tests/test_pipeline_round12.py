@@ -142,6 +142,142 @@ def test_probe_verdict_cache_keys_on_derivation_and_rewrite(spark, tmp_path):
         DD._PROBE_VERDICT_CACHE.update(before)
 
 
+def _build_straddling_sof2() -> bytes:
+    """Minimal progressive JPEG (1 component, one 8x8 block, a single
+    AC scan Ss=1..Se=63) whose FINAL Huffman unit straddles the end of
+    the entropy segment: three 2-bit literal units ('0' code + 1
+    magnitude bit) fill bits 0..5, then the 3-bit EOB code '100'
+    starts at bit 6 of the only entropy byte — its last bit comes from
+    window zero-padding, so the decode consumes 9 of 8 available bits.
+    Round 11's windowed progressive reader completed this scan
+    silently (p > tb discarded at scan end); round 12 raises."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", 8, 8)
+        + bytes([1, 1, 0x11, 0])
+    )
+    # AC table (class 1, id 0): len-1 code '0' -> 0x01, len-3 '100' -> EOB
+    counts = [0] * 16
+    counts[0] = 1
+    counts[2] = 1
+    out += b"\xff\xc4" + struct.pack(">H", 21) + bytes([0x10] + counts + [0x01, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 1, 63, 0x00])
+    out += bytes([0b01010110])  # 01 01 01 1(00 from padding)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_straddling_final_unit_raises():
+    """r11 advice: a stream truncated INSIDE the last Huffman unit of
+    a progressive scan must raise, not decode zero-padding bits into
+    wrong coefficients silently (byte-granularity truncations were
+    already caught by the per-unit p >= tb checks; the straddle is the
+    seam only the end-of-scan check covers)."""
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    with pytest.raises(ValueError, match="entropy stream exhausted"):
+        mm.decode_jpeg(_build_straddling_sof2())
+
+
+def test_truncated_jpeg_never_decodes_silently():
+    """Byte-granularity truncation sweep over all three JPEG modes
+    (with and without restart intervals): every cut either raises
+    ValueError or — when the removed bytes were never consumed (pad
+    bits / trailing restart marker) — decodes EQUAL to the full
+    payload. A silent DIFFERENT decode is the failure mode."""
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, 24 * 16).astype(np.uint8).tobytes()
+    payloads = [
+        mm.encode_jpeg_baseline(px, 24),
+        mm.encode_jpeg_lossless(px, 24),
+        mm.encode_jpeg_progressive(px, 24),
+        mm.encode_jpeg_progressive(px, 24, restart_interval=2),
+    ]
+    for p in payloads:
+        ref = np.asarray(mm.decode_jpeg(p))
+        eoi = p.rfind(b"\xff\xd9")
+        for cut in range(1, 8):
+            t = p[: eoi - cut] + p[eoi:]
+            try:
+                out = np.asarray(mm.decode_jpeg(t))
+            except ValueError:
+                continue
+            assert np.array_equal(out, ref), "silent wrong decode"
+
+
+def test_gif_color_palette_with_gray_pixels_stays_rgb():
+    """r11 advice: grayscale collapse is keyed on the DECLARED
+    palettes, not the used pixel values — a color-palette GIF whose
+    referenced entries happen to be gray keeps its 3-sample/px RGB
+    shape (stable decode shape per container, the round-10 contract),
+    while a gray-palette GIF still collapses to 1 sample/px."""
+    import struct
+
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    # color GCT (one non-gray entry), but the frame references only
+    # the gray entries 0/1
+    gct = [(10, 10, 10), (200, 200, 200), (255, 0, 0), (0, 0, 255)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 4, 4)
+    out += bytes([0x81, 0, 0])  # GCT present, 4 entries; bg 0
+    out += bytes(v for rgb in gct for v in rgb)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + bytes([0x00, 8])
+    out += mm._gif_lzw_pack(bytes([0, 1] * 8))
+    out += b"\x3b"
+    got = mm.decode_gif(bytes(out))
+    assert got.size == 4 * 4 * 3  # stays RGB
+    assert tuple(got.reshape(4, 4, 3)[0, 0]) == (10, 10, 10)
+
+    # gray-palette GIF still collapses to one sample per pixel
+    px = bytes(range(16))
+    assert mm.decode_gif(mm.encode_gif(px, 4)).tobytes() == px
+
+    # an ANIMATION where any composited frame's palette is color
+    # stays RGB for every later canvas
+    frames = list(mm._gif_walk(bytes(out)))
+    assert frames[0][1] is False
+
+
+def test_rank_names_staleness_breaks_count_ties():
+    """r11 verdict item 7: among rows with EQUAL effective green
+    counts, the one whose latest effective green is OLDEST ranks
+    first — a p-row green only in round 1 must outrank an e-row
+    re-greened in round 11, regardless of family rank."""
+    from data_engineer_project_spark.queries import rank_names
+
+    names = ["e01_x", "p01_x", "d01_x", "p02_x"]
+    greens = {"e01_x": 1, "p01_x": 1, "d01_x": 0, "p02_x": 1}
+    hist = dict(greens)
+    last = {"e01_x": 11, "p01_x": 1, "p02_x": 4}
+    order = rank_names(names, greens, hist, last)
+    assert order[0] == "d01_x"  # zero-effective still first
+    assert order[1:] == ["p01_x", "p02_x", "e01_x"]  # stalest first
+
+
+def test_registry_gate_prefix_contains_stale_practice_rows():
+    """The driver's ~50-slot sample (a prefix of queries()) must
+    surface the stalest families: with 34 p-rows whose only driver
+    green is round 1, the live registry's first 50 names include
+    p-rows (the r11 sample drew only recently-regated families)."""
+    from data_engineer_project_spark.queries import QUERIES
+
+    first50 = list(QUERIES)[:50]
+    assert any(n.startswith("p") for n in first50), first50
+
+
 def test_plan_identity_none_for_broken_frame(spark):
     """plan_identity/source_manifest_key degrade to None (never raise)
     so callers fall back to content fingerprints."""
