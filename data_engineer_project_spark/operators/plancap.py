@@ -45,3 +45,24 @@ def grab(label: str, df) -> None:
     except Exception:
         return
     CAPTURES.append((label, plan))
+
+
+def grab_stream(label: str, query) -> None:
+    """Record the last micro-batch's EXECUTED plan of a (finished or
+    running) StreamingQuery under ``label`` when capture is on — the
+    IncrementalExecution plan with the StateStoreRestore/Save pair,
+    the REQUIRED_BY_STATEFUL_OPERATOR exchange, and the map-side
+    partial aggregate, which the lazy batch audit can never show
+    (round 12: the streaming bench slots previously carried
+    citation-only evidence via their batch twins). Never raises."""
+    if not _ENABLED:
+        return
+    try:
+        jsq = query._jsq
+        try:
+            exec_ = jsq.streamingQuery().lastExecution()
+        except Exception:
+            exec_ = jsq.lastExecution()  # non-wrapper implementations
+        CAPTURES.append((label, exec_.executedPlan().toString()))
+    except Exception:
+        return

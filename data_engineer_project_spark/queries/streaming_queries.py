@@ -2063,6 +2063,11 @@ def s25_stream_cluster_maintenance(t):
             .start()
         )
         q.awaitTermination()
+        from data_engineer_project_spark.operators import plancap
+
+        plancap.grab_stream(
+            "s25 source: last micro-batch (file source -> foreachBatch)", q
+        )
         st = holder["st"]
         out = _cluster_rollup(st["reps"], st["comps"])
         # surface the batch count for the multi-batch pytest without

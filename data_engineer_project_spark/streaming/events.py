@@ -28,6 +28,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from data_engineer_project_spark.operators import plancap
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -527,6 +529,7 @@ def run_to_memory_table(
         .start()
     )
     q.awaitTermination()
+    plancap.grab_stream(f"{name_hint}: last micro-batch (IncrementalExecution)", q)
     return spark.table(name)
 
 

@@ -278,6 +278,29 @@ def test_registry_gate_prefix_contains_stale_practice_rows():
     assert any(n.startswith("p") for n in first50), first50
 
 
+def test_streaming_plancap_captures_microbatch_plan(spark):
+    """r11 verdict item 6: the streaming bench slots carry DIRECT
+    micro-batch plan evidence — grab_stream records the finished
+    query's lastExecution plan, which must show the stateful-operator
+    machinery (StateStoreRestore/Save) the batch twin never has."""
+    from data_engineer_project_spark.operators import plancap
+    from data_engineer_project_spark.queries import QUERIES
+
+    plancap.enable()
+    try:
+        QUERIES["s01_stream_tumbling_hour"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).count()
+        caps = dict(plancap.CAPTURES)
+    finally:
+        plancap.disable()
+    (label, plan), = [
+        (lbl, p) for lbl, p in caps.items() if "micro-batch" in lbl
+    ]
+    assert "StateStoreSave" in plan and "StateStoreRestore" in plan
+    assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
+
+
 def test_plan_identity_none_for_broken_frame(spark):
     """plan_identity/source_manifest_key degrade to None (never raise)
     so callers fall back to content fingerprints."""
