@@ -2841,10 +2841,29 @@ def encode_tiff_gray(pixels: bytes, width: int, packbits: bool = False) -> bytes
     return b"II\x2a\x00" + struct.pack("<I", ifd_off) + strip + ifd
 
 
-def _real_decode(payload: bytes, fmt: str) -> np.ndarray:
+def _real_decode(payload: bytes, fmt: str, engine: str = "python") -> np.ndarray:
     """Real codec path: dispatch on the payload's MAGIC bytes to the
     dependency-free PNM/BMP/PNG/JPEG/GIF parsers above. webp (VP8)
-    remains a documented stub — its entropy codec is out of scope."""
+    remains a documented stub — its entropy codec is out of scope.
+
+    ``engine="native"`` (round 12) routes the decode DATA PLANE
+    through the JVM sidecar (operators/native_codec.py — ImageIO /
+    AudioSystem behind the same conventions) for the payloads its
+    proven coverage includes, falling back to the Python codecs for
+    everything else (SOF3/PNM/TIFF by design; any payload the native
+    tier rejects or can't reproduce conventions for). The Python
+    codecs remain the conformance oracle (pytest roundtrips) and the
+    STRICTNESS authority — integrity gates always use engine="python"
+    because ImageIO is lenient where these parsers raise."""
+    if engine == "native":
+        from data_engineer_project_spark.operators import native_codec
+
+        try:
+            a = native_codec.native_decode(payload)
+            if a is not None:
+                return a
+        except (RuntimeError, ValueError):
+            pass  # no sidecar / native rejection: Python decides
     if payload[:2] in (b"P5", b"P6"):
         return decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -2872,8 +2891,15 @@ def fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
-def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
-    """Per-payload pixel stats via mapInPandas (Arrow batches in/out)."""
+def decode_media(
+    media: DataFrame, use_real_codec: bool = False, engine: str = "python"
+) -> DataFrame:
+    """Per-payload pixel stats via mapInPandas (Arrow batches in/out).
+
+    ``engine="native"`` decodes through the per-worker JVM sidecar
+    where coverage is proven bit-exact (see _real_decode) — the
+    100 TB ingest tier; results over the lossless fixture arms are
+    pinned identical to the Python engine."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2891,7 +2917,7 @@ def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
                     # NULL/empty payload decodes to no pixels: emit no
                     # row, matching the oracle's per-byte unnest.
                     continue
-                a = _real_decode(m, f) if use_real_codec else fake_decode(m)
+                a = _real_decode(m, f, engine) if use_real_codec else fake_decode(m)
                 s = int(a.astype(np.int64).sum())
                 out["doc_id"].append(did)
                 out["lang"].append(lang)

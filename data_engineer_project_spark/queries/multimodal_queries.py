@@ -1671,3 +1671,59 @@ def m20_wav_audio_neardup(t):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# m21's contract IS m15's: the native tier must recover the identical
+# pixel matrix from every container arm (bit-exact on the lossless
+# arms it serves; Python fallback on pgm/jpg-SOF3/tif), so the
+# container-blind oracle applies verbatim.
+_M21_ORACLE = _REGISTRY_M20["m15_real_container_decode"].oracle
+
+
+@query(
+    "m21_native_container_decode",
+    _M21_ORACLE,
+    tags=("multimodal", "decode", "native"),
+)
+def m21_native_container_decode(t):
+    """m15's real-container decode driven through the NATIVE data
+    plane (round 12 — the 100 TB ingest tier): decode_media with
+    ``engine="native"`` routes each payload through the per-worker
+    JVM sidecar (operators/native_codec.py — ImageIO behind the
+    Python codecs' exact output conventions) for the arms its proven
+    coverage includes (bmp, png, gif here), and falls back to the
+    pure-Python parsers for the rest (pgm header-walk, SOF3 lossless
+    JPEG — ImageIO has no reader for it — and tif by design). The
+    oracle is m15's verbatim: it recomputes the stats from the raw
+    UTF-8 bytes, so a hash match proves the native tier recovered
+    exactly the true pixel matrix — a band-order bug, a palette
+    expansion bug, or a gray-collapse mismatch in the sidecar
+    conventions turns the row red. If no JVM is reachable the whole
+    run degrades to the Python engine and still matches (pinned).
+
+    Scale shape: identical to m15 — two narrow Arrow mapInPandas
+    stages, no shuffle; the decode inner loop is ImageIO-native
+    (see SCALING.md codec table's native column)."""
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_real_media,
+        decode_media,
+    )
+
+    media = attach_real_media(t.documents)
+    dec = decode_media(media, use_real_codec=True, engine="native")
+    return dec.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 6 == 0, F.lit("pgm"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("bmp"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("png"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("jpg"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("gif"))
+        .otherwise(F.lit("tif"))
+        .alias("container"),
+        "n_px",
+        "sum_px",
+        "mean_px",
+        "min_px",
+        "max_px",
+    )
