@@ -161,6 +161,14 @@ BENCH_QUERIES = [
     # diagnostic spot-check lane (r12 removes them from the headline;
     # their contracts stay driver-gated in the correctness sweep).
     "d89_weighted_pagerank_canonical",
+    # r12 addition: the NATIVE decode tier — m15's real-container
+    # contract driven through the per-worker JVM sidecar
+    # (operators/native_codec.py; bmp/png/gif through ImageIO,
+    # pgm/SOF3/tif Python fallback). Times the sidecar plumbing the
+    # 100 TB ingest path rides (the JPEG-dominated win is priced in
+    # SCALING.md's codec table; this slot keeps the pipe+fallback
+    # overhead visible at corpus scale).
+    "m21_native_container_decode",
 ]
 
 # Diagnostic spot-check lane (round-12 rotation, declared in the r11

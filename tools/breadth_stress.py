@@ -219,7 +219,9 @@ def measure_media(spark, sf_dir: str, scale_label: str, runs: int = 2) -> None:
         )
 
 
-def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> None:
+def measure(
+    spark, sf_dir: str, scale_label: str, runs: int = 2, slots=None
+) -> None:
     from data_engineer_project_spark.operators import dedup as DD
     from data_engineer_project_spark.operators import graph as G
     from data_engineer_project_spark.operators.cache import release_all
@@ -229,6 +231,8 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> None:
         print(json.dumps(rec), flush=True)
 
     def run_query(name, extract=None):
+        if slots is not None and not any(name.startswith(s) for s in slots):
+            return
         best, extra = None, {}
         for _ in range(runs):
             g0 = len(DD.GUARD_STATS_LOG)
@@ -298,7 +302,8 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> None:
             }
         )
 
-    d56()
+    if slots is None or any("d56".startswith(s) or s.startswith("d56") for s in slots):
+        d56()
     run_query(
         "d100_incremental_neardup_ingest", lambda rows: {"verdict_rows": len(rows)}
     )
@@ -307,8 +312,12 @@ def measure(spark, sf_dir: str, scale_label: str, runs: int = 2) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--media"]
+    args = [a for a in sys.argv[1:] if a != "--media" and not a.startswith("--slots")]
     media = "--media" in sys.argv[1:]
+    slots = None
+    for a in sys.argv[1:]:
+        if a.startswith("--slots="):
+            slots = tuple(s for s in a.split("=", 1)[1].split(",") if s)
     factor = int(args[0]) if len(args) > 0 else 10
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     runs = int(args[2]) if len(args) > 2 else 2
@@ -322,7 +331,13 @@ def main() -> None:
                       "factor": factor, "base": sf_dir,
                       "runs": runs, "loadavg": round(os.getloadavg()[0], 2)}),
           flush=True)
-    meas = measure_media if media else measure
+    if media:
+        def meas(sp, d, label, r):
+            measure_media(sp, d, label, r)
+    else:
+        def meas(sp, d, label, r):
+            measure(sp, d, label, r, slots)
+
     synth = synth_breadth_media if media else synth_breadth
     meas(spark, sf_dir, "base", runs)
     tmp = tempfile.mkdtemp(prefix="breadth_")
