@@ -242,6 +242,8 @@ class _Sidecar:
         self._lock = threading.Lock()
         self._proc: subprocess.Popen | None = None
         self._dead = False
+        self._served = 0  # successful responses from the current JVM
+        self._strikes = 0  # consecutive pipe losses with zero service
 
     def _start(self) -> bool:
         if self._proc is not None and self._proc.poll() is None:
@@ -259,6 +261,7 @@ class _Sidecar:
                 stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL,
             )
+            self._served = 0
             return True
         except Exception:
             self._dead = True
@@ -288,18 +291,30 @@ class _Sidecar:
                         if not chunk:
                             raise BrokenPipeError("sidecar died mid-frame")
                         data += chunk
+                    self._served += 1
+                    self._strikes = 0
                     return w, h, bands, data
                 (mlen,) = struct.unpack(">i", p.stdout.read(4))
                 msg = p.stdout.read(mlen).decode("utf-8", "replace")
+                self._served += 1  # the JVM itself is healthy
+                self._strikes = 0
                 raise ValueError(f"native decode failed: {msg}")
             except (OSError, BrokenPipeError, struct.error):
                 # pipe integrity lost: kill and mark for restart; the
-                # CURRENT payload falls back to Python
+                # CURRENT payload falls back to Python. A JVM that dies
+                # before serving ANYTHING (e.g. a JRE that can't run
+                # the launch argv) must not be respawned per payload —
+                # three zero-service strikes mark the sidecar dead for
+                # this process (round-12 review finding).
                 try:
                     p.kill()
                 except Exception:
                     pass
                 self._proc = None
+                if self._served == 0:
+                    self._strikes += 1
+                    if self._strikes >= 3:
+                        self._dead = True
                 raise RuntimeError("native decoder pipe lost")
 
     def close(self) -> None:
@@ -380,27 +395,52 @@ def _peek_gif(p: bytes):
     if pal is None:
         return None
     a = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    # mirror _gif_walk EXACTLY: the collapse flag ANDs the background
+    # fill color's grayness even when the frame covers the canvas
+    # (round-12 review finding — a non-gray bg entry keeps the Python
+    # decode RGB, so the native path must stay RGB too)
     bg = p[11]
-    bg_gray = True  # full-coverage frame: bg fill never shows
+    if gct is not None and 3 * (bg + 1) <= len(gct):
+        bg_gray = gct[3 * bg] == gct[3 * bg + 1] == gct[3 * bg + 2]
+    else:
+        bg_gray = True  # _gif_walk falls back to black (gray)
     pal_gray = bool((a[:, 0] == a[:, 1]).all() and (a[:, 1] == a[:, 2]).all())
-    return {"gray_collapse": bg_gray and pal_gray}
+    return {"gray_collapse": bool(bg_gray) and pal_gray}
 
 
 def _peek_bmp(p: bytes):
-    """8-bit palette BMPs; gray collapse iff the palette is gray (the
-    decode_bmp convention: a gray palette means index == sample)."""
+    """Native BMP is served ONLY for the identity-gray-ramp palette
+    (pal[i] == (i,i,i)): decode_bmp returns the raw INDEX array and
+    never palette-expands, so index == sample holds exactly for the
+    identity ramp and for nothing else (an inverted gray ramp or a
+    color palette would decode to different values/shape through
+    ImageIO's expansion — round-12 review finding). Header offsets
+    follow decode_bmp: DIB size at 14 decides the layout; the
+    3-byte-palette BITMAPCOREHEADER routes to Python; V4/V5 headers
+    put the palette at 14 + dib_size, not 54."""
     if p[:2] != b"BM" or len(p) < 54:
         return None
+    dib_size = struct.unpack_from("<I", p, 14)[0]
+    if dib_size < 40:  # BITMAPCOREHEADER: 3-byte palette, Python path
+        return None
     bpp = struct.unpack_from("<H", p, 28)[0]
-    if bpp != 8:
+    compression = struct.unpack_from("<I", p, 30)[0]
+    if bpp != 8 or compression != 0:
         return None
     ncol = struct.unpack_from("<I", p, 46)[0] or 256
-    pal = p[54 : 54 + 4 * ncol]
+    pal_off = 14 + dib_size
+    pal = p[pal_off : pal_off + 4 * ncol]
     if len(pal) != 4 * ncol:
         return None
     a = np.frombuffer(pal, np.uint8).reshape(-1, 4)  # BGRA quads
-    gray = bool((a[:, 0] == a[:, 1]).all() and (a[:, 1] == a[:, 2]).all())
-    return {"gray_collapse": gray}
+    ramp = np.arange(ncol, dtype=np.uint8)
+    if not (
+        (a[:, 0] == ramp).all()
+        and (a[:, 1] == ramp).all()
+        and (a[:, 2] == ramp).all()
+    ):
+        return None  # non-identity palette: only Python has the contract
+    return {"gray_collapse": True}
 
 
 def _peek_jpeg(p: bytes):

@@ -466,11 +466,38 @@ def plan_identity(df: DataFrame) -> str | None:
     process and -1484412745 in the next), so a store keyed by it was
     silently session-local — every new session retrained the standing
     artifact. The canonicalized string is measured byte-identical
-    across processes. Driver-side only, zero Spark jobs."""
+    across processes. Driver-side only, zero Spark jobs.
+
+    The plan string is rendered with ``spark.sql.debug.maxToStringFields``
+    temporarily raised (restored after): at the 25-field default,
+    Spark truncates long expression lists to "... N more fields", so
+    two derivations differing only past the 25th element of an
+    ``isin`` list would share a key — for a trained-artifact store
+    that is a correctness bug (round-12 review finding; pinned by
+    test). The conf takes effect through py4j because consecutive
+    calls from one Python thread ride one JVM gateway thread."""
     import hashlib
 
     try:
-        canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        conf = df.sparkSession.conf
+        key = "spark.sql.debug.maxToStringFields"
+        try:
+            prev = conf.get(key)
+        except Exception:
+            prev = None
+        conf.set(key, "1000000")
+        try:
+            canon = (
+                df._jdf.queryExecution().analyzed().canonicalized().toString()
+            )
+        finally:
+            try:
+                if prev is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, prev)
+            except Exception:
+                pass
         return hashlib.md5(
             canon.encode() + b"\x00" + df.schema.json().encode()
         ).hexdigest()[:20]

@@ -1040,8 +1040,15 @@ def m15_real_container_decode(t):
     stages (no shuffle); the only exchange is none at all — the result
     stays per-doc. Payload columns prune away for metadata-only
     readers as in m01."""
+    return _real_container_decode(t, engine="python")
+
+
+def _real_container_decode(t, engine: str):
+    """Shared body of m15 (engine=python) and m21 (engine=native): the
+    arm rotation and output shape are ONE definition so the two
+    driver gates can never silently diverge."""
     media = attach_real_media(t.documents)
-    dec = decode_media(media, use_real_codec=True)
+    dec = decode_media(media, use_real_codec=True, engine=engine)
     return dec.select(
         "doc_id",
         "lang",
@@ -1703,27 +1710,6 @@ def m21_native_container_decode(t):
 
     Scale shape: identical to m15 — two narrow Arrow mapInPandas
     stages, no shuffle; the decode inner loop is ImageIO-native
-    (see SCALING.md codec table's native column)."""
-    from data_engineer_project_spark.operators.multimodal import (
-        attach_real_media,
-        decode_media,
-    )
-
-    media = attach_real_media(t.documents)
-    dec = decode_media(media, use_real_codec=True, engine="native")
-    return dec.select(
-        "doc_id",
-        "lang",
-        F.when(F.col("doc_id") % 6 == 0, F.lit("pgm"))
-        .when(F.col("doc_id") % 6 == 1, F.lit("bmp"))
-        .when(F.col("doc_id") % 6 == 2, F.lit("png"))
-        .when(F.col("doc_id") % 6 == 3, F.lit("jpg"))
-        .when(F.col("doc_id") % 6 == 4, F.lit("gif"))
-        .otherwise(F.lit("tif"))
-        .alias("container"),
-        "n_px",
-        "sum_px",
-        "mean_px",
-        "min_px",
-        "max_px",
-    )
+    (see SCALING.md codec table's native column). Body shared with
+    m15 (_real_container_decode) so the two gates cannot diverge."""
+    return _real_container_decode(t, engine="native")

@@ -452,6 +452,129 @@ def test_native_engine_degrades_to_python_without_jvm(monkeypatch):
     )
 
 
+# ------------------------------------------------- round-12 review findings
+
+
+def test_native_bmp_only_identity_palette():
+    """decode_bmp returns raw palette INDICES (never expands), so the
+    native tier may serve a BMP only when the palette is the identity
+    gray ramp — an inverted gray ramp or color palette must route to
+    Python (review finding: anything else silently diverges)."""
+    import struct
+
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    nc = _native_or_skip()
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, 16 * 8).astype(np.uint8).tobytes()
+    good = bytearray(mm.encode_bmp8(px, 16))
+    assert nc.native_decode(bytes(good)) is not None
+
+    # find the palette via the header (14 + dib_size), invert the ramp
+    dib = struct.unpack_from("<I", good, 14)[0]
+    pal_off = 14 + dib
+    inv = bytearray(good)
+    for i in range(256):
+        inv[pal_off + 4 * i : pal_off + 4 * i + 3] = bytes([255 - i] * 3)
+    assert nc.native_decode(bytes(inv)) is None
+    # Python still decodes indices identically for both payloads
+    assert np.array_equal(mm.decode_bmp(bytes(inv)), mm.decode_bmp(bytes(good)))
+
+
+def test_native_gif_nongray_background_stays_rgb():
+    """_gif_walk ANDs the BACKGROUND fill color's grayness into the
+    collapse flag even when the first frame covers the canvas; the
+    native peek must mirror that (review finding), so a non-gray bg
+    entry keeps both engines RGB and equal."""
+    import struct
+
+    import numpy as np
+
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    nc = _native_or_skip()
+    # GCT: entry 0 NON-gray (the background), entries 1-3 gray
+    gct = [(255, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 4, 4)
+    out += bytes([0x81, 0, 0])  # GCT present, 4 entries, bg index 0
+    out += bytes(v for rgb in gct for v in rgb)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + bytes([0x00, 8])
+    out += mm._gif_lzw_pack(bytes([1, 2, 3, 1] * 4))  # only GRAY entries used
+    out += b"\x3b"
+    a = mm.decode_gif(bytes(out))
+    assert a.size == 4 * 4 * 3  # python stays RGB: bg entry is non-gray
+    b = nc.native_decode(bytes(out))
+    assert b is not None and np.array_equal(a, b)
+
+
+def test_probe_verdict_cache_never_caches_inmemory_frames(spark):
+    """A LocalRelation-rooted frame (createDataFrame) prints only its
+    output attributes in the canonicalized plan — two different
+    datasets with the same shape would collide — so the verdict cache
+    must never cache such frames (review finding)."""
+    import data_engineer_project_spark.operators.dedup as DD
+
+    rows = spark.createDataFrame(
+        [(i, str(i % 10)) for i in range(100)], "id long, key string"
+    )
+    before = dict(DD._PROBE_VERDICT_CACHE)
+    try:
+        for _ in range(2):
+            DD.skew_guarded_self_pairs(
+                rows, ["key"], "id", cap=100, consumer="r12localrel"
+            ).collect()
+            assert "cached" not in DD.LAST_GUARD_STATS
+        assert not any(k[0] == "r12localrel" for k in DD._PROBE_VERDICT_CACHE)
+    finally:
+        DD._PROBE_VERDICT_CACHE.clear()
+        DD._PROBE_VERDICT_CACHE.update(before)
+
+
+def test_plan_identity_not_truncated_by_tostring_limit(spark, tmp_path):
+    """Two isin-filters sharing the first 25 literals and differing
+    only in the tail must get DIFFERENT keys: the 25-field
+    maxToStringFields default truncates the canonicalized string, and
+    a truncation collision on a trained-store key is a correctness
+    bug (review finding)."""
+    import pandas as pd
+
+    import data_engineer_project_spark.operators.similarity as SIM
+
+    p = str(tmp_path / "w.parquet")
+    pd.DataFrame({"doc_id": list(range(2000))}).to_parquet(p)
+    base = spark.read.parquet(p)
+    ids1 = list(range(26))
+    ids2 = list(range(25)) + [999]
+    k1 = SIM.source_manifest_key(base.filter(base.doc_id.isin(ids1)))
+    k2 = SIM.source_manifest_key(base.filter(base.doc_id.isin(ids2)))
+    assert k1 is not None and k2 is not None and k1 != k2
+    # and the conf is restored, not leaked
+    assert (
+        spark.conf.get("spark.sql.debug.maxToStringFields", "25") != "1000000"
+    )
+
+
+def test_sidecar_goes_dead_after_three_zero_service_strikes(monkeypatch):
+    """A JVM that launches but dies before serving anything (e.g. an
+    argv the local runtime can't execute) must not be respawned per
+    payload: three zero-service pipe losses mark the sidecar dead and
+    the engine degrades to Python once (review finding)."""
+    import data_engineer_project_spark.operators.native_codec as nc
+
+    monkeypatch.setattr(nc, "_ensure_compiled", lambda: ["/bin/cat", "/dev/null"])
+    sc = nc._Sidecar()
+    for i in range(3):
+        with pytest.raises(RuntimeError):
+            sc.decode(b"I", b"xx")
+    assert sc._dead is True
+    # fourth attempt: no spawn, immediate unavailable
+    with pytest.raises(RuntimeError):
+        sc.decode(b"I", b"xx")
+
+
 def test_plan_identity_none_for_broken_frame(spark):
     """plan_identity/source_manifest_key degrade to None (never raise)
     so callers fall back to content fingerprints."""
