@@ -826,6 +826,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("invalid JPEG sampling factors")
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # Deliberate non-goals, not TODOs (round 12): the
+            # arithmetic-coded processes (0xC9-0xCB/0xCD-0xCF) need
+            # T.81's exact 113-row Qe state table — implementing them
+            # against a from-memory table would decode garbage, a
+            # self-consistent made-up table would be a fake codec, and
+            # no independent cross-validator exists in this
+            # environment (ImageIO has no arithmetic reader either).
+            # The hierarchical processes (0xC5-0xC7) have no known
+            # producer in any ingest corpus we target.
             raise NotImplementedError(
                 f"unsupported JPEG process (SOF marker 0xFF{marker:02X}): "
                 "only baseline sequential, progressive, and lossless sequential"
