@@ -257,20 +257,34 @@ def main() -> None:
         _wsch = StructType(
             [StructField("id", LongType()), StructField("ts", TimestampType())]
         )
-        for _wi in range(2):
-            _wq = (
-                spark.readStream.schema(_wsch)
-                .parquet(_wdir + "/in")
-                .withWatermark("ts", "1 minute")
-                .groupBy("id")
-                .count()
-                .writeStream.format("memory")
-                .queryName(f"bench_stream_warm_{_wi}")
-                .outputMode("complete")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _wq.awaitTermination()
+        try:
+            for _wi in range(2):
+                _wq = (
+                    spark.readStream.schema(_wsch)
+                    .parquet(_wdir + "/in")
+                    .withWatermark("ts", "1 minute")
+                    .groupBy("id")
+                    .count()
+                    .writeStream.format("memory")
+                    .queryName(f"bench_stream_warm_{_wi}")
+                    .outputMode("complete")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _wq.awaitTermination()
+        finally:
+            # Don't leak the warmup scratch into the bench session:
+            # looped bench invocations would otherwise accumulate
+            # mkdtemp dirs and keep the memory-sink temp views
+            # registered for the whole run (round-13 review finding).
+            import shutil
+
+            shutil.rmtree(_wdir, ignore_errors=True)
+            for _wi in range(2):
+                try:
+                    spark.catalog.dropTempView(f"bench_stream_warm_{_wi}")
+                except Exception:
+                    pass
     if any(n.startswith("m21") for n in names):
         # Native-sidecar warmup (round 12, same rationale as the two
         # warmups above): m21's first native decode on each Python

@@ -2863,7 +2863,12 @@ def _real_decode(payload: bytes, fmt: str, engine: str = "python") -> np.ndarray
     tier rejects or can't reproduce conventions for). The Python
     codecs remain the conformance oracle (pytest roundtrips) and the
     STRICTNESS authority — integrity gates always use engine="python"
-    because ImageIO is lenient where these parsers raise."""
+    because ImageIO is lenient where these parsers raise (truncated
+    JPEG, CRC-lying PNG). That tier rule is ENFORCED in code, not just
+    documented: ``container_integrity`` rejects engine != "python" at
+    the gate boundary (round-13 review finding)."""
+    if engine not in ("python", "native"):
+        raise ValueError(f"unknown decode engine {engine!r}")
     if engine == "native":
         from data_engineer_project_spark.operators import native_codec
 
@@ -3565,14 +3570,28 @@ _INTEGRITY_SCHEMA = StructType(
 )
 
 
-def container_integrity(media: DataFrame) -> DataFrame:
+def container_integrity(media: DataFrame, engine: str = "python") -> DataFrame:
     """Decode-level integrity gate over REAL containers (the m13
     metadata gate's deeper sibling): actually PARSE each payload with
     the PNM/BMP decoders and verify the pixel matrix matches the
     declared (width, height) metadata. Verdicts: 'ok' (parsed, dims
     agree), 'dim_mismatch' (parsed but wrong size), 'corrupt' (parser
     raised — truncated data, botched header), 'empty' (NULL payload).
-    One narrow Arrow stage; quarantine decisions never shuffle."""
+    One narrow Arrow stage; quarantine decisions never shuffle.
+
+    ``engine`` must be "python": the Python codecs are the strictness
+    authority and the native (ImageIO) tier is lenient — it accepts
+    truncated JPEG and CRC-lying PNG these parsers quarantine — so a
+    native-tier integrity gate would silently pass corrupt payloads.
+    Enforced here (not just in docstring convention) per the round-13
+    review; the native tier is for the INGEST data plane
+    (decode_media) only."""
+    if engine != "python":
+        raise ValueError(
+            "container_integrity requires engine='python': the native "
+            "(ImageIO) tier is lenient and would silently accept "
+            "payloads the strict Python parsers quarantine"
+        )
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -316,6 +316,25 @@ class _Sidecar:
                     if self._strikes >= 3:
                         self._dead = True
                 raise RuntimeError("native decoder pipe lost")
+            except ValueError:
+                # server-reported decode failure: the full error
+                # response was consumed, the pipe IS in sync — keep
+                # the JVM and let the caller quarantine the payload.
+                raise
+            except BaseException:
+                # Anything else (KeyboardInterrupt, MemoryError, a
+                # py4j signal...) between the request write and the
+                # full response read leaves the pipe DESYNCED — the
+                # next request would misparse stale response bytes as
+                # its own header. The protocol has no resync framing,
+                # so the only safe move is to kill the JVM and respawn
+                # on the next call (round-13 review finding).
+                try:
+                    p.kill()
+                except Exception:
+                    pass
+                self._proc = None
+                raise
 
     def close(self) -> None:
         with self._lock:
@@ -348,12 +367,39 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _peek_png(p: bytes):
-    """depth-8 PNGs only (sub-byte gray needs the Python scaler)."""
+    """depth-8 PNGs only (sub-byte gray needs the Python scaler).
+
+    Also walks the chunk table verifying every chunk's extent AND its
+    CRC-32: Java ImageIO does not check PNG CRCs, so without this a
+    CRC-lying payload the strict Python parser quarantines would
+    silently pass the native tier (round-13 strictness-envelope
+    finding). zlib.crc32 runs at GB/s — sub-0.1 ms per 128 KB payload
+    against a multi-ms decode, and it buys verdict parity with the
+    strictness authority on container integrity."""
     if len(p) < 33 or p[12:16] != b"IHDR":
         return None
     _w, _h, depth, color = struct.unpack(">IIBB", p[16:26])
     if depth != 8 or color not in (0, 2, 3, 4, 6):
         return None
+    import zlib
+
+    pos = 8
+    saw_iend = False
+    while pos + 8 <= len(p):
+        ln = struct.unpack_from(">I", p, pos)[0]
+        end = pos + 8 + ln + 4
+        if end > len(p):
+            return None  # truncated inside a chunk: Python decides
+        ctype = p[pos + 4 : pos + 8]
+        crc = struct.unpack_from(">I", p, pos + 8 + ln)[0]
+        if zlib.crc32(p[pos + 4 : pos + 8 + ln]) & 0xFFFFFFFF != crc:
+            return None  # CRC lie: Python (which verifies) decides
+        pos = end
+        if ctype == b"IEND":
+            saw_iend = True
+            break
+    if not saw_iend:
+        return None  # no IEND: truncated at a chunk boundary
     return {"gray_collapse": False}
 
 
@@ -361,7 +407,17 @@ def _peek_gif(p: bytes):
     """Native only when the FIRST image block covers the full logical
     screen (then ImageIO's first frame == our bg-composited canvas);
     returns the palette-gray verdict the client applies to the
-    expanded RGB. Walks descriptors only — no LZW work."""
+    expanded RGB. Walks descriptors only — no LZW work.
+
+    Strictness envelope (round-13 fuzz, pinned in
+    tests/test_pipeline_round13.py): structural corruption (headers,
+    palettes, descriptors, sub-block framing, truncation, trailer) has
+    full verdict parity with decode_gif via this walk; corruption
+    INSIDE the entropy-coded LZW stream (bad code, output overrun) is
+    the ONE documented lenient window — detecting it requires running
+    the LZW decode itself, the exact work the native tier exists to
+    avoid. The integrity gate (m16) is pinned to engine="python" in
+    code, so the window never reaches a strictness consumer."""
     if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
         return None
     w, h = struct.unpack_from("<HH", p, 6)
@@ -474,23 +530,39 @@ def native_decode(payload: bytes) -> np.ndarray | None:
     raises ValueError when the native decoder rejects the payload
     (caller decides whether Python's stricter parser gets a say)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        # peek the fmt chunk for the sample width (AudioSystem hides it
+        # Peek the fmt chunk for the sample width (AudioSystem hides it
         # behind its own abstractions but we must match decode_wav's
-        # 16-bit -> uint8 map exactly)
+        # 16-bit -> uint8 map exactly) AND mirror decode_wav's
+        # STRUCTURAL strictness while walking: AudioSystem happily
+        # serves a truncated data chunk the strict Python parser
+        # quarantines (round-13 strictness-envelope finding), so any
+        # chunk cut, data-before-fmt, missing data chunk, odd 16-bit
+        # data length, or over-bound data routes to Python (None).
         try:
             bits = None
+            data_ok = False
             pos = 12
             while pos + 8 <= len(payload):
                 cid = payload[pos : pos + 4]
                 ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-                if cid == b"fmt " and ln >= 16:
+                if pos + 8 + ln > len(payload):
+                    return None  # chunk cut: Python decides
+                if cid == b"fmt " and bits is None:
+                    if ln < 16:
+                        return None
                     tag = struct.unpack_from("<H", payload, pos + 8)[0]
                     if tag != 1:
                         return None
                     bits = struct.unpack_from("<H", payload, pos + 22)[0]
+                elif cid == b"data":
+                    if bits is None or ln > (1 << 28):
+                        return None  # data-before-fmt / size bomb
+                    if bits == 16 and ln % 2:
+                        return None
+                    data_ok = True
                     break
                 pos += 8 + ln + (ln & 1)
-            if bits not in (8, 16):
+            if bits not in (8, 16) or not data_ok:
                 return None
         except Exception:
             return None

@@ -34,6 +34,8 @@ in FLOAT and does NOT match — deliberately avoided.)
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -423,6 +425,15 @@ def kmeans_centroids(
 # previous algorithm under the same corpus fingerprint.
 STORE_VERSION = 2
 
+# plan_identity mutates the SESSION-GLOBAL spark.sql.debug.maxToStringFields
+# for the set/render/restore window; a concurrent renderer (second
+# plan_identity call, or any driver thread printing plans) could otherwise
+# observe the conf restored mid-render and emit a truncated canonicalized
+# string — the exact key-collision bug the raise exists to prevent. The
+# lock serializes the whole window process-wide (it is driver-side only
+# and renders in microseconds, so contention is negligible).
+_PLAN_RENDER_LOCK = threading.Lock()
+
 
 def corpus_fingerprint(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
@@ -468,36 +479,54 @@ def plan_identity(df: DataFrame) -> str | None:
     artifact. The canonicalized string is measured byte-identical
     across processes. Driver-side only, zero Spark jobs.
 
-    The plan string is rendered with ``spark.sql.debug.maxToStringFields``
-    temporarily raised (restored after): at the 25-field default,
-    Spark truncates long expression lists to "... N more fields", so
-    two derivations differing only past the 25th element of an
-    ``isin`` list would share a key — for a trained-artifact store
-    that is a correctness bug (round-12 review finding; pinned by
-    test). The conf takes effect through py4j because consecutive
-    calls from one Python thread ride one JVM gateway thread."""
+    The plan string is rendered via ``treeString`` with ``maxFields``
+    passed EXPLICITLY (round 13): at the 25-field default Spark
+    truncates long expression lists to "... N more fields", so two
+    derivations differing only past the 25th element of an ``isin``
+    list would share a key — for a trained-artifact store that is a
+    correctness bug (round-12 review finding; pinned by test). Round
+    12 raised ``spark.sql.debug.maxToStringFields`` around a plain
+    ``toString()``; measured round 13, that conf NEVER reaches a
+    render issued from a secondary Python thread (each Python thread
+    rides its own py4j JVM thread, whose ``SQLConf.get`` does not see
+    the session conf — the worker-thread render came back truncated,
+    553 vs 816 chars, a silent key collision risk), and it also raced
+    concurrent renders on the session-global conf (r12 advice). The
+    explicit-argument call ``treeString(verbose=true, addSuffix=false,
+    maxFields, printOperatorId=false, printOutputColumns=false)`` is
+    measured byte-identical to the conf-raised ``toString()`` from the
+    main AND worker threads, so existing store keys are unchanged; it
+    mutates nothing, so no lock is needed. ``_PLAN_RENDER_LOCK``
+    guards the conf-mutation fallback kept for JVM builds without the
+    5-arg signature."""
     import hashlib
 
     try:
-        conf = df.sparkSession.conf
-        key = "spark.sql.debug.maxToStringFields"
+        canon_node = df._jdf.queryExecution().analyzed().canonicalized()
         try:
-            prev = conf.get(key)
+            canon = canon_node.treeString(True, False, 1000000, False, False)
         except Exception:
-            prev = None
-        conf.set(key, "1000000")
-        try:
-            canon = (
-                df._jdf.queryExecution().analyzed().canonicalized().toString()
-            )
-        finally:
-            try:
-                if prev is None:
-                    conf.unset(key)
-                else:
-                    conf.set(key, prev)
-            except Exception:
-                pass
+            # older/newer treeString signature: fall back to the r12
+            # conf-raised render, serialized so a concurrent caller
+            # can't restore the conf mid-render
+            conf = df.sparkSession.conf
+            key = "spark.sql.debug.maxToStringFields"
+            with _PLAN_RENDER_LOCK:
+                try:
+                    prev = conf.get(key)
+                except Exception:
+                    prev = None
+                conf.set(key, "1000000")
+                try:
+                    canon = canon_node.toString()
+                finally:
+                    try:
+                        if prev is None:
+                            conf.unset(key)
+                        else:
+                            conf.set(key, prev)
+                    except Exception:
+                        pass
         return hashlib.md5(
             canon.encode() + b"\x00" + df.schema.json().encode()
         ).hexdigest()[:20]

@@ -176,6 +176,48 @@ _REGATE_ROUND.update(
         "s17_stream_ivf_cell_ingestion": 12,
     }
 )
+# -- round 13 --
+# The 24 hq rows below were last driver-greened in ROUND 4; eight
+# rounds of shared-machinery churn (fixture plumbing, oracle helpers,
+# plan-capture hooks) sat between that green and today's code, and at
+# eff=2 they could never outrank the 135-deep eff=1 pool through the
+# 50-slot gate. The r12 verdict (item 5) prescribes regating the
+# family the way rounds 8-12 did for s/d/m: a marker here makes their
+# pre-13 greens historical-only, so they surface at the front of the
+# r13 sample alongside the round-1 q*/p* rows. The hq oracles
+# recompute the entire star/snowflake ETL in SQL, so each re-green is
+# a full end-to-end pipeline proof, not just a SELECT check.
+_REGATE_ROUND.update(
+    {
+        name: 13
+        for name in (
+            "hq01_row_counts",
+            "hq02_active_enrollment_march",
+            "hq03_special_status_members",
+            "hq04_claims_member_plan",
+            "hq05_lines_primary_proc_payment",
+            "hq06_billed_allowed_paid_by_plan",
+            "hq07_encounter_los",
+            "hq08_open_gaps_by_program_measure",
+            "hq09_tasks_interventions_per_user",
+            "hq10_members_program_manager",
+            "hq11_gap_closure_vs_interventions",
+            "hq12_interventions_with_task",
+            "hq13_claim_npi_provider",
+            "hq14_cpt_contract_rate",
+            "hq15_network_status_by_month",
+            "hq16_contracts_per_plan",
+            "hq17_icd_referential_check",
+            "hq18_cpt_referential_check",
+            "hq19_pos_referential_check",
+            "hq20_dw_rowcount_dashboard",
+            "hq21_unknown_sk_audit",
+            "hq22_fact_rollup_by_plan",
+            "hq23_active_membership_by_month",
+            "hq24_gap_closure_by_measure",
+        )
+    }
+)
 
 
 def _green_counts_both(repo_root=None):
