@@ -5,10 +5,11 @@ The decode path has two tiers. REAL: dependency-free PNM (P5/P6),
 8-bit BMP, and 8-bit PNG parsers (``decode_pnm`` / ``decode_bmp`` /
 ``decode_png`` — the PNG path is stdlib zlib + the five scanline
 filters), dispatched on the payload's magic bytes — genuine
-struct/byte parsing, gated by m15/m16. STUB: formats needing entropy
-codecs the stdlib lacks (jpeg/webp) raise a documented
-NotImplementedError; ``fake_decode``
-(bytes are the pixels) stands in for them. Everything Spark-side —
+struct/byte parsing, gated by m15/m16. Round 13 adds lossless webp
+(VP8L — operators/vp8l.py, gated by m22); lossy VP8 and the exotic
+JPEG processes raise a documented NotImplementedError (WEBP.md / the
+SOF-marker note below); ``fake_decode``
+(bytes are the pixels) stands in for those. Everything Spark-side —
 schemas, binary columns, UDF signatures, Arrow batch shapes,
 partitioning — is real and oracle-tested in both tiers.
 
@@ -91,9 +92,10 @@ _DECODE_SCHEMA = StructType(
 #   headers, a 256-entry grayscale palette, rows padded to a 4-byte
 #   stride, stored BOTTOM-UP (or top-down when height is negative).
 #
-# decode_* are real struct/byte parsers — no Pillow, no fakes. The
-# png/jpeg/webp stub below stays honest: those need entropy codecs
-# this container doesn't ship.
+# decode_* are real struct/byte parsers — no Pillow, no fakes. PNG,
+# JPEG (baseline/progressive/lossless), GIF, TIFF, WAV, and lossless
+# webp (operators/vp8l.py) all have real entropy codecs; lossy VP8 is
+# the remaining documented non-goal (WEBP.md).
 # --------------------------------------------------------------------
 
 
@@ -230,8 +232,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 # --------------------------------------------------------------------
 # PNG (8-bit grayscale / RGB, non-interlaced + Adam7) — stdlib zlib +
 # the five scanline filter types, no Pillow. Reachable dependency-free
-# because its only entropy codec is DEFLATE, which the stdlib ships;
-# webp stays an honest stub (JPEG has its own codec below).
+# because its only entropy codec is DEFLATE, which the stdlib ships
+# (JPEG and lossless webp have their own codecs; see WEBP.md).
 # --------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -2892,11 +2894,15 @@ def _real_decode(payload: bytes, fmt: str, engine: str = "python") -> np.ndarray
         return decode_tiff(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # round 13 (WEBP.md): VP8L lossless is a real codec now; lossy
+        # VP8 raises the documented NotImplementedError inside.
+        from data_engineer_project_spark.operators import vp8l
+
+        return vp8l.decode_webp(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for format={fmt!r} (payload lacks "
-        "PNM/BMP/PNG/JPEG/GIF/TIFF/WAV magic); webp needs a VP8 codec "
-        "this "
-        "environment does not ship — use fake_decode for it"
+        "PNM/BMP/PNG/JPEG/GIF/TIFF/WAV/WEBP magic)"
     )
 
 
@@ -3018,6 +3024,56 @@ def attach_real_media(documents: DataFrame) -> DataFrame:
                     "lang": pdf["lang"].values,
                     "media": medias,
                     "media_format": fmts,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id", "lang", "text").mapInPandas(
+        stage, _REAL_MEDIA_SCHEMA
+    )
+
+
+def attach_webp_media(documents: DataFrame) -> DataFrame:
+    """Wrap each document's UTF-8 bytes in a REAL lossless-webp (VP8L)
+    container — the round-13 sibling of attach_real_media for the
+    format WEBP.md brings into scope. Same logical image as the m15
+    arms (width = 16 + doc_id % 48, text bytes row-major, final row
+    zero-padded), so the same container-ignorant oracle math applies;
+    the encoder rides a COLOR_INDEXING gray palette, which is also how
+    real lossless gray webp is built. Empty/NULL docs carry a NULL
+    payload (no pixels -> no decode row, the m04 convention). One
+    narrow Arrow stage — corpus prep, not the operator under test."""
+    from data_engineer_project_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias, widths, heights, nbytes = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(16 + did % 48)
+                raw = (text or "").encode("utf-8")
+                if not raw:
+                    medias.append(None)
+                    widths.append(w)
+                    heights.append(0)
+                    nbytes.append(0)
+                    continue
+                h = -(-len(raw) // w)
+                px = raw + b"\x00" * (w * h - len(raw))
+                payload = encode_webp_lossless(px, w)
+                medias.append(payload)
+                widths.append(w)
+                heights.append(h)
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "lang": pdf["lang"].values,
+                    "media": medias,
+                    "media_format": ["webp"] * len(medias),
                     "width": pd.Series(widths, dtype="int32"),
                     "height": pd.Series(heights, dtype="int32"),
                     "n_bytes": pd.Series(nbytes, dtype="int64"),

@@ -1713,3 +1713,72 @@ def m21_native_container_decode(t):
     (see SCALING.md codec table's native column). Body shared with
     m15 (_real_container_decode) so the two gates cannot diverge."""
     return _real_container_decode(t, engine="native")
+
+
+# ------------- m22: lossless webp (VP8L) through a real container
+
+
+@query(
+    "m22_webp_lossless_decode",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, lang, {_UTF8_BYTES} AS b FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, len(b) AS n,
+             CAST(16 + doc_id % 48 AS BIGINT) AS w,
+             CAST(COALESCE(list_sum(b), 0) AS BIGINT) AS sum_b,
+             list_min(b) AS min_b, list_max(b) AS max_b
+      FROM bl
+    )
+    SELECT doc_id, lang, 'webp' AS container,
+           w * CAST(ceil(n / w) AS BIGINT) AS n_px,
+           sum_b AS sum_px,
+           CAST(sum_b AS DOUBLE) / (w * CAST(ceil(n / w) AS BIGINT)) AS mean_px,
+           CAST(CASE WHEN w * CAST(ceil(n / w) AS BIGINT) > n
+                     THEN 0 ELSE min_b END AS INT) AS min_px,
+           CAST(max_b AS INT) AS max_px
+    FROM m WHERE n > 0
+    """,
+    tags=("multimodal", "decode", "webp"),
+)
+def m22_webp_lossless_decode(t):
+    """REAL lossless-webp decode — the round-13 landing of WEBP.md's
+    decision: every payload is a genuine RIFF/WEBP container with a
+    VP8L chunk (COLOR_INDEXING gray palette + prefix-coded indices —
+    operators/vp8l.py, written to the public lossless bitstream spec,
+    RFC 9649), and ``decode_media(use_real_codec=True)`` must PARSE it
+    — RIFF walk, VP8L header, canonical prefix codes, palette
+    delta-undo, index unbundling — to recover the pixels. The oracle
+    is the m15 math verbatim (it recomputes the stats from the raw
+    UTF-8 bytes plus final-row zero padding, knowing nothing about any
+    container), so a parity hash proves the VP8L entropy decoder and
+    the palette inverse extracted exactly the true pixel matrix; a
+    canonical-code assignment bug, a code-length RLE bug, or a palette
+    cumulative-sum bug shifts sum/min/max and turns the row red.
+
+    webp is the highest-volume crawl format the engine previously
+    stubbed (WEBP.md cites the public share estimates); lossy VP8
+    remains the documented non-goal with the sidecar-plugin
+    deployment path. The JDK has no webp reader, so the native tier
+    never serves these payloads (native_decode declines; Python
+    decides) and there is deliberately no engine="native" twin.
+
+    Scale shape: identical to m15 — encode and decode are narrow
+    Arrow mapInPandas stages, no shuffle, result stays per-doc."""
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_webp_media,
+    )
+
+    media = attach_webp_media(t.documents)
+    dec = decode_media(media, use_real_codec=True)
+    return dec.select(
+        "doc_id",
+        "lang",
+        F.lit("webp").alias("container"),
+        "n_px",
+        "sum_px",
+        "mean_px",
+        "min_px",
+        "max_px",
+    )

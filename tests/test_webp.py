@@ -1,0 +1,402 @@
+"""VP8L (lossless webp) codec conformance — round 13, WEBP.md.
+
+Evidence tier (documented in operators/vp8l.py): no independent webp
+decoder exists in this environment (the JDK has no reader, no PIL, no
+dwebp), so conformance rests on (1) bit-exact encoder->decoder
+roundtrips, (2) HAND-BUILT spec vectors below that exercise the decode
+paths our simple encoder never emits (LZ77 backward references with
+the 2D distance map, color-cache hits, subtract-green / predictor /
+color-transform inverses, meta prefix groups), and (3) hostile-input
+bounds. The vectors are constructed with the module's own bit-writer
+but their EXPECTED pixels are computed by hand from the spec's
+transform definitions — a decoder bug cannot cancel against the
+writer because the writer only places bits, it has no transform or
+LZ77 logic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_engineer_project_spark.operators import vp8l
+from data_engineer_project_spark.operators.vp8l import (
+    _BitWriter,
+    _emit_entropy_image,
+    _emit_prefix_code,
+    decode_vp8l,
+    decode_webp,
+    encode_webp_lossless,
+    encode_webp_lossless_rgb,
+    webp_dims,
+)
+
+
+def _vp8l_payload(bw: _BitWriter) -> bytes:
+    return b"\x2f" + bw.bytes()
+
+
+def _header(bw: _BitWriter, w: int, h: int) -> None:
+    bw.lsb(w - 1, 14)
+    bw.lsb(h - 1, 14)
+    bw.lsb(0, 1)
+    bw.lsb(0, 3)
+
+
+def _argb_of(samples: np.ndarray, w: int):
+    """flat RGB samples -> list of (r, g, b) rows for comparison."""
+    return samples.reshape(-1, 3)
+
+
+# ------------------------------------------------------- roundtrips
+
+
+def test_gray_roundtrips_bit_exact():
+    for width, px in (
+        (32, bytes(range(256)) * 4),          # 256-color ramp
+        (8, bytes([0, 255] * 32)),            # 2 colors (bundled x8)
+        (7, bytes([(i * 37) % 5 * 50 for i in range(35)])),  # 5 colors
+        (5, bytes([9] * 45)),                 # constant
+        (1, bytes([3, 1, 4, 1, 5])),          # 1-px-wide column
+    ):
+        enc = encode_webp_lossless(px, width)
+        assert enc[:4] == b"RIFF" and enc[8:12] == b"WEBP"
+        dec = decode_webp(enc)
+        assert np.array_equal(dec, np.frombuffer(px, np.uint8)), width
+
+
+def test_rgb_roundtrip_bit_exact():
+    rgb = bytes([(i * 7) & 0xFF for i in range(3 * 16 * 9)])
+    dec = decode_webp(encode_webp_lossless_rgb(rgb, 16))
+    assert np.array_equal(dec, np.frombuffer(rgb, np.uint8))
+
+
+def test_webp_dims_sniff():
+    enc = encode_webp_lossless(bytes(64), 8)
+    assert webp_dims(enc) == (8, 8)
+    # VP8X canvas fields (the real sample in CPython's test data is
+    # VP8X + lossy VP8; dims sniff must work without a VP8L chunk)
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 10)
+        + bytes(4)
+        + (15).to_bytes(3, "little") + (9).to_bytes(3, "little")
+    )
+    assert webp_dims(vp8x) == (16, 10)
+
+
+def test_real_decode_dispatches_webp():
+    import data_engineer_project_spark.operators.multimodal as mm
+
+    px = bytes(range(64))
+    enc = encode_webp_lossless(px, 8)
+    out = mm._real_decode(enc, "webp")
+    assert np.array_equal(out, np.frombuffer(px, np.uint8))
+
+
+def test_lossy_vp8_raises_documented_not_implemented():
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="WEBP.md"):
+        decode_webp(lossy)
+
+
+# ------------------------------------------- hand-built spec vectors
+
+
+def _emit_literal_image(bw: _BitWriter, argb: list[int], is_main: bool):
+    _emit_entropy_image(bw, argb, is_main=is_main)
+
+
+def test_vector_subtract_green():
+    """Stored residuals (r-g, g, b-g) must come back as (r, g, b)."""
+    w, h = 2, 2
+    expected = [(200, 100, 50), (10, 20, 250), (0, 0, 0), (255, 1, 2)]
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(1, 1)  # one transform
+    bw.lsb(2, 2)  # subtract green
+    bw.lsb(0, 1)  # end of transforms
+    residuals = [
+        (0xFF << 24) | (((r - g) & 0xFF) << 16) | (g << 8) | ((b - g) & 0xFF)
+        for r, g, b in expected
+    ]
+    _emit_literal_image(bw, residuals, is_main=True)
+    flat, dw, dh, gray = decode_vp8l(_vp8l_payload(bw))
+    assert (dw, dh, gray) == (w, h, False)
+    got = [tuple(px) for px in _argb_of(flat, w)]
+    assert got == expected
+
+
+def test_vector_predictor_modes_L_and_T():
+    """Predictor transform, one 4px tile with mode 1 (Left): row 0
+    starts from the implicit black pixel; every pixel then adds its
+    residual to its left/top neighbor per the spec's edge rules."""
+    w, h = 3, 2
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(1, 1)
+    bw.lsb(0, 2)  # predictor transform
+    bw.lsb(2, 3)  # size_bits = 4 -> one 16x16 tile covers all
+    # tile image (1x1): mode 1 in green channel
+    _emit_literal_image(bw, [0xFF000000 | (1 << 8)], is_main=False)
+    bw.lsb(0, 1)
+    # residuals chosen so the output is a known ramp:
+    # (0,0): pred=black(a=255) -> out = res + (255,0,0,0)
+    # row 0: pred = left; (x==0,y==1): pred = top; else mode L
+    res = [
+        (0x00 << 24) | (10 << 16) | (20 << 8) | 30,   # out0 = a255,10,20,30
+        (0x00 << 24) | (1 << 16) | (1 << 8) | 1,      # out1 = out0 + 1s
+        (0x00 << 24) | (1 << 16) | (1 << 8) | 1,      # out2 = out1 + 1s
+        (0x00 << 24) | (5 << 16) | (5 << 8) | 5,      # out3 = out0 + 5s (top)
+        (0x00 << 24) | (2 << 16) | (2 << 8) | 2,      # out4 = out3 + 2s (L)
+        (0x00 << 24) | (250 << 16) | (0 << 8) | 0,    # out5 = out4 + (250,0,0)
+    ]
+    _emit_literal_image(bw, res, is_main=True)
+    flat, _, _, gray = decode_vp8l(_vp8l_payload(bw))
+    assert not gray
+    got = [tuple(px) for px in _argb_of(flat, w)]
+    assert got == [
+        (10, 20, 30), (11, 21, 31), (12, 22, 32),
+        (15, 25, 35), (17, 27, 37), ((17 + 250) % 256, 27, 37),
+    ]
+
+
+def test_vector_color_transform():
+    """One tile with green_to_red=2, green_to_blue=3, red_to_blue=4:
+    the inverse must add the spec's int8 (t*c)>>5 deltas."""
+    w, h = 1, 1
+    g2r, g2b, r2b = 2, 3, 4
+    stored_r, g, stored_b = 7, 200, 11
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(1, 1)
+    bw.lsb(1, 2)  # color transform
+    bw.lsb(2, 3)  # size_bits = 4
+    cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    _emit_literal_image(bw, [cte], is_main=False)
+    bw.lsb(0, 1)
+    _emit_literal_image(
+        bw, [0xFF000000 | (stored_r << 16) | (g << 8) | stored_b], True
+    )
+    flat, _, _, _ = decode_vp8l(_vp8l_payload(bw))
+
+    def i8(v):
+        return v - 256 if v >= 128 else v
+
+    exp_r = (stored_r + ((i8(g2r) * i8(g)) >> 5)) & 0xFF
+    tmp_b = stored_b + ((i8(g2b) * i8(g)) >> 5)
+    exp_b = (tmp_b + ((i8(r2b) * i8(exp_r)) >> 5)) & 0xFF
+    assert tuple(flat) == (exp_r, g, exp_b)
+
+
+def test_vector_lz77_backref_distance_map():
+    """A literal pixel then a length-5 copy at 2D offset (dx=1, dy=0)
+    — distance code 2 in the map -> linear distance 1 — must repeat
+    the literal; a second vector uses dy=1 (code 1 -> distance w)."""
+    w, h = 3, 2
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)  # no transforms
+    bw.lsb(0, 1)  # no cache
+    bw.lsb(0, 1)  # no meta
+    # green code: literal 77 and length-code 260 (256+4 -> base length 5)
+    codes_g = _emit_prefix_code(bw, {77: 1, 260: 1}, 280)
+    codes_r = _emit_prefix_code(bw, {1: 1}, 256)
+    codes_b = _emit_prefix_code(bw, {2: 1}, 256)
+    codes_a = _emit_prefix_code(bw, {0xFF: 1}, 256)
+    codes_d = _emit_prefix_code(bw, {1: 1}, 40)  # dist prefix 1 -> value 2
+    bw.code(*codes_g[77])  # literal (r,b,a read 0 bits: single-symbol)
+    bw.code(*codes_g[260])  # length prefix 4: extra=1, offset=4
+    bw.lsb(0, 1)  # extra bit 0 -> length 5
+    bw.code(*codes_d[1])  # distance code 2 -> map[1] = (1,0) -> dist 1
+    flat, _, _, _ = decode_vp8l(_vp8l_payload(bw))
+    assert [tuple(px) for px in _argb_of(flat, w)] == [(1, 77, 2)] * 6
+
+
+def test_vector_lz77_row_offset():
+    """Distance code 1 -> (dx=0, dy=1) -> linear distance w: the copy
+    repeats the row above."""
+    w, h = 2, 2
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)
+    bw.lsb(0, 1)
+    bw.lsb(0, 1)
+    codes_g = _emit_prefix_code(bw, {5: 1, 9: 2, 256: 2}, 280)
+    _emit_prefix_code(bw, {1: 1}, 256)
+    _emit_prefix_code(bw, {2: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    codes_d = _emit_prefix_code(bw, {0: 1}, 40)  # dist prefix 0 -> value 1
+    bw.code(*codes_g[5])
+    bw.code(*codes_g[9])
+    bw.code(*codes_g[256])  # length prefix 0 -> length 1
+    bw.code(*codes_d[0])  # distance code 1 -> (0,1) -> dist w=2
+    bw.code(*codes_g[256])
+    bw.code(*codes_d[0])
+    flat, _, _, _ = decode_vp8l(_vp8l_payload(bw))
+    greens = [px[1] for px in _argb_of(flat, w)]
+    assert greens == [5, 9, 5, 9]
+
+
+def test_vector_color_cache():
+    """Cache bits 4: after one literal, the cache symbol at the spec's
+    multiplicative-hash index must reproduce the same pixel."""
+    w, h = 3, 1
+    cache_bits = 4
+    px_argb = 0xFF000000 | (10 << 16) | (20 << 8) | 30
+    idx = ((0x1E35A7BD * px_argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+    cache_sym = 256 + 24 + idx
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)  # no transforms
+    bw.lsb(1, 1)  # cache
+    bw.lsb(cache_bits, 4)
+    bw.lsb(0, 1)  # no meta
+    codes_g = _emit_prefix_code(
+        bw, {20: 1, cache_sym: 1}, 256 + 24 + (1 << cache_bits)
+    )
+    _emit_prefix_code(bw, {10: 1}, 256)
+    _emit_prefix_code(bw, {30: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 40)
+    bw.code(*codes_g[20])  # literal -> inserts into cache
+    bw.code(*codes_g[cache_sym])
+    bw.code(*codes_g[cache_sym])
+    flat, _, _, _ = decode_vp8l(_vp8l_payload(bw))
+    assert [tuple(p) for p in _argb_of(flat, w)] == [(10, 20, 30)] * 3
+
+
+def test_vector_meta_prefix_groups():
+    """Two meta groups with DIFFERENT red codes across a 2-tile-wide
+    image: the decoder must switch codes at the tile boundary."""
+    w, h = 8, 1
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)  # no transforms
+    bw.lsb(0, 1)  # no cache
+    bw.lsb(1, 1)  # meta prefix present
+    bw.lsb(0, 3)  # prefix_bits = 2 -> 4px tiles -> meta image 2x1
+    # meta image: group ids 0 and 1 in (red<<8|green)
+    _emit_literal_image(
+        bw, [0xFF000000 | (0 << 8), 0xFF000000 | (1 << 8)], is_main=False
+    )
+    # group 0 codes
+    g0 = _emit_prefix_code(bw, {50: 1}, 280)
+    _emit_prefix_code(bw, {111: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 40)
+    # group 1 codes
+    g1 = _emit_prefix_code(bw, {60: 1}, 280)
+    _emit_prefix_code(bw, {222: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 40)
+    # all symbols are single -> zero data bits; decode is structural
+    assert not g0 or not g1 or True
+    flat, _, _, _ = decode_vp8l(_vp8l_payload(bw))
+    px = _argb_of(flat, w)
+    assert [tuple(p) for p in px[:4]] == [(111, 50, 0)] * 4
+    assert [tuple(p) for p in px[4:]] == [(222, 60, 0)] * 4
+
+
+# --------------------------------------------------- hostile inputs
+
+
+def test_hostile_dimension_bomb():
+    bw = _BitWriter()
+    _header(bw, 16384, 16384)
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_vp8l(_vp8l_payload(bw))
+
+
+def test_hostile_truncation_everywhere():
+    enc = encode_webp_lossless(bytes(range(64)), 8)
+    for cut in range(12, len(enc) - 1, 7):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_webp(enc[:cut])
+
+
+def test_hostile_oversubscribed_prefix_code():
+    bw = _BitWriter()
+    _header(bw, 1, 1)
+    bw.lsb(0, 1)  # no transforms
+    bw.lsb(0, 1)  # no cache
+    bw.lsb(0, 1)  # no meta
+    # normal-form green code whose lengths oversubscribe Kraft:
+    # three symbols of length 1
+    bw.lsb(0, 1)  # not simple
+    bw.lsb(15, 4)  # num_code_lengths = 19
+    for sym in vp8l._CLC_ORDER:
+        bw.lsb(1 if sym == 1 else 0, 3)  # only cl symbol '1', len 1
+    # degenerate single-symbol cl code reads zero bits -> every
+    # code-length becomes 1 -> oversubscribed after 3 symbols
+    bw.lsb(0, 1)  # no max_symbol
+    with pytest.raises(ValueError):
+        decode_vp8l(_vp8l_payload(bw))
+
+
+def test_hostile_lz77_before_start():
+    w, h = 2, 1
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)
+    bw.lsb(0, 1)
+    bw.lsb(0, 1)
+    codes_g = _emit_prefix_code(bw, {256: 1, 7: 1}, 280)
+    _emit_prefix_code(bw, {1: 1}, 256)
+    _emit_prefix_code(bw, {2: 1}, 256)
+    _emit_prefix_code(bw, {255: 1}, 256)
+    codes_d = _emit_prefix_code(bw, {30: 1}, 40)  # huge distance
+    bw.code(*codes_g[256])  # copy as the FIRST symbol
+    bw.lsb(0, 14)  # distance prefix 30 carries 14 extra bits
+    with pytest.raises(ValueError, match="backward reference"):
+        decode_vp8l(_vp8l_payload(bw))
+
+
+def _escape():
+    """A 17-color palette (width_bits 0) whose main image carries
+    index 200 — out of the palette's range."""
+    bw = _BitWriter()
+    _header(bw, 2, 1)
+    bw.lsb(1, 1)
+    bw.lsb(3, 2)
+    bw.lsb(16, 8)  # 17 colors -> width_bits 0
+    _emit_entropy_image(bw, [0] * 17, is_main=False)
+    bw.lsb(0, 1)
+    # main: green index 200 >= 17
+    _emit_entropy_image(bw, [0xFF000000 | (200 << 8)] * 2, is_main=True)
+    return _vp8l_payload(bw)
+
+
+def test_hostile_palette_escape_raises():
+    with pytest.raises(ValueError, match="palette index"):
+        decode_vp8l(_escape())
+
+
+def test_hostile_bad_signature_and_version():
+    with pytest.raises(ValueError, match="signature"):
+        decode_vp8l(b"\x30" + bytes(10))
+    bw = _BitWriter()
+    bw.lsb(0, 14)
+    bw.lsb(0, 14)
+    bw.lsb(0, 1)
+    bw.lsb(5, 3)  # version 5
+    with pytest.raises(ValueError, match="version"):
+        decode_vp8l(_vp8l_payload(bw))
+
+
+def test_hostile_duplicate_transform():
+    bw = _BitWriter()
+    _header(bw, 1, 1)
+    bw.lsb(1, 1)
+    bw.lsb(2, 2)  # subtract green
+    bw.lsb(1, 1)
+    bw.lsb(2, 2)  # subtract green again
+    with pytest.raises(ValueError, match="duplicate"):
+        decode_vp8l(_vp8l_payload(bw))
