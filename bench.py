@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     # SCALING.md's codec table; this slot keeps the pipe+fallback
     # overhead visible at corpus scale).
     "m21_native_container_decode",
+    # r13 addition: the lossless-webp decode gate (WEBP.md landing) —
+    # real VP8L containers per doc, prefix-code entropy decode +
+    # palette inverse inside Arrow stages; times the one crawl format
+    # the JDK sidecar CANNOT serve (no ImageIO webp reader), i.e. the
+    # pure-Python entropy floor the deployment note prices against.
+    "m22_webp_lossless_decode",
 ]
 
 # Diagnostic spot-check lane (round-12 rotation, declared in the r11

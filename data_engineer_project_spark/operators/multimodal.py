@@ -2977,6 +2977,30 @@ _ENCODERS = {
 }
 
 
+def fanout_small_scan(df: DataFrame) -> DataFrame:
+    """Fan a SMALL scan out to the session's core count before a
+    compute-bound Arrow stage. Scan parallelism tracks file splits,
+    not work: a sub-128 MB parquet arrives as ONE split, so a
+    per-payload codec stage after it runs on one core regardless of
+    cluster size — the round-13 m22 closing run measured 9.2 s where
+    32-way decode costs ~1 s, and m15/m16/m21 carried the same shape.
+    The guard makes this scale-correct: it only repartitions when the
+    scan has FEWER partitions than the default parallelism, so at
+    100 TB (thousands of input splits) it is a plan no-op and no
+    shuffle is added; when it does fire, the exchange moves at most a
+    few MB to light up every core for the multi-ms-per-payload codec
+    work that follows."""
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts >= target:
+        return df
+    return df.repartition(target)
+
+
 def attach_real_media(documents: DataFrame) -> DataFrame:
     """Wrap each document's UTF-8 bytes in a REAL image container —
     doc_id % 6 rotates through a P5 PNM (ASCII header), an 8-bit BMP
@@ -2994,7 +3018,8 @@ def attach_real_media(documents: DataFrame) -> DataFrame:
     no decode row, the m04 convention).
 
     This is corpus prep (the stand-in for reading real blobs), not the
-    operator under test; it runs as one narrow Arrow stage."""
+    operator under test; it runs as one Arrow stage behind the guarded
+    small-scan fan-out (fanout_small_scan — round 13)."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3030,9 +3055,9 @@ def attach_real_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "lang", "text").mapInPandas(
-        stage, _REAL_MEDIA_SCHEMA
-    )
+    return fanout_small_scan(
+        documents.select("doc_id", "lang", "text")
+    ).mapInPandas(stage, _REAL_MEDIA_SCHEMA)
 
 
 def attach_webp_media(documents: DataFrame) -> DataFrame:
@@ -3044,7 +3069,8 @@ def attach_webp_media(documents: DataFrame) -> DataFrame:
     the encoder rides a COLOR_INDEXING gray palette, which is also how
     real lossless gray webp is built. Empty/NULL docs carry a NULL
     payload (no pixels -> no decode row, the m04 convention). One
-    narrow Arrow stage — corpus prep, not the operator under test."""
+    Arrow stage behind the guarded small-scan fan-out — corpus prep,
+    not the operator under test."""
     from data_engineer_project_spark.operators.vp8l import (
         encode_webp_lossless,
     )
@@ -3080,9 +3106,9 @@ def attach_webp_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "lang", "text").mapInPandas(
-        stage, _REAL_MEDIA_SCHEMA
-    )
+    return fanout_small_scan(
+        documents.select("doc_id", "lang", "text")
+    ).mapInPandas(stage, _REAL_MEDIA_SCHEMA)
 
 
 _HIST_SCHEMA = StructType(

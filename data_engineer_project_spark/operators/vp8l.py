@@ -353,10 +353,40 @@ def _decode_entropy_image(
     x = 0
     y = 0
     g = groups[0]
+    pending = None  # a symbol consumed by the fast path, not yet handled
+    if meta is None and cache is None:
+        # Fast path for the dominant single-group literal shape (what
+        # every simple encoder, ours included, emits): hoist the green
+        # reader and, when the other three channels are single-symbol
+        # codes (zero bits each), fold them into one constant — the
+        # inner loop is then one LUT peek + one OR per pixel. Any
+        # length/cache symbol falls through to the general loop below
+        # with full LZ77 handling.
+        gread = g[0].read
+        rs, bs, as_ = g[1].single, g[2].single, g[3].single
+        if rs is not None and bs is not None and as_ is not None:
+            base = (as_ << 24) | (rs << 16) | bs
+            while pos < n:
+                s = gread(br)
+                if s < 256:
+                    argb[pos] = base | (s << 8)
+                    pos += 1
+                    continue
+                pending = s  # already consumed: hand to the slow loop
+                break
+        if pos < n:
+            x = pos % w
+            y = pos // w
     while pos < n:
-        if meta is not None:
-            g = groups[meta[(y >> prefix_bits) * meta_w + (x >> prefix_bits)]]
-        s = g[0].read(br)
+        if pending is not None:
+            s = pending
+            pending = None
+        else:
+            if meta is not None:
+                g = groups[
+                    meta[(y >> prefix_bits) * meta_w + (x >> prefix_bits)]
+                ]
+            s = g[0].read(br)
         if s < 256:
             r = g[1].read(br)
             b = g[2].read(br)

@@ -177,6 +177,19 @@ _REGATE_ROUND.update(
     }
 )
 # -- round 13 --
+# The real-container attach paths now fan small scans out to the
+# session's core count before the codec Arrow stage
+# (fanout_small_scan — the m22 closing run measured a 32x idle-core
+# waste on single-split parquet); same rows, new executing plan, so
+# the consumers regate per the round-9 skew-guard precedent. (m22 is
+# round-13-new and has no prior green to supersede.)
+_REGATE_ROUND.update(
+    {
+        "m15_real_container_decode": 13,
+        "m16_container_integrity_gate": 13,
+        "m21_native_container_decode": 13,
+    }
+)
 # The 24 hq rows below were last driver-greened in ROUND 4; eight
 # rounds of shared-machinery churn (fixture plumbing, oracle helpers,
 # plan-capture hooks) sat between that green and today's code, and at

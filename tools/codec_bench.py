@@ -66,7 +66,21 @@ def _arms(px: bytes, w: int):
             lambda: mm.encode_jpeg_progressive(px, w),
             mm.decode_jpeg,
         ),
+        # r13: lossless webp (operators/vp8l.py, WEBP.md). The native
+        # column prints "-" by construction: the JDK has no webp
+        # reader, so this arm IS the engine's webp floor.
+        (
+            "webp lossless (VP8L)",
+            lambda: _vp8l().encode_webp_lossless(px, w),
+            lambda p: _vp8l().decode_webp(p),
+        ),
     ]
+
+
+def _vp8l():
+    from data_engineer_project_spark.operators import vp8l
+
+    return vp8l
 
 
 def _table(px: bytes, w: int, reps: int, with_encode: bool) -> None:
