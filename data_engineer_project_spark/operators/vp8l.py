@@ -362,18 +362,48 @@ def _decode_entropy_image(
         # inner loop is then one LUT peek + one OR per pixel. Any
         # length/cache symbol falls through to the general loop below
         # with full LZ77 handling.
-        gread = g[0].read
+        g0 = g[0]
         rs, bs, as_ = g[1].single, g[2].single, g[3].single
         if rs is not None and bs is not None and as_ is not None:
             base = (as_ << 24) | (rs << 16) | bs
+            # peek + LUT inlined (two fewer method calls per pixel —
+            # this loop IS the engine's webp decode floor, see the
+            # SCALING.md codec table); g0.single is impossible here
+            # (a single-symbol green code has no length symbols and
+            # the encoder path with >1 pixel values always has >1
+            # green symbols — and if it IS single, read() below
+            # handles it without consuming bits).
+            lut = g0.lut
+            rev8 = _REV8
+            d = br.d
+            ndata = len(d)
+            nbits_total = br.n
+            p = br.pos
             while pos < n:
-                s = gread(br)
+                byte = p >> 3
+                chunk = d[byte] >> (p & 7) if byte < ndata else 0
+                if (p & 7) and byte + 1 < ndata:
+                    chunk |= d[byte + 1] << (8 - (p & 7))
+                e = lut[rev8[chunk & 0xFF]] if lut is not None else None
+                if e is None:
+                    br.pos = p
+                    s = g0.read(br)
+                    p = br.pos
+                else:
+                    s, l = e
+                    if p + l > nbits_total:
+                        br.pos = p
+                        raise ValueError("truncated VP8L stream")
+                    p += l
                 if s < 256:
                     argb[pos] = base | (s << 8)
                     pos += 1
                     continue
+                br.pos = p
                 pending = s  # already consumed: hand to the slow loop
                 break
+            else:
+                br.pos = p
         if pos < n:
             x = pos % w
             y = pos // w

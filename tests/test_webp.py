@@ -400,3 +400,42 @@ def test_hostile_duplicate_transform():
     bw.lsb(2, 2)  # subtract green again
     with pytest.raises(ValueError, match="duplicate"):
         decode_vp8l(_vp8l_payload(bw))
+
+
+def test_vp8x_wrapped_lossless_decodes():
+    """An extended (VP8X) container whose image chunk is VP8L must
+    decode: the chunk walk skips VP8X and finds the lossless stream
+    (real encoders emit VP8X when metadata features are flagged)."""
+    px = bytes(range(64))
+    plain = encode_webp_lossless(px, 8)
+    # unwrap the VP8L chunk and rewrap behind a VP8X header
+    i = plain.find(b"VP8L")
+    ln = struct.unpack_from("<I", plain, i + 4)[0]
+    vp8l_chunk = plain[i : i + 8 + ln + (ln & 1)]
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10)
+        + bytes(4) + (7).to_bytes(3, "little") + (7).to_bytes(3, "little")
+    )
+    body = b"WEBP" + vp8x + vp8l_chunk
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert np.array_equal(decode_webp(wrapped), np.frombuffer(px, np.uint8))
+    assert webp_dims(wrapped) == (8, 8)
+
+
+def test_real_world_lossy_sample_raises_documented():
+    """The one real webp on this box (CPython's test sample) is
+    VP8X + ALPH + lossy VP8: it must raise the documented
+    NotImplementedError, and its dims must still sniff from VP8X."""
+    import glob
+    import os
+
+    hits = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.webp"
+    )
+    if not hits:
+        pytest.skip("no real-world webp sample on this box")
+    payload = open(hits[0], "rb").read()
+    with pytest.raises(NotImplementedError, match="WEBP.md"):
+        decode_webp(payload)
+    w, h = webp_dims(payload)
+    assert w > 0 and h > 0
