@@ -439,3 +439,59 @@ def test_real_world_lossy_sample_raises_documented():
         decode_webp(payload)
     w, h = webp_dims(payload)
     assert w > 0 and h > 0
+
+
+# ------------------------------------------------ property-based pins
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=1, max_size=600),
+    width=st.integers(min_value=1, max_value=40),
+)
+def test_property_gray_roundtrip(data, width):
+    """ANY byte content at ANY width roundtrips bit-exact through the
+    gray (palette) encoder — the encoder pads the last row like the
+    fixture pipelines do, so pad to a full rectangle first."""
+    h = -(-len(data) // width)
+    px = data + b"\x00" * (width * h - len(data))
+    out = decode_webp(encode_webp_lossless(px, width))
+    assert np.array_equal(out, np.frombuffer(px, np.uint8))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.binary(min_size=3, max_size=300),
+    width=st.integers(min_value=1, max_value=12),
+)
+def test_property_rgb_roundtrip(data, width):
+    n = max(1, len(data) // (3 * width))
+    px = (data * 3)[: 3 * width * n]
+    if len(px) < 3 * width * n:
+        px = px + b"\x00" * (3 * width * n - len(px))
+    out = decode_webp(encode_webp_lossless_rgb(px, width))
+    assert np.array_equal(out, np.frombuffer(px, np.uint8))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    cut=st.integers(min_value=0, max_value=400),
+    flip=st.integers(min_value=0, max_value=400),
+)
+def test_property_corruption_never_hangs_or_crashes(seed, cut, flip):
+    """Truncating anywhere and flipping any byte must produce either
+    a clean decode (bit flips in pixel data are legal content) or a
+    ValueError/NotImplementedError — never a hang, an IndexError, a
+    numpy error, or unbounded work."""
+    rng = np.random.RandomState(seed % 1000)
+    px = rng.randint(0, 256, 80).astype(np.uint8).tobytes()
+    enc = bytearray(encode_webp_lossless(px, 8))
+    enc[flip % len(enc)] ^= 0x5A
+    payload = bytes(enc[: max(1, cut % (len(enc) + 1))])
+    try:
+        decode_webp(payload)
+    except (ValueError, NotImplementedError):
+        pass
