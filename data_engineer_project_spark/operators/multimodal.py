@@ -3073,6 +3073,7 @@ def attach_webp_media(documents: DataFrame) -> DataFrame:
     not the operator under test."""
     from data_engineer_project_spark.operators.vp8l import (
         encode_webp_lossless,
+        webp_dims,
     )
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3090,6 +3091,14 @@ def attach_webp_media(documents: DataFrame) -> DataFrame:
                 h = -(-len(raw) // w)
                 px = raw + b"\x00" * (w * h - len(raw))
                 payload = encode_webp_lossless(px, w)
+                if webp_dims(payload) != (w, h):
+                    # emit-time self-check: a header-geometry bug
+                    # must fail corpus prep loudly, not surface as a
+                    # decode-stage hash mismatch three stages later
+                    raise ValueError(
+                        f"webp container declares {webp_dims(payload)}"
+                        f" for a {w}x{h} image (doc {did})"
+                    )
                 medias.append(payload)
                 widths.append(w)
                 heights.append(h)

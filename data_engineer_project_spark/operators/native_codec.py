@@ -547,13 +547,21 @@ def native_decode(payload: bytes) -> np.ndarray | None:
                 ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
                 if pos + 8 + ln > len(payload):
                     return None  # chunk cut: Python decides
-                if cid == b"fmt " and bits is None:
+                if cid == b"fmt ":
+                    # EVERY fmt chunk must pass decode_wav's checks,
+                    # and the LAST one before data wins — a
+                    # first-fmt-wins peek would let a second fmt with
+                    # a different width or a non-PCM tag diverge the
+                    # two engines on the bit-exact tier (round-13
+                    # review finding).
                     if ln < 16:
                         return None
                     tag = struct.unpack_from("<H", payload, pos + 8)[0]
                     if tag != 1:
                         return None
                     bits = struct.unpack_from("<H", payload, pos + 22)[0]
+                    if bits not in (8, 16):
+                        return None
                 elif cid == b"data":
                     if bits is None or ln > (1 << 28):
                         return None  # data-before-fmt / size bomb

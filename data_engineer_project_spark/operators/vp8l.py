@@ -43,10 +43,17 @@ import struct
 
 import numpy as np
 
-# Decode bound: ARGB pixel count, same class as decode_png's 2^28
-# filtered-byte bound (headers are UNTRUSTED — a 16383x16383 header on
-# a 50-byte payload must quarantine, never OOM an executor).
-MAX_PIXELS = 1 << 26
+# Decode bound: ARGB pixel count, the same protection class as
+# decode_png's 2^28 filtered-byte bound but sized to THIS decoder's
+# representation (headers are UNTRUSTED — a 16383x16383 header on a
+# 50-byte payload must quarantine, never OOM an executor): the
+# entropy stage holds pixels as a Python list of ints (~32+ bytes per
+# non-cached int object), so 2^22 px ≈ a 2048x2048 image ≈ 100-200 MB
+# transient per payload — far above any fixture, and bounded so 32
+# concurrent Arrow workers stay inside executor memory. The round-13
+# review measured the earlier 2^26 bound admitting multi-GB
+# allocations through this representation.
+MAX_PIXELS = 1 << 22
 
 # Code-length-code symbol order (shared with DEFLATE's trick of
 # fronting the symbols most likely to be used).
@@ -672,7 +679,7 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, int, int, bool]:
             cur_w = packed_w
     argb = _decode_entropy_image(br, cur_w, h, True)
     gray_palette = False
-    for t in reversed(transforms):
+    for i, t in enumerate(reversed(transforms)):
         if isinstance(argb, np.ndarray) and t[0] != 3:
             # scalar transform inverses index-mutate a plain list; the
             # ndarray fast path is only for when color-indexing is the
@@ -706,7 +713,14 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, int, int, bool]:
                 raise ValueError("VP8L palette index out of range")
             expanded = pal_np[idx]
             argb = expanded  # ndarray; downstream paths are vectorized
-            gray_palette = all(
+            # The palette-gray collapse is only valid when this is the
+            # LAST inverse applied: a transform read AFTER the palette
+            # in the stream (inverted after this expansion) rewrites
+            # channels, so a gray palette no longer implies gray
+            # pixels (round-13 review finding — a conformant
+            # subtract-green + color-indexing stream decoded to a
+            # wrong 1-byte/px output before this guard).
+            gray_palette = i == len(transforms) - 1 and all(
                 (p >> 24) == 0xFF
                 and ((p >> 16) & 0xFF) == ((p >> 8) & 0xFF) == (p & 0xFF)
                 for p in palette
@@ -747,8 +761,10 @@ def decode_webp(payload: bytes) -> np.ndarray:
 
 
 def webp_dims(payload: bytes) -> tuple[int, int]:
-    """Header-only (width, height) sniff for the metadata gates: VP8L
-    14-bit dims or the VP8X canvas fields. No entropy work."""
+    """Header-only (width, height) sniff: VP8L 14-bit dims or the
+    VP8X canvas fields, no entropy work. Consumed by
+    attach_webp_media's emit-time geometry self-check; also the
+    building block for a webp metadata gate (m01/m13 class)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WEBP payload")
     pos = 12
@@ -975,6 +991,22 @@ def _emit_entropy_image(
     bw.nbits = nbits
 
 
+def _check_dims(width: int, height: int) -> None:
+    """The VP8L header stores width-1/height-1 in 14 bits: silently
+    masking a larger dimension would emit a CONFORMANT container with
+    the wrong geometry that decodes to wrong pixels with no error
+    (round-13 review finding) — refuse loudly instead. The decode
+    bound applies to the encoder too (symmetric contract)."""
+    if width > 16384 or height > 16384:
+        raise ValueError(
+            f"VP8L dimensions are 14-bit: {width}x{height} exceeds 16384"
+        )
+    if width * height > MAX_PIXELS:
+        raise ValueError(
+            f"{width}x{height} exceeds the codec's pixel bound"
+        )
+
+
 def _container(stream: bytes) -> bytes:
     payload = b"\x2f" + stream
     pad = b"\x00" if len(payload) % 2 else b""
@@ -986,9 +1018,12 @@ def encode_webp_lossless(pixels: bytes, width: int) -> bytes:
     """Gray pixels -> lossless webp via a COLOR_INDEXING gray-ramp
     palette (how real lossless gray webp is encoded); decode returns
     exactly ``pixels`` (bit-exact tier)."""
-    if width <= 0 or len(pixels) % width:
-        raise ValueError("pixel length is not a multiple of width")
+    if width <= 0 or not pixels or len(pixels) % width:
+        raise ValueError(
+            "pixel length must be a positive multiple of width"
+        )
     height = len(pixels) // width
+    _check_dims(width, height)
     values = sorted(set(pixels))
     n_col = len(values)
     val_to_idx = {v: i for i, v in enumerate(values)}
@@ -1035,9 +1070,12 @@ def encode_webp_lossless(pixels: bytes, width: int) -> bytes:
 def encode_webp_lossless_rgb(pixels: bytes, width: int) -> bytes:
     """Interleaved RGB -> lossless webp, literal ARGB (alpha 255);
     decode returns exactly ``pixels``."""
-    if width <= 0 or len(pixels) % (3 * width):
-        raise ValueError("pixel length is not a multiple of 3*width")
+    if width <= 0 or not pixels or len(pixels) % (3 * width):
+        raise ValueError(
+            "pixel length must be a positive multiple of 3*width"
+        )
     height = len(pixels) // (3 * width)
+    _check_dims(width, height)
     bw = _BitWriter()
     bw.lsb(width - 1, 14)
     bw.lsb(height - 1, 14)

@@ -495,3 +495,94 @@ def test_property_corruption_never_hangs_or_crashes(seed, cut, flip):
         decode_webp(payload)
     except (ValueError, NotImplementedError):
         pass
+
+
+# ------------------------------------------- round-13 review findings
+
+
+def test_gray_collapse_only_when_palette_is_last_inverse():
+    """Review finding: a conformant stream reading SUBTRACT_GREEN
+    before COLOR_INDEXING inverts the palette FIRST, then subtract-
+    green rewrites r/b — a gray palette no longer implies gray output,
+    so the decoder must return RGB, not a stale-flag 1-byte/px
+    collapse."""
+    bw = _BitWriter()
+    _header(bw, 4, 1)
+    bw.lsb(1, 1)
+    bw.lsb(2, 2)  # subtract green (read FIRST -> inverted LAST)
+    bw.lsb(1, 1)
+    bw.lsb(3, 2)  # color indexing
+    bw.lsb(1, 8)  # 2 colors -> width_bits 3 (8 px/byte)
+    # gray palette {10, 20}: deltas (255,10,10,10), (0,10,10,10)
+    _emit_entropy_image(
+        bw,
+        [(0xFF << 24) | (10 << 16) | (10 << 8) | 10,
+         (10 << 16) | (10 << 8) | 10],
+        is_main=False,
+    )
+    bw.lsb(0, 1)  # end of transforms
+    # packed main image: 1 px holding indices 0,1,0,1 in green bits
+    packed = 0b01000100  # wait: bit layout asserted below via decode
+    packed = sum(((i % 2) << (1 * i)) for i in range(4))  # 0b1010
+    _emit_entropy_image(bw, [0xFF000000 | (packed << 8)], is_main=True)
+    flat, _, _, gray = decode_vp8l(_vp8l_payload(bw))
+    assert not gray, "palette collapse must not apply"
+    assert flat.size == 12  # 4 px RGB
+    px = [tuple(p) for p in flat.reshape(-1, 3)]
+    # palette expands to v in {10,20}; subtract-green inverse then
+    # makes r = b = (v + v) & 0xff = 2v while green stays v
+    assert px == [(20, 10, 20), (40, 20, 40), (20, 10, 20), (40, 20, 40)]
+
+
+def test_encoder_rejects_oversized_and_empty_input():
+    """Review finding: width/height silently truncated to 14 bits
+    produced a conformant container with WRONG geometry; empty input
+    crashed inside the Huffman builder."""
+    with pytest.raises(ValueError, match="14-bit|pixel bound"):
+        encode_webp_lossless(bytes(20000), 20000)
+    with pytest.raises(ValueError, match="14-bit|pixel bound"):
+        encode_webp_lossless(bytes(16385 * 2), 2)
+    with pytest.raises(ValueError, match="positive multiple"):
+        encode_webp_lossless(b"", 5)
+    with pytest.raises(ValueError, match="positive multiple"):
+        encode_webp_lossless_rgb(b"", 5)
+
+
+def _nc_available():
+    import data_engineer_project_spark.operators.native_codec as nc
+
+    return nc.native_available()
+
+
+@pytest.mark.skipif(not _nc_available(), reason="no JVM sidecar")
+def test_wav_peek_last_fmt_wins_like_decode_wav():
+    """Review finding: the native WAV peek honored the FIRST fmt chunk
+    while decode_wav honors the LAST before data (and rejects ANY
+    non-PCM fmt) — both divergences must route to Python."""
+    import data_engineer_project_spark.operators.multimodal as mm
+    import data_engineer_project_spark.operators.native_codec as nc
+
+    def wav(chunks):
+        body = b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def fmt(tag, bits):
+        return b"fmt " + struct.pack("<I", 16) + struct.pack(
+            "<HHIIHH", tag, 1, 8000, 8000, 1, bits
+        )
+
+    data = b"data" + struct.pack("<I", 4) + bytes([1, 2, 3, 4])
+    # two PCM fmts, 8-bit then 16-bit: decode_wav uses 16-bit map
+    both = wav([fmt(1, 8), fmt(1, 16), data])
+    ref = mm.decode_wav(both)
+    nat = nc.native_decode(both)
+    assert nat is None or np.array_equal(nat, ref)
+    # second fmt non-PCM: decode_wav quarantines; native must not accept
+    bad = wav([fmt(1, 8), fmt(2, 8), data])
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bad)
+    try:
+        out = nc.native_decode(bad)
+    except (RuntimeError, ValueError):
+        out = None
+    assert out is None

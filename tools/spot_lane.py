@@ -48,12 +48,26 @@ def main() -> None:
     args = sys.argv[1:]
     runs = "3"
     rnd = None
-    if "--runs" in args:
-        i = args.index("--runs")
-        runs = args[i + 1]
-    if "--round" in args:
-        i = args.index("--round")
-        rnd = int(args[i + 1])
+
+    def flag_value(name: str) -> str | None:
+        if name not in args:
+            return None
+        i = args.index(name)
+        if i + 1 >= len(args):
+            sys.exit(f"usage: spot_lane.py [--runs N] [--round N] "
+                     f"({name} needs a value)")
+        return args[i + 1]
+
+    v = flag_value("--runs")
+    if v is not None:
+        if not v.isdigit() or int(v) < 1:
+            sys.exit(f"--runs must be a positive integer, got {v!r}")
+        runs = v
+    v = flag_value("--round")
+    if v is not None:
+        if not v.isdigit():
+            sys.exit(f"--round must be an integer, got {v!r}")
+        rnd = int(v)
     if rnd is None:
         rnd = infer_round()
 
