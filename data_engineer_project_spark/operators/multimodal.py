@@ -2989,7 +2989,13 @@ def fanout_small_scan(df: DataFrame) -> DataFrame:
     100 TB (thousands of input splits) it is a plan no-op and no
     shuffle is added; when it does fire, the exchange moves at most a
     few MB to light up every core for the multi-ms-per-payload codec
-    work that follows."""
+    work that follows.
+
+    Streaming frames pass through untouched: ``df.rdd`` is illegal on
+    them, and a micro-batch's parallelism is the source's concern
+    (maxFilesPerTrigger and the file-split math)."""
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     try:
         target = spark.sparkContext.defaultParallelism

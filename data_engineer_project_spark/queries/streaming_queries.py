@@ -2076,3 +2076,86 @@ def s25_stream_cluster_maintenance(t):
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------- s26: streaming media-ingest integrity gate (r13)
+
+_S26_UTF8_BYTES = """flatten(list_transform(list_filter(string_split(text, ''), ch -> ch != ''), ch ->
+    CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
+         WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
+         WHEN unicode(ch) < 65536 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+         ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64] END))"""
+
+
+@query(
+    "s26_stream_media_integrity_gate",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_S26_UTF8_BYTES} AS b FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(b) AS n,
+             CAST(16 + doc_id % 48 AS BIGINT) AS w
+      FROM bl WHERE len(b) > 0
+    )
+    SELECT CASE WHEN doc_id % 37 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 0
+                         ELSE w * CAST(ceil(n / w) AS BIGINT) END)
+                AS BIGINT) AS total_px
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "multimodal", "quality"),
+)
+def s26_stream_media_integrity_gate(t):
+    """Streaming media-ingest integrity gate — the streaming front
+    door of the multimodal tier (round 13; the one streaming x
+    multimodal intersection the registry lacked): documents arrive as
+    a file stream, each micro-batch is wrapped in a REAL lossless-webp
+    container (attach_webp_media — the m22 corpus prep, running
+    stateless inside the stream), docs with doc_id % 37 == 0 are
+    deterministically TRUNCATED to half their container bytes (the
+    m16/m13 planted-damage convention), and every payload is PARSED
+    by the strict Python decode gate (container_integrity — the
+    round-13 tier rule keeps the lenient native path out of gates in
+    code). Verdict counts and recovered-pixel mass roll up per status
+    in complete mode (two bounded keys, tiny state, no watermark).
+
+    The oracle models the verdicts arithmetically: an intact VP8L
+    container always parses to exactly w*ceil(n/w) pixels, and a
+    half-truncation ALWAYS cuts inside the VP8L chunk (the RIFF
+    header + tag alone exceed half of any container our encoder
+    emits), so the decoder's chunk-extent check quarantines it —
+    'corrupt' iff planted, px mass only from survivors.
+
+    Scale shape: encode, damage, and decode are stateless per-batch
+    Arrow/codegen stages; the only streaming state is the two-row
+    status rollup. At 100 TB this is the continuous-crawl ingest
+    shape: decode-validate at the door, quarantine before anything
+    downstream pays for a corrupt payload."""
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_webp_media,
+        container_integrity,
+    )
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    docs = read_document_stream(t._spark, t._sf_dir)
+    media = attach_webp_media(docs)
+    damaged = media.filter(F.col("media").isNotNull()).withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
+        ).otherwise(F.col("media")),
+    )
+    gate = container_integrity(damaged).filter(F.col("status") != "empty")
+    agg = (
+        gate.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("status") == "ok", F.col("n_px")).otherwise(0))
+            .cast("long")
+            .alias("total_px"),
+        )
+    )
+    return run_to_memory_table(agg, "media_gate", "complete").orderBy("status")
