@@ -115,13 +115,20 @@ def test_jpeg_progressive_eob_refinement_bulk_skip():
         out += entropy
     out += b"\xff\xd9"
 
-    t0 = time.process_time()  # CPU time: immune to box load
+    t0 = time.process_time()  # CPU time: immune to QUEUING delay
     got = mm.decode_jpeg(bytes(out))
     elapsed = time.process_time() - t0
     # no DC scan and no AC coefficients: the frame is flat mid-gray
     assert got.shape == (w * h,)
     assert int(got.min()) == int(got.max()) == 128
-    assert elapsed < 10.0, f"refinement EOB walk took {elapsed:.1f}s CPU"
+    # The guard discriminates "bulk-skip broken" (a per-block Python
+    # walk: minutes) from "bulk-skip working" (seconds) — it is NOT a
+    # tight perf pin. CPU time is immune to run-queue delay but NOT to
+    # frequency scaling: round 13 measured the warm path at 3.7-5.3 s
+    # and a cold first-run on a thermally-loaded box at 17-25 s CPU —
+    # the same binary seconds apart — so a 10 s bound flaked on box
+    # state while a broken bulk-skip still overshoots 30 s by 4x+.
+    assert elapsed < 30.0, f"refinement EOB walk took {elapsed:.1f}s CPU"
 
 
 def test_jpeg_progressive_refinement_still_bit_exact():
