@@ -94,8 +94,9 @@ _DECODE_SCHEMA = StructType(
 #
 # decode_* are real struct/byte parsers — no Pillow, no fakes. PNG,
 # JPEG (baseline/progressive/lossless), GIF, TIFF, WAV, and lossless
-# webp (operators/vp8l.py) all have real entropy codecs; lossy VP8 is
-# the remaining documented non-goal (WEBP.md).
+# webp (operators/vp8l.py) all have real entropy codecs; lossy VP8
+# and the exotic JPEG processes (arithmetic-coded, hierarchical)
+# remain documented non-goals (WEBP.md; the module docstring above).
 # --------------------------------------------------------------------
 
 

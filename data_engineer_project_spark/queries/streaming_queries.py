@@ -2080,11 +2080,10 @@ def s25_stream_cluster_maintenance(t):
 
 # ---------------- s26: streaming media-ingest integrity gate (r13)
 
-_S26_UTF8_BYTES = """flatten(list_transform(list_filter(string_split(text, ''), ch -> ch != ''), ch ->
-    CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
-         WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
-         WHEN unicode(ch) < 65536 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
-         ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64] END))"""
+# The oracle's codepoint->UTF-8 byte expansion is the SAME arithmetic
+# the m-family oracles use; import the shared constant so the two can
+# never silently diverge (r13 advice).
+from .multimodal_queries import _UTF8_BYTES as _S26_UTF8_BYTES
 
 
 @query(

@@ -28,14 +28,35 @@ import data_engineer_project_spark.operators.native_codec as nc
 # ---------------------------------------------------------------- gate
 
 
-def test_registry_gate_prefix_draws_stale_q_and_regated_hq_rows():
-    """r12 verdict items 3+5: the driver's 50-slot sample must surface
-    (a) the 13 TPC-H q-rows whose only driver green is round 1 and
-    (b) >= 10 of the hq rows regated at round 13 (their last green was
-    round 4, eight rounds of shared-machinery churn ago)."""
-    from data_engineer_project_spark.queries import QUERIES
+def test_registry_gate_prefix_draws_stale_q_and_regated_hq_rows(tmp_path):
+    """r12 verdict items 3+5: given the evidence state the round-13
+    gate ran against (rounds 1-12 only), the 50-slot prefix must
+    surface (a) the 13 TPC-H q-rows whose only driver green was round
+    1 and (b) >= 10 of the hq rows regated at round 13 (their last
+    green was round 4, eight rounds of shared-machinery churn ago).
 
-    first50 = list(QUERIES)[:50]
+    Ranked against a FROZEN r1-r12 snapshot copied to a tmp dir — the
+    original version of this test ranked the LIVE repo root, so the
+    moment the driver's own CORRECTNESS_r13.json landed (re-greening
+    exactly these rows, the designed outcome) the staleness ranking
+    rotated past them and the assertion broke (r13 verdict item 1).
+    The snapshot files are committed and immutable, so this pin stays
+    valid no matter how many future evidence files land."""
+    import shutil
+    from pathlib import Path
+
+    from data_engineer_project_spark.queries import (
+        QUERIES,
+        _green_counts_both,
+        rank_names,
+    )
+
+    repo_root = Path(__file__).resolve().parents[1]
+    for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        if int(f.stem.split("_r")[-1]) <= 12:
+            shutil.copy(f, tmp_path / f.name)
+    eff, hist, last = _green_counts_both(repo_root=tmp_path)
+    first50 = rank_names(sorted(QUERIES), eff, hist, last)[:50]
     q_rows = [n for n in first50 if n[0] == "q"]
     hq_rows = [n for n in first50 if n.startswith("hq")]
     assert len(q_rows) == 13, q_rows
