@@ -55,6 +55,14 @@ def attach_media(documents: DataFrame) -> DataFrame:
     Stands in for reading real blobs: payload bytes are the UTF-8 text
     ("pixels"), dimensions derive deterministically from doc_id. All
     JVM-side expressions — no Python in this hot path.
+
+    Deliberately NOT behind fanout_small_scan (A/B-measured round 14,
+    BASELINE.md): unlike the real-codec attach paths, the downstream
+    fake-decode Arrow stages are microseconds per payload, so the
+    guarded exchange costs more than the parallelism buys (m02
+    idle min-of-6: 0.573 s without vs 0.809 s with; m10 a wash).
+    The fan-out guard stays where per-payload work is multi-ms
+    (attach_real_media / attach_webp_media).
     """
     n_bytes = F.octet_length(F.col("text"))
     width = (F.lit(16) + F.col("doc_id") % 48).cast("int")

@@ -190,6 +190,17 @@ _REGATE_ROUND.update(
         "m21_native_container_decode": 13,
     }
 )
+# -- round 14 --
+# No new regates: the r13 verdict's item-4 follow-up (extend
+# fanout_small_scan to the FAKE-payload attach_media path) was
+# A/B-measured and REVERTED — the fake-decode Arrow stages are
+# microseconds per payload, so the guarded exchange cost more than
+# the parallelism bought (m02 idle min-of-6 0.573 s without vs
+# 0.809 s with; m10 a wash). Negative result recorded in BASELINE.md
+# so later rounds don't retry it; the executing plans are unchanged,
+# so no consumer regates and the r14 gate drains the round-3 backlog
+# (m06 + the p rows + the remaining q rows) as the r13 verdict
+# item 5 prescribes.
 # The 24 hq rows below were last driver-greened in ROUND 4; eight
 # rounds of shared-machinery churn (fixture plumbing, oracle helpers,
 # plan-capture hooks) sat between that green and today's code, and at

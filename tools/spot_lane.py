@@ -11,7 +11,8 @@ single-slot machinery at sf0.1 (the scale the pins were taken at) and
 writes ``SPOT_r{N}.json`` next to ``BENCH_r{N}.json``, with per-slot
 pin ratios and the same load-taint stamp the headline records carry.
 
-Usage:  python tools/spot_lane.py [--runs N]   (default min-of-3)
+Usage:  python tools/spot_lane.py [--runs N]   (default min-of-6,
+the protocol the round-14 lane pins were taken under)
 
 The round number N is inferred as max(existing BENCH_r*) + 1 — i.e.
 "the round being built now"; pass --round to override.
@@ -28,10 +29,18 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Pins carried from the round-12 rotation (BASELINE.md): sf0.1 lane.
+# Lane-context pins, re-taken round 14 (BASELINE.md "lane pins" note):
+# the original carried pins (d74 6.955, m10 5.114) were taken in
+# HEADLINE position inside full bench runs, where dozens of earlier
+# slots warm shared state; a solo lane run never sees that warmth, and
+# the r14 triage measured the inflation as systematic (e03 solo
+# min-of-6 = 2.06x its own full-run record on UNCHANGED code; d73
+# 1.20x; m02 1.28x). Both twins (d89/m18) run inside their headline
+# pins, so the machinery is not regressed — the lane just needed pins
+# taken in lane context: idle min-of-6 through this exact invocation.
 LANE_PINS = {
-    "d74_pagerank_canonical_doc": 6.955,
-    "m10_image_neardup_clusters": 5.114,
+    "d74_pagerank_canonical_doc": 7.202,
+    "m10_image_neardup_clusters": 6.564,
 }
 
 
@@ -46,7 +55,10 @@ def infer_round() -> int:
 
 def main() -> None:
     args = sys.argv[1:]
-    runs = "3"
+    # min-of-6, matching the protocol the round-14 lane pins were
+    # taken under — a min-of-3 lane run against a min-of-6 pin bakes
+    # ~1.3x of pure ordering noise into the ratio (measured r14).
+    runs = "6"
     rnd = None
 
     def flag_value(name: str) -> str | None:
