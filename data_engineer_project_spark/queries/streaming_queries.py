@@ -2158,3 +2158,118 @@ def s26_stream_media_integrity_gate(t):
         )
     )
     return run_to_memory_table(agg, "media_gate", "complete").orderBy("status")
+
+
+# ------- s27: append-mode per-window quarantine rates (round 14)
+
+
+@query(
+    "s27_stream_media_quarantine_rate",
+    f"""
+    WITH bl AS (
+      SELECT doc_id, {_S26_UTF8_BYTES} AS b FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(b) AS n,
+             CAST(16 + doc_id % 48 AS BIGINT) AS w,
+             CAST(doc_id % 720 AS BIGINT) AS mins,
+             CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS bad
+      FROM bl WHERE len(b) > 0
+    ),
+    mx AS (SELECT MAX(mins) AS mm FROM m),
+    agg AS (
+      SELECT CAST(mins // 60 AS BIGINT) AS window_no,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(bad) AS BIGINT) AS n_quarantined,
+             CAST(SUM(bad) AS DOUBLE) / COUNT(*) AS quarantine_rate,
+             CAST(SUM(CASE WHEN bad = 1 THEN 0
+                           ELSE w * CAST(ceil(n / w) AS BIGINT) END)
+                  AS BIGINT) AS ok_px
+      FROM m GROUP BY 1
+    )
+    SELECT window_no, n_docs, n_quarantined, quarantine_rate, ok_px
+    FROM agg, mx
+    WHERE 60 * (window_no + 1) <= mm - 60
+    ORDER BY window_no
+    """,
+    tags=("streaming", "multimodal", "quality", "watermark"),
+)
+def s27_stream_media_quarantine_rate(t):
+    """Append-mode twin of s26 — the shape a CONTINUOUS crawl monitor
+    actually runs (r13 verdict item 8): same front door (real VP8L
+    containers via attach_webp_media, doc_id % 37 half-truncation, the
+    strict Python container_integrity gate), but instead of a two-row
+    complete-mode rollup, verdicts land in tumbling 1-hour event-time
+    windows under a 1-hour watermark and each window emits its
+    quarantine RATE exactly once, when the watermark proves it final
+    (s12's append contract: emitted set = windows with window_end <=
+    max(ts) - delay; the newest windows are withheld, which is the
+    proof the watermark ran).
+
+    Ingest time is a pure function of doc_id (minute offset
+    doc_id % 720 from a fixed epoch), derived AFTER the codec Arrow
+    stages — so the watermark column exists at the aggregation even
+    though mapInPandas schemas don't carry it, and the oracle's
+    emission cutoff reduces to closed-form integer arithmetic over
+    the non-empty docs (no timestamps in the output schema, no
+    timezone coupling anywhere). The rate is the same IEEE double
+    division on both engines (count arithmetic, hash-stable).
+
+    Scale shape: encode/damage/decode remain stateless per-batch
+    Arrow stages; streaming state is one row per OPEN window (bounded
+    by the watermark horizon, independent of stream length), and each
+    closed window is emitted exactly once to the sink — the
+    production monitor writes these rows to a durable alerting table.
+    """
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_webp_media,
+        container_integrity,
+    )
+    from data_engineer_project_spark.streaming import (
+        read_document_stream,
+        run_to_memory_table,
+    )
+
+    _EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC, on an hour boundary
+
+    docs = read_document_stream(t._spark, t._sf_dir)
+    media = attach_webp_media(docs)
+    damaged = media.filter(F.col("media").isNotNull()).withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
+        ).otherwise(F.col("media")),
+    )
+    gate = container_integrity(damaged).filter(F.col("status") != "empty")
+    timed = gate.withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(_EPOCH) + (F.col("doc_id") % 720) * 60),
+    )
+    agg = (
+        timed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
+            .cast("long")
+            .alias("n_quarantined"),
+            F.sum(F.when(F.col("status") == "ok", F.col("n_px")).otherwise(0))
+            .cast("long")
+            .alias("ok_px"),
+        )
+        .select(
+            ((F.unix_timestamp(F.col("w.start")) - F.lit(_EPOCH)) / 3600)
+            .cast("long")
+            .alias("window_no"),
+            "n_docs",
+            "n_quarantined",
+            (F.col("n_quarantined").cast("double") / F.col("n_docs")).alias(
+                "quarantine_rate"
+            ),
+            "ok_px",
+        )
+    )
+    return run_to_memory_table(
+        agg, "media_quarantine_rate", "append"
+    ).orderBy("window_no")

@@ -819,3 +819,118 @@ def test_s22_manifest_multibatch_equals_batch_and_prefix_exact(
         a[1] += h(f"{cols['doc_id'][i]}:{cols['n_chars'][i]}", 4)
     for sh, (pay, idc) in pp.items():
         assert got[sh][2] == pay and got[sh][3] == idc
+
+
+def _s27_expected(spark, docs_df):
+    """Closed-form expectation for s27 over an arbitrary documents
+    DataFrame: per-window doc/quarantine counts over non-empty docs,
+    emitted only where the 1-hour watermark proves the window final
+    (window_end <= max(minute offset) - 60)."""
+    m = (
+        docs_df.filter(F.octet_length("text") > 0)
+        .select(
+            (F.col("doc_id") % 720).alias("mins"),
+            F.when(F.col("doc_id") % 37 == 0, 1).otherwise(0).alias("bad"),
+        )
+    )
+    mm = m.agg(F.max("mins")).collect()[0][0]
+    rows = (
+        m.groupBy((F.col("mins") / 60).cast("long").alias("window_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bad").alias("n_quarantined"),
+        )
+        .filter(60 * (F.col("window_no") + 1) <= mm - 60)
+        .orderBy("window_no")
+        .collect()
+    )
+    return [(r.window_no, r.n_docs, r.n_quarantined) for r in rows]
+
+
+def test_s27_withholds_unfinal_windows(spark):
+    """The append contract is only proven if the newest windows are
+    MISSING: a complete-mode run would emit every window, so the gap
+    between 'all windows with data' and 'emitted windows' is the
+    watermark's signature. Counts per emitted window must match the
+    closed-form expectation exactly."""
+    from data_engineer_project_spark.queries import QUERIES
+
+    got = [
+        (r.window_no, r.n_docs, r.n_quarantined)
+        for r in QUERIES["s27_stream_media_quarantine_rate"].fn(spark, SF).collect()
+    ]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = _s27_expected(spark, docs)
+    assert got == expected and len(got) > 0
+    # the withheld tail exists: at least one window with data did NOT emit
+    all_windows = (
+        docs.filter(F.octet_length("text") > 0)
+        .select(((F.col("doc_id") % 720) / 60).cast("long").alias("w"))
+        .distinct()
+        .count()
+    )
+    assert len(got) < all_windows
+
+
+def test_s27_multibatch_in_order_equals_single_batch(spark, tmp_path):
+    """Two in-order micro-batches (low minute offsets, then high) must
+    finalize exactly the same window set as the one-batch run: the
+    watermark advances across batches and the no-data flush closes the
+    same frontier. Pins cross-batch state merge for the quarantine
+    windows (the s12 late-row test pins the drop side of the same
+    machinery)."""
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_webp_media,
+        container_integrity,
+    )
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    offs = [d % 720 for d in tbl["doc_id"].to_pylist()]
+    lo = tbl.filter(pa.array([o < 300 for o in offs]))
+    hi = tbl.filter(pa.array([o >= 300 for o in offs]))
+    d = tmp_path / "doc_parts"
+    d.mkdir()
+    for i, part in enumerate((lo, hi)):
+        p = d / f"part-{i:03d}.parquet"
+        pq.write_table(part, p)
+        os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    docs = read_document_stream(spark, str(d), glob="*.parquet", max_files_per_trigger=1)
+    media = attach_webp_media(docs)
+    damaged = media.filter(F.col("media").isNotNull()).withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
+        ).otherwise(F.col("media")),
+    )
+    gate = container_integrity(damaged).filter(F.col("status") != "empty")
+    timed = gate.withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("doc_id") % 720) * 60),
+    )
+    agg = (
+        timed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
+            .cast("long")
+            .alias("n_quarantined"),
+        )
+        .select(
+            ((F.unix_timestamp(F.col("w.start")) - F.lit(1704067200)) / 3600)
+            .cast("long")
+            .alias("window_no"),
+            "n_docs",
+            "n_quarantined",
+        )
+    )
+    out = run_to_memory_table(agg, "s27_multibatch", "append")
+    got = [
+        (r.window_no, r.n_docs, r.n_quarantined)
+        for r in out.orderBy("window_no").collect()
+    ]
+    expected = _s27_expected(spark, spark.read.parquet(f"{SF}/documents.parquet"))
+    assert got == expected
