@@ -586,3 +586,260 @@ def test_wav_peek_last_fmt_wins_like_decode_wav():
     except (RuntimeError, ValueError):
         out = None
     assert out is None
+
+
+# ----------------- round-14 combinatorial vectors (r13 verdict #6):
+# meta-prefix x color-cache x transform-order compositions the
+# single-mechanism vectors above cannot catch.
+
+
+def test_vector_cache_is_global_across_meta_groups():
+    """The color cache is ONE per entropy image, shared by every meta
+    prefix group (spec 5.2 — the cache sits outside the group array):
+    a pixel inserted by a group-0 literal must be retrievable by a
+    group-1 cache symbol in the next tile. A per-group cache would
+    decode tile 1 from an empty slot (pixel 0) instead."""
+    w, h = 8, 1
+    cache_bits = 4
+    px = 0xFF000000 | (10 << 16) | (20 << 8) | 30
+    idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+    cache_sym = 256 + 24 + idx
+    alphabet = 256 + 24 + (1 << cache_bits)
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)  # no transforms
+    bw.lsb(1, 1)  # cache present (read before the meta flag)
+    bw.lsb(cache_bits, 4)
+    bw.lsb(1, 1)  # meta prefix present
+    bw.lsb(0, 3)  # prefix_bits = 2 -> 4px tiles -> meta image 2x1
+    _emit_literal_image(
+        bw, [0xFF000000 | (0 << 8), 0xFF000000 | (1 << 8)], is_main=False
+    )
+    # group 0: literal green 20 + the cache symbol
+    g0 = _emit_prefix_code(bw, {20: 1, cache_sym: 1}, alphabet)
+    _emit_prefix_code(bw, {10: 1}, 256)
+    _emit_prefix_code(bw, {30: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 40)
+    # group 1: ONLY the cache symbol (single-symbol code, zero data
+    # bits) — it can only produce the right pixel via the shared cache
+    _emit_prefix_code(bw, {cache_sym: 1}, alphabet)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 40)
+    bw.code(*g0[20])  # tile-0 literal -> inserts px into the cache
+    for _ in range(3):
+        bw.code(*g0[cache_sym])
+    # tile 1: four zero-bit group-1 cache reads
+    flat, _, _, gray = decode_vp8l(_vp8l_payload(bw))
+    assert not gray
+    assert [tuple(p) for p in _argb_of(flat, w)] == [(10, 20, 30)] * 8
+
+
+def test_vector_lz77_copies_insert_into_cache():
+    """Every decoded pixel inserts into the color cache, INCLUDING
+    pixels produced by LZ77 copies (spec 4.2.3). Discriminating
+    vector: two literals whose pixels collide on the same 1-bit cache
+    slot (A then B, so the slot holds B), then a length-1 copy of A,
+    then a cache reference — the reference must yield A (the copy
+    re-inserted it), not the stale B a literals-only insertion policy
+    would leave."""
+    cache_bits = 1
+
+    def slot(green):
+        p = 0xFF000000 | (green << 8)
+        return ((0x1E35A7BD * p) & 0xFFFFFFFF) >> (32 - cache_bits), p
+
+    ga, gb = next(
+        (a, b)
+        for a in range(1, 256)
+        for b in range(a + 1, 256)
+        if slot(a)[0] == slot(b)[0]
+    )
+    idx = slot(ga)[0]
+    cache_sym = 256 + 24 + idx
+    alphabet = 256 + 24 + (1 << cache_bits)
+    w, h = 4, 1
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)  # no transforms
+    bw.lsb(1, 1)  # cache
+    bw.lsb(cache_bits, 4)
+    bw.lsb(0, 1)  # no meta
+    codes_g = _emit_prefix_code(
+        bw, {ga: 2, gb: 2, 256: 2, cache_sym: 2}, alphabet
+    )
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    codes_d = _emit_prefix_code(bw, {4: 1}, 40)  # prefix 4 + 1 extra
+    bw.code(*codes_g[ga])  # cache[idx] = A
+    bw.code(*codes_g[gb])  # cache[idx] = B (collision overwrite)
+    bw.code(*codes_g[256])  # length prefix 0 -> length 1
+    bw.code(*codes_d[4])
+    bw.lsb(1, 1)  # extra -> dist_code 6 -> map[5] = (2,0) -> dist 2
+    from data_engineer_project_spark.operators.vp8l import _DIST_MAP
+
+    assert _DIST_MAP[5] == (2, 0)
+    bw.code(*codes_g[cache_sym])  # must see A again, not B
+    flat, _, _, _ = decode_vp8l(_vp8l_payload(bw))
+    greens = [p[1] for p in _argb_of(flat, w)]
+    assert greens == [ga, gb, ga, ga]
+
+
+def test_vector_predictor_then_subtract_green_inversion_order():
+    """Transform COMPOSITION pin: a stream reading [PREDICTOR,
+    SUBTRACT_GREEN] must invert subtract-green FIRST, then the
+    predictor (reverse read order, spec 3) — and the predictor's
+    mode lookup only applies off the first row/column (edge pixels
+    use fixed L/T/black predictors). Expected pixels hand-computed
+    from the spec definitions."""
+    w, h = 2, 2
+    stored = [
+        (0x00, 5, 10, 20),  # (a, r, g, b) residuals as stored
+        (0x00, 1, 2, 3),
+        (0x00, 7, 0, 9),
+        (0x00, 100, 200, 50),
+    ]
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(1, 1)
+    bw.lsb(0, 2)  # predictor transform (read FIRST -> inverted LAST)
+    bw.lsb(0, 3)  # size_bits 2 -> one 4x4 tile covers the image
+    _emit_literal_image(bw, [0xFF000000 | (0 << 8)], is_main=False)  # mode 0
+    bw.lsb(1, 1)
+    bw.lsb(2, 2)  # subtract green (read SECOND -> inverted FIRST)
+    bw.lsb(0, 1)  # end of transforms
+    _emit_literal_image(
+        bw,
+        [(a << 24) | (r << 16) | (g << 8) | b for a, r, g, b in stored],
+        is_main=True,
+    )
+    # hand inversion: SG first (r+=g, b+=g mod 256) ...
+    sg = [
+        (a, (r + g) & 0xFF, g, (b + g) & 0xFF) for a, r, g, b in stored
+    ]
+    # ... then predictor: p00 += black, p01 += L, p10 += T, p11 += mode 0
+    def add(p, q):
+        return tuple((x + y) & 0xFF for x, y in zip(p, q))
+
+    black = (0xFF, 0, 0, 0)
+    p00 = add(sg[0], black)
+    p01 = add(sg[1], p00)
+    p10 = add(sg[2], p00)
+    p11 = add(sg[3], black)
+    expected = [p[1:] for p in (p00, p01, p10, p11)]  # drop alpha
+    flat, _, _, gray = decode_vp8l(_vp8l_payload(bw))
+    assert not gray
+    assert [tuple(p) for p in _argb_of(flat, w)] == expected
+
+
+def test_vector_meta_group_switch_after_tile_crossing_copy():
+    """An LZ77 copy that starts in tile 0 and runs INTO tile 1 does
+    not consult the meta image mid-copy — but the very next symbol
+    is read with the group of the pixel position the copy advanced
+    to. Group 1's only literal is a different green, so a decoder
+    that fails to re-derive the group after a copy produces the
+    wrong tail pixel (or errors)."""
+    w, h = 8, 1
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)  # no transforms
+    bw.lsb(0, 1)  # no cache
+    bw.lsb(1, 1)  # meta prefix present
+    bw.lsb(0, 3)  # prefix_bits 2 -> 4px tiles -> meta 2x1
+    _emit_literal_image(
+        bw, [0xFF000000 | (0 << 8), 0xFF000000 | (1 << 8)], is_main=False
+    )
+    # group 0: literal 7 + length symbol 260 (prefix 4 -> 5 or 6)
+    g0 = _emit_prefix_code(bw, {7: 1, 260: 1}, 280)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    d0 = _emit_prefix_code(bw, {1: 1}, 40)  # dist prefix 1 -> value 2
+    # group 1: single literal 9
+    _emit_prefix_code(bw, {9: 1}, 280)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 40)
+    bw.code(*g0[7])  # pos 0
+    bw.code(*g0[260])
+    bw.lsb(1, 1)  # extra -> length 6
+    bw.code(*d0[1])  # dist_code 2 -> map[1] = (1,0) -> dist 1
+    # copy fills pos 1..6 (crossing the tile boundary at pos 4);
+    # pos 7 is group 1's zero-bit literal 9
+    flat, _, _, _ = decode_vp8l(_vp8l_payload(bw))
+    greens = [p[1] for p in _argb_of(flat, w)]
+    assert greens == [7] * 7 + [9]
+
+
+def test_vector_linear_distance_beyond_map():
+    """Distance codes above 120 bypass the 2D map: dist = code - 120
+    (spec 4.2.2). Code 122 (prefix 13, five extra bits = 25) must
+    resolve to plain linear distance 2."""
+    w, h = 3, 1
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(0, 1)
+    bw.lsb(0, 1)
+    bw.lsb(0, 1)
+    codes_g = _emit_prefix_code(bw, {40: 1, 50: 2, 256: 2}, 280)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    codes_d = _emit_prefix_code(bw, {13: 1}, 40)
+    bw.code(*codes_g[40])
+    bw.code(*codes_g[50])
+    bw.code(*codes_g[256])  # length 1
+    bw.code(*codes_d[13])
+    bw.lsb(25, 5)  # value = 96 + 25 + 1 = 122 -> dist 2
+    flat, _, _, _ = decode_vp8l(_vp8l_payload(bw))
+    greens = [p[1] for p in _argb_of(flat, w)]
+    assert greens == [40, 50, 40]
+
+
+def test_vector_cache_hits_inside_packed_palette_image():
+    """Color cache x color indexing: the cache operates on the PACKED
+    entropy-image pixels (pre-expansion), and with a gray palette as
+    the only transform the gray collapse still applies. One literal
+    packed byte + one cache hit expand to two identical 8-pixel
+    index runs."""
+    w, h = 16, 1
+    cache_bits = 4
+    packed_byte = sum(((i % 2) << i) for i in range(8))  # 0b10101010
+    packed_px = 0xFF000000 | (packed_byte << 8)
+    idx = ((0x1E35A7BD * packed_px) & 0xFFFFFFFF) >> (32 - cache_bits)
+    cache_sym = 256 + 24 + idx
+    alphabet = 256 + 24 + (1 << cache_bits)
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.lsb(1, 1)
+    bw.lsb(3, 2)  # color indexing
+    bw.lsb(1, 8)  # 2 colors -> width_bits 3 -> 8 px per packed byte
+    # gray palette {10, 20} as deltas
+    _emit_literal_image(
+        bw,
+        [(0xFF << 24) | (10 << 16) | (10 << 8) | 10,
+         (10 << 16) | (10 << 8) | 10],
+        is_main=False,
+    )
+    bw.lsb(0, 1)  # end of transforms
+    # main (packed 2x1) image WITH a cache
+    bw.lsb(1, 1)
+    bw.lsb(cache_bits, 4)
+    bw.lsb(0, 1)  # no meta
+    codes_g = _emit_prefix_code(
+        bw, {packed_byte: 1, cache_sym: 1}, alphabet
+    )
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 256)
+    _emit_prefix_code(bw, {0xFF: 1}, 256)
+    _emit_prefix_code(bw, {0: 1}, 40)
+    bw.code(*codes_g[packed_byte])
+    bw.code(*codes_g[cache_sym])
+    flat, dw, dh, gray = decode_vp8l(_vp8l_payload(bw))
+    assert (dw, dh) == (w, h)
+    assert gray, "gray palette as last inverse must still collapse"
+    assert list(flat) == [10, 20] * 8
