@@ -175,6 +175,13 @@ BENCH_QUERIES = [
     # the JDK sidecar CANNOT serve (no ImageIO webp reader), i.e. the
     # pure-Python entropy floor the deployment note prices against.
     "m22_webp_lossless_decode",
+    # r14 addition: the append-mode streaming media gate — VP8L
+    # encode/damage/decode Arrow stages feeding a WATERMARKED tumbling
+    # window whose rows emit exactly once when final; times the
+    # stateful streaming-over-codec shape (state store + no-data flush
+    # + event-time eviction) that s01 (plain tumbling counts) and the
+    # batch m-slots don't cover — the continuous crawl-monitor cost.
+    "s27_stream_media_quarantine_rate",
 ]
 
 # Diagnostic spot-check lane (round-12 rotation, declared in the r11

@@ -191,7 +191,14 @@ _REGATE_ROUND.update(
     }
 )
 # -- round 14 --
-# No new regates: the r13 verdict's item-4 follow-up (extend
+# The streaming media gates now ride the source-size-guarded stream
+# fan-out (fanout_small_stream — a micro-batch inherits the file
+# source's single split, so the VP8L codec Arrow stages ran on one
+# of 32 cores; measured: s27 10.33 s -> 4.56 s in headline context).
+# s26's executing plan gained the exchange, so it regates per the
+# round-9/13 precedent; s27 is round-14-new (no prior green).
+_REGATE_ROUND.update({"s26_stream_media_integrity_gate": 14})
+# Otherwise no regates: the r13 verdict's item-4 follow-up (extend
 # fanout_small_scan to the FAKE-payload attach_media path) was
 # A/B-measured and REVERTED — the fake-decode Arrow stages are
 # microseconds per payload, so the guarded exchange cost more than

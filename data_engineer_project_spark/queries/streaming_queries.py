@@ -13,6 +13,8 @@ covered by tests/test_streaming.py with a controlled multi-file input.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -2135,10 +2137,14 @@ def s26_stream_media_integrity_gate(t):
     from data_engineer_project_spark.operators.multimodal import (
         attach_webp_media,
         container_integrity,
+        fanout_small_stream,
     )
     from data_engineer_project_spark.streaming import read_document_stream
 
-    docs = read_document_stream(t._spark, t._sf_dir)
+    docs = fanout_small_stream(
+        read_document_stream(t._spark, t._sf_dir),
+        os.path.join(t._sf_dir, "documents.parquet"),
+    )
     media = attach_webp_media(docs)
     damaged = media.filter(F.col("media").isNotNull()).withColumn(
         "media",
@@ -2224,6 +2230,7 @@ def s27_stream_media_quarantine_rate(t):
     from data_engineer_project_spark.operators.multimodal import (
         attach_webp_media,
         container_integrity,
+        fanout_small_stream,
     )
     from data_engineer_project_spark.streaming import (
         read_document_stream,
@@ -2232,7 +2239,10 @@ def s27_stream_media_quarantine_rate(t):
 
     _EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC, on an hour boundary
 
-    docs = read_document_stream(t._spark, t._sf_dir)
+    docs = fanout_small_stream(
+        read_document_stream(t._spark, t._sf_dir),
+        os.path.join(t._sf_dir, "documents.parquet"),
+    )
     media = attach_webp_media(docs)
     damaged = media.filter(F.col("media").isNotNull()).withColumn(
         "media",

@@ -934,3 +934,34 @@ def test_s27_multibatch_in_order_equals_single_batch(spark, tmp_path):
     ]
     expected = _s27_expected(spark, spark.read.parquet(f"{SF}/documents.parquet"))
     assert got == expected
+
+
+def test_fanout_small_stream_guard_decisions(spark, tmp_path, monkeypatch):
+    """The streaming fan-out guard decides from SOURCE file sizes
+    (streams can't be introspected): a single sub-split parquet fires
+    the repartition; a source estimated at >= default-parallelism
+    splits passes through untouched (the 100 TB no-op contract); a
+    batch frame delegates to the introspecting batch guard."""
+    from data_engineer_project_spark.operators import multimodal as mm
+    from data_engineer_project_spark.streaming import read_document_stream
+
+    src = f"{SF}/documents.parquet"
+    stream = read_document_stream(spark, SF)
+    # tiny flat file -> fires: the returned frame is a new plan node
+    fanned = mm.fanout_small_stream(stream, src)
+    assert fanned is not stream
+    assert fanned.isStreaming
+    # shrink the split size so the same file estimates >= cores splits
+    monkeypatch.setattr(
+        spark.conf, "get", lambda k, d=None: "1k", raising=False
+    )
+    assert mm.fanout_small_stream(stream, src) is stream
+    # missing source -> conservative pass-through
+    assert (
+        mm.fanout_small_stream(stream, str(tmp_path / "nope.parquet"))
+        is stream
+    )
+    # batch frames route through the batch guard (introspection path)
+    batch = spark.read.parquet(src)
+    out = mm.fanout_small_stream(batch, src)
+    assert not out.isStreaming
