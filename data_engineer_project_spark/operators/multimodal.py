@@ -3016,7 +3016,9 @@ def fanout_small_scan(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-def fanout_small_stream(df: DataFrame, source_path: str) -> DataFrame:
+def fanout_small_stream(
+    df: DataFrame, source_path: str, glob: str = "*.parquet"
+) -> DataFrame:
     """Streaming sibling of ``fanout_small_scan`` (round 14): a
     micro-batch inherits the FILE SOURCE's split count, and a stream
     DataFrame can't be introspected (``df.rdd`` is illegal), so the
@@ -3035,28 +3037,50 @@ def fanout_small_stream(df: DataFrame, source_path: str) -> DataFrame:
     if not df.isStreaming:
         return fanout_small_scan(df)
     spark = df.sparkSession
+
+    def conf_bytes(key: str, default: int) -> int:
+        raw = spark.conf.get(key, str(default))
+        try:
+            # Spark's own parser handles every suffix form it accepts
+            # ("128m", "1t", "134217728b", ...): anything less loses
+            # silently when an operator tunes the conf (r14 review).
+            return int(
+                spark.sparkContext._jvm.org.apache.spark.network.util
+                .JavaUtils.byteStringAsBytes(raw)
+            )
+        except Exception:
+            return int(default)
+
     try:
         import glob as _glob
         import os as _os
 
         target = spark.sparkContext.defaultParallelism
-        raw = spark.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728"
-        ).strip().lower().removesuffix("b")
-        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1:], 1)
-        max_split = int(raw.rstrip("kmg") or "134217728") * mult
+        max_part = conf_bytes("spark.sql.files.maxPartitionBytes", 134217728)
+        open_cost = conf_bytes("spark.sql.files.openCostInBytes", 4194304)
         if _os.path.isdir(source_path):
-            files = _glob.glob(_os.path.join(source_path, "**", "*.parquet"),
+            # size only the files the stream's glob filter matches —
+            # the sf dir holds OTHER tables' parquet too
+            files = _glob.glob(_os.path.join(source_path, "**", glob),
                                recursive=True)
         else:
             files = [source_path]
         sizes = [_os.path.getsize(f) for f in files if _os.path.exists(f)]
         if not sizes:
             return df
-        est_splits = sum(-(-s // max_split) for s in sizes)
+        # Mirror Spark's FilePartition math, not a naive size/128MB:
+        # the scan SHRINKS its split size toward bytes-per-core for
+        # mid-size sources (a 200 MB file on 32 cores already arrives
+        # ~32-way), so estimating with maxPartitionBytes alone would
+        # bolt a redundant full-stream exchange onto sources that are
+        # not split-starved (r14 review finding).
+        total = sum(sizes) + open_cost * len(sizes)
+        bytes_per_core = total // target
+        max_split = min(max_part, max(open_cost, bytes_per_core))
+        est_parts = -(-total // max_split)
     except Exception:
         return df
-    if est_splits >= target:
+    if est_parts >= target:
         return df
     return df.repartition(target)
 

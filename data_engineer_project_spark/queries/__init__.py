@@ -251,7 +251,7 @@ _REGATE_ROUND.update(
 )
 
 
-def _green_counts_both(repo_root=None):
+def _green_counts_both(repo_root=None, cutoffs=None):
     """One pass over every CORRECTNESS_r*.json under ``repo_root``
     (default: this repo's root) producing BOTH tallies rank_names
     needs: (effective, historical, last_green). ``effective`` ignores
@@ -266,7 +266,10 @@ def _green_counts_both(repo_root=None):
     row the driver has not re-proved for the longest ranks first, so
     a query green only in round 1 outranks one re-greened last round
     instead of losing the tie on family rank forever. Pure given a
-    root — tests exercise future-round shapes via a tmp dir."""
+    root — tests exercise future-round shapes via a tmp dir; pass
+    ``cutoffs`` ({name: round}) to freeze the contract/regate view as
+    of a past round instead of reading the live tables (the r14 fix
+    for historical-prefix pins)."""
     effective: dict[str, int] = {}
     historical: dict[str, int] = {}
     last_green: dict[str, int] = {}
@@ -305,10 +308,16 @@ def _green_counts_both(repo_root=None):
             if not ok:
                 continue
             historical[name] = historical.get(name, 0) + 1
-            if file_round >= max(
-                _CONTRACT_CHANGED_ROUND.get(name, 0),
-                _REGATE_ROUND.get(name, 0),
-            ):
+            cutoff = (
+                cutoffs.get(name, 0)
+                if cutoffs is not None
+                # live view: the current contract/regate tables
+                else max(
+                    _CONTRACT_CHANGED_ROUND.get(name, 0),
+                    _REGATE_ROUND.get(name, 0),
+                )
+            )
+            if file_round >= cutoff:
                 effective[name] = effective.get(name, 0) + 1
                 if file_round > last_green.get(name, 0):
                     last_green[name] = file_round

@@ -13,8 +13,6 @@ covered by tests/test_streaming.py with a controlled multi-file input.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -2088,6 +2086,72 @@ def s25_stream_cluster_maintenance(t):
 from .multimodal_queries import _UTF8_BYTES as _S26_UTF8_BYTES
 
 
+def _media_gate_verdicts(docs):
+    """Shared front door of the streaming media gates (s26/s27 and
+    their tests): wrap each document's bytes in a real VP8L container,
+    TRUNCATE every doc_id % 37 == 0 payload to half its container
+    bytes (the m16/m13 planted-damage convention — always cuts inside
+    the VP8L chunk, so the strict parser quarantines it), parse with
+    the Python integrity gate, and drop the empty-payload rows. One
+    definition so the queries and the cross-batch pytest drive the
+    SAME pipeline (r14 review: an inline copy in the test would keep
+    passing after a constant drifts in the query)."""
+    from data_engineer_project_spark.operators.multimodal import (
+        attach_webp_media,
+        container_integrity,
+    )
+
+    media = attach_webp_media(docs)
+    damaged = media.filter(F.col("media").isNotNull()).withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
+        ).otherwise(F.col("media")),
+    )
+    return container_integrity(damaged).filter(F.col("status") != "empty")
+
+
+_S27_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC, on an hour boundary
+
+
+def s27_windowed_rates(docs):
+    """The s27 pipeline from the docs stream to the windowed-rate
+    aggregate (shared with the cross-batch pytest): gate verdicts,
+    synthetic minute-offset event time (pure function of doc_id,
+    derived AFTER the codec Arrow stages so the watermark column
+    exists at the aggregation), 1-hour tumbling windows under a
+    1-hour watermark, per-window quarantine counts and rate."""
+    timed = _media_gate_verdicts(docs).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(_S27_EPOCH) + (F.col("doc_id") % 720) * 60),
+    )
+    return (
+        timed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
+            .cast("long")
+            .alias("n_quarantined"),
+            F.sum(F.when(F.col("status") == "ok", F.col("n_px")).otherwise(0))
+            .cast("long")
+            .alias("ok_px"),
+        )
+        .select(
+            ((F.unix_timestamp(F.col("w.start")) - F.lit(_S27_EPOCH)) / 3600)
+            .cast("long")
+            .alias("window_no"),
+            "n_docs",
+            "n_quarantined",
+            (F.col("n_quarantined").cast("double") / F.col("n_docs")).alias(
+                "quarantine_rate"
+            ),
+            "ok_px",
+        )
+    )
+
+
 @query(
     "s26_stream_media_integrity_gate",
     f"""
@@ -2134,26 +2198,10 @@ def s26_stream_media_integrity_gate(t):
     status rollup. At 100 TB this is the continuous-crawl ingest
     shape: decode-validate at the door, quarantine before anything
     downstream pays for a corrupt payload."""
-    from data_engineer_project_spark.operators.multimodal import (
-        attach_webp_media,
-        container_integrity,
-        fanout_small_stream,
-    )
     from data_engineer_project_spark.streaming import read_document_stream
 
-    docs = fanout_small_stream(
-        read_document_stream(t._spark, t._sf_dir),
-        os.path.join(t._sf_dir, "documents.parquet"),
-    )
-    media = attach_webp_media(docs)
-    damaged = media.filter(F.col("media").isNotNull()).withColumn(
-        "media",
-        F.when(
-            F.col("doc_id") % 37 == 0,
-            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
-        ).otherwise(F.col("media")),
-    )
-    gate = container_integrity(damaged).filter(F.col("status") != "empty")
+    docs = read_document_stream(t._spark, t._sf_dir, fanout_small=True)
+    gate = _media_gate_verdicts(docs)
     agg = (
         gate.groupBy("status")
         .agg(
@@ -2227,59 +2275,12 @@ def s27_stream_media_quarantine_rate(t):
     closed window is emitted exactly once to the sink — the
     production monitor writes these rows to a durable alerting table.
     """
-    from data_engineer_project_spark.operators.multimodal import (
-        attach_webp_media,
-        container_integrity,
-        fanout_small_stream,
-    )
     from data_engineer_project_spark.streaming import (
         read_document_stream,
         run_to_memory_table,
     )
 
-    _EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC, on an hour boundary
-
-    docs = fanout_small_stream(
-        read_document_stream(t._spark, t._sf_dir),
-        os.path.join(t._sf_dir, "documents.parquet"),
-    )
-    media = attach_webp_media(docs)
-    damaged = media.filter(F.col("media").isNotNull()).withColumn(
-        "media",
-        F.when(
-            F.col("doc_id") % 37 == 0,
-            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
-        ).otherwise(F.col("media")),
-    )
-    gate = container_integrity(damaged).filter(F.col("status") != "empty")
-    timed = gate.withColumn(
-        "ts",
-        F.timestamp_seconds(F.lit(_EPOCH) + (F.col("doc_id") % 720) * 60),
-    )
-    agg = (
-        timed.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
-            .cast("long")
-            .alias("n_quarantined"),
-            F.sum(F.when(F.col("status") == "ok", F.col("n_px")).otherwise(0))
-            .cast("long")
-            .alias("ok_px"),
-        )
-        .select(
-            ((F.unix_timestamp(F.col("w.start")) - F.lit(_EPOCH)) / 3600)
-            .cast("long")
-            .alias("window_no"),
-            "n_docs",
-            "n_quarantined",
-            (F.col("n_quarantined").cast("double") / F.col("n_docs")).alias(
-                "quarantine_rate"
-            ),
-            "ok_px",
-        )
-    )
+    docs = read_document_stream(t._spark, t._sf_dir, fanout_small=True)
     return run_to_memory_table(
-        agg, "media_quarantine_rate", "append"
+        s27_windowed_rates(docs), "media_quarantine_rate", "append"
     ).orderBy("window_no")

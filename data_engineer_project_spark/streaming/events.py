@@ -80,6 +80,7 @@ def read_document_stream(
     path: str,
     glob: str = "documents.parquet",
     max_files_per_trigger: int | None = None,
+    fanout_small: bool = False,
 ) -> DataFrame:
     """Open the documents table as a stream (file source) — the intake
     side of a continuously-ingesting training-data pipeline: new
@@ -135,7 +136,21 @@ def read_document_stream(
     reader = spark.readStream.schema(DOC_RAW_SCHEMA).option("pathGlobFilter", eff_glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(target)
+    stream = reader.parquet(target)
+    if fanout_small:
+        # Codec consumers (multi-ms-per-payload Python stages) opt in
+        # HERE, where the resolved source layout (flat file vs
+        # directory fallback) is known — wiring the guard per call
+        # site is how the next streaming codec query silently
+        # re-creates the single-core shape (r14 review). Cheap
+        # fake-decode consumers must NOT set this: the exchange costs
+        # more than it buys there (BASELINE.md round-14 negative A/B).
+        from data_engineer_project_spark.operators.multimodal import (
+            fanout_small_stream,
+        )
+
+        stream = fanout_small_stream(stream, target, eff_glob)
+    return stream
 
 
 def read_event_stream(

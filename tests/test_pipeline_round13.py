@@ -16,6 +16,7 @@ tier; the fuzz test here pins that envelope.
 
 from __future__ import annotations
 
+import json
 import struct
 
 import numpy as np
@@ -35,28 +36,46 @@ def test_registry_gate_prefix_draws_stale_q_and_regated_hq_rows(tmp_path):
     1 and (b) >= 10 of the hq rows regated at round 13 (their last
     green was round 4, eight rounds of shared-machinery churn ago).
 
-    Ranked against a FROZEN r1-r12 snapshot copied to a tmp dir — the
-    original version of this test ranked the LIVE repo root, so the
-    moment the driver's own CORRECTNESS_r13.json landed (re-greening
-    exactly these rows, the designed outcome) the staleness ranking
-    rotated past them and the assertion broke (r13 verdict item 1).
-    The snapshot files are committed and immutable, so this pin stays
-    valid no matter how many future evidence files land."""
+    EVERY ranking input is frozen as of the r13 gate: the evidence
+    files (an r1-r12 snapshot in a tmp dir — committed, immutable),
+    the name universe (the queries those files record — the live
+    registry grows every round), and the contract/regate cutoffs
+    (entries <= 13 only — later rounds add regates that would
+    otherwise rotate new zero-effective rows ahead of the q block).
+    The original version ranked the LIVE repo root and broke the
+    moment CORRECTNESS_r13.json landed; the first fix froze only the
+    evidence files and would have broken on ordinary catalog growth
+    (r14 review: the 13th q-row sat at slot 47 of 50)."""
     import shutil
     from pathlib import Path
 
     from data_engineer_project_spark.queries import (
-        QUERIES,
+        _CONTRACT_CHANGED_ROUND,
+        _REGATE_ROUND,
         _green_counts_both,
         rank_names,
     )
 
     repo_root = Path(__file__).resolve().parents[1]
+    names: set[str] = set()
     for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         if int(f.stem.split("_r")[-1]) <= 12:
             shutil.copy(f, tmp_path / f.name)
-    eff, hist, last = _green_counts_both(repo_root=tmp_path)
-    first50 = rank_names(sorted(QUERIES), eff, hist, last)[:50]
+            names.update(json.loads(f.read_text()))
+    frozen_cutoffs = {
+        n: r
+        for n in names
+        if (
+            r := max(
+                _CONTRACT_CHANGED_ROUND.get(n, 0), _REGATE_ROUND.get(n, 0)
+            )
+        )
+        <= 13
+    }
+    eff, hist, last = _green_counts_both(
+        repo_root=tmp_path, cutoffs=frozen_cutoffs
+    )
+    first50 = rank_names(sorted(names), eff, hist, last)[:50]
     q_rows = [n for n in first50 if n[0] == "q"]
     hq_rows = [n for n in first50 if n.startswith("hq")]
     assert len(q_rows) == 13, q_rows

@@ -878,10 +878,10 @@ def test_s27_multibatch_in_order_equals_single_batch(spark, tmp_path):
     watermark advances across batches and the no-data flush closes the
     same frontier. Pins cross-batch state merge for the quarantine
     windows (the s12 late-row test pins the drop side of the same
-    machinery)."""
-    from data_engineer_project_spark.operators.multimodal import (
-        attach_webp_media,
-        container_integrity,
+    machinery). Drives the SHARED s27 pipeline builder, not an inline
+    copy, so the pin tracks the shipped query."""
+    from data_engineer_project_spark.queries.streaming_queries import (
+        s27_windowed_rates,
     )
     from data_engineer_project_spark.streaming import read_document_stream
 
@@ -897,37 +897,9 @@ def test_s27_multibatch_in_order_equals_single_batch(spark, tmp_path):
         os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
 
     docs = read_document_stream(spark, str(d), glob="*.parquet", max_files_per_trigger=1)
-    media = attach_webp_media(docs)
-    damaged = media.filter(F.col("media").isNotNull()).withColumn(
-        "media",
-        F.when(
-            F.col("doc_id") % 37 == 0,
-            F.expr("substring(media, 1, cast(n_bytes div 2 as int))"),
-        ).otherwise(F.col("media")),
+    out = run_to_memory_table(
+        s27_windowed_rates(docs), "s27_multibatch", "append"
     )
-    gate = container_integrity(damaged).filter(F.col("status") != "empty")
-    timed = gate.withColumn(
-        "ts",
-        F.timestamp_seconds(F.lit(1704067200) + (F.col("doc_id") % 720) * 60),
-    )
-    agg = (
-        timed.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
-            .cast("long")
-            .alias("n_quarantined"),
-        )
-        .select(
-            ((F.unix_timestamp(F.col("w.start")) - F.lit(1704067200)) / 3600)
-            .cast("long")
-            .alias("window_no"),
-            "n_docs",
-            "n_quarantined",
-        )
-    )
-    out = run_to_memory_table(agg, "s27_multibatch", "append")
     got = [
         (r.window_no, r.n_docs, r.n_quarantined)
         for r in out.orderBy("window_no").collect()
