@@ -937,3 +937,58 @@ def test_fanout_small_stream_guard_decisions(spark, tmp_path, monkeypatch):
     batch = spark.read.parquet(src)
     out = mm.fanout_small_stream(batch, src)
     assert not out.isStreaming
+
+
+def test_fanout_stream_estimator_tracks_spark_partitioning(spark, tmp_path):
+    """The guard's split estimate mirrors Spark's FilePartition math
+    (min(maxPartitionBytes, max(openCost, bytesPerCore))) — validated
+    against the ACTUAL partition count of a batch scan over the same
+    files, in BOTH regimes the guard distinguishes: split-starved
+    (estimate and Spark below the core count -> the fan-out fires)
+    and healthily-split (both at/above -> the guard is a no-op; the
+    r14 review's failure band was re-shuffling sources Spark already
+    delivers cores-way)."""
+    import glob as g
+    import os as o
+
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.range(0, 20000).select(
+        SF.col("id").alias("doc_id"),
+        SF.repeat(SF.lit("x"), 200).alias("text"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    sizes = [
+        o.path.getsize(f)
+        for f in g.glob(str(src / "**" / "*.parquet"), recursive=True)
+    ]
+    target = spark.sparkContext.defaultParallelism
+
+    def estimate(max_part, open_cost):
+        total = sum(sizes) + open_cost * len(sizes)
+        max_split = min(max_part, max(open_cost, total // target))
+        return -(-total // max_split)
+
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        for max_part, open_cost, starved in (
+            # defaults: one ~80 KB file is a single split, starved
+            (134217728, 4194304, True),
+            # shrunk splits: Spark delivers >= cores partitions
+            (2048, 1024, False),
+        ):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_part))
+            spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+            actual = spark.read.parquet(str(src)).rdd.getNumPartitions()
+            est = estimate(max_part, open_cost)
+            # the guard only consumes which SIDE of the threshold the
+            # source falls on — estimator and engine must agree there
+            assert (est >= target) == (actual >= target), (
+                max_part, open_cost, est, actual, target
+            )
+            assert (actual < target) == starved, (actual, target, starved)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
