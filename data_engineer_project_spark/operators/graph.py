@@ -21,6 +21,20 @@ out anyway RAISES rather than returning unconverged labels.
 The driver-side loop only checks a scalar convergence checksum per
 round; all data movement is distributed. ``localCheckpoint`` truncates
 the lineage each round so the plan does not grow with iterations.
+
+Shuffle layout (r14, guide §2.4): the undirected edge set is
+hash-partitioned by ``e_src`` ONCE, up front, and persisted that way.
+Every round's neighbor join then reuses that partitioning — only the
+node-sized label table moves per round — where the previous layout
+(partitioned by (e_src, e_dst) as a side effect of ``distinct``)
+re-exchanged the whole edge set inside EVERY round. The dedup still
+costs exactly one exchange: ``repartition(e_src)`` followed by
+``dropDuplicates([e_src, e_dst])`` plans the aggregate WITHOUT its own
+exchange because hash(e_src) already clusters equal (e_src, e_dst)
+rows. Callers whose pair set is distinct with src < dst by
+construction (verified near-dup pairs) pass ``pairs_unique=True`` and
+skip the dedup aggregate entirely — the mirrored union of such pairs
+cannot contain duplicates.
 """
 
 from __future__ import annotations
@@ -37,57 +51,41 @@ from data_engineer_project_spark.operators import plancap
 # docstring. Overwritten per call; no extra Spark actions.
 LAST_RUN_STATS: dict = {}
 
+_INTEGRAL_ID_TYPES = ("byte", "short", "integer", "long", "decimal")
 
-def connected_components(
-    pairs: DataFrame,
-    src: str = "doc_a",
-    dst: str = "doc_b",
-    max_iter: int = 20,
+
+def connected_components_from_edges(
+    und: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Label every node that appears in ``pairs`` with the minimum node
-    id of its connected component. Returns (node, component).
+    """Min-label propagation over a PREBUILT undirected edge set —
+    the shared-exchange entry point for callers that already hold the
+    mirrored edge table for their own use (d89/d74 reuse it across
+    the PageRank rounds, so building it twice would double the edge
+    materialization).
 
-    Only nodes present in at least one edge are labeled (singletons
-    trivially form their own component and are cheap to union back in
-    if needed).
+    ``und`` must have columns ``e_src``/``e_dst`` with BOTH directions
+    of every edge present and no duplicate rows; it should be
+    persisted by the caller (it is read every round; this function
+    never unpersists it) and ideally hash-partitioned by ``e_src`` so
+    the per-round neighbor join adds no edge-set exchange. Returns
+    (node, component).
     """
-    # The convergence probe sums labels as decimal; a non-numeric id
-    # type would cast to NULL, make every checksum None, and stop the
-    # loop after one round with wrong components. Enforce the contract
-    # instead of silently mislabeling (string ids: map to dense ints
-    # first, e.g. xxhash64 or a zipWithIndex-style dimension).
-    for col in (src, dst):
-        id_type = pairs.schema[col].dataType.typeName()
-        if id_type not in ("byte", "short", "integer", "long", "decimal"):
+    for col in ("e_src", "e_dst"):
+        id_type = und.schema[col].dataType.typeName()
+        if id_type not in _INTEGRAL_ID_TYPES:
             raise ValueError(
                 f"connected_components requires integral node ids, got "
                 f"{id_type} for {col!r}"
             )
-    # The undirected union scans ``pairs`` TWICE in one materialization
-    # — persist it through the union so expensive upstream pair plans
-    # (banded LSH with the skew-guard grid, Jaccard verification)
-    # compute once, then release the handle: ``und`` is the persisted
-    # edge set every round actually reads.
-    lvl = pairs.storageLevel
-    caller_cached = lvl.useMemory or lvl.useDisk
-    # plan-audit hook: the pair-generation pipeline (banded LSH,
-    # verify joins, skew-guard grid) is consumed HERE, inside the
+    # plan-audit hook: the edge pipeline is consumed HERE, inside the
     # loop-at-build operator, so this is where its plan is visible
-    plancap.grab("cc input pair join", pairs)
-    pairs_c = pairs if caller_cached else pairs.persist()
-    fwd = pairs_c.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-    und = fwd.union(
-        pairs_c.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
-    ).distinct().persist()
+    plancap.grab("cc input pair join", und)
 
+    # und is partitioned by e_src, so this distinct plans with no
+    # fresh exchange (hash(e_src) already clusters equal nodes).
     labels = und.select(F.col("e_src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     ).localCheckpoint()
-    # labels' eager checkpoint materialized und (and filled its cache);
-    # the raw pair set is no longer needed (callers who persisted it
-    # themselves keep their own handle)
-    if not caller_cached:
-        pairs_c.unpersist()
 
     def _checksum(df: DataFrame) -> int:
         # exact decimal sum: labels only ever decrease, so the total is
@@ -138,7 +136,6 @@ def connected_components(
             break
         prev = cur
 
-    und.unpersist()
     LAST_RUN_STATS.clear()
     LAST_RUN_STATS.update({"rounds": rounds, "converged": converged})
     if not converged:
@@ -148,3 +145,60 @@ def connected_components(
             "raise max_iter"
         )
     return labels.select("node", F.col("comp").alias("component"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+    pairs_unique: bool = False,
+) -> DataFrame:
+    """Label every node that appears in ``pairs`` with the minimum node
+    id of its connected component. Returns (node, component).
+
+    Only nodes present in at least one edge are labeled (singletons
+    trivially form their own component and are cheap to union back in
+    if needed).
+
+    ``pairs_unique=True`` asserts the caller's pair set has no
+    duplicate rows and ``src < dst`` on every row — then the mirrored
+    union is distinct by construction and the dedup aggregate is
+    skipped (performance only; duplicate edges would not change the
+    labels, just the per-round cost).
+    """
+    # The convergence probe sums labels as decimal; a non-numeric id
+    # type would cast to NULL, make every checksum None, and stop the
+    # loop after one round with wrong components. Enforce the contract
+    # instead of silently mislabeling (string ids: map to dense ints
+    # first, e.g. xxhash64 or a zipWithIndex-style dimension).
+    for col in (src, dst):
+        id_type = pairs.schema[col].dataType.typeName()
+        if id_type not in _INTEGRAL_ID_TYPES:
+            raise ValueError(
+                f"connected_components requires integral node ids, got "
+                f"{id_type} for {col!r}"
+            )
+    # The undirected union scans ``pairs`` TWICE in one materialization
+    # — persist it through the union so expensive upstream pair plans
+    # (banded LSH with the skew-guard grid, Jaccard verification)
+    # compute once, then release the handle: ``und`` is the persisted
+    # edge set every round actually reads.
+    lvl = pairs.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    plancap.grab("cc input pair join", pairs)
+    pairs_c = pairs if caller_cached else pairs.persist()
+    fwd = pairs_c.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    und = fwd.union(
+        pairs_c.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+    ).repartition(F.col("e_src"))
+    if not pairs_unique:
+        und = und.dropDuplicates(["e_src", "e_dst"])
+    und = und.persist()
+    try:
+        labels = connected_components_from_edges(und, max_iter)
+    finally:
+        und.unpersist()
+        if not caller_cached:
+            pairs_c.unpersist()
+    return labels

@@ -7214,15 +7214,18 @@ def d74_pagerank_canonical_doc(t):
     (exact-dup collapse first, measured at 100x). No driver state at
     all — the loop is fully relational, executed once at the final
     action."""
-    pairs = tracked_persist(
-        DD.minhash_lsh_pairs(
-            t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
-        ).select("doc_a", "doc_b")
-    )
+    # Same r14 layout as d89 (the production twin): checkpoint the
+    # verified pair set (truncates the LSH lineage out of every
+    # downstream plan), build ONE e_src-partitioned undirected edge
+    # set, and share it between the PR rounds and CC — per round only
+    # the node-sized rank table shuffles (guide §2.4).
+    pairs = DD.minhash_lsh_pairs(
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b").localCheckpoint()
     edges = tracked_persist(
-        pairs.selectExpr("doc_a AS e_src", "doc_b AS e_dst").union(
-            pairs.selectExpr("doc_b AS e_src", "doc_a AS e_dst")
-        )
+        pairs.selectExpr("doc_a AS e_src", "doc_b AS e_dst")
+        .union(pairs.selectExpr("doc_b AS e_src", "doc_a AS e_dst"))
+        .repartition(F.col("e_src"))
     )
     deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = (
@@ -7243,7 +7246,7 @@ def d74_pagerank_canonical_doc(t):
                 ).cast("long").alias("r"),
             )
         )
-    comps = GR.connected_components(pairs)
+    comps = GR.connected_components_from_edges(edges)
     pick = F.max(F.struct(F.col("r"), (-F.col("node")).alias("i")))
     return (
         comps.join(ranks, "node")
@@ -10074,15 +10077,28 @@ def d89_weighted_pagerank_canonical(t):
         )
         .select("doc_id", "text", "wt")
     )
-    pairs = tracked_persist(
-        DD.minhash_lsh_pairs(
-            reps, num_hashes=8, bands=4, jaccard_threshold=0.5
-        ).select("doc_a", "doc_b")
-    )
+    # localCheckpoint, not persist (r14, guide §3.3/§2.4): the verified
+    # pair set is consumed by BOTH PageRank edge building and CC, and
+    # every downstream round re-references it — a persist leaves the
+    # full LSH+verify lineage in every consumer's plan (the composed
+    # rollup plan printed 4.1 MB and re-planned per job); the eager
+    # checkpoint truncates it to a leaf. The pair materialization
+    # itself moves here from CC's first action — same work, done once.
+    pairs = DD.minhash_lsh_pairs(
+        reps, num_hashes=8, bands=4, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b").localCheckpoint()
+    # ONE undirected edge set, hash-partitioned by e_src and shared by
+    # the PR rounds AND connected components (guide §2.4: two
+    # operations keyed the same way share one exchange): each rank
+    # round's edge join reuses this partitioning, so only the
+    # node-sized rank table shuffles per round — previously the edge
+    # set itself was re-exchanged inside every round. Pairs are
+    # verified-unique with doc_a < doc_b, so the mirrored union is
+    # distinct by construction (the CC contract).
     edges = tracked_persist(
-        pairs.selectExpr("doc_a AS e_src", "doc_b AS e_dst").union(
-            pairs.selectExpr("doc_b AS e_src", "doc_a AS e_dst")
-        )
+        pairs.selectExpr("doc_a AS e_src", "doc_b AS e_dst")
+        .union(pairs.selectExpr("doc_b AS e_src", "doc_a AS e_dst"))
+        .repartition(F.col("e_src"))
     )
     deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
     nw = reps.select(F.col("doc_id").alias("node"), "wt")
@@ -10108,7 +10124,7 @@ def d89_weighted_pagerank_canonical(t):
                 + F.expr("(85 * inflow) div 100")
             ).cast("long").alias("r"),
         )
-    comps = GR.connected_components(pairs)
+    comps = GR.connected_components_from_edges(edges)
     pick = F.max(F.struct(F.col("r"), (-F.col("node")).alias("i")))
     return (
         comps.join(ranks, "node")
