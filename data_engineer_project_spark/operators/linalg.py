@@ -195,6 +195,137 @@ def quantize_embeddings(
     )
 
 
+def dense_dot(qv, direction: list[int]):
+    """Exact int64 dot of an array<long> column with a Python integer
+    direction, as a zip_with/aggregate fold over ONE array literal —
+    the codegen-stable form (a complex-type literal becomes a
+    reference object in generated code, so re-invoking with a new
+    direction reuses the compiled stage)."""
+    return F.aggregate(
+        F.zip_with(qv, F.lit([int(x) for x in direction]), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_vectors(
+    emb: DataFrame,
+    quant: float = 1024.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, qv array<long>): the ARRAY form of
+    ``quantize_embeddings`` — same per-element floor(x * quant)
+    quantization, kept as one row per vector so the dense
+    power-iteration path can run shuffle-free (see
+    ``power_iteration_dense``)."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(quant))).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+
+
+def power_iteration_dense(
+    qa: DataFrame,
+    rounds: int = 3,
+    vscale: float = 128.0,
+) -> tuple[dict[int, int], list[tuple[int, int]]]:
+    """Power iteration on the ARRAY-form quantized corpus ``qa``
+    (vec_id, qv array<long>) — the one-job-per-round shape (r14,
+    guide §2.4): the direction enters the plan as ONE array literal
+    (codegen renders complex-type literals as reference objects, so
+    the generated code — and the compiled-class cache hit — is
+    identical every round), each row computes its own s_i = q_i · v
+    as an integer zip_with fold, and y = Σ_i q_i s_i is a posexplode
+    + d-group aggregate whose partial agg reduces each task to ≤ d
+    rows before the (tiny) exchange. Per round: one job, one scan of
+    the cached corpus, zero joins, zero driver createDataFrame
+    round-trips (the exploded form paid two join+groupBy passes and
+    a py4j direction upload per round). A/B note: inlining the
+    direction as d SCALAR literals instead recompiles the stage per
+    round (integer literals embed in the source) and a d-column
+    total aggregate compiles a pathological agg class — both
+    measured slower than this shape. Every sum is exact int64, so v
+    and the Rayleigh ingredients are BIT-IDENTICAL to
+    :func:`power_iteration` — pinned by test.
+
+    Same contract otherwise: returns (direction {pos: int},
+    [(num_k, vv_k)] per round), raises on int64-headroom exhaustion
+    and on a vanished y. ``qa`` should be persisted by the caller."""
+    import math
+
+    setup = qa.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("qv")).alias("dmin"),
+        F.max(F.size("qv")).alias("dmax"),
+        F.max(F.array_max(F.transform(F.col("qv"), F.abs))).alias("maxq"),
+    ).first()
+    n = setup["n"]
+    if not n:
+        raise ValueError(
+            "power_iteration: empty corpus has no principal direction"
+        )
+    if setup["dmin"] != setup["dmax"]:
+        raise ValueError(
+            "power_iteration_dense: ragged embedding dimensions "
+            f"({setup['dmin']} .. {setup['dmax']})"
+        )
+    d = setup["dmax"]
+    maxq = setup["maxq"] or 0
+    if float(n) * maxq * d * maxq * vscale >= 2.0 ** 62:
+        raise ValueError(
+            f"power_iteration int64 headroom exhausted a priori"
+            f" (n={n}, max|q|={maxq}, d={d}):"
+            " lower the embedding quantization for this corpus size"
+        )
+    dims = list(range(1, d + 1))
+    v = {p: int(vscale) for p in dims}
+    stats: list[tuple[int, int]] = []
+    for _ in range(rounds):
+        s_expr = dense_dot(F.col("qv"), [v[p] for p in dims])
+        ydf = (
+            qa.select("qv", s_expr.alias("__s"))
+            .select(
+                F.posexplode(
+                    F.transform(F.col("qv"), lambda x: x * F.col("__s"))
+                ).alias("p0", "contrib")
+            )
+            .groupBy("p0")
+            .agg(F.sum("contrib").alias("y"))
+        )
+        if not stats:
+            # plan-audit hook: one representative round (array-literal
+            # direction fold + explode/d-group agg — no join)
+            plancap.grab("power-iteration round", ydf)
+        rows = {r["p0"] + 1: r["y"] for r in ydf.collect()}
+        if sum(abs(x) for x in rows.values()) * vscale >= 2.0 ** 62:
+            raise ValueError(
+                "power_iteration int64 headroom exhausted on sum(y*v):"
+                " lower the embedding quantization for this corpus size"
+            )
+        num = sum(rows[p] * v[p] for p in rows)
+        vv = sum(x * x for x in v.values())
+        stats.append((num, vv))
+        m = float(max(abs(x) for x in rows.values()))
+        if m == 0.0:
+            raise ValueError(
+                "power_iteration: y vanished (all quantized"
+                " coordinates are zero or the direction lies in the"
+                " null space); the corpus has no principal direction"
+                " at this quantization"
+            )
+        v = {
+            p: math.floor(float(rows[p]) * float(vscale) / m + 0.5)
+            for p in rows
+        }
+    return v, stats
+
+
 def power_iteration(
     q: DataFrame,
     rounds: int = 3,

@@ -4301,9 +4301,19 @@ def d56_end_to_end_curation(t):
     reuses (the d32/d45 metadata-count pattern)."""
     b = F.expr(_SPARK_BUCKET)
     docs = t.documents
-    # decontaminated train split (d55 machinery)
+    # decontaminated train split (d55 machinery). r14 (guide §2.4):
+    # every consumer of the cached shingle set keys by `shingle`
+    # (informative's groupBy, the shf join, the test×train overlap
+    # join), so cache it hash-partitioned by shingle — repartition +
+    # dropDuplicates dedups with no extra exchange (hash(shingle)
+    # already clusters equal (doc_id, shingle) rows) and the three
+    # downstream shingle-keyed exchanges all disappear. The old
+    # `.distinct()` cached by (doc_id, shingle), a layout nothing
+    # downstream could reuse.
     sh = tracked_persist(
-        DD.exploded_shingles(docs, "doc_id", "text", 3).distinct()
+        DD.exploded_shingles(docs, "doc_id", "text", 3)
+        .repartition(F.col("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
     )
     informative = (
         sh.groupBy("shingle")
@@ -7093,30 +7103,37 @@ def d73_power_iteration_top_pc(t):
     vector-keyed shuffle. Driver state is the direction, max|y|,
     and four scalars — bounded by dim, never by n. 100 TB: same
     plan, still 3 rounds."""
-    q = tracked_persist(LA.quantize_embeddings(t.embeddings, _PI_QUANT))
-    n = t.embeddings.count()
-    v, stats = LA.power_iteration(q, _PI_ROUNDS, _PI_VSCALE)
+    # r14 (guide §2.4): the ARRAY-form quantized corpus + dense rounds
+    # — one scan-and-aggregate job per round with the direction inlined
+    # as literals, no joins, no per-round createDataFrame round-trip
+    # (was: two join+groupBy passes per round over the exploded
+    # coordinate table). All-integer sums keep v/stats bit-identical
+    # to the exploded form (pinned in tests/test_pipeline_round7.py).
+    qa = tracked_persist(LA.quantized_vectors(t.embeddings, _PI_QUANT))
+    v, stats = LA.power_iteration_dense(qa, _PI_ROUNDS, _PI_VSCALE)
     spark = t._spark
-    vdir = spark.createDataFrame(
-        [(p, v[p]) for p in sorted(v)], "pos int, v long"
+    # Post-loop tail, same dense shape folded into ONE aggregate job:
+    # num_f = Σ_j y_j v_j = Σ_i s_i² (exact-integer algebra — s_i is
+    # the final-direction dot the yf CTE builds its y from), tr = Σ q²,
+    # and n — the oracle computes the identical BIGINTs via its
+    # sf/yf/nmf CTEs.
+    s_expr = LA.dense_dot(F.col("qv"), [v[p] for p in sorted(v)])
+    row_tr = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    s = (
-        q.join(F.broadcast(vdir), "pos")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("qv") * F.col("v")).alias("s"))
+    fin = (
+        qa.select(s_expr.alias("__s"), row_tr.alias("__t"))
+        .agg(
+            F.sum(F.col("__s") * F.col("__s")).alias("num_f"),
+            F.sum("__t").alias("tr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
     )
-    y = (
-        q.join(s, "vec_id")
-        .groupBy("pos")
-        .agg(F.sum(F.col("qv") * F.col("s")).alias("y"))
-    )
-    num_f = (
-        y.join(F.broadcast(vdir), "pos")
-        .agg(F.sum(F.col("y") * F.col("v")))
-        .collect()[0][0]
-    )
+    num_f, tr, n = fin["num_f"], fin["tr"], fin["n"]
     vv_f = sum(x * x for x in v.values())
-    tr = q.agg(F.sum(F.col("qv") * F.col("qv"))).collect()[0][0]
     rayleighs = [
         float(num) / (float(vv) * float(n)) for num, vv in stats
     ]
