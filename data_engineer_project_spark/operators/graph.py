@@ -83,9 +83,15 @@ def connected_components_from_edges(
 
     # und is partitioned by e_src, so this distinct plans with no
     # fresh exchange (hash(e_src) already clusters equal nodes).
+    # Checkpoints are LAZY (r14): the convergence checksum that
+    # follows every (re)labeling is the action that materializes the
+    # checkpoint, so each round runs ONE job instead of two (eager
+    # checkpoint + separate checksum collect) — at bench scale the
+    # loop is job-overhead-bound, and at cluster scale it halves the
+    # number of scheduling waves per round.
     labels = und.select(F.col("e_src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def _checksum(df: DataFrame) -> int:
         # exact decimal sum: labels only ever decrease, so the total is
@@ -129,7 +135,7 @@ def connected_components_from_edges(
             # so the captured plan is what every subsequent round pays
             # (round 1's plan would re-print the whole pair pipeline)
             plancap.grab("cc pointer-jump round", nxt_labels)
-        labels = nxt_labels.localCheckpoint()
+        labels = nxt_labels.localCheckpoint(eager=False)
         cur = _checksum(labels)
         if cur == prev:
             converged = True

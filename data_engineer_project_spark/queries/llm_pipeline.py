@@ -1235,7 +1235,7 @@ def d20_dedup_clusters(t):
     pairs = DD.minhash_lsh_pairs(
         t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
     )
-    comps = GR.connected_components(pairs)
+    comps = GR.connected_components(pairs, pairs_unique=True)
     return comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("canonical_doc"),
@@ -1534,7 +1534,7 @@ def d26_quality_survivor(t):
     pairs = DD.minhash_lsh_pairs(
         t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
     )
-    comps = GR.connected_components(pairs)
+    comps = GR.connected_components(pairs, pairs_unique=True)
     scored = comps.join(
         t.documents.select(
             F.col("doc_id").alias("node"), T.token_count("text").alias("n_words")
@@ -5753,7 +5753,7 @@ def d65_neardup_doc_clusters(t):
     pairs = DD.minhash_lsh_pairs(
         t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
     ).select("doc_a", "doc_b")
-    comps = GR.connected_components(pairs)
+    comps = GR.connected_components(pairs, pairs_unique=True)
     toks = t.documents.select(
         "doc_id", T.token_count("text").cast("long").alias("n_tokens")
     )
@@ -11634,7 +11634,7 @@ def d99_weighted_neardup_clusters(t):
     pairs = DD.minhash_lsh_pairs(
         reps, num_hashes=8, bands=4, jaccard_threshold=0.5
     ).select("doc_a", "doc_b")
-    comps = GR.connected_components(pairs)
+    comps = GR.connected_components(pairs, pairs_unique=True)
     singles = (
         reps.filter(F.col("wt") > 1)
         .join(comps.select(F.col("node")), reps.doc_id == F.col("node"), "left_anti")
@@ -12309,7 +12309,7 @@ def d101_incremental_cluster_merge(t):
             bands=_D100_NB,
             jaccard_threshold=0.5,
         ).select("doc_a", "doc_b")
-        comps = GR.connected_components(pairs)
+        comps = GR.connected_components(pairs, pairs_unique=True)
         sigc = DD.minhash_signatures(shc_b, id_col="node", num_hashes=_D100_NH)
         SIM.write_store_atomic(
             reps.select("fp", "node", "wt", T.token_count("text").alias("n_tok")),

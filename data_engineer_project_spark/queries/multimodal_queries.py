@@ -590,7 +590,7 @@ def m10_image_neardup_clusters(t):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, pairs_unique=True)
     labeled = (
         hg.join(comps, hg.rep == comps.node, "left")
         .withColumn("component", F.coalesce("component", "rep"))
@@ -1471,7 +1471,7 @@ def m18_image_neardup_verified(t):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, pairs_unique=True)
     singles = (
         reps.filter(F.col("n_docs") > 1)
         .join(comps.select("node"), reps.doc_id == F.col("node"), "left_anti")

@@ -2025,7 +2025,7 @@ def s25_stream_cluster_maintenance(t):
         "reps": reps.select(
             "fp", "node", "wt", T.token_count("text").alias("n_tok")
         ),
-        "comps": GR.connected_components(pairs).select("node", "component"),
+        "comps": GR.connected_components(pairs, pairs_unique=True).select("node", "component"),
         "sh": shc,
         "bands": DD.band_key_rows(
             sigc, id_col="node", num_hashes=_D100_NH, bands=_D100_NB
