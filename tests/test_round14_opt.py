@@ -12,6 +12,44 @@ from pyspark.sql import functions as F
 from data_engineer_project_spark.operators import linalg as LA
 
 
+def test_exact_jaccard_scores_are_exact(spark):
+    """exact_jaccard's verify joins must score every candidate pair
+    exactly against the distinct shingle sets — including docs that
+    appear only as doc_a, only as doc_b, or on both sides, with
+    non-candidate docs present in the shingle set. (Pinned while r14
+    A/B'd — and rejected as bench-slower — a semi-join pre-filter of
+    the verify sides; any future retry must keep this invariant.)"""
+    from data_engineer_project_spark.operators import dedup as DD
+
+    sh = spark.createDataFrame(
+        [
+            (1, "a b c"), (1, "b c d"), (1, "c d e"),
+            (2, "a b c"), (2, "b c d"), (2, "x y z"),
+            (3, "a b c"), (3, "p q r"),
+            (4, "only doc4"), (4, "never candidate"),
+            (5, "a b c"), (5, "b c d"), (5, "c d e"), (5, "q r s"),
+        ],
+        "doc_id long, shingle string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 5), (3, 5), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.exact_jaccard(cand, sh).collect()
+    }
+    # reference: brute-force python over the same distinct sets
+    rows = sh.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    for a, b in [(1, 2), (1, 5), (3, 5), (2, 3)]:
+        inter = len(sets[a] & sets[b])
+        ref = inter / (len(sets[a]) + len(sets[b]) - inter)
+        assert got[(a, b)] == ref, (a, b, got.get((a, b)), ref)
+    assert set(got) == {(1, 2), (1, 5), (3, 5), (2, 3)}
+
+
 def test_power_iteration_dense_matches_exploded_bitwise(spark):
     """The r14 dense (array-form, shuffle-free) power-iteration path
     must return the BIT-IDENTICAL direction and Rayleigh ingredients
