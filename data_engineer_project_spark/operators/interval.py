@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_engineer_project_spark.operators.fanout import fanout_small_scan
+
 _BUCKET = "__rj_bucket"
 
 
@@ -62,6 +64,14 @@ def range_join(
         )
     width_us = F.lit(_interval_to_us(bucket_width))
     keys = extra_keys or []
+
+    # The interval side is usually the probe side (the planner
+    # broadcasts whichever side is smaller), and a sub-split-size scan
+    # arrives as ONE partition — so explode + probe + residual +
+    # partial-agg all run on one core regardless of cluster size
+    # (guide §2.4/§6; the m22 shape). Guarded: a no-op at real split
+    # counts, so no shuffle is added at 100 TB.
+    intervals = fanout_small_scan(intervals)
 
     iv = intervals.withColumn(
         _BUCKET,

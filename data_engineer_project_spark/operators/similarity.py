@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_spark.functions.text import hyperplane
+from data_engineer_project_spark.operators.fanout import fanout_small_scan
 from data_engineer_project_spark.operators.topk import grouped_topk
 
 
@@ -81,7 +82,11 @@ def brute_force_topk(
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnrm"),
     )
-    c = corpus.select(
+    # Guarded fan-out (r14, guide §2.4/§6): the corpus is the probe
+    # side of the broadcast join, and a sub-split-size scan arrives as
+    # ONE partition — the per-pair cosine folds would run on one core.
+    # No-op at real split counts.
+    c = fanout_small_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnrm"),
@@ -896,6 +901,13 @@ def lsh_topk(
         "band",
         "bucket",
     )
+    # NOT fanned out (A/B-measured r14): fanout_small_scan(corpus) here
+    # read 2.40/2.51 s vs 2.17 s without, in matched in-group runs —
+    # the sig fold + probe work this would parallelize is small at
+    # bench scale, and the slot's real cost is interpreted-HOF
+    # evaluation (solo-alone d10 runs 7.4 s vs 2.5 s after sibling
+    # queries JIT-warm the HOF machinery). At 100 TB the guard would
+    # be a no-op anyway (thousands of splits).
     c = banded_lsh_sigs(
         corpus, corpus, num_bands, dim, id_col, vec_col, planes=planes
     ).select(

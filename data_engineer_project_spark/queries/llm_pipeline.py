@@ -280,7 +280,8 @@ def d07_dedup_minhash_lsh(t):
     candidate equi-join → relational Jaccard ≥ 0.5. No all-pairs step
     anywhere, so the plan survives corpus-scale fan-out."""
     return DD.minhash_lsh_pairs(
-        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5,
+        fanout=True,
     )
 
 
@@ -534,7 +535,9 @@ def d12_dedup_ngram_jaccard(t):
     index: docs sharing an informative shingle (document frequency ≤ 50
     and > 1) become candidates; Jaccard over those shingle sets. No
     approximation — the exact-tier complement of d07's MinHash."""
-    return DD.ngram_jaccard_pairs(t.documents, jaccard_threshold=0.5, max_df=50)
+    return DD.ngram_jaccard_pairs(
+        t.documents, jaccard_threshold=0.5, max_df=50, fanout=True
+    )
 
 
 def _cosine_near_dup_oracle(threshold: float = 0.4, dim: int = 64) -> str:
@@ -1233,7 +1236,8 @@ def d20_dedup_clusters(t):
     The oracle replays the propagation as a recursive CTE to fixpoint;
     both sides compute the same exact min-label result."""
     pairs = DD.minhash_lsh_pairs(
-        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5,
+        fanout=True,
     )
     comps = GR.connected_components(pairs, pairs_unique=True)
     return comps.groupBy("component").agg(
@@ -1532,7 +1536,8 @@ def d26_quality_survivor(t):
     argmax partitioned by component — no new shuffle surface beyond
     d20's."""
     pairs = DD.minhash_lsh_pairs(
-        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5,
+        fanout=True,
     )
     comps = GR.connected_components(pairs, pairs_unique=True)
     scored = comps.join(
@@ -2122,7 +2127,7 @@ def d34_containment_dedup(t):
     so pair generation stays corpus-linear; the exact-tier complement
     for snippet/quote subsumption."""
     return DD.containment_pairs(
-        t.documents, overlap_threshold=0.6, max_df=50
+        t.documents, overlap_threshold=0.6, max_df=50, fanout=True
     )
 
 
@@ -4311,7 +4316,7 @@ def d56_end_to_end_curation(t):
     # `.distinct()` cached by (doc_id, shingle), a layout nothing
     # downstream could reuse.
     sh = tracked_persist(
-        DD.exploded_shingles(docs, "doc_id", "text", 3)
+        DD.exploded_shingles(docs, "doc_id", "text", 3, fanout=True)
         .repartition(F.col("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
     )
@@ -5751,7 +5756,8 @@ def d65_neardup_doc_clusters(t):
     d99_weighted_neardup_clusters (exact-dup collapse first, measured
     flat at 100× duplication)."""
     pairs = DD.minhash_lsh_pairs(
-        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5,
+        fanout=True,
     ).select("doc_a", "doc_b")
     comps = GR.connected_components(pairs, pairs_unique=True)
     toks = t.documents.select(
@@ -7237,7 +7243,8 @@ def d74_pagerank_canonical_doc(t):
     # set, and share it between the PR rounds and CC — per round only
     # the node-sized rank table shuffles (guide §2.4).
     pairs = DD.minhash_lsh_pairs(
-        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5
+        t.documents, num_hashes=8, bands=4, jaccard_threshold=0.5,
+        fanout=True,
     ).select("doc_a", "doc_b").localCheckpoint()
     edges = tracked_persist(
         pairs.selectExpr("doc_a AS e_src", "doc_b AS e_dst")
@@ -11328,7 +11335,7 @@ def d96_dedup_threshold_calibration(t):
     (a x3 constant fan-out on the bounded pair set, never a rescan);
     removal/token rollups are small keyed folds. At 100 TB this query
     IS the nightly report next to the persisted shingle table."""
-    stats = DD.ngram_pair_stats(t.documents, max_df=50)
+    stats = DD.ngram_pair_stats(t.documents, max_df=50, fanout=True)
     cuts = F.explode(
         F.array(*[F.lit(c) for c in _D96_CUTS])
     ).alias("threshold_pct")
