@@ -109,3 +109,77 @@ def test_power_iteration_dense_recovers_planted_spike(spark):
     assert cos > 0.99, cos
     seq = [num / vv for num, vv in stats]
     assert seq[0] <= seq[1] <= seq[2]
+
+
+def test_shingle_fanout_optin_identical_rows_and_plan_shape(spark, tmp_path):
+    """The opt-in scan fan-out must change ONLY the physical layout:
+    exploded_shingles(fanout=True) over a single-split scan returns
+    exactly the rows of the unfanned form, and its plan carries the
+    guarded RoundRobin exchange while the unfanned plan does not.
+    On an input that already has >= defaultParallelism partitions the
+    guard must be a plan no-op (the 100 TB contract)."""
+    from data_engineer_project_spark.operators.dedup import exploded_shingles
+
+    p = str(tmp_path / "docs.parquet")
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} common tail") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+
+    plain = exploded_shingles(docs, fanout=False)
+    fanned = exploded_shingles(docs, fanout=True)
+    assert "roundrobinpartitioning" not in plain._jdf.queryExecution(
+    ).executedPlan().toString().lower()
+    assert "roundrobinpartitioning" in fanned._jdf.queryExecution(
+    ).executedPlan().toString().lower()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, fanned.collect())
+    )
+
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    noop = exploded_shingles(wide, fanout=True)
+    # the guard fires on partition COUNT, so the only RoundRobin in the
+    # plan is the caller's own repartition — same count as unfanned
+    assert noop._jdf.queryExecution().executedPlan().toString().lower().count(
+        "roundrobinpartitioning"
+    ) == exploded_shingles(wide, fanout=False)._jdf.queryExecution(
+    ).executedPlan().toString().lower().count("roundrobinpartitioning")
+
+
+def test_range_join_fans_single_split_interval_side(spark, tmp_path):
+    """range_join's interval side rides the guarded fan-out: the plan
+    over a single-split interval scan carries a RoundRobin exchange,
+    and the join result is unchanged row-for-row vs a prefanned input
+    (which the guard must leave alone)."""
+    import datetime as dt
+
+    from data_engineer_project_spark.operators.interval import range_join
+
+    base = dt.datetime(2031, 3, 1)
+    ivs = [
+        (i, base + dt.timedelta(minutes=90 * i),
+         base + dt.timedelta(minutes=90 * i + 60))
+        for i in range(8)
+    ]
+    pts = [
+        (j, base + dt.timedelta(minutes=7 * j), float(j))
+        for j in range(200)
+    ]
+    ip = str(tmp_path / "iv.parquet")
+    spark.createDataFrame(
+        ivs, "iv_id long, s timestamp, e timestamp"
+    ).coalesce(1).write.parquet(ip)
+    intervals = spark.read.parquet(ip)
+    points = spark.createDataFrame(pts, "pt_id long, ts timestamp, v double")
+
+    j = range_join(intervals, points, "s", "e", "ts", bucket_width="1 hour")
+    assert "roundrobinpartitioning" in j._jdf.queryExecution(
+    ).executedPlan().toString().lower()
+
+    prefanned = intervals.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    j2 = range_join(prefanned, points, "s", "e", "ts", bucket_width="1 hour")
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, j2.collect()))
