@@ -21,6 +21,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def estimated_source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s backing files, from a
+    driver-side listing only — zero Spark jobs, no ``df.rdd``
+    materialization hazard (the thing that made the r14 fan-outs
+    opt-in). Returns None when the frame has no file lineage (pure
+    in-memory fixtures, streams) or a file cannot be stat'ed, so
+    callers fall back to their small-input default.
+
+    This is the size signal for the r15 SIZE GATES (guide §1.2: the
+    right distributed algorithm depends on the data size, and at bench
+    scale the scale-shape layout can cost more than it saves — the
+    measured d12 repartition regression, the d99 semi-join prefilter
+    rejection). It deliberately measures the SOURCE, not the operator
+    input: a filtered frame reports its full source size, which for a
+    gate choosing between a small-corpus and a big-corpus plan shape
+    is the conservative side (a selective filter over a big source
+    takes the big-corpus shape; results are identical either way)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        path = unquote(parsed.path) if parsed.scheme else uri
+        try:
+            total += os.stat(path).st_size
+        except OSError:
+            return None
+    return total
+
+
 def fanout_small_scan(df: DataFrame) -> DataFrame:
     """Fan a SMALL scan out to the session's core count before a
     compute-bound Arrow stage. Scan parallelism tracks file splits,

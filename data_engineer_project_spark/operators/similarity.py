@@ -3,8 +3,9 @@
 Two paths:
 - brute-force cosine top-k — the exact baseline; a broadcast of the
   (small) query set against the corpus, ranked per query. Correct at
-  any corpus size: the corpus is never shuffled, scores reduce via a
-  per-query top-k window.
+  any corpus size: the corpus is never shuffled (except the guarded
+  opt-in ``fanout=True`` exchange for single-split scans, a no-op at
+  real split counts), scores reduce via a per-query top-k window.
 - sign-LSH bucketed ANN — the scale path: R deterministic ±1
   hyperplanes → R sign bits → bucket key; candidates equi-join on the
   bucket (hash shuffle), so cost is corpus-linear + per-bucket work.
@@ -67,11 +68,21 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fanout: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set over the corpus.
 
     Returns (query_id, neighbor_id, score). Self-matches excluded.
     Deterministic: ties broken by neighbor id.
+
+    ``fanout=True`` applies the guarded small-scan fan-out to the
+    corpus (probe) side before the broadcast join — pass it ONLY when
+    ``corpus`` is scan-shaped (a base table or a filter over one): the
+    guard introspects partition count via ``df.rdd``, which under AQE
+    materializes upstream exchanges on intermediates (the shingle
+    family's measured hazard, r14). With the guard off — or on at real
+    split counts — the corpus never shuffles: scores reduce via the
+    per-query top-k alone.
     """
     # Norms hoisted out of the pair loop (the ivf_assign_n move): |q|
     # folds once per query (on the broadcast side), |c| once per corpus
@@ -82,11 +93,13 @@ def brute_force_topk(
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnrm"),
     )
-    # Guarded fan-out (r14, guide §2.4/§6): the corpus is the probe
-    # side of the broadcast join, and a sub-split-size scan arrives as
-    # ONE partition — the per-pair cosine folds would run on one core.
-    # No-op at real split counts.
-    c = fanout_small_scan(corpus).select(
+    # Guarded fan-out (r14, guide §2.4/§6), OPT-IN since r15: the
+    # corpus is the probe side of the broadcast join, and a
+    # sub-split-size scan arrives as ONE partition — the per-pair
+    # cosine folds would run on one core. No-op at real split counts.
+    if fanout:
+        corpus = fanout_small_scan(corpus)
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnrm"),
@@ -162,6 +175,85 @@ def adaptive_bands(planes: int) -> int:
     return max(NUM_BANDS, -(-planes // BAND_PLANES))
 
 
+def _banded_sigs_arrow(
+    df: DataFrame,
+    num_bands: int,
+    planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-engine twin of the HOF signature build (r15, guide §4.2):
+    one ``mapInPandas`` stage computes, per input row, the norm and
+    ALL ``num_bands`` bucket ids with vectorized numpy; the per-band
+    explode stays in the JVM. BIT-IDENTICAL to the HOF form by
+    construction:
+
+    - products: Spark's ``dot`` computes x.cast(double) * plane_i with
+      plane_i ∈ {±1.0} — exact in IEEE double; numpy's float64
+      elementwise multiply performs the same exact operation.
+    - fold order: ``F.aggregate``'s strict left fold (((0+t0)+t1)+…)
+      equals the last element of ``np.cumsum`` — cumsum is defined by
+      sequential prefix accumulation, unlike np.sum's pairwise
+      blocking, so every intermediate rounding step matches.
+    - the sign test (> 0), the bit weights (1 << r), and
+      sqrt-of-self-fold for the norm are single IEEE ops, identical in
+      both engines. Parity is pinned by
+      tests/test_round14_opt.py::test_banded_sigs_arrow_matches_hof
+      and by the DuckDB oracle hashes of every consumer (d10/d16/…).
+
+    Why: the HOF lambdas evaluate INTERPRETED, per element, per plane
+    — at the 24-plane cap that is ~3,000 interpreted lambda steps per
+    corpus row (r14 measured two in-plan rewrites slower: literal
+    chains fall out of codegen, layout changes don't touch the fold).
+    This moves the fold to vectorized native code at a cost of one
+    narrow (id, vec) Arrow round trip — §4.2's prescription. Heavy
+    setup (the plane matrix) is built once per task before the batch
+    loop (§4.5)."""
+    rows = [
+        [float(v) for v in hyperplane(bnd * MAX_PLANES + r, dim)]
+        for bnd in range(num_bands)
+        for r in range(planes)
+    ]
+
+    def fn(it):
+        import numpy as np
+
+        pm = np.asarray(rows, dtype=np.float64)  # (num_bands*planes, dim)
+        weights = (1 << np.arange(planes, dtype=np.int64))
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["vec"]],
+                dtype=np.float64,
+            )
+            if v.ndim != 2 or v.shape[1] != pm.shape[1]:
+                raise ValueError(
+                    f"banded_lsh_sigs(engine='arrow') needs fixed-dim "
+                    f"{pm.shape[1]} vectors, got shape {v.shape}"
+                )
+            # strict left-fold per plane: cumsum's last element
+            s = np.empty((n, pm.shape[0]), dtype=np.float64)
+            for j in range(pm.shape[0]):
+                s[:, j] = np.cumsum(v * pm[j], axis=1)[:, -1]
+            bits = (s > 0).astype(np.int64).reshape(n, len(rows) // planes, planes)
+            buckets = (bits * weights).sum(axis=2).astype(np.int32)
+            nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+            out = pdf[["vid", "vec"]].copy()
+            out["nrm"] = nrm
+            out["buckets"] = list(buckets)
+            yield out
+
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).mapInPandas(fn, "vid long, vec array<float>, nrm double, buckets array<int>")
+    return base.select(
+        "vid", "vec", "nrm", F.posexplode("buckets").alias("band", "bucket")
+    )
+
+
 def banded_lsh_sigs(
     df: DataFrame,
     count_ref: DataFrame,
@@ -170,6 +262,7 @@ def banded_lsh_sigs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Banded adaptive sign-LSH signatures: one (vid, vec, band,
     bucket) row per input row per band.
@@ -191,11 +284,27 @@ def banded_lsh_sigs(
     its planes from hyperplane(b·MAX_PLANES + r); band 0 reproduces the
     historical fixed-plane buckets whenever the count lands on
     MIN_PLANES. ``num_bands`` defaults to adaptive_bands(planes) so
-    recall co-scales with the plane count (see adaptive_bands)."""
+    recall co-scales with the plane count (see adaptive_bands).
+
+    ``engine`` picks the fold implementation — identical bits either
+    way (pinned by test + every consumer's oracle hash):
+
+    - ``"arrow"`` (default since r15): one vectorized mapInPandas
+      stage (see _banded_sigs_arrow) — the sign folds were the d10
+      slot's dominant cost as interpreted HOFs, and at the 24-plane
+      cap the HOF form pays ~3,000 interpreted lambda steps per
+      corpus row.
+    - ``"hof"``: the pure-relational JVM form (no Python worker
+      dependency) — kept as the exactness anchor and for plan-shape
+      comparisons."""
     if planes is None:
         planes = adaptive_planes(count_ref.count())
     if num_bands is None:
         num_bands = adaptive_bands(planes)
+    if engine == "arrow":
+        return _banded_sigs_arrow(df, num_bands, planes, dim, id_col, vec_col)
+    if engine != "hof":
+        raise ValueError(f"engine must be 'arrow' or 'hof', got {engine!r}")
     buckets = []
     for bnd in range(num_bands):
         bucket = F.lit(0)

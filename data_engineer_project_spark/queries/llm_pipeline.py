@@ -28,6 +28,7 @@ from data_engineer_project_spark.operators import retrieval as RET
 from data_engineer_project_spark.operators import similarity as SIM
 from data_engineer_project_spark.operators import topk as TK
 from data_engineer_project_spark.operators.asof import asof_join
+from data_engineer_project_spark.operators.fanout import fanout_small_scan
 from data_engineer_project_spark.operators.interval import range_join
 from data_engineer_project_spark.queries.catalog import query
 
@@ -361,7 +362,7 @@ def d09_cosine_topk_bruteforce(t):
     per-query windowed top-k."""
     emb = t.embeddings
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.brute_force_topk(queries, emb, k=5)
+    return SIM.brute_force_topk(queries, emb, k=5, fanout=True)
 
 
 def _banded_lsh_sig_sql(dim: int = 64) -> str:
@@ -876,7 +877,10 @@ def e06_range_join(t):
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("err_end"),
     )
     hits = e.select(F.col("ts").alias("hit_ts"), F.col("value").alias("hit_value"))
-    j = range_join(errs, hits, "err_ts", "err_end", "hit_ts", bucket_width="1 hour")
+    j = range_join(
+        errs, hits, "err_ts", "err_end", "hit_ts",
+        bucket_width="1 hour", fanout=True,
+    )
     return j.groupBy("err_id").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.sum(money("hit_value")).cast("double").alias("total_value"),
@@ -965,7 +969,9 @@ def d16_ann_recall(t):
     parity."""
     emb = t.embeddings
     queries = emb.filter(F.col("vec_id") < 10)
-    bf = SIM.brute_force_topk(queries, emb, k=3).select("query_id", "neighbor_id")
+    bf = SIM.brute_force_topk(queries, emb, k=3, fanout=True).select(
+        "query_id", "neighbor_id"
+    )
     lsh = SIM.lsh_topk(queries, emb, k=3, dim=64).select(
         "query_id", "neighbor_id"
     )
@@ -8884,7 +8890,7 @@ def d82_ivfpq_recall(t):
     emb = t.embeddings
     queries = emb.filter(F.col("vec_id") < 10)
     n_q = queries.count()
-    bf = SIM.brute_force_topk(queries, emb, k=_D82_K).select(
+    bf = SIM.brute_force_topk(queries, emb, k=_D82_K, fanout=True).select(
         "query_id", "neighbor_id"
     )
     # ONE widest-probe ADC frame; each arm is a probe_rank filter of
@@ -9430,7 +9436,7 @@ def d86_knn_label_probe(t):
     ranks over panel x k rows."""
     emb = t.embeddings
     queries = emb.filter(F.col("vec_id") < 10)
-    top = SIM.brute_force_topk(queries, emb, k=5).select(
+    top = SIM.brute_force_topk(queries, emb, k=5, fanout=True).select(
         "query_id", "neighbor_id"
     )
     lab = emb.select("vec_id", "label")
@@ -12080,9 +12086,14 @@ def _merge_delta_state(delta, st):
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # prefilter=True: cand_dc is DELTA-sized while sh_all unions the
+    # FULL corpus shingle artifact — the size-gated §3.2 semi-join
+    # prunes the corpus side to candidate docs before exact_jaccard's
+    # by-node exchanges once the store clears the gate (a plan no-op
+    # at bench scale, where the gate keeps the measured-faster shape).
     sh_all = shn.union(shc)
     e_dc = (
-        DD.exact_jaccard(cand_dc, sh_all, id_col="node")
+        DD.exact_jaccard(cand_dc, sh_all, id_col="node", prefilter=True)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
@@ -12331,10 +12342,16 @@ def d101_incremental_cluster_merge(t):
             bands_path,
         )
         SIM.prune_store(store.parent)
+    # Store-read fan-out (r14's reverted-as-inconclusive change,
+    # re-measured r15): the shingle and band artifacts are raw parquet
+    # scans — single-split at bench scale, so the verify joins and the
+    # band probe welded to them ran on one core. The guard is safe here
+    # (scan-shaped inputs, no AQE .rdd hazard) and a plan no-op at real
+    # split counts.
     return _merge_delta_into_clusters(
         delta,
         spark.read.parquet(str(reps_path)),
         spark.read.parquet(str(comps_path)),
-        spark.read.parquet(str(sh_path)),
-        spark.read.parquet(str(bands_path)),
+        fanout_small_scan(spark.read.parquet(str(sh_path))),
+        fanout_small_scan(spark.read.parquet(str(bands_path))),
     )
