@@ -14,7 +14,15 @@ from data_engineer_project_spark.plans.snowflake import build_snowflake
 from data_engineer_project_spark.plans.star import build_star
 
 
-@pytest.fixture(scope="module", params=[fixtures.DEFAULT_MEMBERS, 1200])
+@pytest.fixture(
+    scope="module",
+    params=[
+        fixtures.DEFAULT_MEMBERS,
+        # the 100x-fixture arm re-proves volume-invariance; measured
+        # ~60 s per full run -> slow lane (r15 verify-window split)
+        pytest.param(1200, marks=pytest.mark.slow),
+    ],
+)
 def model(request, spark):
     src = fixtures.dataframes(spark, request.param)
     return request.param, src, build_star(src)
@@ -80,6 +88,7 @@ def test_snowflake_hierarchy_consistent(model):
     assert unresolved.count() == 0
 
 
+@pytest.mark.slow
 def test_write_star_partitioned_roundtrip(spark, tmp_path):
     """DW sink: dims plain parquet, fact_claims_line partitioned by
     ServiceYear — a date filter on the reloaded fact must prune

@@ -735,6 +735,7 @@ def test_write_store_atomic_immune_to_dynamic_overwrite_mode(spark, tmp_path):
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+@pytest.mark.slow
 def test_s25_streamed_merge_is_multi_batch_and_equals_d99(spark):
     """The streamed cluster maintenance must (a) actually process
     multiple micro-batches (state chaining is the point — one batch
@@ -900,6 +901,7 @@ def test_jpeg_progressive_restart_intervals():
         decode_jpeg(bytes(payload))
 
 
+@pytest.mark.slow
 def test_jpeg_decode_agrees_with_jvm_imageio_on_real_files(spark):
     """Spec conformance against an INDEPENDENT decoder: the JVM's
     javax.imageio, fed real-world files shipped in the environment —
@@ -1449,6 +1451,7 @@ def test_tiff_cross_validated_against_jvm_imageio(spark):
         os.unlink(path)
 
 
+@pytest.mark.slow
 def test_merge_state_chain_is_partition_invariant(spark):
     """The s25 exactness argument, stressed directly: folding
     _merge_delta_state over ANY partition of the delta, in ANY batch

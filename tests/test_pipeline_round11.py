@@ -81,6 +81,7 @@ def _canonical_ac_table():
     return vals, {v: i for i, v in enumerate(vals)}
 
 
+@pytest.mark.slow
 def test_jpeg_progressive_eob_refinement_bulk_skip():
     """An AC-refinement scan whose EOB runs span absent blocks must
     bulk-advance, not walk block-by-block: a 8192x4096 SOF2 (512k
@@ -269,6 +270,7 @@ def test_corpus_manifest_key_tracks_file_changes(spark, tmp_path):
     assert kf.startswith("n") and "_s" in kf  # content-fingerprint form
 
 
+@pytest.mark.slow
 def test_durable_cluster_merge_survives_midstream_crash(spark, tmp_path):
     """s25's 100 TB form (the round-10 scale note's open item): the
     per-batch cluster state goes through write_store_atomic into a

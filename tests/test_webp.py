@@ -451,6 +451,7 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
     data=st.binary(min_size=1, max_size=600),
     width=st.integers(min_value=1, max_value=40),
 )
+@pytest.mark.slow
 def test_property_gray_roundtrip(data, width):
     """ANY byte content at ANY width roundtrips bit-exact through the
     gray (palette) encoder — the encoder pads the last row like the
@@ -466,6 +467,7 @@ def test_property_gray_roundtrip(data, width):
     data=st.binary(min_size=3, max_size=300),
     width=st.integers(min_value=1, max_value=12),
 )
+@pytest.mark.slow
 def test_property_rgb_roundtrip(data, width):
     n = max(1, len(data) // (3 * width))
     px = (data * 3)[: 3 * width * n]
@@ -481,6 +483,7 @@ def test_property_rgb_roundtrip(data, width):
     cut=st.integers(min_value=0, max_value=400),
     flip=st.integers(min_value=0, max_value=400),
 )
+@pytest.mark.slow
 def test_property_corruption_never_hangs_or_crashes(seed, cut, flip):
     """Truncating anywhere and flipping any byte must produce either
     a clean decode (bit flips in pixel data are legal content) or a
