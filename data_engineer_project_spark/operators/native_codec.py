@@ -186,6 +186,26 @@ def _java_bin(name: str) -> str | None:
     return which(name)
 
 
+# JVM flags for the sidecar fleet (r15 m21 triage): one sidecar per
+# Python worker means up to pool-size JVMs per host, and the pool
+# CHURNS under a long session (measured: 32 spawns on first decode,
+# growing to 57 live sidecars over 6 reps as Spark forked fresh
+# workers — each fresh worker pays its sidecar spawn INSIDE the timed
+# query, which is m21's bimodal-variance mechanism). Each JVM serves
+# ONE request at a time over a pipe, so size its internals for one
+# core: ActiveProcessorCount=1 keeps GC/JIT thread pools from scaling
+# to the host's 32 cores (57 JVMs x 32-core ergonomics is pure
+# footprint), SerialGC is the right collector for a 256 MB one-lane
+# heap, and both shave thread-startup off the spawn that lands inside
+# timed queries. JIT tiering stays default: at corpus scale the
+# sidecar is long-lived and decode-hot, so C2 matters.
+_SIDECAR_JVM_FLAGS = [
+    "-Xmx256m",
+    "-XX:ActiveProcessorCount=1",
+    "-XX:+UseSerialGC",
+]
+
+
 def _ensure_compiled() -> list[str] | None:
     """Compile the server once per host (atomic-rename publish, so
     concurrently-starting workers race safely); return the java launch
@@ -222,16 +242,16 @@ def _ensure_compiled() -> list[str] | None:
             shutil.rmtree(tmp, ignore_errors=True)
             # last resort: source launch (in-memory compile per start)
             if os.path.exists(src):
-                return [java, "-Xmx256m", src]
+                return [java, *_SIDECAR_JVM_FLAGS, src]
             return None
         finally:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
     if os.path.exists(cls):
-        return [java, "-Xmx256m", "-cp", d, "NativeDecodeServer"]
+        return [java, *_SIDECAR_JVM_FLAGS, "-cp", d, "NativeDecodeServer"]
     if os.path.exists(src):
-        return [java, "-Xmx256m", src]
+        return [java, *_SIDECAR_JVM_FLAGS, src]
     return None
 
 

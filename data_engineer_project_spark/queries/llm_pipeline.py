@@ -28,7 +28,6 @@ from data_engineer_project_spark.operators import retrieval as RET
 from data_engineer_project_spark.operators import similarity as SIM
 from data_engineer_project_spark.operators import topk as TK
 from data_engineer_project_spark.operators.asof import asof_join
-from data_engineer_project_spark.operators.fanout import fanout_small_scan
 from data_engineer_project_spark.operators.interval import range_join
 from data_engineer_project_spark.queries.catalog import query
 
@@ -12342,16 +12341,19 @@ def d101_incremental_cluster_merge(t):
             bands_path,
         )
         SIM.prune_store(store.parent)
-    # Store-read fan-out (r14's reverted-as-inconclusive change,
-    # re-measured r15): the shingle and band artifacts are raw parquet
-    # scans — single-split at bench scale, so the verify joins and the
-    # band probe welded to them ran on one core. The guard is safe here
-    # (scan-shaped inputs, no AQE .rdd hazard) and a plan no-op at real
-    # split counts.
+    # Store-read fan-out: measured and REJECTED twice. r14 recorded it
+    # as inconclusive (after-readings straddled baseline); the r15
+    # interleaved A/B (5 paired solo min-of-6 invocations, alternating
+    # order) read it consistently ~1 s SLOWER (7.61–7.95 s vs
+    # 6.75–6.93 s): the guarded exchange moves the WHOLE corpus
+    # shingle artifact to parallelize per-row work that is small at
+    # any scale where the guard fires, and at real split counts the
+    # guard is a no-op anyway — so the fan-out can only ever cost.
+    # Do not retry without new evidence.
     return _merge_delta_into_clusters(
         delta,
         spark.read.parquet(str(reps_path)),
         spark.read.parquet(str(comps_path)),
-        fanout_small_scan(spark.read.parquet(str(sh_path))),
-        fanout_small_scan(spark.read.parquet(str(bands_path))),
+        spark.read.parquet(str(sh_path)),
+        spark.read.parquet(str(bands_path)),
     )
