@@ -12099,7 +12099,18 @@ def _merge_delta_state(delta, st):
     e_dd = DD.minhash_lsh_pairs_from_shingles(
         shn, id_col="node", num_hashes=_D100_NH, jaccard_threshold=0.5
     ).select("doc_a", "doc_b")
-    star = stored_comps.select(
+    # Star edges drop the root self-loops (node == component): they
+    # carry no connectivity — every root of a ≥2-node standing cluster
+    # still appears as the doc_b of its members' edges — and removing
+    # them makes the mirrored edge union DISTINCT by construction, so
+    # CC can skip its full-edge-set dedup aggregate (r15, §2.4):
+    # each unordered pair appears in exactly ONE source (star pairs
+    # corpus×corpus, e_dc pairs novel×corpus, e_dd pairs novel×novel)
+    # and in one orientation, and the rename map is injective over
+    # disjoint id spaces, so no two pairs collide after relabeling.
+    # pairs_unique is performance-only either way — duplicate edges
+    # could not change the labels (see connected_components).
+    star = stored_comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_a"), F.col("component").alias("doc_b")
     )
     all_edges = (
@@ -12107,7 +12118,7 @@ def _merge_delta_state(delta, st):
         .union(ren(e_dc, "doc_b"))
         .union(e_dd)
     )
-    comps = GR.connected_components(all_edges)
+    comps = GR.connected_components(all_edges, pairs_unique=True)
     return {
         "reps": merged_reps,
         "comps": comps.select("node", "component"),

@@ -215,7 +215,103 @@ def profile_m18(spark, sf_dir):
     timed("final rollup (noop)", lambda: noop(comps.join(reps, comps.node == reps.doc_id)))
 
 
-PROFILERS = {"d89": profile_d89, "m18": profile_m18}
+def profile_d101(spark, sf_dir):
+    """Warm-path phases of the incremental cluster merge (r15): store
+    reads, delta collapse, delta shingles, pairing (one-sided probe +
+    delta self-pairs), the two verify joins, CC over star+delta edges,
+    rollup. Assumes the standing store exists (run the d101 query once
+    first, or via bench)."""
+    import data_engineer_project_spark.queries.llm_pipeline as LP
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    split = 90
+    bucket = F.expr(LP._SPARK_BUCKET)
+    corpus = docs.filter(bucket < split).select("doc_id", "text")
+    delta = docs.filter(bucket >= split).select("doc_id", "text")
+    store = LP._neardup_cluster_store(corpus, split)
+    paths = {n: store / p for n, p in
+             [("reps", "reps"), ("comps", "comps"), ("sh", "shingles"),
+              ("bands", "bands")]}
+    if not all((p / "_SUCCESS").exists() for p in paths.values()):
+        print("    store missing — run d101 once first"); return
+    st = {n: spark.read.parquet(str(p)) for n, p in paths.items()}
+    stored_reps, stored_comps, shc, bc = (
+        st["reps"], st["comps"], st["sh"], st["bands"])
+
+    dfp = timed(
+        "delta collapse (persist+count)",
+        lambda: (lambda df: (df.count(), df)[1])(
+            tracked_persist(
+                LP._collapse_reps(delta).select(
+                    "fp", F.col("node").alias("d_doc"), "text",
+                    F.col("wt").alias("wt_d"))
+            )
+        ),
+    )
+    rename = stored_reps.join(dfp.select("fp", "d_doc", "wt_d"), "fp").filter(
+        F.col("d_doc") < F.col("node")).select(
+        F.col("node").alias("_old"), F.col("d_doc").alias("_new"))
+    novel = dfp.join(stored_reps.select("fp"), "fp", "left_anti").select(
+        "fp", F.col("d_doc").alias("node"), "text",
+        F.col("wt_d").alias("wt"))
+    timed("rename map (noop)", lambda: noop(rename))
+    shn = timed(
+        "delta shingles shn (persist+count)",
+        lambda: (lambda df: (df.count(), df)[1])(
+            tracked_persist(
+                DD.exploded_shingles(novel, id_col="node").distinct())
+        ),
+    )
+    sign = DD.minhash_signatures(shn, id_col="node", num_hashes=8)
+    bn = DD.band_key_rows(sign, id_col="node", num_hashes=8, bands=4)
+    cand_dc = (
+        bn.select(F.col("node").alias("doc_a"), "band", "key")
+        .join(bc.select(F.col("node").alias("doc_b"), "band", "key"),
+              ["band", "key"])
+        .select("doc_a", "doc_b").distinct()
+    )
+    cand_dc = timed(
+        "one-sided band probe cand_dc (persist+count)",
+        lambda: (lambda df: (df.count(), df)[1])(tracked_persist(cand_dc)),
+    )
+    sh_all = shn.union(shc)
+    e_dc = DD.exact_jaccard(cand_dc, sh_all, id_col="node").filter(
+        F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    timed("delta-x-corpus verify e_dc (noop)", lambda: noop(e_dc))
+    e_dd = DD.minhash_lsh_pairs_from_shingles(
+        shn, id_col="node", num_hashes=8, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b")
+    timed("delta-x-delta pairs e_dd (noop)", lambda: noop(e_dd))
+    star = stored_comps.select(
+        F.col("node").alias("doc_a"), F.col("component").alias("doc_b"))
+
+    def ren(df, col):
+        return (df.join(rename, df[col] == rename["_old"], "left")
+                .withColumn(col, F.coalesce("_new", col))
+                .drop("_old", "_new"))
+
+    all_edges = (ren(ren(star, "doc_a"), "doc_b")
+                 .union(ren(e_dc, "doc_b")).union(e_dd))
+    comps = timed("connected_components",
+                  lambda: GR.connected_components(all_edges))
+    print(f"    CC rounds: {GR.LAST_RUN_STATS}")
+    merged_reps = (
+        stored_reps.join(dfp.select("fp", "d_doc", "wt_d"), "fp", "left")
+        .select(
+            "fp",
+            F.least(F.col("node"), F.coalesce("d_doc", "node")).alias("node"),
+            (F.col("wt") + F.coalesce("wt_d", F.lit(0))).alias("wt"),
+            "n_tok",
+        )
+        .union(novel.select("fp", "node", "wt",
+                            F.lit(0).cast("long").alias("n_tok")))
+    )
+    timed("weighted rollup (noop)",
+          lambda: noop(LP._cluster_rollup(merged_reps, comps)))
+
+
+PROFILERS = {"d89": profile_d89, "m18": profile_m18, "d101": profile_d101}
 
 
 def main():
@@ -232,6 +328,7 @@ def main():
         {
             "d89": "d89_weighted_pagerank_canonical",
             "m18": "m18_image_neardup_verified",
+            "d101": "d101_incremental_cluster_merge",
         }[name]
     ].fn
     for rep in range(2):
